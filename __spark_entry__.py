@@ -3,36 +3,498 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every query below goes through the anser_spark engine (Mongo-dialect
+filter / update / pipeline compilers → DataFrame plans) — these are the
+operator-coverage receipts for SURVEY.md §2.
 """
 
 from __future__ import annotations
 
+import datetime
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _db(spark: SparkSession, sf_dir: str):
+    from anser_spark.engine import Engine
+
+    return Engine(spark).mount("tpch", sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (SURVEY.md §7 M2 slice):
+    fluent find → sort → limit compiled to one Catalyst plan."""
+    db = _db(spark, "/root/testdata/sf0.001")
+    return (
+        db.collection("lineitem")
+        .find({"l_quantity": {"$gt": 45.0}})
+        .sort("-l_extendedprice", "l_orderkey", "l_linenumber")
+        .limit(10)
+        .to_df()
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries: name → (spark, sf_dir) → DataFrame
+# ---------------------------------------------------------------------------
+
+
+def _q_find_sort_limit(spark, sf_dir):
+    # §2.1/2.3: find + getSort-style keys + limit (db/wrapper.go:452-481)
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .find({"l_quantity": {"$gt": 45.0}})
+        .sort("-l_extendedprice", "l_orderkey", "l_linenumber")
+        .limit(10)
+        .to_df()
+    )
+
+
+def _q_filter_in_projection(spark, sf_dir):
+    # §2.2 $in + §2.3 inclusion projection (column pruning)
+    return (
+        _db(spark, sf_dir)
+        .collection("customer")
+        .find({"c_mktsegment": {"$in": ["BUILDING", "AUTOMOBILE"]}})
+        .select({"c_custkey": 1, "c_name": 1, "c_acctbal": 1})
+        .to_df()
+    )
+
+
+def _q_filter_and_or(spark, sf_dir):
+    # §2.2 logical operators over comparisons
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .find(
+            {
+                "$or": [
+                    {"o_orderstatus": "F"},
+                    {"o_totalprice": {"$gt": 200000.0}},
+                ],
+                "o_orderdate": {"$lt": datetime.datetime(1996, 1, 1)},
+            }
+        )
+        .select({"o_orderkey": 1, "o_orderstatus": 1, "o_totalprice": 1})
+        .to_df()
+    )
+
+
+def _q_filter_regex(spark, sf_dir):
+    # §2.2 $regex → rlike
+    return (
+        _db(spark, sf_dir)
+        .collection("part")
+        .find({"p_name": {"$regex": "blue"}, "p_size": {"$gte": 10}})
+        .select({"p_partkey": 1, "p_name": 1, "p_size": 1})
+        .to_df()
+    )
+
+
+def _q_filter_nin_mod(spark, sf_dir):
+    # §2.2 $nin + $mod
+    return (
+        _db(spark, sf_dir)
+        .collection("nation")
+        .find({"n_regionkey": {"$nin": [0, 4]}, "n_nationkey": {"$mod": [2, 1]}})
+        .to_df()
+    )
+
+
+def _q_skip_limit_page(spark, sf_dir):
+    # §2.3 skip/limit paging over a deterministic sort
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .find(None)
+        .sort("l_orderkey", "l_linenumber")
+        .skip(100)
+        .limit(50)
+        .select({"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1})
+        .to_df()
+    )
+
+
+def _q_count_matching(spark, sf_dir):
+    # §2.3 Count() via the $count stage
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .pipe([{"$match": {"l_returnflag": "R"}}, {"$count": "n"}])
+        .to_df()
+    )
+
+
+def _q_group_q1(spark, sf_dir):
+    # §2.5 $match + $group with multiple accumulators (TPC-H Q1 shape),
+    # compound _id flattened for the oracle
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .pipe(
+            [
+                {"$match": {"l_shipdate": {"$lte": datetime.datetime(1998, 9, 2)}}},
+                {
+                    "$group": {
+                        "_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"},
+                        "sum_qty": {"$sum": "$l_quantity"},
+                        "sum_base_price": {"$sum": "$l_extendedprice"},
+                        "sum_disc_price": {
+                            "$sum": {
+                                "$multiply": [
+                                    "$l_extendedprice",
+                                    {"$subtract": [1, "$l_discount"]},
+                                ]
+                            }
+                        },
+                        "avg_qty": {"$avg": "$l_quantity"},
+                        "count_order": {"$sum": 1},
+                    }
+                },
+                {
+                    "$project": {
+                        "_id": 0,
+                        "l_returnflag": "$_id.rf",
+                        "l_linestatus": "$_id.ls",
+                        "sum_qty": {"$round": ["$sum_qty", 2]},
+                        "sum_base_price": {"$round": ["$sum_base_price", 2]},
+                        "sum_disc_price": {"$round": ["$sum_disc_price", 2]},
+                        "avg_qty": {"$round": ["$avg_qty", 4]},
+                        "count_order": 1,
+                    }
+                },
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_group_global(spark, sf_dir):
+    # §2.5 $group _id:None + expression language ($multiply/$subtract)
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .pipe(
+            [
+                {"$match": {"l_discount": {"$gte": 0.05, "$lte": 0.07}, "l_quantity": {"$lt": 24.0}}},
+                {
+                    "$group": {
+                        "_id": None,
+                        "revenue": {"$sum": {"$multiply": ["$l_extendedprice", "$l_discount"]}},
+                        "n": {"$sum": 1},
+                    }
+                },
+                {"$project": {"_id": 0, "revenue": {"$round": ["$revenue", 2]}, "n": 1}},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_lookup_unwind(spark, sf_dir):
+    # §2.5/2.6 $lookup (left join + re-nest) then $unwind (explode)
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {"$match": {"o_totalprice": {"$gt": 250000.0}}},
+                {
+                    "$lookup": {
+                        "from": "customer",
+                        "localField": "o_custkey",
+                        "foreignField": "c_custkey",
+                        "as": "cust",
+                    }
+                },
+                {"$unwind": "$cust"},
+                {
+                    "$project": {
+                        "o_orderkey": 1,
+                        "o_totalprice": 1,
+                        "c_name": "$cust.c_name",
+                        "c_mktsegment": "$cust.c_mktsegment",
+                    }
+                },
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_sort_by_count(spark, sf_dir):
+    # §2.5 $sortByCount on the documents table
+    return (
+        _db(spark, sf_dir)
+        .collection("documents")
+        .pipe([{"$sortByCount": "$lang"}])
+        .to_df()
+    )
+
+
+def _q_project_expressions(spark, sf_dir):
+    # §2.5 expression language: $year, $toUpper, $cond, $concat
+    return (
+        _db(spark, sf_dir)
+        .collection("events")
+        .pipe(
+            [
+                {"$match": {"event_type": {"$ne": "view"}}},
+                {
+                    "$project": {
+                        "event_id": 1,
+                        "yr": {"$year": "$ts"},
+                        "etype": {"$toUpper": "$event_type"},
+                        "bucket": {
+                            "$cond": {
+                                "if": {"$gte": ["$value", 50.0]},
+                                "then": "high",
+                                "else": "low",
+                            }
+                        },
+                        "val2": {"$round": [{"$multiply": ["$value", 2.0]}, 4]},
+                    }
+                },
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_group_by_user(spark, sf_dir):
+    # §2.8 APM-analogue shape: keyed windowless aggregation over events
+    return (
+        _db(spark, sf_dir)
+        .collection("events")
+        .pipe(
+            [
+                {
+                    "$group": {
+                        "_id": "$event_type",
+                        "n": {"$sum": 1},
+                        "total_value": {"$sum": "$value"},
+                        "max_value": {"$max": "$value"},
+                        "users": {"$addToSet": "$user_id"},
+                    }
+                },
+                {
+                    "$project": {
+                        "event_type": "$_id",
+                        "_id": 0,
+                        "n": 1,
+                        "total_value": {"$round": ["$total_value", 2]},
+                        "max_value": 1,
+                        "n_users": {"$size": "$users"},
+                    }
+                },
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_text_token_count(spark, sf_dir):
+    # M7 text analysis: whitespace token counting at scan speed
+    from anser_spark.operators.text import token_count_col
+    from pyspark.sql import functions as F
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return docs.select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens"), "n_chars"
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    # M7 exact dedup: hash-groupBy on normalized fingerprint, min-id winner
+    from anser_spark.operators.dedup import exact_dedup
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return exact_dedup(docs).select("doc_id")
+
+
+def _q_cosine_top_k(spark, sf_dir):
+    # M7 similarity: brute-force cosine top-k (TakeOrdered plan)
+    from anser_spark.operators.similarity import cosine_top_k
+
+    emb = _db(spark, sf_dir).collection("embeddings").df()
+    query_vec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    return cosine_top_k(emb, query_vec, k=10, round_to=4)
+
+
+def _q_minhash_near_dups(spark, sf_dir):
+    # M7 MinHash+LSH near-dup pairs (approximate — rows-only check)
+    from anser_spark.operators.dedup import minhash_near_dup_pairs
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return minhash_near_dup_pairs(docs, k=3, threshold=0.5)
+
+
+def _q_embedding_near_dups(spark, sf_dir):
+    # M7 embedding-cosine near-dups via hyperplane LSH (approximate —
+    # rows-only check). 64-bit signatures / 4 bands: candidate volume
+    # stays ~1e-5 of all pairs, the config that scales.
+    from anser_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _db(spark, sf_dir).collection("embeddings").df()
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.95, bits=64, bands=4)
+
+
+def _q_embedding_sim_join(spark, sf_dir):
+    # M7 exact cosine similarity join on a bounded subset (the oracle
+    # path for the LSH variant)
+    from pyspark.sql import functions as F
+    from anser_spark.operators.similarity import cosine_similarity_join
+
+    emb = _db(spark, sf_dir).collection("embeddings").df()
+    return cosine_similarity_join(emb.where(F.col("vec_id") < 300), threshold=0.3)
+
+
+def _q_text_stats(spark, sf_dir):
+    # M7 language-ID + quality + fingerprint (heuristics — rows-only check)
+    from anser_spark.operators.text import text_stats
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return text_stats(docs).select("doc_id", "lang_id", "quality", "fingerprint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "find_sort_limit": _q_find_sort_limit,
+        "filter_in_projection": _q_filter_in_projection,
+        "filter_and_or": _q_filter_and_or,
+        "filter_regex": _q_filter_regex,
+        "filter_nin_mod": _q_filter_nin_mod,
+        "skip_limit_page": _q_skip_limit_page,
+        "count_matching": _q_count_matching,
+        "group_q1": _q_group_q1,
+        "group_global": _q_group_global,
+        "lookup_unwind": _q_lookup_unwind,
+        "sort_by_count": _q_sort_by_count,
+        "project_expressions": _q_project_expressions,
+        "group_by_user": _q_group_by_user,
+        "text_token_count": _q_text_token_count,
+        "exact_dedup_docs": _q_exact_dedup,
+        "cosine_top_k": _q_cosine_top_k,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_sim_join": _q_embedding_sim_join,
+        "text_stats": _q_text_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "find_sort_limit": """
+            SELECT * FROM lineitem
+            WHERE l_quantity > 45.0
+            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+            LIMIT 10
+        """,
+        "filter_in_projection": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        """,
+        "filter_and_or": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE (o_orderstatus = 'F' OR o_totalprice > 200000.0)
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+        """,
+        "filter_regex": """
+            SELECT p_partkey, p_name, p_size FROM part
+            WHERE regexp_matches(p_name, 'blue') AND p_size >= 10
+        """,
+        "filter_nin_mod": """
+            SELECT * FROM nation
+            WHERE n_regionkey NOT IN (0, 4) AND n_nationkey % 2 = 1
+        """,
+        "skip_limit_page": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber
+            LIMIT 50 OFFSET 100
+        """,
+        "count_matching": """
+            SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "group_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "group_global": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+        """,
+        "lookup_unwind": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_totalprice > 250000.0
+        """,
+        "sort_by_count": """
+            SELECT lang AS _id, count(*) AS count
+            FROM documents GROUP BY lang
+        """,
+        "project_expressions": """
+            SELECT event_id,
+                   CAST(EXTRACT(year FROM ts) AS INTEGER) AS yr,
+                   upper(event_type) AS etype,
+                   CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS bucket,
+                   round(value * 2.0, 4) AS val2
+            FROM events
+            WHERE event_type IS DISTINCT FROM 'view'
+        """,
+        "group_by_user": """
+            SELECT event_type,
+                   count(*) AS n,
+                   round(sum(value), 2) AS total_value,
+                   max(value) AS max_value,
+                   CAST(count(DISTINCT user_id) AS INTEGER) AS n_users
+            FROM events
+            GROUP BY event_type
+        """,
+        "text_token_count": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS INTEGER) AS n_tokens,
+                   n_chars
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        """,
+        "cosine_top_k": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "embedding_sim_join": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 300 AND b.vec_id < 300
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        # minhash_near_dups / embedding_near_dups / text_stats:
+        # approximate or heuristic operators — intentionally no SQL oracle
+        # (driver records the rows-only check).
+    }

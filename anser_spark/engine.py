@@ -1,0 +1,672 @@
+"""Engine / Database / Collection — the environment + session/client
+handle hierarchy of the reference (environment.go:26-58,
+db/interface.go:5-39, client/client.go:10-52), Spark-first.
+
+A Collection is a named Parquet dataset. Reads are lazy DataFrames;
+mutations (SURVEY.md §2.4) are **copy-on-write rewrites**: the new
+dataset version is written to ``<workdir>/<db>/<coll>/v<N>`` and a
+``_CURRENT`` pointer file is swapped atomically (tmp+rename). That makes
+every mutation idempotent/re-runnable — the property the reference only
+asks of migration authors by convention (README.rst:68-70) we get by
+construction — and it is the only mutation shape that scales: one
+distributed job per UpdateMany, never per-document point writes.
+
+Read-only source datasets (e.g. the driver's testdata) can back a
+collection; the first mutation materializes the next version into the
+engine workdir, leaving the source untouched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anser_spark.functions.filters import compile_filter
+from anser_spark.functions.updates import (
+    apply_update,
+    compile_update,
+    compile_replacement,
+    has_dollar_key,
+)
+
+__all__ = [
+    "Engine",
+    "Database",
+    "Collection",
+    "Namespace",
+    "ChangeInfo",
+    "NotFoundError",
+]
+
+
+class NotFoundError(LookupError):
+    """Analogue of mongo ErrNoDocuments / reference ResultsNotFound
+    (db/errors.go:8-12)."""
+
+
+def is_not_found(exc: BaseException) -> bool:
+    return isinstance(exc, NotFoundError)
+
+
+@dataclass(frozen=True)
+class Namespace:
+    """`{DB, Collection}` pair (reference model/namespace.go:6-33)."""
+
+    db: str
+    collection: str
+
+    def __str__(self) -> str:  # "db.coll" string form
+        return f"{self.db}.{self.collection}"
+
+    def is_valid(self) -> bool:
+        return bool(self.collection) and 0 < len(self.db) < 64
+
+
+@dataclass
+class ChangeInfo:
+    """Mutation result (reference db/data.go:11-16)."""
+
+    updated: int = 0
+    removed: int = 0
+    upserted_id: Any = None
+
+
+@dataclass
+class BulkResult:
+    """Bulk write result (reference db/interface.go:70-73)."""
+
+    matched: int = 0
+    modified: int = 0
+
+
+class Engine:
+    """Top-level handle: SparkSession + data roots + op registries
+    (the reference Environment, environment.go:26-58)."""
+
+    METADATA_DB = "anser"
+    METADATA_COLLECTION = "migrations.metadata"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        sources: Mapping[str, str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.workdir = workdir or tempfile.mkdtemp(prefix="anser_spark_")
+        # db name → directory of <name>.parquet source datasets
+        self.sources: dict[str, str] = dict(sources or {})
+        # op registries (environment.go:167-205): duplicate registration is an error
+        self.manual_ops: dict[str, Any] = {}
+        self.stream_processors: dict[str, Any] = {}
+        self.closers: list[Any] = []
+
+    # -- registries ----------------------------------------------------
+    def register_manual_migration_operation(self, name: str, fn: Any) -> None:
+        if name in self.manual_ops:
+            raise ValueError(f"operation {name!r} is already registered")
+        self.manual_ops[name] = fn
+
+    def register_stream_processor(self, name: str, processor: Any) -> None:
+        if name in self.stream_processors:
+            raise ValueError(f"processor {name!r} is already registered")
+        self.stream_processors[name] = processor
+
+    def metadata_namespace(self) -> Namespace:
+        return Namespace(self.METADATA_DB, self.METADATA_COLLECTION)
+
+    # -- handles -------------------------------------------------------
+    def mount(self, db_name: str, source_dir: str) -> "Database":
+        """Expose a directory of ``<coll>.parquet`` files as a database."""
+        self.sources[db_name] = source_dir
+        return self.db(db_name)
+
+    def db(self, name: str) -> "Database":
+        return Database(self, name)
+
+    # session()/client() parity aliases (legacy vs modern handle split
+    # in the reference collapses to one implementation here)
+    def session(self) -> "Engine":
+        return self
+
+    def database(self, name: str) -> "Database":
+        return self.db(name)
+
+    def list_database_names(self) -> list[str]:
+        names = set(self.sources)
+        if os.path.isdir(self.workdir):
+            for entry in os.listdir(self.workdir):
+                if os.path.isdir(os.path.join(self.workdir, entry)):
+                    names.add(entry)
+        return sorted(names)
+
+    def collection(self, ns: Namespace) -> "Collection":
+        return self.db(ns.db).collection(ns.collection)
+
+    def close(self) -> None:
+        for closer in self.closers:
+            closer()
+
+
+class Database:
+    def __init__(self, engine: Engine, name: str) -> None:
+        self.engine = engine
+        self.name = name
+
+    def collection(self, name: str) -> "Collection":
+        return Collection(self.engine, self.name, name)
+
+    c = collection  # terse alias
+
+    def collection_names(self) -> list[str]:
+        names: set[str] = set()
+        src = self.engine.sources.get(self.name)
+        if src and os.path.isdir(src):
+            for entry in os.listdir(src):
+                if entry.endswith(".parquet"):
+                    names.add(entry[: -len(".parquet")])
+        dbdir = os.path.join(self.engine.workdir, self.name)
+        if os.path.isdir(dbdir):
+            for entry in os.listdir(dbdir):
+                coll = Collection(self.engine, self.name, entry)
+                if coll._pointer() == "DROPPED":
+                    names.discard(entry)
+                elif coll._pointer() is not None:
+                    names.add(entry)
+        return sorted(names)
+
+    def create_collection(self, name: str) -> "Collection":
+        coll = self.collection(name)
+        if not coll.exists():
+            empty = self.engine.spark.createDataFrame(
+                [], T.StructType([T.StructField("_id", T.StringType())])
+            )
+            coll._rewrite(empty)
+        return coll
+
+    def drop_database(self) -> None:
+        for name in self.collection_names():
+            self.collection(name).drop()
+
+
+class Collection:
+    """A named Parquet-backed document collection.
+
+    Read path: `find/find_id/find_one/count/pipe` (reference
+    db/wrapper.go:88-125). Write path: copy-on-write mutations
+    (db/wrapper.go:127-344). All query/update documents use the Mongo
+    dialect, compiled by anser_spark.functions.
+    """
+
+    def __init__(self, engine: Engine, db_name: str, name: str) -> None:
+        self.engine = engine
+        self.db_name = db_name
+        self.name = name
+
+    # -- storage -------------------------------------------------------
+    @property
+    def namespace(self) -> Namespace:
+        return Namespace(self.db_name, self.name)
+
+    @property
+    def _store_dir(self) -> str:
+        return os.path.join(self.engine.workdir, self.db_name, self.name)
+
+    def _pointer(self) -> str | None:
+        p = os.path.join(self._store_dir, "_CURRENT")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return fh.read().strip()
+        return None
+
+    def _source_path(self) -> str | None:
+        src = self.engine.sources.get(self.db_name)
+        if not src:
+            return None
+        candidate = os.path.join(src, f"{self.name}.parquet")
+        if os.path.exists(candidate):
+            return candidate
+        candidate = os.path.join(src, self.name)
+        if os.path.exists(candidate):
+            return candidate
+        return None
+
+    def current_path(self) -> str | None:
+        ptr = self._pointer()
+        if ptr == "DROPPED":
+            return None
+        if ptr is not None:
+            return os.path.join(self._store_dir, ptr)
+        return self._source_path()
+
+    def exists(self) -> bool:
+        return self.current_path() is not None
+
+    def df(self) -> DataFrame:
+        """The collection as a lazy DataFrame (the engine-internal fast
+        path — fluent `find()` wraps this)."""
+        path = self.current_path()
+        if path is None:
+            raise NotFoundError(f"collection does not exist: {self.namespace}")
+        from anser_spark.sources.readers import read_parquet_table
+
+        return read_parquet_table(self.engine.spark, path)
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Write the next dataset version and swap the pointer atomically."""
+        os.makedirs(self._store_dir, exist_ok=True)
+        ptr = self._pointer()
+        n = int(ptr[1:]) + 1 if ptr and ptr.startswith("v") else 1
+        version = f"v{n}"
+        df.write.mode("overwrite").parquet(os.path.join(self._store_dir, version))
+        tmp = os.path.join(self._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+        os.replace(tmp, os.path.join(self._store_dir, "_CURRENT"))
+        old = os.path.join(self._store_dir, ptr) if ptr and ptr.startswith("v") else None
+        if old and os.path.isdir(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def drop(self) -> None:
+        os.makedirs(self._store_dir, exist_ok=True)
+        tmp = os.path.join(self._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            fh.write("DROPPED")
+        os.replace(tmp, os.path.join(self._store_dir, "_CURRENT"))
+
+    # -- read path -----------------------------------------------------
+    def find(self, query: Mapping[str, Any] | None = None) -> "Query":
+        from anser_spark.plans.query import Query
+
+        return Query(self, query)
+
+    def find_id(self, id_value: Any) -> "Query":
+        return self.find({"_id": id_value})
+
+    def find_one(self, query: Mapping[str, Any] | None = None) -> dict[str, Any]:
+        return self.find(query).one()
+
+    def count(self) -> int:
+        return self.df().count()
+
+    def estimated_document_count(self) -> int:
+        """Metadata-only count from Parquet footers (reference
+        backup/backup.go:91 EstimatedDocumentCount) — no data scan."""
+        path = self.current_path()
+        if path is None:
+            raise NotFoundError(f"collection does not exist: {self.namespace}")
+        import pyarrow.parquet as pq
+
+        try:
+            if os.path.isfile(path):
+                return pq.ParquetFile(path).metadata.num_rows
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            return total
+        except Exception:
+            return self.df().count()
+
+    def pipe(self, pipeline: Sequence[Mapping[str, Any]]) -> "Aggregation":
+        from anser_spark.plans.pipeline import Aggregation
+
+        return Aggregation(self, pipeline)
+
+    aggregate = pipe
+
+    # -- write path ----------------------------------------------------
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        cols = []
+        for f_ in schema.fields:
+            if f_.name in df.columns:
+                cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        extras = [c for c in df.columns if c not in schema.fieldNames()]
+        return df.select(*cols, *[F.col(c) for c in extras])
+
+    def _docs_to_df(self, docs: Sequence[Mapping[str, Any]]) -> DataFrame:
+        docs = [dict(d) for d in docs]
+        for d in docs:
+            d.setdefault("_id", new_object_id())
+        return self.engine.spark.createDataFrame(docs)  # type: ignore[arg-type]
+
+    def insert(self, *docs: Mapping[str, Any]) -> None:
+        """InsertOne/InsertMany (reference db/wrapper.go:117-125)."""
+        if not docs:
+            return
+        new_df = self._docs_to_df(list(docs))
+        if self.exists():
+            base = self.df()
+            merged = base.unionByName(
+                self._align(new_df, base.schema), allowMissingColumns=True
+            )
+        else:
+            merged = new_df
+        self._rewrite(merged)
+
+    def insert_df(self, df: DataFrame) -> None:
+        """Bulk append a whole DataFrame (the scale path for inserts)."""
+        if self.exists():
+            base = self.df()
+            df = base.unionByName(df, allowMissingColumns=True)
+        self._rewrite(df)
+
+    def _order_key(self, df: DataFrame) -> F.Column:
+        return F.col("_id") if "_id" in df.columns else F.col(df.columns[0])
+
+    def _first_match_pred(self, df: DataFrame, pred) -> tuple[Any, Any] | None:
+        """Pick the deterministic 'first' matching doc (by _id order) —
+        Mongo's UpdateOne/DeleteOne semantics need a single victim; we
+        define natural order as _id order and document non-atomicity."""
+        victim = df.where(pred).orderBy(self._order_key(df)).limit(1).collect()
+        if not victim:
+            return None
+        key = self._order_key(df)
+        row = victim[0]
+        value = row["_id"] if "_id" in df.columns else row[df.columns[0]]
+        return key, value
+
+    def update(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
+        """Update/replace the first match; NotFoundError if none
+        (reference db/wrapper.go:188-210)."""
+        df = self.df()
+        pred = compile_filter(query, df.schema)
+        hit = self._first_match_pred(df, pred)
+        if hit is None:
+            raise NotFoundError(f"no document matches {query!r}")
+        key, value = hit
+        out = apply_update(df, key == F.lit(value), update, df.schema)
+        self._rewrite(out)
+        return ChangeInfo(updated=1)
+
+    def update_id(self, id_value: Any, update: Mapping[str, Any]) -> ChangeInfo:
+        return self.update({"_id": id_value}, update)
+
+    def update_all(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
+        """UpdateMany (reference db/wrapper.go:237-244) — ONE distributed
+        copy-on-write rewrite."""
+        df = self.df()
+        pred = compile_filter(query, df.schema)
+        matched = df.where(pred).count()
+        out = apply_update(df, pred, update, df.schema)
+        self._rewrite(out)
+        return ChangeInfo(updated=matched)
+
+    def upsert(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
+        """Update-or-insert (reference db/wrapper.go:146-165): MERGE
+        semantics — matched ⇒ update, not matched ⇒ synthesize a row from
+        the filter's equality fields + the update document."""
+        if not self.exists():
+            doc = synthesize_upsert_doc(query, update)
+            self.insert(doc)
+            return ChangeInfo(updated=1, upserted_id=doc.get("_id"))
+        df = self.df()
+        pred = compile_filter(query, df.schema)
+        hit = self._first_match_pred(df, pred)
+        if hit is not None:
+            key, value = hit
+            out = apply_update(df, key == F.lit(value), update, df.schema)
+            self._rewrite(out)
+            return ChangeInfo(updated=1)
+        doc = synthesize_upsert_doc(query, update)
+        new_df = self._align(self._docs_to_df([doc]), df.schema)
+        self._rewrite(df.unionByName(new_df, allowMissingColumns=True))
+        return ChangeInfo(updated=1, upserted_id=doc.get("_id"))
+
+    def upsert_id(self, id_value: Any, update: Mapping[str, Any]) -> ChangeInfo:
+        return self.upsert({"_id": id_value}, update)
+
+    def remove(self, query: Mapping[str, Any] | None) -> ChangeInfo:
+        """DeleteOne (reference db/wrapper.go:127-130)."""
+        df = self.df()
+        pred = compile_filter(query, df.schema)
+        hit = self._first_match_pred(df, pred)
+        if hit is None:
+            raise NotFoundError(f"no document matches {query!r}")
+        key, value = hit
+        self._rewrite(df.where(~key.eqNullSafe(F.lit(value))))
+        return ChangeInfo(removed=1)
+
+    def remove_id(self, id_value: Any) -> ChangeInfo:
+        return self.remove({"_id": id_value})
+
+    def remove_all(self, query: Mapping[str, Any] | None) -> ChangeInfo:
+        """DeleteMany (reference db/wrapper.go:137-144)."""
+        df = self.df()
+        pred = compile_filter(query, df.schema)
+        removed = df.where(pred).count()
+        self._rewrite(df.where(~F.coalesce(pred, F.lit(False))))
+        return ChangeInfo(removed=removed)
+
+    def find_and_modify(
+        self,
+        query: Mapping[str, Any] | None = None,
+        sort: Sequence[str] | None = None,
+        update: Mapping[str, Any] | None = None,
+        remove: bool = False,
+        upsert: bool = False,
+        return_new: bool = False,
+    ) -> dict[str, Any] | None:
+        """findAndModify / Apply(Change) (reference db/data.go:18-25,
+        db/wrapper.go:395-450): select ONE doc by filter+sort, update or
+        remove it, return the pre- or post-image. Batch engine ⇒ not
+        atomic; victim choice is deterministic (sort, then _id)."""
+        from anser_spark.functions.sort import parse_sort_keys
+
+        if remove and update is not None:
+            raise ValueError("cannot specify both remove and update")
+        if remove and return_new:
+            raise ValueError("cannot specify both remove and return_new")
+        if not remove and update is None:
+            raise ValueError("must specify update or remove")
+        df = self.df()
+        pred = compile_filter(query, df.schema)
+        order = parse_sort_keys(sort) or [self._order_key(df)]
+        victim = df.where(pred).orderBy(*order).limit(1).collect()
+        if not victim:
+            if upsert and not remove:
+                doc = synthesize_upsert_doc(query, update)
+                self.insert(doc)
+                if return_new:
+                    return self.find_id(doc["_id"]).one()
+                return None
+            raise NotFoundError(f"no document matches {query!r}")
+        row = victim[0].asDict(recursive=True)
+        key = self._order_key(df)
+        key_value = row["_id"] if "_id" in df.columns else row[df.columns[0]]
+        if remove:
+            self._rewrite(df.where(~key.eqNullSafe(F.lit(key_value))))
+            return row
+        out = apply_update(df, key.eqNullSafe(F.lit(key_value)), update, df.schema)
+        self._rewrite(out)
+        if return_new:
+            return self.find({"_id": key_value} if "_id" in df.columns else None).one()
+        return row
+
+    def bulk(self, ordered: bool = True) -> "Bulk":
+        return Bulk(self, ordered=ordered)
+
+    # -- misc ----------------------------------------------------------
+    def write_manifest(self) -> str:
+        """Schema + layout manifest (the 'index metadata' analogue used
+        by backup, reference backup/backup.go:152-200)."""
+        df = self.df()
+        return json.dumps(
+            {
+                "namespace": str(self.namespace),
+                "schema": json.loads(df.schema.json()),
+                "num_columns": len(df.columns),
+            }
+        )
+
+
+class Bulk:
+    """Bulk writer (reference db/interface.go:59-73, db/wrapper.go:246-344):
+    queue heterogeneous write models, submit as ONE batch = one
+    copy-on-write rewrite ("one round trip"). Ordered ⇒ ops applied in
+    queue order; unordered ⇒ same plan, order license unused.
+    """
+
+    def __init__(self, collection: Collection, ordered: bool = True) -> None:
+        self.collection = collection
+        self.ordered = ordered
+        self._ops: list[tuple[str, Any]] = []
+
+    def unordered(self) -> "Bulk":
+        self.ordered = False
+        return self
+
+    def insert(self, *docs: Mapping[str, Any]) -> "Bulk":
+        for doc in docs:
+            self._ops.append(("insert", dict(doc)))
+        return self
+
+    @staticmethod
+    def _pairs(args: Sequence[Any], op: str) -> list[tuple[Any, Any]]:
+        if len(args) % 2 != 0:
+            # reference panics on odd arity (db/wrapper.go:276-300)
+            raise ValueError(f"Bulk.{op} requires (selector, update) pairs")
+        return [(args[i] or {}, args[i + 1]) for i in range(0, len(args), 2)]
+
+    def update(self, *pairs: Any) -> "Bulk":
+        for sel, upd in self._pairs(pairs, "update"):
+            self._ops.append(("update", (sel, upd)))
+        return self
+
+    def update_all(self, *pairs: Any) -> "Bulk":
+        for sel, upd in self._pairs(pairs, "update_all"):
+            self._ops.append(("update_all", (sel, upd)))
+        return self
+
+    def upsert(self, *pairs: Any) -> "Bulk":
+        for sel, upd in self._pairs(pairs, "upsert"):
+            self._ops.append(("upsert", (sel, upd)))
+        return self
+
+    def remove(self, *selectors: Mapping[str, Any]) -> "Bulk":
+        for sel in selectors:
+            self._ops.append(("remove", sel or {}))
+        return self
+
+    def remove_all(self, *selectors: Mapping[str, Any]) -> "Bulk":
+        for sel in selectors:
+            self._ops.append(("remove_all", sel or {}))
+        return self
+
+    def run(self) -> BulkResult:
+        coll = self.collection
+        result = BulkResult()
+        if not self._ops:
+            # reference errors on empty bulk (db/wrapper.go:320-322)
+            raise ValueError("cannot run an empty bulk operation")
+        df = coll.df() if coll.exists() else None
+        inserts: list[Mapping[str, Any]] = []
+        for kind, payload in self._ops:
+            if kind == "insert":
+                inserts.append(payload)
+                continue
+            if df is None:
+                raise NotFoundError(f"collection does not exist: {coll.namespace}")
+            if kind in ("update", "upsert"):
+                sel, upd = payload
+                pred = compile_filter(sel, df.schema)
+                hit = df.where(pred).orderBy(coll._order_key(df)).limit(1).collect()
+                if hit:
+                    key = coll._order_key(df)
+                    value = hit[0][0] if "_id" not in df.columns else hit[0]["_id"]
+                    df = apply_update(df, key.eqNullSafe(F.lit(value)), upd, df.schema)
+                    result.matched += 1
+                    result.modified += 1
+                elif kind == "upsert":
+                    inserts.append(synthesize_upsert_doc(sel, upd))
+            elif kind == "update_all":
+                sel, upd = payload
+                pred = compile_filter(sel, df.schema)
+                n = df.where(pred).count()
+                df = apply_update(df, pred, upd, df.schema)
+                result.matched += n
+                result.modified += n
+            elif kind == "remove":
+                pred = compile_filter(payload, df.schema)
+                hit = df.where(pred).orderBy(coll._order_key(df)).limit(1).collect()
+                if hit:
+                    key = coll._order_key(df)
+                    value = hit[0][0] if "_id" not in df.columns else hit[0]["_id"]
+                    df = df.where(~key.eqNullSafe(F.lit(value)))
+                    result.matched += 1
+            elif kind == "remove_all":
+                pred = compile_filter(payload, df.schema)
+                result.matched += df.where(pred).count()
+                df = df.where(~F.coalesce(pred, F.lit(False)))
+        if inserts:
+            new_df = coll._docs_to_df(inserts)
+            if df is not None:
+                df = df.unionByName(
+                    coll._align(new_df, df.schema), allowMissingColumns=True
+                )
+            else:
+                df = new_df
+        if df is not None:
+            coll._rewrite(df)
+        return result
+
+
+_OID_COUNTER = [0]
+
+
+def new_object_id() -> str:
+    """Deterministic-enough ObjectId stand-in (hex string)."""
+    _OID_COUNTER[0] += 1
+    return uuid.uuid4().hex[:18] + f"{_OID_COUNTER[0]:06x}"
+
+
+def synthesize_upsert_doc(
+    query: Mapping[str, Any] | None, update: Mapping[str, Any]
+) -> dict[str, Any]:
+    """Build the inserted document for an unmatched upsert: equality
+    fields from the filter + the update doc's effects (Mongo server
+    semantics; reference relies on server, db/wrapper.go:146-165)."""
+    doc: dict[str, Any] = {}
+    for key, value in (query or {}).items():
+        if key.startswith("$"):
+            continue
+        if isinstance(value, Mapping):
+            eq = value.get("$eq") if all(str(k).startswith("$") for k in value) else value
+            if isinstance(eq, Mapping) or eq is None and "$eq" not in value:
+                continue
+            doc[key] = eq
+        else:
+            doc[key] = value
+    if has_dollar_key(update):
+        for op, fields in update.items():
+            if op in ("$set", "$setOnInsert"):
+                doc.update(fields)
+            elif op == "$inc":
+                for k, v in fields.items():
+                    doc[k] = doc.get(k, 0) + v
+            elif op in ("$push", "$addToSet"):
+                for k, v in fields.items():
+                    each = v["$each"] if isinstance(v, Mapping) and "$each" in v else [v]
+                    doc[k] = list(each)
+            elif op in ("$min", "$max"):
+                for k, v in fields.items():
+                    doc.setdefault(k, v)
+    else:
+        merged = dict(update)
+        merged.setdefault("_id", doc.get("_id", new_object_id()))
+        doc.update(merged)
+    doc.setdefault("_id", new_object_id())
+    return doc

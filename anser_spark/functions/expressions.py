@@ -1,0 +1,372 @@
+"""Mongo aggregation *expression language* → pyspark.sql.Column compiler.
+
+Covers the expression operators accepted inside ``$project``,
+``$addFields``, ``$group`` ``_id``, ``$match``'s ``$expr``, etc.
+The reference forwards pipelines verbatim (``Pipe(interface{})``,
+reference db/interface.go:25, db/wrapper.go:88-94); SURVEY.md §2.5 maps
+the language 1:1 onto ``pyspark.sql.functions`` — everything stays
+JVM-side / codegen-able, no Python UDFs.
+
+Forms:
+    "$field"          field path reference (dotted ok)
+    "$$var"           bound variable (inside $filter/$map/$reduce lambdas)
+    {"$op": args}     operator application
+    {"k": expr, ...}  document literal → struct
+    scalar            literal
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anser_spark.functions.filters import resolve_field
+
+__all__ = ["compile_expr", "ExprCompileError"]
+
+
+class ExprCompileError(ValueError):
+    pass
+
+
+def compile_expr(
+    expr: Any,
+    schema: T.StructType | None = None,
+    env: Mapping[str, Column] | None = None,
+) -> Column:
+    """Compile one aggregation expression to a Column."""
+    if isinstance(expr, str):
+        if expr.startswith("$$"):
+            name = expr[2:].split(".", 1)
+            if env is None or name[0] not in env:
+                raise ExprCompileError(f"unbound variable {expr!r}")
+            col = env[name[0]]
+            if len(name) == 2:
+                for part in name[1].split("."):
+                    col = col.getItem(part)
+            return col
+        if expr.startswith("$"):
+            return resolve_field(expr[1:])
+        return F.lit(expr)
+    if isinstance(expr, Mapping):
+        op_keys = [k for k in expr if isinstance(k, str) and k.startswith("$")]
+        if op_keys:
+            if len(expr) != 1:
+                raise ExprCompileError(f"operator expression must have one key: {expr}")
+            op = op_keys[0]
+            return _compile_op(op, expr[op], schema, env)
+        # document literal → struct
+        return F.struct(
+            *[compile_expr(v, schema, env).alias(k) for k, v in expr.items()]
+        )
+    if isinstance(expr, (list, tuple)):
+        return F.array(*[compile_expr(v, schema, env) for v in expr])
+    return F.lit(expr)
+
+
+def _args(arg: Any, schema, env) -> list[Column]:
+    if isinstance(arg, (list, tuple)):
+        return [compile_expr(a, schema, env) for a in arg]
+    return [compile_expr(arg, schema, env)]
+
+
+def _fold(cols: Sequence[Column], fn) -> Column:
+    return functools.reduce(fn, cols)
+
+
+def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
+    c = lambda a: compile_expr(a, schema, env)  # noqa: E731
+
+    # ---- literals / variables
+    if op == "$literal":
+        return F.lit(arg)
+
+    # ---- arithmetic
+    if op == "$add":
+        return _fold(_args(arg, schema, env), lambda a, b: a + b)
+    if op == "$subtract":
+        a, b = _args(arg, schema, env)
+        return a - b
+    if op == "$multiply":
+        return _fold(_args(arg, schema, env), lambda a, b: a * b)
+    if op == "$divide":
+        a, b = _args(arg, schema, env)
+        return a / b
+    if op == "$mod":
+        a, b = _args(arg, schema, env)
+        return a % b
+    if op == "$abs":
+        return F.abs(c(arg))
+    if op == "$ceil":
+        return F.ceil(c(arg))
+    if op == "$floor":
+        return F.floor(c(arg))
+    if op == "$round":
+        cols = _args(arg, schema, env)
+        return F.round(cols[0], 0 if len(cols) == 1 else arg[1])
+    if op == "$trunc":
+        if isinstance(arg, (list, tuple)) and len(arg) > 1:
+            base = c(arg[0])
+            scale = int(arg[1])
+            factor = F.lit(float(10**scale))
+            return (
+                F.when(base >= 0, F.floor(base * factor))
+                .otherwise(F.ceil(base * factor))
+                .cast("double")
+                / factor
+            )
+        base = c(arg[0] if isinstance(arg, (list, tuple)) else arg)
+        return F.when(base >= 0, F.floor(base)).otherwise(F.ceil(base))
+    if op == "$sqrt":
+        return F.sqrt(c(arg))
+    if op == "$pow":
+        a, b = _args(arg, schema, env)
+        return F.pow(a, b)
+    if op == "$exp":
+        return F.exp(c(arg))
+    if op == "$ln":
+        return F.log(c(arg))
+    if op == "$log10":
+        return F.log10(c(arg))
+    if op == "$log":
+        a, b = _args(arg, schema, env)
+        return F.log(a) / F.log(b)
+
+    # ---- comparison
+    if op == "$eq":
+        a, b = _args(arg, schema, env)
+        return a.eqNullSafe(b)
+    if op == "$ne":
+        a, b = _args(arg, schema, env)
+        return ~a.eqNullSafe(b)
+    if op == "$gt":
+        a, b = _args(arg, schema, env)
+        return a > b
+    if op == "$gte":
+        a, b = _args(arg, schema, env)
+        return a >= b
+    if op == "$lt":
+        a, b = _args(arg, schema, env)
+        return a < b
+    if op == "$lte":
+        a, b = _args(arg, schema, env)
+        return a <= b
+    if op == "$cmp":
+        a, b = _args(arg, schema, env)
+        return F.when(a > b, 1).when(a < b, -1).otherwise(0)
+
+    # ---- boolean
+    if op == "$and":
+        return _fold(_args(arg, schema, env), lambda a, b: a & b)
+    if op == "$or":
+        return _fold(_args(arg, schema, env), lambda a, b: a | b)
+    if op == "$not":
+        cols = _args(arg, schema, env)
+        return ~cols[0].cast("boolean")
+
+    # ---- conditional
+    if op == "$cond":
+        if isinstance(arg, Mapping):
+            pred, then, els = arg["if"], arg["then"], arg["else"]
+        else:
+            pred, then, els = arg
+        return F.when(c(pred).cast("boolean"), c(then)).otherwise(c(els))
+    if op == "$ifNull":
+        return F.coalesce(*_args(arg, schema, env))
+    if op == "$switch":
+        branches = arg.get("branches", [])
+        out = None
+        for br in branches:
+            cond = c(br["case"]).cast("boolean")
+            then = c(br["then"])
+            out = F.when(cond, then) if out is None else out.when(cond, then)
+        default = c(arg["default"]) if "default" in arg else F.lit(None)
+        return default if out is None else out.otherwise(default)
+
+    # ---- strings
+    if op == "$concat":
+        return F.concat(*_args(arg, schema, env))
+    if op == "$toLower":
+        return F.lower(c(arg))
+    if op == "$toUpper":
+        return F.upper(c(arg))
+    if op in ("$strLenCP", "$strLenBytes"):
+        return F.length(c(arg))
+    if op in ("$substrCP", "$substr", "$substrBytes"):
+        s, start, length = _args(arg, schema, env)
+        # Mongo is 0-indexed; Spark substr is 1-indexed
+        return s.substr(start + F.lit(1), length)
+    if op == "$split":
+        s, delim = arg
+        # Mongo splits on a literal delimiter; Spark's split takes a regex
+        import re
+
+        return F.split(c(s), re.escape(delim) if isinstance(delim, str) else delim)
+    if op == "$trim":
+        return F.trim(c(arg["input"] if isinstance(arg, Mapping) else arg))
+    if op == "$ltrim":
+        return F.ltrim(c(arg["input"] if isinstance(arg, Mapping) else arg))
+    if op == "$rtrim":
+        return F.rtrim(c(arg["input"] if isinstance(arg, Mapping) else arg))
+    if op == "$replaceAll":
+        import re
+
+        return F.regexp_replace(
+            c(arg["input"]), re.escape(arg["find"]), arg["replacement"]
+        )
+    if op == "$regexMatch":
+        inp = c(arg["input"])
+        pattern = arg["regex"]
+        if "i" in arg.get("options", ""):
+            pattern = f"(?i){pattern}"
+        return inp.rlike(pattern)
+    if op == "$indexOfCP":
+        # Mongo returns 0-based index, -1 when absent; F.instr is 1-based, 0 when absent
+        s = c(arg[0])
+        if not isinstance(arg[1], str):
+            raise ExprCompileError("$indexOfCP requires a literal substring")
+        return F.instr(s, arg[1]) - F.lit(1)
+
+    # ---- dates
+    if op == "$year":
+        return F.year(c(arg))
+    if op == "$month":
+        return F.month(c(arg))
+    if op == "$dayOfMonth":
+        return F.dayofmonth(c(arg))
+    if op == "$hour":
+        return F.hour(c(arg))
+    if op == "$minute":
+        return F.minute(c(arg))
+    if op == "$second":
+        return F.second(c(arg))
+    if op == "$dayOfWeek":
+        return F.dayofweek(c(arg))
+    if op == "$dayOfYear":
+        return F.dayofyear(c(arg))
+    if op == "$week":
+        return F.weekofyear(c(arg))
+    if op == "$dateToString":
+        fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
+        spark_fmt = (
+            fmt.replace("%Y", "yyyy")
+            .replace("%m", "MM")
+            .replace("%d", "dd")
+            .replace("%H", "HH")
+            .replace("%M", "mm")
+            .replace("%S", "ss")
+        )
+        return F.date_format(c(arg["date"]), spark_fmt)
+
+    # ---- arrays
+    if op == "$size":
+        return F.size(c(arg))
+    if op == "$arrayElemAt":
+        a, idx = arg
+        return F.element_at(c(a), idx + 1 if isinstance(idx, int) and idx >= 0 else idx)
+    if op == "$concatArrays":
+        return F.concat(*_args(arg, schema, env))
+    if op == "$slice":
+        if len(arg) == 2:
+            a, n = arg
+            return F.slice(c(a), 1, n)
+        a, start, n = arg
+        return F.slice(c(a), start + 1 if start >= 0 else start, n)
+    if op == "$in":
+        needle, hay = arg
+        return F.array_contains(c(hay), c(needle))
+    if op == "$filter":
+        inp = c(arg["input"])
+        var = arg.get("as", "this")
+        cond = arg["cond"]
+        return F.filter(
+            inp,
+            lambda x: compile_expr(cond, schema, {**(env or {}), var: x, "this": x}).cast(
+                "boolean"
+            ),
+        )
+    if op == "$map":
+        inp = c(arg["input"])
+        var = arg.get("as", "this")
+        body = arg["in"]
+        return F.transform(
+            inp, lambda x: compile_expr(body, schema, {**(env or {}), var: x, "this": x})
+        )
+    if op == "$reduce":
+        inp = c(arg["input"])
+        init = c(arg["initialValue"])
+        body = arg["in"]
+        return F.aggregate(
+            inp,
+            init,
+            lambda acc, x: compile_expr(
+                body, schema, {**(env or {}), "value": acc, "this": x}
+            ),
+        )
+    if op == "$range":
+        cols = _args(arg, schema, env)
+        step = cols[2] if len(cols) > 2 else F.lit(1)
+        return F.sequence(cols[0], cols[1] - F.lit(1), step)
+    if op == "$reverseArray":
+        return F.reverse(c(arg))
+    if op == "$setUnion":
+        return F.array_distinct(F.concat(*_args(arg, schema, env)))
+    if op == "$setIntersection":
+        return _fold(_args(arg, schema, env), F.array_intersect)
+    if op == "$setDifference":
+        a, b = _args(arg, schema, env)
+        return F.array_except(a, b)
+
+    # ---- n-ary min/max/sum/avg over expression args (non-accumulator form)
+    if op == "$min":
+        cols = _args(arg, schema, env)
+        return F.least(*cols) if len(cols) > 1 else F.array_min(cols[0])
+    if op == "$max":
+        cols = _args(arg, schema, env)
+        return F.greatest(*cols) if len(cols) > 1 else F.array_max(cols[0])
+    if op == "$sum":
+        cols = _args(arg, schema, env)
+        if len(cols) == 1 and not isinstance(arg, (int, float)):
+            return F.aggregate(cols[0], F.lit(0.0), lambda a, x: a + x.cast("double"))
+        return _fold(cols, lambda a, b: a + b)
+    if op == "$avg":
+        cols = _args(arg, schema, env)
+        if len(cols) == 1:
+            arr = cols[0]
+            return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double")) / F.size(arr)
+        return _fold(cols, lambda a, b: a + b) / F.lit(len(cols))
+
+    # ---- type conversion
+    if op == "$toString":
+        return c(arg).cast("string")
+    if op == "$toInt":
+        return c(arg).cast("int")
+    if op == "$toLong":
+        return c(arg).cast("long")
+    if op == "$toDouble":
+        return c(arg).cast("double")
+    if op == "$toBool":
+        return c(arg).cast("boolean")
+    if op == "$toDate":
+        return c(arg).cast("timestamp")
+    if op == "$toDecimal":
+        return c(arg).cast("decimal(38,10)")
+    if op == "$convert":
+        to = arg["to"]
+        mapping = {
+            "int": "int",
+            "long": "long",
+            "double": "double",
+            "string": "string",
+            "bool": "boolean",
+            "date": "timestamp",
+            "decimal": "decimal(38,10)",
+        }
+        return c(arg["input"]).cast(mapping[to])
+
+    raise ExprCompileError(f"unsupported expression operator: {op}")

@@ -1,0 +1,388 @@
+"""Mongo query-document → pyspark.sql.Column compiler.
+
+The single most load-bearing component (SURVEY.md §2.2): the reference
+forwards query documents verbatim to the MongoDB server
+(``Find(interface{})``, reference db/interface.go:26); with no server,
+operator evaluation happens here, as Catalyst-optimizable Column
+expressions. Everything routes through this compiler: find, update/delete
+targeting, generators, backup filters, and the ``$match`` pipeline stage.
+
+Supported (reference citations in SURVEY.md §2.2):
+    implicit equality ``{f: v}``, ``$eq $ne $gt $gte $lt $lte``,
+    ``$in $nin``, ``$and $or $not $nor``, ``$exists``, ``$regex``
+    (+``$options``), ``$mod``, ``$size``, ``$all``, ``$elemMatch``,
+    ``$type``, dotted paths into nested structs/maps, implicit
+    array-contains when a scalar predicate hits an array field.
+
+Null/missing semantics follow MongoDB where Spark can express them:
+    - ``{f: None}`` matches null *or missing* → ``isNull``.
+    - ``$ne v`` matches docs whose field is missing/null → ``!= v OR isNull``.
+    - ``$nin`` likewise includes null/missing.
+    - ``$exists`` maps to schema presence; for fields present in the
+      schema it degrades to ``isNotNull`` (Spark cannot distinguish
+      "present with value null" from "absent" inside a fixed schema).
+    - Comparisons (``$gt`` etc.) use SQL three-valued logic, which drops
+      nulls — same observable behavior as Mongo's type-bracketed
+      comparisons for non-null values.
+
+Design note (scale): the compiler emits pure Column expressions — no
+Python UDFs — so every filter participates in predicate pushdown to the
+Parquet scan and whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["compile_filter", "FilterCompileError"]
+
+
+class FilterCompileError(ValueError):
+    """Raised for malformed or unsupported query documents."""
+
+
+_LOGICAL = {"$and", "$or", "$nor"}
+
+_COMPARISONS = {
+    "$eq",
+    "$ne",
+    "$gt",
+    "$gte",
+    "$lt",
+    "$lte",
+    "$in",
+    "$nin",
+    "$exists",
+    "$regex",
+    "$options",
+    "$mod",
+    "$size",
+    "$all",
+    "$elemMatch",
+    "$type",
+    "$not",
+}
+
+# Mongo $type aliases → predicate on the *static* Spark type of the field.
+# In a fixed-schema engine the type of a present field is known at compile
+# time, so $type folds to a constant (null-ness aside).
+_TYPE_CHECKS = {
+    "double": lambda dt: isinstance(dt, (T.DoubleType, T.FloatType)),
+    "string": lambda dt: isinstance(dt, T.StringType),
+    "object": lambda dt: isinstance(dt, T.StructType),
+    "array": lambda dt: isinstance(dt, T.ArrayType),
+    "binData": lambda dt: isinstance(dt, T.BinaryType),
+    "bool": lambda dt: isinstance(dt, T.BooleanType),
+    "date": lambda dt: isinstance(dt, (T.TimestampType, T.DateType)),
+    "int": lambda dt: isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)),
+    "long": lambda dt: isinstance(dt, T.LongType),
+    "decimal": lambda dt: isinstance(dt, T.DecimalType),
+    "number": lambda dt: isinstance(dt, T.NumericType),
+    "null": None,  # special-cased: isNull
+}
+
+
+def _is_operator_doc(value: Any) -> bool:
+    """True if ``value`` is a {"$op": ...} document (all keys $-prefixed)."""
+    return (
+        isinstance(value, Mapping)
+        and len(value) > 0
+        and all(isinstance(k, str) and k.startswith("$") for k in value)
+    )
+
+
+def _split_path(path: str) -> list[str]:
+    return path.split(".")
+
+
+def resolve_field(path: str) -> Column:
+    """Dotted path → Column reference into nested structs/maps.
+
+    Built with getItem steps so ``a.b.c`` traverses StructType fields and
+    MapType keys alike (bsonutil GetDottedKeyName analogue, reference
+    bsonutil/helpers.go:7-9).
+    """
+    parts = _split_path(path)
+    col = F.col(parts[0])
+    for p in parts[1:]:
+        col = col.getItem(p)
+    return col
+
+
+def field_type(schema: T.DataType | None, path: str) -> T.DataType | None:
+    """Static type of a dotted path, or None if absent/unknown."""
+    if schema is None:
+        return None
+    dt: T.DataType = schema
+    for part in _split_path(path):
+        if isinstance(dt, T.StructType):
+            try:
+                dt = dt[part].dataType
+            except KeyError:
+                return None
+        elif isinstance(dt, T.MapType):
+            dt = dt.valueType
+        else:
+            return None
+    return dt
+
+
+def _lit(value: Any) -> Column:
+    if isinstance(value, Mapping):
+        # nested-document literal equality: compare as struct
+        return F.struct(*[_lit(v).alias(k) for k, v in value.items()])
+    if isinstance(value, (list, tuple)):
+        return F.array(*[_lit(v) for v in value])
+    return F.lit(value)
+
+
+def _all_of(cols: list[Column]) -> Column:
+    return functools.reduce(lambda a, b: a & b, cols) if cols else F.lit(True)
+
+
+def _any_of(cols: list[Column]) -> Column:
+    return functools.reduce(lambda a, b: a | b, cols) if cols else F.lit(False)
+
+
+def compile_filter(flt: Mapping[str, Any] | None, schema: T.StructType | None = None) -> Column:
+    """Compile a Mongo query document to a boolean Column.
+
+    ``None`` / ``{}`` ⇒ match-all (reference treats nil filter as
+    ``struct{}{}``, db/wrapper.go:457-459).
+    """
+    if not flt:
+        return F.lit(True)
+    if not isinstance(flt, Mapping):
+        raise FilterCompileError(f"filter must be a mapping, got {type(flt).__name__}")
+
+    clauses: list[Column] = []
+    for key, value in flt.items():
+        if key in _LOGICAL:
+            if not isinstance(value, Sequence) or isinstance(value, (str, bytes)):
+                raise FilterCompileError(f"{key} expects a list of filter documents")
+            sub = [compile_filter(v, schema) for v in value]
+            if key == "$and":
+                clauses.append(_all_of(sub))
+            elif key == "$or":
+                clauses.append(_any_of(sub))
+            else:  # $nor
+                clauses.append(~_any_of(sub))
+        elif key == "$not":
+            clauses.append(~compile_filter(value, schema))
+        elif key == "$expr":
+            from anser_spark.functions.expressions import compile_expr
+
+            clauses.append(compile_expr(value, schema).cast("boolean"))
+        elif key.startswith("$"):
+            raise FilterCompileError(f"unsupported top-level operator: {key}")
+        else:
+            clauses.append(_compile_field(key, value, schema))
+    return _all_of(clauses)
+
+
+def _compile_field(path: str, value: Any, schema: T.StructType | None) -> Column:
+    col = resolve_field(path)
+    dt = field_type(schema, path)
+    is_array = isinstance(dt, T.ArrayType)
+    missing = schema is not None and dt is None
+
+    if _is_operator_doc(value):
+        return _all_of(
+            [
+                _compile_op(path, col, dt, op, arg, value, missing)
+                for op, arg in value.items()
+                if op != "$options"  # consumed alongside $regex
+            ]
+        )
+
+    # implicit equality
+    if missing:
+        # equality-with-null matches missing fields; anything else can't match
+        return F.lit(value is None)
+    if value is None:
+        return col.isNull()
+    if is_array and not isinstance(value, (list, tuple)):
+        # Mongo: scalar equality against an array field means "contains"
+        return F.array_contains(col, _lit(value))
+    return col == _lit(value)
+
+
+def _compile_op(
+    path: str,
+    col: Column,
+    dt: T.DataType | None,
+    op: str,
+    arg: Any,
+    whole: Mapping[str, Any],
+    missing: bool,
+) -> Column:
+    is_array = isinstance(dt, T.ArrayType)
+
+    if missing:
+        # Field absent from the schema entirely: constant-fold per Mongo
+        # missing-field semantics — but never swallow an unknown operator.
+        if op not in _COMPARISONS:
+            raise FilterCompileError(f"unsupported operator: {op}")
+        if op == "$exists":
+            return F.lit(not bool(arg))
+        if op in ("$ne", "$nin"):
+            return F.lit(True)
+        if op == "$eq":
+            return F.lit(arg is None)
+        if op == "$type":
+            return F.lit(False)
+        if op == "$not":
+            return ~_compile_op(path, col, dt, *_single_op(arg), arg, False)
+        return F.lit(False)
+
+    if op == "$eq":
+        if arg is None:
+            return col.isNull()
+        if is_array and not isinstance(arg, (list, tuple)):
+            return F.array_contains(col, _lit(arg))
+        return col == _lit(arg)
+    if op == "$ne":
+        if arg is None:
+            return col.isNotNull()
+        if is_array and not isinstance(arg, (list, tuple)):
+            return ~F.coalesce(F.array_contains(col, _lit(arg)), F.lit(False))
+        return (col != _lit(arg)) | col.isNull()
+    if op == "$gt":
+        return _cmp(col, is_array, lambda c: c > _lit(arg))
+    if op == "$gte":
+        return _cmp(col, is_array, lambda c: c >= _lit(arg))
+    if op == "$lt":
+        return _cmp(col, is_array, lambda c: c < _lit(arg))
+    if op == "$lte":
+        return _cmp(col, is_array, lambda c: c <= _lit(arg))
+    if op == "$in":
+        if not isinstance(arg, (list, tuple)):
+            raise FilterCompileError("$in expects a list")
+        if is_array:
+            # matches if any element of the field array is in arg
+            return _any_of(
+                [
+                    F.array_contains(col, _lit(v)) if v is not None else F.exists(col, lambda e: e.isNull())
+                    for v in arg
+                ]
+            )
+        base = []
+        non_null = [v for v in arg if v is not None]
+        if non_null:
+            base.append(col.isin(*non_null))
+        if any(v is None for v in arg):
+            base.append(col.isNull())
+        return _any_of(base)
+    if op == "$nin":
+        # Mongo $nin also matches docs whose field is null/missing (unless
+        # the list itself names null, in which case nulls are excluded).
+        in_col = _compile_op(path, col, dt, "$in", arg, whole, missing)
+        return ~F.coalesce(in_col, F.lit(False))
+    if op == "$exists":
+        return col.isNotNull() if arg else col.isNull()
+    if op == "$regex":
+        pattern = arg
+        opts = whole.get("$options", "")
+        if "i" in opts:
+            pattern = f"(?i){pattern}"
+        if "s" in opts:
+            pattern = f"(?s){pattern}"
+        if "m" in opts:
+            pattern = f"(?m){pattern}"
+        return col.rlike(pattern)
+    if op == "$mod":
+        if not isinstance(arg, (list, tuple)) or len(arg) != 2:
+            raise FilterCompileError("$mod expects [divisor, remainder]")
+        return col % _lit(arg[0]) == _lit(arg[1])
+    if op == "$size":
+        return F.size(col) == _lit(int(arg))
+    if op == "$all":
+        if not isinstance(arg, (list, tuple)):
+            raise FilterCompileError("$all expects a list")
+        return _all_of([F.array_contains(col, _lit(v)) for v in arg])
+    if op == "$elemMatch":
+        if not isinstance(arg, Mapping):
+            raise FilterCompileError("$elemMatch expects a document")
+        elem_dt = dt.elementType if is_array else None
+        return F.exists(col, lambda e: _element_predicate(e, arg, elem_dt))
+    if op == "$type":
+        names = arg if isinstance(arg, (list, tuple)) else [arg]
+        checks: list[Column] = []
+        for name in names:
+            if name == "null":
+                checks.append(col.isNull())
+                continue
+            check = _TYPE_CHECKS.get(name)
+            if check is None:
+                raise FilterCompileError(f"unsupported $type alias: {name!r}")
+            checks.append(F.lit(bool(dt is not None and check(dt))) & col.isNotNull())
+        return _any_of(checks)
+    if op == "$not":
+        # field-level $not: negates an operator doc or regex
+        if isinstance(arg, Mapping):
+            inner = _all_of(
+                [
+                    _compile_op(path, col, dt, o, a, arg, missing)
+                    for o, a in arg.items()
+                    if o != "$options"
+                ]
+            )
+        else:
+            inner = col.rlike(arg)
+        return ~F.coalesce(inner, F.lit(False))
+    raise FilterCompileError(f"unsupported operator: {op}")
+
+
+def _single_op(arg: Any) -> tuple[str, Any]:
+    if isinstance(arg, Mapping) and len(arg) == 1:
+        return next(iter(arg.items()))
+    raise FilterCompileError("$not expects a single-operator document")
+
+
+def _cmp(col: Column, is_array: bool, pred) -> Column:
+    """Comparison; against array fields Mongo matches if ANY element matches."""
+    if is_array:
+        return F.exists(col, pred)
+    return pred(col)
+
+
+def _element_predicate(elem: Column, doc: Mapping[str, Any], elem_dt: T.DataType | None) -> Column:
+    """$elemMatch inner predicate over one array element.
+
+    Two forms: {"$gt": 5, "$lt": 9} (operators on the element itself) or
+    {"field": cond, ...} (conditions on subdocument fields).
+    """
+    if _is_operator_doc(doc):
+        clauses = []
+        for op, arg in doc.items():
+            if op == "$options":
+                continue
+            clauses.append(_compile_op("<elem>", elem, elem_dt, op, arg, doc, False))
+        return _all_of(clauses)
+    clauses = []
+    for key, value in doc.items():
+        sub = elem
+        for p in _split_path(key):
+            sub = sub.getItem(p)
+        sub_dt = field_type(elem_dt, key) if isinstance(elem_dt, T.StructType) else None
+        if _is_operator_doc(value):
+            clauses.append(
+                _all_of(
+                    [
+                        _compile_op(key, sub, sub_dt, op, arg, value, False)
+                        for op, arg in value.items()
+                        if op != "$options"
+                    ]
+                )
+            )
+        elif value is None:
+            clauses.append(sub.isNull())
+        else:
+            clauses.append(sub == _lit(value))
+    return _all_of(clauses)

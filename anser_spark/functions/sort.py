@@ -1,0 +1,48 @@
+"""Sort-key string parser — port of the reference's ``getSort`` semantics
+(reference db/wrapper.go:620-638): string keys with ``-``/``+`` prefix map
+to per-key descending/ascending order; empty/invalid keys are skipped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column
+
+from anser_spark.functions.filters import resolve_field
+
+__all__ = ["parse_sort_keys"]
+
+
+def parse_sort_keys(keys: Sequence[str] | Mapping[str, int] | str | None) -> list[Column]:
+    """``("-a", "b")`` ⇒ [a DESC, b ASC]; also accepts a Mongo sort doc
+    ``{"a": -1, "b": 1}`` (pipeline ``$sort`` form).
+
+    Mongo sorts nulls first on ascending, last on descending; mirror that
+    explicitly so results are deterministic across engines.
+    """
+    if keys is None:
+        return []
+    if isinstance(keys, str):
+        keys = [keys]
+    out: list[Column] = []
+    if isinstance(keys, Mapping):
+        for name, direction in keys.items():
+            col = resolve_field(name)
+            out.append(col.desc_nulls_last() if direction < 0 else col.asc_nulls_first())
+        return out
+    for key in keys:
+        if not key:
+            continue
+        if key.startswith("-"):
+            name = key[1:]
+            if not name:
+                continue
+            out.append(resolve_field(name).desc_nulls_last())
+        else:
+            if key.startswith("+"):
+                key = key[1:]
+            if not key:
+                continue
+            out.append(resolve_field(key).asc_nulls_first())
+    return out

@@ -1,0 +1,294 @@
+"""Mongo update-document → DataFrame-transform compiler (SURVEY.md §2.4).
+
+The reference dispatches on whether the update doc's first key starts
+with ``$`` (``hasDollarKey``, reference db/wrapper.go:612-618):
+dollar-keyed ⇒ update operators applied to matched docs; otherwise ⇒
+whole-document replacement. Simple migrations carry exactly such an
+update doc (reference migration.go:16-21, README.rst:34-38).
+
+Everything compiles to ``when(pred, new).otherwise(old)`` Column
+expressions over the full dataset — a single distributed copy-on-write
+rewrite, never per-row point updates. That is the idiomatic (and at
+100 TB the only viable) Spark shape for "UpdateMany".
+
+Operator support:
+    $set $unset $rename $inc $mul $min $max $push $addToSet $pull
+    $pullAll $pop $currentDate $setOnInsert
+Nested dotted paths are handled with Column.withField / dropFields
+(struct rebuild without Python).
+
+Fixed-schema caveats (documented divergences from BSON's schemaless
+model): ``$unset`` nulls the field for matched rows (drops the column
+only when every row matched); ``$rename`` materializes both columns when
+only a subset matched (source nulled, target filled).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anser_spark.functions.filters import _lit, field_type, _element_predicate
+
+__all__ = ["has_dollar_key", "compile_update", "apply_update", "UpdateCompileError"]
+
+
+class UpdateCompileError(ValueError):
+    pass
+
+
+_UPDATE_OPS = {
+    "$set",
+    "$unset",
+    "$rename",
+    "$inc",
+    "$mul",
+    "$min",
+    "$max",
+    "$push",
+    "$addToSet",
+    "$pull",
+    "$pullAll",
+    "$pop",
+    "$currentDate",
+    "$setOnInsert",
+}
+
+
+def has_dollar_key(update: Mapping[str, Any]) -> bool:
+    """Port of the reference's hasDollarKey (db/wrapper.go:612-618)."""
+    for key in update:
+        return isinstance(key, str) and key.startswith("$")
+    return False
+
+
+def _split(path: str) -> tuple[str, str | None]:
+    """Split dotted path into (top-level column, nested remainder)."""
+    if "." in path:
+        top, rest = path.split(".", 1)
+        return top, rest
+    return path, None
+
+
+def _with_nested(base: Column, rest: str, value: Column) -> Column:
+    return base.withField(rest, value)
+
+
+def _drop_nested(base: Column, rest: str) -> Column:
+    return base.dropFields(rest)
+
+
+class UpdatePlan:
+    """Per-top-level-column new-value expressions + columns to drop.
+
+    ``exprs[col]`` is the value a *matched* row gets; unmatched rows keep
+    the original. ``set_on_insert`` applies only on the upsert-insert path.
+    """
+
+    def __init__(self) -> None:
+        self.exprs: dict[str, Column] = {}
+        self.drop_if_all_matched: set[str] = set()
+        self.new_columns: set[str] = set()
+        self.set_on_insert: dict[str, Any] = {}
+
+    def apply(self, df: DataFrame, pred: Column) -> DataFrame:
+        cols = []
+        names = set(df.columns)
+        for name in df.columns:
+            if name in self.exprs:
+                cols.append(F.when(pred, self.exprs[name]).otherwise(F.col(name)).alias(name))
+            else:
+                cols.append(F.col(name))
+        for name, expr in self.exprs.items():
+            if name not in names:
+                cols.append(F.when(pred, expr).alias(name))
+        return df.select(*cols)
+
+
+def compile_update(
+    update: Mapping[str, Any], schema: T.StructType | None = None
+) -> UpdatePlan:
+    """Compile a dollar-keyed update document into an UpdatePlan."""
+    if not has_dollar_key(update):
+        raise UpdateCompileError("compile_update expects a $-operator document")
+    plan = UpdatePlan()
+
+    def base(top: str) -> Column:
+        # chained ops on the same column compose ($inc then $min, etc.)
+        return plan.exprs.get(top, F.col(top))
+
+    for op, doc in update.items():
+        if op not in _UPDATE_OPS:
+            raise UpdateCompileError(f"unsupported update operator: {op}")
+        if op == "$setOnInsert":
+            plan.set_on_insert.update(doc)
+            continue
+        if not isinstance(doc, Mapping):
+            raise UpdateCompileError(f"{op} expects a document")
+        for path, value in doc.items():
+            top, rest = _split(path)
+            if op == "$set":
+                if rest is None:
+                    plan.exprs[top] = _lit(value)
+                else:
+                    plan.exprs[top] = _with_nested(base(top), rest, _lit(value))
+            elif op == "$unset":
+                # Fixed-schema divergence from BSON: the field is nulled,
+                # not removed — a conditional dropFields would give the
+                # matched/unmatched branches different struct types.
+                if rest is None:
+                    plan.exprs[top] = F.lit(None).cast(
+                        field_type(schema, top) or T.StringType()
+                    )
+                    plan.drop_if_all_matched.add(top)
+                else:
+                    plan.exprs[top] = _with_nested(
+                        base(top),
+                        rest,
+                        F.lit(None).cast(field_type(schema, path) or T.StringType()),
+                    )
+            elif op == "$rename":
+                new_top, new_rest = _split(str(value))
+                src = _resolve(base(top), rest)
+                if new_rest is None:
+                    plan.exprs[new_top] = src
+                else:
+                    plan.exprs[new_top] = _with_nested(
+                        plan.exprs.get(new_top, F.col(new_top)), new_rest, src
+                    )
+                # null out the source (see $unset note on fixed schemas)
+                if rest is None:
+                    plan.exprs[top] = F.lit(None).cast(
+                        field_type(schema, top) or T.StringType()
+                    )
+                    plan.drop_if_all_matched.add(top)
+                else:
+                    plan.exprs[top] = _with_nested(
+                        base(top),
+                        rest,
+                        F.lit(None).cast(field_type(schema, path) or T.StringType()),
+                    )
+            elif op in ("$inc", "$mul"):
+                zero = F.lit(0) if op == "$inc" else F.lit(0)
+                cur = F.coalesce(_resolve(base(top), rest), zero)
+                new = cur + _lit(value) if op == "$inc" else cur * _lit(value)
+                plan.exprs[top] = new if rest is None else _with_nested(base(top), rest, new)
+            elif op == "$min":
+                cur = _resolve(base(top), rest)
+                new = F.least(cur, _lit(value))
+                plan.exprs[top] = new if rest is None else _with_nested(base(top), rest, new)
+            elif op == "$max":
+                cur = _resolve(base(top), rest)
+                new = F.greatest(cur, _lit(value))
+                plan.exprs[top] = new if rest is None else _with_nested(base(top), rest, new)
+            elif op in ("$push", "$addToSet"):
+                each = (
+                    value["$each"]
+                    if isinstance(value, Mapping) and "$each" in value
+                    else [value]
+                )
+                cur = _resolve(base(top), rest)
+                appended = F.concat(
+                    F.coalesce(cur, F.array()), F.array(*[_lit(v) for v in each])
+                )
+                if op == "$addToSet":
+                    appended = F.array_distinct(appended)
+                if isinstance(value, Mapping) and "$slice" in value:
+                    n = int(value["$slice"])
+                    appended = (
+                        F.slice(appended, 1, n)
+                        if n >= 0
+                        else F.slice(appended, F.greatest(F.size(appended) + n + 1, F.lit(1)), -n)
+                    )
+                plan.exprs[top] = (
+                    appended if rest is None else _with_nested(base(top), rest, appended)
+                )
+            elif op == "$pull":
+                cur = _resolve(base(top), rest)
+                elem_dt = None
+                dt = field_type(schema, path)
+                if isinstance(dt, T.ArrayType):
+                    elem_dt = dt.elementType
+                if isinstance(value, Mapping):
+                    pulled = F.filter(
+                        cur,
+                        lambda e: ~F.coalesce(
+                            _element_predicate(e, value, elem_dt), F.lit(False)
+                        ),
+                    )
+                else:
+                    pulled = F.filter(cur, lambda e: ~e.eqNullSafe(_lit(value)))
+                plan.exprs[top] = (
+                    pulled if rest is None else _with_nested(base(top), rest, pulled)
+                )
+            elif op == "$pullAll":
+                cur = _resolve(base(top), rest)
+                vals = F.array(*[_lit(v) for v in value])
+                pulled = F.filter(cur, lambda e: ~F.array_contains(vals, e))
+                plan.exprs[top] = (
+                    pulled if rest is None else _with_nested(base(top), rest, pulled)
+                )
+            elif op == "$pop":
+                cur = _resolve(base(top), rest)
+                popped = (
+                    F.slice(cur, 1, F.greatest(F.size(cur) - 1, F.lit(0)))
+                    if value == 1
+                    else F.slice(cur, 2, F.greatest(F.size(cur) - 1, F.lit(0)))
+                )
+                plan.exprs[top] = (
+                    popped if rest is None else _with_nested(base(top), rest, popped)
+                )
+            elif op == "$currentDate":
+                new = F.current_timestamp()
+                if isinstance(value, Mapping) and value.get("$type") == "date":
+                    new = F.current_timestamp()
+                plan.exprs[top] = new if rest is None else _with_nested(base(top), rest, new)
+    return plan
+
+
+def _resolve(base: Column, rest: str | None) -> Column:
+    if rest is None:
+        return base
+    col = base
+    for part in rest.split("."):
+        col = col.getItem(part)
+    return col
+
+
+def compile_replacement(
+    doc: Mapping[str, Any], columns: list[str], id_field: str = "_id"
+) -> UpdatePlan:
+    """Whole-document replacement (non-$ update): matched rows are replaced
+    by the literal document; the primary key is preserved (Mongo keeps
+    ``_id`` on replace). Columns absent from the doc are nulled."""
+    plan = UpdatePlan()
+    for name in columns:
+        if name == id_field:
+            continue
+        if name in doc:
+            plan.exprs[name] = _lit(doc[name])
+        else:
+            plan.exprs[name] = F.lit(None)
+    for name, value in doc.items():
+        if name not in columns and name != id_field:
+            plan.exprs[name] = _lit(value)
+    return plan
+
+
+def apply_update(
+    df: DataFrame,
+    pred: Column,
+    update: Mapping[str, Any],
+    schema: T.StructType | None = None,
+    id_field: str = "_id",
+) -> DataFrame:
+    """Apply an update or replacement document to rows matching ``pred``."""
+    if has_dollar_key(update):
+        plan = compile_update(update, schema or df.schema)
+    else:
+        plan = compile_replacement(update, df.columns, id_field)
+    return plan.apply(df, pred)

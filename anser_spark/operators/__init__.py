@@ -1,0 +1,39 @@
+from anser_spark.operators.text import (
+    with_token_count,
+    with_quality_score,
+    with_language_id,
+    with_fingerprint,
+    text_stats,
+)
+from anser_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signature,
+    minhash_near_dup_pairs,
+    minhash_dedup,
+    with_simhash,
+    ngram_jaccard_pairs,
+)
+from anser_spark.operators.similarity import (
+    cosine_top_k,
+    with_norm,
+    lsh_bucket_candidates,
+    embedding_near_dup_pairs,
+)
+
+__all__ = [
+    "with_token_count",
+    "with_quality_score",
+    "with_language_id",
+    "with_fingerprint",
+    "text_stats",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_near_dup_pairs",
+    "minhash_dedup",
+    "with_simhash",
+    "ngram_jaccard_pairs",
+    "cosine_top_k",
+    "with_norm",
+    "lsh_bucket_candidates",
+    "embedding_near_dup_pairs",
+]

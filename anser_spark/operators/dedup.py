@@ -1,0 +1,262 @@
+"""Deduplication operators: exact, MinHash+LSH near-dup, SimHash,
+n-gram Jaccard — the core primitives of a large-scale training-data
+pipeline, built to scale:
+
+- Signatures/fingerprints are pure Column expressions (xxhash64 + array
+  higher-order functions) computed at scan speed, no Python.
+- Candidate generation is LSH band-bucketing: one explode (bands per doc
+  is a small constant) + one shuffle on (band, hash) — never an all-pairs
+  cross join.
+- Verification joins only candidate pairs back to shingle sets.
+- The survivor rule ("drop any doc with a smaller-id near-duplicate
+  neighbor") needs no iterative connected components, one extra
+  semi-join, and keeps exactly the minimal element of every duplicate
+  chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingle_col",
+    "minhash_signature",
+    "minhash_near_dup_pairs",
+    "minhash_dedup",
+    "with_simhash",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", normalize: bool = True
+) -> DataFrame:
+    """Keep one representative (min id) per exact-content group.
+
+    Hash-groupBy on a 64-bit fingerprint: map-side partial min then one
+    shuffle on the hash — the canonical exact-dedup plan at any scale.
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    fp = F.xxhash64(text)
+    keep = df.withColumn("__fp", fp).groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def shingle_col(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (distinct) of normalized text."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    shingles_out: str = "__shingles",
+    sig_out: str = "__minhash",
+) -> DataFrame:
+    """num_hashes MinHash values per doc: for seed i, min over shingles of
+    xxhash64(shingle, i). All array HOFs — codegen'd, no shuffle."""
+    df = df.withColumn(shingles_out, shingle_col(F.col(text_col), k))
+
+    def hash_with_seed(seed: int):
+        # NOTE: a 2-parameter lambda (or one with a default arg) passed to
+        # a Spark HOF is interpreted as (element, index) — the seed must
+        # be captured via closure, never a default argument.
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col(shingles_out), hash_with_seed(i)))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(sig_out, sig)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    LSH: split the signature into `bands` bands of num_hashes/bands rows;
+    docs sharing any band-hash become candidates; candidates are verified
+    with exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signature(df, text_col, k, num_hashes).select(
+        F.col(id_col), F.col("__shingles"), F.col("__minhash")
+    )
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__minhash").getItem(b * rows + r)
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("bhash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bhash") == F.col("r.bhash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = sigs.select(F.col(id_col), F.col("__shingles"))
+    verified = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sa")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Drop every doc that has a smaller-id near-duplicate neighbor
+    (keeps the minimal element of each duplicate chain)."""
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, k, num_hashes, bands, threshold)
+    victims = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(victims, on=id_col, how="left_anti")
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 64
+) -> DataFrame:
+    """SimHash fingerprint: per-token 64-bit hashes vote per bit position;
+    the sign vector packs into a long. Pure array HOFs (aggregate +
+    zip_with over a bit-index sequence) — near-dup docs differ in a few
+    bits (compare via hamming distance on xor popcount)."""
+    tokens = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # per-bit vote: shift amounts must be Python ints (Spark's shift
+    # functions take literal bit counts), so unroll the bit loop here —
+    # still one scan, all codegen'd
+    def bit_vote(bit: int):
+        # closure capture, NOT a default arg (see hash_with_seed note)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), bit_vote(i))
+        # bit 63 of a signed long is the sign bit — send its two's
+        # complement value (1<<63 overflows a Java long literal)
+        bit_value = (1 << i) if i < 63 else (1 << i) - (1 << 64)
+        packed = packed.bitwiseOR(
+            F.when(vote > 0, F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn(out, packed)
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash longs (popcount of xor)."""
+    x = a.bitwiseXOR(b)
+    out = F.lit(0)
+    for i in range(64):
+        out = out + F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)).cast("int")
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    block_col: Column | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs. Without a blocking
+    column this is O(n²) within each block — callers at scale MUST block
+    (by LSH bucket, language, length band...); default blocks by token
+    -count band so the cross product stays bounded."""
+    sh = df.select(
+        F.col(id_col), shingle_col(F.col(text_col), k).alias("__sh")
+    )
+    if block_col is None:
+        from anser_spark.operators.text import token_count_col
+
+        block = F.floor(F.log2(token_count_col(F.col(text_col)) + 2))
+        sh = df.select(
+            F.col(id_col),
+            shingle_col(F.col(text_col), k).alias("__sh"),
+            block.alias("__blk"),
+        )
+    else:
+        sh = df.select(F.col(id_col), shingle_col(F.col(text_col), k).alias("__sh"), block_col.alias("__blk"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.__blk") == F.col("b.__blk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("a.__sh", "b.__sh"))
+            / F.size(F.array_union("a.__sh", "b.__sh")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a single scan with a JVM-side dot
+product (zip_with + aggregate), then TakeOrdered(k). No Python, no
+shuffle beyond the top-k reduction; at 100 TB this is the bandwidth-bound
+floor and the correctness oracle for the ANN path.
+
+Scale path: random-hyperplane LSH — each vector gets a b-bit signature
+(sign of dot with b fixed random hyperplanes); candidates share a
+signature (or a signature band). Turns all-pairs O(n²) into a bucketed
+join; recall tunes with bands/bits.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot_col",
+    "norm_col",
+    "with_norm",
+    "cosine_top_k",
+    "random_hyperplanes",
+    "lsh_bucket_candidates",
+    "embedding_near_dup_pairs",
+]
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    # accumulate in double regardless of element type (float32 embeddings)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, norm_col(F.col(vec_col)))
+
+
+def cosine_top_k(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector.
+
+    The query is folded into the plan as an array literal; Catalyst
+    executes scan → project(cosine) → TakeOrderedAndProject(k): the
+    optimal single-pass plan (per-partition top-k, then driver merge of
+    k·numPartitions rows — never a global sort).
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
+    vec = F.col(vec_col)
+    cos = dot_col(vec, qlit) / (norm_col(vec) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), F.round(cos, round_to).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-less random hyperplanes (stdlib RNG; no numpy
+    needed at plan-build time)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def _signature_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(v·h_i) bits into a long."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot_col(vec, plane_lit) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing any LSH signature band.
+
+    bits/bands tune recall vs candidate volume: more bands → higher
+    recall, more candidates. One explode(bands) + one shuffle on
+    (band, band-bits) — the all-pairs join never materializes.
+    """
+    planes = random_hyperplanes(dim, bits, seed)
+    rows = bits // bands
+    sig = df.select(F.col(id_col), _signature_col(F.col(vec_col), planes).alias("__sig"))
+    mask = (1 << rows) - 1
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sig"), b * rows)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bval")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bval") == F.col("b.bval"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def cosine_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """EXACT all-pairs similarity join (id_a < id_b, cosine ≥ threshold).
+
+    O(n²) — the correctness oracle for the LSH path and the right tool
+    for bounded subsets (a candidate bucket, one partition key's worth).
+    Callers at scale must pre-filter/bucket the input."""
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        va.join(vb, va["id_a"] < vb["id_b"])
+        .withColumn(
+            "cosine",
+            dot_col(F.col("__va"), F.col("__vb"))
+            / (norm_col(F.col("__va")) * norm_col(F.col("__vb"))),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", round_to).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH candidates verified
+    with exact cosine ≥ threshold. Returns (id_a, id_b, cosine)."""
+    cand = lsh_bucket_candidates(df, dim, vec_col, id_col, bits, bands, seed)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            dot_col(F.col("__va"), F.col("__vb"))
+            / (norm_col(F.col("__va")) * norm_col(F.col("__vb"))),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprinting.
+
+All pure Column expressions (JVM-side, whole-stage codegen, no Python
+UDFs) — at 100 TB these run at scan speed and never shuffle unless the
+caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count_col",
+    "with_token_count",
+    "with_quality_score",
+    "with_language_id",
+    "with_fingerprint",
+    "text_stats",
+    "LANG_STOPWORDS",
+]
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace tokenization; empty string → 0 tokens."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish sub-word proxy: split on whitespace AND word/punct
+    boundaries (letters runs, digit runs, single punct), the standard
+    cheap stand-in for tokenizer-based counts."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=\W)|(?=\W)"),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, token_count_col(F.col(text_col)))
+
+
+# ~10 high-frequency stopwords per language; enough signal for a
+# coarse n-gram/stopword language-ID heuristic on word-salad text.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "con"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不", "人", "这"],
+}
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    """Count of stopword occurrences, as whole words."""
+    pattern = "(?i)\\b(" + "|".join(words) + ")\\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pattern), F.lit(1)))
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_id") -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language whole-word
+    stopword hit counts; 'und' (undetermined) when no hits at all."""
+    text = F.col(text_col)
+    hits = {lang: _stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # iterate in fixed order; first language reaching the max wins
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Composite [0,1] quality heuristic: length band, punctuation ratio,
+    stopword ratio, mean word length band — the standard cheap filters a
+    pretraining pipeline applies before expensive scoring."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    all_stop = [w for ws in LANG_STOPWORDS.values() for w in ws]
+    stop_ratio = F.when(
+        n_tokens > 0, _stopword_hits(text, all_stop) / n_tokens
+    ).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))
+    word_len_score = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.3)
+    stop_score = F.least(stop_ratio * 3, F.lit(1.0))
+    score = (
+        length_score * 0.3 + punct_score * 0.2 + word_len_score * 0.3 + stop_score * 0.2
+    )
+    return df.withColumn(out, F.round(score, 6))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """64-bit content fingerprint over normalized text (case-folded,
+    whitespace-collapsed) — the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out, F.xxhash64(normalized))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document stats frame (id columns preserved)."""
+    df = with_token_count(df, text_col)
+    df = df.withColumn("n_chars_calc", F.length(F.col(text_col)))
+    df = with_quality_score(df, text_col)
+    df = with_language_id(df, text_col)
+    df = with_fingerprint(df, text_col)
+    return df

@@ -1,0 +1,350 @@
+"""Mongo aggregation pipeline → DataFrame-fold compiler (SURVEY.md §2.5).
+
+The reference forwards pipelines to the server verbatim
+(`Pipe(interface{})`, reference db/interface.go:25, exec at
+db/wrapper.go:532-545 with AllowDiskUse(true) — Spark spills natively,
+so that option is free). Here each stage folds into the DataFrame plan
+and Catalyst sees the WHOLE pipeline at once — $match after $project
+still pushes to the scan, partial aggregation is automatic, $lookup
+becomes a (broadcast-able) join.
+
+Stage support:
+    $match $project $addFields $set $unset $group $sort $limit $skip
+    $unwind $lookup $count $replaceRoot $replaceWith $sortByCount
+    $sample $out $merge
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Mapping, Sequence
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anser_spark.functions.expressions import compile_expr
+from anser_spark.functions.filters import compile_filter
+from anser_spark.functions.sort import parse_sort_keys
+
+__all__ = ["Aggregation", "compile_pipeline", "PipelineCompileError"]
+
+
+class PipelineCompileError(ValueError):
+    pass
+
+
+_ACCUMULATORS = {
+    "$sum",
+    "$avg",
+    "$min",
+    "$max",
+    "$first",
+    "$last",
+    "$push",
+    "$addToSet",
+    "$count",
+    "$stdDevPop",
+    "$stdDevSamp",
+}
+
+
+def compile_pipeline(
+    df: DataFrame,
+    stages: Sequence[Mapping[str, Any]],
+    resolve_collection: Callable[[str], DataFrame] | None = None,
+    sink: Callable[[str, DataFrame, Mapping[str, Any] | None], None] | None = None,
+) -> DataFrame:
+    """Fold pipeline stages over ``df``.
+
+    ``resolve_collection`` maps a collection name → DataFrame ($lookup);
+    ``sink(name, df, options)`` handles $out/$merge writes.
+    """
+    for i, stage in enumerate(stages):
+        if not isinstance(stage, Mapping) or len(stage) != 1:
+            raise PipelineCompileError(f"stage {i} must have exactly one key: {stage!r}")
+        op, arg = next(iter(stage.items()))
+        df = _compile_stage(df, op, arg, resolve_collection, sink)
+    return df
+
+
+def _compile_stage(  # noqa: C901
+    df: DataFrame,
+    op: str,
+    arg: Any,
+    resolve: Callable[[str], DataFrame] | None,
+    sink: Callable[[str, DataFrame, Mapping[str, Any] | None], None] | None,
+) -> DataFrame:
+    schema = df.schema
+
+    if op == "$match":
+        return df.where(compile_filter(arg, schema))
+
+    if op == "$project":
+        return _project(df, arg)
+
+    if op in ("$addFields", "$set"):
+        for name, expr in arg.items():
+            df = df.withColumn(name, compile_expr(expr, df.schema))
+        return df
+
+    if op == "$unset":
+        names = [arg] if isinstance(arg, str) else list(arg)
+        return df.drop(*[n for n in names if n in df.columns])
+
+    if op == "$group":
+        return _group(df, arg)
+
+    if op == "$sort":
+        return df.orderBy(*parse_sort_keys(arg))
+
+    if op == "$limit":
+        return df.limit(int(arg))
+
+    if op == "$skip":
+        return df.offset(int(arg))
+
+    if op == "$unwind":
+        return _unwind(df, arg)
+
+    if op == "$lookup":
+        return _lookup(df, arg, resolve)
+
+    if op == "$count":
+        return df.agg(F.count(F.lit(1)).alias(str(arg)))
+
+    if op in ("$replaceRoot", "$replaceWith"):
+        new_root = arg["newRoot"] if op == "$replaceRoot" else arg
+        col = compile_expr(new_root, schema)
+        return df.select(col.alias("__root")).select("__root.*")
+
+    if op == "$sortByCount":
+        key = compile_expr(arg, schema)
+        return (
+            df.groupBy(key.alias("_id"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), F.col("_id").asc_nulls_first())
+        )
+
+    if op == "$sample":
+        n = int(arg["size"])
+        return df.orderBy(F.rand()).limit(n)
+
+    if op == "$out":
+        if sink is None:
+            raise PipelineCompileError("$out requires a sink")
+        name = arg if isinstance(arg, str) else arg["coll"]
+        sink(name, df, {"mode": "out"})
+        return df
+
+    if op == "$merge":
+        if sink is None:
+            raise PipelineCompileError("$merge requires a sink")
+        spec = {"into": arg} if isinstance(arg, str) else dict(arg)
+        name = spec["into"] if isinstance(spec["into"], str) else spec["into"]["coll"]
+        sink(name, df, {"mode": "merge", "on": spec.get("on", "_id")})
+        return df
+
+    raise PipelineCompileError(f"unsupported pipeline stage: {op}")
+
+
+def _project(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    incl_keys = [k for k, v in arg.items() if v in (1, True)]
+    excl_keys = [k for k, v in arg.items() if v in (0, False)]
+    computed = {k: v for k, v in arg.items() if v not in (0, 1, True, False)}
+    if excl_keys and (incl_keys or computed) and set(excl_keys) != {"_id"}:
+        raise PipelineCompileError("cannot mix inclusion and exclusion in $project")
+    if incl_keys or computed:
+        cols: list[Column] = []
+        if "_id" in df.columns and "_id" not in excl_keys and "_id" not in arg:
+            cols.append(F.col("_id"))
+        for k, v in arg.items():
+            if v in (0, False):
+                continue
+            if v in (1, True):
+                cols.append(compile_expr(f"${k}", df.schema).alias(k.replace(".", "_")))
+            else:
+                cols.append(compile_expr(v, df.schema).alias(k))
+        return df.select(*cols)
+    return df.drop(*[k for k in excl_keys if k in df.columns])
+
+
+def _acc_column(spec: Mapping[str, Any], schema) -> Column:
+    if not isinstance(spec, Mapping) or len(spec) != 1:
+        raise PipelineCompileError(f"accumulator must have one operator: {spec!r}")
+    op, arg = next(iter(spec.items()))
+    if op not in _ACCUMULATORS:
+        raise PipelineCompileError(f"unsupported accumulator: {op}")
+    if op == "$count":
+        return F.count(F.lit(1))
+    if op == "$sum":
+        if isinstance(arg, (int, float)) and not isinstance(arg, bool):
+            if arg == 1:
+                return F.count(F.lit(1))
+            return F.count(F.lit(1)) * F.lit(arg)
+        return F.sum(compile_expr(arg, schema))
+    expr = compile_expr(arg, schema)
+    if op == "$avg":
+        return F.avg(expr)
+    if op == "$min":
+        return F.min(expr)
+    if op == "$max":
+        return F.max(expr)
+    if op == "$first":
+        return F.first(expr, ignorenulls=False)
+    if op == "$last":
+        return F.last(expr, ignorenulls=False)
+    if op == "$push":
+        return F.collect_list(expr)
+    if op == "$addToSet":
+        return F.collect_set(expr)
+    if op == "$stdDevPop":
+        return F.stddev_pop(expr)
+    if op == "$stdDevSamp":
+        return F.stddev_samp(expr)
+    raise PipelineCompileError(f"unsupported accumulator: {op}")
+
+
+def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    if "_id" not in arg:
+        raise PipelineCompileError("$group requires _id")
+    id_spec = arg["_id"]
+    accs = {k: v for k, v in arg.items() if k != "_id"}
+    agg_cols = [_acc_column(spec, df.schema).alias(name) for name, spec in accs.items()]
+
+    if id_spec is None:
+        out = df.agg(*agg_cols) if agg_cols else df.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+        return out.select(F.lit(None).alias("_id"), *[F.col(n) for n in accs])
+
+    if isinstance(id_spec, Mapping) and not any(
+        str(k).startswith("$") for k in id_spec
+    ):
+        # compound key document → group by each sub-expression, then
+        # re-nest as a struct _id (Catalyst groups on flat keys — cheaper
+        # than grouping on a struct and identical semantics)
+        key_cols = {
+            k: compile_expr(v, df.schema).alias(f"__id_{k}") for k, v in id_spec.items()
+        }
+        grouped = df.groupBy(*key_cols.values()).agg(*agg_cols)
+        id_struct = F.struct(
+            *[F.col(f"__id_{k}").alias(k) for k in id_spec]
+        ).alias("_id")
+        return grouped.select(id_struct, *[F.col(n) for n in accs])
+
+    key = compile_expr(id_spec, df.schema).alias("_id")
+    return df.groupBy(key).agg(*agg_cols)
+
+
+def _unwind(df: DataFrame, arg: Any) -> DataFrame:
+    if isinstance(arg, str):
+        path, preserve, idx = arg, False, None
+    else:
+        path = arg["path"]
+        preserve = bool(arg.get("preserveNullAndEmptyArrays", False))
+        idx = arg.get("includeArrayIndex")
+    if not path.startswith("$"):
+        raise PipelineCompileError("$unwind path must start with $")
+    name = path[1:]
+    if "." in name:
+        raise PipelineCompileError("$unwind on nested paths not yet supported")
+    others = [c for c in df.columns if c != name]
+    if idx:
+        gen = F.posexplode_outer(F.col(name)) if preserve else F.posexplode(F.col(name))
+        return df.select(*others, gen.alias(idx, name))
+    gen = F.explode_outer(F.col(name)) if preserve else F.explode(F.col(name))
+    return df.select(*others, gen.alias(name))
+
+
+def _lookup(
+    df: DataFrame, arg: Mapping[str, Any], resolve: Callable[[str], DataFrame] | None
+) -> DataFrame:
+    """$lookup (equality form) = left outer join + re-nest matches as an
+    array-of-structs column. The join is a plain equi-join so Catalyst
+    picks broadcast vs shuffle (AQE re-plans at runtime); the collect_list
+    regroup happens on the foreign side BEFORE the join, so the join is
+    1:1 and never explodes rows."""
+    if resolve is None:
+        raise PipelineCompileError("$lookup requires a collection resolver")
+    for field in ("from", "localField", "foreignField", "as"):
+        if field not in arg:
+            raise PipelineCompileError(f"$lookup missing {field!r} (pipeline form not yet supported)")
+    foreign = resolve(arg["from"])
+    local_f, foreign_f, out = arg["localField"], arg["foreignField"], arg["as"]
+    fcols = [F.col(c) for c in foreign.columns]
+    grouped = foreign.groupBy(F.col(foreign_f).alias("__lk")).agg(
+        F.collect_list(F.struct(*fcols)).alias(out)
+    )
+    joined = df.join(grouped, on=df[local_f] == grouped["__lk"], how="left").drop("__lk")
+    elem_type = grouped.schema[out].dataType
+    return joined.withColumn(out, F.coalesce(F.col(out), F.lit(None).cast(elem_type)))
+
+
+class Aggregation:
+    """Fluent wrapper mirroring the reference aggregationWrapper
+    (db/wrapper.go:522-577): Hint is advisory; All/One/Iter execute."""
+
+    def __init__(self, collection: Any, pipeline: Sequence[Mapping[str, Any]]) -> None:
+        self._collection = collection
+        self._pipeline = list(pipeline)
+        self._hint: Any = None
+
+    def hint(self, hint: Any) -> "Aggregation":
+        self._hint = hint
+        return self
+
+    def _resolver(self) -> Callable[[str], DataFrame] | None:
+        coll = self._collection
+        if isinstance(coll, DataFrame):
+            return None
+        db = coll.engine.db(coll.db_name)
+
+        def resolve(name: str) -> DataFrame:
+            return db.collection(name).df()
+
+        return resolve
+
+    def _sink(self):
+        coll = self._collection
+        if isinstance(coll, DataFrame):
+            return None
+        db = coll.engine.db(coll.db_name)
+
+        def sink(name: str, df: DataFrame, options: Mapping[str, Any] | None) -> None:
+            target = db.collection(name)
+            mode = (options or {}).get("mode", "out")
+            if mode == "out" or not target.exists():
+                target._rewrite(df)
+            else:
+                on = (options or {}).get("on", "_id")
+                base = target.df()
+                merged = base.join(df.select(on), on=on, how="left_anti").unionByName(
+                    df, allowMissingColumns=True
+                )
+                target._rewrite(merged)
+
+        return sink
+
+    def to_df(self) -> DataFrame:
+        base = (
+            self._collection
+            if isinstance(self._collection, DataFrame)
+            else self._collection.df()
+        )
+        return compile_pipeline(base, self._pipeline, self._resolver(), self._sink())
+
+    def all(self) -> list[dict[str, Any]]:
+        return [r.asDict(recursive=True) for r in self.to_df().collect()]
+
+    def one(self) -> dict[str, Any]:
+        from anser_spark.engine import NotFoundError
+
+        rows = self.to_df().take(1)
+        if not rows:
+            raise NotFoundError("aggregation returned no documents")
+        return rows[0].asDict(recursive=True)
+
+    def iter(self) -> Iterator[dict[str, Any]]:
+        for row in self.to_df().toLocalIterator():
+            yield row.asDict(recursive=True)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.to_df().explain(mode)

@@ -1,0 +1,90 @@
+"""Collection backup — the reference's backup.Collection
+(backup/backup.go:21-54 API, 79-150 data path, 152-200 index metadata):
+stream a (filtered, sorted, limited) collection to a target plus a
+metadata sidecar.
+
+Spark-first shape: the data export is `df.where(q).orderBy(s).limit(n)
+.write.parquet(...)` — a distributed write, no driver materialization;
+the 'index metadata' sidecar becomes a schema + layout manifest JSON.
+`indexes_only` skips the data write entirely (backup.go IndexesOnly).
+The reference's upfront count (EstimatedDocumentCount vs CountDocuments,
+backup.go:79-101) is kept for the returned report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass
+from typing import Any
+
+from anser_spark.engine import Collection
+from anser_spark.functions.filters import compile_filter
+from anser_spark.functions.sort import parse_sort_keys
+
+__all__ = ["BackupOptions", "backup_collection"]
+
+
+@dataclass
+class BackupOptions:
+    """Mirror of backup.Options (backup/backup.go:21-38)."""
+
+    target_dir: str
+    query: Mapping[str, Any] | None = None
+    sort: Sequence[str] | None = None
+    limit: int = 0
+    indexes_only: bool = False
+    enable_logging: bool = False
+
+
+def backup_collection(collection: Collection, options: BackupOptions) -> dict[str, Any]:
+    """Returns a report dict {namespace, count, data_path, metadata_path}."""
+    ns = collection.namespace
+    os.makedirs(options.target_dir, exist_ok=True)
+    base = os.path.join(options.target_dir, f"{ns.db}.{ns.collection}")
+    metadata_path = base + ".metadata.json"
+
+    df = collection.df()
+    # upfront count: metadata-only when unfiltered (EstimatedDocumentCount,
+    # backup.go:91), filtered count otherwise (CountDocuments, backup.go:95)
+    if options.query:
+        count = df.where(compile_filter(options.query, df.schema)).count()
+    else:
+        count = collection.estimated_document_count()
+
+    report: dict[str, Any] = {
+        "namespace": str(ns),
+        "count": count,
+        "metadata_path": metadata_path,
+        "data_path": None,
+    }
+
+    manifest = {
+        "namespace": str(ns),
+        "collection": ns.collection,
+        "db": ns.db,
+        "schema": json.loads(df.schema.json()),
+        "options": {
+            "query": dict(options.query or {}),
+            "sort": list(options.sort or []),
+            "limit": options.limit,
+        },
+        "count": count,
+    }
+    with open(metadata_path, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+
+    if not options.indexes_only:
+        out = df
+        if options.query:
+            out = out.where(compile_filter(options.query, df.schema))
+        order = parse_sort_keys(options.sort)
+        if order:
+            out = out.orderBy(*order)
+        if options.limit:
+            out = out.limit(options.limit)
+        data_path = base + ".parquet"
+        out.write.mode("overwrite").parquet(data_path)
+        report["data_path"] = data_path
+    return report

@@ -1,0 +1,15 @@
+from anser_spark.streaming.apm import (
+    MonitorConfig,
+    window_event_stats,
+    event_stats_stream,
+    strip_statement,
+    normalize_statements,
+)
+
+__all__ = [
+    "MonitorConfig",
+    "window_event_stats",
+    "event_stats_stream",
+    "strip_statement",
+    "normalize_statements",
+]

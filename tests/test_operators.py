@@ -1,0 +1,181 @@
+"""Beyond-reference pipeline operators (SURVEY.md §7 M7): dedup,
+similarity, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anser_spark.operators import (
+    cosine_top_k,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    text_stats,
+    with_fingerprint,
+    with_language_id,
+    with_quality_score,
+    with_simhash,
+    with_token_count,
+)
+from anser_spark.operators.dedup import simhash_hamming
+
+
+@pytest.fixture(scope="module")
+def dup_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  Quick Brown Fox jumps over the lazy dog"),  # case/space dup of 1
+        (4, "the quick brown fox leaps over the lazy dog"),  # near dup of 1
+        (5, "completely different content about spark engines"),
+        (6, "der schnelle braune fuchs springt über den faulen hund und der hund schläft"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(dup_df):
+    out = exact_dedup(dup_df)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5, 6]  # 2 and 3 fold into 1 (normalized)
+    strict = exact_dedup(dup_df, normalize=False)
+    assert sorted(r["doc_id"] for r in strict.collect()) == [1, 3, 4, 5, 6]
+
+
+def test_minhash_pairs_and_dedup(dup_df):
+    pairs = minhash_near_dup_pairs(dup_df, k=2, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (1, 3) in got  # exact dups always pair
+    assert (1, 4) in got or (2, 4) in got or (3, 4) in got  # near dup found
+    assert all(5 not in p and 6 not in p for p in got)
+    deduped = minhash_dedup(dup_df, k=2, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in deduped.collect())
+    assert ids == [1, 5, 6]
+
+
+def test_ngram_jaccard(dup_df):
+    pairs = ngram_jaccard_pairs(dup_df, k=2, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) in got and 0.5 <= got[(1, 4)] < 1.0
+
+
+def test_simhash(dup_df):
+    out = with_simhash(dup_df).collect()
+    sims = {r["doc_id"]: r["simhash"] for r in out}
+    assert sims[1] == sims[2]  # identical text → identical simhash
+    df = dup_df.sparkSession.createDataFrame(
+        [(a, b) for a in sims for b in sims if a < b], ["a", "b"]
+    )
+    # hamming distance between near-dups (1,4) far below unrelated (1,5)
+    ham = with_simhash(dup_df).select("doc_id", "simhash")
+    a = ham.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = ham.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    d = (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("ham", simhash_hamming(F.col("sa"), F.col("sb")))
+        .collect()
+    )
+    dist = {(r["a"], r["b"]): r["ham"] for r in d}
+    assert dist[(1, 4)] < dist[(1, 5)]
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, ""), (3, "!!! ??? ..."), (4, "  spaced   out  ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_tokens"] for r in with_token_count(df).collect()}
+    assert out == {1: 6, 2: 0, 3: 3, 4: 2}
+    q = {r["doc_id"]: r["quality"] for r in with_quality_score(df).collect()}
+    assert q[1] > q[3]  # prose beats punctuation soup
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "der hund ist nicht mit der katze auf dem dach"),
+            (3, "le chat est dans la maison et les chiens"),
+            (4, "el perro es un animal que vive con las personas"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_id"] for r in with_language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "es"
+    assert out[5] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "goodbye world")],
+        ["doc_id", "text"],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_text_stats_combined(engine):
+    docs = engine.db("tpch").collection("documents").df().limit(50)
+    out = text_stats(docs)
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows[:5]:
+        assert r["n_chars_calc"] == r["n_chars"]  # matches driver-provided count
+        assert r["n_tokens"] > 0 and 0 <= r["quality"] <= 1
+
+
+def test_cosine_top_k(engine):
+    emb = engine.db("tpch").collection("embeddings").df()
+    first = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = cosine_top_k(emb, list(first), k=5).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0 and abs(out[0]["cosine"] - 1.0) < 1e-6
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_embedding_near_dup(spark):
+    base = [1.0, 0.0, 0.5, 0.2]
+    rows = [
+        (1, base),
+        (2, [x * 2 for x in base]),        # same direction → cosine 1
+        (3, [x + 0.01 for x in base]),     # near dup
+        (4, [-1.0, 5.0, -0.5, 0.1]),       # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(df, dim=4, threshold=0.99, bits=8, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert all(4 not in p for p in got)
+
+
+def test_multimodal_stub_pipeline(spark):
+    from anser_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_image_features,
+        sample_video_frames,
+    )
+
+    rows = [("m1", b"fakejpegbytes", "image/jpeg", 5000), ("m2", b"otherbytes", "image/png", 2500)]
+    df = spark.createDataFrame(rows, ["media_id", "payload", "mime", "duration_ms"])
+    meta = attach_media_metadata(df)
+    got = {r["media_id"]: r["n_bytes"] for r in meta.collect()}
+    assert got == {"m1": 13, "m2": 10}
+    feats = extract_image_features(df).collect()
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    assert len(by_id["m1"]) == 8 and by_id["m1"] != by_id["m2"]
+    # determinism
+    feats2 = extract_image_features(df).collect()
+    assert {r["media_id"]: r["features"] for r in feats2} == by_id
+    with pytest.raises(NotImplementedError):
+        extract_image_features(df, strict=True)
+    frames = sample_video_frames(df, every_ms=1000).collect()
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    assert sorted(per["m1"]) == [0, 1000, 2000, 3000, 4000]
+    assert sorted(per["m2"]) == [0, 1000, 2000]

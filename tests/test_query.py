@@ -1,0 +1,86 @@
+"""Fluent read path: find/select/sort/limit/skip/count/one/iter
+(reference db/wrapper.go:373-520 semantics)."""
+
+import pytest
+
+from anser_spark.engine import NotFoundError
+
+
+def test_find_sort_limit(engine):
+    coll = engine.db("tpch").collection("lineitem")
+    rows = (
+        coll.find({"l_quantity": {"$gt": 45.0}})
+        .sort("-l_extendedprice")
+        .limit(10)
+        .all()
+    )
+    assert len(rows) == 10
+    prices = [r["l_extendedprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    assert all(r["l_quantity"] > 45.0 for r in rows)
+
+
+def test_sort_multi_key(doc_collection):
+    rows = doc_collection.find().sort("status", "-priority").all()
+    statuses = [r["status"] for r in rows]
+    assert statuses == sorted(statuses)
+    failed = [r["priority"] for r in rows if r["status"] == "failed"]
+    assert failed == [42, 5]
+
+
+def test_skip_offset(doc_collection):
+    rows = doc_collection.find().sort("_id").skip(2).limit(2).all()
+    assert [r["_id"] for r in rows] == ["a3", "a4"]
+
+
+def test_projection_inclusion(doc_collection):
+    rows = doc_collection.find({"_id": "a1"}).select({"status": 1, "priority": 1}).all()
+    assert rows == [{"_id": "a1", "status": "success", "priority": 10}]
+
+
+def test_projection_exclusion(doc_collection):
+    row = doc_collection.find({"_id": "a1"}).select({"meta": 0, "tags": 0, "scores": 0, "time": 0}).one()
+    assert set(row) == {"_id", "status", "activated", "priority", "version"}
+
+
+def test_projection_id_only(doc_collection):
+    # generators project to _id only (reference generator_simple.go:76)
+    rows = doc_collection.find({"activated": True}).select({"_id": 1}).all()
+    assert sorted(r["_id"] for r in rows) == ["a1", "a3", "a5", "a6"]
+    assert all(set(r) == {"_id"} for r in rows)
+
+
+def test_one_not_found(doc_collection):
+    with pytest.raises(NotFoundError):
+        doc_collection.find({"status": "nope"}).one()
+
+
+def test_find_id_and_one(doc_collection):
+    row = doc_collection.find_id("a4").one()
+    assert row["priority"] == 99
+
+
+def test_count(doc_collection):
+    assert doc_collection.count() == 6
+    assert doc_collection.find({"activated": True}).count() == 4
+    assert doc_collection.find({"activated": True}).limit(2).count() == 2
+
+
+def test_iter(doc_collection):
+    seen = sorted(r["_id"] for r in doc_collection.find({"status": "failed"}).iter())
+    assert seen == ["a2", "a6"]
+
+
+def test_estimated_document_count(engine):
+    coll = engine.db("tpch").collection("lineitem")
+    assert coll.estimated_document_count() == 6000
+
+
+def test_namespace_and_dbs(engine):
+    from anser_spark.engine import Namespace
+
+    ns = Namespace("tpch", "lineitem")
+    assert str(ns) == "tpch.lineitem"
+    assert ns.is_valid()
+    assert not Namespace("", "x").is_valid()
+    assert "lineitem" in engine.db("tpch").collection_names()
