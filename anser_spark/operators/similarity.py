@@ -113,22 +113,30 @@ def lsh_bucket_candidates(
     rows = bits // bands
     sig = df.select(F.col(id_col), _signature_col(F.col(vec_col), planes).alias("__sig"))
     mask = (1 << rows) - 1
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("__sig"), b * rows)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bval"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.bval")
+    from pyspark.storagelevel import StorageLevel
+
+    banded = (
+        sig.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("__sig"), b * rows)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bval"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(id_col, "bk.band", "bk.bval")
+        # both sides of the self-join read this — persist or the 64 dot
+        # products per vector compute twice (spills to disk at scale)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
