@@ -361,6 +361,69 @@ def _q_text_stats(spark, sf_dir):
     return text_stats(docs).select("doc_id", "lang_id", "quality", "fingerprint")
 
 
+def _q_window_rank(spark, sf_dir):
+    # $setWindowFields → native Spark window functions (shuffle on the
+    # partition key only)
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$o_orderpriority",
+                        "sortBy": {"o_totalprice": -1, "o_orderkey": 1},
+                        "output": {"rn": {"$documentNumber": {}}},
+                    }
+                },
+                {"$match": {"rn": {"$lte": 3}}},
+                {"$project": {"o_orderpriority": 1, "o_orderkey": 1, "o_totalprice": 1, "rn": 1}},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_bucket_orders(spark, sf_dir):
+    # $bucket: explicit-boundary histogram
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {
+                    "$bucket": {
+                        "groupBy": "$o_totalprice",
+                        "boundaries": [0, 100000, 200000, 300000, 400000, 700000],
+                        "output": {
+                            "n": {"$sum": 1},
+                            "avg_price": {"$avg": "$o_totalprice"},
+                        },
+                    }
+                },
+                {
+                    "$project": {
+                        "_id": 1,
+                        "n": 1,
+                        "avg_price": {"$round": ["$avg_price", 2]},
+                    }
+                },
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_json_extract(spark, sf_dir):
+    # dynamic-schema tail: JSON string column field extraction
+    from pyspark.sql import functions as F
+
+    events = _db(spark, sf_dir).collection("events").df()
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_value")
+    ).where(F.col("k_value").isNotNull())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "find_sort_limit": _q_find_sort_limit,
@@ -383,6 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_sim_join": _q_embedding_sim_join,
         "text_stats": _q_text_stats,
+        "window_rank": _q_window_rank,
+        "bucket_orders": _q_bucket_orders,
+        "json_extract": _q_json_extract,
     }
 
 
@@ -493,6 +559,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 300 AND b.vec_id < 300
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        "window_rank": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS INTEGER) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "bucket_orders": """
+            SELECT _id, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+            FROM (
+                SELECT CASE
+                    WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 0
+                    WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 100000
+                    WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 200000
+                    WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 300000
+                    WHEN o_totalprice >= 400000 AND o_totalprice < 700000 THEN 400000
+                END AS _id, o_totalprice
+                FROM orders
+            ) WHERE _id IS NOT NULL
+            GROUP BY _id
+        """,
+        "json_extract": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_value
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
         """,
         # minhash_near_dups / embedding_near_dups / text_stats:
         # approximate or heuristic operators — intentionally no SQL oracle

@@ -142,6 +142,16 @@ class Engine:
     def database(self, name: str) -> "Database":
         return self.db(name)
 
+    def run_command(self, command: str) -> DataFrame:
+        """Raw-command escape hatch (reference RunCommand,
+        client/client.go:22-23) → spark.sql over temp views of every
+        mounted collection."""
+        for db_name in list(self.sources):
+            for coll_name in self.db(db_name).collection_names():
+                safe = coll_name.replace(".", "_")
+                self.db(db_name).collection(coll_name).df().createOrReplaceTempView(safe)
+        return self.spark.sql(command)
+
     def list_database_names(self) -> list[str]:
         names = set(self.sources)
         if os.path.isdir(self.workdir):
@@ -325,6 +335,21 @@ class Collection:
         return Aggregation(self, pipeline)
 
     aggregate = pipe
+
+    def distinct(self, field: str, query: Mapping[str, Any] | None = None) -> list[Any]:
+        """Mongo `distinct` command: distinct values of a (dotted) field
+        among matching docs. Array fields distinct over their elements
+        (Mongo semantics)."""
+        from anser_spark.functions.filters import field_type, resolve_field
+
+        df = self.df()
+        if query:
+            df = df.where(compile_filter(query, df.schema))
+        col = resolve_field(field)
+        if isinstance(field_type(df.schema, field), T.ArrayType):
+            col = F.explode(col)
+        rows = df.select(col.alias("v")).where(F.col("v").isNotNull()).distinct().collect()
+        return sorted(r["v"] for r in rows)
 
     # -- write path ----------------------------------------------------
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:

@@ -251,6 +251,37 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         return F.dayofyear(c(arg))
     if op == "$week":
         return F.weekofyear(c(arg))
+    if op == "$dateDiff":
+        start, end = c(arg["startDate"]), c(arg["endDate"])
+        unit = arg.get("unit", "day")
+        if unit == "day":
+            return F.datediff(end, start).cast("long")
+        if unit == "hour":
+            return ((end.cast("long") - start.cast("long")) / 3600).cast("long")
+        if unit == "minute":
+            return ((end.cast("long") - start.cast("long")) / 60).cast("long")
+        if unit == "second":
+            return (end.cast("long") - start.cast("long")).cast("long")
+        if unit == "month":
+            return F.months_between(end, start).cast("long")
+        if unit == "year":
+            return (F.months_between(end, start) / 12).cast("long")
+        raise ExprCompileError(f"unsupported $dateDiff unit: {unit}")
+    if op in ("$dateAdd", "$dateSubtract"):
+        start = c(arg["startDate"])
+        amount = int(arg["amount"]) * (1 if op == "$dateAdd" else -1)
+        unit = arg.get("unit", "day")
+        seconds = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+        if unit in seconds:
+            return F.timestamp_seconds(start.cast("long") + amount * seconds[unit])
+        if unit == "month":
+            return F.add_months(start, amount).cast("timestamp")
+        if unit == "year":
+            return F.add_months(start, amount * 12).cast("timestamp")
+        raise ExprCompileError(f"unsupported {op} unit: {unit}")
+    if op == "$dateTrunc":
+        unit = arg.get("unit", "day")
+        return F.date_trunc(unit, c(arg["date"]))
     if op == "$dateToString":
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
         spark_fmt = (
@@ -314,6 +345,31 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         return F.sequence(cols[0], cols[1] - F.lit(1), step)
     if op == "$reverseArray":
         return F.reverse(c(arg))
+    if op == "$indexOfArray":
+        arr, needle = c(arg[0]), c(arg[1])
+        # Mongo: 0-based, -1 when absent; array_position is 1-based, 0 absent
+        return (F.array_position(arr, needle) - 1).cast("int")
+    if op == "$zip":
+        # array-of-structs zip (Mongo returns array-of-arrays; struct
+        # fields are positional — documented divergence for mixed types)
+        inputs = [c(a) for a in arg["inputs"]]
+        return F.arrays_zip(*inputs)
+    if op == "$mergeObjects":
+        # generic document merge, later wins: JSON→map round trip with
+        # LAST_WIN dedup (map values become strings — documented; typed
+        # struct merges should use $addFields instead)
+        cols = _args(arg, schema, env)
+        maps = [F.from_json(F.to_json(col), "map<string,string>") for col in cols]
+        return F.map_concat(*maps)
+    if op == "$objectToArray":
+        # struct/map → array<struct<key,value>> via generic JSON round trip
+        entries = F.map_entries(F.from_json(F.to_json(c(arg)), "map<string,string>"))
+        return F.transform(
+            entries,
+            lambda e: F.struct(e.getField("key").alias("k"), e.getField("value").alias("v")),
+        )
+    if op == "$arrayToObject":
+        return F.map_from_entries(c(arg))
     if op == "$setUnion":
         return F.array_distinct(F.concat(*_args(arg, schema, env)))
     if op == "$setIntersection":

@@ -129,6 +129,21 @@ def _compile_stage(  # noqa: C901
         n = int(arg["size"])
         return df.orderBy(F.rand()).limit(n)
 
+    if op == "$setWindowFields":
+        return _set_window_fields(df, arg)
+
+    if op == "$bucket":
+        return _bucket(df, arg)
+
+    if op == "$bucketAuto":
+        return _bucket_auto(df, arg)
+
+    if op == "$facet":
+        return _facet(df, arg, resolve, sink)
+
+    if op == "$redact":
+        raise PipelineCompileError("$redact is not supported (no document-level security model)")
+
     if op == "$out":
         if sink is None:
             raise PipelineCompileError("$out requires a sink")
@@ -276,6 +291,147 @@ def _lookup(
     joined = df.join(grouped, on=df[local_f] == grouped["__lk"], how="left").drop("__lk")
     elem_type = grouped.schema[out].dataType
     return joined.withColumn(out, F.coalesce(F.col(out), F.lit(None).cast(elem_type)))
+
+
+def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """$setWindowFields → Spark window functions (native, shuffle-on-
+    partitionBy only). Supported window operators: $rank, $denseRank,
+    $documentNumber, $sum/$avg/$min/$max/$count/$first/$last (with
+    optional `window.documents` frame), $shift."""
+    from pyspark.sql import Window
+
+    partition = arg.get("partitionBy")
+    sort_spec = arg.get("sortBy", {})
+    w = Window.partitionBy(
+        *( [compile_expr(partition, df.schema)] if partition is not None else [] )
+    )
+    order_cols = parse_sort_keys(sort_spec) if sort_spec else []
+    if order_cols:
+        w = w.orderBy(*order_cols)
+    for name, spec in arg.get("output", {}).items():
+        spec = dict(spec)
+        frame = spec.pop("window", None)
+        if len(spec) != 1:
+            raise PipelineCompileError(f"window output {name!r} must have one operator")
+        op, oparg = next(iter(spec.items()))
+        wf = w
+        if frame and "documents" in frame:
+            lo, hi = frame["documents"]
+            conv = {
+                "unbounded": Window.unboundedPreceding,
+                "current": Window.currentRow,
+            }
+            lo = conv.get(lo, lo if isinstance(lo, int) else Window.unboundedPreceding)
+            hi = conv.get(hi, hi if isinstance(hi, int) else Window.unboundedFollowing)
+            if frame["documents"][1] == "unbounded":
+                hi = Window.unboundedFollowing
+            wf = w.rowsBetween(lo, hi)
+        if op == "$rank":
+            col = F.rank().over(w)
+        elif op == "$denseRank":
+            col = F.dense_rank().over(w)
+        elif op == "$documentNumber":
+            col = F.row_number().over(w)
+        elif op == "$shift":
+            expr = compile_expr(oparg["output"], df.schema)
+            by = int(oparg.get("by", 1))
+            default = oparg.get("default")
+            col = (
+                F.lag(expr, -by, default).over(w)
+                if by < 0
+                else F.lead(expr, by, default).over(w)
+            )
+        elif op == "$sum":
+            col = F.sum(compile_expr(oparg, df.schema)).over(wf)
+        elif op == "$avg":
+            col = F.avg(compile_expr(oparg, df.schema)).over(wf)
+        elif op == "$min":
+            col = F.min(compile_expr(oparg, df.schema)).over(wf)
+        elif op == "$max":
+            col = F.max(compile_expr(oparg, df.schema)).over(wf)
+        elif op == "$count":
+            col = F.count(F.lit(1)).over(wf)
+        elif op == "$first":
+            col = F.first(compile_expr(oparg, df.schema)).over(wf)
+        elif op == "$last":
+            col = F.last(compile_expr(oparg, df.schema)).over(wf)
+        else:
+            raise PipelineCompileError(f"unsupported window operator: {op}")
+        df = df.withColumn(name, col)
+    return df
+
+
+def _bucket(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """$bucket: explicit boundaries → CASE-chain bucket key + group.
+    Documents outside the boundaries go to `default` (error if absent,
+    as in Mongo)."""
+    group_by = compile_expr(arg["groupBy"], df.schema)
+    bounds = list(arg["boundaries"])
+    if len(bounds) < 2:
+        raise PipelineCompileError("$bucket requires at least 2 boundaries")
+    default = arg.get("default")
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (group_by >= F.lit(lo)) & (group_by < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
+    if default is not None:
+        bucket = bucket.otherwise(F.lit(default))
+    out_spec = arg.get("output", {"count": {"$sum": 1}})
+    aggs = [_acc_column(spec, df.schema).alias(name) for name, spec in out_spec.items()]
+    out = df.withColumn("__bucket", bucket)
+    if default is None:
+        out = out.where(F.col("__bucket").isNotNull())
+    return (
+        out.groupBy(F.col("__bucket").alias("_id"))
+        .agg(*aggs)
+        .orderBy(F.col("_id").asc_nulls_first())
+    )
+
+
+def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """$bucketAuto: ntile-based equal-population buckets (min/max per
+    tile). One window pass + one group — no driver-side quantiles."""
+    from pyspark.sql import Window
+
+    group_by = compile_expr(arg["groupBy"], df.schema)
+    n = int(arg["buckets"])
+    out_spec = arg.get("output", {"count": {"$sum": 1}})
+    aggs = [_acc_column(spec, df.schema).alias(name) for name, spec in out_spec.items()]
+    tiled = df.withColumn("__gb", group_by).withColumn(
+        "__tile", F.ntile(n).over(Window.orderBy(F.col("__gb")))
+    )
+    return (
+        tiled.groupBy("__tile")
+        .agg(F.min("__gb").alias("__min"), F.max("__gb").alias("__max"), *aggs)
+        .select(
+            F.struct(F.col("__min").alias("min"), F.col("__max").alias("max")).alias("_id"),
+            *[F.col(name) for name in out_spec],
+        )
+        .orderBy(F.col("_id.min"))
+    )
+
+
+def _facet(
+    df: DataFrame,
+    arg: Mapping[str, Any],
+    resolve: Callable[[str], DataFrame] | None,
+    sink: Callable[[str, DataFrame, Mapping[str, Any] | None], None] | None,
+) -> DataFrame:
+    """$facet: run sub-pipelines over the same input; one row whose
+    fields are arrays of each sub-pipeline's documents. The input plan
+    fans out to N branches — at scale callers should persist upstream if
+    the branches are expensive."""
+    facets = []
+    for name, stages in arg.items():
+        sub = compile_pipeline(df, stages, resolve, sink)
+        packed = sub.agg(
+            F.collect_list(F.struct(*[F.col(c) for c in sub.columns])).alias(name)
+        )
+        facets.append(packed)
+    out = facets[0]
+    for other in facets[1:]:
+        out = out.crossJoin(other)
+    return out
 
 
 class Aggregation:

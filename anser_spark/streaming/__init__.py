@@ -2,6 +2,7 @@ from anser_spark.streaming.apm import (
     MonitorConfig,
     window_event_stats,
     event_stats_stream,
+    match_command_lifecycle,
     strip_statement,
     normalize_statements,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "MonitorConfig",
     "window_event_stats",
     "event_stats_stream",
+    "match_command_lifecycle",
     "strip_statement",
     "normalize_statements",
 ]

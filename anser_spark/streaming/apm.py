@@ -128,6 +128,34 @@ def event_stats_stream(
     )
 
 
+def match_command_lifecycle(
+    events: DataFrame,
+    request_id_col: str = "request_id",
+    event_col: str = "event",
+    ts_col: str = "ts",
+    duration_col: str = "duration_ns",
+) -> DataFrame:
+    """Join Started events to their Succeeded/Failed partner by RequestID
+    — the reference's in-progress map (apm/monitor.go:110-138) as a
+    self-equi-join (broadcast/shuffle chosen by Catalyst; in streaming
+    form this becomes a watermarked stream-stream join).
+
+    Returns one row per command: (request_id, db, collection, command,
+    started_ts, finished_ts, ok, duration_ns)."""
+    started = events.where(F.col(event_col) == "started").select(
+        F.col(request_id_col).alias("request_id"),
+        *[F.col(c) for c in events.columns if c not in (request_id_col, event_col, ts_col, duration_col)],
+        F.col(ts_col).alias("started_ts"),
+    )
+    finished = events.where(F.col(event_col) != "started").select(
+        F.col(request_id_col).alias("request_id"),
+        F.col(ts_col).alias("finished_ts"),
+        (F.col(event_col) == "succeeded").alias("ok"),
+        F.col(duration_col).alias("duration_ns"),
+    )
+    return started.join(finished, "request_id", "left")
+
+
 # ---------------------------------------------------------------------------
 # Query-shape normalization (apm/otel_monitor.go:457-524)
 # ---------------------------------------------------------------------------

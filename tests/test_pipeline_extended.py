@@ -1,0 +1,189 @@
+"""Extended pipeline stages: $setWindowFields, $bucket, $bucketAuto,
+$facet, distinct, run_command, new expression operators."""
+
+import datetime
+
+import pytest
+
+from anser_spark.plans.pipeline import PipelineCompileError
+
+
+def run(coll, pipeline):
+    return coll.pipe(pipeline).all()
+
+
+def test_set_window_fields_rank(doc_collection):
+    out = run(
+        doc_collection,
+        [
+            {"$setWindowFields": {
+                "partitionBy": "$activated",
+                "sortBy": {"priority": -1},
+                "output": {"rnk": {"$rank": {}}, "rn": {"$documentNumber": {}}},
+            }},
+            {"$match": {"rn": 1}},
+            {"$project": {"_id": 1, "activated": 1, "priority": 1}},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    # top-priority doc per activation group: a4 (99, False), a6 (42, True)
+    assert [(r["_id"], r["activated"]) for r in out] == [("a4", False), ("a6", True)]
+
+
+def test_set_window_fields_running_sum(doc_collection):
+    out = run(
+        doc_collection,
+        [
+            {"$match": {"priority": {"$exists": True}}},
+            {"$setWindowFields": {
+                "sortBy": {"priority": 1},
+                "output": {"running": {"$sum": "$priority", "window": {"documents": ["unbounded", "current"]}}},
+            }},
+            {"$sort": {"priority": 1}},
+            {"$project": {"_id": 0, "priority": 1, "running": 1}},
+        ],
+    )
+    assert [r["running"] for r in out] == [-1, 4, 14, 56, 155]
+
+
+def test_set_window_fields_shift(doc_collection):
+    out = run(
+        doc_collection,
+        [
+            {"$match": {"priority": {"$exists": True}}},
+            {"$setWindowFields": {
+                "sortBy": {"priority": 1},
+                "output": {"prev": {"$shift": {"output": "$priority", "by": -1}}},
+            }},
+            {"$sort": {"priority": 1}},
+            {"$project": {"_id": 0, "priority": 1, "prev": 1}},
+        ],
+    )
+    assert [r["prev"] for r in out] == [None, -1, 5, 10, 42]
+
+
+def test_bucket(engine):
+    out = (
+        engine.db("tpch")
+        .collection("orders")
+        .pipe(
+            [
+                {"$bucket": {
+                    "groupBy": "$o_totalprice",
+                    "boundaries": [0, 100000, 200000, 300000],
+                    "default": -1,
+                    "output": {"n": {"$sum": 1}},
+                }},
+            ]
+        )
+        .all()
+    )
+    assert [r["_id"] for r in out] == [-1, 0, 100000, 200000]
+    assert sum(r["n"] for r in out) == 1500
+
+
+def test_bucket_auto(engine):
+    out = (
+        engine.db("tpch")
+        .collection("customer")
+        .pipe([{"$bucketAuto": {"groupBy": "$c_acctbal", "buckets": 4}}])
+        .all()
+    )
+    assert len(out) == 4
+    assert sum(r["count"] for r in out) == 150
+    mins = [r["_id"]["min"] for r in out]
+    assert mins == sorted(mins)
+
+
+def test_facet(doc_collection):
+    out = run(
+        doc_collection,
+        [
+            {"$facet": {
+                "by_status": [{"$sortByCount": "$status"}],
+                "top": [{"$sort": {"priority": -1}}, {"$limit": 2}, {"$project": {"_id": 1}}],
+            }},
+        ],
+    )
+    assert len(out) == 1
+    row = out[0]
+    assert sum(b["count"] for b in row["by_status"]) == 6
+    assert [d["_id"] for d in row["top"]] == ["a4", "a6"]
+
+
+def test_distinct(doc_collection):
+    assert doc_collection.distinct("status") == [
+        "failed", "started", "success", "undispatched",
+    ]
+    assert doc_collection.distinct("status", {"activated": True}) == [
+        "failed", "started", "success", "undispatched",
+    ]
+    # array field → distinct over elements
+    assert doc_collection.distinct("tags") == ["blue", "green", "red", "yellow"]
+    # dotted path
+    assert doc_collection.distinct("meta.repo") == ["repo1", "repo2", "repo3"]
+
+
+def test_run_command(engine):
+    df = engine.run_command("SELECT count(*) AS n FROM lineitem WHERE l_quantity > 45.0")
+    assert df.collect()[0]["n"] > 0
+
+
+def test_date_expressions(doc_collection):
+    out = run(
+        doc_collection,
+        [
+            {"$match": {"_id": {"$in": ["a1", "a3"]}}},
+            {"$project": {
+                "_id": 1,
+                "d": {"$dateDiff": {"startDate": {"$literal": datetime.datetime(2026, 1, 1)},
+                                     "endDate": "$time", "unit": "day"}},
+                "plus2d": {"$dateAdd": {"startDate": "$time", "amount": 2, "unit": "day"}},
+                "trunc": {"$dateTrunc": {"date": "$time", "unit": "day"}},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    )
+    assert out[0]["d"] == 0 and out[1]["d"] == 2
+    assert out[0]["plus2d"] == datetime.datetime(2026, 1, 3, 12, 0)
+    assert out[0]["trunc"] == datetime.datetime(2026, 1, 1, 0, 0)
+
+
+def test_array_object_expressions(doc_collection):
+    out = run(
+        doc_collection,
+        [
+            {"$match": {"_id": "a1"}},
+            {"$project": {
+                "_id": 0,
+                "idx": {"$indexOfArray": ["$tags", "blue"]},
+                "missing": {"$indexOfArray": ["$tags", "nope"]},
+                "zipped": {"$zip": {"inputs": ["$tags", "$scores"]}},
+                "entries": {"$objectToArray": "$meta"},
+            }},
+        ],
+    )
+    row = out[0]
+    assert row["idx"] == 1 and row["missing"] == -1
+    assert len(row["zipped"]) == 2
+    keys = {e["k"] for e in row["entries"]}
+    assert keys == {"owner", "repo", "attempt"}
+
+
+def test_merge_objects(spark):
+    from anser_spark.functions.expressions import compile_expr
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    merged = df.select(
+        compile_expr(
+            {"$mergeObjects": [{"a": "1", "b": "2"}, {"b": "3", "c": "4"}]}, df.schema
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert merged == {"a": "1", "b": "3", "c": "4"}  # later wins
+
+
+def test_redact_unsupported(docs_df):
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    with pytest.raises(PipelineCompileError, match="redact"):
+        compile_pipeline(docs_df, [{"$redact": {}}])

@@ -1,0 +1,84 @@
+"""Structured Streaming twin of the APM aggregation: same plan over a
+file stream with watermark, collected via memory sink (availableNow)."""
+
+import datetime
+
+import pytest
+
+from anser_spark.streaming.apm import (
+    MonitorConfig,
+    event_stats_stream,
+    match_command_lifecycle,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    base = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    rows = []
+    rid = 0
+    for i in range(40):
+        ts = base + datetime.timedelta(seconds=i * 15)
+        rows.append((rid, "started", "db1", "coll", "find", 0, ts, []))
+        rows.append(
+            (
+                rid,
+                "succeeded" if i % 5 else "failed",
+                "db1",
+                "coll",
+                "find",
+                5000,
+                ts + datetime.timedelta(seconds=1),
+                [],
+            )
+        )
+        rid += 1
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("request_id", T.LongType()),
+            T.StructField("event", T.StringType()),
+            T.StructField("db", T.StringType()),
+            T.StructField("collection", T.StringType()),
+            T.StructField("command", T.StringType()),
+            T.StructField("duration_ns", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_event_stats_stream(spark, event_dir):
+    static = spark.read.parquet(event_dir)
+    stream = spark.readStream.schema(static.schema).parquet(event_dir)
+    out = event_stats_stream(stream, MonitorConfig(window="5 minutes"), watermark="2 minutes")
+    assert out.isStreaming
+    query = (
+        out.writeStream.format("memory")
+        .queryName("apm_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM apm_stats").collect()
+    assert len(rows) == 2  # 10 minutes of events, 5-minute windows
+    assert sum(r["succeeded"] for r in rows) == 32
+    assert sum(r["failed"] for r in rows) == 8
+
+
+def test_match_command_lifecycle(spark, event_dir):
+    events = spark.read.parquet(event_dir)
+    matched = match_command_lifecycle(events)
+    rows = matched.collect()
+    assert len(rows) == 40  # one row per command
+    ok = [r for r in rows if r["ok"]]
+    assert len(ok) == 32
+    for r in rows:
+        assert r["finished_ts"] > r["started_ts"]
+        assert r["duration_ns"] == 5000
