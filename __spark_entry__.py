@@ -424,6 +424,81 @@ def _q_json_extract(spark, sf_dir):
     ).where(F.col("k_value").isNotNull())
 
 
+def _q_tpch_q3_shape(spark, sf_dir):
+    # TPC-H Q3 shape through the pipeline compiler: two chained
+    # $lookup/$unwind joins + filtered group + top-k. Catalyst sees one
+    # plan: both joins broadcast-able, group partial-aggregated.
+    cutoff = datetime.datetime(1995, 3, 15)
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {"$match": {"o_orderdate": {"$lt": cutoff}}},
+                {"$lookup": {"from": "customer", "localField": "o_custkey",
+                             "foreignField": "c_custkey", "as": "c"}},
+                {"$unwind": "$c"},
+                {"$match": {"c.c_mktsegment": "BUILDING"}},
+                {"$lookup": {"from": "lineitem", "localField": "o_orderkey",
+                             "foreignField": "l_orderkey", "as": "l"}},
+                {"$unwind": "$l"},
+                {"$match": {"l.l_shipdate": {"$gt": cutoff}}},
+                {"$group": {
+                    "_id": {"ok": "$o_orderkey", "od": "$o_orderdate", "op": "$o_orderpriority"},
+                    "revenue": {"$sum": {"$multiply": ["$l.l_extendedprice",
+                                                        {"$subtract": [1, "$l.l_discount"]}]}},
+                }},
+                {"$project": {"_id": 0, "o_orderkey": "$_id.ok", "o_orderdate": "$_id.od",
+                              "o_orderpriority": "$_id.op",
+                              "revenue": {"$round": ["$revenue", 2]}}},
+                {"$sort": {"revenue": -1, "o_orderkey": 1}},
+                {"$limit": 10},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_tpch_q5_shape(spark, sf_dir):
+    # TPC-H Q5 shape: five chained lookups + $expr cross-field predicate
+    # (customer nation == supplier nation) + regional filter + group
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 1, 1)
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {"$match": {"o_orderdate": {"$gte": lo, "$lt": hi}}},
+                {"$lookup": {"from": "customer", "localField": "o_custkey",
+                             "foreignField": "c_custkey", "as": "c"}},
+                {"$unwind": "$c"},
+                {"$lookup": {"from": "lineitem", "localField": "o_orderkey",
+                             "foreignField": "l_orderkey", "as": "l"}},
+                {"$unwind": "$l"},
+                {"$lookup": {"from": "supplier", "localField": "l.l_suppkey",
+                             "foreignField": "s_suppkey", "as": "s"}},
+                {"$unwind": "$s"},
+                {"$match": {"$expr": {"$eq": ["$c.c_nationkey", "$s.s_nationkey"]}}},
+                {"$lookup": {"from": "nation", "localField": "s.s_nationkey",
+                             "foreignField": "n_nationkey", "as": "n"}},
+                {"$unwind": "$n"},
+                {"$lookup": {"from": "region", "localField": "n.n_regionkey",
+                             "foreignField": "r_regionkey", "as": "r"}},
+                {"$unwind": "$r"},
+                {"$match": {"r.r_name": "ASIA"}},
+                {"$group": {
+                    "_id": "$n.n_name",
+                    "revenue": {"$sum": {"$multiply": ["$l.l_extendedprice",
+                                                        {"$subtract": [1, "$l.l_discount"]}]}},
+                }},
+                {"$project": {"_id": 0, "n_name": "$_id",
+                              "revenue": {"$round": ["$revenue", 2]}}},
+            ]
+        )
+        .to_df()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "find_sort_limit": _q_find_sort_limit,
@@ -449,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": _q_window_rank,
         "bucket_orders": _q_bucket_orders,
         "json_extract": _q_json_extract,
+        "tpch_q3_shape": _q_tpch_q3_shape,
+        "tpch_q5_shape": _q_tpch_q5_shape,
     }
 
 
@@ -588,6 +665,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, json_extract_string(props, '$.k') AS k_value
             FROM events
             WHERE json_extract_string(props, '$.k') IS NOT NULL
+        """,
+        "tpch_q3_shape": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderdate < TIMESTAMP '1995-03-15'
+              AND c_mktsegment = 'BUILDING'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_shape": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+            GROUP BY n_name
         """,
         # minhash_near_dups / embedding_near_dups / text_stats:
         # approximate or heuristic operators — intentionally no SQL oracle

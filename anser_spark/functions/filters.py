@@ -171,10 +171,12 @@ def compile_filter(flt: Mapping[str, Any] | None, schema: T.StructType | None = 
                 clauses.append(_all_of(sub))
             elif key == "$or":
                 clauses.append(_any_of(sub))
-            else:  # $nor
-                clauses.append(~_any_of(sub))
+            else:  # $nor — Mongo negation treats unknown (null) as false,
+                # so coalesce before negating or three-valued logic drops
+                # null-field docs Mongo would match
+                clauses.append(~F.coalesce(_any_of(sub), F.lit(False)))
         elif key == "$not":
-            clauses.append(~compile_filter(value, schema))
+            clauses.append(~F.coalesce(compile_filter(value, schema), F.lit(False)))
         elif key == "$expr":
             from anser_spark.functions.expressions import compile_expr
 

@@ -290,7 +290,10 @@ def _lookup(
     )
     joined = df.join(grouped, on=df[local_f] == grouped["__lk"], how="left").drop("__lk")
     elem_type = grouped.schema[out].dataType
-    return joined.withColumn(out, F.coalesce(F.col(out), F.lit(None).cast(elem_type)))
+    # Mongo: no matches ⇒ empty array, not null
+    return joined.withColumn(
+        out, F.coalesce(F.col(out), F.array().cast(elem_type))
+    )
 
 
 def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
