@@ -420,13 +420,19 @@ class Collection:
     def update_id(self, id_value: Any, update: Mapping[str, Any]) -> ChangeInfo:
         return self.update({"_id": id_value}, update)
 
-    def update_all(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
+    def update_all(
+        self,
+        query: Mapping[str, Any] | None,
+        update: Mapping[str, Any],
+        array_filters: Sequence[Mapping[str, Any]] | None = None,
+    ) -> ChangeInfo:
         """UpdateMany (reference db/wrapper.go:237-244) — ONE distributed
-        copy-on-write rewrite."""
+        copy-on-write rewrite. ``array_filters`` supports ``$[ident]``
+        positional array updates."""
         df = self.df()
         pred = compile_filter(query, df.schema)
         matched = df.where(pred).count()
-        out = apply_update(df, pred, update, df.schema)
+        out = apply_update(df, pred, update, df.schema, array_filters=array_filters)
         self._rewrite(out)
         return ChangeInfo(updated=matched)
 

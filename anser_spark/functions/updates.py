@@ -25,7 +25,8 @@ only a subset matched (source nulled, target filled).
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+import re
+from collections.abc import Mapping, Sequence
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -109,12 +110,98 @@ class UpdatePlan:
         return df.select(*cols)
 
 
+_ARRAY_ELEM = re.compile(r"^(?P<col>[^$]+)\.\$\[(?P<ident>[^\]]*)\]$")
+
+
+def _array_elem_update(
+    plan: "UpdatePlan",
+    op: str,
+    path: str,
+    value: Any,
+    array_filters: Mapping[str, Mapping[str, Any]],
+    schema: T.StructType | None,
+) -> bool:
+    """Positional array-element updates: ``f.$[]`` (every element) and
+    ``f.$[ident]`` (elements matching the arrayFilters entry for ident).
+    Compiles to F.transform — per-element conditional rewrite, no explode,
+    no shuffle. Returns True when the path was positional."""
+    m = _ARRAY_ELEM.match(path)
+    if not m:
+        return False
+    col_name, ident = m.group("col"), m.group("ident")
+    if "." in col_name:
+        raise UpdateCompileError(f"nested positional path not supported: {path}")
+    dt = field_type(schema, col_name)
+    if dt is not None and not isinstance(dt, T.ArrayType):
+        raise UpdateCompileError(
+            f"positional path {path!r} requires an array field, "
+            f"but {col_name!r} is {dt.simpleString()}"
+        )
+    elem_dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+    if ident:
+        if ident not in array_filters:
+            raise UpdateCompileError(f"no arrayFilters entry for identifier {ident!r}")
+        flt = array_filters[ident]
+
+        def elem_pred(e):
+            return F.coalesce(_element_predicate(e, flt, elem_dt), F.lit(False))
+
+    else:
+
+        def elem_pred(e):
+            return F.lit(True)
+
+    base = plan.exprs.get(col_name, F.col(col_name))
+    if op == "$set":
+
+        def new_elem(e):
+            return F.when(elem_pred(e), _lit(value)).otherwise(e)
+
+    elif op == "$inc":
+
+        def new_elem(e):
+            return F.when(elem_pred(e), F.coalesce(e, F.lit(0)) + _lit(value)).otherwise(e)
+
+    elif op == "$mul":
+
+        def new_elem(e):
+            return F.when(elem_pred(e), F.coalesce(e, F.lit(0)) * _lit(value)).otherwise(e)
+
+    elif op == "$min":
+
+        def new_elem(e):
+            return F.when(elem_pred(e), F.least(e, _lit(value))).otherwise(e)
+
+    elif op == "$max":
+
+        def new_elem(e):
+            return F.when(elem_pred(e), F.greatest(e, _lit(value))).otherwise(e)
+
+    else:
+        raise UpdateCompileError(f"{op} does not support positional array paths")
+    plan.exprs[col_name] = F.transform(base, new_elem)
+    return True
+
+
 def compile_update(
-    update: Mapping[str, Any], schema: T.StructType | None = None
+    update: Mapping[str, Any],
+    schema: T.StructType | None = None,
+    array_filters: Sequence[Mapping[str, Any]] | None = None,
 ) -> UpdatePlan:
-    """Compile a dollar-keyed update document into an UpdatePlan."""
+    """Compile a dollar-keyed update document into an UpdatePlan.
+
+    ``array_filters`` mirrors Mongo's arrayFilters option: a list of
+    single-identifier documents like ``[{"e": {"$lt": 0.5}}]`` consumed
+    by ``$[e]`` positional paths."""
     if not has_dollar_key(update):
         raise UpdateCompileError("compile_update expects a $-operator document")
+    filters_by_ident: dict[str, Mapping[str, Any]] = {}
+    for doc in array_filters or []:
+        for key, cond in doc.items():
+            ident = key.split(".", 1)[0]
+            filters_by_ident[ident] = (
+                cond if isinstance(cond, Mapping) else {"$eq": cond}
+            )
     plan = UpdatePlan()
 
     def base(top: str) -> Column:
@@ -130,6 +217,8 @@ def compile_update(
         if not isinstance(doc, Mapping):
             raise UpdateCompileError(f"{op} expects a document")
         for path, value in doc.items():
+            if _array_elem_update(plan, op, path, value, filters_by_ident, schema):
+                continue
             top, rest = _split(path)
             if op == "$set":
                 if rest is None:
@@ -192,11 +281,18 @@ def compile_update(
                     else [value]
                 )
                 cur = _resolve(base(top), rest)
-                appended = F.concat(
-                    F.coalesce(cur, F.array()), F.array(*[_lit(v) for v in each])
-                )
                 if op == "$addToSet":
-                    appended = F.array_distinct(appended)
+                    # Mongo only skips appending existing values — it does
+                    # NOT dedupe elements already in the array
+                    appended = F.coalesce(cur, F.array())
+                    for v in each:
+                        appended = F.when(
+                            F.array_contains(appended, _lit(v)), appended
+                        ).otherwise(F.concat(appended, F.array(_lit(v))))
+                else:
+                    appended = F.concat(
+                        F.coalesce(cur, F.array()), F.array(*[_lit(v) for v in each])
+                    )
                 if isinstance(value, Mapping) and "$slice" in value:
                     n = int(value["$slice"])
                     appended = (
@@ -285,10 +381,11 @@ def apply_update(
     update: Mapping[str, Any],
     schema: T.StructType | None = None,
     id_field: str = "_id",
+    array_filters: Sequence[Mapping[str, Any]] | None = None,
 ) -> DataFrame:
     """Apply an update or replacement document to rows matching ``pred``."""
     if has_dollar_key(update):
-        plan = compile_update(update, schema or df.schema)
+        plan = compile_update(update, schema or df.schema, array_filters)
     else:
         plan = compile_replacement(update, df.columns, id_field)
     return plan.apply(df, pred)

@@ -21,6 +21,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from anser_spark.functions.expressions import compile_expr
 from anser_spark.functions.filters import compile_filter
@@ -140,6 +141,11 @@ def _compile_stage(  # noqa: C901
 
     if op == "$facet":
         return _facet(df, arg, resolve, sink)
+
+    if op == "$graphLookup":
+        if resolve is None:
+            raise PipelineCompileError("$graphLookup requires a collection resolver")
+        return _graph_lookup(df, arg, resolve)
 
     if op == "$redact":
         raise PipelineCompileError("$redact is not supported (no document-level security model)")
@@ -272,16 +278,24 @@ def _unwind(df: DataFrame, arg: Any) -> DataFrame:
 def _lookup(
     df: DataFrame, arg: Mapping[str, Any], resolve: Callable[[str], DataFrame] | None
 ) -> DataFrame:
-    """$lookup (equality form) = left outer join + re-nest matches as an
-    array-of-structs column. The join is a plain equi-join so Catalyst
-    picks broadcast vs shuffle (AQE re-plans at runtime); the collect_list
-    regroup happens on the foreign side BEFORE the join, so the join is
-    1:1 and never explodes rows."""
+    """$lookup = left outer join + re-nest matches as an array-of-structs
+    column. The join is a plain equi-join so Catalyst picks broadcast vs
+    shuffle (AQE re-plans at runtime); the collect_list regroup happens
+    on the foreign side BEFORE the join, so the join is 1:1 and never
+    explodes rows.
+
+    Pipeline form (``let`` + ``pipeline``) is supported for the common
+    correlated-equality case: the sub-pipeline runs on the foreign
+    collection and ``$expr`` equality conditions referencing a single
+    let-variable compile to the join key. Non-equality correlated
+    sub-pipelines are rejected (they would be cross joins)."""
     if resolve is None:
         raise PipelineCompileError("$lookup requires a collection resolver")
+    if "pipeline" in arg:
+        return _lookup_pipeline(df, arg, resolve)
     for field in ("from", "localField", "foreignField", "as"):
         if field not in arg:
-            raise PipelineCompileError(f"$lookup missing {field!r} (pipeline form not yet supported)")
+            raise PipelineCompileError(f"$lookup missing {field!r}")
     foreign = resolve(arg["from"])
     local_f, foreign_f, out = arg["localField"], arg["foreignField"], arg["as"]
     fcols = [F.col(c) for c in foreign.columns]
@@ -294,6 +308,170 @@ def _lookup(
     return joined.withColumn(
         out, F.coalesce(F.col(out), F.array().cast(elem_type))
     )
+
+
+def _lookup_pipeline(
+    df: DataFrame, arg: Mapping[str, Any], resolve: Callable[[str], DataFrame]
+) -> DataFrame:
+    """Correlated $lookup pipeline form. The first stage must be a
+    ``{$match: {$expr: ...}}`` whose let-variable conditions are
+    equalities — they become the join keys; every other condition stays a
+    foreign-side filter. Later sub-pipeline stages run on the foreign
+    side before grouping (they must not project away the join fields)."""
+    foreign = resolve(arg["from"])
+    let = dict(arg.get("let", {}))
+    out = arg["as"]
+    stages = list(arg["pipeline"])
+    if not stages or "$match" not in stages[0]:
+        raise PipelineCompileError(
+            "$lookup pipeline form requires a leading $match stage"
+        )
+    match_arg = stages[0]["$match"]
+    expr = match_arg.get("$expr")
+    if expr is None:
+        raise PipelineCompileError("$lookup pipeline form requires $expr in the first $match")
+
+    conds = expr["$and"] if isinstance(expr, Mapping) and "$and" in expr else [expr]
+    join_pairs: list[tuple[Column, Any]] = []  # (local expr, foreign field expr str)
+    residual: list[Any] = []
+
+    def is_var(x: Any) -> bool:
+        return isinstance(x, str) and x.startswith("$$")
+
+    for cond in conds:
+        if isinstance(cond, Mapping) and len(cond) == 1 and "$eq" in cond:
+            a, b = cond["$eq"]
+            if is_var(a) and isinstance(b, str) and b.startswith("$"):
+                var, ffield = a[2:], b
+            elif is_var(b) and isinstance(a, str) and a.startswith("$"):
+                var, ffield = b[2:], a
+            else:
+                residual.append(cond)
+                continue
+            if var not in let:
+                raise PipelineCompileError(f"unbound let variable $${var}")
+            join_pairs.append((compile_expr(let[var], df.schema), ffield))
+            continue
+        residual.append(cond)
+    if not join_pairs:
+        raise PipelineCompileError(
+            "$lookup pipeline form needs at least one let-variable equality "
+            "($expr $eq) — anything else would be a cross join"
+        )
+
+    filtered = foreign
+    non_expr = {k: v for k, v in match_arg.items() if k != "$expr"}
+    if non_expr:
+        filtered = filtered.where(compile_filter(non_expr, filtered.schema))
+    for cond in residual:
+        filtered = filtered.where(compile_expr(cond, filtered.schema).cast("boolean"))
+    key_cols = [
+        compile_expr(ffield, filtered.schema).alias(f"__lk{i}")
+        for i, (_loc, ffield) in enumerate(join_pairs)
+    ]
+    filtered = filtered.select(*key_cols, *[F.col(c) for c in filtered.columns])
+    # join keys must survive the user's sub-pipeline: silently extend
+    # inclusion-projections to keep the internal __lk columns
+    lk_names = [f"__lk{i}" for i in range(len(join_pairs))]
+    rest: list[Mapping[str, Any]] = []
+    for stage in stages[1:]:
+        if "$project" in stage:
+            proj = dict(stage["$project"])
+            if any(v not in (0, False) for v in proj.values()):
+                for name in lk_names:
+                    proj.setdefault(name, 1)
+            rest.append({"$project": proj})
+        else:
+            rest.append(stage)
+    sub = compile_pipeline(filtered, rest, None, None)
+    for name in lk_names:
+        if name not in sub.columns:
+            raise PipelineCompileError(
+                "$lookup sub-pipeline must not remove the join fields "
+                "(e.g. via $group/$replaceRoot)"
+            )
+    data_cols = [c for c in sub.columns if not c.startswith("__lk")]
+    grouped = sub.groupBy(*[F.col(f"__lk{i}") for i in range(len(join_pairs))]).agg(
+        F.collect_list(F.struct(*[F.col(c) for c in data_cols])).alias(out)
+    )
+    on = [
+        local.eqNullSafe(grouped[f"__lk{i}"]) for i, (local, _f) in enumerate(join_pairs)
+    ]
+    joined = df.join(grouped, on=functools_reduce_and(on), how="left").drop(
+        *[f"__lk{i}" for i in range(len(join_pairs))]
+    )
+    elem_type = grouped.schema[out].dataType
+    return joined.withColumn(out, F.coalesce(F.col(out), F.array().cast(elem_type)))
+
+
+def functools_reduce_and(conds: list[Column]) -> Column:
+    import functools
+
+    return functools.reduce(lambda a, b: a & b, conds)
+
+
+def _graph_lookup(
+    df: DataFrame, arg: Mapping[str, Any], resolve: Callable[[str], DataFrame]
+) -> DataFrame:
+    """$graphLookup: bounded-depth BFS as iterative equi-joins (one Spark
+    join per level, frontier deduped and persisted; default maxDepth 10
+    — Mongo's unbounded recursion needs an explicit bound in a batch
+    engine). depthField supported."""
+    from pyspark.storagelevel import StorageLevel
+
+    foreign = resolve(arg["from"])
+    connect_from = arg["connectFromField"]
+    connect_to = arg["connectToField"]
+    out = arg["as"]
+    depth_field = arg.get("depthField")
+    max_depth = int(arg.get("maxDepth", 10))
+
+    src = df.withColumn("__rid", F.monotonically_increasing_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    src.count()  # pin the ids
+    frontier = src.select(
+        "__rid", compile_expr(arg["startWith"], src.schema).alias("__val")
+    )
+    if isinstance(frontier.schema["__val"].dataType, T.ArrayType):
+        frontier = frontier.select("__rid", F.explode("__val").alias("__val"))
+    fcols = [F.col(c) for c in foreign.columns]
+    acc = None
+    seen_key = F.sha2(F.to_json(F.struct(*fcols)), 256)
+    for depth in range(max_depth + 1):
+        hits = (
+            frontier.join(foreign, frontier["__val"].eqNullSafe(foreign[connect_to]))
+            .select("__rid", F.lit(depth).alias("__depth"), *fcols)
+            .withColumn("__key", seen_key)
+        )
+        if acc is not None:
+            # drop nodes already reached for this source row (cycle guard)
+            hits = hits.join(
+                acc.select(F.col("__rid").alias("__arid"), F.col("__key").alias("__akey")),
+                on=[hits["__rid"] == F.col("__arid"), hits["__key"] == F.col("__akey")],
+                how="left_anti",
+            )
+        hits = hits.persist(StorageLevel.MEMORY_AND_DISK)
+        if hits.count() == 0:
+            break
+        acc = hits if acc is None else acc.unionByName(hits)
+        acc = acc.persist(StorageLevel.MEMORY_AND_DISK)
+        if isinstance(hits.schema[connect_from].dataType, T.ArrayType):
+            next_vals = hits.select("__rid", F.explode(connect_from).alias("__val"))
+        else:
+            next_vals = hits.select("__rid", F.col(connect_from).alias("__val"))
+        frontier = next_vals.distinct()
+    if acc is None:
+        return src.withColumn(out, F.array()).drop("__rid")
+    struct_cols = [F.col(c) for c in foreign.columns]
+    if depth_field:
+        struct_cols = struct_cols + [F.col("__depth").alias(depth_field)]
+    grouped = acc.groupBy("__rid").agg(
+        F.collect_list(F.struct(*struct_cols)).alias(out)
+    )
+    elem_type = grouped.schema[out].dataType
+    joined = src.join(grouped, "__rid", "left").drop("__rid")
+    return joined.withColumn(out, F.coalesce(F.col(out), F.array().cast(elem_type)))
 
 
 def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:

@@ -72,6 +72,26 @@ def test_event_stats_stream(spark, event_dir):
     assert sum(r["failed"] for r in rows) == 8
 
 
+def test_streaming_first_seen_dedup(spark, event_dir):
+    from anser_spark.streaming.stateful import streaming_first_seen
+
+    static = spark.read.parquet(event_dir)
+    stream = spark.readStream.schema(static.schema).parquet(event_dir)
+    deduped = streaming_first_seen(stream, "request_id")
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql("SELECT request_id, count(*) c FROM first_seen GROUP BY 1").collect()
+    # source has 2 events per request_id (started + finished); exactly one survives
+    assert len(rows) == 40
+    assert all(r["c"] == 1 for r in rows)
+
+
 def test_match_command_lifecycle(spark, event_dir):
     events = spark.read.parquet(event_dir)
     matched = match_command_lifecycle(events)

@@ -1,0 +1,149 @@
+"""Randomized update-compiler consistency check: seeded random update
+documents applied two ways — compiled via apply_update vs a pure-Python
+reference implementing Mongo's documented update semantics — and
+compared row by row."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from anser_spark.functions.filters import compile_filter
+from anser_spark.functions.updates import apply_update
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("x", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def make_rows(rng, count=25):
+    rows = []
+    for i in range(count):
+        rows.append(
+            {
+                "_id": f"d{i:03d}",
+                "n": rng.choice([None, -3, 0, 7, 42]),
+                "x": rng.choice([None, 0.5, 2.0]),
+                "s": rng.choice([None, "alpha", "beta"]),
+                "arr": rng.choice([[], [1], [1, 2, 3], [5, 5, 2]]),
+            }
+        )
+    return rows
+
+
+def rand_update(rng):
+    choice = rng.randrange(10)
+    if choice == 0:
+        return {"$set": {"n": rng.choice([0, 9]), "s": "set!"}}
+    if choice == 1:
+        return {"$set": {"brand_new": rng.choice(["v", "w"])}}
+    if choice == 2:
+        return {"$inc": {"n": rng.choice([-2, 1, 10])}}
+    if choice == 3:
+        return {"$mul": {"x": rng.choice([0.0, 2.0])}}
+    if choice == 4:
+        return {"$min": {"n": rng.choice([-10, 5, 50])}}
+    if choice == 5:
+        return {"$max": {"n": rng.choice([-10, 5, 50])}}
+    if choice == 6:
+        return {"$push": {"arr": rng.choice([0, 9])}}
+    if choice == 7:
+        return {"$addToSet": {"arr": rng.choice([1, 9])}}
+    if choice == 8:
+        return {"$pull": {"arr": rng.choice([1, 5])}}
+    return {"$pop": {"arr": rng.choice([1, -1])}}
+
+
+def rand_filter(rng):
+    return rng.choice(
+        [
+            None,
+            {"n": {"$gte": 0}},
+            {"s": "alpha"},
+            {"arr": {"$size": 3}},
+            {"x": None},
+        ]
+    )
+
+
+def ref_apply(doc, update):
+    doc = dict(doc)
+    for op, fields in update.items():
+        for path, value in fields.items():
+            cur = doc.get(path)
+            if op == "$set":
+                doc[path] = value
+            elif op == "$inc":
+                doc[path] = (cur or 0) + value
+            elif op == "$mul":
+                doc[path] = (cur or 0) * value
+            elif op == "$min":
+                doc[path] = value if cur is None else min(cur, value)
+            elif op == "$max":
+                doc[path] = value if cur is None else max(cur, value)
+            elif op == "$push":
+                doc[path] = (cur or []) + [value]
+            elif op == "$addToSet":
+                base = cur or []
+                doc[path] = base + ([] if value in base else [value])
+            elif op == "$pull":
+                doc[path] = [v for v in (cur or []) if v != value]
+            elif op == "$pop":
+                base = cur or []
+                doc[path] = base[:-1] if value == 1 else base[1:]
+    return doc
+
+
+def ref_match(doc, flt):
+    if not flt:
+        return True
+    for key, cond in flt.items():
+        v = doc.get(key)
+        if isinstance(cond, dict):
+            for op, arg in cond.items():
+                if op == "$gte":
+                    if v is None or not v >= arg:
+                        return False
+                elif op == "$size":
+                    if not isinstance(v, list) or len(v) != arg:
+                        return False
+        elif cond is None:
+            if v is not None:
+                return False
+        elif v != cond:
+            return False
+    return True
+
+
+def norm(value):
+    if isinstance(value, float) and math.isnan(value):
+        return "nan"
+    return value
+
+
+def test_update_fuzz(spark):
+    rng = random.Random(7)
+    for trial in range(25):
+        rows = make_rows(rng)
+        df = spark.createDataFrame(rows, SCHEMA)
+        update = rand_update(rng)
+        flt = rand_filter(rng)
+        pred = compile_filter(flt, SCHEMA)
+        out = apply_update(df, pred, update, SCHEMA)
+        got = {r["_id"]: r.asDict() for r in out.collect()}
+        for doc in rows:
+            expected = ref_apply(doc, update) if ref_match(doc, flt) else dict(doc)
+            actual = got[doc["_id"]]
+            for key, want in expected.items():
+                have = actual.get(key)
+                assert norm(have) == norm(want), (
+                    f"trial {trial}: update {update!r} filter {flt!r} "
+                    f"doc {doc['_id']}: field {key!r} got {have!r} want {want!r}"
+                )
