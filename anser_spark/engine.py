@@ -272,13 +272,35 @@ class Collection:
 
         return read_parquet_table(self.engine.spark, path)
 
+    def set_partitioning(self, *cols: str) -> None:
+        """Declare hive-style partition columns for this collection's
+        dataset versions — the Spark analogue of the reference's 'back
+        generator queries with indexes' guidance (README.rst:71-72):
+        filters on partition columns prune directories at the source
+        (PartitionFilters in the scan). Takes effect on the next rewrite."""
+        os.makedirs(self._store_dir, exist_ok=True)
+        with open(os.path.join(self._store_dir, "_PARTITIONING"), "w") as fh:
+            fh.write(",".join(cols))
+
+    def partition_columns(self) -> list[str]:
+        p = os.path.join(self._store_dir, "_PARTITIONING")
+        if os.path.exists(p):
+            with open(p) as fh:
+                text = fh.read().strip()
+            return [c for c in text.split(",") if c]
+        return []
+
     def _rewrite(self, df: DataFrame) -> None:
         """Write the next dataset version and swap the pointer atomically."""
         os.makedirs(self._store_dir, exist_ok=True)
         ptr = self._pointer()
         n = int(ptr[1:]) + 1 if ptr and ptr.startswith("v") else 1
         version = f"v{n}"
-        df.write.mode("overwrite").parquet(os.path.join(self._store_dir, version))
+        writer = df.write.mode("overwrite")
+        pcols = [c for c in self.partition_columns() if c in df.columns]
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(os.path.join(self._store_dir, version))
         tmp = os.path.join(self._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             fh.write(version)
