@@ -142,6 +142,15 @@ def _compile_stage(  # noqa: C901
     if op == "$facet":
         return _facet(df, arg, resolve, sink)
 
+    if op == "$unionWith":
+        if resolve is None:
+            raise PipelineCompileError("$unionWith requires a collection resolver")
+        spec = {"coll": arg} if isinstance(arg, str) else dict(arg)
+        other = resolve(spec["coll"])
+        if spec.get("pipeline"):
+            other = compile_pipeline(other, spec["pipeline"], resolve, sink)
+        return df.unionByName(other, allowMissingColumns=True)
+
     if op == "$graphLookup":
         if resolve is None:
             raise PipelineCompileError("$graphLookup requires a collection resolver")
@@ -162,7 +171,16 @@ def _compile_stage(  # noqa: C901
             raise PipelineCompileError("$merge requires a sink")
         spec = {"into": arg} if isinstance(arg, str) else dict(arg)
         name = spec["into"] if isinstance(spec["into"], str) else spec["into"]["coll"]
-        sink(name, df, {"mode": "merge", "on": spec.get("on", "_id")})
+        sink(
+            name,
+            df,
+            {
+                "mode": "merge",
+                "on": spec.get("on", "_id"),
+                "whenMatched": spec.get("whenMatched", "replace"),
+                "whenNotMatched": spec.get("whenNotMatched", "insert"),
+            },
+        )
         return df
 
     raise PipelineCompileError(f"unsupported pipeline stage: {op}")
@@ -646,17 +664,71 @@ class Aggregation:
         db = coll.engine.db(coll.db_name)
 
         def sink(name: str, df: DataFrame, options: Mapping[str, Any] | None) -> None:
+            """$out = full replace; $merge = MERGE by key with Mongo's
+            whenMatched (replace | keepExisting | merge | fail) and
+            whenNotMatched (insert | discard | fail) modes — one
+            distributed plan, copy-on-write rewrite."""
             target = db.collection(name)
-            mode = (options or {}).get("mode", "out")
+            opts = dict(options or {})
+            mode = opts.get("mode", "out")
             if mode == "out" or not target.exists():
                 target._rewrite(df)
-            else:
-                on = (options or {}).get("on", "_id")
-                base = target.df()
-                merged = base.join(df.select(on), on=on, how="left_anti").unionByName(
-                    df, allowMissingColumns=True
+                return
+            on = opts.get("on", "_id")
+            when_matched = opts.get("whenMatched", "replace")
+            when_not_matched = opts.get("whenNotMatched", "insert")
+            base = target.df()
+            matched_keys = base.select(on).join(df.select(on), on=on, how="inner")
+            if when_matched == "fail" or when_not_matched == "fail":
+                n_matched = matched_keys.count()
+                if when_matched == "fail" and n_matched:
+                    raise ValueError(f"$merge whenMatched=fail: {n_matched} matches")
+                if when_not_matched == "fail":
+                    n_new = df.join(base.select(on), on=on, how="left_anti").count()
+                    if n_new:
+                        raise ValueError(f"$merge whenNotMatched=fail: {n_new} unmatched")
+            if when_matched == "replace":
+                kept_base = base.join(df.select(on), on=on, how="left_anti")
+                incoming_matched = df.join(base.select(on), on=on, how="left_semi")
+            elif when_matched == "keepExisting":
+                kept_base = base
+                incoming_matched = df.limit(0)
+            elif when_matched == "merge":
+                # overlay incoming non-null fields onto the existing doc
+                upd = df.select(
+                    F.col(on),
+                    *[
+                        F.col(c).alias(f"__new_{c}")
+                        for c in df.columns
+                        if c != on
+                    ],
                 )
-                target._rewrite(merged)
+                overlaid = base.join(upd, on=on, how="inner")
+                for c in df.columns:
+                    if c == on:
+                        continue
+                    if c in base.columns:
+                        overlaid = overlaid.withColumn(
+                            c, F.coalesce(F.col(f"__new_{c}"), F.col(c))
+                        )
+                    else:
+                        overlaid = overlaid.withColumn(c, F.col(f"__new_{c}"))
+                overlaid = overlaid.drop(*[f"__new_{c}" for c in df.columns if c != on])
+                kept_base = base.join(df.select(on), on=on, how="left_anti").unionByName(
+                    overlaid, allowMissingColumns=True
+                )
+                incoming_matched = df.limit(0)
+            else:
+                raise PipelineCompileError(f"unsupported whenMatched mode: {when_matched}")
+            incoming_new = (
+                df.join(base.select(on), on=on, how="left_anti")
+                if when_not_matched == "insert"
+                else df.limit(0)
+            )
+            merged = kept_base.unionByName(
+                incoming_matched, allowMissingColumns=True
+            ).unionByName(incoming_new, allowMissingColumns=True)
+            target._rewrite(merged)
 
         return sink
 

@@ -182,6 +182,73 @@ def test_merge_objects(spark):
     assert merged == {"a": "1", "b": "3", "c": "4"}  # later wins
 
 
+def test_union_with(doc_collection, engine):
+    other = engine.db("appdb").collection("more_docs")
+    other._rewrite(doc_collection.find({"_id": {"$in": ["a1", "a2"]}}).to_df())
+    out = run(
+        doc_collection,
+        [
+            {"$unionWith": {"coll": "more_docs"}},
+            {"$group": {"_id": None, "n": {"$sum": 1}}},
+        ],
+    )
+    assert out[0]["n"] == 8  # 6 + 2
+    # pipeline form filters the unioned side
+    out = run(
+        doc_collection,
+        [
+            {"$unionWith": {"coll": "more_docs", "pipeline": [{"$match": {"_id": "a1"}}]}},
+            {"$count": "n"},
+        ],
+    )
+    assert out[0]["n"] == 7
+
+
+def test_merge_modes(doc_collection, engine):
+    target = engine.db("appdb").collection("merge_target")
+    doc_collection.pipe(
+        [{"$match": {"activated": True}}, {"$project": {"_id": 1, "status": 1}}, {"$out": "merge_target"}]
+    ).all()
+    assert target.count() == 4
+    # keepExisting: matched rows unchanged, new rows inserted
+    doc_collection.pipe(
+        [
+            {"$project": {"_id": 1, "status": 1}},
+            {"$addFields": {"status": "overwritten"}},
+            {"$merge": {"into": "merge_target", "whenMatched": "keepExisting"}},
+        ]
+    ).all()
+    assert target.count() == 6
+    assert target.find({"status": "overwritten"}).count() == 2  # only the 2 new
+    # replace: all rows overwritten
+    doc_collection.pipe(
+        [
+            {"$project": {"_id": 1, "status": 1}},
+            {"$addFields": {"status": "v2"}},
+            {"$merge": {"into": "merge_target", "whenMatched": "replace"}},
+        ]
+    ).all()
+    assert target.find({"status": "v2"}).count() == 6
+    # merge mode: null incoming fields keep existing values
+    doc_collection.pipe(
+        [
+            {"$match": {"_id": "a1"}},
+            {"$project": {"_id": 1}},
+            {"$addFields": {"extra": "added", "status": {"$literal": None}}},
+            {"$merge": {"into": "merge_target", "whenMatched": "merge"}},
+        ]
+    ).all()
+    row = target.find_id("a1").one()
+    assert row["status"] == "v2" and row["extra"] == "added"
+    # fail mode raises on match
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="whenMatched=fail"):
+        doc_collection.pipe(
+            [{"$project": {"_id": 1}}, {"$merge": {"into": "merge_target", "whenMatched": "fail"}}]
+        ).all()
+
+
 def test_redact_unsupported(docs_df):
     from anser_spark.plans.pipeline import compile_pipeline
 
