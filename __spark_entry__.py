@@ -499,6 +499,52 @@ def _q_tpch_q5_shape(spark, sf_dir):
     )
 
 
+def _q_union_with(spark, sf_dir):
+    # $unionWith with a filtered sub-pipeline (UNION ALL semantics)
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {"$match": {"o_orderdate": {"$lt": datetime.datetime(1996, 1, 1)}}},
+                {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+                {
+                    "$unionWith": {
+                        "coll": "orders",
+                        "pipeline": [
+                            {"$match": {"o_orderdate": {"$gte": datetime.datetime(2001, 1, 1)}}},
+                            {"$project": {"o_orderkey": 1, "o_totalprice": 1}},
+                        ],
+                    }
+                },
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_window_shift(spark, sf_dir):
+    # $setWindowFields $shift → lead() per partition
+    return (
+        _db(spark, sf_dir)
+        .collection("events")
+        .pipe(
+            [
+                {"$match": {"user_id": {"$lt": 10}}},
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$user_id",
+                        "sortBy": {"ts": 1, "event_id": 1},
+                        "output": {"next_event": {"$shift": {"output": "$event_type", "by": 1}}},
+                    }
+                },
+                {"$project": {"event_id": 1, "user_id": 1, "next_event": 1}},
+            ]
+        )
+        .to_df()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "find_sort_limit": _q_find_sort_limit,
@@ -526,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": _q_json_extract,
         "tpch_q3_shape": _q_tpch_q3_shape,
         "tpch_q5_shape": _q_tpch_q5_shape,
+        "union_with": _q_union_with,
+        "window_shift": _q_window_shift,
     }
 
 
@@ -693,6 +741,21 @@ def oracle_sql() -> dict[str, str]:
               AND c_nationkey = s_nationkey
               AND r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "union_with": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        """,
+        "window_shift": """
+            SELECT event_id, user_id,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_event
+            FROM events
+            WHERE user_id < 10
         """,
         # minhash_near_dups / embedding_near_dups / text_stats:
         # approximate or heuristic operators — intentionally no SQL oracle
