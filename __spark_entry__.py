@@ -545,6 +545,43 @@ def _q_window_shift(spark, sf_dir):
     )
 
 
+def _q_simhash(spark, sf_dir):
+    # M7 SimHash fingerprints (64-bit packed votes — rows-only check;
+    # no xxhash64 in the oracle engine)
+    from anser_spark.operators.dedup import with_simhash
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return with_simhash(docs).select("doc_id", "simhash")
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    # M7 exact n-gram Jaccard on a bounded bucket (rows-only). The
+    # operator contract is explicit: exact pairwise Jaccard is the
+    # per-bucket verifier — unbounded input degenerates to O(n²) when
+    # the blocking column has low cardinality (synthetic docs all have
+    # similar lengths). MinHash-LSH is the unbounded-scale path.
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return ngram_jaccard_pairs(docs.where(F.col("doc_id") < 500), k=3, threshold=0.4)
+
+
+def _q_ivf_top_k(spark, sf_dir):
+    # M7 IVF ANN at full probe (nprobe=k) — provably identical to brute
+    # force, so it shares the exact cosine_top_k oracle
+    from anser_spark.operators.ivf import ivf_assign, ivf_top_k, ivf_train
+
+    emb = _db(spark, sf_dir).collection("embeddings").df()
+    # sample-bounded training (centroid quality only needs a sample;
+    # full-probe results are exact regardless of centroid placement)
+    index = ivf_train(emb, k=8, max_iter=5, sample_fraction=0.5)
+    assigned = ivf_assign(emb, index)
+    query_vec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    return ivf_top_k(assigned, index, query_vec, k=10, nprobe=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "find_sort_limit": _q_find_sort_limit,
@@ -574,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_shape": _q_tpch_q5_shape,
         "union_with": _q_union_with,
         "window_shift": _q_window_shift,
+        "simhash_fingerprints": _q_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ivf_top_k": _q_ivf_top_k,
     }
 
 
@@ -757,7 +797,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id < 10
         """,
-        # minhash_near_dups / embedding_near_dups / text_stats:
-        # approximate or heuristic operators — intentionally no SQL oracle
-        # (driver records the rows-only check).
+        "ivf_top_k": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        # minhash_near_dups / embedding_near_dups / text_stats /
+        # simhash_fingerprints / ngram_jaccard: approximate or
+        # hash-based operators — intentionally no SQL oracle (driver
+        # records the rows-only check).
     }
