@@ -27,6 +27,10 @@ def main() -> None:
     spark = get_spark("anser-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the session (JVM/codegen/parquet-footer caches) so timings
+    # reflect steady-state query cost, not first-action startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
     timings: dict[str, float] = {}
     for name, fn in ent.queries().items():
         start = time.perf_counter()
