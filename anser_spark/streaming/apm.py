@@ -128,6 +128,38 @@ def event_stats_stream(
     )
 
 
+def session_stats(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Session-window aggregation: events from one key separated by less
+    than ``gap`` merge into one session (F.session_window — native
+    state-merging windows; works identically over readStream with a
+    watermark). Beyond the reference's processing-time tumbling windows
+    — the shape a user-behavior / sessionization pipeline needs.
+
+    Returns (key, session_start, session_end, n_events[, total_value])."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col and value_col in events.columns:
+        aggs.append(F.round(F.sum(value_col), 4).alias("total_value"))
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(*aggs)
+        .select(
+            F.col(key_col),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *[F.col(a) for a in ("n_events",)],
+            *([F.col("total_value")] if value_col and value_col in events.columns else []),
+        )
+    )
+
+
 def match_command_lifecycle(
     events: DataFrame,
     request_id_col: str = "request_id",

@@ -92,6 +92,54 @@ def test_streaming_first_seen_dedup(spark, event_dir):
     assert all(r["c"] == 1 for r in rows)
 
 
+def test_session_stats_batch(spark):
+    from anser_spark.streaming.apm import session_stats
+
+    base = datetime.datetime(2026, 1, 1, 9, 0, 0)
+    rows = []
+    # user 1: two sessions (burst at t0..t2min, burst at t+30min)
+    for m in (0, 1, 2, 30, 31):
+        rows.append((1, base + datetime.timedelta(minutes=m), 1.0))
+    # user 2: one long session with <5min gaps
+    for m in (0, 4, 8, 12):
+        rows.append((2, base + datetime.timedelta(minutes=m), 2.0))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = session_stats(df, gap="5 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [2, 3]  # two sessions
+    assert per_user[2] == [4]  # one merged session
+    u2 = next(r for r in out if r["user_id"] == 2)
+    assert u2["total_value"] == 8.0
+    assert u2["session_end"] > u2["session_start"]
+
+
+def test_session_stats_streaming(spark, event_dir):
+    from anser_spark.streaming.apm import session_stats
+
+    static = spark.read.parquet(event_dir)
+    stream = spark.readStream.schema(static.schema).parquet(event_dir)
+    out = session_stats(
+        stream.withWatermark("ts", "10 minutes"),
+        gap="2 minutes",
+        key_col="db",
+        value_col=None,
+    )
+    assert out.isStreaming
+    query = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # events every 15s with 1s finish offsets → one continuous session
+    assert len(rows) == 1 and rows[0]["n_events"] == 80
+
+
 def test_match_command_lifecycle(spark, event_dir):
     events = spark.read.parquet(event_dir)
     matched = match_command_lifecycle(events)
