@@ -240,7 +240,14 @@ def _compile_op(
         if op == "$type":
             return F.lit(False)
         if op == "$not":
-            return ~_compile_op(path, col, dt, *_single_op(arg), arg, False)
+            # keep missing=True so the inner op constant-folds instead of
+            # referencing the absent column (AnalysisException); e.g.
+            # {nofield: {$not: {$gt: 5}}} matches all docs in Mongo
+            if isinstance(arg, Mapping):
+                inner = _compile_op(path, col, dt, *_single_op(arg), arg, True)
+            else:
+                inner = F.lit(False)  # $not: /regex/ on a missing field
+            return ~F.coalesce(inner, F.lit(False))
         return F.lit(False)
 
     if op == "$eq":

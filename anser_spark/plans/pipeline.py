@@ -59,13 +59,52 @@ def compile_pipeline(
 
     ``resolve_collection`` maps a collection name → DataFrame ($lookup);
     ``sink(name, df, options)`` handles $out/$merge writes.
+
+    Peephole: ``$lookup`` immediately followed by ``$unwind`` on its
+    ``as`` column compiles to ONE direct join (inner, or left when
+    ``preserveNullAndEmptyArrays``) — no collect_list regroup of the
+    foreign table. At scale that regroup is an extra shuffle plus an
+    array-of-all-matches per key (OOM/straggler risk on skewed keys);
+    the fused plan is a plain join AQE can broadcast or skew-split.
     """
-    for i, stage in enumerate(stages):
+    stages = list(stages)
+    i = 0
+    while i < len(stages):
+        stage = stages[i]
         if not isinstance(stage, Mapping) or len(stage) != 1:
             raise PipelineCompileError(f"stage {i} must have exactly one key: {stage!r}")
         op, arg = next(iter(stage.items()))
+        if op == "$lookup" and i + 1 < len(stages):
+            preserve = _fusible_unwind(stages[i + 1], arg.get("as") if isinstance(arg, Mapping) else None)
+            if preserve is not None:
+                df = _lookup(df, arg, resolve_collection, unwind_preserve=preserve)
+                i += 2
+                continue
         df = _compile_stage(df, op, arg, resolve_collection, sink)
+        i += 1
     return df
+
+
+def _fusible_unwind(stage: Any, as_name: str | None) -> bool | None:
+    """If ``stage`` is a $unwind of exactly ``$<as_name>`` with no
+    includeArrayIndex, return its preserveNullAndEmptyArrays flag
+    (→ fusible as left vs inner join); else None (not fusible)."""
+    if as_name is None or not isinstance(stage, Mapping) or len(stage) != 1:
+        return None
+    if "$unwind" not in stage:
+        return None
+    uarg = stage["$unwind"]
+    if isinstance(uarg, str):
+        path, preserve, idx = uarg, False, None
+    elif isinstance(uarg, Mapping):
+        path = uarg.get("path")
+        preserve = bool(uarg.get("preserveNullAndEmptyArrays", False))
+        idx = uarg.get("includeArrayIndex")
+    else:
+        return None
+    if idx or path != f"${as_name}":
+        return None
+    return preserve
 
 
 def _compile_stage(  # noqa: C901
@@ -294,13 +333,23 @@ def _unwind(df: DataFrame, arg: Any) -> DataFrame:
 
 
 def _lookup(
-    df: DataFrame, arg: Mapping[str, Any], resolve: Callable[[str], DataFrame] | None
+    df: DataFrame,
+    arg: Mapping[str, Any],
+    resolve: Callable[[str], DataFrame] | None,
+    unwind_preserve: bool | None = None,
 ) -> DataFrame:
     """$lookup = left outer join + re-nest matches as an array-of-structs
     column. The join is a plain equi-join so Catalyst picks broadcast vs
     shuffle (AQE re-plans at runtime); the collect_list regroup happens
     on the foreign side BEFORE the join, so the join is 1:1 and never
-    explodes rows.
+    explodes rows. Null join keys use eqNullSafe: Mongo matches foreign
+    docs whose foreignField is null when the local field is null/missing.
+
+    ``unwind_preserve`` is set by the $lookup+$unwind fusion peephole:
+    instead of collect_list→join→explode, compile ONE direct join
+    (inner, or left when preserveNullAndEmptyArrays) and pack the
+    foreign row as a struct in the ``as`` column — no regroup shuffle,
+    no per-key array materialization.
 
     Pipeline form (``let`` + ``pipeline``) is supported for the common
     correlated-equality case: the sub-pipeline runs on the foreign
@@ -310,17 +359,38 @@ def _lookup(
     if resolve is None:
         raise PipelineCompileError("$lookup requires a collection resolver")
     if "pipeline" in arg:
-        return _lookup_pipeline(df, arg, resolve)
+        return _lookup_pipeline(df, arg, resolve, unwind_preserve)
     for field in ("from", "localField", "foreignField", "as"):
         if field not in arg:
             raise PipelineCompileError(f"$lookup missing {field!r}")
     foreign = resolve(arg["from"])
     local_f, foreign_f, out = arg["localField"], arg["foreignField"], arg["as"]
+    if out in df.columns:
+        df = df.drop(out)  # Mongo overwrites an existing field of that name
+
+    if unwind_preserve is not None:
+        # fused $lookup+$unwind → direct join, struct-typed `as` column
+        fr = foreign.select(
+            F.lit(True).alias("__f_matched"),
+            *[F.col(c).alias(f"__f_{c}") for c in foreign.columns],
+        )
+        how = "left" if unwind_preserve else "inner"
+        joined = df.join(
+            fr, on=df[local_f].eqNullSafe(fr[f"__f_{foreign_f}"]), how=how
+        )
+        packed = F.struct(*[F.col(f"__f_{c}").alias(c) for c in foreign.columns])
+        if unwind_preserve:
+            # no match ⇒ field absent in Mongo ⇒ null struct, not struct of nulls
+            packed = F.when(F.col("__f_matched"), packed)
+        return joined.select(*[df[c] for c in df.columns], packed.alias(out))
+
     fcols = [F.col(c) for c in foreign.columns]
     grouped = foreign.groupBy(F.col(foreign_f).alias("__lk")).agg(
         F.collect_list(F.struct(*fcols)).alias(out)
     )
-    joined = df.join(grouped, on=df[local_f] == grouped["__lk"], how="left").drop("__lk")
+    joined = df.join(
+        grouped, on=df[local_f].eqNullSafe(grouped["__lk"]), how="left"
+    ).drop("__lk")
     elem_type = grouped.schema[out].dataType
     # Mongo: no matches ⇒ empty array, not null
     return joined.withColumn(
@@ -329,7 +399,10 @@ def _lookup(
 
 
 def _lookup_pipeline(
-    df: DataFrame, arg: Mapping[str, Any], resolve: Callable[[str], DataFrame]
+    df: DataFrame,
+    arg: Mapping[str, Any],
+    resolve: Callable[[str], DataFrame],
+    unwind_preserve: bool | None = None,
 ) -> DataFrame:
     """Correlated $lookup pipeline form. The first stage must be a
     ``{$match: {$expr: ...}}`` whose let-variable conditions are
@@ -409,6 +482,27 @@ def _lookup_pipeline(
                 "(e.g. via $group/$replaceRoot)"
             )
     data_cols = [c for c in sub.columns if not c.startswith("__lk")]
+    out_col = arg["as"]
+    if out_col in df.columns:
+        df = df.drop(out_col)
+
+    if unwind_preserve is not None:
+        # fused $lookup(pipeline)+$unwind → direct join on the let-keys
+        fr = sub.select(
+            F.lit(True).alias("__f_matched"),
+            *[F.col(f"__lk{i}") for i in range(len(join_pairs))],
+            *[F.col(c).alias(f"__f_{c}") for c in data_cols],
+        )
+        on = [
+            local.eqNullSafe(fr[f"__lk{i}"]) for i, (local, _f) in enumerate(join_pairs)
+        ]
+        how = "left" if unwind_preserve else "inner"
+        joined = df.join(fr, on=functools_reduce_and(on), how=how)
+        packed = F.struct(*[F.col(f"__f_{c}").alias(c) for c in data_cols])
+        if unwind_preserve:
+            packed = F.when(F.col("__f_matched"), packed)
+        return joined.select(*[df[c] for c in df.columns], packed.alias(out))
+
     grouped = sub.groupBy(*[F.col(f"__lk{i}") for i in range(len(join_pairs))]).agg(
         F.collect_list(F.struct(*[F.col(c) for c in data_cols])).alias(out)
     )
@@ -496,17 +590,45 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """$setWindowFields → Spark window functions (native, shuffle-on-
     partitionBy only). Supported window operators: $rank, $denseRank,
     $documentNumber, $sum/$avg/$min/$max/$count/$first/$last (with
-    optional `window.documents` frame), $shift."""
+    optional `window.documents` row frame or `window.range` value frame,
+    incl. time `unit`), $shift.
+
+    Mongo's default window for aggregate operators is the WHOLE
+    partition even when sortBy is present — Spark's default with an
+    ORDER BY is unboundedPreceding..currentRow (a running aggregate),
+    so an explicit unbounded..unbounded frame is set when no `window`
+    is given."""
     from pyspark.sql import Window
+
+    _AGG_OPS = {"$sum", "$avg", "$min", "$max", "$count", "$first", "$last",
+                "$push", "$addToSet", "$stdDevPop", "$stdDevSamp"}
+    # fixed-width units only; month/quarter/year are calendar-irregular
+    _UNIT_MS = {
+        "millisecond": 1,
+        "second": 1_000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+        "week": 604_800_000,
+    }
 
     partition = arg.get("partitionBy")
     sort_spec = arg.get("sortBy", {})
-    w = Window.partitionBy(
-        *( [compile_expr(partition, df.schema)] if partition is not None else [] )
-    )
+    part_cols = [compile_expr(partition, df.schema)] if partition is not None else []
+    w = Window.partitionBy(*part_cols)
     order_cols = parse_sort_keys(sort_spec) if sort_spec else []
     if order_cols:
         w = w.orderBy(*order_cols)
+
+    def _bound(v: Any, unbounded: int, scale: float | None) -> int:
+        if v == "unbounded":
+            return unbounded
+        if v == "current":
+            return Window.currentRow
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise PipelineCompileError(f"invalid window bound: {v!r}")
+        return int(v * scale) if scale else int(v)
+
     for name, spec in arg.get("output", {}).items():
         spec = dict(spec)
         frame = spec.pop("window", None)
@@ -515,16 +637,37 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         op, oparg = next(iter(spec.items()))
         wf = w
         if frame and "documents" in frame:
-            lo, hi = frame["documents"]
-            conv = {
-                "unbounded": Window.unboundedPreceding,
-                "current": Window.currentRow,
-            }
-            lo = conv.get(lo, lo if isinstance(lo, int) else Window.unboundedPreceding)
-            hi = conv.get(hi, hi if isinstance(hi, int) else Window.unboundedFollowing)
-            if frame["documents"][1] == "unbounded":
-                hi = Window.unboundedFollowing
+            lo = _bound(frame["documents"][0], Window.unboundedPreceding, None)
+            hi = _bound(frame["documents"][1], Window.unboundedFollowing, None)
             wf = w.rowsBetween(lo, hi)
+        elif frame and "range" in frame:
+            # value-based frame → Spark rangeBetween (native; time units
+            # handled by ordering on epoch-millis so bounds are numeric)
+            if not isinstance(sort_spec, Mapping) or len(sort_spec) != 1:
+                raise PipelineCompileError(
+                    "window.range requires sortBy on exactly one field"
+                )
+            (sfield, sdir), = sort_spec.items()
+            if sdir not in (1, True):
+                raise PipelineCompileError("window.range requires ascending sortBy")
+            unit = frame.get("unit")
+            order_expr = compile_expr(f"${sfield}", df.schema)
+            scale = None
+            if unit is not None:
+                if unit not in _UNIT_MS:
+                    raise PipelineCompileError(
+                        f"unsupported range unit {unit!r} (calendar units are irregular)"
+                    )
+                scale = _UNIT_MS[unit]
+                order_expr = F.unix_millis(order_expr.cast("timestamp"))
+            lo = _bound(frame["range"][0], Window.unboundedPreceding, scale)
+            hi = _bound(frame["range"][1], Window.unboundedFollowing, scale)
+            wf = Window.partitionBy(*part_cols).orderBy(order_expr).rangeBetween(lo, hi)
+        elif op in _AGG_OPS and order_cols:
+            # Mongo default: whole-partition window even under sortBy
+            # (without sortBy, Spark's default frame already is); guard on
+            # order_cols because rowsBetween requires an ORDER BY
+            wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         if op == "$rank":
             col = F.rank().over(w)
         elif op == "$denseRank":
@@ -575,11 +718,22 @@ def _bucket(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
     if default is not None:
         bucket = bucket.otherwise(F.lit(default))
+    else:
+        # Mongo errors when a document falls outside the boundaries and
+        # no default is given; raise lazily per-row (no extra job, fires
+        # distributed at execution time)
+        bucket = bucket.otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("$bucket: value "),
+                    F.coalesce(group_by.cast("string"), F.lit("null")),
+                    F.lit(" outside boundaries and no default specified"),
+                )
+            )
+        )
     out_spec = arg.get("output", {"count": {"$sum": 1}})
     aggs = [_acc_column(spec, df.schema).alias(name) for name, spec in out_spec.items()]
     out = df.withColumn("__bucket", bucket)
-    if default is None:
-        out = out.where(F.col("__bucket").isNotNull())
     return (
         out.groupBy(F.col("__bucket").alias("_id"))
         .agg(*aggs)

@@ -91,7 +91,9 @@ class Query:
         ResolveCursorOne, db/wrapper.go:579-597)."""
         from anser_spark.engine import NotFoundError
 
-        rows = self.limit(1).to_df().take(1)
+        # take(1) applies the limit without mutating the builder: a later
+        # .all()/.count() on this Query must not inherit limit=1
+        rows = self.to_df().take(1)
         if not rows:
             raise NotFoundError(f"no document matches {self._filter!r}")
         return rows[0].asDict(recursive=True)
