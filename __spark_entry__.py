@@ -555,17 +555,14 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    # M7 exact n-gram Jaccard on a bounded bucket (rows-only). The
-    # operator contract is explicit: exact pairwise Jaccard is the
-    # per-bucket verifier — unbounded input degenerates to O(n²) when
-    # the blocking column has low cardinality (synthetic docs all have
-    # similar lengths). MinHash-LSH is the unbounded-scale path.
-    from pyspark.sql import functions as F
-
+    # M7 n-gram Jaccard, UNBOUNDED input (rows-only check). Candidate
+    # generation is MinHash-LSH band-bucketing (the scale path — never
+    # all-pairs); exact Jaccard over shingle sets verifies each
+    # candidate, so reported pairs carry true Jaccard values.
     from anser_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _db(spark, sf_dir).collection("documents").df()
-    return ngram_jaccard_pairs(docs.where(F.col("doc_id") < 500), k=3, threshold=0.4)
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.4)
 
 
 def _q_ivf_top_k(spark, sf_dir):
@@ -580,6 +577,232 @@ def _q_ivf_top_k(spark, sf_dir):
     assigned = ivf_assign(emb, index)
     query_vec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
     return ivf_top_k(assigned, index, query_vec, k=10, nprobe=8)
+
+
+def _mut_db(spark, sf_dir, tag):
+    """A writable engine with the sf_dir mounted read-only: mutation
+    gates copy a source table into the engine workdir, mutate it through
+    the write path (partition-level copy-on-write), and return the
+    post-state for the oracle to reproduce with SELECT transforms."""
+    import tempfile
+
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=tempfile.mkdtemp(prefix=f"gate_{tag}_"))
+    eng.sources["tpch"] = sf_dir
+    return eng
+
+
+def _q_update_all_inc_set(spark, sf_dir):
+    # §2.4 UpdateMany through the update-operator compiler ($inc + $set)
+    # and the file-level copy-on-write path (db/wrapper.go:237-244)
+    from pyspark.sql import functions as F
+
+    eng = _mut_db(spark, sf_dir, "upd")
+    coll = eng.db("mut").collection("customer")
+    coll._rewrite(eng.db("tpch").collection("customer").df())
+    coll.update_all(
+        {"c_mktsegment": "BUILDING"},
+        {"$inc": {"c_acctbal": 100.0}, "$set": {"c_mktsegment": "BUMPED"}},
+    )
+    return coll.df().select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+    )
+
+
+def _q_upsert_paths(spark, sf_dir):
+    # §2.4 upsert: matched ⇒ update, unmatched ⇒ synthesized insert
+    # (hasDollarKey dispatch, db/wrapper.go:146-165)
+    eng = _mut_db(spark, sf_dir, "ups")
+    coll = eng.db("mut").collection("nation")
+    coll._rewrite(eng.db("tpch").collection("nation").df())
+    coll.upsert({"n_nationkey": 0}, {"$set": {"n_name": "NATION_ZERO"}})
+    coll.upsert({"n_nationkey": 99}, {"$set": {"n_name": "NATION_NEW", "n_regionkey": 9}})
+    return coll.df().select("n_nationkey", "n_name", "n_regionkey")
+
+
+def _q_bulk_mixed(spark, sf_dir):
+    # §2.4 Bulk: heterogeneous batch (update_all + remove_all + insert)
+    # applied in queue order as ONE rewrite (db/wrapper.go:246-344)
+    eng = _mut_db(spark, sf_dir, "blk")
+    coll = eng.db("mut").collection("nation")
+    coll._rewrite(eng.db("tpch").collection("nation").df())
+    (
+        coll.bulk()
+        .update_all({"n_regionkey": 1}, {"$inc": {"n_regionkey": 10}})
+        .remove_all({"n_nationkey": {"$gte": 20}})
+        .insert({"n_nationkey": 50, "n_name": "NATION_X", "n_regionkey": 5})
+        .run()
+    )
+    return coll.df().select("n_nationkey", "n_name", "n_regionkey")
+
+
+def _q_merge_into_summary(spark, sf_dir):
+    # §2.5/2.6 $merge: group → MERGE into a pre-seeded target
+    # (whenMatched=replace keeps unmatched base rows, inserts new keys)
+    from pyspark.sql import functions as F
+
+    eng = _mut_db(spark, sf_dir, "mrg")
+    mut = eng.db("mut")
+    orders = mut.collection("orders")
+    orders._rewrite(eng.db("tpch").collection("orders").df())
+    seed = spark.createDataFrame(
+        [("ZZ", -1, 0.0)], "_id string, n long, total double"
+    )
+    mut.collection("prio_summary")._rewrite(seed)
+    orders.pipe(
+        [
+            {"$group": {"_id": "$o_orderpriority", "n": {"$sum": 1},
+                        "total": {"$sum": "$o_totalprice"}}},
+            {"$merge": {"into": "prio_summary"}},
+        ]
+    ).all()
+    out = mut.collection("prio_summary").df()
+    return out.select("_id", "n", F.round("total", 2).alias("total"))
+
+
+def _q_densify_fill(spark, sf_dir):
+    # $densify (sequence+explode scaffold, anti-join) + $fill locf
+    # (window last ignorenulls) — gap-filling over a keyed series
+    return (
+        _db(spark, sf_dir)
+        .collection("nation")
+        .pipe(
+            [
+                {"$match": {"n_nationkey": {"$not": {"$mod": [3, 0]}}}},
+                {"$project": {"n_nationkey": 1, "n_name": 1}},
+                {"$densify": {"field": "n_nationkey",
+                              "range": {"step": 1, "bounds": "full"}}},
+                {"$fill": {"sortBy": {"n_nationkey": 1},
+                           "output": {"n_name": {"method": "locf"}}}},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_window_range_30d(spark, sf_dir):
+    # $setWindowFields value-based (range) window: 30-day trailing
+    # revenue per priority — native rangeBetween on epoch-millis
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$o_orderpriority",
+                        "sortBy": {"o_orderdate": 1},
+                        "output": {"rev30": {"$sum": "$o_totalprice",
+                                             "window": {"range": [-30, 0], "unit": "day"}}},
+                    }
+                },
+                {"$project": {"o_orderkey": 1, "o_orderpriority": 1,
+                              "rev30": {"$round": ["$rev30", 2]}}},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_text_quality_metrics(spark, sf_dir):
+    # M7 text quality: the SQL-expressible component columns get a full
+    # value-hash oracle (the composite heuristic stays rows-only)
+    from anser_spark.operators.text import quality_metrics
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return quality_metrics(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "mean_word_len",
+        "length_score", "en_stop_hits",
+    )
+
+
+def _q_tpch_q7_shape(spark, sf_dir):
+    # TPC-H Q7 shape: 5 fused lookup+unwind joins incl. nation twice
+    # (alias-free via struct columns), $or pair filter, year extraction
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1997, 12, 31)
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .pipe(
+            [
+                {"$match": {"l_shipdate": {"$gte": lo, "$lte": hi}}},
+                {"$lookup": {"from": "supplier", "localField": "l_suppkey",
+                             "foreignField": "s_suppkey", "as": "s"}},
+                {"$unwind": "$s"},
+                {"$lookup": {"from": "orders", "localField": "l_orderkey",
+                             "foreignField": "o_orderkey", "as": "o"}},
+                {"$unwind": "$o"},
+                {"$lookup": {"from": "customer", "localField": "o.o_custkey",
+                             "foreignField": "c_custkey", "as": "c"}},
+                {"$unwind": "$c"},
+                {"$lookup": {"from": "nation", "localField": "s.s_nationkey",
+                             "foreignField": "n_nationkey", "as": "n1"}},
+                {"$unwind": "$n1"},
+                {"$lookup": {"from": "nation", "localField": "c.c_nationkey",
+                             "foreignField": "n_nationkey", "as": "n2"}},
+                {"$unwind": "$n2"},
+                {"$match": {"$or": [
+                    {"n1.n_name": "NATION_1", "n2.n_name": "NATION_2"},
+                    {"n1.n_name": "NATION_2", "n2.n_name": "NATION_1"},
+                ]}},
+                {"$group": {
+                    "_id": {"sn": "$n1.n_name", "cn": "$n2.n_name",
+                            "yr": {"$year": "$l_shipdate"}},
+                    "revenue": {"$sum": {"$multiply": ["$l_extendedprice",
+                                                        {"$subtract": [1, "$l_discount"]}]}},
+                }},
+                {"$project": {"_id": 0, "supp_nation": "$_id.sn",
+                              "cust_nation": "$_id.cn", "l_year": "$_id.yr",
+                              "revenue": {"$round": ["$revenue", 4]}}},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_tpch_q10_shape(spark, sf_dir):
+    # TPC-H Q10 shape: returned-item revenue per customer, top 20
+    lo, hi = datetime.datetime(1996, 1, 1), datetime.datetime(1996, 4, 1)
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {"$match": {"o_orderdate": {"$gte": lo, "$lt": hi}}},
+                {"$lookup": {"from": "lineitem", "localField": "o_orderkey",
+                             "foreignField": "l_orderkey", "as": "l"}},
+                {"$unwind": "$l"},
+                {"$match": {"l.l_returnflag": "R"}},
+                {"$lookup": {"from": "customer", "localField": "o_custkey",
+                             "foreignField": "c_custkey", "as": "c"}},
+                {"$unwind": "$c"},
+                {"$lookup": {"from": "nation", "localField": "c.c_nationkey",
+                             "foreignField": "n_nationkey", "as": "n"}},
+                {"$unwind": "$n"},
+                {"$group": {
+                    "_id": {"ck": "$c.c_custkey", "cn": "$c.c_name",
+                            "ab": "$c.c_acctbal", "nn": "$n.n_name"},
+                    "revenue": {"$sum": {"$multiply": ["$l.l_extendedprice",
+                                                        {"$subtract": [1, "$l.l_discount"]}]}},
+                }},
+                {"$project": {"_id": 0, "c_custkey": "$_id.ck", "c_name": "$_id.cn",
+                              "c_acctbal": "$_id.ab", "n_name": "$_id.nn",
+                              # terms have exactly 4 decimal digits (2-dec
+                              # price × 2-dec discount): round-4 is exact,
+                              # round-2 can sit ON a half-cent and tip
+                              # either way per float summation order
+                              "revenue": {"$round": ["$revenue", 4]}}},
+                {"$sort": {"revenue": -1, "c_custkey": 1}},
+                {"$limit": 20},
+            ]
+        )
+        .to_df()
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -614,6 +837,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "ivf_top_k": _q_ivf_top_k,
+        "update_all_inc_set": _q_update_all_inc_set,
+        "upsert_paths": _q_upsert_paths,
+        "bulk_mixed": _q_bulk_mixed,
+        "merge_into_summary": _q_merge_into_summary,
+        "densify_fill": _q_densify_fill,
+        "window_range_30d": _q_window_range_30d,
+        "text_quality_metrics": _q_text_quality_metrics,
+        "tpch_q7_shape": _q_tpch_q7_shape,
+        "tpch_q10_shape": _q_tpch_q10_shape,
     }
 
 
@@ -804,6 +1036,111 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        "update_all_inc_set": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   round(CASE WHEN c_mktsegment = 'BUILDING'
+                              THEN c_acctbal + 100.0 ELSE c_acctbal END, 2) AS acctbal,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN 'BUMPED' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+        """,
+        "upsert_paths": """
+            SELECT n_nationkey,
+                   CASE WHEN n_nationkey = 0 THEN 'NATION_ZERO' ELSE n_name END AS n_name,
+                   n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 99, 'NATION_NEW', 9
+        """,
+        "bulk_mixed": """
+            SELECT n_nationkey, n_name,
+                   CASE WHEN n_regionkey = 1 THEN n_regionkey + 10
+                        ELSE n_regionkey END AS n_regionkey
+            FROM nation
+            WHERE n_nationkey < 20
+            UNION ALL
+            SELECT 50, 'NATION_X', 5
+        """,
+        "merge_into_summary": """
+            SELECT o_orderpriority AS _id, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT 'ZZ', -1, 0.0
+        """,
+        "densify_fill": """
+            WITH filt AS (
+                SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 3 <> 0
+            ),
+            pts AS (
+                SELECT unnest(generate_series(
+                    (SELECT min(n_nationkey) FROM filt),
+                    (SELECT max(n_nationkey) FROM filt))) AS n_nationkey
+            ),
+            dense AS (
+                SELECT p.n_nationkey, f.n_name
+                FROM pts p LEFT JOIN filt f USING (n_nationkey)
+            )
+            SELECT n_nationkey,
+                   last_value(n_name IGNORE NULLS) OVER (
+                       ORDER BY n_nationkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS n_name
+            FROM dense
+        """,
+        "window_range_30d": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_orderpriority ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+                   ), 2) AS rev30
+            FROM orders
+        """,
+        "text_quality_metrics": """
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS INTEGER) AS n_tokens,
+                   round(CASE WHEN len(text) > 0
+                         THEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / len(text)
+                         ELSE 0.0 END, 4) AS punct_ratio,
+                   round(CASE WHEN trim(text) <> ''
+                         THEN len(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+'))
+                         ELSE 0.0 END, 4) AS mean_word_len,
+                   round(least(len(text) / 500.0, 1.0), 4) AS length_score,
+                   CAST(len(regexp_extract_all(lower(text),
+                       '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) AS INTEGER) AS en_stop_hits
+            FROM documents
+        """,
+        "tpch_q7_shape": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+            GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l_shipdate)
+        """,
+        "tpch_q10_shape": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM orders
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         # minhash_near_dups / embedding_near_dups / text_stats /
         # simhash_fingerprints / ngram_jaccard: approximate or

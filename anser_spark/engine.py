@@ -290,24 +290,156 @@ class Collection:
             return [c for c in text.split(",") if c]
         return []
 
-    def _rewrite(self, df: DataFrame) -> None:
-        """Write the next dataset version and swap the pointer atomically."""
+    def _next_version(self) -> tuple[str, str | None]:
         os.makedirs(self._store_dir, exist_ok=True)
         ptr = self._pointer()
         n = int(ptr[1:]) + 1 if ptr and ptr.startswith("v") else 1
-        version = f"v{n}"
-        writer = df.write.mode("overwrite")
-        pcols = [c for c in self.partition_columns() if c in df.columns]
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(os.path.join(self._store_dir, version))
+        return f"v{n}", ptr
+
+    def _swap_pointer(self, version: str, old_ptr: str | None) -> None:
+        """Atomic tmp+rename pointer swap, then reap the old version dir.
+        Old versions may share data files with the new one via hard links
+        — removing the old directory entries leaves shared inodes alive."""
         tmp = os.path.join(self._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             fh.write(version)
         os.replace(tmp, os.path.join(self._store_dir, "_CURRENT"))
-        old = os.path.join(self._store_dir, ptr) if ptr and ptr.startswith("v") else None
+        old = (
+            os.path.join(self._store_dir, old_ptr)
+            if old_ptr and old_ptr.startswith("v")
+            else None
+        )
         if old and os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
+
+    def _write_version(self, df: DataFrame, version: str) -> str:
+        writer = df.write.mode("overwrite")
+        pcols = [c for c in self.partition_columns() if c in df.columns]
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        vdir = os.path.join(self._store_dir, version)
+        writer.parquet(vdir)
+        return vdir
+
+    def _rewrite(self, df: DataFrame) -> None:
+        """Write the next dataset version and swap the pointer atomically."""
+        version, ptr = self._next_version()
+        self._write_version(df, version)
+        self._swap_pointer(version, ptr)
+
+    def _data_files(self, base: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(base):
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith((".", "_")):
+                    out.append(os.path.join(root, f))
+        return out
+
+    @staticmethod
+    def _local_path(uri: str) -> str:
+        # _metadata.file_path URIs come as file:/abs or file:///abs
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(uri).path)
+        return uri
+
+    def _cow_rewrite(self, pred: F.Column, transform) -> None:
+        """File-level copy-on-write: rewrite ONLY the parquet files that
+        contain rows matching ``pred``; hard-link every untouched file
+        into the new version unchanged (copy if linking fails). The
+        match-file detection is one pushed-down scan — Parquet footer
+        min/max stats prune non-matching files/row-groups without reading
+        them — so an update touching one partition reads and rewrites one
+        partition, not the dataset. The atomic pointer swap is unchanged.
+
+        ``transform(df_of_affected_files) -> replacement rows`` must
+        return the full replacement content for the affected files
+        (matched rows transformed, unmatched rows passed through).
+
+        Falls back to a full rewrite when file-level surgery can't apply:
+        single-file datasets, every file hit, ns-timestamp sources (new
+        µs files + old ns files can't share one dataset), or
+        hive-partitioned layouts not under our partition metadata.
+        """
+        from anser_spark.sources.readers import _ns_timestamp_columns, read_parquet_table
+
+        path = self.current_path()
+        if path is None:
+            raise NotFoundError(f"collection does not exist: {self.namespace}")
+        if os.path.isfile(path) or _ns_timestamp_columns(path):
+            self._rewrite(transform(self.df()))
+            return
+        all_files = self._data_files(path)
+        pcols = self.partition_columns()
+        if not pcols and any("=" in os.path.relpath(p, path) for p in all_files):
+            # hive layout we don't manage — partition values wouldn't
+            # survive a partial rewrite
+            self._rewrite(transform(self.df()))
+            return
+        tagged = read_parquet_table(self.engine.spark, path, file_col="__file")
+        hit_files = {
+            self._local_path(r["__file"])
+            for r in tagged.where(pred).select("__file").distinct().collect()
+        }
+        if not hit_files:
+            return  # no matching rows anywhere — current version stands
+        untouched = [p for p in all_files if p not in hit_files]
+        if not untouched:
+            self._rewrite(transform(self.df()))
+            return
+        affected = read_parquet_table(self.engine.spark, path, files=sorted(hit_files))
+        version, ptr = self._next_version()
+        vdir = self._write_version(transform(affected), version)
+        for src_file in untouched:
+            rel = os.path.relpath(src_file, path)
+            dst = os.path.join(vdir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src_file, dst)
+            except OSError:
+                shutil.copy2(src_file, dst)
+        self._swap_pointer(version, ptr)
+
+    def _cow_append(self, new_df: DataFrame) -> None:
+        """Append-only copy-on-write: link EVERY existing file unchanged
+        and write just the new rows as additional files. Requires an
+        exactly matching schema (else parquet files in one dataset
+        diverge); falls back to a full rewrite otherwise."""
+        from anser_spark.sources.readers import _ns_timestamp_columns
+
+        path = self.current_path()
+        if path is None:
+            self._rewrite(new_df)
+            return
+        base_schema = self.df().schema
+        aligned = self._align(new_df, base_schema)
+        shape = lambda s: [(f.name, f.dataType.simpleString()) for f in s.fields]  # noqa: E731
+        existing = [] if os.path.isfile(path) else self._data_files(path)
+        if (
+            os.path.isfile(path)
+            or _ns_timestamp_columns(path)
+            or shape(aligned.schema) != shape(base_schema)
+            or (
+                not self.partition_columns()
+                and any("=" in os.path.relpath(p, path) for p in existing)
+            )
+        ):
+            self._rewrite(
+                self.df().unionByName(aligned, allowMissingColumns=True)
+            )
+            return
+        version, ptr = self._next_version()
+        vdir = self._write_version(aligned, version)
+        for src_file in existing:
+            rel = os.path.relpath(src_file, path)
+            dst = os.path.join(vdir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src_file, dst)
+            except OSError:
+                shutil.copy2(src_file, dst)
+        self._swap_pointer(version, ptr)
 
     def drop(self) -> None:
         os.makedirs(self._store_dir, exist_ok=True)
@@ -396,20 +528,17 @@ class Collection:
             return
         new_df = self._docs_to_df(list(docs))
         if self.exists():
-            base = self.df()
-            merged = base.unionByName(
-                self._align(new_df, base.schema), allowMissingColumns=True
-            )
+            self._cow_append(new_df)
         else:
-            merged = new_df
-        self._rewrite(merged)
+            self._rewrite(new_df)
 
     def insert_df(self, df: DataFrame) -> None:
-        """Bulk append a whole DataFrame (the scale path for inserts)."""
+        """Bulk append a whole DataFrame (the scale path for inserts):
+        existing files are linked unchanged, only the new rows write."""
         if self.exists():
-            base = self.df()
-            df = base.unionByName(df, allowMissingColumns=True)
-        self._rewrite(df)
+            self._cow_append(df)
+        else:
+            self._rewrite(df)
 
     def _order_key(self, df: DataFrame) -> F.Column:
         return F.col("_id") if "_id" in df.columns else F.col(df.columns[0])
@@ -435,8 +564,8 @@ class Collection:
         if hit is None:
             raise NotFoundError(f"no document matches {query!r}")
         key, value = hit
-        out = apply_update(df, key == F.lit(value), update, df.schema)
-        self._rewrite(out)
+        vpred = key == F.lit(value)
+        self._cow_rewrite(vpred, lambda sub: apply_update(sub, vpred, update, sub.schema))
         return ChangeInfo(updated=1)
 
     def update_id(self, id_value: Any, update: Mapping[str, Any]) -> ChangeInfo:
@@ -454,8 +583,10 @@ class Collection:
         df = self.df()
         pred = compile_filter(query, df.schema)
         matched = df.where(pred).count()
-        out = apply_update(df, pred, update, df.schema, array_filters=array_filters)
-        self._rewrite(out)
+        self._cow_rewrite(
+            pred,
+            lambda sub: apply_update(sub, pred, update, sub.schema, array_filters=array_filters),
+        )
         return ChangeInfo(updated=matched)
 
     def upsert(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
@@ -471,12 +602,11 @@ class Collection:
         hit = self._first_match_pred(df, pred)
         if hit is not None:
             key, value = hit
-            out = apply_update(df, key == F.lit(value), update, df.schema)
-            self._rewrite(out)
+            vpred = key == F.lit(value)
+            self._cow_rewrite(vpred, lambda sub: apply_update(sub, vpred, update, sub.schema))
             return ChangeInfo(updated=1)
         doc = synthesize_upsert_doc(query, update)
-        new_df = self._align(self._docs_to_df([doc]), df.schema)
-        self._rewrite(df.unionByName(new_df, allowMissingColumns=True))
+        self._cow_append(self._docs_to_df([doc]))
         return ChangeInfo(updated=1, upserted_id=doc.get("_id"))
 
     def upsert_id(self, id_value: Any, update: Mapping[str, Any]) -> ChangeInfo:
@@ -490,7 +620,8 @@ class Collection:
         if hit is None:
             raise NotFoundError(f"no document matches {query!r}")
         key, value = hit
-        self._rewrite(df.where(~key.eqNullSafe(F.lit(value))))
+        vpred = key.eqNullSafe(F.lit(value))
+        self._cow_rewrite(vpred, lambda sub: sub.where(~vpred))
         return ChangeInfo(removed=1)
 
     def remove_id(self, id_value: Any) -> ChangeInfo:
@@ -501,7 +632,8 @@ class Collection:
         df = self.df()
         pred = compile_filter(query, df.schema)
         removed = df.where(pred).count()
-        self._rewrite(df.where(~F.coalesce(pred, F.lit(False))))
+        if removed:
+            self._cow_rewrite(pred, lambda sub: sub.where(~F.coalesce(pred, F.lit(False))))
         return ChangeInfo(removed=removed)
 
     def find_and_modify(
@@ -540,11 +672,11 @@ class Collection:
         row = victim[0].asDict(recursive=True)
         key = self._order_key(df)
         key_value = row["_id"] if "_id" in df.columns else row[df.columns[0]]
+        vpred = key.eqNullSafe(F.lit(key_value))
         if remove:
-            self._rewrite(df.where(~key.eqNullSafe(F.lit(key_value))))
+            self._cow_rewrite(vpred, lambda sub: sub.where(~vpred))
             return row
-        out = apply_update(df, key.eqNullSafe(F.lit(key_value)), update, df.schema)
-        self._rewrite(out)
+        self._cow_rewrite(vpred, lambda sub: apply_update(sub, vpred, update, sub.schema))
         if return_new:
             return self.find({"_id": key_value} if "_id" in df.columns else None).one()
         return row

@@ -156,18 +156,31 @@ class Application:
             df = coll.df()
             pred = compile_filter(dict(mig.options.query), df.schema)
             matched_df = df.where(pred)
+            update_base = df
             if mig.options.limit:
                 # generator Limit caps processed docs (model/generator.go:13):
-                # deterministic choice by _id order
+                # deterministic choice by _id order. The limited-id set
+                # stays a DataFrame (left join marks members) — never a
+                # driver-side isin literal, which at a 10M-doc Limit would
+                # be a 10M-element expression.
+                from pyspark.sql import functions as F
+
                 key = coll._order_key(df)
-                limited_ids = matched_df.select(key.alias("__k")).orderBy("__k").limit(mig.options.limit)
-                pred = key.isin([r["__k"] for r in limited_ids.collect()])
-                matched_df = df.where(pred)
+                limited_ids = (
+                    matched_df.select(key.alias("__k")).orderBy("__k").limit(mig.options.limit)
+                )
+                lim = limited_ids.withColumn("__limit_hit", F.lit(True))
+                annotated = df.join(lim, on=key.eqNullSafe(lim["__k"]), how="left").drop("__k")
+                pred = F.coalesce(F.col("__limit_hit"), F.lit(False))
+                matched_df = annotated.where(pred).drop("__limit_hit")
+                update_base = annotated
             matched = matched_df.count()
             if self.options.dry_run:
                 return MigrationResult(job_id, matched=matched, dry_run=True)
             if isinstance(mig, SimpleMigration):
-                out = apply_update(df, pred, dict(mig.update), df.schema)
+                out = apply_update(update_base, pred, dict(mig.update), update_base.schema)
+                if "__limit_hit" in out.columns:
+                    out = out.drop("__limit_hit")
                 coll._rewrite(out)
                 return MigrationResult(job_id, matched=matched, modified=matched)
             if isinstance(mig, ManualMigration):

@@ -15,6 +15,7 @@ __all__ = [
     "token_count_col",
     "with_token_count",
     "with_quality_score",
+    "quality_metrics",
     "with_language_id",
     "with_fingerprint",
     "text_stats",
@@ -98,6 +99,28 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "qualit
         length_score * 0.3 + punct_score * 0.2 + word_len_score * 0.3 + stop_score * 0.2
     )
     return df.withColumn(out, F.round(score, 6))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The SQL-expressible components of the quality heuristic as
+    individual columns (n_tokens, punct_ratio, mean_word_len,
+    length_score, en_stop_hits) — the value-hash-oracle-able subset of
+    with_quality_score (whose composite weighting stays heuristic)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    return df.select(
+        *df.columns,
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(length_score, 4).alias("length_score"),
+        _stopword_hits(text, LANG_STOPWORDS["en"]).alias("en_stop_hits"),
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:

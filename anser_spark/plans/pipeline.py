@@ -11,7 +11,8 @@ becomes a (broadcast-able) join.
 Stage support:
     $match $project $addFields $set $unset $group $sort $limit $skip
     $unwind $lookup $count $replaceRoot $replaceWith $sortByCount
-    $sample $out $merge
+    $sample $out $merge $setWindowFields $densify $fill $bucket
+    $bucketAuto $facet $unionWith $graphLookup
 """
 
 from __future__ import annotations
@@ -171,6 +172,12 @@ def _compile_stage(  # noqa: C901
 
     if op == "$setWindowFields":
         return _set_window_fields(df, arg)
+
+    if op == "$densify":
+        return _densify(df, arg)
+
+    if op == "$fill":
+        return _fill(df, arg)
 
     if op == "$bucket":
         return _bucket(df, arg)
@@ -700,6 +707,148 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         else:
             raise PipelineCompileError(f"unsupported window operator: {op}")
         df = df.withColumn(name, col)
+    return df
+
+
+_DENSIFY_UNITS = {
+    "millisecond": "millisecond",
+    "second": "second",
+    "minute": "minute",
+    "hour": "hour",
+    "day": "day",
+    "week": "7 day",  # Spark intervals have no week unit
+    "month": "month",
+    "quarter": "3 month",
+    "year": "year",
+}
+
+
+def _densify(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """$densify: add documents at `step` intervals of `field` where
+    values are missing. Scaffold plan: per-partition (or global) bounds →
+    `sequence()` + explode generates the step points distributed, an
+    anti-join drops points that already exist, and a union puts the
+    generated rows (all other columns null) alongside the originals.
+    No driver-side loops — the scaffold is tiny (bounds per group), the
+    anti-join/union shuffle on the densify keys only.
+
+    bounds: "full" (global [min,max]), "partition" (per-partition
+    [min,max]), or [lower, upper) literals as in Mongo."""
+    field = arg["field"]
+    if "." in field:
+        raise PipelineCompileError("$densify on nested paths not supported")
+    rng = arg.get("range") or {}
+    step = rng.get("step")
+    bounds = rng.get("bounds")
+    unit = rng.get("unit")
+    parts = list(arg.get("partitionByFields", []))
+    if step is None or bounds is None:
+        raise PipelineCompileError("$densify requires range.step and range.bounds")
+    if unit is not None and unit not in _DENSIFY_UNITS:
+        raise PipelineCompileError(f"unsupported $densify unit: {unit!r}")
+
+    fcol = F.col(field)
+    part_cols = [F.col(p) for p in parts]
+
+    if isinstance(bounds, str) and bounds == "full":
+        mm = df.agg(F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi"))
+        base = (
+            df.select(*part_cols).distinct().crossJoin(F.broadcast(mm))
+            if parts
+            else mm
+        )
+        half_open = False
+    elif isinstance(bounds, str) and bounds == "partition":
+        if not parts:
+            raise PipelineCompileError('$densify bounds "partition" needs partitionByFields')
+        base = df.groupBy(*part_cols).agg(F.min(fcol).alias("__lo"), F.max(fcol).alias("__hi"))
+        half_open = False
+    elif isinstance(bounds, (list, tuple)) and len(bounds) == 2:
+        lo, hi = bounds
+        sel = df.select(*part_cols).distinct() if parts else df.limit(1).select(F.lit(1).alias("__one"))
+        base = sel.select(
+            *part_cols, F.lit(lo).alias("__lo"), F.lit(hi).alias("__hi")
+        )
+        half_open = True  # Mongo array bounds are [lower, upper)
+    else:
+        raise PipelineCompileError(f"invalid $densify bounds: {bounds!r}")
+
+    if unit:
+        interval = F.expr(f"interval {int(step)} {_DENSIFY_UNITS[unit]}")
+        pts = F.sequence(F.col("__lo"), F.col("__hi"), interval)
+    else:
+        pts = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+    scaffold = base.select(*parts, F.explode(pts).alias(field))
+    if half_open:
+        scaffold = scaffold.where(F.col(field) < F.lit(bounds[1]))
+    existing = df.select(*parts, field).distinct()
+    new_rows = scaffold.join(existing, on=parts + [field], how="left_anti")
+    return df.unionByName(new_rows, allowMissingColumns=True)
+
+
+def _fill(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """$fill: fill null values per `output` spec — {value: expr} constant
+    fill, {method: "locf"} last-observation-carried-forward (window
+    last(ignorenulls)), {method: "linear"} linear interpolation between
+    the surrounding non-null observations (two window passes; leading/
+    trailing nulls stay null, as in Mongo). All native window functions —
+    one shuffle on partitionBy."""
+    from pyspark.sql import Window
+
+    partition = arg.get("partitionBy")
+    parts = (
+        [compile_expr(partition, df.schema)]
+        if partition is not None
+        else [F.col(p) for p in arg.get("partitionByFields", [])]
+    )
+    sort_spec = arg.get("sortBy", {})
+    order_cols = parse_sort_keys(sort_spec) if sort_spec else []
+    output = arg.get("output", {})
+    methods = [
+        spec["method"]
+        for spec in output.values()
+        if isinstance(spec, Mapping) and "method" in spec
+    ]
+    if methods and not order_cols:
+        raise PipelineCompileError("$fill with method requires sortBy")
+
+    back = Window.partitionBy(*parts).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy(*parts).orderBy(*order_cols).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    for name, spec in output.items():
+        if not isinstance(spec, Mapping) or len(spec) != 1:
+            raise PipelineCompileError(f"$fill output {name!r} must be {{value}} or {{method}}")
+        col = F.col(name)
+        if "value" in spec:
+            df = df.withColumn(
+                name, F.coalesce(col, compile_expr(spec["value"], df.schema))
+            )
+            continue
+        method = spec["method"]
+        if method == "locf":
+            df = df.withColumn(name, F.last(col, ignorenulls=True).over(back))
+        elif method == "linear":
+            if len(sort_spec) != 1:
+                raise PipelineCompileError("$fill linear requires a single sortBy field")
+            (sfield, sdir), = sort_spec.items()
+            if sdir not in (1, True):
+                raise PipelineCompileError("$fill linear requires ascending sortBy")
+            s = F.col(sfield).cast("double")
+            known_s = F.when(col.isNotNull(), s)
+            prev_v = F.last(col, ignorenulls=True).over(back).cast("double")
+            prev_s = F.last(known_s, ignorenulls=True).over(back)
+            next_v = F.first(col, ignorenulls=True).over(fwd).cast("double")
+            next_s = F.first(known_s, ignorenulls=True).over(fwd)
+            interp = prev_v + (next_v - prev_v) * (s - prev_s) / (next_s - prev_s)
+            df = df.withColumn(
+                name,
+                F.when(col.isNotNull(), col.cast("double")).otherwise(interp),
+            )
+        else:
+            raise PipelineCompileError(f"unsupported $fill method: {method!r}")
     return df
 
 

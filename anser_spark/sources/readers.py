@@ -53,11 +53,29 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     return cols
 
 
-def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_table(
+    spark: SparkSession,
+    path: str,
+    file_col: str | None = None,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Read a parquet dataset (dir or single file).
+
+    ``file_col`` adds the source file path of each row (from the
+    ``_metadata.file_path`` hidden column, captured at the scan before
+    any transformation) — the hook for file-level copy-on-write pruning.
+    ``files`` restricts the scan to specific data files while keeping
+    ``path`` as basePath so hive-partition columns still resolve.
+    """
     ns_cols = _ns_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if files is not None:
+        df = spark.read.option("basePath", path).parquet(*files)
+    else:
+        df = spark.read.parquet(path)
+    if file_col:
+        df = df.withColumn(file_col, F.col("_metadata.file_path"))
     for name in ns_cols:
         # ns → µs truncation; timestamp_micros stays inside codegen
         df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))

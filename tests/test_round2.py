@@ -223,3 +223,180 @@ def test_query_one_does_not_mutate(doc_collection):
     assert first["_id"]
     assert len(q.all()) == 4
     assert q.count() == 4
+
+
+# --- $densify / $fill --------------------------------------------------
+
+def test_densify_full_bounds(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("ts1")
+    c._rewrite(spark.createDataFrame(
+        [(0, 1.0), (3, 4.0), (5, 9.0)], "t int, v double"))
+    out = c.pipe([
+        {"$densify": {"field": "t", "range": {"step": 1, "bounds": "full"}}},
+        {"$sort": {"t": 1}},
+    ]).all()
+    assert [r["t"] for r in out] == [0, 1, 2, 3, 4, 5]
+    assert [r["v"] for r in out] == [1.0, None, None, 4.0, None, 9.0]
+
+
+def test_densify_partition_bounds(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("ts2")
+    c._rewrite(spark.createDataFrame(
+        [("a", 1), ("a", 4), ("b", 10), ("b", 12)], "g string, t int"))
+    out = c.pipe([
+        {"$densify": {"field": "t", "partitionByFields": ["g"],
+                      "range": {"step": 1, "bounds": "partition"}}},
+        {"$sort": {"g": 1, "t": 1}},
+    ]).all()
+    assert [(r["g"], r["t"]) for r in out] == [
+        ("a", 1), ("a", 2), ("a", 3), ("a", 4),
+        ("b", 10), ("b", 11), ("b", 12)]
+
+
+def test_densify_explicit_bounds_half_open(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("ts3")
+    c._rewrite(spark.createDataFrame([(2,)], "t int"))
+    out = c.pipe([
+        {"$densify": {"field": "t", "range": {"step": 2, "bounds": [0, 6]}}},
+        {"$sort": {"t": 1}},
+    ]).all()
+    assert [r["t"] for r in out] == [0, 2, 4]  # 6 excluded, 2 not duplicated
+
+
+def test_densify_time_unit(engine, spark):
+    import datetime
+    db = engine.db("appdb")
+    c = db.collection("ts4")
+    d = datetime.datetime
+    c._rewrite(spark.createDataFrame(
+        [(d(2026, 1, 1),), (d(2026, 1, 4),)], "ts timestamp"))
+    out = c.pipe([
+        {"$densify": {"field": "ts", "range": {"step": 1, "bounds": "full", "unit": "day"}}},
+        {"$sort": {"ts": 1}},
+    ]).all()
+    assert [r["ts"].day for r in out] == [1, 2, 3, 4]
+
+
+def test_fill_value_and_locf(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("f1")
+    c._rewrite(spark.createDataFrame(
+        [(1, None, None), (2, 5.0, "x"), (3, None, None), (4, 7.0, "y")],
+        "t int, v double, s string"))
+    out = c.pipe([
+        {"$fill": {"sortBy": {"t": 1},
+                   "output": {"v": {"method": "locf"}, "s": {"value": "?"}}}},
+        {"$sort": {"t": 1}},
+    ]).all()
+    assert [r["v"] for r in out] == [None, 5.0, 5.0, 7.0]  # leading null stays
+    assert [r["s"] for r in out] == ["?", "x", "?", "y"]
+
+
+def test_fill_linear(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("f2")
+    c._rewrite(spark.createDataFrame(
+        [(0, 0.0), (1, None), (2, None), (3, 9.0), (4, None)],
+        "t int, v double"))
+    out = c.pipe([
+        {"$fill": {"sortBy": {"t": 1}, "output": {"v": {"method": "linear"}}}},
+        {"$sort": {"t": 1}},
+    ]).all()
+    assert [r["v"] for r in out] == [0.0, 3.0, 6.0, 9.0, None]  # trailing stays
+
+
+def test_fill_partitioned_locf(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("f3")
+    c._rewrite(spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("b", 1, None), ("b", 2, 2.0)],
+        "g string, t int, v double"))
+    out = c.pipe([
+        {"$fill": {"partitionBy": "$g", "sortBy": {"t": 1},
+                   "output": {"v": {"method": "locf"}}}},
+        {"$sort": {"g": 1, "t": 1}},
+    ]).all()
+    assert [r["v"] for r in out] == [1.0, 1.0, None, 2.0]
+
+
+# --- partition-level copy-on-write ------------------------------------
+
+def _inode_map(coll):
+    import os
+    path = coll.current_path()
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, path)
+                out[rel] = os.stat(p).st_ino
+    return out
+
+
+def test_cow_update_rewrites_only_matching_partition(engine, spark):
+    coll = engine.db("appdb").collection("parted")
+    coll.set_partitioning("part")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "_id int, part int, v string"
+    )
+    coll._rewrite(df)
+    before = _inode_map(coll)
+    assert len({k.split("/")[0] for k in before}) == 3  # three hive dirs
+    coll.update_all({"part": 1}, {"$set": {"v": "updated"}})
+    after = _inode_map(coll)
+    # files of part=0 and part=2 are hard links to the SAME inodes
+    for rel, ino in before.items():
+        if rel.startswith(("part=0", "part=2")):
+            assert after[rel] == ino, f"{rel} was rewritten"
+    # part=1 files are new
+    assert all(
+        after[rel] != ino for rel, ino in before.items() if rel.startswith("part=1")
+        if rel in after
+    ) or not any(rel in after for rel in before if rel.startswith("part=1"))
+    # content correct
+    rows = coll.find({}).all()
+    assert sorted(r["v"] for r in rows if r["part"] == 1) == ["updated"] * 10
+    assert sorted(r["_id"] for r in rows) == list(range(30))
+
+
+def test_cow_remove_and_noop(engine, spark):
+    coll = engine.db("appdb").collection("parted2")
+    coll.set_partitioning("part")
+    coll._rewrite(spark.createDataFrame(
+        [(i, i % 2, i * 1.0) for i in range(20)], "_id int, part int, x double"))
+    before = _inode_map(coll)
+    # remove_all with zero matches: version must not even change
+    path_before = coll.current_path()
+    info = coll.remove_all({"_id": {"$gt": 1000}})
+    assert info.removed == 0 and coll.current_path() == path_before
+    info = coll.remove_all({"_id": {"$lt": 4}, "part": 0})
+    assert info.removed == 2
+    after = _inode_map(coll)
+    for rel, ino in before.items():
+        if rel.startswith("part=1"):
+            assert after[rel] == ino
+    assert coll.count() == 18
+
+
+def test_cow_append_links_all_existing(engine, spark):
+    coll = engine.db("appdb").collection("appendy")
+    coll._rewrite(spark.createDataFrame([(1, "a"), (2, "b")], "_id int, v string"))
+    before = _inode_map(coll)
+    coll.insert({"_id": 3, "v": "c"})
+    after = _inode_map(coll)
+    for rel, ino in before.items():
+        assert after.get(rel) == ino, f"existing file {rel} was rewritten on insert"
+    assert len(after) > len(before)
+    assert sorted(r["_id"] for r in coll.find({}).all()) == [1, 2, 3]
+
+
+def test_cow_update_one_survives_version_chain(engine, spark):
+    coll = engine.db("appdb").collection("chain")
+    coll._rewrite(spark.createDataFrame([(i, 0) for i in range(5)], "_id int, n int"))
+    for k in range(3):
+        coll.update_all({}, {"$inc": {"n": 1}})
+    assert [r["n"] for r in coll.find({}).all()] == [3] * 5
