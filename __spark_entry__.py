@@ -805,6 +805,28 @@ def _q_tpch_q10_shape(spark, sf_dir):
     )
 
 
+def _q_bucket_auto(spark, sf_dir):
+    # $bucketAuto exact path (ntile over a unique key → deterministic
+    # boundaries both engines agree on); the >2M-row input path switches
+    # to approx-quantile boundaries (no SQL oracle there by design)
+    return (
+        _db(spark, sf_dir)
+        .collection("customer")
+        .pipe(
+            [
+                {"$bucketAuto": {
+                    "groupBy": "$c_custkey",
+                    "buckets": 7,
+                    "output": {"n": {"$sum": 1}, "sum_bal": {"$sum": "$c_acctbal"}},
+                }},
+                {"$project": {"_id": 0, "lo": "$_id.min", "hi": "$_id.max",
+                              "n": 1, "sum_bal": {"$round": ["$sum_bal", 2]}}},
+            ]
+        )
+        .to_df()
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "find_sort_limit": _q_find_sort_limit,
@@ -846,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_metrics": _q_text_quality_metrics,
         "tpch_q7_shape": _q_tpch_q7_shape,
         "tpch_q10_shape": _q_tpch_q10_shape,
+        "bucket_auto": _q_bucket_auto,
     }
 
 
@@ -1141,6 +1164,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "bucket_auto": """
+            SELECT lo, hi, n, sum_bal FROM (
+                SELECT __tile,
+                       min(c_custkey) AS lo, max(c_custkey) AS hi,
+                       count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+                FROM (
+                    SELECT c_custkey, c_acctbal,
+                           NTILE(7) OVER (ORDER BY c_custkey) AS __tile
+                    FROM customer
+                )
+                GROUP BY __tile
+            )
         """,
         # minhash_near_dups / embedding_near_dups / text_stats /
         # simhash_fingerprints / ngram_jaccard: approximate or

@@ -411,23 +411,68 @@ def _lookup_pipeline(
     resolve: Callable[[str], DataFrame],
     unwind_preserve: bool | None = None,
 ) -> DataFrame:
-    """Correlated $lookup pipeline form. The first stage must be a
-    ``{$match: {$expr: ...}}`` whose let-variable conditions are
-    equalities — they become the join keys; every other condition stays a
-    foreign-side filter. Later sub-pipeline stages run on the foreign
-    side before grouping (they must not project away the join fields)."""
+    """$lookup pipeline form.
+
+    The correlated case keys on the FIRST ``{$match: {$expr: ...}}``
+    stage whose let-variable conditions are equalities — they become the
+    join keys; every other condition stays a foreign-side filter.
+    Stages BEFORE that $match must be uncorrelated (no ``$$var``
+    references) and run on the foreign collection first; stages after it
+    run before grouping (they must not project away the join fields).
+
+    A pipeline with NO ``$expr`` $match and no ``$$var`` references is
+    an *uncorrelated* lookup: the sub-pipeline result is identical for
+    every input row, so it compiles to one aggregation + a broadcast
+    cross join of the packed array."""
     foreign = resolve(arg["from"])
     let = dict(arg.get("let", {}))
     out = arg["as"]
     stages = list(arg["pipeline"])
-    if not stages or "$match" not in stages[0]:
-        raise PipelineCompileError(
-            "$lookup pipeline form requires a leading $match stage"
+
+    def _is_expr_match(stage: Any) -> bool:
+        return (
+            isinstance(stage, Mapping)
+            and "$match" in stage
+            and isinstance(stage["$match"], Mapping)
+            and "$expr" in stage["$match"]
         )
-    match_arg = stages[0]["$match"]
+
+    key_idx = next((i for i, s in enumerate(stages) if _is_expr_match(s)), None)
+
+    if key_idx is None:
+        if any("$$" in repr(s) for s in stages):
+            raise PipelineCompileError(
+                "$lookup pipeline form with let-variable references needs a "
+                "{$match: {$expr: ...}} stage to carry the join keys"
+            )
+        # uncorrelated: same array for every row → compute once, one
+        # aggregation, broadcast cross join (never a per-row re-run)
+        if out in df.columns:
+            df = df.drop(out)
+        sub = compile_pipeline(foreign, stages, None, None)
+        packed = sub.agg(
+            F.collect_list(F.struct(*[F.col(c) for c in sub.columns])).alias(out)
+        )
+        joined = df.crossJoin(F.broadcast(packed))
+        if unwind_preserve is not None:
+            exploded = (
+                F.explode_outer(F.col(out)) if unwind_preserve else F.explode(F.col(out))
+            )
+            return joined.select(*[c for c in joined.columns if c != out], exploded.alias(out))
+        return joined
+
+    prefix = stages[:key_idx]
+    for s in prefix:
+        if "$$" in repr(s):
+            raise PipelineCompileError(
+                "$lookup sub-pipeline stages before the $expr $match must be "
+                "uncorrelated (no $$variable references)"
+            )
+    if prefix:
+        foreign = compile_pipeline(foreign, prefix, None, None)
+    match_arg = stages[key_idx]["$match"]
+    stages = stages[key_idx:]
     expr = match_arg.get("$expr")
-    if expr is None:
-        raise PipelineCompileError("$lookup pipeline form requires $expr in the first $match")
 
     conds = expr["$and"] if isinstance(expr, Mapping) and "$and" in expr else [expr]
     join_pairs: list[tuple[Column, Any]] = []  # (local expr, foreign field expr str)
@@ -535,10 +580,15 @@ def _graph_lookup(
     """$graphLookup: bounded-depth BFS as iterative equi-joins (one Spark
     join per level, frontier deduped and persisted; default maxDepth 10
     — Mongo's unbounded recursion needs an explicit bound in a batch
-    engine). depthField supported."""
+    engine). depthField and restrictSearchWithMatch supported (the
+    restriction filters traversed docs at every step, pushed to the
+    foreign scan once)."""
     from pyspark.storagelevel import StorageLevel
 
     foreign = resolve(arg["from"])
+    restrict = arg.get("restrictSearchWithMatch")
+    if restrict:
+        foreign = foreign.where(compile_filter(restrict, foreign.schema))
     connect_from = arg["connectFromField"]
     connect_to = arg["connectToField"]
     out = arg["as"]
@@ -596,9 +646,14 @@ def _graph_lookup(
 def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """$setWindowFields → Spark window functions (native, shuffle-on-
     partitionBy only). Supported window operators: $rank, $denseRank,
-    $documentNumber, $sum/$avg/$min/$max/$count/$first/$last (with
-    optional `window.documents` row frame or `window.range` value frame,
-    incl. time `unit`), $shift.
+    $documentNumber, $shift, $sum/$avg/$min/$max/$count/$first/$last/
+    $push/$addToSet/$stdDevPop/$stdDevSamp/$covariancePop/$covarianceSamp
+    (with optional `window.documents` row frame or `window.range` value
+    frame, incl. time `unit`), $locf, $linearFill, $derivative,
+    $integral (trapezoidal; lower frame bound must be unbounded).
+    $expMovingAvg is intentionally absent: its recurrence has no
+    numerically-stable closed form over Spark windows (the
+    inverse-decay-power rewrite overflows on long partitions).
 
     Mongo's default window for aggregate operators is the WHOLE
     partition even when sortBy is present — Spark's default with an
@@ -608,7 +663,8 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     from pyspark.sql import Window
 
     _AGG_OPS = {"$sum", "$avg", "$min", "$max", "$count", "$first", "$last",
-                "$push", "$addToSet", "$stdDevPop", "$stdDevSamp"}
+                "$push", "$addToSet", "$stdDevPop", "$stdDevSamp",
+                "$covariancePop", "$covarianceSamp"}
     # fixed-width units only; month/quarter/year are calendar-irregular
     _UNIT_MS = {
         "millisecond": 1,
@@ -643,9 +699,11 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             raise PipelineCompileError(f"window output {name!r} must have one operator")
         op, oparg = next(iter(spec.items()))
         wf = w
+        lo_unbounded = frame is None  # whole-partition default
         if frame and "documents" in frame:
             lo = _bound(frame["documents"][0], Window.unboundedPreceding, None)
             hi = _bound(frame["documents"][1], Window.unboundedFollowing, None)
+            lo_unbounded = lo == Window.unboundedPreceding
             wf = w.rowsBetween(lo, hi)
         elif frame and "range" in frame:
             # value-based frame → Spark rangeBetween (native; time units
@@ -669,6 +727,7 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 order_expr = F.unix_millis(order_expr.cast("timestamp"))
             lo = _bound(frame["range"][0], Window.unboundedPreceding, scale)
             hi = _bound(frame["range"][1], Window.unboundedFollowing, scale)
+            lo_unbounded = lo == Window.unboundedPreceding
             wf = Window.partitionBy(*part_cols).orderBy(order_expr).rangeBetween(lo, hi)
         elif op in _AGG_OPS and order_cols:
             # Mongo default: whole-partition window even under sortBy
@@ -704,10 +763,102 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             col = F.first(compile_expr(oparg, df.schema)).over(wf)
         elif op == "$last":
             col = F.last(compile_expr(oparg, df.schema)).over(wf)
+        elif op == "$push":
+            col = F.collect_list(compile_expr(oparg, df.schema)).over(wf)
+        elif op == "$addToSet":
+            col = F.collect_set(compile_expr(oparg, df.schema)).over(wf)
+        elif op in ("$stdDevPop", "$stdDevSamp"):
+            fn = F.stddev_pop if op == "$stdDevPop" else F.stddev_samp
+            col = fn(compile_expr(oparg, df.schema)).over(wf)
+        elif op in ("$covariancePop", "$covarianceSamp"):
+            a, b = oparg
+            fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+            col = fn(
+                compile_expr(a, df.schema).cast("double"),
+                compile_expr(b, df.schema).cast("double"),
+            ).over(wf)
+        elif op == "$locf":
+            # last-observation-carried-forward: leading nulls stay null
+            if not order_cols:
+                raise PipelineCompileError("$locf requires sortBy")
+            back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            col = F.last(compile_expr(oparg, df.schema), ignorenulls=True).over(back)
+        elif op == "$linearFill":
+            s, _unit = _numeric_sort_expr(sort_spec, None, df)
+            inp = compile_expr(oparg, df.schema)
+            back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            known_s = F.when(inp.isNotNull(), s)
+            prev_v = F.last(inp, ignorenulls=True).over(back).cast("double")
+            prev_s = F.last(known_s, ignorenulls=True).over(back)
+            next_v = F.first(inp, ignorenulls=True).over(fwd).cast("double")
+            next_s = F.first(known_s, ignorenulls=True).over(fwd)
+            interp = prev_v + (next_v - prev_v) * (s - prev_s) / (next_s - prev_s)
+            col = F.when(inp.isNotNull(), inp.cast("double")).otherwise(interp)
+        elif op == "$derivative":
+            # (Δ input / Δ sort-value) over the window's end points;
+            # Mongo requires an explicit window for $derivative
+            if frame is None:
+                raise PipelineCompileError("$derivative requires a window")
+            s, unit_ms = _numeric_sort_expr(sort_spec, oparg.get("unit"), df)
+            inp = compile_expr(oparg["input"], df.schema).cast("double")
+            num = F.last(inp).over(wf) - F.first(inp).over(wf)
+            den = (F.last(s).over(wf) - F.first(s).over(wf)).cast("double")
+            if unit_ms:
+                den = den / F.lit(unit_ms)
+            col = F.when(den != 0, num / den)
+        elif op == "$integral":
+            # trapezoidal integral: per-row contribution (pairing each row
+            # with its predecessor) summed over the frame. Correct only
+            # when the frame's lower bound is unbounded — every in-frame
+            # pair is then fully inside the frame.
+            if not lo_unbounded:
+                raise PipelineCompileError(
+                    "$integral requires a window with an unbounded lower bound"
+                )
+            s, unit_ms = _numeric_sort_expr(sort_spec, oparg.get("unit"), df)
+            inp = compile_expr(oparg["input"], df.schema).cast("double")
+            contrib = (inp + F.lag(inp).over(w)) * (s - F.lag(s).over(w)).cast("double") / 2
+            if unit_ms:
+                contrib = contrib / F.lit(unit_ms)
+            iw = (
+                wf
+                if frame is not None
+                else w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                if order_cols
+                else wf
+            )
+            col = F.sum(contrib).over(iw)
         else:
             raise PipelineCompileError(f"unsupported window operator: {op}")
         df = df.withColumn(name, col)
     return df
+
+
+def _numeric_sort_expr(sort_spec: Any, unit: str | None, df: DataFrame):
+    """The single ascending sortBy field as a numeric Column (epoch
+    millis when a time unit applies) + the unit's millis factor — shared
+    by $linearFill/$derivative/$integral and range windows."""
+    _UNIT_MS = {
+        "millisecond": 1, "second": 1_000, "minute": 60_000,
+        "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000,
+    }
+    if not isinstance(sort_spec, Mapping) or len(sort_spec) != 1:
+        raise PipelineCompileError("this window operator requires sortBy on exactly one field")
+    (sfield, sdir), = sort_spec.items()
+    if sdir not in (1, True):
+        raise PipelineCompileError("this window operator requires ascending sortBy")
+    s = compile_expr(f"${sfield}", df.schema)
+    from pyspark.sql import types as _T
+
+    sdt = df.schema[sfield].dataType if sfield in df.columns else None
+    if unit is not None:
+        if unit not in _UNIT_MS:
+            raise PipelineCompileError(f"unsupported unit {unit!r} (calendar units are irregular)")
+        return F.unix_millis(s.cast("timestamp")).cast("double"), _UNIT_MS[unit]
+    if isinstance(sdt, (_T.TimestampType, _T.DateType)):
+        return F.unix_millis(s.cast("timestamp")).cast("double"), None
+    return s.cast("double"), None
 
 
 _DENSIFY_UNITS = {
@@ -890,18 +1041,51 @@ def _bucket(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     )
 
 
+# Above this row count, $bucketAuto switches from the exact global-ntile
+# plan (single-partition sort window — fine for histogram-sized inputs,
+# a straggler at raw-table scale) to approx-quantile boundaries
+# (distributed sketch, one pass, no global sort).
+_BUCKET_AUTO_EXACT_MAX_ROWS = 2_000_000
+
+
 def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
-    """$bucketAuto: ntile-based equal-population buckets (min/max per
-    tile). One window pass + one group — no driver-side quantiles."""
+    """$bucketAuto: equal-population buckets with min/max per bucket.
+
+    Small inputs (≤ _BUCKET_AUTO_EXACT_MAX_ROWS): exact ntile over a
+    global sort window — exactly even populations, SQL-oracle-able.
+    Large inputs: percentile_approx boundaries (distributed t-digest-ish
+    sketch; Mongo itself only 'attempts to evenly distribute'), then a
+    scan-side bucket assignment — no single-partition sort anywhere.
+    Duplicate quantile boundaries collapse (fewer buckets), as in Mongo.
+    """
     from pyspark.sql import Window
 
     group_by = compile_expr(arg["groupBy"], df.schema)
     n = int(arg["buckets"])
     out_spec = arg.get("output", {"count": {"$sum": 1}})
     aggs = [_acc_column(spec, df.schema).alias(name) for name, spec in out_spec.items()]
-    tiled = df.withColumn("__gb", group_by).withColumn(
-        "__tile", F.ntile(n).over(Window.orderBy(F.col("__gb")))
-    )
+    tagged = df.withColumn("__gb", group_by)
+
+    if tagged.count() <= _BUCKET_AUTO_EXACT_MAX_ROWS:
+        tiled = tagged.withColumn(
+            "__tile", F.ntile(n).over(Window.orderBy(F.col("__gb")))
+        )
+    else:
+        qs = [i / n for i in range(1, n)]
+        bounds = tagged.agg(
+            F.percentile_approx(F.col("__gb").cast("double"), qs, 10_000)
+        ).first()[0]
+        distinct_bounds = sorted(set(b for b in bounds if b is not None))
+        barr = F.array(*[F.lit(b) for b in distinct_bounds])
+        # bucket index = number of boundaries ≤ value (0..len(bounds))
+        tiled = tagged.withColumn(
+            "__tile",
+            F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("__gb").cast("double") >= b, 1).otherwise(0),
+            ),
+        )
     return (
         tiled.groupBy("__tile")
         .agg(F.min("__gb").alias("__min"), F.max("__gb").alias("__max"), *aggs)

@@ -82,11 +82,27 @@ def test_lookup_pipeline_form(engine):
     assert all(r["n_big"] >= 0 for r in out)
 
 
-def test_lookup_pipeline_requires_expr(engine):
+def test_lookup_pipeline_correlated_requires_expr(engine):
+    # a $$var reference with no {$match: {$expr}} stage to key the join
+    # is rejected (it would be a cross join); fully uncorrelated
+    # pipelines are legal and broadcast (test_round2.py)
     with pytest.raises(PipelineCompileError, match="expr|match"):
         engine.db("tpch").collection("customer").pipe(
-            [{"$lookup": {"from": "orders", "let": {}, "pipeline": [{"$limit": 2}], "as": "x"}}]
+            [{"$lookup": {
+                "from": "orders",
+                "let": {"ck": "$c_custkey"},
+                "pipeline": [{"$addFields": {"k": "$$ck"}}, {"$limit": 2}],
+                "as": "x",
+            }}]
         ).to_df()
+    # uncorrelated form succeeds and attaches the same array everywhere
+    out = engine.db("tpch").collection("nation").pipe(
+        [
+            {"$match": {"n_nationkey": 0}},
+            {"$lookup": {"from": "region", "pipeline": [{"$limit": 2}], "as": "x"}},
+        ]
+    ).all()
+    assert len(out) == 1 and len(out[0]["x"]) == 2
 
 
 @pytest.fixture()

@@ -400,3 +400,156 @@ def test_cow_update_one_survives_version_chain(engine, spark):
     for k in range(3):
         coll.update_all({}, {"$inc": {"n": 1}})
     assert [r["n"] for r in coll.find({}).all()] == [3] * 5
+
+
+# --- $lookup pipeline-form generalizations ----------------------------
+
+def test_lookup_pipeline_nonleading_expr(engine):
+    # uncorrelated prefix $match runs on the foreign side first; the
+    # $expr $match in second position still provides the join keys
+    out = engine.db("tpch").collection("orders").pipe([
+        {"$match": {"o_orderkey": {"$lte": 100}}},
+        {"$lookup": {
+            "from": "lineitem",
+            "let": {"ok": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"l_quantity": {"$gte": 30.0}}},
+                {"$match": {"$expr": {"$eq": ["$$ok", "$l_orderkey"]}}},
+                {"$project": {"l_linenumber": 1, "l_quantity": 1, "l_orderkey": 1}},
+            ],
+            "as": "items",
+        }},
+        {"$unwind": "$items"},
+    ]).all()
+    assert len(out) > 0
+    for r in out:
+        assert r["items"]["l_orderkey"] == r["o_orderkey"]
+        assert r["items"]["l_quantity"] >= 30.0
+
+
+def test_lookup_pipeline_uncorrelated(engine):
+    # no $expr / no let: sub-pipeline result attached to every row
+    out = engine.db("tpch").collection("nation").pipe([
+        {"$match": {"n_nationkey": {"$lt": 3}}},
+        {"$lookup": {
+            "from": "region",
+            "pipeline": [{"$match": {"r_regionkey": {"$lt": 2}}},
+                         {"$project": {"r_regionkey": 1}}],
+            "as": "regions",
+        }},
+    ]).all()
+    assert len(out) == 3
+    for r in out:
+        assert sorted(x["r_regionkey"] for x in r["regions"]) == [0, 1]
+
+
+def test_lookup_pipeline_uncorrelated_unwind_fused(engine):
+    out = engine.db("tpch").collection("nation").pipe([
+        {"$match": {"n_nationkey": {"$lt": 2}}},
+        {"$lookup": {
+            "from": "region",
+            "pipeline": [{"$match": {"r_regionkey": {"$lt": 2}}},
+                         {"$project": {"r_regionkey": 1}}],
+            "as": "reg",
+        }},
+        {"$unwind": "$reg"},
+    ]).all()
+    assert len(out) == 4  # 2 nations x 2 regions
+
+
+def test_graphlookup_restrict_search(engine, spark):
+    db = engine.db("appdb")
+    edges = db.collection("edges")
+    edges._rewrite(spark.createDataFrame(
+        [(1, 2, "ok"), (2, 3, "ok"), (3, 4, "blocked")],
+        "src int, dst int, status string"))
+    start = db.collection("start")
+    start._rewrite(spark.createDataFrame([(1,)], "node int"))
+    out = start.pipe([
+        {"$graphLookup": {
+            "from": "edges",
+            "startWith": "$node",
+            "connectFromField": "dst",
+            "connectToField": "src",
+            "as": "reach",
+            "restrictSearchWithMatch": {"status": "ok"},
+        }},
+    ]).all()
+    assert sorted(e["dst"] for e in out[0]["reach"]) == [2, 3]  # blocked edge pruned
+
+
+# --- additional $setWindowFields operators ----------------------------
+
+def test_window_locf_linearfill(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("wfill")
+    c._rewrite(spark.createDataFrame(
+        [(0, 0.0), (1, None), (2, None), (3, 9.0), (4, None)],
+        "t int, v double"))
+    out = c.pipe([
+        {"$setWindowFields": {
+            "sortBy": {"t": 1},
+            "output": {
+                "v_locf": {"$locf": "$v"},
+                "v_lin": {"$linearFill": "$v"},
+            },
+        }},
+        {"$sort": {"t": 1}},
+    ]).all()
+    assert [r["v_locf"] for r in out] == [0.0, 0.0, 0.0, 9.0, 9.0]
+    assert [r["v_lin"] for r in out] == [0.0, 3.0, 6.0, 9.0, None]
+
+
+def test_window_push_stddev(doc_collection):
+    out = doc_collection.pipe([
+        {"$match": {"priority": {"$ne": None}}},
+        {"$setWindowFields": {
+            "sortBy": {"priority": 1},
+            "output": {
+                "all_ids": {"$push": "$_id"},
+                "sd": {"$stdDevPop": "$priority"},
+            },
+        }},
+    ]).all()
+    assert all(len(r["all_ids"]) == 5 for r in out)  # whole-partition default
+    assert all(abs(r["sd"] - out[0]["sd"]) < 1e-9 for r in out)
+
+
+def test_window_derivative_integral(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("wphys")
+    # position = t^2 → derivative over trailing pairs; integral of v=2t
+    c._rewrite(spark.createDataFrame(
+        [(float(t), float(t * t)) for t in range(5)], "t double, x double"))
+    out = c.pipe([
+        {"$setWindowFields": {
+            "sortBy": {"t": 1},
+            "output": {
+                "vel": {"$derivative": {"input": "$x"},
+                        "window": {"documents": [-1, 0]}},
+                "area": {"$integral": {"input": "$x"}},
+            },
+        }},
+        {"$sort": {"t": 1}},
+    ]).all()
+    # derivative between consecutive points of x=t^2 is 2t-1
+    assert [r["vel"] for r in out] == [None, 1.0, 3.0, 5.0, 7.0]
+    # whole-partition trapezoid integral of t^2 on [0,4] ≈ 22 (exact: 21.33)
+    assert all(abs(r["area"] - 22.0) < 1e-9 for r in out)
+
+
+def test_window_integral_time_unit(engine, spark):
+    import datetime
+    db = engine.db("appdb")
+    c = db.collection("wtime")
+    d = datetime.datetime
+    # 60 units sustained for 1 hour = 60 unit-hours
+    c._rewrite(spark.createDataFrame(
+        [(d(2026, 1, 1, 0), 60.0), (d(2026, 1, 1, 1), 60.0)], "ts timestamp, v double"))
+    out = c.pipe([
+        {"$setWindowFields": {
+            "sortBy": {"ts": 1},
+            "output": {"total": {"$integral": {"input": "$v", "unit": "hour"}}},
+        }},
+    ]).all()
+    assert all(r["total"] == 60.0 for r in out)
