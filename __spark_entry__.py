@@ -805,6 +805,54 @@ def _q_tpch_q10_shape(spark, sf_dir):
     )
 
 
+def _q_session_windows(spark, sf_dir):
+    # §2.8 sessionization: F.session_window batch path (identical code
+    # runs over readStream with a watermark — the streaming twin is
+    # pytest-covered; this gate hash-checks the session assignment,
+    # bounds, and per-session aggregates against lag-based SQL)
+    from anser_spark.streaming.apm import session_stats
+
+    events = _db(spark, sf_dir).collection("events").df()
+    return session_stats(events, gap="4 hours")
+
+
+def _q_media_plumbing(spark, sf_dir):
+    # M7 multimodal: opaque binary payloads (utf-8 document bytes stand
+    # in for media — codecs aren't in this environment) through the
+    # JVM-side plumbing: metadata attach (n_bytes, sha) + frame-sampling
+    # grid. Everything here is exactly SQL-expressible → full oracle.
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.multimodal import attach_media_metadata, sample_video_frames
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.col("n_chars") * F.lit(50)).cast("long").alias("duration_ms"),
+    )
+    meta = attach_media_metadata(media)
+    frames = sample_video_frames(meta, every_ms=2000)
+    per = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return meta.select("media_id", "n_bytes", "payload_sha").join(per, "media_id")
+
+
+def _q_media_features(spark, sf_dir):
+    # M7 multimodal feature extraction: Arrow-batched mapInPandas with a
+    # deterministic stub decode (rows-only check — no sha-digest float
+    # derivation in SQL)
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.multimodal import extract_image_features
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return extract_image_features(media)
+
+
 def _q_bucket_auto(spark, sf_dir):
     # $bucketAuto exact path (ntile over a unique key → deterministic
     # boundaries both engines agree on); the >2M-row input path switches
@@ -869,6 +917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7_shape": _q_tpch_q7_shape,
         "tpch_q10_shape": _q_tpch_q10_shape,
         "bucket_auto": _q_bucket_auto,
+        "session_windows": _q_session_windows,
+        "media_plumbing": _q_media_plumbing,
+        "media_features": _q_media_features,
     }
 
 
@@ -1178,8 +1229,38 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY __tile
             )
         """,
+        "session_windows": """
+            WITH marked AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT *, sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                ) AS sid
+                FROM marked
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 4 HOUR AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM sess GROUP BY user_id, sid
+        """,
+        "media_plumbing": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS payload_sha,
+                   CAST(len(generate_series(0,
+                        greatest(n_chars * 50 - 1, 0), 2000)) AS BIGINT) AS n_frames
+            FROM documents
+        """,
         # minhash_near_dups / embedding_near_dups / text_stats /
-        # simhash_fingerprints / ngram_jaccard: approximate or
-        # hash-based operators — intentionally no SQL oracle (driver
-        # records the rows-only check).
+        # simhash_fingerprints / ngram_jaccard / media_features:
+        # approximate or hash-digest-derived operators — intentionally
+        # no SQL oracle (driver records the rows-only check).
     }

@@ -28,6 +28,8 @@ __all__ = [
     "decode_image_stub",
     "extract_image_features",
     "sample_video_frames",
+    "chunk_audio",
+    "resize_images",
 ]
 
 # Typed metadata that always travels beside an opaque media payload.
@@ -119,3 +121,82 @@ def sample_video_frames(
         F.col(payload_col),
         F.explode(ts).alias("frame_ts_ms"),
     ).withColumn("frame_key", F.concat_ws(":", F.col(id_col), F.col("frame_ts_ms")))
+
+
+def chunk_audio(
+    df: DataFrame,
+    chunk_ms: int = 30_000,
+    overlap_ms: int = 1_000,
+    id_col: str = "media_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """ASR-style audio chunking: overlapping [chunk_start, chunk_end)
+    windows over the duration. The chunk grid is a JVM-side
+    sequence+explode (no Python); the per-chunk decode/transcribe step
+    is the caller's (stubbed) pandas function. One output row per chunk,
+    keyed (id, chunk_idx) — the shape a distributed transcription
+    pipeline shuffles on."""
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be smaller than chunk_ms")
+    stride = chunk_ms - overlap_ms
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.col(duration_col) - 1, F.lit(0)).cast("long"),
+        F.lit(stride).cast("long"),
+    )
+    out = df.select(
+        *df.columns, F.posexplode(starts).alias("chunk_idx", "chunk_start_ms")
+    )
+    return out.withColumn(
+        "chunk_end_ms",
+        F.least(F.col("chunk_start_ms") + F.lit(chunk_ms), F.col(duration_col)),
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    resize: Callable[[bytes, int, int], bytes] | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Image resize plumbing over mapInPandas: fixed output schema
+    (id, width, height, payload binary), Arrow-batched. The actual
+    resampling is the stubbed step — the default fake returns a
+    deterministic digest-derived payload so downstream byte-level tests
+    are exact; `strict=True` raises, marking where a real codec plugs in."""
+    if strict:
+        raise NotImplementedError(
+            "image resizing requires a codec library not present in this "
+            "environment; pass resize=<your_fn> or strict=False for the stub"
+        )
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        if payload is None:
+            return b""
+        return hashlib.sha256(payload + f":{w}x{h}".encode()).digest()
+
+    fn = resize or _fake_resize
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType, True),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    payload_col: [fn(p, width, height) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=out_schema)

@@ -650,10 +650,11 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     $push/$addToSet/$stdDevPop/$stdDevSamp/$covariancePop/$covarianceSamp
     (with optional `window.documents` row frame or `window.range` value
     frame, incl. time `unit`), $locf, $linearFill, $derivative,
-    $integral (trapezoidal; lower frame bound must be unbounded).
-    $expMovingAvg is intentionally absent: its recurrence has no
-    numerically-stable closed form over Spark windows (the
-    inverse-decay-power rewrite overflows on long partitions).
+    $integral (trapezoidal; lower frame bound must be unbounded),
+    $expMovingAvg (the one operator on the UDF path: a sequential
+    recurrence with no stable closed form over Spark windows runs as
+    Arrow-batched applyInPandas per partition key — pandas
+    ewm(adjust=False) IS Mongo's recurrence).
 
     Mongo's default window for aggregate operators is the WHOLE
     partition even when sortBy is present — Spark's default with an
@@ -829,10 +830,65 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 else wf
             )
             col = F.sum(contrib).over(iw)
+        elif op == "$expMovingAvg":
+            # EMA is a sequential recurrence (E_t = α·x_t + (1-α)·E_{t-1})
+            # with no numerically stable closed form over Spark windows —
+            # the one $setWindowFields operator that genuinely needs the
+            # UDF path: Arrow-batched applyInPandas per partition key,
+            # sorted in pandas, pandas ewm(adjust=False) = Mongo's exact
+            # recurrence. Without partitionBy this is ONE sequential
+            # task (documented; the recurrence itself is sequential).
+            alpha = oparg.get("alpha")
+            if alpha is None:
+                n_param = oparg.get("N")
+                if not n_param:
+                    raise PipelineCompileError("$expMovingAvg needs N or alpha")
+                alpha = 2.0 / (int(n_param) + 1)
+            if not order_cols:
+                raise PipelineCompileError("$expMovingAvg requires sortBy")
+            df = _exp_moving_avg(
+                df, part_cols, sort_spec, compile_expr(oparg["input"], df.schema),
+                float(alpha), name,
+            )
+            continue
         else:
             raise PipelineCompileError(f"unsupported window operator: {op}")
         df = df.withColumn(name, col)
     return df
+
+
+def _exp_moving_avg(
+    df: DataFrame,
+    part_cols: list[Column],
+    sort_spec: Mapping[str, Any],
+    inp: Column,
+    alpha: float,
+    out_name: str,
+) -> DataFrame:
+    from pyspark.sql import types as _T
+
+    if out_name in df.columns:
+        df = df.drop(out_name)
+    orig_cols = list(df.columns)
+    work = df.withColumn(
+        "__ema_part", part_cols[0] if part_cols else F.lit(0)
+    ).withColumn("__ema_in", inp.cast("double"))
+    sort_fields = list(sort_spec.items())
+    for i, (fld, _d) in enumerate(sort_fields):
+        work = work.withColumn(f"__ema_s{i}", compile_expr(f"${fld}", df.schema))
+    schema = _T.StructType(
+        list(work.schema.fields) + [_T.StructField(out_name, _T.DoubleType())]
+    )
+    s_names = [f"__ema_s{i}" for i in range(len(sort_fields))]
+    ascending = [d in (1, True) for _f, d in sort_fields]
+
+    def ema(pdf):
+        pdf = pdf.sort_values(s_names, ascending=ascending, kind="mergesort")
+        pdf[out_name] = pdf["__ema_in"].ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+        return pdf
+
+    out = work.groupBy("__ema_part").applyInPandas(ema, schema=schema)
+    return out.select(*orig_cols, out_name)
 
 
 def _numeric_sort_expr(sort_spec: Any, unit: str | None, df: DataFrame):

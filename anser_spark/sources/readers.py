@@ -77,6 +77,9 @@ def read_parquet_table(
     if file_col:
         df = df.withColumn(file_col, F.col("_metadata.file_path"))
     for name in ns_cols:
-        # ns → µs truncation; timestamp_micros stays inside codegen
-        df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+        # ns → µs truncation; timestamp_micros stays inside codegen.
+        # Integer `div`, NOT float division: ns epoch values (~1.7e18)
+        # exceed double's exact-integer range (2^53), so `/1000` then
+        # cast can be off by ±1µs vs exact truncation.
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df

@@ -553,3 +553,68 @@ def test_window_integral_time_unit(engine, spark):
         }},
     ]).all()
     assert all(r["total"] == 60.0 for r in out)
+
+
+def test_exp_moving_avg(engine, spark):
+    db = engine.db("appdb")
+    c = db.collection("wema")
+    c._rewrite(spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+         ("b", 1, 100.0), ("b", 2, 0.0)],
+        "g string, t int, v double"))
+    out = c.pipe([
+        {"$setWindowFields": {
+            "partitionBy": "$g",
+            "sortBy": {"t": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}},
+        }},
+        {"$sort": {"g": 1, "t": 1}},
+    ]).all()
+    got = [(r["g"], r["t"], r["ema"]) for r in out]
+    # E_t = 0.5 x_t + 0.5 E_{t-1}: a → 10, 15, 22.5; b → 100, 50
+    assert got == [("a", 1, 10.0), ("a", 2, 15.0), ("a", 3, 22.5),
+                   ("b", 1, 100.0), ("b", 2, 50.0)]
+
+
+def test_exp_moving_avg_n_form(doc_collection):
+    out = doc_collection.pipe([
+        {"$match": {"priority": {"$ne": None}}},
+        {"$setWindowFields": {
+            "sortBy": {"priority": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$priority", "N": 3}}},
+        }},
+        {"$sort": {"priority": 1}},
+    ]).all()
+    # alpha = 2/(3+1) = 0.5 over priorities -1, 5, 10, 42, 99
+    vals = [r["ema"] for r in out]
+    assert vals[0] == -1.0
+    assert vals[1] == 2.0      # 0.5*5 + 0.5*(-1)
+    assert abs(vals[2] - 6.0) < 1e-9
+
+
+# --- multimodal plumbing ----------------------------------------------
+
+def test_chunk_audio_grid(engine, spark):
+    from anser_spark.operators.multimodal import chunk_audio
+    df = spark.createDataFrame([("a", 70_000), ("b", 10_000)], "media_id string, duration_ms long")
+    out = chunk_audio(df, chunk_ms=30_000, overlap_ms=5_000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append((r["chunk_idx"], r["chunk_start_ms"], r["chunk_end_ms"]))
+    # stride 25s over 70s: starts 0, 25k, 50k; ends capped at duration
+    assert sorted(by_id["a"]) == [(0, 0, 30_000), (1, 25_000, 55_000), (2, 50_000, 70_000)]
+    assert sorted(by_id["b"]) == [(0, 0, 10_000)]
+
+
+def test_resize_images_stub_deterministic(engine, spark):
+    from anser_spark.operators.multimodal import resize_images
+    import pytest as _pytest
+    df = spark.createDataFrame([("x", b"imagebytes")], "media_id string, payload binary")
+    a = resize_images(df, 64, 64).collect()[0]
+    b = resize_images(df, 64, 64).collect()[0]
+    assert a["payload"] == b["payload"] and len(a["payload"]) == 32
+    assert (a["width"], a["height"]) == (64, 64)
+    c = resize_images(df, 32, 32).collect()[0]
+    assert c["payload"] != a["payload"]  # target size feeds the fake digest
+    with _pytest.raises(NotImplementedError):
+        resize_images(df, 64, 64, strict=True)
