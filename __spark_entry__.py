@@ -853,6 +853,37 @@ def _q_media_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+def _q_redact_levels(spark, sf_dir):
+    # $redact over a two-level document built by $project: root-level
+    # $$PRUNE drops rows, nested $$PRUNE nulls the embedded doc — all
+    # pure Column expressions (where + struct rebuild), no UDFs
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {"$project": {
+                    "o_orderkey": 1,
+                    "level": {"$cond": [
+                        {"$eq": ["$o_orderstatus", "F"]}, "secret", "public"]},
+                    "sub": {
+                        "level": {"$cond": [
+                            {"$gt": ["$o_totalprice", 150000]}, "secret", "public"]},
+                        "price": "$o_totalprice",
+                    },
+                }},
+                {"$redact": {"$cond": [
+                    {"$eq": ["$level", "secret"]}, "$$PRUNE", "$$DESCEND"]}},
+                {"$project": {
+                    "o_orderkey": 1,
+                    "sub_price": {"$ifNull": ["$sub.price", -1.0]},
+                }},
+            ]
+        )
+        .to_df()
+    )
+
+
 def _q_bucket_auto(spark, sf_dir):
     # $bucketAuto exact path (ntile over a unique key → deterministic
     # boundaries both engines agree on); the >2M-row input path switches
@@ -918,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_shape": _q_tpch_q10_shape,
         "bucket_auto": _q_bucket_auto,
         "session_windows": _q_session_windows,
+        "redact_levels": _q_redact_levels,
         "media_plumbing": _q_media_plumbing,
         "media_features": _q_media_features,
     }
@@ -1250,6 +1282,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "redact_levels": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 150000 THEN -1.0
+                        ELSE o_totalprice END AS sub_price
+            FROM orders
+            WHERE o_orderstatus <> 'F'
         """,
         "media_plumbing": """
             SELECT doc_id AS media_id,

@@ -51,6 +51,15 @@ def compile_expr(
                     col = col.getItem(part)
             return col
         if expr.startswith("$"):
+            # Inside a level-rebinding scope ($redact), `$field` is
+            # shorthand for `$$CURRENT.field` (Mongo's CURRENT rebinds
+            # per document level); elsewhere CURRENT is unbound and the
+            # path resolves against the DataFrame's own columns.
+            if env is not None and "CURRENT" in env:
+                col = env["CURRENT"]
+                for part in expr[1:].split("."):
+                    col = col.getItem(part)
+                return col
             return resolve_field(expr[1:])
         return F.lit(expr)
     if isinstance(expr, Mapping):

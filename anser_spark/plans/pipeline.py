@@ -203,7 +203,7 @@ def _compile_stage(  # noqa: C901
         return _graph_lookup(df, arg, resolve)
 
     if op == "$redact":
-        raise PipelineCompileError("$redact is not supported (no document-level security model)")
+        return _redact(df, arg)
 
     if op == "$out":
         if sink is None:
@@ -317,6 +317,90 @@ def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
     key = compile_expr(id_spec, df.schema).alias("_id")
     return df.groupBy(key).agg(*agg_cols)
+
+
+def _redact(df: DataFrame, expr: Any) -> DataFrame:
+    """``$redact``: evaluate ``expr`` at every document level; the result
+    must be ``$$PRUNE`` (drop this level), ``$$KEEP`` (keep subtree
+    as-is, stop evaluating), or ``$$DESCEND`` (keep this level's scalar
+    fields, re-evaluate inside each embedded document / array element).
+
+    Spark-first formulation: one pass of pure Column expressions — a
+    ``where`` at the root plus a recursive struct rebuild (``F.filter``
+    / ``F.transform`` for arrays) guided by the *static* schema, so the
+    whole stage stays in codegen; no UDFs, no extra jobs.
+
+    Fixed-schema divergences (consistent with the engine's documented
+    contract): a pruned embedded document becomes NULL rather than a
+    missing field, and the expression may only reference fields that
+    exist at every level it's evaluated against (Mongo would treat a
+    missing field as null; here it's a compile error).
+    """
+    root = F.struct(*[F.col(c) for c in df.columns])
+
+    def decision(cur: Column) -> Column:
+        env = {
+            "CURRENT": cur,
+            "ROOT": root,
+            "DESCEND": F.lit("D"),
+            "PRUNE": F.lit("P"),
+            "KEEP": F.lit("K"),
+        }
+        d = compile_expr(expr, df.schema, env)
+        return F.when(d.isin("D", "P", "K"), d).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("$redact expression must return $$DESCEND, $$PRUNE or $$KEEP, got: "),
+                    F.coalesce(d.cast("string"), F.lit("null")),
+                )
+            )
+        )
+
+    def has_documents(dt: T.DataType) -> bool:
+        if isinstance(dt, T.StructType):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return has_documents(dt.elementType)
+        return False
+
+    def redact_value(col: Column, dt: T.DataType) -> Column:
+        if isinstance(dt, T.StructType):
+            return redact_struct(col, dt)
+        # ArrayType whose (possibly nested) element holds documents;
+        # non-document levels aren't themselves evaluated, as in Mongo
+        elem = dt.elementType
+        if isinstance(elem, T.StructType):
+            kept = F.filter(col, lambda x: x.isNull() | (decision(x) != F.lit("P")))
+            return F.transform(kept, lambda x: redact_struct(x, elem))
+        return F.transform(col, lambda x: redact_value(x, elem))
+
+    def redact_struct(s: Column, st: T.StructType) -> Column:
+        rebuilt = F.struct(
+            *[
+                (redact_value(s.getItem(f.name), f.dataType)
+                 if has_documents(f.dataType)
+                 else s.getItem(f.name)).alias(f.name)
+                for f in st.fields
+            ]
+        )
+        d = decision(s)
+        return (
+            F.when(s.isNull(), F.lit(None).cast(st))
+            .when(d == "P", F.lit(None).cast(st))
+            .when(d == "K", s)
+            .otherwise(rebuilt)
+        )
+
+    out = df.where(decision(root) != F.lit("P"))
+    keep_root = decision(root) == F.lit("K")
+    cols = []
+    for f in out.schema.fields:
+        if has_documents(f.dataType):
+            sub = redact_value(F.col(f.name), f.dataType)
+            cols.append(F.when(keep_root, F.col(f.name)).otherwise(sub).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return out.select(*cols)
 
 
 def _unwind(df: DataFrame, arg: Any) -> DataFrame:

@@ -618,3 +618,66 @@ def test_resize_images_stub_deterministic(engine, spark):
     assert c["payload"] != a["payload"]  # target size feeds the fake digest
     with _pytest.raises(NotImplementedError):
         resize_images(df, 64, 64, strict=True)
+
+
+# --- $redact ----------------------------------------------------------
+
+def _redact_coll(engine, spark):
+    c = engine.db("appdb").collection("redact_docs")
+    c._rewrite(spark.createDataFrame(
+        [
+            (1, "public", 10.0,
+             ("public", 1.0, [("public", "s1"), ("secret", "s2")]),
+             [("public", "n1"), ("secret", "n2")]),
+            (2, "secret", 20.0,
+             ("public", 2.0, [("public", "s3")]),
+             [("public", "n3")]),
+            (3, "public", 30.0,
+             ("secret", 3.0, [("public", "s4")]),
+             []),
+        ],
+        "doc_id int, level string, score double, "
+        "sub struct<level:string, val:double, "
+        "items:array<struct<level:string, name:string>>>, "
+        "notes array<struct<level:string, name:string>>"))
+    return c
+
+
+def test_redact_prune_descend(engine, spark):
+    c = _redact_coll(engine, spark)
+    out = {r["doc_id"]: r for r in c.pipe([
+        {"$redact": {"$cond": [{"$eq": ["$level", "secret"]},
+                               "$$PRUNE", "$$DESCEND"]}},
+    ]).all()}
+    # root: doc 2 pruned entirely
+    assert sorted(out) == [1, 3]
+    # doc 1: sub kept (public) but sub.items loses the secret element;
+    # notes loses its secret element
+    assert out[1]["sub"]["val"] == 1.0
+    assert [i["name"] for i in out[1]["sub"]["items"]] == ["s1"]
+    assert [n["name"] for n in out[1]["notes"]] == ["n1"]
+    # doc 3: secret sub pruned to null, empty notes stay empty
+    assert out[3]["sub"] is None
+    assert out[3]["notes"] == []
+
+
+def test_redact_keep_stops_descent(engine, spark):
+    c = _redact_coll(engine, spark)
+    out = {r["doc_id"]: r for r in c.pipe([
+        {"$redact": {"$cond": [{"$eq": ["$level", "public"]},
+                               "$$KEEP", "$$PRUNE"]}},
+    ]).all()}
+    # KEEP at root stops evaluation: doc 1 keeps its secret descendants
+    assert sorted(out) == [1, 3]
+    assert [i["name"] for i in out[1]["sub"]["items"]] == ["s1", "s2"]
+    assert [n["name"] for n in out[1]["notes"]] == ["n1", "n2"]
+    assert out[3]["sub"]["val"] == 3.0  # untouched under KEEP
+
+
+def test_redact_invalid_return_errors(engine, spark):
+    from py4j.protocol import Py4JJavaError
+    import pytest as _pytest
+    c = _redact_coll(engine, spark)
+    with _pytest.raises(Exception) as ei:
+        c.pipe([{"$redact": "$level"}]).all()
+    assert "DESCEND" in str(ei.value)
