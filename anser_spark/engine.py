@@ -18,6 +18,7 @@ engine workdir, leaving the source untouched.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -344,7 +345,7 @@ class Collection:
             return unquote(urlparse(uri).path)
         return uri
 
-    def _cow_rewrite(self, pred: F.Column, transform) -> None:
+    def _cow_rewrite(self, pred: F.Column, transform) -> bool:
         """File-level copy-on-write: rewrite ONLY the parquet files that
         contain rows matching ``pred``; hard-link every untouched file
         into the new version unchanged (copy if linking fails). The
@@ -359,8 +360,15 @@ class Collection:
 
         Falls back to a full rewrite when file-level surgery can't apply:
         single-file datasets, every file hit, ns-timestamp sources (new
-        µs files + old ns files can't share one dataset), or
-        hive-partitioned layouts not under our partition metadata.
+        µs files + old ns files can't share one dataset),
+        hive-partitioned layouts not under our partition metadata, or a
+        schema-changing transform (rewritten files would carry columns
+        the linked files lack — the plain reader silently drops them).
+
+        Returns True iff a new version was written (False ⇒ no row
+        matched ``pred`` and the current version stands). ``transform``
+        may be called twice (schema-change fallback) — driver-side side
+        effects inside it must be re-entrant.
         """
         from anser_spark.sources.readers import _ns_timestamp_columns, read_parquet_table
 
@@ -369,28 +377,36 @@ class Collection:
             raise NotFoundError(f"collection does not exist: {self.namespace}")
         if os.path.isfile(path) or _ns_timestamp_columns(path):
             self._rewrite(transform(self.df()))
-            return
+            return True
         all_files = self._data_files(path)
         pcols = self.partition_columns()
         if not pcols and any("=" in os.path.relpath(p, path) for p in all_files):
             # hive layout we don't manage — partition values wouldn't
             # survive a partial rewrite
             self._rewrite(transform(self.df()))
-            return
+            return True
         tagged = read_parquet_table(self.engine.spark, path, file_col="__file")
         hit_files = {
             self._local_path(r["__file"])
             for r in tagged.where(pred).select("__file").distinct().collect()
         }
         if not hit_files:
-            return  # no matching rows anywhere — current version stands
+            return False  # no matching rows anywhere — current version stands
         untouched = [p for p in all_files if p not in hit_files]
         if not untouched:
             self._rewrite(transform(self.df()))
-            return
+            return True
         affected = read_parquet_table(self.engine.spark, path, files=sorted(hit_files))
+        replacement = transform(affected)
+        shape = lambda s: sorted((f.name, f.dataType.simpleString()) for f in s.fields)  # noqa: E731
+        if shape(replacement.schema) != shape(affected.schema):
+            # schema evolved: a partial rewrite would leave a
+            # mixed-schema dataset — full rewrite keeps every file
+            # carrying the new shape
+            self._rewrite(transform(self.df()))
+            return True
         version, ptr = self._next_version()
-        vdir = self._write_version(transform(affected), version)
+        vdir = self._write_version(replacement, version)
         for src_file in untouched:
             rel = os.path.relpath(src_file, path)
             dst = os.path.join(vdir, rel)
@@ -400,6 +416,7 @@ class Collection:
             except OSError:
                 shutil.copy2(src_file, dst)
         self._swap_pointer(version, ptr)
+        return True
 
     def _cow_append(self, new_df: DataFrame) -> None:
         """Append-only copy-on-write: link EVERY existing file unchanged
@@ -752,60 +769,115 @@ class Bulk:
         return self
 
     def run(self) -> BulkResult:
+        """Submit the batch as ONE copy-on-write rewrite. The op chain
+        runs over only the parquet files hit by the OR of every op's
+        selector (evaluated against the pre-bulk data): a row first
+        touched by op k matched op k's selector in its original state,
+        so the union-predicate file set contains every row any op can
+        match — files outside it pass through as hard links.
+        """
         coll = self.collection
         result = BulkResult()
         if not self._ops:
             # reference errors on empty bulk (db/wrapper.go:320-322)
             raise ValueError("cannot run an empty bulk operation")
-        df = coll.df() if coll.exists() else None
+        exists = coll.exists()
         inserts: list[Mapping[str, Any]] = []
-        for kind, payload in self._ops:
-            if kind == "insert":
-                inserts.append(payload)
-                continue
-            if df is None:
-                raise NotFoundError(f"collection does not exist: {coll.namespace}")
-            if kind in ("update", "upsert"):
-                sel, upd = payload
-                pred = compile_filter(sel, df.schema)
-                hit = df.where(pred).orderBy(coll._order_key(df)).limit(1).collect()
-                if hit:
-                    key = coll._order_key(df)
-                    value = hit[0][0] if "_id" not in df.columns else hit[0]["_id"]
-                    df = apply_update(df, key.eqNullSafe(F.lit(value)), upd, df.schema)
-                    result.matched += 1
-                    result.modified += 1
-                elif kind == "upsert":
-                    inserts.append(synthesize_upsert_doc(sel, upd))
-            elif kind == "update_all":
-                sel, upd = payload
-                pred = compile_filter(sel, df.schema)
-                n = df.where(pred).count()
-                df = apply_update(df, pred, upd, df.schema)
-                result.matched += n
-                result.modified += n
-            elif kind == "remove":
-                pred = compile_filter(payload, df.schema)
-                hit = df.where(pred).orderBy(coll._order_key(df)).limit(1).collect()
-                if hit:
-                    key = coll._order_key(df)
-                    value = hit[0][0] if "_id" not in df.columns else hit[0]["_id"]
-                    df = df.where(~key.eqNullSafe(F.lit(value)))
-                    result.matched += 1
-            elif kind == "remove_all":
-                pred = compile_filter(payload, df.schema)
-                result.matched += df.where(pred).count()
-                df = df.where(~F.coalesce(pred, F.lit(False)))
-        if inserts:
+
+        def chain(df: DataFrame | None) -> DataFrame | None:
+            # re-entrant: _cow_rewrite may call the transform twice on
+            # its schema-change fallback — reset accumulators each call
+            result.matched = result.modified = 0
+            inserts.clear()
+            for kind, payload in self._ops:
+                if kind == "insert":
+                    inserts.append(payload)
+                    continue
+                if df is None:
+                    raise NotFoundError(f"collection does not exist: {coll.namespace}")
+                if kind in ("update", "upsert"):
+                    sel, upd = payload
+                    pred = compile_filter(sel, df.schema)
+                    hit = df.where(pred).orderBy(coll._order_key(df)).limit(1).collect()
+                    if hit:
+                        key = coll._order_key(df)
+                        value = hit[0][0] if "_id" not in df.columns else hit[0]["_id"]
+                        df = apply_update(df, key.eqNullSafe(F.lit(value)), upd, df.schema)
+                        result.matched += 1
+                        result.modified += 1
+                    elif kind == "upsert":
+                        inserts.append(synthesize_upsert_doc(sel, upd))
+                elif kind == "update_all":
+                    sel, upd = payload
+                    pred = compile_filter(sel, df.schema)
+                    n = df.where(pred).count()
+                    df = apply_update(df, pred, upd, df.schema)
+                    result.matched += n
+                    result.modified += n
+                elif kind == "remove":
+                    pred = compile_filter(payload, df.schema)
+                    hit = df.where(pred).orderBy(coll._order_key(df)).limit(1).collect()
+                    if hit:
+                        key = coll._order_key(df)
+                        value = hit[0][0] if "_id" not in df.columns else hit[0]["_id"]
+                        df = df.where(~key.eqNullSafe(F.lit(value)))
+                        result.matched += 1
+                elif kind == "remove_all":
+                    pred = compile_filter(payload, df.schema)
+                    result.matched += df.where(pred).count()
+                    df = df.where(~F.coalesce(pred, F.lit(False)))
+            return df
+
+        def with_inserts(df: DataFrame | None) -> DataFrame | None:
+            if not inserts:
+                return df
             new_df = coll._docs_to_df(inserts)
-            if df is not None:
-                df = df.unionByName(
-                    coll._align(new_df, df.schema), allowMissingColumns=True
-                )
-            else:
-                df = new_df
-        if df is not None:
-            coll._rewrite(df)
+            if df is None:
+                return new_df
+            return df.unionByName(
+                coll._align(new_df, df.schema), allowMissingColumns=True
+            )
+
+        if not exists:
+            out = with_inserts(chain(None))
+            if out is not None:
+                coll._rewrite(out)
+            return result
+
+        # combined selector over the PRE-bulk schema; a selector only
+        # compilable mid-chain (references a column an earlier op adds)
+        # falls back to the full-rewrite path
+        df0 = coll.df()
+        preds: list[F.Column] = []
+        cow_ok = True
+        try:
+            for kind, payload in self._ops:
+                if kind == "insert":
+                    continue
+                sel = payload if kind in ("remove", "remove_all") else payload[0]
+                preds.append(compile_filter(sel, df0.schema))
+        except Exception:  # noqa: BLE001
+            cow_ok = False
+
+        if not cow_ok:
+            coll._rewrite(with_inserts(chain(df0)))
+            return result
+        if not preds:
+            # insert-only bulk: append files, link everything else
+            chain(df0.limit(0))
+            coll._cow_append(coll._docs_to_df(inserts))
+            return result
+        combined = functools.reduce(
+            lambda a, b: a | b, [F.coalesce(p, F.lit(False)) for p in preds]
+        )
+        did = coll._cow_rewrite(combined, lambda sub: with_inserts(chain(sub)))
+        if not did:
+            # zero rows matched any selector: the op chain over an empty
+            # frame yields exactly the upsert-synthesized + literal
+            # inserts, with zero matched/modified
+            chain(df0.limit(0))
+            if inserts:
+                coll._cow_append(coll._docs_to_df(inserts))
         return result
 
 

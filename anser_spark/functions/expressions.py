@@ -54,10 +54,21 @@ def compile_expr(
             # Inside a level-rebinding scope ($redact), `$field` is
             # shorthand for `$$CURRENT.field` (Mongo's CURRENT rebinds
             # per document level); elsewhere CURRENT is unbound and the
-            # path resolves against the DataFrame's own columns.
+            # path resolves against the DataFrame's own columns. A path
+            # absent from the level's static type constant-folds to null
+            # (Mongo's missing-field semantics; blind getItem would be
+            # an AnalysisException on a fixed schema).
             if env is not None and "CURRENT" in env:
                 col = env["CURRENT"]
+                dt = env.get("CURRENT_TYPE")
                 for part in expr[1:].split("."):
+                    if isinstance(dt, T.StructType):
+                        if part in dt.fieldNames():
+                            dt = dt[part].dataType
+                        else:
+                            return F.lit(None)
+                    else:
+                        dt = None  # map/array element: dynamic lookup
                     col = col.getItem(part)
                 return col
             return resolve_field(expr[1:])

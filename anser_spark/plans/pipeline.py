@@ -338,9 +338,10 @@ def _redact(df: DataFrame, expr: Any) -> DataFrame:
     """
     root = F.struct(*[F.col(c) for c in df.columns])
 
-    def decision(cur: Column) -> Column:
+    def decision(cur: Column, level_type: T.StructType) -> Column:
         env = {
             "CURRENT": cur,
+            "CURRENT_TYPE": level_type,
             "ROOT": root,
             "DESCEND": F.lit("D"),
             "PRUNE": F.lit("P"),
@@ -370,7 +371,7 @@ def _redact(df: DataFrame, expr: Any) -> DataFrame:
         # non-document levels aren't themselves evaluated, as in Mongo
         elem = dt.elementType
         if isinstance(elem, T.StructType):
-            kept = F.filter(col, lambda x: x.isNull() | (decision(x) != F.lit("P")))
+            kept = F.filter(col, lambda x: x.isNull() | (decision(x, elem) != F.lit("P")))
             return F.transform(kept, lambda x: redact_struct(x, elem))
         return F.transform(col, lambda x: redact_value(x, elem))
 
@@ -383,7 +384,7 @@ def _redact(df: DataFrame, expr: Any) -> DataFrame:
                 for f in st.fields
             ]
         )
-        d = decision(s)
+        d = decision(s, st)
         return (
             F.when(s.isNull(), F.lit(None).cast(st))
             .when(d == "P", F.lit(None).cast(st))
@@ -391,8 +392,8 @@ def _redact(df: DataFrame, expr: Any) -> DataFrame:
             .otherwise(rebuilt)
         )
 
-    out = df.where(decision(root) != F.lit("P"))
-    keep_root = decision(root) == F.lit("K")
+    out = df.where(decision(root, df.schema) != F.lit("P"))
+    keep_root = decision(root, df.schema) == F.lit("K")
     cols = []
     for f in out.schema.fields:
         if has_documents(f.dataType):

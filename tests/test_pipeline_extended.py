@@ -249,8 +249,14 @@ def test_merge_modes(doc_collection, engine):
         ).all()
 
 
-def test_redact_unsupported(docs_df):
+def test_redact_root_prune(docs_df):
+    # $redact is implemented (test_round2.py covers nested levels);
+    # root-level decisions behave like a filter
     from anser_spark.plans.pipeline import compile_pipeline
 
-    with pytest.raises(PipelineCompileError, match="redact"):
-        compile_pipeline(docs_df, [{"$redact": {}}])
+    out = compile_pipeline(
+        docs_df,
+        [{"$redact": {"$cond": [
+            {"$eq": ["$status", "failed"]}, "$$PRUNE", "$$KEEP"]}}],
+    ).collect()
+    assert sorted(r["_id"] for r in out) == ["a1", "a3", "a4", "a5"]

@@ -681,3 +681,81 @@ def test_redact_invalid_return_errors(engine, spark):
     with _pytest.raises(Exception) as ei:
         c.pipe([{"$redact": "$level"}]).all()
     assert "DESCEND" in str(ei.value)
+
+
+# --- bulk copy-on-write + schema-change guard -------------------------
+
+def test_bulk_cow_rewrites_only_hit_partitions(engine, spark):
+    coll = engine.db("appdb").collection("bulk_parted")
+    coll.set_partitioning("part")
+    coll._rewrite(spark.createDataFrame(
+        [(i, i % 4, i * 1.0) for i in range(40)], "_id int, part int, x double"))
+    before = _inode_map(coll)
+    res = (coll.bulk()
+           .update_all({"part": 1}, {"$inc": {"x": 100.0}})
+           .remove_all({"part": 2, "_id": {"$lt": 10}})
+           .run())
+    assert res.matched == 10 + 2  # 10 rows in part=1; part=2 & _id<10 → ids 2, 6
+    after = _inode_map(coll)
+    for rel, ino in before.items():
+        if rel.startswith(("part=0", "part=3")):
+            assert after[rel] == ino, f"{rel} rewritten by bulk"
+    rows = {r["_id"]: r for r in coll.find({}).all()}
+    assert rows[1]["x"] == 101.0 and rows[5]["x"] == 105.0
+    assert 2 not in rows and 6 not in rows and 10 in rows
+
+
+def test_bulk_cow_upsert_no_match_appends(engine, spark):
+    coll = engine.db("appdb").collection("bulk_nomatch")
+    coll._rewrite(spark.createDataFrame([(1, "a")], "_id int, v string"))
+    before = _inode_map(coll)
+    res = (coll.bulk()
+           .upsert({"_id": 99}, {"$set": {"v": "new"}})
+           .update({"_id": -5}, {"$set": {"v": "never"}})
+           .run())
+    assert res.matched == 0 and res.modified == 0
+    after = _inode_map(coll)
+    for rel, ino in before.items():
+        assert after.get(rel) == ino, "no-match bulk rewrote existing files"
+    rows = {r["_id"]: r["v"] for r in coll.find({}).all()}
+    assert rows == {1: "a", 99: "new"}
+
+
+def test_bulk_insert_only_appends(engine, spark):
+    coll = engine.db("appdb").collection("bulk_insonly")
+    coll._rewrite(spark.createDataFrame([(1, "a")], "_id int, v string"))
+    before = _inode_map(coll)
+    coll.bulk().insert({"_id": 2, "v": "b"}, {"_id": 3, "v": "c"}).run()
+    after = _inode_map(coll)
+    for rel, ino in before.items():
+        assert after.get(rel) == ino
+    assert coll.count() == 3
+
+
+def test_cow_schema_adding_update_falls_back_to_full_rewrite(engine, spark):
+    # regression: a one-victim update ADDING a column used to rewrite
+    # only the victim's file — the plain reader then silently dropped
+    # the new column (mixed-schema dataset)
+    coll = engine.db("appdb").collection("schema_add")
+    coll._rewrite(spark.range(0, 100).selectExpr("id as _id", "id % 10 as grp").repartition(4))
+    assert len(_inode_map(coll)) > 1
+    coll.update({"_id": 7}, {"$set": {"newfield": "hello"}})
+    rows = {r["_id"]: r for r in coll.find({}).all()}
+    assert rows[7]["newfield"] == "hello"
+    assert rows[8]["newfield"] is None
+    assert len(rows) == 100
+
+
+def test_bulk_sequential_visibility_across_cow(engine, spark):
+    # op 2 matches rows op 1 modified — the chain must see them even
+    # though file detection used pre-bulk state
+    coll = engine.db("appdb").collection("bulk_seq")
+    coll._rewrite(spark.createDataFrame(
+        [(i, "init") for i in range(6)], "_id int, v string"))
+    res = (coll.bulk()
+           .update_all({"_id": {"$lt": 3}}, {"$set": {"v": "stage1"}})
+           .update_all({"v": "stage1"}, {"$set": {"v": "stage2"}})
+           .run())
+    assert res.matched == 6  # 3 + 3
+    rows = {r["_id"]: r["v"] for r in coll.find({}).all()}
+    assert rows == {0: "stage2", 1: "stage2", 2: "stage2", 3: "init", 4: "init", 5: "init"}
