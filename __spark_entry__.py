@@ -853,6 +853,69 @@ def _q_media_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+def _q_group_top_bottom(spark, sf_dir):
+    # $top/$bottom/$topN accumulators (Mongo 5.2) — sorted-struct
+    # collect + slice, distributed partial aggregation
+    return (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe(
+            [
+                {"$group": {
+                    "_id": "$o_orderpriority",
+                    "top_price": {"$top": {
+                        "output": "$o_totalprice", "sortBy": {"o_orderkey": 1}}},
+                    "bot_price": {"$bottom": {
+                        "output": "$o_totalprice", "sortBy": {"o_orderkey": 1}}},
+                    "top3": {"$topN": {
+                        "output": "$o_totalprice", "sortBy": {"o_orderkey": 1},
+                        "n": 3}},
+                }},
+                {"$project": {
+                    "_id": 0,
+                    "prio": "$_id",
+                    "top_price": 1,
+                    "bot_price": 1,
+                    "t1": {"$arrayElemAt": ["$top3", 0]},
+                    "t2": {"$arrayElemAt": ["$top3", 1]},
+                    "t3": {"$arrayElemAt": ["$top3", 2]},
+                }},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_group_median_pct(spark, sf_dir):
+    # $median/$percentile accumulators — Spark exact percentile (linear
+    # interpolation, same as DuckDB quantile_cont; Mongo's own are
+    # t-digest approximations, documented divergence)
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .pipe(
+            [
+                {"$group": {
+                    "_id": "$l_returnflag",
+                    "med": {"$median": {
+                        "input": "$l_quantity", "method": "approximate"}},
+                    "pct": {"$percentile": {
+                        "input": "$l_quantity", "p": [0.25, 0.75],
+                        "method": "approximate"}},
+                }},
+                {"$project": {
+                    "_id": 0,
+                    "flag": "$_id",
+                    "med": 1,
+                    "p25": {"$arrayElemAt": ["$pct", 0]},
+                    "p75": {"$arrayElemAt": ["$pct", 1]},
+                }},
+            ]
+        )
+        .to_df()
+    )
+
+
 def _q_redact_levels(spark, sf_dir):
     # $redact over a two-level document built by $project: root-level
     # $$PRUNE drops rows, nested $$PRUNE nulls the embedded doc — all
@@ -950,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_auto": _q_bucket_auto,
         "session_windows": _q_session_windows,
         "redact_levels": _q_redact_levels,
+        "group_top_bottom": _q_group_top_bottom,
+        "group_median_pct": _q_group_median_pct,
         "media_plumbing": _q_media_plumbing,
         "media_features": _q_media_features,
     }
@@ -1282,6 +1347,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "group_top_bottom": """
+            WITH ranked AS (
+                SELECT o_orderpriority, o_totalprice,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_orderkey) AS rn,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                FROM orders
+            )
+            SELECT o_orderpriority AS prio,
+                   max(CASE WHEN rn = 1 THEN o_totalprice END) AS top_price,
+                   max(CASE WHEN rn = cnt THEN o_totalprice END) AS bot_price,
+                   max(CASE WHEN rn = 1 THEN o_totalprice END) AS t1,
+                   max(CASE WHEN rn = 2 THEN o_totalprice END) AS t2,
+                   max(CASE WHEN rn = 3 THEN o_totalprice END) AS t3
+            FROM ranked GROUP BY o_orderpriority
+        """,
+        "group_median_pct": """
+            SELECT l_returnflag AS flag,
+                   median(l_quantity) AS med,
+                   quantile_cont(l_quantity, 0.25) AS p25,
+                   quantile_cont(l_quantity, 0.75) AS p75
+            FROM lineitem GROUP BY l_returnflag
         """,
         "redact_levels": """
             SELECT o_orderkey,

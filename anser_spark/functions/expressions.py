@@ -99,6 +99,33 @@ def _fold(cols: Sequence[Column], fn) -> Column:
     return functools.reduce(fn, cols)
 
 
+def _mongo_date_format(fmt: str) -> str:
+    """Mongo %-token date format → Spark/Java pattern."""
+    return (
+        fmt.replace("%Y", "yyyy")
+        .replace("%m", "MM")
+        .replace("%d", "dd")
+        .replace("%H", "HH")
+        .replace("%M", "mm")
+        .replace("%S", "ss")
+        .replace("%L", "SSS")
+        .replace("%j", "DDD")
+    )
+
+
+def _regex_pattern(arg: Mapping[str, Any]) -> str:
+    """$regexFind/$regexFindAll/$regexMatch pattern with inline options."""
+    pattern = arg["regex"]
+    opts = arg.get("options", "")
+    if "i" in opts:
+        pattern = f"(?i){pattern}"
+    if "s" in opts:
+        pattern = f"(?s){pattern}"
+    if "m" in opts:
+        pattern = f"(?m){pattern}"
+    return pattern
+
+
 def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
     c = lambda a: compile_expr(a, schema, env)  # noqa: E731
 
@@ -304,15 +331,7 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         return F.date_trunc(unit, c(arg["date"]))
     if op == "$dateToString":
         fmt = arg.get("format", "%Y-%m-%dT%H:%M:%S")
-        spark_fmt = (
-            fmt.replace("%Y", "yyyy")
-            .replace("%m", "MM")
-            .replace("%d", "dd")
-            .replace("%H", "HH")
-            .replace("%M", "mm")
-            .replace("%S", "ss")
-        )
-        return F.date_format(c(arg["date"]), spark_fmt)
+        return F.date_format(c(arg["date"]), _mongo_date_format(fmt))
 
     # ---- arrays
     if op == "$size":
@@ -397,6 +416,70 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
     if op == "$setDifference":
         a, b = _args(arg, schema, env)
         return F.array_except(a, b)
+    if op == "$setIsSubset":
+        a, b = _args(arg, schema, env)
+        return F.size(F.array_except(a, b)) == 0
+    if op == "$setEquals":
+        cols = _args(arg, schema, env)
+        out = F.lit(True)
+        for x, y in zip(cols, cols[1:]):
+            out = out & (F.size(F.array_except(x, y)) == 0) & (F.size(F.array_except(y, x)) == 0)
+        return out
+    if op == "$anyElementTrue":
+        [a] = _args(arg, schema, env)
+        return F.exists(a, lambda x: F.coalesce(x.cast("boolean"), F.lit(False)))
+    if op == "$allElementsTrue":
+        [a] = _args(arg, schema, env)
+        return F.forall(a, lambda x: F.coalesce(x.cast("boolean"), F.lit(False)))
+    if op == "$sortArray":
+        asc = arg.get("sortBy", 1)
+        if asc not in (1, -1):
+            raise ExprCompileError("$sortArray supports scalar sortBy 1/-1 only")
+        return F.sort_array(c(arg["input"]), asc=asc == 1)
+    if op == "$firstN":
+        return F.slice(c(arg["input"]), 1, int(arg["n"]))
+    if op == "$lastN":
+        inp, n = c(arg["input"]), int(arg["n"])
+        return F.when(F.size(inp) <= n, inp).otherwise(
+            F.slice(inp, F.size(inp) - F.lit(n - 1), F.lit(n))
+        )
+    if op == "$maxN":
+        return F.slice(
+            F.sort_array(F.filter(c(arg["input"]), lambda x: x.isNotNull()), asc=False),
+            1, int(arg["n"]),
+        )
+    if op == "$minN":
+        return F.slice(
+            F.sort_array(F.filter(c(arg["input"]), lambda x: x.isNotNull())),
+            1, int(arg["n"]),
+        )
+
+    if op == "$first":
+        return F.try_element_at(c(arg), F.lit(1))
+    if op == "$last":
+        return F.try_element_at(c(arg), F.lit(-1))
+    if op == "$median":
+        # Mongo computes an approximate median; over an ARRAY expression
+        # we give the exact lower-interpolated one (array_sort + middle)
+        spec = arg if isinstance(arg, Mapping) else {"input": arg}
+        a = F.filter(c(spec["input"]), lambda x: x.isNotNull())
+        srt = F.sort_array(a)
+        n = F.size(srt)
+        return F.try_element_at(srt, ((n + 1) / 2).cast("int"))
+    if op == "$getField":
+        if isinstance(arg, str):
+            return resolve_field(arg) if env is None or "CURRENT" not in env else c(f"${arg}")
+        inp = c(arg.get("input", "$$CURRENT" if env and "CURRENT" in env else None)) \
+            if arg.get("input") is not None else None
+        if inp is None:
+            raise ExprCompileError("$getField needs input outside $redact scopes")
+        return inp.getItem(arg["field"])
+    if op == "$setField":
+        inp = c(arg["input"])
+        val = c(arg["value"])
+        return inp.withField(arg["field"], val)
+    if op == "$unsetField":
+        return c(arg["input"]).dropFields(arg["field"])
 
     # ---- n-ary min/max/sum/avg over expression args (non-accumulator form)
     if op == "$min":
@@ -416,6 +499,101 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
             arr = cols[0]
             return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double")) / F.size(arr)
         return _fold(cols, lambda a, b: a + b) / F.lit(len(cols))
+
+    # ---- trig / extended math
+    _TRIG = {
+        "$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
+        "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
+        "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+        "$asinh": F.asinh, "$acosh": F.acosh, "$atanh": F.atanh,
+        "$log10": F.log10,
+        "$degreesToRadians": F.radians, "$radiansToDegrees": F.degrees,
+    }
+    if op in _TRIG:
+        return _TRIG[op](c(arg))
+    if op == "$atan2":
+        a, b = _args(arg, schema, env)
+        return F.atan2(a, b)
+    if op == "$rand":
+        return F.rand()
+    if op == "$bitAnd":
+        return _fold(_args(arg, schema, env), lambda a, b: a.bitwiseAND(b))
+    if op == "$bitOr":
+        return _fold(_args(arg, schema, env), lambda a, b: a.bitwiseOR(b))
+    if op == "$bitXor":
+        return _fold(_args(arg, schema, env), lambda a, b: a.bitwiseXOR(b))
+    if op == "$bitNot":
+        return F.bitwise_not(c(arg))
+    if op == "$binarySize":
+        return F.octet_length(c(arg))
+
+    # ---- regex find (beyond $regexMatch)
+    if op == "$regexFind":
+        inp, rx = c(arg["input"]), F.lit(_regex_pattern(arg))
+        pos = F.regexp_instr(inp, rx)
+        return F.when(
+            pos > 0,
+            F.struct(
+                F.regexp_substr(inp, rx).alias("match"),
+                (pos - 1).cast("int").alias("idx"),
+            ),
+        )
+    if op == "$regexFindAll":
+        inp, rx = c(arg["input"]), F.lit(_regex_pattern(arg))
+        return F.regexp_extract_all(inp, rx, F.lit(0))
+    if op == "$replaceOne":
+        inp, find, repl = c(arg["input"]), c(arg["find"]), c(arg["replacement"])
+        pos = F.instr(inp, find)
+        return F.when(pos == 0, inp).otherwise(
+            F.concat(
+                F.substring(inp, F.lit(1), pos - 1),
+                repl,
+                F.substring(inp, pos + F.length(find), F.length(inp)),
+            )
+        )
+
+    # ---- extended dates
+    if op == "$millisecond":
+        ts = c(arg["date"]) if isinstance(arg, Mapping) else c(arg)
+        return F.date_format(ts, "SSS").cast("int")
+    if op == "$isoWeek":
+        ts = c(arg["date"]) if isinstance(arg, Mapping) else c(arg)
+        return F.weekofyear(ts)
+    if op == "$isoWeekYear":
+        ts = c(arg["date"]) if isinstance(arg, Mapping) else c(arg)
+        return F.date_part(F.lit("YEAROFWEEK"), ts)
+    if op == "$isoDayOfWeek":
+        ts = c(arg["date"]) if isinstance(arg, Mapping) else c(arg)
+        # Spark dayofweek: 1=Sunday; ISO: 1=Monday
+        return ((F.dayofweek(ts) + F.lit(5)) % 7) + 1
+    if op == "$dateFromString":
+        ds = c(arg["dateString"])
+        fmt = arg.get("format")
+        out = F.to_timestamp(ds, _mongo_date_format(fmt)) if fmt else F.to_timestamp(ds)
+        if "onNull" in arg:
+            out = F.when(ds.isNull(), c(arg["onNull"])).otherwise(out)
+        return out
+    if op == "$dateFromParts":
+        return F.make_timestamp(
+            c(arg["year"]).cast("int"),
+            c(arg.get("month", 1)).cast("int"),
+            c(arg.get("day", 1)).cast("int"),
+            c(arg.get("hour", 0)).cast("int"),
+            c(arg.get("minute", 0)).cast("int"),
+            c(arg.get("second", 0)).cast("int")
+            + c(arg.get("millisecond", 0)).cast("double") / 1000.0,
+        )
+    if op == "$dateToParts":
+        ts = c(arg["date"])
+        return F.struct(
+            F.year(ts).alias("year"),
+            F.month(ts).alias("month"),
+            F.dayofmonth(ts).alias("day"),
+            F.hour(ts).alias("hour"),
+            F.minute(ts).alias("minute"),
+            F.second(ts).alias("second"),
+            F.date_format(ts, "SSS").cast("int").alias("millisecond"),
+        )
 
     # ---- type conversion
     if op == "$toString":

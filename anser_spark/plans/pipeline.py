@@ -47,6 +47,16 @@ _ACCUMULATORS = {
     "$count",
     "$stdDevPop",
     "$stdDevSamp",
+    "$median",
+    "$percentile",
+    "$maxN",
+    "$minN",
+    "$firstN",
+    "$lastN",
+    "$top",
+    "$bottom",
+    "$topN",
+    "$bottomN",
 }
 
 
@@ -261,6 +271,9 @@ def _acc_column(spec: Mapping[str, Any], schema) -> Column:
         raise PipelineCompileError(f"unsupported accumulator: {op}")
     if op == "$count":
         return F.count(F.lit(1))
+    ext = _acc_column_extended(op, arg, schema)
+    if ext is not None:
+        return ext
     if op == "$sum":
         if isinstance(arg, (int, float)) and not isinstance(arg, bool):
             if arg == 1:
@@ -287,6 +300,74 @@ def _acc_column(spec: Mapping[str, Any], schema) -> Column:
     if op == "$stdDevSamp":
         return F.stddev_samp(expr)
     raise PipelineCompileError(f"unsupported accumulator: {op}")
+
+
+def _sorted_struct_agg(arg: Mapping[str, Any], schema) -> Column:
+    """collect_list(struct(sortKeys…, output)) sorted by the sortBy spec
+    — the shared scaffold of $top/$bottom/$topN/$bottomN. Distributed:
+    partial collect per partition, one merge; per-group arrays only
+    (bounded by group size, same contract as Mongo's 100MB group limit)."""
+    sort_by = arg["sortBy"]
+    dirs = list(sort_by.values())
+    if not all(d == dirs[0] for d in dirs):
+        raise PipelineCompileError(
+            "$top/$bottom sortBy with mixed directions is not supported"
+        )
+    asc = dirs[0] in (1, True)
+    keys = [
+        compile_expr(f"${f}", schema).alias(f"__k{i}")
+        for i, f in enumerate(sort_by)
+    ]
+    out = compile_expr(arg["output"], schema).alias("__o")
+    return F.sort_array(F.collect_list(F.struct(*keys, out)), asc=asc)
+
+
+def _acc_column_extended(op: str, arg: Any, schema) -> Column | None:
+    """Mongo 5.2+/7.0 accumulators. $median/$percentile use Spark's
+    exact implementations (Mongo's are t-digest approximations —
+    documented divergence, exact ⊇ approximate in quality)."""
+    if op == "$median":
+        return F.median(compile_expr(arg["input"], schema))
+    if op == "$percentile":
+        ps = arg["p"]
+        expr = compile_expr(arg["input"], schema)
+        return F.percentile(expr, F.array(*[F.lit(float(p)) for p in ps]))
+    if op in ("$maxN", "$minN"):
+        expr = compile_expr(arg["input"], schema)
+        n = int(arg["n"])
+        return F.slice(
+            F.sort_array(F.collect_list(expr), asc=op == "$minN"), 1, n
+        )
+    if op in ("$firstN", "$lastN"):
+        # struct-wrap to keep nulls (collect_list drops bare nulls;
+        # Mongo $firstN/$lastN keep them)
+        expr = compile_expr(arg["input"], schema)
+        n = int(arg["n"])
+        wrapped = F.collect_list(F.struct(expr.alias("__v")))
+        if op == "$firstN":
+            sliced = F.slice(wrapped, 1, n)
+        else:
+            sliced = F.when(F.size(wrapped) <= n, wrapped).otherwise(
+                F.slice(wrapped, F.size(wrapped) - F.lit(n - 1), F.lit(n))
+            )
+        return F.transform(sliced, lambda s: s.getField("__v"))
+    if op == "$top":
+        srt = _sorted_struct_agg(arg, schema)
+        return F.try_element_at(srt, F.lit(1)).getField("__o")
+    if op == "$bottom":
+        srt = _sorted_struct_agg(arg, schema)
+        return F.try_element_at(srt, F.lit(-1)).getField("__o")
+    if op in ("$topN", "$bottomN"):
+        srt = _sorted_struct_agg(arg, schema)
+        n = int(arg["n"])
+        if op == "$topN":
+            sliced = F.slice(srt, 1, n)
+        else:
+            sliced = F.when(F.size(srt) <= n, srt).otherwise(
+                F.slice(srt, F.size(srt) - F.lit(n - 1), F.lit(n))
+            )
+        return F.transform(sliced, lambda s: s.getField("__o"))
+    return None
 
 
 def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
@@ -750,7 +831,7 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
     _AGG_OPS = {"$sum", "$avg", "$min", "$max", "$count", "$first", "$last",
                 "$push", "$addToSet", "$stdDevPop", "$stdDevSamp",
-                "$covariancePop", "$covarianceSamp"}
+                "$covariancePop", "$covarianceSamp", "$median", "$percentile"}
     # fixed-width units only; month/quarter/year are calendar-irregular
     _UNIT_MS = {
         "millisecond": 1,
@@ -856,6 +937,21 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         elif op in ("$stdDevPop", "$stdDevSamp"):
             fn = F.stddev_pop if op == "$stdDevPop" else F.stddev_samp
             col = fn(compile_expr(oparg, df.schema)).over(wf)
+        elif op in ("$median", "$percentile"):
+            # Spark forbids ORDER BY / frames on window median/percentile
+            # — whole-partition only (which IS Mongo's default window)
+            if frame is not None:
+                raise PipelineCompileError(
+                    f"{op} supports only the whole-partition default window"
+                )
+            wp = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
+            inp = compile_expr(oparg["input"], df.schema)
+            if op == "$median":
+                col = F.median(inp).over(wp)
+            else:
+                col = F.percentile(
+                    inp, F.array(*[F.lit(float(p)) for p in oparg["p"]])
+                ).over(wp)
         elif op in ("$covariancePop", "$covarianceSamp"):
             a, b = oparg
             fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
