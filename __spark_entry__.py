@@ -853,6 +853,50 @@ def _q_media_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+def _q_asof_join_events(spark, sf_dir):
+    # as-of join (union-and-carry: ONE shuffle + ordered window, no
+    # nested-loop) — each click gets the most recent error's value for
+    # the same user; oracle is DuckDB's native ASOF LEFT JOIN
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.temporal import asof_join
+
+    events = _db(spark, sf_dir).collection("events").df()
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, errors, on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id", F.col("value").alias("last_err_value")
+    )
+
+
+def _q_interval_join_events(spark, sf_dir):
+    # range/interval join via time-bucket equi-join (hash-joinable; no
+    # BroadcastNestedLoopJoin) — clicks landing inside 2-hour windows
+    # opened by each error of the same user
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.temporal import interval_join
+
+    events = _db(spark, sf_dir).collection("events").df()
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    windows = events.where(F.col("event_type") == "error").select(
+        F.col("user_id"),
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("t1"),
+    )
+    out = interval_join(clicks, windows, "ts", "t0", "t1",
+                        by="user_id", bucket="1 hour")
+    return out.select("event_id", "user_id", "win_id")
+
+
 def _q_group_top_bottom(spark, sf_dir):
     # $top/$bottom/$topN accumulators (Mongo 5.2) — sorted-struct
     # collect + slice, distributed partial aggregation
@@ -1013,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_auto": _q_bucket_auto,
         "session_windows": _q_session_windows,
         "redact_levels": _q_redact_levels,
+        "asof_join_events": _q_asof_join_events,
+        "interval_join_events": _q_interval_join_events,
         "group_top_bottom": _q_group_top_bottom,
         "group_median_pct": _q_group_median_pct,
         "media_plumbing": _q_media_plumbing,
@@ -1347,6 +1393,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "asof_join_events": """
+            SELECT l.event_id, l.user_id, r.value AS last_err_value
+            FROM (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_join_events": """
+            SELECT l.event_id, l.user_id, r.event_id AS win_id
+            FROM (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'click') l
+            JOIN (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'error') r
+              ON l.user_id = r.user_id
+             AND l.ts >= r.ts
+             AND l.ts < r.ts + INTERVAL 2 HOUR
         """,
         "group_top_bottom": """
             WITH ranked AS (
