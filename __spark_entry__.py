@@ -853,6 +853,32 @@ def _q_media_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+def _q_heavy_hitters(spark, sf_dir):
+    # exact top-k frequent values (two-level agg; only (value,count)
+    # pairs shuffle) — the verification path for frequency sketches
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.sketches import heavy_hitters
+
+    events = _db(spark, sf_dir).collection("events").df()
+    keyed = events.select(F.get_json_object("props", "$.k").alias("kv"))
+    return heavy_hitters(keyed, "kv", k=10)
+
+
+def _q_hll_distinct(spark, sf_dir):
+    # mergeable HLL sketches per event type + lossless union (rows-only:
+    # DataSketches estimates have no DuckDB twin); asserts merge ==
+    # direct in tests/test_sketches.py
+    from anser_spark.operators.sketches import hll_distinct, hll_merge_estimate
+
+    events = _db(spark, sf_dir).collection("events").df()
+    per_type = hll_distinct(events, "user_id", by="event_type")
+    merged = hll_merge_estimate(per_type).select("distinct_est")
+    return per_type.select("event_type", "distinct_est").unionByName(
+        merged.selectExpr("'__all__' AS event_type", "distinct_est")
+    )
+
+
 def _q_asof_join_events(spark, sf_dir):
     # as-of join (union-and-carry: ONE shuffle + ordered window, no
     # nested-loop) — each click gets the most recent error's value for
@@ -1057,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_auto": _q_bucket_auto,
         "session_windows": _q_session_windows,
         "redact_levels": _q_redact_levels,
+        "heavy_hitters": _q_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
         "asof_join_events": _q_asof_join_events,
         "interval_join_events": _q_interval_join_events,
         "group_top_bottom": _q_group_top_bottom,
@@ -1394,6 +1422,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS total_value
             FROM sess GROUP BY user_id, sid
         """,
+        "heavy_hitters": """
+            SELECT value, freq FROM (
+                SELECT json_extract_string(props, '$.k') AS value,
+                       count(*) AS freq
+                FROM events GROUP BY 1
+            ) ORDER BY freq DESC, value ASC LIMIT 10
+        """,
         "asof_join_events": """
             SELECT l.event_id, l.user_id, r.value AS last_err_value
             FROM (SELECT event_id, ts, user_id FROM events
@@ -1451,7 +1486,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # minhash_near_dups / embedding_near_dups / text_stats /
-        # simhash_fingerprints / ngram_jaccard / media_features:
+        # simhash_fingerprints / ngram_jaccard / media_features /
+        # hll_distinct:
         # approximate or hash-digest-derived operators — intentionally
         # no SQL oracle (driver records the rows-only check).
     }

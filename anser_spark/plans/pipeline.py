@@ -215,6 +215,14 @@ def _compile_stage(  # noqa: C901
     if op == "$redact":
         return _redact(df, arg)
 
+    if op == "$documents":
+        # inline literal source (Mongo 5.1; db.aggregate-level stage).
+        # Mongo requires it first in a db-level pipeline; here it simply
+        # replaces the current frame with the literal documents.
+        if not isinstance(arg, (list, tuple)) or not arg:
+            raise PipelineCompileError("$documents requires a non-empty list")
+        return df.sparkSession.createDataFrame(list(arg))
+
     if op == "$out":
         if sink is None:
             raise PipelineCompileError("$out requires a sink")
@@ -532,6 +540,15 @@ def _lookup(
     if resolve is None:
         raise PipelineCompileError("$lookup requires a collection resolver")
     if "pipeline" in arg:
+        if "localField" in arg and "foreignField" in arg:
+            # Mongo 8 concise syntax: localField/foreignField alongside a
+            # pipeline = an implicit $expr equality prepended to it
+            arg = dict(arg)
+            lf, ff = arg.pop("localField"), arg.pop("foreignField")
+            arg["let"] = {**arg.get("let", {}), "__lf": f"${lf}"}
+            arg["pipeline"] = [
+                {"$match": {"$expr": {"$eq": ["$$__lf", f"${ff}"]}}}
+            ] + list(arg["pipeline"])
         return _lookup_pipeline(df, arg, resolve, unwind_preserve)
     for field in ("from", "localField", "foreignField", "as"):
         if field not in arg:
@@ -1438,6 +1455,46 @@ class Aggregation:
                     else:
                         overlaid = overlaid.withColumn(c, F.col(f"__new_{c}"))
                 overlaid = overlaid.drop(*[f"__new_{c}" for c in df.columns if c != on])
+                kept_base = base.join(df.select(on), on=on, how="left_anti").unionByName(
+                    overlaid, allowMissingColumns=True
+                )
+                incoming_matched = df.limit(0)
+            elif isinstance(when_matched, (list, tuple)):
+                # whenMatched PIPELINE (Mongo): stages run against the
+                # EXISTING doc with the incoming doc bound as $$new;
+                # restricted to $set/$addFields/$unset/$replaceWith as
+                # in Mongo. One joined plan, still a single rewrite.
+                upd = df.select(
+                    *[F.col(c).alias(f"__new_{c}") for c in df.columns]
+                )
+                overlaid = base.join(
+                    upd, on=base[on].eqNullSafe(F.col(f"__new_{on}")), how="inner"
+                )
+                new_struct = F.struct(
+                    *[F.col(f"__new_{c}").alias(c) for c in df.columns]
+                )
+                for st in when_matched:
+                    sop, sarg = next(iter(st.items()))
+                    if sop in ("$set", "$addFields"):
+                        for fname, fexpr in sarg.items():
+                            overlaid = overlaid.withColumn(
+                                fname,
+                                compile_expr(fexpr, overlaid.schema, {"new": new_struct}),
+                            )
+                    elif sop == "$unset":
+                        names = [sarg] if isinstance(sarg, str) else list(sarg)
+                        overlaid = overlaid.drop(*[n for n in names if n in overlaid.columns])
+                    elif sop in ("$replaceRoot", "$replaceWith"):
+                        root_expr = sarg["newRoot"] if sop == "$replaceRoot" else sarg
+                        col = compile_expr(root_expr, overlaid.schema, {"new": new_struct})
+                        overlaid = overlaid.select(col.alias("__root")).select("__root.*")
+                    else:
+                        raise PipelineCompileError(
+                            f"$merge whenMatched pipeline does not allow {sop}"
+                        )
+                overlaid = overlaid.drop(
+                    *[f"__new_{c}" for c in df.columns if f"__new_{c}" in overlaid.columns]
+                )
                 kept_base = base.join(df.select(on), on=on, how="left_anti").unionByName(
                     overlaid, allowMissingColumns=True
                 )

@@ -759,3 +759,60 @@ def test_bulk_sequential_visibility_across_cow(engine, spark):
     assert res.matched == 6  # 3 + 3
     rows = {r["_id"]: r["v"] for r in coll.find({}).all()}
     assert rows == {0: "stage2", 1: "stage2", 2: "stage2", 3: "init", 4: "init", 5: "init"}
+
+
+# --- $merge whenMatched pipeline, concise $lookup, $documents ---------
+
+def test_merge_when_matched_pipeline(engine, spark):
+    db = engine.db("appdb")
+    tgt = db.collection("merge_tgt")
+    tgt._rewrite(spark.createDataFrame(
+        [(1, 10.0, 1), (2, 20.0, 1)], "_id int, total double, n int"))
+    src = db.collection("merge_src")
+    src._rewrite(spark.createDataFrame(
+        [(1, 5.0), (3, 7.0)], "_id int, total double"))
+    src.pipe([
+        {"$merge": {
+            "into": "merge_tgt",
+            "on": "_id",
+            "whenMatched": [
+                {"$set": {
+                    "total": {"$add": ["$total", "$$new.total"]},
+                    "n": {"$add": ["$n", 1]},
+                }},
+            ],
+            "whenNotMatched": "insert",
+        }},
+    ]).all()
+    rows = {r["_id"]: r for r in tgt.find({}).all()}
+    assert rows[1]["total"] == 15.0 and rows[1]["n"] == 2  # merged
+    assert rows[2]["total"] == 20.0 and rows[2]["n"] == 1  # untouched
+    assert rows[3]["total"] == 7.0                          # inserted
+
+
+def test_lookup_concise_with_pipeline(engine):
+    orders = engine.db("tpch").collection("orders")
+    out = orders.pipe([
+        {"$match": {"o_orderkey": {"$lte": 20}}},
+        {"$lookup": {
+            "from": "customer",
+            "localField": "o_custkey",
+            "foreignField": "c_custkey",
+            "pipeline": [{"$project": {"c_name": 1, "c_custkey": 1}}],
+            "as": "cust",
+        }},
+        {"$unwind": "$cust"},
+    ]).all()
+    assert len(out) > 0
+    for r in out:
+        assert r["cust"]["c_custkey"] == r["o_custkey"]
+        assert r["cust"]["c_name"].startswith("Customer")
+
+
+def test_documents_stage(engine):
+    c = engine.db("tpch").collection("orders")
+    out = c.pipe([
+        {"$documents": [{"x": 1, "y": "a"}, {"x": 2, "y": "b"}]},
+        {"$match": {"x": {"$gte": 2}}},
+    ]).all()
+    assert out == [{"x": 2, "y": "b"}]
