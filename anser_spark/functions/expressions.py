@@ -132,6 +132,48 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
     # ---- literals / variables
     if op == "$literal":
         return F.lit(arg)
+    if op == "$let":
+        inner = dict(env or {})
+        for vname, vexpr in arg.get("vars", {}).items():
+            inner[vname] = compile_expr(vexpr, schema, inner)
+        return compile_expr(arg["in"], schema, inner)
+
+    # ---- static type introspection (fixed schema ⇒ constant per path;
+    # supported for "$path" args, where the answer is knowable)
+    if op in ("$type", "$isNumber", "$isArray"):
+        from anser_spark.functions.filters import field_type
+
+        if not (isinstance(arg, str) and arg.startswith("$")):
+            raise ExprCompileError(f"{op} supports field-path arguments only")
+        dt = field_type(schema, arg[1:]) if schema is not None else None
+        val = c(arg)
+        if dt is None:
+            missing = {"$type": "missing", "$isNumber": False, "$isArray": False}
+            return F.lit(missing[op])
+        if op == "$isNumber":
+            return F.when(val.isNull(), F.lit(False)).otherwise(
+                F.lit(isinstance(dt, T.NumericType))
+            )
+        if op == "$isArray":
+            return F.when(val.isNull(), F.lit(False)).otherwise(
+                F.lit(isinstance(dt, T.ArrayType))
+            )
+        names = {
+            T.StringType: "string", T.BooleanType: "bool",
+            T.IntegerType: "int", T.LongType: "long",
+            T.DoubleType: "double", T.FloatType: "double",
+            T.TimestampType: "date", T.DateType: "date",
+            T.BinaryType: "binData",
+        }
+        if isinstance(dt, T.ArrayType):
+            tname = "array"
+        elif isinstance(dt, (T.StructType, T.MapType)):
+            tname = "object"
+        elif isinstance(dt, T.DecimalType):
+            tname = "decimal"
+        else:
+            tname = names.get(type(dt), dt.simpleString())
+        return F.when(val.isNull(), F.lit("null")).otherwise(F.lit(tname))
 
     # ---- arithmetic
     if op == "$add":

@@ -181,6 +181,14 @@ def compile_filter(flt: Mapping[str, Any] | None, schema: T.StructType | None = 
             from anser_spark.functions.expressions import compile_expr
 
             clauses.append(compile_expr(value, schema).cast("boolean"))
+        elif key == "$sampleRate":
+            # Bernoulli sample of matching docs (Mongo 4.4.2+); executor-
+            # local rand, no shuffle — same contract as Mongo's
+            # non-deterministic sampling
+            rate = float(value)
+            if not 0.0 <= rate <= 1.0:
+                raise FilterCompileError("$sampleRate must be in [0, 1]")
+            clauses.append(F.rand() < F.lit(rate))
         elif key.startswith("$"):
             raise FilterCompileError(f"unsupported top-level operator: {key}")
         else:

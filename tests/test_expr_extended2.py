@@ -197,3 +197,40 @@ def test_window_median_percentile(nums):
     assert out[1]["med"] == 20.0 and out[2]["med"] == 20.0
     assert out[1]["p50"] == [20.0]
     assert out[4]["med"] == 5.0  # group b: null ignored
+
+
+def test_let_and_type_introspection(doc_collection):
+    out = {r["_id"]: r for r in pipe(doc_collection, [
+        {"$project": {
+            "tot": {"$let": {
+                "vars": {"p": {"$ifNull": ["$priority", 0]}, "v": "$version"},
+                "in": {"$add": ["$$p", "$$v"]},
+            }},
+            "t_status": {"$type": "$status"},
+            "t_prio": {"$type": "$priority"},
+            "t_tags": {"$type": "$tags"},
+            "t_meta": {"$type": "$meta"},
+            "t_missing": {"$type": "$nope"},
+            "isnum": {"$isNumber": "$priority"},
+            "isarr": {"$isArray": "$tags"},
+        }},
+    ])}
+    assert out["a1"]["tot"] == 10
+    assert out["a3"]["tot"] == 2  # null priority → 0 + version 2
+    assert out["a1"]["t_status"] == "string"
+    assert out["a1"]["t_prio"] == "long"
+    assert out["a3"]["t_prio"] == "null"   # null value
+    assert out["a1"]["t_tags"] == "array"
+    assert out["a1"]["t_meta"] == "object"
+    assert out["a1"]["t_missing"] == "missing"
+    assert out["a1"]["isnum"] is True and out["a3"]["isnum"] is False
+    assert out["a1"]["isarr"] is True
+
+
+def test_sample_rate_match(engine):
+    orders = engine.db("tpch").collection("orders")
+    n_all = orders.count()
+    n_half = len(orders.find({"$sampleRate": 0.5}).all())
+    assert 0 < n_half < n_all
+    assert len(orders.find({"$sampleRate": 0.0}).all()) == 0
+    assert len(orders.find({"$sampleRate": 1.0}).all()) == n_all
