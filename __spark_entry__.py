@@ -853,6 +853,40 @@ def _q_media_features(spark, sf_dir):
     return extract_image_features(media)
 
 
+def _q_geo_near(spark, sf_dir):
+    # $geoNear over synthesized [lon, lat] points: haversine as pure
+    # Column trig (mean-radius sphere shared with the DuckDB oracle),
+    # maxDistance filter + distanceMultiplier, nearest-first sort
+    return (
+        _db(spark, sf_dir)
+        .collection("customer")
+        .pipe(
+            [
+                {"$project": {
+                    "c_custkey": 1,
+                    "location": [
+                        {"$subtract": [
+                            {"$mod": [{"$multiply": ["$c_custkey", 7]}, 360]},
+                            180]},
+                        {"$subtract": [
+                            {"$mod": [{"$multiply": ["$c_custkey", 13]}, 170]},
+                            85]},
+                    ],
+                }},
+                {"$geoNear": {
+                    "near": [10.0, 20.0],
+                    "distanceField": "dist_km",
+                    "distanceMultiplier": 0.001,
+                    "maxDistance": 3_000_000,
+                }},
+                {"$project": {"c_custkey": 1,
+                              "dist_km": {"$round": ["$dist_km", 3]}}},
+            ]
+        )
+        .to_df()
+    )
+
+
 def _q_heavy_hitters(spark, sf_dir):
     # exact top-k frequent values (two-level agg; only (value,count)
     # pairs shuffle) — the verification path for frequency sketches
@@ -1083,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucket_auto": _q_bucket_auto,
         "session_windows": _q_session_windows,
         "redact_levels": _q_redact_levels,
+        "geo_near": _q_geo_near,
         "heavy_hitters": _q_heavy_hitters,
         "hll_distinct": _q_hll_distinct,
         "asof_join_events": _q_asof_join_events,
@@ -1421,6 +1456,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM sess GROUP BY user_id, sid
+        """,
+        "geo_near": """
+            WITH pts AS (
+                SELECT c_custkey,
+                       CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon,
+                       CAST((c_custkey * 13) % 170 - 85 AS DOUBLE) AS lat
+                FROM customer
+            ), d AS (
+                SELECT c_custkey,
+                       2 * 6371000.0 * asin(sqrt(
+                           pow(sin(radians(lat - 20.0) / 2), 2)
+                           + cos(radians(20.0)) * cos(radians(lat))
+                             * pow(sin(radians(lon - 10.0) / 2), 2))) AS m
+                FROM pts
+            )
+            SELECT c_custkey, round(m / 1000.0, 3) AS dist_km
+            FROM d WHERE m <= 3000000
         """,
         "heavy_hitters": """
             SELECT value, freq FROM (

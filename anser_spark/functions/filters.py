@@ -67,6 +67,7 @@ _COMPARISONS = {
     "$elemMatch",
     "$type",
     "$not",
+    "$geoWithin",
 }
 
 # Mongo $type aliases → predicate on the *static* Spark type of the field.
@@ -328,6 +329,18 @@ def _compile_op(
             raise FilterCompileError("$elemMatch expects a document")
         elem_dt = dt.elementType if is_array else None
         return F.exists(col, lambda e: _element_predicate(e, arg, elem_dt))
+    if op == "$geoWithin":
+        # $centerSphere only: [[lon, lat], radius_radians] over a
+        # [lon, lat] array field — haversine as pure Column trig (shared
+        # constant with $geoNear; mean-radius sphere, documented)
+        if not isinstance(arg, Mapping) or "$centerSphere" not in arg:
+            raise FilterCompileError("$geoWithin supports $centerSphere only")
+        (lon0, lat0), radius_rad = arg["$centerSphere"]
+        from anser_spark.plans.pipeline import _EARTH_RADIUS_M, _haversine_m
+
+        return _haversine_m(col, float(lon0), float(lat0)) <= F.lit(
+            float(radius_rad) * _EARTH_RADIUS_M
+        )
     if op == "$type":
         names = arg if isinstance(arg, (list, tuple)) else [arg]
         checks: list[Column] = []

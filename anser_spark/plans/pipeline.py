@@ -215,6 +215,9 @@ def _compile_stage(  # noqa: C901
     if op == "$redact":
         return _redact(df, arg)
 
+    if op == "$geoNear":
+        return _geo_near(df, arg)
+
     if op == "$documents":
         # inline literal source (Mongo 5.1; db.aggregate-level stage).
         # Mongo requires it first in a db-level pipeline; here it simply
@@ -406,6 +409,58 @@ def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
     key = compile_expr(id_spec, df.schema).alias("_id")
     return df.groupBy(key).agg(*agg_cols)
+
+
+_EARTH_RADIUS_M = 6_371_000.0  # mean Earth radius; shared with filters.$centerSphere
+
+
+def _haversine_m(loc: Column, lon0: float, lat0: float) -> Column:
+    """Great-circle distance in meters from [lon, lat] array column to a
+    fixed point — pure Column trig, codegen'd, no UDF."""
+    import math as _math
+
+    lam = F.radians(loc.getItem(0).cast("double"))
+    phi = F.radians(loc.getItem(1).cast("double"))
+    lam0, phi0 = _math.radians(lon0), _math.radians(lat0)
+    a = (
+        F.pow(F.sin((phi - F.lit(phi0)) / 2), 2)
+        + F.lit(_math.cos(phi0)) * F.cos(phi) * F.pow(F.sin((lam - F.lit(lam0)) / 2), 2)
+    )
+    return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """``$geoNear``: distance (spherical haversine, meters — mean Earth
+    radius 6 371 000 m, documented divergence from Mongo's ellipsoidal
+    constants) to ``near``, filtered by min/maxDistance and ``query``,
+    sorted nearest-first. Everything is Column math: one scan + one
+    TakeOrdered-able sort; nothing collects.
+
+    ``near`` is a GeoJSON Point or legacy [lon, lat]; ``key`` names an
+    array<numeric> [lon, lat] column (default "location").
+    """
+    from anser_spark.functions.filters import resolve_field
+
+    near = arg["near"]
+    coords = near["coordinates"] if isinstance(near, Mapping) else near
+    lon0, lat0 = float(coords[0]), float(coords[1])
+    key = arg.get("key", "location")
+    dist_field = arg.get("distanceField", "distance")
+    mult = float(arg.get("distanceMultiplier", 1.0))
+
+    if arg.get("query"):
+        df = df.where(compile_filter(arg["query"], df.schema))
+    meters = _haversine_m(resolve_field(key), lon0, lat0)
+    df = df.withColumn("__geo_m", meters)
+    if "maxDistance" in arg:
+        df = df.where(F.col("__geo_m") <= float(arg["maxDistance"]))
+    if "minDistance" in arg:
+        df = df.where(F.col("__geo_m") >= float(arg["minDistance"]))
+    return (
+        df.withColumn(dist_field, F.col("__geo_m") * F.lit(mult))
+        .drop("__geo_m")
+        .orderBy(F.col(dist_field).asc())
+    )
 
 
 def _redact(df: DataFrame, expr: Any) -> DataFrame:

@@ -816,3 +816,58 @@ def test_documents_stage(engine):
         {"$match": {"x": {"$gte": 2}}},
     ]).all()
     assert out == [{"x": 2, "y": "b"}]
+
+
+# --- $geoNear / $geoWithin --------------------------------------------
+
+def _geo_coll(engine, spark):
+    c = engine.db("appdb").collection("places")
+    c._rewrite(spark.createDataFrame(
+        [("origin", [0.0, 0.0], "a"),
+         ("one_deg_east", [1.0, 0.0], "a"),
+         ("one_deg_north", [0.0, 1.0], "b"),
+         ("far", [90.0, 45.0], "a")],
+        "name string, location array<double>, tag string"))
+    return c
+
+
+def test_geo_near_sorted_distances(engine, spark):
+    c = _geo_coll(engine, spark)
+    out = c.pipe([
+        {"$geoNear": {
+            "near": {"type": "Point", "coordinates": [0.0, 0.0]},
+            "distanceField": "dist",
+            "key": "location",
+        }},
+    ]).all()
+    names = [r["name"] for r in out]
+    assert names[0] == "origin" and names[-1] == "far"
+    assert out[0]["dist"] == 0.0
+    # 1 degree of arc ≈ 111.19 km on the 6371 km sphere
+    assert abs(out[1]["dist"] - 111_195) < 200
+    assert abs(out[2]["dist"] - 111_195) < 200
+
+
+def test_geo_near_query_max_distance_multiplier(engine, spark):
+    c = _geo_coll(engine, spark)
+    out = c.pipe([
+        {"$geoNear": {
+            "near": [0.0, 0.0],
+            "distanceField": "dist_km",
+            "distanceMultiplier": 0.001,
+            "maxDistance": 200_000,
+            "query": {"tag": "a"},
+        }},
+    ]).all()
+    # far (tag a) filtered by distance; one_deg_north filtered by query
+    assert [r["name"] for r in out] == ["origin", "one_deg_east"]
+    assert abs(out[1]["dist_km"] - 111.195) < 0.2
+
+
+def test_geo_within_center_sphere(engine, spark):
+    import math
+    c = _geo_coll(engine, spark)
+    # radius 2 degrees in radians around the origin
+    r = math.radians(2.0)
+    out = c.find({"location": {"$geoWithin": {"$centerSphere": [[0.0, 0.0], r]}}}).all()
+    assert sorted(x["name"] for x in out) == ["one_deg_east", "one_deg_north", "origin"]
