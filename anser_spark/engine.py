@@ -184,8 +184,10 @@ class Database:
         src = self.engine.sources.get(self.name)
         if src and os.path.isdir(src):
             for entry in os.listdir(src):
-                if entry.endswith(".parquet"):
-                    names.add(entry[: -len(".parquet")])
+                for ext in (".parquet", ".jsonl", ".json", ".ndjson", ".csv"):
+                    if entry.endswith(ext):
+                        names.add(entry[: -len(ext)])
+                        break
         dbdir = os.path.join(self.engine.workdir, self.name)
         if os.path.isdir(dbdir):
             for entry in os.listdir(dbdir):
@@ -244,12 +246,10 @@ class Collection:
         src = self.engine.sources.get(self.db_name)
         if not src:
             return None
-        candidate = os.path.join(src, f"{self.name}.parquet")
-        if os.path.exists(candidate):
-            return candidate
-        candidate = os.path.join(src, self.name)
-        if os.path.exists(candidate):
-            return candidate
+        for ext in (".parquet", ".jsonl", ".json", ".ndjson", ".csv", ""):
+            candidate = os.path.join(src, f"{self.name}{ext}")
+            if os.path.exists(candidate):
+                return candidate
         return None
 
     def current_path(self) -> str | None:
@@ -269,9 +269,9 @@ class Collection:
         path = self.current_path()
         if path is None:
             raise NotFoundError(f"collection does not exist: {self.namespace}")
-        from anser_spark.sources.readers import read_parquet_table
+        from anser_spark.sources.readers import read_table
 
-        return read_parquet_table(self.engine.spark, path)
+        return read_table(self.engine.spark, path)
 
     def set_partitioning(self, *cols: str) -> None:
         """Declare hive-style partition columns for this collection's

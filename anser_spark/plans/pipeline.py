@@ -140,7 +140,16 @@ def _compile_stage(  # noqa: C901
 
     if op == "$unset":
         names = [arg] if isinstance(arg, str) else list(arg)
-        return df.drop(*[n for n in names if n in df.columns])
+        for n in names:
+            if "." in n:
+                root, rest = n.split(".", 1)
+                if root in df.columns and isinstance(
+                    df.schema[root].dataType, T.StructType
+                ):
+                    df = df.withColumn(root, F.col(root).dropFields(rest))
+            elif n in df.columns:
+                df = df.drop(n)
+        return df
 
     if op == "$group":
         return _group(df, arg)
@@ -1471,6 +1480,7 @@ class Aggregation:
                 target._rewrite(df)
                 return
             on = opts.get("on", "_id")
+            on = list(on) if isinstance(on, (list, tuple)) else [on]
             when_matched = opts.get("whenMatched", "replace")
             when_not_matched = opts.get("whenNotMatched", "insert")
             base = target.df()
@@ -1492,16 +1502,16 @@ class Aggregation:
             elif when_matched == "merge":
                 # overlay incoming non-null fields onto the existing doc
                 upd = df.select(
-                    F.col(on),
+                    *[F.col(k) for k in on],
                     *[
                         F.col(c).alias(f"__new_{c}")
                         for c in df.columns
-                        if c != on
+                        if c not in on
                     ],
                 )
                 overlaid = base.join(upd, on=on, how="inner")
                 for c in df.columns:
-                    if c == on:
+                    if c in on:
                         continue
                     if c in base.columns:
                         overlaid = overlaid.withColumn(
@@ -1509,7 +1519,7 @@ class Aggregation:
                         )
                     else:
                         overlaid = overlaid.withColumn(c, F.col(f"__new_{c}"))
-                overlaid = overlaid.drop(*[f"__new_{c}" for c in df.columns if c != on])
+                overlaid = overlaid.drop(*[f"__new_{c}" for c in df.columns if c not in on])
                 kept_base = base.join(df.select(on), on=on, how="left_anti").unionByName(
                     overlaid, allowMissingColumns=True
                 )
@@ -1522,9 +1532,10 @@ class Aggregation:
                 upd = df.select(
                     *[F.col(c).alias(f"__new_{c}") for c in df.columns]
                 )
-                overlaid = base.join(
-                    upd, on=base[on].eqNullSafe(F.col(f"__new_{on}")), how="inner"
+                key_cond = functools_reduce_and(
+                    [base[k].eqNullSafe(F.col(f"__new_{k}")) for k in on]
                 )
+                overlaid = base.join(upd, on=key_cond, how="inner")
                 new_struct = F.struct(
                     *[F.col(f"__new_{c}").alias(c) for c in df.columns]
                 )

@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_parquet_table"]
+__all__ = ["read_parquet_table", "read_table"]
 
 _NS_CACHE: dict[str, list[str]] = {}
 
@@ -83,3 +83,16 @@ def read_parquet_table(
         # cast can be off by ±1µs vs exact truncation.
         df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Extension-dispatched source reader: parquet datasets (the native
+    format), plus JSON-lines and CSV single-file sources (mongoimport/
+    mongoexport analogues). Non-parquet sources become parquet on the
+    first mutation (every version write is parquet)."""
+    lower = path.lower()
+    if lower.endswith((".json", ".jsonl", ".ndjson")):
+        return spark.read.json(path)
+    if lower.endswith(".csv"):
+        return spark.read.csv(path, header=True, inferSchema=True)
+    return read_parquet_table(spark, path)

@@ -871,3 +871,53 @@ def test_geo_within_center_sphere(engine, spark):
     r = math.radians(2.0)
     out = c.find({"location": {"$geoWithin": {"$centerSphere": [[0.0, 0.0], r]}}}).all()
     assert sorted(x["name"] for x in out) == ["one_deg_east", "one_deg_north", "origin"]
+
+
+# --- json/csv sources, dotted $unset, compound $merge on --------------
+
+def test_json_and_csv_sources(engine, spark, tmp_path):
+    import json as _json
+    srcdir = tmp_path / "srcs"
+    srcdir.mkdir()
+    with open(srcdir / "people.jsonl", "w") as fh:
+        for d in [{"_id": 1, "name": "ann", "age": 31},
+                  {"_id": 2, "name": "bob", "age": 25}]:
+            fh.write(_json.dumps(d) + "\n")
+    with open(srcdir / "pets.csv", "w") as fh:
+        fh.write("pet_id,kind\n1,cat\n2,dog\n")
+    db = engine.mount("filedb", str(srcdir)) if hasattr(engine, "mount") else None
+    db = engine.db("filedb")
+    engine.sources["filedb"] = str(srcdir)
+    assert sorted(db.collection_names()) == ["people", "pets"]
+    rows = db.collection("people").find({"age": {"$gt": 30}}).all()
+    assert [r["name"] for r in rows] == ["ann"]
+    assert db.collection("pets").count() == 2
+    # first mutation materializes a parquet version; source untouched
+    db.collection("people").update_all({}, {"$inc": {"age": 1}})
+    assert {r["age"] for r in db.collection("people").find({}).all()} == {32, 26}
+    assert (srcdir / "people.jsonl").exists()
+
+
+def test_unset_dotted_path(doc_collection):
+    out = {r["_id"]: r for r in doc_collection.pipe([
+        {"$unset": ["meta.attempt", "version"]},
+    ]).all()}
+    assert "attempt" not in out["a1"]["meta"]
+    assert out["a1"]["meta"]["owner"] == "alice"
+    assert "version" not in out["a1"]
+
+
+def test_merge_compound_on(engine, spark):
+    db = engine.db("appdb")
+    tgt = db.collection("cmp_tgt")
+    tgt._rewrite(spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0)], "g string, k int, v double"))
+    src = db.collection("cmp_src")
+    src._rewrite(spark.createDataFrame(
+        [("a", 1, 99.0), ("b", 1, 7.0)], "g string, k int, v double"))
+    src.pipe([
+        {"$merge": {"into": "cmp_tgt", "on": ["g", "k"],
+                    "whenMatched": "replace", "whenNotMatched": "insert"}},
+    ]).all()
+    rows = {(r["g"], r["k"]): r["v"] for r in tgt.find({}).all()}
+    assert rows == {("a", 1): 99.0, ("a", 2): 20.0, ("b", 1): 7.0}
