@@ -345,6 +345,15 @@ class Collection:
             return unquote(urlparse(uri).path)
         return uri
 
+    @staticmethod
+    def _pred_nondeterministic(pred: F.Column) -> bool:
+        """True when the predicate draws randomness ($sampleRate, $rand
+        in $expr): each evaluation is a fresh draw, so file detection,
+        the mutation, and caller-side counts would disagree unless the
+        draw is materialized once."""
+        s = str(pred)
+        return any(tok in s for tok in ("rand(", "randn(", "random(", "uuid(", "shuffle("))
+
     def _cow_rewrite(self, pred: F.Column, transform) -> bool:
         """File-level copy-on-write: rewrite ONLY the parquet files that
         contain rows matching ``pred``; hard-link every untouched file
@@ -375,6 +384,12 @@ class Collection:
         path = self.current_path()
         if path is None:
             raise NotFoundError(f"collection does not exist: {self.namespace}")
+        if self._pred_nondeterministic(pred):
+            # a random predicate re-draws per scan: the detected files,
+            # the mutated rows, and reported counts would be three
+            # different samples — full rewrite evaluates it in ONE job
+            self._rewrite(transform(self.df()))
+            return True
         if os.path.isfile(path) or _ns_timestamp_columns(path):
             self._rewrite(transform(self.df()))
             return True
@@ -599,6 +614,18 @@ class Collection:
         positional array updates."""
         df = self.df()
         pred = compile_filter(query, df.schema)
+        if self._pred_nondeterministic(pred):
+            # materialize the random draw ONCE (localCheckpoint) so the
+            # reported count and the mutated rows are the same sample
+            snap = df.withColumn(
+                "__nd_m", F.coalesce(pred, F.lit(False))
+            ).localCheckpoint()
+            matched = snap.where(F.col("__nd_m")).count()
+            out = apply_update(
+                snap, F.col("__nd_m"), update, snap.schema, array_filters=array_filters
+            ).drop("__nd_m")
+            self._rewrite(out)
+            return ChangeInfo(updated=matched)
         matched = df.where(pred).count()
         self._cow_rewrite(
             pred,
@@ -648,6 +675,15 @@ class Collection:
         """DeleteMany (reference db/wrapper.go:137-144)."""
         df = self.df()
         pred = compile_filter(query, df.schema)
+        if self._pred_nondeterministic(pred):
+            # one materialized draw — count and survivors agree exactly
+            snap = df.withColumn(
+                "__nd_m", F.coalesce(pred, F.lit(False))
+            ).localCheckpoint()
+            removed = snap.where(F.col("__nd_m")).count()
+            if removed:
+                self._rewrite(snap.where(~F.col("__nd_m")).drop("__nd_m"))
+            return ChangeInfo(removed=removed)
         removed = df.where(pred).count()
         if removed:
             self._cow_rewrite(pred, lambda sub: sub.where(~F.coalesce(pred, F.lit(False))))

@@ -126,6 +126,17 @@ def _regex_pattern(arg: Mapping[str, Any]) -> str:
     return pattern
 
 
+def _regex_group_count(pattern: str) -> int:
+    """Number of capture groups, counted driver-side (for the
+    ``captures`` array in $regexFind/$regexFindAll)."""
+    try:
+        import re as _re
+
+        return _re.compile(pattern).groups
+    except Exception:
+        return 0
+
+
 def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
     c = lambda a: compile_expr(a, schema, env)  # noqa: E731
 
@@ -570,19 +581,60 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         return F.octet_length(c(arg))
 
     # ---- regex find (beyond $regexMatch)
+    # Both return Mongo's document shape {match, idx, captures}.
+    # Divergence (documented): unmatched optional capture groups yield
+    # "" where Mongo yields null (Spark's regexp_extract semantics).
     if op == "$regexFind":
-        inp, rx = c(arg["input"]), F.lit(_regex_pattern(arg))
+        inp, pat = c(arg["input"]), _regex_pattern(arg)
+        rx = F.lit(pat)
+        ng = _regex_group_count(pat)
         pos = F.regexp_instr(inp, rx)
+        caps = F.array(*[F.regexp_extract(inp, pat, g) for g in range(1, ng + 1)])
         return F.when(
             pos > 0,
             F.struct(
                 F.regexp_substr(inp, rx).alias("match"),
                 (pos - 1).cast("int").alias("idx"),
+                caps.cast("array<string>").alias("captures"),
             ),
         )
     if op == "$regexFindAll":
-        inp, rx = c(arg["input"]), F.lit(_regex_pattern(arg))
-        return F.regexp_extract_all(inp, rx, F.lit(0))
+        inp, pat = c(arg["input"]), _regex_pattern(arg)
+        rx = F.lit(pat)
+        ng = _regex_group_count(pat)
+        matches = F.regexp_extract_all(inp, rx, F.lit(0))
+        # Exact per-match indices, fully JVM-side: insert a sentinel
+        # before every match (regexp_replace "$0"), split on it, and
+        # prefix-sum the segment lengths — segment i ends exactly where
+        # match i+1 starts in the ORIGINAL string (sentinels are
+        # removed by the split, so their width never enters the math).
+        sent = "\x00\x1f\x00"
+        segs = F.split(F.regexp_replace(inp, pat, sent + "$0"), sent)
+        idxs = F.aggregate(
+            F.slice(segs, 1, F.size(matches)),
+            F.struct(
+                F.lit(0).alias("p"),
+                F.array().cast("array<int>").alias("a"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["p"] + F.length(s)).cast("int").alias("p"),
+                F.concat(
+                    acc["a"], F.array((acc["p"] + F.length(s)).cast("int"))
+                ).alias("a"),
+            ),
+            lambda acc: acc["a"],
+        )
+        return F.zip_with(
+            matches,
+            idxs,
+            lambda m, p: F.struct(
+                m.alias("match"),
+                p.alias("idx"),
+                F.array(*[F.regexp_extract(m, pat, g) for g in range(1, ng + 1)])
+                .cast("array<string>")
+                .alias("captures"),
+            ),
+        )
     if op == "$replaceOne":
         inp, find, repl = c(arg["input"]), c(arg["find"]), c(arg["replacement"])
         pos = F.instr(inp, find)

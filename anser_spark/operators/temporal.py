@@ -55,27 +55,32 @@ def asof_join(
     by = [by] if isinstance(by, str) else list(by or [])
     right_on = right_on or on
     payload = [c for c in right.columns if c not in set(by) | {right_on}]
-
-    # tag and align: one unified frame, left rows carry null payloads
-    lt = left
-    for c in payload:
-        out_name = f"{c}{suffix}" if c in left.columns or c == on else c
-        lt = lt.withColumn(out_name, F.lit(None).cast(right.schema[c].dataType))
-    lt = lt.withColumn("__asof_t", F.col(on)).withColumn("__is_left", F.lit(1))
     out_names = [f"{c}{suffix}" if c in left.columns or c == on else c for c in payload]
 
+    # Pack the whole right payload (plus the right timestamp) into ONE
+    # struct and carry that struct with a single last(ignorenulls).
+    # Carrying each column independently would mix fields across
+    # different right rows whenever the latest right row holds a null
+    # field (ignorenulls resurrects the older row's value).
     rt = right.select(
         *[F.col(b) for b in by],
         F.col(right_on).alias("__asof_t"),
-        *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
+        F.struct(
+            F.col(right_on).alias("__asof_rt"),
+            *[F.col(c).alias(n) for c, n in zip(payload, out_names)],
+        ).alias("__asof_pkt"),
+    )
+    pkt_type = rt.schema["__asof_pkt"].dataType
+
+    lt = (
+        left.withColumn("__asof_t", F.col(on))
+        .withColumn("__asof_pkt", F.lit(None).cast(pkt_type))
+        .withColumn("__is_left", F.lit(1))
     )
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     rt = rt.withColumn("__is_left", F.lit(0))
-
-    rt = rt.withColumn("__asof_rt", F.col("__asof_t"))
-    lt = lt.withColumn("__asof_rt", F.lit(None).cast(right.schema[right_on].dataType))
 
     both = lt.unionByName(rt.select(*lt.columns))
     # inclusive: right rows (__is_left=0) sort BEFORE left rows at the
@@ -87,19 +92,17 @@ def asof_join(
         .orderBy(F.col("__asof_t").asc(), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = both.select(
-        *[c for c in both.columns if c not in out_names and c != "__asof_rt"],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in out_names],
-        F.last("__asof_rt", ignorenulls=True).over(w).alias("__asof_rt"),
-    )
-    out = carried.where(F.col("__is_left") == 1)
+    carried = both.withColumn(
+        "__pkt", F.last("__asof_pkt", ignorenulls=True).over(w)
+    ).where(F.col("__is_left") == 1)
+    pkt = F.col("__pkt")
     if tolerance is not None:
-        stale = F.col("__asof_t") - F.col("__asof_rt") > tolerance
-        for c in out_names:
-            out = out.withColumn(
-                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
-            )
-    return out.drop("__asof_t", "__asof_rt", "__is_left")
+        stale = F.col("__asof_t") - pkt.getField("__asof_rt") > tolerance
+        pkt = F.when(stale, F.lit(None).cast(pkt_type)).otherwise(pkt)
+    return carried.select(
+        *[F.col(c) for c in left.columns],
+        *[pkt.getField(n).alias(n) for n in out_names],
+    )
 
 
 def interval_join(
@@ -125,8 +128,12 @@ def interval_join(
         raise ValueError("interval_join supports inner joins")
     by = [by] if isinstance(by, str) else list(by or [])
     bucket_expr = F.expr(f"INTERVAL {bucket}") if isinstance(bucket, str) else bucket
-    # integer bucket index: epoch seconds div bucket seconds
-    bsecs = F.unix_timestamp(F.to_timestamp(F.lit("1970-01-01 00:00:00")) + bucket_expr)
+    # integer bucket index: epoch seconds div bucket seconds.  The
+    # width is computed by instant arithmetic from the epoch instant
+    # (timestamp_seconds(0)); parsing an epoch *string* would apply the
+    # session timezone and shift the width by the UTC offset (zero or
+    # negative widths in non-UTC sessions).
+    bsecs = F.unix_timestamp(F.timestamp_seconds(F.lit(0)) + bucket_expr)
 
     p = points.withColumn(
         "__bkt", (F.unix_timestamp(F.col(point_on)) / bsecs).cast("long")

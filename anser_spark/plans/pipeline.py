@@ -1185,11 +1185,15 @@ _DENSIFY_UNITS = {
     "minute": "minute",
     "hour": "hour",
     "day": "day",
-    "week": "7 day",  # Spark intervals have no week unit
+    "week": "day",  # Spark intervals have no week unit; step ×7 below
     "month": "month",
-    "quarter": "3 month",
+    "quarter": "month",  # step ×3 below
     "year": "year",
 }
+
+# multiplier folded into the step for units Spark intervals lack
+# ("interval {step} 7 day" is a ParseException, not a 7-day unit)
+_DENSIFY_STEP_MULT = {"week": 7, "quarter": 3}
 
 
 def _densify(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
@@ -1243,7 +1247,8 @@ def _densify(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         raise PipelineCompileError(f"invalid $densify bounds: {bounds!r}")
 
     if unit:
-        interval = F.expr(f"interval {int(step)} {_DENSIFY_UNITS[unit]}")
+        mult = _DENSIFY_STEP_MULT.get(unit, 1)
+        interval = F.expr(f"interval {int(step) * mult} {_DENSIFY_UNITS[unit]}")
         pts = F.sequence(F.col("__lo"), F.col("__hi"), interval)
     else:
         pts = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))

@@ -120,9 +120,33 @@ def test_regex_find_ops(nums):
         }},
     ])[0]
     assert out["f"]["match"] == "123" and out["f"]["idx"] == 3
-    assert out["fa"] == ["123", "45"]
+    assert out["f"]["captures"] == []
+    # Mongo shape: array of {match, idx, captures} documents
+    assert [(m["match"], m["idx"]) for m in out["fa"]] == [("123", 3), ("45", 9)]
     assert out["none"] is None
     assert out["r1"] == "a-bXc" and out["rnone"] == "abc"
+
+
+def test_regex_find_captures_and_repeated_matches(nums):
+    out = pipe(nums, [
+        {"$limit": 1},
+        {"$project": {
+            # repeated identical matches: idx must be each occurrence's
+            # own position, not the first occurrence's
+            "rep": {"$regexFindAll": {"input": {"$literal": "ab ab ab"}, "regex": "ab"}},
+            "caps": {"$regexFindAll": {"input": {"$literal": "k=1, j=22"},
+                                       "regex": r"(\w+)=(\d+)"}},
+            "fcap": {"$regexFind": {"input": {"$literal": "x=9"},
+                                    "regex": r"(\w+)=(\d+)"}},
+            "ci": {"$regexFindAll": {"input": {"$literal": "Foo foo"},
+                                     "regex": "foo", "options": "i"}},
+        }},
+    ])[0]
+    assert [(m["match"], m["idx"]) for m in out["rep"]] == [("ab", 0), ("ab", 3), ("ab", 6)]
+    assert [(m["match"], m["idx"], list(m["captures"])) for m in out["caps"]] == [
+        ("k=1", 0, ["k", "1"]), ("j=22", 5, ["j", "22"])]
+    assert out["fcap"]["captures"] == ["x", "9"]
+    assert [(m["match"], m["idx"]) for m in out["ci"]] == [("Foo", 0), ("foo", 4)]
 
 
 def test_extended_dates(nums):

@@ -280,6 +280,40 @@ def test_densify_time_unit(engine, spark):
     assert [r["ts"].day for r in out] == [1, 2, 3, 4]
 
 
+def test_densify_week_and_quarter_units(engine, spark):
+    # regression: 'interval {step} 7 day' is a ParseException — the
+    # multiplier must fold into the step (week→7 day, quarter→3 month)
+    import datetime
+    d = datetime.datetime
+    db = engine.db("appdb")
+    c = db.collection("ts5")
+    c._rewrite(spark.createDataFrame(
+        [(d(2026, 1, 5),), (d(2026, 1, 26),)], "ts timestamp"))
+    out = c.pipe([
+        {"$densify": {"field": "ts", "range": {"step": 1, "bounds": "full", "unit": "week"}}},
+        {"$sort": {"ts": 1}},
+    ]).all()
+    assert [r["ts"].day for r in out] == [5, 12, 19, 26]
+
+    c2 = db.collection("ts6")
+    c2._rewrite(spark.createDataFrame(
+        [(d(2026, 1, 1),), (d(2026, 7, 1),)], "ts timestamp"))
+    out = c2.pipe([
+        {"$densify": {"field": "ts", "range": {"step": 1, "bounds": "full", "unit": "quarter"}}},
+        {"$sort": {"ts": 1}},
+    ]).all()
+    assert [(r["ts"].month) for r in out] == [1, 4, 7]
+
+    c3 = db.collection("ts7")
+    c3._rewrite(spark.createDataFrame(
+        [(d(2026, 1, 5),), (d(2026, 2, 2),)], "ts timestamp"))
+    out = c3.pipe([
+        {"$densify": {"field": "ts", "range": {"step": 2, "bounds": "full", "unit": "week"}}},
+        {"$sort": {"ts": 1}},
+    ]).all()
+    assert [(r["ts"].month, r["ts"].day) for r in out] == [(1, 5), (1, 19), (2, 2)]
+
+
 def test_fill_value_and_locf(engine, spark):
     db = engine.db("appdb")
     c = db.collection("f1")

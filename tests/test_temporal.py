@@ -101,6 +101,38 @@ def test_interval_join(spark):
     assert got == [(1, "w1"), (2, "w2"), (4, "w1")]
 
 
+def test_asof_null_field_not_resurrected(spark):
+    # The matched (latest) right row has a null field: that null must
+    # survive — carrying columns independently would resurrect v=10
+    # from the older row and emit a (v=10, tag='new') row that never
+    # existed on the right side.
+    left = spark.createDataFrame([(1, _t(3),)], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _t(1), 10.0, "old"), (1, _t(2), None, "new")],
+        "k int, ts timestamp, v double, tag string")
+    row = asof_join(left, right, on="ts", by="k").collect()[0]
+    assert row["tag"] == "new" and row["v"] is None
+
+
+def test_interval_join_non_utc_session_tz(spark):
+    # bucket seconds must be timezone-independent; with the epoch
+    # parsed as a session-tz string, Asia/Tokyo yields bsecs=-28800
+    # for a 1-hour bucket (silently wrong widths / DIVIDE_BY_ZERO).
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        points = spark.createDataFrame(
+            [(1, _t(9, 15)), (3, _t(11, 0))], "pid int, ts timestamp")
+        iv = spark.createDataFrame(
+            [("w1", _t(9, 0), _t(9, 30))], "wid string, t0 timestamp, t1 timestamp")
+        out = interval_join(points, iv, "ts", "t0", "t1", bucket="1 hour")
+        assert [(r["pid"], r["wid"]) for r in out.collect()] == [(1, "w1")]
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Paris")
+        assert [(r["pid"], r["wid"]) for r in out.collect()] == [(1, "w1")]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_interval_join_with_keys_and_plan(spark):
     points = spark.createDataFrame(
         [("u1", _t(9, 15)), ("u2", _t(9, 15))], "uid string, ts timestamp")

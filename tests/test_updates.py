@@ -211,3 +211,21 @@ def test_bulk_upsert_miss_inserts(doc_collection):
     res = doc_collection.bulk().upsert({"_id": "u1"}, {"$set": {"status": "up"}}).run()
     assert res.matched == 0
     assert get(doc_collection, "u1")["status"] == "up"
+
+
+def test_nondeterministic_predicate_counts_consistent(engine, spark):
+    # $sampleRate draws fresh randomness per evaluation; the write path
+    # must materialize ONE draw so the reported count equals the rows
+    # actually mutated/removed (ADVICE r2: engine.py _cow_rewrite).
+    db = engine.db("appdb")
+    c = db.collection("nd_sample")
+    c._rewrite(spark.range(0, 400).selectExpr("id as _id", "0 as flag"))
+    info = c.update_all({"$sampleRate": 0.5}, {"$set": {"flag": 1}})
+    flagged = c.find({"flag": 1}).count()
+    assert flagged == info.updated
+    assert 50 < flagged < 350  # it really sampled
+
+    before = c.count()
+    info = c.remove_all({"$sampleRate": 0.4})
+    assert c.count() == before - info.removed
+    assert 0 < info.removed < before
