@@ -839,8 +839,11 @@ def _q_media_plumbing(spark, sf_dir):
 
 def _q_media_features(spark, sf_dir):
     # M7 multimodal feature extraction: Arrow-batched mapInPandas with a
-    # deterministic stub decode (rows-only check — no sha-digest float
-    # derivation in SQL)
+    # deterministic stub decode (sha256(payload) bytes / 255 as float32).
+    # The features unpack to scalar doubles so the DuckDB oracle can
+    # reproduce them exactly: float32 rounding happens on BOTH sides
+    # (Arrow array<float> here, CAST(.. AS FLOAT) there) before the
+    # exact widening to double — bit-identical values.
     from pyspark.sql import functions as F
 
     from anser_spark.operators.multimodal import extract_image_features
@@ -850,7 +853,11 @@ def _q_media_features(spark, sf_dir):
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
     )
-    return extract_image_features(media)
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        *[F.col("features")[i].cast("double").alias(f"f{i}") for i in range(8)],
+    )
 
 
 def _q_geo_near(spark, sf_dir):
@@ -1537,9 +1544,18 @@ def oracle_sql() -> dict[str, str]:
                         greatest(n_chars * 50 - 1, 0), 2000)) AS BIGINT) AS n_frames
             FROM documents
         """,
+        # The stub decode is sha256(payload) bytes / 255 stored as
+        # float32 — reproduced here digit-by-digit from DuckDB's hex
+        # sha256 string, with CAST(.. AS FLOAT) matching Arrow's
+        # float32 rounding before the exact double widening.
+        "media_features": "SELECT doc_id AS media_id, " + ", ".join(
+            "CAST(CAST((16*(strpos('0123456789abcdef', substr(sha256(text), "
+            f"{2 * i + 1}, 1))-1) + (strpos('0123456789abcdef', substr(sha256(text), "
+            f"{2 * i + 2}, 1))-1)) / 255.0 AS FLOAT) AS DOUBLE) AS f{i}"
+            for i in range(8)
+        ) + " FROM documents",
         # minhash_near_dups / embedding_near_dups / text_stats /
-        # simhash_fingerprints / ngram_jaccard / media_features /
-        # hll_distinct:
+        # simhash_fingerprints / ngram_jaccard / hll_distinct:
         # approximate or hash-digest-derived operators — intentionally
         # no SQL oracle (driver records the rows-only check).
     }

@@ -179,3 +179,36 @@ def test_multimodal_stub_pipeline(spark):
         per.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
     assert sorted(per["m1"]) == [0, 1000, 2000, 3000, 4000]
     assert sorted(per["m2"]) == [0, 1000, 2000]
+
+
+def test_multimodal_pluggable_decode_golden(spark):
+    # The decode= hook is the contract point where a real codec plugs
+    # in: a custom callable must receive the raw payload bytes and its
+    # return become the features column, Arrow-batched, byte-exact.
+    import hashlib
+
+    from anser_spark.operators.multimodal import decode_image_stub, extract_image_features
+
+    rows = [("m1", b"fakejpegbytes"), ("m2", b"otherbytes"), ("m3", None)]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+
+    def my_decode(payload):
+        if payload is None:
+            return [-1.0]
+        return [float(len(payload)), float(payload[0])]
+
+    got = {r["media_id"]: list(r["features"])
+           for r in extract_image_features(df, decode=my_decode).collect()}
+    assert got == {"m1": [13.0, ord("f")], "m2": [10.0, ord("o")], "m3": [-1.0]}
+
+    # golden for the default stub: sha256(payload)[:8]/255 as float32
+    import numpy as np
+
+    stub = {r["media_id"]: list(r["features"])
+            for r in extract_image_features(df).collect()}
+    for mid, payload in rows:
+        exp = [0.0] * 8 if payload is None else [
+            b / 255.0 for b in hashlib.sha256(payload).digest()[:8]]
+        assert stub[mid] == [float(np.float32(v)) for v in exp]
+    assert decode_image_stub(b"fakejpegbytes") == [
+        b / 255.0 for b in hashlib.sha256(b"fakejpegbytes").digest()[:8]]
