@@ -313,9 +313,12 @@ class Collection:
         if old and os.path.isdir(old):
             shutil.rmtree(old, ignore_errors=True)
 
-    def _write_version(self, df: DataFrame, version: str) -> str:
+    def _write_version(
+        self, df: DataFrame, version: str, pcols: Sequence[str] | None = None
+    ) -> str:
         writer = df.write.mode("overwrite")
-        pcols = [c for c in self.partition_columns() if c in df.columns]
+        pcols = self.partition_columns() if pcols is None else list(pcols)
+        pcols = [c for c in pcols if c in df.columns]
         if pcols:
             writer = writer.partitionBy(*pcols)
         vdir = os.path.join(self._store_dir, version)
@@ -346,6 +349,29 @@ class Collection:
         return uri
 
     @staticmethod
+    def _hive_partition_keys(base: str, files: list[str]) -> list[str] | None:
+        """Ordered hive partition keys reconstructed from data-file
+        paths (``key=value`` directory segments). Returns ``[]`` for a
+        flat layout, the key list for a consistent hive layout, and
+        ``None`` when the layout is inconsistent (mixed depths or
+        non-hive directory levels) — partial rewrites can't preserve
+        partition values there."""
+        keys: list[str] | None = None
+        saw_hive = False
+        for f in files:
+            segs = os.path.relpath(f, base).split(os.sep)[:-1]
+            fkeys = [s.split("=", 1)[0] for s in segs if "=" in s]
+            if len(fkeys) != len(segs):
+                return None  # a directory level that isn't key=value
+            if fkeys:
+                saw_hive = True
+            if keys is None:
+                keys = fkeys
+            elif keys != fkeys:
+                return None
+        return (keys or []) if saw_hive else []
+
+    @staticmethod
     def _pred_nondeterministic(pred: F.Column) -> bool:
         """True when the predicate draws randomness ($sampleRate, $rand
         in $expr): each evaluation is a fresh draw, so file detection,
@@ -369,10 +395,14 @@ class Collection:
 
         Falls back to a full rewrite when file-level surgery can't apply:
         single-file datasets, every file hit, ns-timestamp sources (new
-        µs files + old ns files can't share one dataset),
-        hive-partitioned layouts not under our partition metadata, or a
-        schema-changing transform (rewritten files would carry columns
-        the linked files lack — the plain reader silently drops them).
+        µs files + old ns files can't share one dataset), layouts with
+        inconsistent/non-hive directory levels, or a schema-changing
+        transform (rewritten files would carry columns the linked files
+        lack — the plain reader silently drops them). Hive-partitioned
+        layouts the engine did NOT create are handled: partition keys
+        are reconstructed from ``key=value`` path segments and the
+        replacement is written partitionBy those keys, so a
+        one-partition update rewrites one partition.
 
         Returns True iff a new version was written (False ⇒ no row
         matched ``pred`` and the current version stands). ``transform``
@@ -394,12 +424,19 @@ class Collection:
             self._rewrite(transform(self.df()))
             return True
         all_files = self._data_files(path)
-        pcols = self.partition_columns()
-        if not pcols and any("=" in os.path.relpath(p, path) for p in all_files):
-            # hive layout we don't manage — partition values wouldn't
-            # survive a partial rewrite
-            self._rewrite(transform(self.df()))
-            return True
+        write_pcols: Sequence[str] | None = None  # default: managed partitioning
+        if not self.partition_columns():
+            # layout we didn't create: reconstruct partition keys from
+            # the key=value path segments so a partial rewrite keeps
+            # writing into the same hive structure (Spark reads the
+            # values back via basePath partition discovery)
+            hive_keys = self._hive_partition_keys(path, all_files)
+            if hive_keys is None:
+                # inconsistent layout — partition values wouldn't
+                # survive a partial rewrite
+                self._rewrite(transform(self.df()))
+                return True
+            write_pcols = hive_keys
         tagged = read_parquet_table(self.engine.spark, path, file_col="__file")
         hit_files = {
             self._local_path(r["__file"])
@@ -421,7 +458,7 @@ class Collection:
             self._rewrite(transform(self.df()))
             return True
         version, ptr = self._next_version()
-        vdir = self._write_version(replacement, version)
+        vdir = self._write_version(replacement, version, pcols=write_pcols)
         for src_file in untouched:
             rel = os.path.relpath(src_file, path)
             dst = os.path.join(vdir, rel)
@@ -448,21 +485,23 @@ class Collection:
         aligned = self._align(new_df, base_schema)
         shape = lambda s: [(f.name, f.dataType.simpleString()) for f in s.fields]  # noqa: E731
         existing = [] if os.path.isfile(path) else self._data_files(path)
+        write_pcols: Sequence[str] | None = None  # None ⇒ managed partitioning
+        bad_layout = False
+        if not self.partition_columns() and not os.path.isfile(path):
+            write_pcols = self._hive_partition_keys(path, existing)
+            bad_layout = write_pcols is None
         if (
             os.path.isfile(path)
             or _ns_timestamp_columns(path)
             or shape(aligned.schema) != shape(base_schema)
-            or (
-                not self.partition_columns()
-                and any("=" in os.path.relpath(p, path) for p in existing)
-            )
+            or bad_layout
         ):
             self._rewrite(
                 self.df().unionByName(aligned, allowMissingColumns=True)
             )
             return
         version, ptr = self._next_version()
-        vdir = self._write_version(aligned, version)
+        vdir = self._write_version(aligned, version, pcols=write_pcols)
         for src_file in existing:
             rel = os.path.relpath(src_file, path)
             dst = os.path.join(vdir, rel)
@@ -524,8 +563,23 @@ class Collection:
 
     def distinct(self, field: str, query: Mapping[str, Any] | None = None) -> list[Any]:
         """Mongo `distinct` command: distinct values of a (dotted) field
-        among matching docs. Array fields distinct over their elements
-        (Mongo semantics)."""
+        among matching docs, as a driver-side list. Array fields
+        distinct over their elements (Mongo semantics).
+
+        BOUNDED-CARDINALITY ONLY: like the Mongo command (16 MB reply
+        cap), the list materializes on the driver — a high-cardinality
+        field at scale belongs on :meth:`distinct_df`, which keeps the
+        result distributed."""
+        rows = self.distinct_df(field, query).collect()
+        return sorted(r["v"] for r in rows)
+
+    def distinct_df(
+        self, field: str, query: Mapping[str, Any] | None = None
+    ) -> DataFrame:
+        """DataFrame variant of :meth:`distinct`: the distinct values of
+        ``field`` (column ``v``) as a lazy, distributed frame — one
+        hash-aggregate shuffle, safe at any cardinality; compose or
+        write it without driver materialization."""
         from anser_spark.functions.filters import field_type, resolve_field
 
         df = self.df()
@@ -534,8 +588,7 @@ class Collection:
         col = resolve_field(field)
         if isinstance(field_type(df.schema, field), T.ArrayType):
             col = F.explode(col)
-        rows = df.select(col.alias("v")).where(F.col("v").isNotNull()).distinct().collect()
-        return sorted(r["v"] for r in rows)
+        return df.select(col.alias("v")).where(F.col("v").isNotNull()).distinct()
 
     # -- write path ----------------------------------------------------
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
