@@ -34,19 +34,24 @@ __all__ = [
     "window_event_stats",
     "event_stats_stream",
     "strip_statement",
+    "operation_section",
+    "format_statement",
     "normalize_statements",
 ]
 
 
 @dataclass
 class MonitorConfig:
-    """Track-lists mirror apm.MonitorConfig (apm/config.go:56-84):
-    empty list = track everything."""
+    """Track-lists mirror apm.MonitorConfig (apm/config.go:24-84):
+    empty list = track everything. ``tags`` lists the context tags whose
+    per-window counts are kept (config.go:27-32); ``all_tags`` keeps
+    every tag seen."""
 
     commands: list[str] = field(default_factory=list)
     databases: list[str] = field(default_factory=list)
     collections: list[str] = field(default_factory=list)
     namespaces: list[tuple[str, str]] = field(default_factory=list)
+    tags: list[str] = field(default_factory=list)
     all_tags: bool = False
     window: str = "1 minute"
 
@@ -76,40 +81,70 @@ def window_event_stats(
     tags_col: str | None = "tags",
 ) -> DataFrame:
     """Tumbling-window per-(db, coll, cmd) stats over an event log:
-    {succeeded, failed, total_duration_ns, n_tags?} — the batch analogue
-    of monitor.Rotate() windows (apm/monitor.go:100-171)."""
+    {succeeded, failed, total_duration_ns, n_tag_events?, tags?} — the
+    batch analogue of monitor.Rotate() windows (apm/monitor.go:100-171).
+
+    When ``config.all_tags`` or ``config.tags`` is set, a ``tags``
+    ``map<tag, count>`` column mirrors the reference's per-record Tags
+    map (apm/event.go:21-27, monitor.go:140-150): an explode(tags)
+    side-aggregate on the same grouping keys (two-level, map-side
+    partial — never a per-group collect of raw events), left-joined
+    back; groups with no tracked tags get an empty map, matching the
+    reference's pre-initialized map."""
     config = config or MonitorConfig()
     df = _apply_tracklists(events, config, db_col, coll_col, cmd_col)
+    has_tags = bool(tags_col) and tags_col in df.columns
+    keyed = df.select(
+        F.window(F.col(ts_col), config.window).alias("__w"),
+        F.col(db_col).alias("db"),
+        F.col(coll_col).alias("collection"),
+        F.col(cmd_col).alias("command"),
+        F.col(event_col).alias("__event"),
+        F.col(duration_col).alias("__dur"),
+        *([F.col(tags_col).alias("__tags")] if has_tags else []),
+    )
     aggs = [
-        F.count(F.when(F.col(event_col) == "succeeded", 1)).alias("succeeded"),
-        F.count(F.when(F.col(event_col) == "failed", 1)).alias("failed"),
+        F.count(F.when(F.col("__event") == "succeeded", 1)).alias("succeeded"),
+        F.count(F.when(F.col("__event") == "failed", 1)).alias("failed"),
         F.sum(
-            F.when(F.col(event_col) != "started", F.col(duration_col)).otherwise(F.lit(0))
+            F.when(F.col("__event") != "started", F.col("__dur")).otherwise(F.lit(0))
         ).alias("total_duration_ns"),
     ]
-    if tags_col and tags_col in df.columns:
+    if has_tags:
         aggs.append(
-            F.sum(F.size(F.coalesce(F.col(tags_col), F.array()))).alias("n_tag_events")
+            F.sum(F.size(F.coalesce(F.col("__tags"), F.array()))).alias("n_tag_events")
         )
-    out = (
-        df.groupBy(
-            F.window(F.col(ts_col), config.window).alias("w"),
-            F.col(db_col).alias("db"),
-            F.col(coll_col).alias("collection"),
-            F.col(cmd_col).alias("command"),
+    keys = ["__w", "db", "collection", "command"]
+    main = keyed.groupBy(*keys).agg(*aggs)
+    want_tag_map = has_tags and (config.all_tags or config.tags)
+    if want_tag_map:
+        t = keyed.select(*keys, F.explode("__tags").alias("__tag"))
+        if not config.all_tags:
+            t = t.where(F.col("__tag").isin(list(config.tags)))
+        tag_maps = (
+            t.groupBy(*keys, "__tag")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .groupBy(*keys)
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct(F.col("__tag"), F.col("__cnt"))))
+                ).alias("tags")
+            )
         )
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "db",
-            "collection",
-            "command",
-            *[F.col(a) for a in ("succeeded", "failed", "total_duration_ns")],
-            *([F.col("n_tag_events")] if tags_col and tags_col in df.columns else []),
+        main = main.join(tag_maps, keys, "left").withColumn(
+            "tags",
+            F.coalesce(F.col("tags"), F.expr("cast(map() as map<string,bigint>)")),
         )
+    return main.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        "db",
+        "collection",
+        "command",
+        *[F.col(a) for a in ("succeeded", "failed", "total_duration_ns")],
+        *([F.col("n_tag_events")] if has_tags else []),
+        *([F.col("tags")] if want_tag_map else []),
     )
-    return out
 
 
 def event_stats_stream(
@@ -194,24 +229,31 @@ def match_command_lifecycle(
 
 
 def strip_statement(value: Any) -> Any:
-    """Replace literals with '<type>' placeholders, recursing through
-    documents and arrays; consecutive same-typed array elements are
-    deduped (compactArray, apm/otel_monitor.go:502-524). Keys survive —
-    the output is the query's *shape*."""
+    """Replace literals with '<bson type>' placeholders, recursing
+    through documents and arrays (stripDocument/stripValue,
+    apm/otel_monitor.go:457-500). Array compaction matches compactArray
+    (otel_monitor.go:502-524) exactly: only when EVERY stripped element
+    is a string does the array dedupe (by value, first occurrence
+    wins); arrays holding documents pass through uncompacted. Keys
+    survive — the output is the query's *shape*."""
     if isinstance(value, Mapping):
         return {k: strip_statement(v) for k, v in value.items()}
     if isinstance(value, (list, tuple)):
         stripped = [strip_statement(v) for v in value]
+        if any(not isinstance(item, str) for item in stripped):
+            return stripped
+        seen: set[str] = set()
         compact: list[Any] = []
         for item in stripped:
-            if compact and _same_shape(compact[-1], item):
-                continue
-            compact.append(item)
+            if item not in seen:
+                compact.append(item)
+            seen.add(item)
         return compact
-    if isinstance(value, bool):
-        return "<bool>"
+    if isinstance(value, bool):  # before int — bool subclasses int
+        return "<boolean>"
     if isinstance(value, int):
-        return "<int>"
+        # ext-JSON ints land as int32 when they fit, like Go's decoder
+        return "<32-bit integer>" if -(2**31) <= value < 2**31 else "<64-bit integer>"
     if isinstance(value, float):
         return "<double>"
     if isinstance(value, str):
@@ -221,31 +263,85 @@ def strip_statement(value: Any) -> Any:
     return f"<{type(value).__name__}>"
 
 
-def _same_shape(a: Any, b: Any) -> bool:
-    if isinstance(a, str) and isinstance(b, str):
-        return a == b
-    return json.dumps(a, sort_keys=True, default=str) == json.dumps(b, sort_keys=True, default=str)
+_FIND_FIELDS = ("filter", "sort", "limit", "hint")
+_FIND_AND_MODIFY_FIELDS = ("query", "update", "upsert")
+_INSERT_FIELDS = ("ordered", "documents")
+
+
+def operation_section(command_name: str | None, statement: Any) -> Any:
+    """The semantically relevant sub-document for a command type
+    (operationSection + extract*, apm/otel_monitor.go:319-455) —
+    applied BEFORE shape-stripping so shape-grouping compares query
+    bodies, not command envelopes:
+
+    - aggregate → {pipeline}; find → {filter, sort, limit, hint};
+      findAndModify → {query, update, upsert}; insert → {ordered,
+      documents};
+    - update/delete → the first ``updates[]`` / ``deletes[]`` entry
+      (its q/u document), or None when absent — mirroring the
+      reference's nil return;
+    - any other command passes through unchanged."""
+    if not isinstance(statement, Mapping):
+        return statement
+    if command_name == "aggregate":
+        return {"pipeline": statement["pipeline"]} if "pipeline" in statement else {}
+    if command_name == "find":
+        return {k: v for k, v in statement.items() if k in _FIND_FIELDS}
+    if command_name == "findAndModify":
+        return {k: v for k, v in statement.items() if k in _FIND_AND_MODIFY_FIELDS}
+    if command_name == "insert":
+        return {k: v for k, v in statement.items() if k in _INSERT_FIELDS}
+    if command_name in ("update", "delete"):
+        arr = statement.get(command_name + "s")
+        if isinstance(arr, Sequence) and not isinstance(arr, str) and len(arr):
+            return arr[0]
+        return None
+    return statement
+
+
+def format_statement(
+    statement: Any, command_name: str | None = None, stripped: bool = False
+) -> str:
+    """Reference formatStatement (apm/otel_monitor.go:300-317): extract
+    the command's operation section, optionally strip literals to type
+    placeholders, and render 2-space-indented JSON in original key
+    order."""
+    if command_name is not None:
+        statement = operation_section(command_name, statement)
+    if stripped and statement is not None:
+        statement = strip_statement(statement)
+    return json.dumps(statement, indent=2)
 
 
 def normalize_statements(
-    df: DataFrame, statement_col: str = "statement", out: str = "query_shape"
+    df: DataFrame,
+    statement_col: str = "statement",
+    out: str = "query_shape",
+    command_col: str | None = None,
 ) -> DataFrame:
     """Add a query-shape column from a JSON statement column — powers the
-    'group queries by shape' report. Python-side (recursive dict walk) but
-    Arrow-batched via a vectorized UDF; shape-grouping then happens
-    JVM-side on the output string."""
+    'group queries by shape' report. With ``command_col``, the
+    per-command operation section is extracted first (find's filter,
+    aggregate's pipeline, update's q/u, …) so shapes group by query
+    body rather than command envelope. Python-side (recursive dict
+    walk) but Arrow-batched via a vectorized UDF; shape-grouping then
+    happens JVM-side on the output string."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.StringType())
-    def shape(col: pd.Series) -> pd.Series:
-        def one(s: str | None) -> str | None:
+    def shape(col: pd.Series, cmd: pd.Series) -> pd.Series:
+        def one(s: str | None, c: str | None) -> str | None:
             if s is None:
                 return None
             try:
-                return json.dumps(strip_statement(json.loads(s)), sort_keys=True)
+                doc = json.loads(s)
+                if c is not None:
+                    doc = operation_section(c, doc)
+                return json.dumps(strip_statement(doc), sort_keys=True)
             except (json.JSONDecodeError, TypeError):
                 return None
 
-        return col.map(one)
+        return pd.Series([one(s, c) for s, c in zip(col, cmd)])
 
-    return df.withColumn(out, shape(F.col(statement_col)))
+    cmd = F.col(command_col) if command_col else F.lit(None).cast("string")
+    return df.withColumn(out, shape(F.col(statement_col), cmd))
