@@ -354,11 +354,17 @@ def _q_embedding_sim_join(spark, sf_dir):
 
 
 def _q_text_stats(spark, sf_dir):
-    # M7 language-ID + quality + fingerprint (heuristics — rows-only check)
+    # M7 language-ID + quality heuristics — every emitted column is
+    # plain SQL (stopword-vote argmax, punct/length/word-len banding),
+    # so the whole heuristic is a full value-hash oracle. The xxhash64
+    # fingerprint column is excluded here (no xxhash64 in DuckDB) and
+    # stays covered by pytest goldens + the exact_dedup gate.
     from anser_spark.operators.text import text_stats
 
     docs = _db(spark, sf_dir).collection("documents").df()
-    return text_stats(docs).select("doc_id", "lang_id", "quality", "fingerprint")
+    return text_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_calc", "lang_id", "quality"
+    )
 
 
 def _q_window_rank(spark, sf_dir):
@@ -555,14 +561,18 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    # M7 n-gram Jaccard, UNBOUNDED input (rows-only check). Candidate
-    # generation is MinHash-LSH band-bucketing (the scale path — never
-    # all-pairs); exact Jaccard over shingle sets verifies each
-    # candidate, so reported pairs carry true Jaccard values.
+    # M7 n-gram Jaccard via the explicit-block exact path ((lang,
+    # source) blocks — bounded per-block by contract), which DuckDB can
+    # reproduce exactly: same shingling, same set-Jaccard → full
+    # value-hash oracle. The UNBOUNDED scale path (MinHash-LSH
+    # band-bucketing candidates) is the same machinery exercised by the
+    # minhash_near_dups gate.
+    from pyspark.sql import functions as F
+
     from anser_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _db(spark, sf_dir).collection("documents").df()
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.4)
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.4, block_col=F.col("lang"))
 
 
 def _q_ivf_top_k(spark, sf_dir):
@@ -1136,6 +1146,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _text_stats_oracle() -> str:
+    """DuckDB twin of operators.text.text_stats: identical stopword-vote
+    argmax, punct/length/word-len banding, and composite weighting —
+    same regexes (RE2's [[:punct:]] == Java's \\p{Punct} ASCII class;
+    \\b is ASCII-word-boundary in both engines), same double-division
+    order, so values hash-match exactly."""
+    from anser_spark.operators.text import LANG_STOPWORDS
+
+    def hits(words: list[str]) -> str:
+        pat = "(?i)\\b(" + "|".join(words) + ")\\b"
+        return f"len(regexp_extract_all(lower(text), '{pat}', 1))"
+
+    langs = list(LANG_STOPWORDS)
+    hit_cols = ", ".join(f"{hits(LANG_STOPWORDS[l])} AS h_{l}" for l in langs)
+    all_stop = [w for ws in LANG_STOPWORDS.values() for w in ws]
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    lang_case = " ".join(
+        f"WHEN best > 0 AND h_{l} = best THEN '{l}'" for l in langs
+    )
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+            CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+            length(text) AS n_chars,
+            length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+            {hit_cols},
+            {hits(all_stop)} AS h_all
+          FROM documents
+        ), d AS (
+          SELECT *, {best} AS best,
+            CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+            CASE WHEN n_tokens > 0 THEN n_chars / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mwl,
+            CASE WHEN n_tokens > 0 THEN h_all / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+            least(n_chars / 500.0, 1.0) AS length_score
+          FROM c
+        )
+        SELECT doc_id, n_tokens, n_chars AS n_chars_calc,
+          CASE {lang_case} ELSE 'und' END AS lang_id,
+          round(length_score * 0.3
+                + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
+                + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.3 END) * 0.3
+                + least(stop_ratio * 3, 1.0) * 0.2, 6) AS quality
+        FROM d
+    """
+
+
+_NGRAM_JACCARD_ORACLE = r"""
+    WITH s AS (
+      SELECT doc_id, lang AS blk,
+        CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_distinct(list_transform(
+                    generate_series(1, len(w) - 2),
+                    i -> array_to_string(w[i:i+2], ' ')))
+        END AS sh
+      FROM (SELECT doc_id, lang,
+                   regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      round(len(list_intersect(a.sh, b.sh))
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+    FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "find_sort_limit": """
@@ -1554,8 +1633,14 @@ def oracle_sql() -> dict[str, str]:
             f"{2 * i + 2}, 1))-1)) / 255.0 AS FLOAT) AS DOUBLE) AS f{i}"
             for i in range(8)
         ) + " FROM documents",
-        # minhash_near_dups / embedding_near_dups / text_stats /
-        # simhash_fingerprints / ngram_jaccard / hll_distinct:
-        # approximate or hash-digest-derived operators — intentionally
-        # no SQL oracle (driver records the rows-only check).
+        "text_stats": _text_stats_oracle(),
+        "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        # Remaining rows-only gates, each impossible to oracle in SQL:
+        # - minhash_near_dups: xxhash64-seeded MinHash signatures (no
+        #   xxhash64 in DuckDB; candidates are LSH-band approximate)
+        # - embedding_near_dups: seeded random-hyperplane LSH buckets
+        # - simhash_fingerprints: xxhash64 token hashes (pure-Python
+        #   golden in tests/test_operators.py instead)
+        # - hll_distinct: Spark HLL++ sketch internals differ from
+        #   DuckDB's approx_count_distinct implementation
     }

@@ -1127,10 +1127,30 @@ def _exp_moving_avg(
     alpha: float,
     out_name: str,
 ) -> DataFrame:
+    """EMA recurrence via applyInPandas per partition key.
+
+    SCALE CONSTRAINT: the recurrence E_t = α·x_t + (1-α)·E_{t-1} is
+    inherently sequential in sort order, so WITHOUT ``partitionBy`` the
+    entire dataset lands in ONE applyInPandas group — a single
+    sequential task that must also fit one executor's memory. That is a
+    property of the operator's semantics, not of this implementation;
+    callers on large data must supply ``partitionBy`` (each key then
+    runs as its own parallel task). A RuntimeWarning fires on the
+    unpartitioned path."""
     from pyspark.sql import types as _T
 
     if out_name in df.columns:
         df = df.drop(out_name)
+    if not part_cols:
+        import warnings
+
+        warnings.warn(
+            "$expMovingAvg without partitionBy runs the whole dataset as one "
+            "sequential task (the EMA recurrence cannot parallelize within a "
+            "partition); supply partitionBy for datasets of any size",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     orig_cols = list(df.columns)
     work = df.withColumn(
         "__ema_part", part_cols[0] if part_cols else F.lit(0)

@@ -14,10 +14,14 @@ backup.go:79-101) is kept for the returned report.
 from __future__ import annotations
 
 import json
+import logging
 import os
+import time
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass
 from typing import Any
+
+logger = logging.getLogger("anser_spark.backup")
 
 from anser_spark.engine import Collection
 from anser_spark.functions.filters import compile_filter
@@ -39,8 +43,18 @@ class BackupOptions:
 
 
 def backup_collection(collection: Collection, options: BackupOptions) -> dict[str, Any]:
-    """Returns a report dict {namespace, count, data_path, metadata_path}."""
+    """Returns a report dict {namespace, count, data_path, metadata_path}.
+
+    ``enable_logging`` mirrors the reference's every-1000-docs progress
+    cadence (backup/backup.go:112-146). The write itself is one
+    distributed job (no driver-side cursor to hook), so progress lines
+    are emitted at file-commit granularity: after the job, written
+    parquet footers are walked in order (metadata-only, no data read)
+    and a line fires for each 1000-document boundary a file commit
+    crossed, then a final summary — same fields (ns, seen, count,
+    dur_secs), per-file rather than per-document resolution."""
     ns = collection.namespace
+    start_at = time.monotonic()
     os.makedirs(options.target_dir, exist_ok=True)
     base = os.path.join(options.target_dir, f"{ns.db}.{ns.collection}")
     metadata_path = base + ".metadata.json"
@@ -75,6 +89,10 @@ def backup_collection(collection: Collection, options: BackupOptions) -> dict[st
     with open(metadata_path, "w") as fh:
         json.dump(manifest, fh, indent=2)
 
+    if options.enable_logging:
+        logger.info(
+            "backup started ns=%s count=%d", ns, count
+        )
     if not options.indexes_only:
         out = df
         if options.query:
@@ -87,4 +105,38 @@ def backup_collection(collection: Collection, options: BackupOptions) -> dict[st
         data_path = base + ".parquet"
         out.write.mode("overwrite").parquet(data_path)
         report["data_path"] = data_path
+        if options.enable_logging:
+            _log_progress(ns, data_path, count, start_at)
+    if options.enable_logging:
+        logger.info(
+            "backup finished ns=%s count=%d dur_secs=%.3f",
+            ns, count, time.monotonic() - start_at,
+        )
     return report
+
+
+def _log_progress(ns: Any, data_path: str, count: int, start_at: float) -> None:
+    """Every-1000-docs progress lines from written parquet footers
+    (file-commit granularity; metadata-only, no data re-read)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for root, _dirs, names in os.walk(data_path):
+        files.extend(
+            os.path.join(root, f)
+            for f in names
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    seen = 0
+    last_mark = 0
+    for f in sorted(files):
+        try:
+            seen += pq.ParquetFile(f).metadata.num_rows
+        except Exception:  # noqa: BLE001 — progress is best-effort
+            continue
+        if seen // 1000 > last_mark:
+            last_mark = seen // 1000
+            logger.info(
+                "backup progress ns=%s seen=%d count=%d dur_secs=%.3f",
+                ns, seen, count, time.monotonic() - start_at,
+            )

@@ -212,3 +212,94 @@ def test_multimodal_pluggable_decode_golden(spark):
         assert stub[mid] == [float(np.float32(v)) for v in exp]
     assert decode_image_stub(b"fakejpegbytes") == [
         b / 255.0 for b in hashlib.sha256(b"fakejpegbytes").digest()[:8]]
+
+
+# --- SimHash pure-Python reference golden ------------------------------
+# Independent reimplementation of XXH64 (public algorithm, seed 42 like
+# Spark's xxhash64) + the SimHash bit-vote, cross-checking the Column
+# formulation in operators.dedup.with_simhash on a fixed corpus.
+
+_M = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F,
+                           0x165667B19E3779F9, 0x85EBCA77C2B2AE63,
+                           0x27D4EB2F165667C5)
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def _xxh64(data: bytes, seed: int = 42) -> int:
+    n, i = len(data), 0
+    if n >= 32:
+        v = [(seed + _P1 + _P2) & _M, (seed + _P2) & _M, seed & _M, (seed - _P1) & _M]
+        while i + 32 <= n:
+            for j in range(4):
+                k = int.from_bytes(data[i + 8 * j:i + 8 * j + 8], "little")
+                v[j] = (_rotl((v[j] + k * _P2) & _M, 31) * _P1) & _M
+            i += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M
+        for j in range(4):
+            h = ((h ^ ((_rotl((v[j] * _P2) & _M, 31) * _P1) & _M)) * _P1 + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i + 8 <= n:
+        k = int.from_bytes(data[i:i + 8], "little")
+        h = (_rotl(h ^ ((_rotl((k * _P2) & _M, 31) * _P1) & _M), 27) * _P1 + _P4) & _M
+        i += 8
+    if i + 4 <= n:
+        h = (_rotl(h ^ ((int.from_bytes(data[i:i + 4], "little") * _P1) & _M), 23) * _P2 + _P3) & _M
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M), 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def _simhash_py(text: str, bits: int = 64) -> int:
+    import re as _re
+    tokens = _re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    votes = [0] * bits
+    for t in tokens:
+        h = _xxh64(t.encode("utf-8"))
+        for i in range(bits):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    packed = sum((1 << i) for i in range(bits) if votes[i] > 0)
+    return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+
+def test_xxh64_reference_matches_spark(spark):
+    from pyspark.sql import functions as F
+    toks = ["hello", "a", "", "的 是 了", "the quick brown fox jumps over the lazy dog!"]
+    got = spark.createDataFrame([(t,) for t in toks], "t string").select(
+        "t", F.xxhash64("t").alias("h")).collect()
+    for r in got:
+        u = _xxh64(r["t"].encode("utf-8"))
+        assert r["h"] == (u - (1 << 64) if u >= (1 << 63) else u), r["t"]
+
+
+def test_simhash_pure_python_golden(spark):
+    from anser_spark.operators.dedup import with_simhash
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over the lazy dog",
+        "Completely different content about spark engines",
+        "singletoken",
+        "  spaced    out   Words  ",
+        "unicode 的 tokens mixed in 的 text",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "i int, text string")
+    got = {r["i"]: r["simhash"] for r in with_simhash(df).collect()}
+    exp = {i: _simhash_py(t) for i, t in enumerate(corpus)}
+    assert got == exp
+    # near-dup texts land close in hamming space, unrelated ones far
+    d01 = bin((exp[0] & _M) ^ (exp[1] & _M)).count("1")
+    d02 = bin((exp[0] & _M) ^ (exp[2] & _M)).count("1")
+    assert d01 < d02

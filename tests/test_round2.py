@@ -416,6 +416,42 @@ def test_cow_remove_and_noop(engine, spark):
     assert coll.count() == 18
 
 
+def test_cow_partial_rewrite_on_unmanaged_hive_layout(engine, spark):
+    # hive-partitioned dataset created OUTSIDE the engine (no
+    # set_partitioning metadata): partition keys must be reconstructed
+    # from key=value path segments so a one-partition update rewrites
+    # one partition instead of falling back to a full rewrite
+    import os
+    coll = engine.db("appdb").collection("exthive")
+    store = coll._store_dir
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "_id int, part int, v string")
+    df.write.partitionBy("part").parquet(os.path.join(store, "v1"))
+    with open(os.path.join(store, "_CURRENT"), "w") as fh:
+        fh.write("v1")
+    before = _inode_map(coll)
+    assert len({k.split("/")[0] for k in before}) == 3  # three hive dirs
+    coll.update_all({"part": 1}, {"$set": {"v": "updated"}})
+    after = _inode_map(coll)
+    for rel, ino in before.items():
+        if rel.startswith(("part=0", "part=2")):
+            assert after[rel] == ino, f"{rel} was rewritten"
+    assert any(rel.startswith("part=1") for rel in after)
+    rows = {r["_id"]: (r["part"], r["v"]) for r in coll.find().all()}
+    assert rows[1] == (1, "updated") and rows[4] == (1, "updated")
+    assert rows[0] == (0, "v0") and rows[2] == (2, "v2")
+    assert coll.count() == 30
+    # appends keep the hive layout partial too: every existing file
+    # survives as a hard link
+    before2 = _inode_map(coll)
+    coll.insert({"_id": 100, "part": 1, "v": "new"})
+    after2 = _inode_map(coll)
+    for rel, ino in before2.items():
+        assert after2.get(rel) == ino, f"existing file {rel} was rewritten on insert"
+    assert coll.count() == 31
+    assert coll.find_id(100).one()["part"] == 1
+
+
 def test_cow_append_links_all_existing(engine, spark):
     coll = engine.db("appdb").collection("appendy")
     coll._rewrite(spark.createDataFrame([(1, "a"), (2, "b")], "_id int, v string"))
@@ -624,6 +660,65 @@ def test_exp_moving_avg_n_form(doc_collection):
     assert vals[0] == -1.0
     assert vals[1] == 2.0      # 0.5*5 + 0.5*(-1)
     assert abs(vals[2] - 6.0) < 1e-9
+
+
+def test_exp_moving_avg_unpartitioned_warns(engine, spark):
+    # the EMA recurrence is sequential; without partitionBy the whole
+    # dataset is ONE applyInPandas task — the engine must say so
+    import warnings
+
+    db = engine.db("appdb")
+    c = db.collection("wema2")
+    c._rewrite(spark.createDataFrame([(1, 1.0), (2, 2.0)], "t int, v double"))
+    with pytest.warns(RuntimeWarning, match="one.*sequential task"):
+        c.pipe([
+            {"$setWindowFields": {
+                "sortBy": {"t": 1},
+                "output": {"ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}},
+            }},
+        ]).all()
+    # partitioned path stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        c.pipe([
+            {"$setWindowFields": {
+                "partitionBy": "$t",
+                "sortBy": {"t": 1},
+                "output": {"ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}},
+            }},
+        ]).all()
+
+
+def test_distinct_df_distributed(doc_collection):
+    # DataFrame-returning variant: lazy, no driver materialization;
+    # list form delegates to it (bounded-cardinality documented)
+    ddf = doc_collection.distinct_df("status")
+    assert set(ddf.columns) == {"v"}
+    got = sorted(r["v"] for r in ddf.collect())
+    assert got == doc_collection.distinct("status")
+    plan = ddf._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan  # distinct compiles to hash agg, not collect
+
+
+def test_backup_progress_logging(engine, spark, tmp_path, caplog):
+    import logging
+
+    from anser_spark.sources.backup import BackupOptions, backup_collection
+
+    db = engine.db("appdb")
+    c = db.collection("bigback")
+    c._rewrite(spark.range(0, 2500).selectExpr("id as _id", "id * 2 as v").coalesce(1))
+    with caplog.at_level(logging.INFO, logger="anser_spark.backup"):
+        backup_collection(c, BackupOptions(target_dir=str(tmp_path / "bk"), enable_logging=True))
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("backup started" in m and "count=2500" in m for m in msgs)
+    assert any("backup progress" in m for m in msgs)
+    assert any("backup finished" in m and "dur_secs=" in m for m in msgs)
+    # without the flag: silent (backup.go grip.InfoWhen parity)
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="anser_spark.backup"):
+        backup_collection(c, BackupOptions(target_dir=str(tmp_path / "bk2")))
+    assert not caplog.records
 
 
 # --- multimodal plumbing ----------------------------------------------
