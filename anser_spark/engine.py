@@ -667,6 +667,20 @@ class Collection:
         positional array updates."""
         df = self.df()
         pred = compile_filter(query, df.schema)
+
+        def _full_match_drops(n_matched: int) -> list[str]:
+            # $unset/$rename null the source column on a partial match
+            # (fixed-schema divergence); when EVERY row matched the
+            # column carries only nulls, so honor BSON semantics and
+            # drop it. The count() is only paid when the update
+            # contains such an operator.
+            if not has_dollar_key(update):
+                return []
+            plan = compile_update(update, df.schema, array_filters)
+            if plan.drop_if_all_matched and n_matched == df.count():
+                return sorted(plan.drop_if_all_matched)
+            return []
+
         if self._pred_nondeterministic(pred):
             # materialize the random draw ONCE (localCheckpoint) so the
             # reported count and the mutated rows are the same sample
@@ -676,13 +690,16 @@ class Collection:
             matched = snap.where(F.col("__nd_m")).count()
             out = apply_update(
                 snap, F.col("__nd_m"), update, snap.schema, array_filters=array_filters
-            ).drop("__nd_m")
+            ).drop("__nd_m", *_full_match_drops(matched))
             self._rewrite(out)
             return ChangeInfo(updated=matched)
         matched = df.where(pred).count()
+        drops = _full_match_drops(matched)
         self._cow_rewrite(
             pred,
-            lambda sub: apply_update(sub, pred, update, sub.schema, array_filters=array_filters),
+            lambda sub: apply_update(
+                sub, pred, update, sub.schema, array_filters=array_filters
+            ).drop(*drops),
         )
         return ChangeInfo(updated=matched)
 

@@ -330,16 +330,51 @@ def _compile_op(
         elem_dt = dt.elementType if is_array else None
         return F.exists(col, lambda e: _element_predicate(e, arg, elem_dt))
     if op == "$geoWithin":
-        # $centerSphere only: [[lon, lat], radius_radians] over a
-        # [lon, lat] array field — haversine as pure Column trig (shared
-        # constant with $geoNear; mean-radius sphere, documented)
-        if not isinstance(arg, Mapping) or "$centerSphere" not in arg:
-            raise FilterCompileError("$geoWithin supports $centerSphere only")
-        (lon0, lat0), radius_rad = arg["$centerSphere"]
-        from anser_spark.plans.pipeline import _EARTH_RADIUS_M, _haversine_m
+        # Over a [lon, lat] array field; all pure Column expressions:
+        # - $centerSphere [[lon, lat], radius_radians]: haversine trig
+        #   (shared constant with $geoNear; mean-radius sphere)
+        # - $box [[x1, y1], [x2, y2]]: flat-geometry rectangle (legacy
+        #   coordinates, corners normalized), boundary inclusive
+        # - $polygon [[x, y], ...]: flat-geometry ray casting — the
+        #   edge terms are a driver-side constant list XOR-folded, so
+        #   the expression grows linearly in vertex count (boundary
+        #   points follow ray-casting convention)
+        if not isinstance(arg, Mapping):
+            raise FilterCompileError("$geoWithin expects a geometry document")
+        if "$centerSphere" in arg:
+            (lon0, lat0), radius_rad = arg["$centerSphere"]
+            from anser_spark.plans.pipeline import _EARTH_RADIUS_M, _haversine_m
 
-        return _haversine_m(col, float(lon0), float(lat0)) <= F.lit(
-            float(radius_rad) * _EARTH_RADIUS_M
+            return _haversine_m(col, float(lon0), float(lat0)) <= F.lit(
+                float(radius_rad) * _EARTH_RADIUS_M
+            )
+        x = col.getItem(0).cast("double")
+        y = col.getItem(1).cast("double")
+        if "$box" in arg:
+            (x1, y1), (x2, y2) = arg["$box"]
+            return (
+                (x >= F.lit(min(float(x1), float(x2))))
+                & (x <= F.lit(max(float(x1), float(x2))))
+                & (y >= F.lit(min(float(y1), float(y2))))
+                & (y <= F.lit(max(float(y1), float(y2))))
+            )
+        if "$polygon" in arg:
+            pts = [(float(px), float(py)) for px, py in arg["$polygon"]]
+            if len(pts) < 3:
+                raise FilterCompileError("$polygon needs at least 3 vertices")
+            inside = F.lit(False)
+            for i in range(len(pts)):
+                xi, yi = pts[i]
+                xj, yj = pts[i - 1]
+                if yj == yi:
+                    continue  # horizontal edge never crosses the test ray
+                crosses = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+                    x < (y - F.lit(yi)) * F.lit((xj - xi) / (yj - yi)) + F.lit(xi)
+                )
+                inside = inside != crosses  # boolean XOR fold
+            return inside
+        raise FilterCompileError(
+            "$geoWithin supports $centerSphere, $box, and $polygon"
         )
     if op == "$type":
         names = arg if isinstance(arg, (list, tuple)) else [arg]

@@ -181,6 +181,17 @@ class Application:
                 out = apply_update(update_base, pred, dict(mig.update), update_base.schema)
                 if "__limit_hit" in out.columns:
                     out = out.drop("__limit_hit")
+                # every row matched ⇒ $unset/$rename sources carry only
+                # nulls: drop them (BSON semantics; same rule as
+                # Collection.update_all). The count() is only paid when
+                # the update contains such an operator.
+                from anser_spark.functions.updates import compile_update, has_dollar_key
+
+                upd = dict(mig.update)
+                if has_dollar_key(upd):
+                    plan = compile_update(upd, update_base.schema)
+                    if plan.drop_if_all_matched and matched == df.count():
+                        out = out.drop(*sorted(plan.drop_if_all_matched))
                 coll._rewrite(out)
                 return MigrationResult(job_id, matched=matched, modified=matched)
             if isinstance(mig, ManualMigration):

@@ -84,6 +84,61 @@ def minhash_signature(
     return df.withColumn(sig_out, sig)
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
+def minhash_signature_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow-batched MinHash signatures: per-batch numpy pipeline —
+    shingle, siphash the shingle strings once (pandas ``hash_array``,
+    fixed key ⇒ deterministic across workers), then ``num_hashes``
+    universal-hash permutations ``(a·h + b) mod (2^61-1)`` as ONE
+    vectorized ``num_hashes × n_shingles`` matrix min.
+
+    Round-3 bake-off vs the Column-aggregate formulation
+    (:func:`minhash_signature`) at sf0.1: 5.6s vs 9.1s first-run for
+    the full near-dup query, identical verified pairs — the win is
+    replacing per-shingle×per-seed JVM expression evaluation with two
+    numpy ops. Returns (id, __minhash array<long>, __shingles)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, _MERSENNE61, size=num_hashes, dtype=np.uint64)
+    B = rng.randint(0, _MERSENNE61, size=num_hashes, dtype=np.uint64)
+
+    def batches(it):
+        for pdf in it:
+            ids, sigs, shingles = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = re.sub(r"\s+", " ", (t or "").strip().lower(), flags=re.ASCII).split(" ")
+                if len(words) < k:
+                    sh = [" ".join(words)]
+                else:
+                    sh = list({" ".join(words[j : j + k]) for j in range(len(words) - k + 1)})
+                h = pd.util.hash_array(np.array(sh, dtype=object)) % _MERSENNE61
+                vals = (A[:, None] * h[None, :].astype(np.uint64) + B[:, None]) % _MERSENNE61
+                ids.append(i)
+                sigs.append(vals.min(axis=1).astype(np.int64))
+                shingles.append(sh)
+            yield pd.DataFrame(
+                {id_col: ids, "__minhash": sigs, "__shingles": shingles}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} {id_type}, __minhash array<long>, __shingles array<string>"
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -92,12 +147,17 @@ def minhash_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.7,
+    method: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
 
     LSH: split the signature into `bands` bands of num_hashes/bands rows;
     docs sharing any band-hash become candidates; candidates are verified
     with exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard).
+
+    ``method``: 'arrow' (default — numpy-vectorized signatures, the
+    round-3 bake-off winner) or 'column' (pure JVM expressions; same
+    verified output, different hash family for the candidate stage).
     """
     rows = num_hashes // bands
     # materialize signatures once: this projection feeds banding AND both
@@ -106,11 +166,13 @@ def minhash_near_dup_pairs(
     # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
     from pyspark.storagelevel import StorageLevel
 
-    sigs = (
-        minhash_signature(df, text_col, k, num_hashes)
-        .select(F.col(id_col), F.col("__shingles"), F.col("__minhash"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if method == "arrow":
+        sigs = minhash_signature_arrow(df, id_col, text_col, k, num_hashes)
+    else:
+        sigs = minhash_signature(df, text_col, k, num_hashes)
+    sigs = sigs.select(
+        F.col(id_col), F.col("__shingles"), F.col("__minhash")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         id_col,
         F.explode(
@@ -256,30 +318,78 @@ def ngram_jaccard_pairs(
         return minhash_near_dup_pairs(
             df, id_col, text_col, k, num_hashes, bands, threshold
         )
-    sh = df.select(
-        F.col(id_col),
-        shingle_col(F.col(text_col), k).alias("__sh"),
-        block_col.alias("__blk"),
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    return (
+    if threshold <= 0:
+        raise ValueError("explicit-block path requires threshold > 0")
+    # Exact set-similarity join via a shingle inverted index: explode
+    # distinct shingles, equi-join on (block, shingle), count shared
+    # shingles per pair, then |A∪B| = |A| + |B| - |A∩B|. Pairs sharing
+    # zero shingles have jaccard 0 < threshold, so never materialize.
+    # Work is Σ bucket² over (block, shingle) postings — at sf0.1 that
+    # is ~326k cheap count rows vs ~2.4M all-pairs each paying an
+    # array_intersect over hundreds of elements (the round-2
+    # formulation: 125s vs ~2s for this plan). Hot-shingle postings are
+    # the residual skew caveat (AQE skew-join splits them; PPJoin-style
+    # prefix filtering is the known further prune).
+    from pyspark.storagelevel import StorageLevel
+
+    # Arrow-batched shingling (round-3 bake-off: the JVM transform/
+    # slice/array_distinct shingle expression was the dominant cost of
+    # this operator — ~8.5s of an 11s sf0.1 run vs ~3.5s batched; set
+    # semantics make shingle ORDER irrelevant downstream)
+    proj = df.select(F.col(id_col), F.col(text_col), block_col.alias("__blk"))
+    types = dict(proj.dtypes)
+
+    def _shingle_batches(it):
+        import re
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, blks, shs = [], [], []
+            for i, t, blk in zip(pdf[id_col], pdf[text_col], pdf["__blk"]):
+                words = re.sub(r"\s+", " ", (t or "").strip().lower(), flags=re.ASCII).split(" ")
+                if len(words) < k:
+                    sh_set = [" ".join(words)]
+                else:
+                    sh_set = list(
+                        {" ".join(words[j : j + k]) for j in range(len(words) - k + 1)}
+                    )
+                ids.append(i)
+                blks.append(blk)
+                shs.append(sh_set)
+            yield pd.DataFrame({id_col: ids, "__blk": blks, "__sh": shs})
+
+    sh = proj.mapInPandas(
+        _shingle_batches,
+        f"{id_col} {types[id_col]}, __blk {types['__blk']}, __sh array<string>",
+    ).withColumn("__n", F.size("__sh"))
+    # both sides of the self-join read the postings — persist or the
+    # shingle computation and explode run twice
+    ex = sh.select(
+        id_col, "__blk", "__n", F.explode("__sh").alias("__tok")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
         a.join(
             b,
             on=[
                 F.col("a.__blk") == F.col("b.__blk"),
+                F.col("a.__tok") == F.col("b.__tok"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("a.__sh", "b.__sh"))
-            / F.size(F.array_union("a.__sh", "b.__sh")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round("jaccard", 6).alias("jaccard"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
         )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    jaccard = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+    return (
+        common.withColumn("jaccard", jaccard)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -94,6 +94,44 @@ def _signature_col(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _signature_arrow(
+    df: DataFrame,
+    dim: int,
+    vec_col: str,
+    id_col: str,
+    bits: int,
+    seed: int,
+) -> DataFrame:
+    """Arrow-batched hyperplane signatures: one numpy matmul per batch
+    (``n × dim @ dim × bits``) instead of ``bits`` separate JVM
+    dot-product aggregates per row.
+
+    Round-3 bake-off at sf0.1 (64 bits): ~0.65s vs ~3.2s steady-state
+    for the full near-dup query — matmul beats per-element expression
+    trees by ~5× here. Same hyperplanes (seeded), same >= 0 sign rule;
+    float64 accumulation order differs from the sequential JVM fold, so
+    a dot product within ~1e-15 of zero could flip a bit — candidates
+    are verified with exact cosine downstream either way."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(random_hyperplanes(dim, bits, seed), dtype=np.float64)
+    id_type = dict(df.dtypes)[id_col]
+
+    def batches(it):
+        for pdf in it:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (m @ planes.T) >= 0
+            sig = np.zeros(len(pdf), dtype=np.uint64)
+            for i in range(bits):
+                sig |= signs[:, i].astype(np.uint64) << np.uint64(i)
+            yield pd.DataFrame({id_col: pdf[id_col], "__sig": sig.view(np.int64)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} {id_type}, __sig long"
+    )
+
+
 def lsh_bucket_candidates(
     df: DataFrame,
     dim: int,
@@ -102,16 +140,23 @@ def lsh_bucket_candidates(
     bits: int = 16,
     bands: int = 4,
     seed: int = 42,
+    method: str = "arrow",
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing any LSH signature band.
 
     bits/bands tune recall vs candidate volume: more bands → higher
     recall, more candidates. One explode(bands) + one shuffle on
     (band, band-bits) — the all-pairs join never materializes.
-    """
-    planes = random_hyperplanes(dim, bits, seed)
+    ``method``: 'arrow' (numpy matmul signatures, bake-off winner) or
+    'column' (pure JVM expressions)."""
     rows = bits // bands
-    sig = df.select(F.col(id_col), _signature_col(F.col(vec_col), planes).alias("__sig"))
+    if method == "arrow":
+        sig = _signature_arrow(df, dim, vec_col, id_col, bits, seed)
+    else:
+        planes = random_hyperplanes(dim, bits, seed)
+        sig = df.select(
+            F.col(id_col), _signature_col(F.col(vec_col), planes).alias("__sig")
+        )
     mask = (1 << rows) - 1
     from pyspark.storagelevel import StorageLevel
 

@@ -253,6 +253,7 @@ def _compile_stage(  # noqa: C901
             {
                 "mode": "merge",
                 "on": spec.get("on", "_id"),
+                "let": spec.get("let"),
                 "whenMatched": spec.get("whenMatched", "replace"),
                 "whenNotMatched": spec.get("whenNotMatched", "insert"),
             },
@@ -1551,9 +1552,14 @@ class Aggregation:
                 incoming_matched = df.limit(0)
             elif isinstance(when_matched, (list, tuple)):
                 # whenMatched PIPELINE (Mongo): stages run against the
-                # EXISTING doc with the incoming doc bound as $$new;
-                # restricted to $set/$addFields/$unset/$replaceWith as
-                # in Mongo. One joined plan, still a single rewrite.
+                # EXISTING doc with the incoming doc's `let` variables
+                # bound (default let = {new: $$ROOT} ⇒ $$new); let
+                # expressions are evaluated against the INCOMING doc
+                # (CURRENT rebound to it, like Mongo). Restricted to
+                # $set/$addFields/$unset/$replaceWith as in Mongo. One
+                # joined plan, still a single rewrite.
+                from pyspark.sql import types as _T
+
                 upd = df.select(
                     *[F.col(c).alias(f"__new_{c}") for c in df.columns]
                 )
@@ -1564,20 +1570,28 @@ class Aggregation:
                 new_struct = F.struct(
                     *[F.col(f"__new_{c}").alias(c) for c in df.columns]
                 )
+                let_spec = opts.get("let") or {"new": "$$ROOT"}
+                new_type = _T.StructType(list(df.schema.fields))
+                let_env = {"CURRENT": new_struct, "CURRENT_TYPE": new_type,
+                           "ROOT": new_struct}
+                env = {
+                    vname: compile_expr(vexpr, overlaid.schema, let_env)
+                    for vname, vexpr in let_spec.items()
+                }
                 for st in when_matched:
                     sop, sarg = next(iter(st.items()))
                     if sop in ("$set", "$addFields"):
                         for fname, fexpr in sarg.items():
                             overlaid = overlaid.withColumn(
                                 fname,
-                                compile_expr(fexpr, overlaid.schema, {"new": new_struct}),
+                                compile_expr(fexpr, overlaid.schema, dict(env)),
                             )
                     elif sop == "$unset":
                         names = [sarg] if isinstance(sarg, str) else list(sarg)
                         overlaid = overlaid.drop(*[n for n in names if n in overlaid.columns])
                     elif sop in ("$replaceRoot", "$replaceWith"):
                         root_expr = sarg["newRoot"] if sop == "$replaceRoot" else sarg
-                        col = compile_expr(root_expr, overlaid.schema, {"new": new_struct})
+                        col = compile_expr(root_expr, overlaid.schema, dict(env))
                         overlaid = overlaid.select(col.alias("__root")).select("__root.*")
                     else:
                         raise PipelineCompileError(

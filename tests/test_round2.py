@@ -919,6 +919,46 @@ def test_merge_when_matched_pipeline(engine, spark):
     assert rows[3]["total"] == 7.0                          # inserted
 
 
+def test_merge_let_variables(engine, spark):
+    # $merge let: variables over the INCOMING doc, usable as $$var in
+    # the whenMatched pipeline (default let = {new: $$ROOT})
+    db = engine.db("appdb")
+    tgt = db.collection("merge_let_tgt")
+    tgt._rewrite(spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "_id int, total double"))
+    src = db.collection("merge_let_src")
+    src._rewrite(spark.createDataFrame(
+        [(1, 5.0, 2.0), (3, 7.0, 1.0)], "_id int, total double, weight double"))
+    src.pipe([
+        {"$merge": {
+            "into": "merge_let_tgt",
+            "on": "_id",
+            "let": {"inc": {"$multiply": ["$total", "$weight"]},
+                    "w": "$weight"},
+            "whenMatched": [
+                {"$set": {"total": {"$add": ["$total", "$$inc"]},
+                          "last_w": "$$w"}},
+            ],
+            "whenNotMatched": "insert",
+        }},
+    ]).all()
+    rows = {r["_id"]: r for r in tgt.find({}).all()}
+    assert rows[1]["total"] == 20.0       # 10 + 5*2 — let exprs see the incoming doc
+    assert rows[1]["last_w"] == 2.0
+    assert rows[2]["total"] == 20.0 and rows[2]["last_w"] is None
+    assert rows[3]["total"] == 7.0        # inserted unchanged
+    # explicit let replaces the default: $$new must no longer resolve
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        src.pipe([
+            {"$merge": {
+                "into": "merge_let_tgt", "on": "_id",
+                "let": {"w": "$weight"},
+                "whenMatched": [{"$set": {"total": "$$new.total"}}],
+            }},
+        ]).all()
+
+
 def test_lookup_concise_with_pipeline(engine):
     orders = engine.db("tpch").collection("orders")
     out = orders.pipe([
@@ -1000,6 +1040,30 @@ def test_geo_within_center_sphere(engine, spark):
     r = math.radians(2.0)
     out = c.find({"location": {"$geoWithin": {"$centerSphere": [[0.0, 0.0], r]}}}).all()
     assert sorted(x["name"] for x in out) == ["one_deg_east", "one_deg_north", "origin"]
+
+
+def test_geo_within_box_and_polygon(engine, spark):
+    c = _geo_coll(engine, spark)
+    # $box: flat rectangle, corners in any order, boundary inclusive
+    out = c.find({"location": {"$geoWithin": {"$box": [[1.5, 1.5], [-0.5, -0.5]]}}}).all()
+    assert sorted(x["name"] for x in out) == ["one_deg_east", "one_deg_north", "origin"]
+    out = c.find({"location": {"$geoWithin": {"$box": [[0.5, -0.5], [1.5, 0.5]]}}}).all()
+    assert [x["name"] for x in out] == ["one_deg_east"]
+    # $polygon: triangle covering the origin and (1, 0) but not (0, 1)
+    tri = [[-1.0, -1.0], [3.0, -1.0], [1.0, 2.0]]
+    out = c.find({"location": {"$geoWithin": {"$polygon": tri}}}).all()
+    assert sorted(x["name"] for x in out) == ["one_deg_east", "origin"]
+    # concave polygon (arrow shape): the notch excludes the origin
+    arrow = [[-2.0, -1.0], [2.0, -1.0], [2.0, 1.0], [0.0, -0.5], [-2.0, 1.0]]
+    out = c.find({"location": {"$geoWithin": {"$polygon": arrow}}}).all()
+    names = {x["name"] for x in out}
+    assert "origin" not in names
+    import pytest as _pytest
+    from anser_spark.functions.filters import FilterCompileError
+    with _pytest.raises(FilterCompileError):
+        c.find({"location": {"$geoWithin": {"$nope": 1}}}).all()
+    with _pytest.raises(FilterCompileError):
+        c.find({"location": {"$geoWithin": {"$polygon": [[0, 0], [1, 1]]}}}).all()
 
 
 # --- json/csv sources, dotted $unset, compound $merge on --------------

@@ -70,7 +70,16 @@ def test_rename(doc_collection):
     doc_collection.update_all({}, {"$rename": {"time": "timeSince"}})
     row = get(doc_collection, "a1")
     assert row["timeSince"] is not None
-    assert "time" not in row or row["time"] is None
+    # every row matched ⇒ the source column is dropped (BSON semantics)
+    assert "time" not in doc_collection.df().columns
+
+
+def test_unset_full_match_drops_column(doc_collection):
+    # all-match $unset removes the column; partial-match keeps it nulled
+    doc_collection.update_all({"_id": "a1"}, {"$unset": {"priority": ""}})
+    assert "priority" in doc_collection.df().columns
+    doc_collection.update_all({}, {"$unset": {"priority": ""}})
+    assert "priority" not in doc_collection.df().columns
 
 
 def test_inc_mul(doc_collection):
