@@ -575,6 +575,21 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, k=3, threshold=0.4, block_col=F.col("lang"))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # M7 duplicate-cluster labeling: connected components (alternating
+    # large-star/small-star) over the exact ngram-Jaccard pair graph,
+    # every doc labeled with its component's min doc_id (own id if it
+    # has no near-dup). Oracle: DuckDB WITH RECURSIVE min-label walk
+    # over the identical SQL pair set.
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.4, block_col=F.col("lang"))
+    return dedup_clusters(docs, pairs).select("doc_id", "component")
+
+
 def _q_ivf_top_k(spark, sf_dir):
     # M7 IVF ANN at full probe (nprobe=k) — provably identical to brute
     # force, so it shares the exact cosine_top_k oracle
@@ -1121,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_shift": _q_window_shift,
         "simhash_fingerprints": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
         "ivf_top_k": _q_ivf_top_k,
         "update_all_inc_set": _q_update_all_inc_set,
         "upsert_paths": _q_upsert_paths,
@@ -1635,6 +1651,26 @@ def oracle_sql() -> dict[str, str]:
         ) + " FROM documents",
         "text_stats": _text_stats_oracle(),
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        # connected components == transitive closure with min-id labels:
+        # the recursive walk enumerates every (node, reachable-node)
+        # pair over the symmetric ngram pair graph (small: components
+        # are near-dup clusters), then min() collapses to the label
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            walk(id, label) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT e.v, w.label FROM walk w JOIN edges e ON e.u = w.id
+            ),
+            comp AS (SELECT id, min(label) AS component FROM walk GROUP BY id)
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        """,
         # Remaining rows-only gates, each impossible to oracle in SQL:
         # - minhash_near_dups: xxhash64-seeded MinHash signatures (no
         #   xxhash64 in DuckDB; candidates are LSH-band approximate)

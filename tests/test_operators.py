@@ -303,3 +303,87 @@ def test_simhash_pure_python_golden(spark):
     d01 = bin((exp[0] & _M) ^ (exp[1] & _M)).count("1")
     d02 = bin((exp[0] & _M) ^ (exp[2] & _M)).count("1")
     assert d01 < d02
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id labels
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_connected_components_vs_union_find(spark):
+    # randomized graphs cross-checked against a pure-Python union-find
+    import random
+
+    from anser_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.choice([12, 40, 80])
+        m = rng.randint(n // 3, n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        exp_all = _union_find_components(n, edges)
+        in_graph = {a for e in edges for a in e}
+        # normalize union-find roots to the true min id of each component
+        comp_min = {}
+        for x in in_graph:
+            comp_min.setdefault(exp_all[x], min(
+                y for y in in_graph if exp_all[y] == exp_all[x]))
+        exp = {x: comp_min[exp_all[x]] for x in in_graph}
+        assert got == exp, f"trial {trial}"
+
+
+def test_connected_components_path_chain(spark):
+    # a long path graph is the worst case for naive propagation — the
+    # star algorithm collapses it in O(log^2 n) rounds
+    from anser_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(0, 63)] + [(100, 101), (200, 200)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert all(got[i] == 0 for i in range(64))
+    assert got[100] == 100 and got[101] == 100
+    assert 200 not in got  # self-loop dropped
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    from anser_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    # chain 0-1-2 (0,2 NOT a direct pair) + pair 4-5; 3 is a singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: r["component"]
+           for r in dedup_clusters(docs, pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    survivors = sorted(k for k, v in out.items() if k == v)
+    assert survivors == [0, 3, 4]
+
+
+def test_connected_components_string_ids(spark):
+    from anser_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string")
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
