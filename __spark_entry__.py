@@ -308,6 +308,22 @@ def _q_text_token_count(spark, sf_dir):
     )
 
 
+def _q_sequence_packing(spark, sf_dir):
+    # M7 sequence packing (concat-then-chunk, the LLM-pretraining
+    # layout): whitespace token counts → sharded deterministic packing
+    # into 512-token blocks; window cumsum only, no sequential state
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.packing import pack_sequences
+    from anser_spark.operators.text import token_count_col
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    toks = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+    return pack_sequences(toks, capacity=512, num_shards=8).select(
+        "doc_id", "shard", "pack_offset", "block_start", "block_end"
+    )
+
+
 def _q_exact_dedup(spark, sf_dir):
     # M7 exact dedup: hash-groupBy on normalized fingerprint, min-id winner
     from anser_spark.operators.dedup import exact_dedup
@@ -1121,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "project_expressions": _q_project_expressions,
         "group_by_user": _q_group_by_user,
         "text_token_count": _q_text_token_count,
+        "sequence_packing": _q_sequence_packing,
         "exact_dedup_docs": _q_exact_dedup,
         "cosine_top_k": _q_cosine_top_k,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1315,6 +1332,30 @@ def oracle_sql() -> dict[str, str]:
                    END AS INTEGER) AS n_tokens,
                    n_chars
             FROM documents
+        """,
+        "sequence_packing": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS BIGINT) AS n_tokens,
+                     doc_id % 8 AS shard
+              FROM documents
+            ),
+            packed AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS pack_offset
+              FROM toks
+            )
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(pack_offset AS BIGINT) AS pack_offset,
+                   CAST(floor(pack_offset / 512) AS BIGINT) AS block_start,
+                   CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
+                        AS BIGINT) AS block_end
+            FROM packed
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id

@@ -387,3 +387,45 @@ def test_connected_components_string_ids(spark):
         [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string")
     got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_pack_sequences_layout(spark):
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.packing import pack_sequences
+
+    rows = [(0, 300), (8, 300), (16, 100), (1, 600), (9, 10), (17, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = {r["doc_id"]: r for r in pack_sequences(
+        df, capacity=512, num_shards=8).collect()}
+    # shard 0: docs 0,8,16 at offsets 0,300,600
+    assert (out[0]["shard"], out[0]["pack_offset"]) == (0, 0)
+    assert out[8]["pack_offset"] == 300
+    assert out[16]["pack_offset"] == 600
+    # doc 8 straddles the 512 boundary: blocks 0..1
+    assert (out[8]["block_start"], out[8]["block_end"]) == (0, 1)
+    assert (out[16]["block_start"], out[16]["block_end"]) == (1, 1)
+    # shard 1: doc 1 spans blocks 0..1; doc 9 follows at 600
+    assert (out[1]["block_start"], out[1]["block_end"]) == (0, 1)
+    assert out[9]["pack_offset"] == 600
+    # empty doc occupies its starting block only
+    assert out[17]["block_start"] == out[17]["block_end"]
+    # custom shard column
+    out2 = pack_sequences(
+        df, capacity=512, shard_col=F.lit(0)).orderBy("doc_id").collect()
+    offsets = [r["pack_offset"] for r in out2]
+    assert offsets == [0, 300, 900, 1200, 1210, 1310]
+
+
+def test_pack_sequences_determinism_and_validation(spark):
+    import pytest as _pytest
+
+    from anser_spark.operators.packing import pack_sequences
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens"))
+    a = sorted(map(tuple, pack_sequences(df, capacity=64).collect()))
+    b = sorted(map(tuple, pack_sequences(df, capacity=64).collect()))
+    assert a == b
+    with _pytest.raises(ValueError):
+        pack_sequences(df, capacity=0)
