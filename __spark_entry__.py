@@ -324,6 +324,34 @@ def _q_sequence_packing(spark, sf_dir):
     )
 
 
+def _q_hash_split(spark, sf_dir):
+    # M7 corpus management: deterministic md5-bucket train/val/test
+    # split — no RNG state, stable under append-only corpus growth;
+    # DuckDB reproduces md5 exactly, bucket math in integer hex
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.corpus import hash_split
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return hash_split(docs).select(
+        "doc_id", F.col("__bucket").alias("bucket"), "split"
+    )
+
+
+def _q_decontamination(spark, sf_dir):
+    # M7 eval decontamination: word-trigram overlap between a held-out
+    # eval slice (doc_id % 25 == 0) and the training remainder —
+    # exploded shingle postings, broadcast eval side, never all-pairs
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.corpus import contaminated_pairs
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    test = docs.where(F.col("doc_id") % 25 == 0)
+    train = docs.where(F.col("doc_id") % 25 != 0)
+    return contaminated_pairs(train, test, k=3, min_shared=2)
+
+
 def _q_exact_dedup(spark, sf_dir):
     # M7 exact dedup: hash-groupBy on normalized fingerprint, min-id winner
     from anser_spark.operators.dedup import exact_dedup
@@ -1138,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_user": _q_group_by_user,
         "text_token_count": _q_text_token_count,
         "sequence_packing": _q_sequence_packing,
+        "hash_split": _q_hash_split,
+        "decontamination": _q_decontamination,
         "exact_dedup_docs": _q_exact_dedup,
         "cosine_top_k": _q_cosine_top_k,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -1356,6 +1386,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
                         AS BIGINT) AS block_end
             FROM packed
+        """,
+        # bucket = int of the first 4 md5 hex digits, summed per-char
+        # via strpos('0123456789abcdef', c) - 1 (the same trick as the
+        # media_features oracle); split edges floor(cum_weight * 65536)
+        "hash_split": """
+            WITH b AS (
+              SELECT doc_id,
+                (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                AS bucket
+              FROM documents
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CASE WHEN bucket < 58982 THEN 'train'
+                        WHEN bucket < 62259 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "decontamination": """
+            WITH s AS (
+              SELECT doc_id,
+                CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                     ELSE list_distinct(list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' ')))
+                END AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(
+                             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+                    FROM documents)
+            ),
+            tr AS (SELECT doc_id AS train_id, unnest(sh) AS tok FROM s
+                   WHERE doc_id % 25 <> 0),
+            te AS (SELECT doc_id AS test_id, unnest(sh) AS tok FROM s
+                   WHERE doc_id % 25 = 0)
+            SELECT train_id, test_id, count(*) AS n_shared
+            FROM tr JOIN te ON tr.tok = te.tok
+            GROUP BY train_id, test_id
+            HAVING count(*) >= 2
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id

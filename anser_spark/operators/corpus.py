@@ -1,0 +1,116 @@
+"""Corpus management for LLM training pipelines: deterministic
+train/val/test splitting and train-vs-eval decontamination.
+
+Both operators are pure DataFrame plans over deterministic hash / set
+algebra, so they are exactly reproducible by the DuckDB oracle gates
+and stable across re-runs — the properties a 100 TB corpus build needs
+for resumability and audit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from anser_spark.operators.dedup import shingle_col
+
+__all__ = ["hash_split", "contaminated_pairs", "decontaminate"]
+
+_BUCKETS = 1 << 16
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Mapping[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing the document
+    id: bucket = first 4 hex digits of md5(salt || id) (65536 buckets),
+    split = the weight interval the bucket falls in.
+
+    Hash-based splitting is the scale-correct form of random splitting:
+    no RNG state, no shuffle, membership is a pure projection computed
+    at scan speed, and a document keeps its split across incremental
+    corpus builds (append-only growth never reshuffles old docs —
+    exactly why md5(id) beats ``rand()`` here). ``salt`` derives
+    independent splits from the same corpus.
+
+    ``weights`` is an ordered mapping name → weight (normalized;
+    default {'train': .9, 'val': .05, 'test': .05}); interval edges are
+    ``floor(cum_weight * 65536)`` so the oracle reproduces them in
+    integer math.
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    weights = dict(weights)
+    if not weights or any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be a non-empty mapping of non-negative weights")
+    total = float(sum(weights.values()))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        edge = int(cum * _BUCKETS)
+        cond = bucket < F.lit(edge)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out_col = last if expr is None else expr.otherwise(last)
+    return df.withColumn("__bucket", bucket).withColumn(split_col, out_col)
+
+
+def contaminated_pairs(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """(train_id, test_id, n_shared) for every train/eval pair sharing
+    at least ``min_shared`` distinct word ``k``-grams — the standard
+    n-gram-overlap eval-contamination check.
+
+    Plan: explode each side's distinct shingles into a posting list and
+    equi-join on the shingle. The eval set is tiny next to a training
+    corpus, so Spark broadcasts its postings and the check runs as one
+    scan over the train side — no all-pairs comparison ever exists.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"), shingle_col(F.col(text_col), k).alias("__sh")
+    ).select("train_id", F.explode("__sh").alias("__tok"))
+    te = test.select(
+        F.col(id_col).alias("test_id"), shingle_col(F.col(text_col), k).alias("__sh")
+    ).select("test_id", F.explode("__sh").alias("__tok"))
+    return (
+        tr.join(F.broadcast(te), "__tok")
+        .groupBy("train_id", "test_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Drop every training document contaminated by the eval set (≥
+    ``min_shared`` shared ``k``-grams with ANY eval doc): one left-anti
+    join against the contaminated-id set."""
+    bad = contaminated_pairs(train, test, id_col, text_col, k, min_shared).select(
+        F.col("train_id").alias(id_col)
+    )
+    return train.join(bad.distinct(), on=id_col, how="left_anti")

@@ -429,3 +429,71 @@ def test_pack_sequences_determinism_and_validation(spark):
     assert a == b
     with _pytest.raises(ValueError):
         pack_sequences(df, capacity=0)
+
+
+def test_hash_split_ratios_and_determinism(spark):
+    import hashlib
+
+    from anser_spark.operators.corpus import hash_split
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df).collect()
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert abs(counts["train"] / 4000 - 0.9) < 0.03
+    assert abs(counts.get("val", 0) / 4000 - 0.05) < 0.02
+    assert abs(counts.get("test", 0) / 4000 - 0.05) < 0.02
+    # exact agreement with a pure-Python recomputation
+    for r in out[:200]:
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        exp = "train" if b < int(0.9 * 65536) else (
+            "val" if b < int(0.95 * 65536) else "test")
+        assert (r["__bucket"], r["split"]) == (b, exp)
+    # salt derives an independent assignment; determinism holds per salt
+    salted = {r["doc_id"]: r["split"] for r in hash_split(df, salt="v2").collect()}
+    plain = {r["doc_id"]: r["split"] for r in out}
+    assert salted != plain
+    again = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert again == plain
+    # custom ordered weights + validation
+    two = hash_split(df, weights={"a": 1, "b": 1}).collect()
+    ca = sum(1 for r in two if r["split"] == "a")
+    assert abs(ca / 4000 - 0.5) < 0.03
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(df, weights={})
+    with _pytest.raises(ValueError):
+        hash_split(df, weights={"a": -1, "b": 2})
+
+
+def test_contamination_pairs_and_decontaminate(spark):
+    from anser_spark.operators.corpus import contaminated_pairs, decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text about spark dataframes"),
+            (3, "the quick brown fox naps all day long"),
+        ],
+        "doc_id long, text string",
+    )
+    test_set = spark.createDataFrame(
+        [(100, "we saw the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["train_id"], r["test_id"]): r["n_shared"]
+        for r in contaminated_pairs(train, test_set, k=3, min_shared=2).collect()
+    }
+    # doc 1 shares 'the quick brown','quick brown fox','brown fox
+    # jumps','fox jumps over'
+    assert pairs[(1, 100)] == 4
+    # doc 3 shares 2 trigrams, doc 2 none
+    assert pairs.get((3, 100)) == 2
+    assert not any(t == 2 for t, _ in pairs)
+    clean = decontaminate(train, test_set, k=3, min_shared=2)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2]
+    # higher threshold keeps doc 3
+    clean2 = decontaminate(train, test_set, k=3, min_shared=3)
+    assert sorted(r["doc_id"] for r in clean2.collect()) == [2, 3]
