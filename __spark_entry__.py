@@ -352,6 +352,18 @@ def _q_decontamination(spark, sf_dir):
     return contaminated_pairs(train, test, k=3, min_shared=2)
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # M7 corpus rebalancing: deterministic per-language sampling (md5
+    # bucket under the stratum rate) — pure filter projection, nested
+    # samples under rate growth
+    from anser_spark.operators.corpus import stratified_sample
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "zh": 1.0}, default_rate=0.1
+    ).select("doc_id", "lang")
+
+
 def _q_exact_dedup(spark, sf_dir):
     # M7 exact dedup: hash-groupBy on normalized fingerprint, min-id winner
     from anser_spark.operators.dedup import exact_dedup
@@ -1167,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_text_token_count,
         "sequence_packing": _q_sequence_packing,
         "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
         "decontamination": _q_decontamination,
         "exact_dedup_docs": _q_exact_dedup,
         "cosine_top_k": _q_cosine_top_k,
@@ -1405,6 +1418,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 62259 THEN 'val'
                         ELSE 'test' END AS split
             FROM b
+        """,
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                AS bucket
+              FROM documents
+            )
+            SELECT doc_id, lang FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 32768
+                                     WHEN 'de' THEN 16384
+                                     WHEN 'zh' THEN 65536
+                                     ELSE 6553 END
         """,
         "decontamination": """
             WITH s AS (

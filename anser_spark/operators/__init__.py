@@ -12,12 +12,20 @@ from anser_spark.operators.dedup import (
     minhash_dedup,
     with_simhash,
     ngram_jaccard_pairs,
+    connected_components,
+    dedup_clusters,
 )
 from anser_spark.operators.similarity import (
     cosine_top_k,
     with_norm,
     lsh_bucket_candidates,
     embedding_near_dup_pairs,
+)
+from anser_spark.operators.packing import pack_sequences
+from anser_spark.operators.corpus import (
+    hash_split,
+    contaminated_pairs,
+    decontaminate,
 )
 
 __all__ = [
@@ -32,8 +40,14 @@ __all__ = [
     "minhash_dedup",
     "with_simhash",
     "ngram_jaccard_pairs",
+    "connected_components",
+    "dedup_clusters",
     "cosine_top_k",
     "with_norm",
     "lsh_bucket_candidates",
     "embedding_near_dup_pairs",
+    "pack_sequences",
+    "hash_split",
+    "contaminated_pairs",
+    "decontaminate",
 ]

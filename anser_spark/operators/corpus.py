@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from anser_spark.operators.dedup import shingle_col
 
-__all__ = ["hash_split", "contaminated_pairs", "decontaminate"]
+__all__ = ["hash_split", "stratified_sample", "contaminated_pairs", "decontaminate"]
 
 _BUCKETS = 1 << 16
 
@@ -66,6 +66,42 @@ def hash_split(
     last = F.lit(names[-1])
     out_col = last if expr is None else expr.otherwise(last)
     return df.withColumn("__bucket", bucket).withColumn(split_col, out_col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a document iff its md5
+    bucket falls under its stratum's rate (``bucket < rate * 65536``).
+
+    The language-/source-rebalancing primitive of corpus curation as a
+    pure filter projection — no RNG, no shuffle, no sampleBy state;
+    the same (corpus, rates, salt) always selects the same documents,
+    and raising a stratum's rate strictly grows its sample (nested
+    samples, because the kept bucket range only widens). Strata absent
+    from ``rates`` get ``default_rate``.
+    """
+    for name, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(f"rate for {name!r} must be in [0, 1]")
+    if not (0.0 <= float(default_rate) <= 1.0):
+        raise ValueError("default_rate must be in [0, 1]")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    edge: Column = F.lit(int(float(default_rate) * _BUCKETS))
+    for name, r in rates.items():
+        edge = F.when(F.col(strata_col) == name, F.lit(int(float(r) * _BUCKETS))).otherwise(
+            edge
+        )
+    return df.where(bucket < edge)
 
 
 def contaminated_pairs(

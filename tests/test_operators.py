@@ -497,3 +497,35 @@ def test_contamination_pairs_and_decontaminate(spark):
     # higher threshold keeps doc 3
     clean2 = decontaminate(train, test_set, k=3, min_shared=3)
     assert sorted(r["doc_id"] for r in clean2.collect()) == [2, 3]
+
+
+def test_stratified_sample(spark):
+    import hashlib
+
+    from anser_spark.operators.corpus import stratified_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr").alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(df, rates, default_rate=0.9).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert abs(len(kept["en"]) / 1000 - 0.5) < 0.06
+    assert abs(len(kept["de"]) / 1000 - 0.1) < 0.05
+    assert abs(len(kept["fr"]) / 1000 - 0.9) < 0.05
+    # exact membership agrees with pure-Python md5 math
+    for r in out[:100]:
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        rate = rates.get(r["lang"], 0.9)
+        assert b < int(rate * 65536)
+    # nested: raising a rate strictly grows the sample
+    bigger = stratified_sample(df, {"en": 0.8, "de": 0.1}, default_rate=0.9).collect()
+    kept_big = {r["doc_id"] for r in bigger if r["lang"] == "en"}
+    assert kept["en"] <= kept_big
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_sample(df, {"en": 1.5})
