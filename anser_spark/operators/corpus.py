@@ -14,7 +14,7 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from anser_spark.operators.dedup import shingle_col
+from anser_spark.operators.dedup import shingle_postings_arrow
 
 __all__ = ["hash_split", "stratified_sample", "contaminated_pairs", "decontaminate"]
 
@@ -116,17 +116,19 @@ def contaminated_pairs(
     at least ``min_shared`` distinct word ``k``-grams — the standard
     n-gram-overlap eval-contamination check.
 
-    Plan: explode each side's distinct shingles into a posting list and
-    equi-join on the shingle. The eval set is tiny next to a training
+    Plan: each side becomes a flat (id, shingle-hash) posting list —
+    the explode and a 64-bit shingle hash are fused into the Arrow
+    batch (:func:`shingle_postings_arrow`), so no strings or arrays
+    cross the Arrow boundary. The eval set is tiny next to a training
     corpus, so Spark broadcasts its postings and the check runs as one
     scan over the train side — no all-pairs comparison ever exists.
     """
-    tr = train.select(
-        F.col(id_col).alias("train_id"), shingle_col(F.col(text_col), k).alias("__sh")
-    ).select("train_id", F.explode("__sh").alias("__tok"))
-    te = test.select(
-        F.col(id_col).alias("test_id"), shingle_col(F.col(text_col), k).alias("__sh")
-    ).select("test_id", F.explode("__sh").alias("__tok"))
+    tr = shingle_postings_arrow(
+        train.select(F.col(id_col).alias("train_id"), text_col), "train_id", text_col, k
+    )
+    te = shingle_postings_arrow(
+        test.select(F.col(id_col).alias("test_id"), text_col), "test_id", text_col, k
+    )
     return (
         tr.join(F.broadcast(te), "__tok")
         .groupBy("train_id", "test_id")

@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "exact_dedup",
     "shingle_col",
+    "shingles_arrow",
+    "shingle_postings_arrow",
     "minhash_signature",
     "minhash_near_dup_pairs",
     "minhash_dedup",
@@ -46,6 +48,123 @@ def exact_dedup(
     fp = F.xxhash64(text)
     keep = df.withColumn("__fp", fp).groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def shingles_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    carry: list[str] | None = None,
+    out: str = "__sh",
+) -> DataFrame:
+    """Arrow-batched distinct word ``k``-gram shingles: same
+    normalization and set semantics as :func:`shingle_col` (order of
+    the returned array is unspecified — downstream consumers treat it
+    as a set), computed in a batch Python loop instead of the JVM
+    transform/slice/array_distinct expression tree, which the round-3
+    bake-off measured as the dominant cost of shingle-heavy operators
+    (~2.4× faster end-to-end at sf0.1). Returns (id, *carry, out)."""
+    carry = list(carry or [])
+    types = dict(df.dtypes)
+
+    def batches(it):
+        import re
+
+        import pandas as pd
+
+        for pdf in it:
+            ids, shs = [], []
+            extras = {c: [] for c in carry}
+            for row in zip(pdf[id_col], pdf[text_col], *[pdf[c] for c in carry]):
+                i, t = row[0], row[1]
+                words = re.sub(
+                    r"\s+", " ", (t or "").strip().lower(), flags=re.ASCII
+                ).split(" ")
+                if len(words) < k:
+                    sh_set = [" ".join(words)]
+                else:
+                    sh_set = list(
+                        {" ".join(words[j : j + k]) for j in range(len(words) - k + 1)}
+                    )
+                ids.append(i)
+                shs.append(sh_set)
+                for c, v in zip(carry, row[2:]):
+                    extras[c].append(v)
+            yield pd.DataFrame({id_col: ids, **extras, out: shs})
+
+    schema = ", ".join(
+        [f"{id_col} {types[id_col]}"]
+        + [f"{c} {types[c]}" for c in carry]
+        + [f"{out} array<string>"]
+    )
+    return df.select(id_col, *carry, text_col).mapInPandas(batches, schema)
+
+
+def shingle_postings_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    out: str = "__tok",
+    carry: list[str] | None = None,
+    n_out: str | None = None,
+) -> DataFrame:
+    """Flat posting list (id, *carry, [n], shingle-hash) with the
+    explode fused into the Arrow batch: one mapInPandas emits
+    already-exploded rows with 64-bit siphash'd shingles
+    (pd.util.hash_array, fixed key ⇒ deterministic across workers), so
+    neither the shingle strings nor the array structure ever cross the
+    Arrow boundary and the JVM explode disappears. ``n_out`` adds the
+    doc's distinct-shingle count to every posting row (what a
+    set-similarity join needs for |A∪B| by inclusion-exclusion).
+    Counting shared hashes equals counting shared shingles up to
+    64-bit collisions (~n²/2⁶⁴ — negligible at any realistic
+    vocabulary). Round-3 bake-off: decontamination at sf0.1 5.7s →
+    3.8s vs string postings."""
+    carry = list(carry or [])
+    types = dict(df.dtypes)
+
+    def batches(it):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, toks, ns = [], [], []
+            extras = {c: [] for c in carry}
+            for row in zip(pdf[id_col], pdf[text_col], *[pdf[c] for c in carry]):
+                i, t = row[0], row[1]
+                words = re.sub(
+                    r"\s+", " ", (t or "").strip().lower(), flags=re.ASCII
+                ).split(" ")
+                if len(words) < k:
+                    sh = [" ".join(words)]
+                else:
+                    sh = list(
+                        {" ".join(words[j : j + k]) for j in range(len(words) - k + 1)}
+                    )
+                ids.extend([i] * len(sh))
+                toks.extend(sh)
+                if n_out:
+                    ns.extend([len(sh)] * len(sh))
+                for c, v in zip(carry, row[2:]):
+                    extras[c].extend([v] * len(sh))
+            h = pd.util.hash_array(np.array(toks, dtype=object)).view("int64")
+            data = {id_col: ids, **extras}
+            if n_out:
+                data[n_out] = np.array(ns, dtype="int64")
+            data[out] = h
+            yield pd.DataFrame(data)
+
+    schema = ", ".join(
+        [f"{id_col} {types[id_col]}"]
+        + [f"{c} {types[c]}" for c in carry]
+        + ([f"{n_out} long"] if n_out else [])
+        + [f"{out} long"]
+    )
+    return df.select(id_col, *carry, text_col).mapInPandas(batches, schema)
 
 
 def shingle_col(text: Column, k: int = 3) -> Column:
@@ -339,36 +458,11 @@ def ngram_jaccard_pairs(
     # this operator — ~8.5s of an 11s sf0.1 run vs ~3.5s batched; set
     # semantics make shingle ORDER irrelevant downstream)
     proj = df.select(F.col(id_col), F.col(text_col), block_col.alias("__blk"))
-    types = dict(proj.dtypes)
-
-    def _shingle_batches(it):
-        import re
-
-        import pandas as pd
-
-        for pdf in it:
-            ids, blks, shs = [], [], []
-            for i, t, blk in zip(pdf[id_col], pdf[text_col], pdf["__blk"]):
-                words = re.sub(r"\s+", " ", (t or "").strip().lower(), flags=re.ASCII).split(" ")
-                if len(words) < k:
-                    sh_set = [" ".join(words)]
-                else:
-                    sh_set = list(
-                        {" ".join(words[j : j + k]) for j in range(len(words) - k + 1)}
-                    )
-                ids.append(i)
-                blks.append(blk)
-                shs.append(sh_set)
-            yield pd.DataFrame({id_col: ids, "__blk": blks, "__sh": shs})
-
-    sh = proj.mapInPandas(
-        _shingle_batches,
-        f"{id_col} {types[id_col]}, __blk {types['__blk']}, __sh array<string>",
-    ).withColumn("__n", F.size("__sh"))
     # both sides of the self-join read the postings — persist or the
-    # shingle computation and explode run twice
-    ex = sh.select(
-        id_col, "__blk", "__n", F.explode("__sh").alias("__tok")
+    # shingle computation runs twice (hash-fused: no strings/arrays
+    # cross Arrow, no JVM explode)
+    ex = shingle_postings_arrow(
+        proj, id_col, text_col, k, carry=["__blk"], n_out="__n"
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = ex.alias("a")
     b = ex.alias("b")
