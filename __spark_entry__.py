@@ -649,12 +649,13 @@ def _q_dedup_clusters(spark, sf_dir):
 def _q_ivf_top_k(spark, sf_dir):
     # M7 IVF ANN at full probe (nprobe=k) — provably identical to brute
     # force, so it shares the exact cosine_top_k oracle
-    from anser_spark.operators.ivf import ivf_assign, ivf_top_k, ivf_train
+    from anser_spark.operators.ivf import ivf_assign, ivf_top_k, ivf_train_sample
 
     emb = _db(spark, sf_dir).collection("embeddings").df()
-    # sample-bounded training (centroid quality only needs a sample;
-    # full-probe results are exact regardless of centroid placement)
-    index = ivf_train(emb, k=8, max_iter=5, sample_fraction=0.5)
+    # sample-bounded numpy training (centroid quality only needs a
+    # sample; full-probe results are exact regardless of centroid
+    # placement — see ivf_train_sample docstring for the bake-off)
+    index = ivf_train_sample(emb, k=8, max_iter=5, max_sample=20_000)
     assigned = ivf_assign(emb, index)
     query_vec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
     return ivf_top_k(assigned, index, query_vec, k=10, nprobe=8)

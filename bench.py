@@ -30,6 +30,18 @@ def main() -> None:
     # warm the session (JVM/codegen/parquet-footer caches) so timings
     # reflect steady-state query cost, not first-action startup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # fork the reusable Python worker pool (one worker per core, numpy/
+    # pandas imported) so Arrow-batched queries are measured at steady
+    # state too, not charged several seconds of one-time process spawn
+    def _noop(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from it
+
+    spark.range(256, numPartitions=64).repartition(64).mapInPandas(
+        _noop, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in ent.queries().items():
