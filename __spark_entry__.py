@@ -1162,6 +1162,43 @@ def _q_bucket_auto(spark, sf_dir):
     )
 
 
+def _q_repetition_metrics(spark, sf_dir):
+    # Gopher-style repetition filters: unigram dup fraction is pure
+    # Column HOFs; top-bigram frequency is explode + two-level groupBy
+    # (one wide shuffle with map-side partial agg) — never O(len^2) per
+    # document, so long documents are safe at scale
+    from anser_spark.operators.text import repetition_metrics
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return repetition_metrics(docs)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    # PII redaction + audit counts over text seeded with deterministic
+    # synthetic PII (the raw corpus has none) — chained regexp_replace,
+    # patterns restricted to Java-regex/RE2-identical syntax so the
+    # DuckDB twin is exact
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.text import pii_metrics, scrub_pii
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".25 tel 555-867-5309"),
+        ).alias("text"),
+    )
+    return scrub_pii(pii_metrics(seeded), out="scrubbed").select(
+        "doc_id", "scrubbed", "n_email", "n_ipv4", "n_phone"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "find_sort_limit": _q_find_sort_limit,
@@ -1188,6 +1225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_sim_join": _q_embedding_sim_join,
         "text_stats": _q_text_stats,
+        "repetition_metrics": _q_repetition_metrics,
+        "pii_scrub": _q_pii_scrub,
         "window_rank": _q_window_rank,
         "bucket_orders": _q_bucket_orders,
         "json_extract": _q_json_extract,

@@ -19,7 +19,11 @@ __all__ = [
     "with_language_id",
     "with_fingerprint",
     "text_stats",
+    "repetition_metrics",
+    "scrub_pii",
+    "pii_metrics",
     "LANG_STOPWORDS",
+    "PII_PATTERNS",
 ]
 
 
@@ -138,3 +142,110 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = with_language_id(df, text_col)
     df = with_fingerprint(df, text_col)
     return df
+
+
+def _word_array(text: Column) -> Column:
+    """Lower-cased whitespace tokens with empties dropped."""
+    return F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != ""
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction and
+    top-n-gram fraction per document (Rae et al. 2021 §A1.1 use these to
+    drop boilerplate/spam before pretraining).
+
+    Unigram stats are pure Column HOFs (scan-speed). The top-n-gram
+    frequency needs per-(doc, gram) counts, done as explode +
+    two-level groupBy — ONE wide shuffle on (id, gram) with map-side
+    partial aggregation, then a tiny per-id agg and an id-keyed join
+    back. Never O(len²) per document, so arbitrarily long documents are
+    safe at 100 TB.
+    """
+    toks = _word_array(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+
+    uni = base.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
+    )
+
+    n = F.size("__toks")
+    starts = F.when(
+        n >= ngram_n, F.sequence(F.lit(1), n - ngram_n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, ngram_n)),
+            )
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_gram_count"), F.sum("c").alias("n_grams"))
+    )
+
+    joined = uni.join(gram_stats, id_col, "left")
+    n_tok = F.col("n_tokens")
+    top_c = F.coalesce(F.col("top_gram_count"), F.lit(0)).alias("top_gram_count")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams")
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "n_distinct_tokens",
+        F.when(n_tok > 0, F.round(1.0 - F.col("n_distinct_tokens") / n_tok, 4))
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+        top_c,
+        n_grams,
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.round(F.col("top_gram_count") / F.col("n_grams"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_gram_frac"),
+    )
+
+
+# (name, regex, replacement) — patterns restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# ASCII \d, \b, bounded repetition, character classes.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out: str | None = None) -> DataFrame:
+    """Redact emails, IPv4 addresses, and US-style phone numbers with
+    typed placeholders — chained regexp_replace, pure Column, scan
+    speed. Email runs first so its digits/dots can't be half-eaten by
+    the ipv4/phone passes."""
+    col = F.col(text_col)
+    for _, pattern, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, repl)
+    return df.withColumn(out or text_col, col)
+
+
+def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document pre-scrub PII match counts (n_emails, n_ipv4,
+    n_phones) — the audit half of scrub_pii."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]
+    return df.select(*df.columns, *counts)
