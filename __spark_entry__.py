@@ -1332,6 +1332,12 @@ _NGRAM_JACCARD_ORACLE = r"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from anser_spark.operators.text import PII_PATTERNS
+
+    # single source of truth: the exact regexes the Spark operator runs
+    # (restricted to the Java-regex/RE2 common subset, so they are
+    # byte-identical predicates in DuckDB)
+    _PII_RE = [pattern for _, pattern, _ in PII_PATTERNS]
     return {
         "find_sort_limit": """
             SELECT * FROM lineitem
@@ -1831,6 +1837,63 @@ def oracle_sql() -> dict[str, str]:
             for i in range(8)
         ) + " FROM documents",
         "text_stats": _text_stats_oracle(),
+        # Gopher repetition filters: same tokenization (lower, trim,
+        # \s+ split, empties dropped), same bigram windows (DuckDB's
+        # inclusive w[i:i+1] slice == Spark's slice(w, i, 2)), same
+        # round-at-4 and left-join-coalesce structure.
+        "repetition_metrics": r"""
+            WITH t AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+'),
+                            x -> x <> '') AS w
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, len(w) AS n_tokens,
+                     len(list_distinct(w)) AS n_distinct_tokens
+              FROM t
+            ), g AS (
+              SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+              FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
+              WHERE len(w) >= 2
+            ), gs AS (
+              SELECT doc_id, max(c) AS top_gram_count, sum(c) AS n_grams
+              FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+              GROUP BY doc_id
+            )
+            SELECT uni.doc_id, n_tokens, n_distinct_tokens,
+              CASE WHEN n_tokens > 0
+                   THEN round(1.0 - n_distinct_tokens / CAST(n_tokens AS DOUBLE), 4)
+                   ELSE 0.0 END AS dup_word_frac,
+              coalesce(top_gram_count, 0) AS top_gram_count,
+              coalesce(n_grams, 0) AS n_grams,
+              CASE WHEN coalesce(n_grams, 0) > 0
+                   THEN round(top_gram_count / CAST(n_grams AS DOUBLE), 4)
+                   ELSE 0.0 END AS top_gram_frac
+            FROM uni LEFT JOIN gs ON uni.doc_id = gs.doc_id
+        """,
+        # Same PII patterns verbatim (syntax restricted to the
+        # Java-regex/RE2 common subset: \b is an ASCII word boundary in
+        # both, no lookarounds), same replace order (email first), and
+        # DuckDB needs the explicit 'g' flag Spark applies implicitly.
+        "pii_scrub": f"""
+            WITH s AS (
+              SELECT doc_id,
+                text || ' reach user' || CAST(doc_id AS VARCHAR)
+                     || '@mail.example.com or 10.0.'
+                     || CAST(doc_id % 200 AS VARCHAR)
+                     || '.25 tel 555-867-5309' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '{_PII_RE[0]}', '<EMAIL>', 'g'),
+                '{_PII_RE[1]}', '<IP>', 'g'),
+                '{_PII_RE[2]}', '<PHONE>', 'g') AS scrubbed,
+              len(regexp_extract_all(t, '{_PII_RE[0]}')) AS n_email,
+              len(regexp_extract_all(t, '{_PII_RE[1]}')) AS n_ipv4,
+              len(regexp_extract_all(t, '{_PII_RE[2]}')) AS n_phone
+            FROM s
+        """,
         "ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         # connected components == transitive closure with min-id labels:
         # the recursive walk enumerates every (node, reachable-node)

@@ -168,7 +168,10 @@ def repetition_metrics(
     back. Never O(len²) per document, so arbitrarily long documents are
     safe at 100 TB.
     """
-    toks = _word_array(F.col(text_col))
+    # NULL text degrades to the same all-zeros row as empty text (size()
+    # of a NULL array would otherwise leak NULL into n_tokens while the
+    # coalesced fractions read 0.0 — mixed NULL/0 output)
+    toks = _word_array(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(F.col(id_col), toks.alias("__toks"))
 
     uni = base.select(
@@ -221,10 +224,16 @@ def repetition_metrics(
 
 # (name, regex, replacement) — patterns restricted to syntax with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
-# ASCII \d, \b, bounded repetition, character classes.
+# ASCII \d, \b, bounded repetition, alternation, character classes.
+# The ipv4 octet alternation rejects invalid octets (999.999.999.999
+# no longer matches). Known limitation, documented rather than fixed:
+# a dotted version string "1.2.3.4.5" still scrubs its "1.2.3.4"
+# prefix, because the only guard is a lookaround and RE2 (the DuckDB
+# oracle engine) has none — parity with the oracle wins over that edge.
+_IPV4_OCTET = r"(25[0-5]|2[0-4]\d|1?\d?\d)"
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ipv4", rf"\b{_IPV4_OCTET}(\.{_IPV4_OCTET}){{3}}\b", "<IP>"),
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
 ]
 

@@ -529,3 +529,54 @@ def test_stratified_sample(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stratified_sample(df, {"en": 1.5})
+
+
+def test_pii_scrub_and_metrics(spark):
+    from anser_spark.operators.text import pii_metrics, scrub_pii
+
+    rows = [
+        (1, "mail me at a.b+c@example.org or call 555-123-4567"),
+        (2, "server at 10.0.0.1 and 192.168.255.254 are up"),
+        (3, "invalid ip 999.999.999.999 stays; 256.1.2.3 stays"),
+        (4, "version 1.2.3.4.5 loses its valid prefix"),  # documented limitation
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in scrub_pii(pii_metrics(df), out="scrubbed").collect()}
+    assert out[1]["scrubbed"] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[2]["scrubbed"] == "server at <IP> and <IP> are up"
+    assert out[2]["n_ipv4"] == 2
+    # tightened octets: invalid addresses are left alone
+    assert out[3]["scrubbed"] == rows[2][1]
+    assert out[3]["n_ipv4"] == 0
+    # RE2-parity limitation (no lookarounds): dotted version strings
+    # lose a valid-IP-shaped prefix
+    assert out[4]["scrubbed"] == "version <IP>.5 loses its valid prefix"
+    assert out[5]["scrubbed"] == rows[4][1]
+
+
+def test_repetition_metrics_null_and_values(spark):
+    from anser_spark.operators.text import repetition_metrics
+
+    rows = [
+        (1, "a a a a"),                      # one distinct word, one bigram
+        (2, "the cat sat on the mat"),       # no repeated bigram
+        (3, ""),                             # empty
+        (4, None),                           # NULL degrades like empty
+        (5, "x"),                            # single token, no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_distinct_tokens"] == 1
+    assert out[1]["dup_word_frac"] == 0.75
+    assert out[1]["top_gram_count"] == 3 and out[1]["n_grams"] == 3
+    assert out[1]["top_gram_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == pytest.approx(round(1 - 5 / 6, 4))
+    assert out[2]["top_gram_count"] == 1 and out[2]["n_grams"] == 5
+    # NULL text == empty text == all zeros (no mixed NULL/0 rows)
+    for doc in (3, 4):
+        r = out[doc]
+        assert (r["n_tokens"], r["n_distinct_tokens"], r["dup_word_frac"],
+                r["top_gram_count"], r["n_grams"], r["top_gram_frac"]) == (0, 0, 0.0, 0, 0, 0.0)
+    assert out[5]["n_tokens"] == 1 and out[5]["n_grams"] == 0
