@@ -797,8 +797,10 @@ def _q_text_quality_metrics(spark, sf_dir):
     from anser_spark.operators.text import quality_metrics
 
     docs = _db(spark, sf_dir).collection("documents").df()
+    # n_chars rides along so this gate also covers the plain
+    # token/char-count surface (absorbed text_token_count gate)
     return quality_metrics(docs).select(
-        "doc_id", "n_tokens", "punct_ratio", "mean_word_len",
+        "doc_id", "n_chars", "n_tokens", "punct_ratio", "mean_word_len",
         "length_score", "en_stop_hits",
     )
 
@@ -1199,25 +1201,185 @@ def _q_pii_scrub(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Composite gates. The external driver verifies at most 50 queries per
+# round (CORRECTNESS_r02/r03 both truncate at exactly 50 in dict order),
+# so related operators share one gate: each composite below joins or
+# unions the outputs of the underlying single-operator queries, keeping
+# every column oracle-verified while staying under the cap.
+# ---------------------------------------------------------------------------
+
+
+def _q_find_sort_skip_limit(spark, sf_dir):
+    # §2.1/2.3 in one find-path gate: filter + getSort keys + skip +
+    # limit + projection (db/wrapper.go:452-481)
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .find({"l_quantity": {"$gt": 45.0}})
+        .sort("-l_extendedprice", "l_orderkey", "l_linenumber")
+        .skip(20)
+        .limit(50)
+        .select({"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1,
+                 "l_extendedprice": 1})
+        .to_df()
+    )
+
+
+def _q_project_json_expressions(spark, sf_dir):
+    # §2.5 expression language + dynamic-schema JSON tail in one gate:
+    # the $project pipeline output joined with get_json_object extraction
+    from pyspark.sql import functions as F
+
+    base = _q_project_expressions(spark, sf_dir)
+    events = _db(spark, sf_dir).collection("events").df()
+    props = events.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_value")
+    ).where(F.col("k_value").isNotNull())
+    return base.join(props, "event_id")
+
+
+def _q_window_rank_shift(spark, sf_dir):
+    # $setWindowFields with BOTH $documentNumber and $shift in one
+    # output spec — rank and lead share a single window sort
+    return (
+        _db(spark, sf_dir)
+        .collection("events")
+        .pipe(
+            [
+                {"$match": {"user_id": {"$lt": 10}}},
+                {
+                    "$setWindowFields": {
+                        "partitionBy": "$user_id",
+                        "sortBy": {"ts": 1, "event_id": 1},
+                        "output": {
+                            "rn": {"$documentNumber": {}},
+                            "next_event": {"$shift": {"output": "$event_type", "by": 1}},
+                        },
+                    }
+                },
+                {"$project": {"event_id": 1, "user_id": 1, "rn": 1, "next_event": 1}},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_group_rank_stats(spark, sf_dir):
+    # $top/$bottom/$topN + $median/$percentile accumulators (Mongo 5.2/
+    # 7.0) in ONE $group — sorted-struct slice and exact interpolated
+    # percentiles share the per-flag partial aggregation
+    return (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .pipe(
+            [
+                {"$group": {
+                    "_id": "$l_returnflag",
+                    "top_price": {"$top": {
+                        "output": "$l_extendedprice",
+                        "sortBy": {"l_orderkey": 1, "l_linenumber": 1, "l_extendedprice": 1}}},
+                    "bot_price": {"$bottom": {
+                        "output": "$l_extendedprice",
+                        "sortBy": {"l_orderkey": 1, "l_linenumber": 1, "l_extendedprice": 1}}},
+                    "top3": {"$topN": {
+                        "output": "$l_extendedprice",
+                        "sortBy": {"l_orderkey": 1, "l_linenumber": 1, "l_extendedprice": 1},
+                        "n": 3}},
+                    "med": {"$median": {
+                        "input": "$l_quantity", "method": "approximate"}},
+                    "pct": {"$percentile": {
+                        "input": "$l_quantity", "p": [0.25, 0.75],
+                        "method": "approximate"}},
+                }},
+                {"$project": {
+                    "_id": 0,
+                    "flag": "$_id",
+                    "top_price": 1,
+                    "bot_price": 1,
+                    "t1": {"$arrayElemAt": ["$top3", 0]},
+                    "t2": {"$arrayElemAt": ["$top3", 1]},
+                    "t3": {"$arrayElemAt": ["$top3", 2]},
+                    "med": 1,
+                    "p25": {"$arrayElemAt": ["$pct", 0]},
+                    "p75": {"$arrayElemAt": ["$pct", 1]},
+                }},
+            ]
+        )
+        .to_df()
+    )
+
+
+def _q_temporal_joins(spark, sf_dir):
+    # as-of join + interval join in one gate: every click carries the
+    # most recent error's value (as-of) AND the ids of the 2-hour error
+    # windows containing it (interval; NULL when none)
+    asof = _q_asof_join_events(spark, sf_dir)
+    intervals = _q_interval_join_events(spark, sf_dir).select("event_id", "win_id")
+    return asof.join(intervals, "event_id", "left")
+
+
+def _q_corpus_splits(spark, sf_dir):
+    # corpus management in one gate: every document's deterministic
+    # md5-bucket train/val/test assignment plus its per-language
+    # stratified-sample membership (NULL lang = dropped by the sampler)
+    strat = _q_stratified_sample(spark, sf_dir).withColumnRenamed("lang", "strat_lang")
+    return _q_hash_split(spark, sf_dir).join(strat, "doc_id", "left")
+
+
+def _q_bucket_stages(spark, sf_dir):
+    # $bucket (explicit boundaries) + $bucketAuto (even-split ntile) in
+    # one gate, aligned on (kind, lo, hi, n, metric)
+    from pyspark.sql import functions as F
+
+    explicit_hi = {0: 100000, 100000: 200000, 200000: 300000,
+                   300000: 400000, 400000: 700000}
+    hi_map = F.create_map(*[F.lit(x) for kv in explicit_hi.items() for x in kv])
+    explicit = _q_bucket_orders(spark, sf_dir).select(
+        F.lit("explicit").alias("kind"),
+        F.col("_id").cast("double").alias("lo"),
+        F.element_at(hi_map, F.col("_id").cast("int")).cast("double").alias("hi"),
+        F.col("n").cast("long").alias("n"),
+        F.col("avg_price").cast("double").alias("metric"),
+    )
+    auto = _q_bucket_auto(spark, sf_dir).select(
+        F.lit("auto").alias("kind"),
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_bal").cast("double").alias("metric"),
+    )
+    return explicit.unionByName(auto)
+
+
+def _q_media_pipeline(spark, sf_dir):
+    # multimodal plumbing + Arrow-batched feature extraction in one
+    # gate: metadata attach + frame-sample counts joined with the stub
+    # decode's float32 feature columns
+    plumbing = _q_media_plumbing(spark, sf_dir)
+    features = _q_media_features(spark, sf_dir)
+    return plumbing.join(features, "media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ≤50 entries by contract: the driver verifies at most 50 queries
+    # per round, so related operators share composite gates (see the
+    # _q_* composites above). Every entry here gets a correctness row.
     return {
-        "find_sort_limit": _q_find_sort_limit,
+        "find_sort_skip_limit": _q_find_sort_skip_limit,
         "filter_in_projection": _q_filter_in_projection,
         "filter_and_or": _q_filter_and_or,
         "filter_regex": _q_filter_regex,
         "filter_nin_mod": _q_filter_nin_mod,
-        "skip_limit_page": _q_skip_limit_page,
         "count_matching": _q_count_matching,
         "group_q1": _q_group_q1,
         "group_global": _q_group_global,
         "lookup_unwind": _q_lookup_unwind,
         "sort_by_count": _q_sort_by_count,
-        "project_expressions": _q_project_expressions,
+        "project_json_expressions": _q_project_json_expressions,
         "group_by_user": _q_group_by_user,
-        "text_token_count": _q_text_token_count,
         "sequence_packing": _q_sequence_packing,
-        "hash_split": _q_hash_split,
-        "stratified_sample": _q_stratified_sample,
+        "corpus_splits": _q_corpus_splits,
         "decontamination": _q_decontamination,
         "exact_dedup_docs": _q_exact_dedup,
         "cosine_top_k": _q_cosine_top_k,
@@ -1227,13 +1389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "repetition_metrics": _q_repetition_metrics,
         "pii_scrub": _q_pii_scrub,
-        "window_rank": _q_window_rank,
-        "bucket_orders": _q_bucket_orders,
-        "json_extract": _q_json_extract,
+        "window_rank_shift": _q_window_rank_shift,
+        "bucket_stages": _q_bucket_stages,
         "tpch_q3_shape": _q_tpch_q3_shape,
         "tpch_q5_shape": _q_tpch_q5_shape,
         "union_with": _q_union_with,
-        "window_shift": _q_window_shift,
         "simhash_fingerprints": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
@@ -1247,18 +1407,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_metrics": _q_text_quality_metrics,
         "tpch_q7_shape": _q_tpch_q7_shape,
         "tpch_q10_shape": _q_tpch_q10_shape,
-        "bucket_auto": _q_bucket_auto,
         "session_windows": _q_session_windows,
         "redact_levels": _q_redact_levels,
         "geo_near": _q_geo_near,
         "heavy_hitters": _q_heavy_hitters,
         "hll_distinct": _q_hll_distinct,
-        "asof_join_events": _q_asof_join_events,
-        "interval_join_events": _q_interval_join_events,
-        "group_top_bottom": _q_group_top_bottom,
-        "group_median_pct": _q_group_median_pct,
-        "media_plumbing": _q_media_plumbing,
-        "media_features": _q_media_features,
+        "temporal_joins": _q_temporal_joins,
+        "group_rank_stats": _q_group_rank_stats,
+        "media_pipeline": _q_media_pipeline,
     }
 
 
@@ -1339,11 +1495,12 @@ def oracle_sql() -> dict[str, str]:
     # byte-identical predicates in DuckDB)
     _PII_RE = [pattern for _, pattern, _ in PII_PATTERNS]
     return {
-        "find_sort_limit": """
-            SELECT * FROM lineitem
+        "find_sort_skip_limit": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem
             WHERE l_quantity > 45.0
             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-            LIMIT 10
+            LIMIT 50 OFFSET 20
         """,
         "filter_in_projection": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -1361,11 +1518,6 @@ def oracle_sql() -> dict[str, str]:
         "filter_nin_mod": """
             SELECT * FROM nation
             WHERE n_regionkey NOT IN (0, 4) AND n_nationkey % 2 = 1
-        """,
-        "skip_limit_page": """
-            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-            ORDER BY l_orderkey, l_linenumber
-            LIMIT 50 OFFSET 100
         """,
         "count_matching": """
             SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'
@@ -1396,14 +1548,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang AS _id, count(*) AS count
             FROM documents GROUP BY lang
         """,
-        "project_expressions": """
+        "project_json_expressions": """
             SELECT event_id,
                    CAST(EXTRACT(year FROM ts) AS INTEGER) AS yr,
                    upper(event_type) AS etype,
                    CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS bucket,
-                   round(value * 2.0, 4) AS val2
+                   round(value * 2.0, 4) AS val2,
+                   json_extract_string(props, '$.k') AS k_value
             FROM events
             WHERE event_type IS DISTINCT FROM 'view'
+              AND json_extract_string(props, '$.k') IS NOT NULL
         """,
         "group_by_user": """
             SELECT event_type,
@@ -1413,14 +1567,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS INTEGER) AS n_users
             FROM events
             GROUP BY event_type
-        """,
-        "text_token_count": """
-            SELECT doc_id,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS INTEGER) AS n_tokens,
-                   n_chars
-            FROM documents
         """,
         "sequence_packing": """
             WITH toks AS (
@@ -1449,9 +1595,12 @@ def oracle_sql() -> dict[str, str]:
         # bucket = int of the first 4 md5 hex digits, summed per-char
         # via strpos('0123456789abcdef', c) - 1 (the same trick as the
         # media_features oracle); split edges floor(cum_weight * 65536)
-        "hash_split": """
+        # one md5-bucket CTE feeds BOTH halves of the composite gate:
+        # the train/val/test edges (floor(cum_weight * 65536)) and the
+        # per-language stratified-sample thresholds (floor(rate * 65536))
+        "corpus_splits": """
             WITH b AS (
-              SELECT doc_id,
+              SELECT doc_id, lang,
                 (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
@@ -1462,24 +1611,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
                    CASE WHEN bucket < 58982 THEN 'train'
                         WHEN bucket < 62259 THEN 'val'
-                        ELSE 'test' END AS split
+                        ELSE 'test' END AS split,
+                   CASE WHEN bucket < CASE lang WHEN 'en' THEN 32768
+                                                WHEN 'de' THEN 16384
+                                                WHEN 'zh' THEN 65536
+                                                ELSE 6553 END
+                        THEN lang END AS strat_lang
             FROM b
-        """,
-        "stratified_sample": """
-            WITH b AS (
-              SELECT doc_id, lang,
-                (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
-                AS bucket
-              FROM documents
-            )
-            SELECT doc_id, lang FROM b
-            WHERE bucket < CASE lang WHEN 'en' THEN 32768
-                                     WHEN 'de' THEN 16384
-                                     WHEN 'zh' THEN 65536
-                                     ELSE 6553 END
         """,
         "decontamination": """
             WITH s AS (
@@ -1526,34 +1664,50 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
         """,
-        "window_rank": """
-            SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
-                SELECT o_orderpriority, o_orderkey, o_totalprice,
-                       CAST(ROW_NUMBER() OVER (
-                           PARTITION BY o_orderpriority
-                           ORDER BY o_totalprice DESC, o_orderkey
-                       ) AS INTEGER) AS rn
-                FROM orders
-            ) WHERE rn <= 3
-        """,
-        "bucket_orders": """
-            SELECT _id, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
-            FROM (
-                SELECT CASE
-                    WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 0
-                    WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 100000
-                    WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 200000
-                    WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 300000
-                    WHEN o_totalprice >= 400000 AND o_totalprice < 700000 THEN 400000
-                END AS _id, o_totalprice
-                FROM orders
-            ) WHERE _id IS NOT NULL
-            GROUP BY _id
-        """,
-        "json_extract": """
-            SELECT event_id, json_extract_string(props, '$.k') AS k_value
+        "window_rank_shift": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS INTEGER) AS rn,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_event
             FROM events
-            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            WHERE user_id < 10
+        """,
+        "bucket_stages": """
+            SELECT 'explicit' AS kind, CAST(_id AS DOUBLE) AS lo,
+                   CAST(_id + width AS DOUBLE) AS hi,
+                   n, avg_price AS metric
+            FROM (
+                SELECT _id, CASE _id WHEN 400000 THEN 300000 ELSE 100000 END AS width,
+                       count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+                FROM (
+                    SELECT CASE
+                        WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 0
+                        WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 100000
+                        WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 200000
+                        WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 300000
+                        WHEN o_totalprice >= 400000 AND o_totalprice < 700000 THEN 400000
+                    END AS _id, o_totalprice
+                    FROM orders
+                ) WHERE _id IS NOT NULL
+                GROUP BY _id
+            )
+            UNION ALL
+            SELECT 'auto' AS kind, CAST(lo AS DOUBLE) AS lo,
+                   CAST(hi AS DOUBLE) AS hi, n, sum_bal AS metric
+            FROM (
+                SELECT __tile,
+                       min(c_custkey) AS lo, max(c_custkey) AS hi,
+                       count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+                FROM (
+                    SELECT c_custkey, c_acctbal,
+                           NTILE(7) OVER (ORDER BY c_custkey) AS __tile
+                    FROM customer
+                )
+                GROUP BY __tile
+            )
         """,
         "tpch_q3_shape": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
@@ -1589,14 +1743,6 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderdate >= TIMESTAMP '2001-01-01'
-        """,
-        "window_shift": """
-            SELECT event_id, user_id,
-                   LEAD(event_type) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                   ) AS next_event
-            FROM events
-            WHERE user_id < 10
         """,
         "ivf_top_k": """
             SELECT vec_id,
@@ -1667,7 +1813,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "text_quality_metrics": """
-            SELECT doc_id,
+            SELECT doc_id, n_chars,
                    CAST(CASE WHEN trim(text) = '' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                    END AS INTEGER) AS n_tokens,
@@ -1710,19 +1856,6 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
-        """,
-        "bucket_auto": """
-            SELECT lo, hi, n, sum_bal FROM (
-                SELECT __tile,
-                       min(c_custkey) AS lo, max(c_custkey) AS hi,
-                       count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
-                FROM (
-                    SELECT c_custkey, c_acctbal,
-                           NTILE(7) OVER (ORDER BY c_custkey) AS __tile
-                    FROM customer
-                )
-                GROUP BY __tile
-            )
         """,
         "session_windows": """
             WITH marked AS (
@@ -1770,46 +1903,50 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY 1
             ) ORDER BY freq DESC, value ASC LIMIT 10
         """,
-        "asof_join_events": """
-            SELECT l.event_id, l.user_id, r.value AS last_err_value
-            FROM (SELECT event_id, ts, user_id FROM events
-                  WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
-                            WHERE event_type = 'error') r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
-        """,
-        "interval_join_events": """
-            SELECT l.event_id, l.user_id, r.event_id AS win_id
-            FROM (SELECT event_id, ts, user_id FROM events
-                  WHERE event_type = 'click') l
-            JOIN (SELECT event_id, ts, user_id FROM events
-                  WHERE event_type = 'error') r
-              ON l.user_id = r.user_id
-             AND l.ts >= r.ts
-             AND l.ts < r.ts + INTERVAL 2 HOUR
-        """,
-        "group_top_bottom": """
-            WITH ranked AS (
-                SELECT o_orderpriority, o_totalprice,
-                       row_number() OVER (PARTITION BY o_orderpriority
-                                          ORDER BY o_orderkey) AS rn,
-                       count(*) OVER (PARTITION BY o_orderpriority) AS cnt
-                FROM orders
+        # ASOF LEFT JOIN half + interval-containment half, joined on the
+        # click id — DuckDB's native ASOF is the ground truth for the
+        # union-and-carry Spark formulation
+        "temporal_joins": """
+            WITH ao AS (
+                SELECT l.event_id, l.user_id, r.value AS last_err_value
+                FROM (SELECT event_id, ts, user_id FROM events
+                      WHERE event_type = 'click') l
+                ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                                WHERE event_type = 'error') r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts
+            ),
+            iv AS (
+                SELECT l.event_id, r.event_id AS win_id
+                FROM (SELECT event_id, ts, user_id FROM events
+                      WHERE event_type = 'click') l
+                JOIN (SELECT event_id, ts, user_id FROM events
+                      WHERE event_type = 'error') r
+                  ON l.user_id = r.user_id
+                 AND l.ts >= r.ts
+                 AND l.ts < r.ts + INTERVAL 2 HOUR
             )
-            SELECT o_orderpriority AS prio,
-                   max(CASE WHEN rn = 1 THEN o_totalprice END) AS top_price,
-                   max(CASE WHEN rn = cnt THEN o_totalprice END) AS bot_price,
-                   max(CASE WHEN rn = 1 THEN o_totalprice END) AS t1,
-                   max(CASE WHEN rn = 2 THEN o_totalprice END) AS t2,
-                   max(CASE WHEN rn = 3 THEN o_totalprice END) AS t3
-            FROM ranked GROUP BY o_orderpriority
+            SELECT ao.event_id, ao.user_id, ao.last_err_value, iv.win_id
+            FROM ao LEFT JOIN iv ON ao.event_id = iv.event_id
         """,
-        "group_median_pct": """
+        "group_rank_stats": """
+            WITH ranked AS (
+                SELECT l_returnflag, l_extendedprice, l_quantity,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_orderkey, l_linenumber,
+                                                   l_extendedprice) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS cnt
+                FROM lineitem
+            )
             SELECT l_returnflag AS flag,
+                   max(CASE WHEN rn = 1 THEN l_extendedprice END) AS top_price,
+                   max(CASE WHEN rn = cnt THEN l_extendedprice END) AS bot_price,
+                   max(CASE WHEN rn = 1 THEN l_extendedprice END) AS t1,
+                   max(CASE WHEN rn = 2 THEN l_extendedprice END) AS t2,
+                   max(CASE WHEN rn = 3 THEN l_extendedprice END) AS t3,
                    median(l_quantity) AS med,
                    quantile_cont(l_quantity, 0.25) AS p25,
                    quantile_cont(l_quantity, 0.75) AS p75
-            FROM lineitem GROUP BY l_returnflag
+            FROM ranked GROUP BY l_returnflag
         """,
         "redact_levels": """
             SELECT o_orderkey,
@@ -1818,19 +1955,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderstatus <> 'F'
         """,
-        "media_plumbing": """
+        # plumbing (metadata attach + frame-sample counts) and the stub
+        # decode's features in one row per media item. The stub decode
+        # is sha256(payload) bytes / 255 stored as float32 — reproduced
+        # digit-by-digit from DuckDB's hex sha256 string, with
+        # CAST(.. AS FLOAT) matching Arrow's float32 rounding before
+        # the exact double widening.
+        "media_pipeline": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS payload_sha,
                    CAST(len(generate_series(0,
-                        greatest(n_chars * 50 - 1, 0), 2000)) AS BIGINT) AS n_frames
-            FROM documents
-        """,
-        # The stub decode is sha256(payload) bytes / 255 stored as
-        # float32 — reproduced here digit-by-digit from DuckDB's hex
-        # sha256 string, with CAST(.. AS FLOAT) matching Arrow's
-        # float32 rounding before the exact double widening.
-        "media_features": "SELECT doc_id AS media_id, " + ", ".join(
+                        greatest(n_chars * 50 - 1, 0), 2000)) AS BIGINT) AS n_frames,
+        """ + ", ".join(
             "CAST(CAST((16*(strpos('0123456789abcdef', substr(sha256(text), "
             f"{2 * i + 1}, 1))-1) + (strpos('0123456789abcdef', substr(sha256(text), "
             f"{2 * i + 2}, 1))-1)) / 255.0 AS FLOAT) AS DOUBLE) AS f{i}"
