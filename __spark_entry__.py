@@ -1228,15 +1228,41 @@ def _q_find_sort_skip_limit(spark, sf_dir):
 
 def _q_project_json_expressions(spark, sf_dir):
     # §2.5 expression language + dynamic-schema JSON tail in one gate:
-    # the $project pipeline output joined with get_json_object extraction
+    # the $project pipeline carries props through, then get_json_object
+    # extracts the dynamic field — ONE scan, no self-join
     from pyspark.sql import functions as F
 
-    base = _q_project_expressions(spark, sf_dir)
-    events = _db(spark, sf_dir).collection("events").df()
-    props = events.select(
-        "event_id", F.get_json_object("props", "$.k").alias("k_value")
-    ).where(F.col("k_value").isNotNull())
-    return base.join(props, "event_id")
+    base = (
+        _db(spark, sf_dir)
+        .collection("events")
+        .pipe(
+            [
+                {"$match": {"event_type": {"$ne": "view"}}},
+                {
+                    "$project": {
+                        "event_id": 1,
+                        "yr": {"$year": "$ts"},
+                        "etype": {"$toUpper": "$event_type"},
+                        "bucket": {
+                            "$cond": {
+                                "if": {"$gte": ["$value", 50.0]},
+                                "then": "high",
+                                "else": "low",
+                            }
+                        },
+                        "val2": {"$round": [{"$multiply": ["$value", 2.0]}, 4]},
+                        "props": 1,
+                    }
+                },
+            ]
+        )
+        .to_df()
+    )
+    return (
+        base.withColumn("k_value", F.get_json_object("props", "$.k"))
+        .where(F.col("k_value").isNotNull())
+        .drop("props")
+    )
 
 
 def _q_window_rank_shift(spark, sf_dir):

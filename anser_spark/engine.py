@@ -380,7 +380,13 @@ class Collection:
         s = str(pred)
         return any(tok in s for tok in ("rand(", "randn(", "random(", "uuid(", "shuffle("))
 
-    def _cow_rewrite(self, pred: F.Column, transform) -> bool:
+    def _cow_rewrite(
+        self,
+        pred: F.Column,
+        transform,
+        want_count: bool = False,
+        hit_files: set[str] | None = None,
+    ) -> tuple[bool, int | None]:
         """File-level copy-on-write: rewrite ONLY the parquet files that
         contain rows matching ``pred``; hard-link every untouched file
         into the new version unchanged (copy if linking fails). The
@@ -404,10 +410,17 @@ class Collection:
         replacement is written partitionBy those keys, so a
         one-partition update rewrites one partition.
 
-        Returns True iff a new version was written (False ⇒ no row
-        matched ``pred`` and the current version stands). ``transform``
-        may be called twice (schema-change fallback) — driver-side side
-        effects inside it must be re-entrant.
+        Returns ``(wrote, matched)``: ``wrote`` is True iff a new
+        version was written (False ⇒ no row matched ``pred`` and the
+        current version stands); ``matched`` is the matching-row count
+        when ``want_count`` (fused into the SAME detection scan — at
+        scale this halves the read work vs a separate ``count()`` job),
+        else None. The nondeterministic-predicate branch never computes
+        a count (a second evaluation would be a different draw) —
+        callers that need counts for random predicates must materialize
+        the draw themselves first. ``transform`` may be called twice
+        (schema-change fallback) — driver-side side effects inside it
+        must be re-entrant.
         """
         from anser_spark.sources.readers import _ns_timestamp_columns, read_parquet_table
 
@@ -419,10 +432,12 @@ class Collection:
             # the mutated rows, and reported counts would be three
             # different samples — full rewrite evaluates it in ONE job
             self._rewrite(transform(self.df()))
-            return True
+            return True, None
         if os.path.isfile(path) or _ns_timestamp_columns(path):
-            self._rewrite(transform(self.df()))
-            return True
+            base = self.df()
+            matched = base.where(pred).count() if want_count else None
+            self._rewrite(transform(base))
+            return True, matched
         all_files = self._data_files(path)
         write_pcols: Sequence[str] | None = None  # default: managed partitioning
         if not self.partition_columns():
@@ -434,20 +449,29 @@ class Collection:
             if hive_keys is None:
                 # inconsistent layout — partition values wouldn't
                 # survive a partial rewrite
-                self._rewrite(transform(self.df()))
-                return True
+                base = self.df()
+                matched = base.where(pred).count() if want_count else None
+                self._rewrite(transform(base))
+                return True, matched
             write_pcols = hive_keys
-        tagged = read_parquet_table(self.engine.spark, path, file_col="__file")
-        hit_files = {
-            self._local_path(r["__file"])
-            for r in tagged.where(pred).select("__file").distinct().collect()
-        }
+        if hit_files is not None:
+            # caller already knows the affected files (e.g. the victim
+            # file captured in a first-match scan) — skip detection
+            hit_files = {self._local_path(f) for f in hit_files}
+            matched = None
+        else:
+            tagged = read_parquet_table(self.engine.spark, path, file_col="__file")
+            # ONE pushed-down scan yields both the hit-file set and the
+            # matched-row count (footer min/max stats still prune)
+            per_file = tagged.where(pred).groupBy("__file").count().collect()
+            hit_files = {self._local_path(r["__file"]) for r in per_file}
+            matched = sum(r["count"] for r in per_file) if want_count else None
         if not hit_files:
-            return False  # no matching rows anywhere — current version stands
+            return False, 0  # no matching rows anywhere — current version stands
         untouched = [p for p in all_files if p not in hit_files]
         if not untouched:
             self._rewrite(transform(self.df()))
-            return True
+            return True, matched
         affected = read_parquet_table(self.engine.spark, path, files=sorted(hit_files))
         replacement = transform(affected)
         shape = lambda s: sorted((f.name, f.dataType.simpleString()) for f in s.fields)  # noqa: E731
@@ -456,7 +480,7 @@ class Collection:
             # mixed-schema dataset — full rewrite keeps every file
             # carrying the new shape
             self._rewrite(transform(self.df()))
-            return True
+            return True, matched
         version, ptr = self._next_version()
         vdir = self._write_version(replacement, version, pcols=write_pcols)
         for src_file in untouched:
@@ -468,7 +492,7 @@ class Collection:
             except OSError:
                 shutil.copy2(src_file, dst)
         self._swap_pointer(version, ptr)
-        return True
+        return True, matched
 
     def _cow_append(self, new_df: DataFrame) -> None:
         """Append-only copy-on-write: link EVERY existing file unchanged
@@ -605,7 +629,14 @@ class Collection:
         docs = [dict(d) for d in docs]
         for d in docs:
             d.setdefault("_id", new_object_id())
-        return self.engine.spark.createDataFrame(docs)  # type: ignore[arg-type]
+        df = self.engine.spark.createDataFrame(docs)  # type: ignore[arg-type]
+        # createDataFrame slices even a handful of docs across
+        # defaultParallelism partitions — a tiny insert would run a
+        # 32-task write job and append 32 near-empty files per version.
+        # One partition per ~10k docs keeps file counts proportional to
+        # data. (repartition, NOT coalesce or .rdd introspection: both
+        # measured ~2-5s of needless materialization on a local batch.)
+        return df.repartition(max(1, len(docs) // 10_000))
 
     def insert(self, *docs: Mapping[str, Any]) -> None:
         """InsertOne/InsertMany (reference db/wrapper.go:117-125)."""
@@ -628,17 +659,38 @@ class Collection:
     def _order_key(self, df: DataFrame) -> F.Column:
         return F.col("_id") if "_id" in df.columns else F.col(df.columns[0])
 
-    def _first_match_pred(self, df: DataFrame, pred) -> tuple[Any, Any] | None:
+    def _first_match_pred(self, df: DataFrame, pred) -> tuple[Any, Any, set[str] | None] | None:
         """Pick the deterministic 'first' matching doc (by _id order) —
         Mongo's UpdateOne/DeleteOne semantics need a single victim; we
-        define natural order as _id order and document non-atomicity."""
-        victim = df.where(pred).orderBy(self._order_key(df)).limit(1).collect()
-        if not victim:
-            return None
+        define natural order as _id order and document non-atomicity.
+
+        Also captures the victim's parquet file (``_metadata.file_path``)
+        in the SAME job, so the follow-up copy-on-write can skip its
+        file-detection scan entirely — a single-doc mutation then costs
+        one pushed-down victim scan plus one single-file write. With a
+        non-unique key the mutation applies to the victim's key within
+        its file (victim selection itself is always deterministic)."""
         key = self._order_key(df)
-        row = victim[0]
+        try:
+            victim = (
+                df.where(pred)
+                .orderBy(key)
+                .limit(1)
+                .select("*", F.col("_metadata.file_path").alias("__victim_file"))
+                .collect()
+            )
+            if not victim:
+                return None
+            row = victim[0]
+            files: set[str] | None = {row["__victim_file"]}
+        except Exception:  # noqa: BLE001 — non-parquet-backed frame (ns-ts path)
+            victim = df.where(pred).orderBy(key).limit(1).collect()
+            if not victim:
+                return None
+            row = victim[0]
+            files = None
         value = row["_id"] if "_id" in df.columns else row[df.columns[0]]
-        return key, value
+        return key, value, files
 
     def update(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
         """Update/replace the first match; NotFoundError if none
@@ -648,9 +700,13 @@ class Collection:
         hit = self._first_match_pred(df, pred)
         if hit is None:
             raise NotFoundError(f"no document matches {query!r}")
-        key, value = hit
+        key, value, files = hit
         vpred = key == F.lit(value)
-        self._cow_rewrite(vpred, lambda sub: apply_update(sub, vpred, update, sub.schema))
+        self._cow_rewrite(
+            vpred,
+            lambda sub: apply_update(sub, vpred, update, sub.schema),
+            hit_files=files,
+        )
         return ChangeInfo(updated=1)
 
     def update_id(self, id_value: Any, update: Mapping[str, Any]) -> ChangeInfo:
@@ -693,15 +749,33 @@ class Collection:
             ).drop("__nd_m", *_full_match_drops(matched))
             self._rewrite(out)
             return ChangeInfo(updated=matched)
-        matched = df.where(pred).count()
-        drops = _full_match_drops(matched)
-        self._cow_rewrite(
+        may_drop = bool(
+            has_dollar_key(update)
+            and compile_update(update, df.schema, array_filters).drop_if_all_matched
+        )
+        if may_drop:
+            # the drop-column decision needs the matched count BEFORE
+            # building the transform — pay the extra scan only when the
+            # update carries $unset/$rename
+            matched = df.where(pred).count()
+            drops = _full_match_drops(matched)
+            self._cow_rewrite(
+                pred,
+                lambda sub: apply_update(
+                    sub, pred, update, sub.schema, array_filters=array_filters
+                ).drop(*drops),
+            )
+            return ChangeInfo(updated=matched)
+        # common path: matched count fused into the COW detection scan —
+        # one pushed-down read instead of two
+        _, matched = self._cow_rewrite(
             pred,
             lambda sub: apply_update(
                 sub, pred, update, sub.schema, array_filters=array_filters
-            ).drop(*drops),
+            ),
+            want_count=True,
         )
-        return ChangeInfo(updated=matched)
+        return ChangeInfo(updated=matched or 0)
 
     def upsert(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
         """Update-or-insert (reference db/wrapper.go:146-165): MERGE
@@ -715,9 +789,13 @@ class Collection:
         pred = compile_filter(query, df.schema)
         hit = self._first_match_pred(df, pred)
         if hit is not None:
-            key, value = hit
+            key, value, files = hit
             vpred = key == F.lit(value)
-            self._cow_rewrite(vpred, lambda sub: apply_update(sub, vpred, update, sub.schema))
+            self._cow_rewrite(
+                vpred,
+                lambda sub: apply_update(sub, vpred, update, sub.schema),
+                hit_files=files,
+            )
             return ChangeInfo(updated=1)
         doc = synthesize_upsert_doc(query, update)
         self._cow_append(self._docs_to_df([doc]))
@@ -733,9 +811,9 @@ class Collection:
         hit = self._first_match_pred(df, pred)
         if hit is None:
             raise NotFoundError(f"no document matches {query!r}")
-        key, value = hit
+        key, value, files = hit
         vpred = key.eqNullSafe(F.lit(value))
-        self._cow_rewrite(vpred, lambda sub: sub.where(~vpred))
+        self._cow_rewrite(vpred, lambda sub: sub.where(~vpred), hit_files=files)
         return ChangeInfo(removed=1)
 
     def remove_id(self, id_value: Any) -> ChangeInfo:
@@ -754,10 +832,13 @@ class Collection:
             if removed:
                 self._rewrite(snap.where(~F.col("__nd_m")).drop("__nd_m"))
             return ChangeInfo(removed=removed)
-        removed = df.where(pred).count()
-        if removed:
-            self._cow_rewrite(pred, lambda sub: sub.where(~F.coalesce(pred, F.lit(False))))
-        return ChangeInfo(removed=removed)
+        # removed count fused into the COW detection scan (one read)
+        _, removed = self._cow_rewrite(
+            pred,
+            lambda sub: sub.where(~F.coalesce(pred, F.lit(False))),
+            want_count=True,
+        )
+        return ChangeInfo(removed=removed or 0)
 
     def find_and_modify(
         self,
@@ -783,7 +864,18 @@ class Collection:
         df = self.df()
         pred = compile_filter(query, df.schema)
         order = parse_sort_keys(sort) or [self._order_key(df)]
-        victim = df.where(pred).orderBy(*order).limit(1).collect()
+        try:
+            # capture the victim's file in the same job — the COW below
+            # then skips its detection scan (see _first_match_pred)
+            victim = (
+                df.where(pred)
+                .orderBy(*order)
+                .limit(1)
+                .select("*", F.col("_metadata.file_path").alias("__victim_file"))
+                .collect()
+            )
+        except Exception:  # noqa: BLE001 — non-parquet-backed frame
+            victim = df.where(pred).orderBy(*order).limit(1).collect()
         if not victim:
             if upsert and not remove:
                 doc = synthesize_upsert_doc(query, update)
@@ -793,13 +885,18 @@ class Collection:
                 return None
             raise NotFoundError(f"no document matches {query!r}")
         row = victim[0].asDict(recursive=True)
+        files = {row.pop("__victim_file")} if "__victim_file" in row else None
         key = self._order_key(df)
         key_value = row["_id"] if "_id" in df.columns else row[df.columns[0]]
         vpred = key.eqNullSafe(F.lit(key_value))
         if remove:
-            self._cow_rewrite(vpred, lambda sub: sub.where(~vpred))
+            self._cow_rewrite(vpred, lambda sub: sub.where(~vpred), hit_files=files)
             return row
-        self._cow_rewrite(vpred, lambda sub: apply_update(sub, vpred, update, sub.schema))
+        self._cow_rewrite(
+            vpred,
+            lambda sub: apply_update(sub, vpred, update, sub.schema),
+            hit_files=files,
+        )
         if return_new:
             return self.find({"_id": key_value} if "_id" in df.columns else None).one()
         return row
@@ -976,7 +1073,7 @@ class Bulk:
         combined = functools.reduce(
             lambda a, b: a | b, [F.coalesce(p, F.lit(False)) for p in preds]
         )
-        did = coll._cow_rewrite(combined, lambda sub: with_inserts(chain(sub)))
+        did, _ = coll._cow_rewrite(combined, lambda sub: with_inserts(chain(sub)))
         if not did:
             # zero rows matched any selector: the op chain over an empty
             # frame yields exactly the upsert-synthesized + literal

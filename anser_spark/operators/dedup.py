@@ -226,7 +226,15 @@ def minhash_signature_arrow(
     (:func:`minhash_signature`) at sf0.1: 5.6s vs 9.1s first-run for
     the full near-dup query, identical verified pairs — the win is
     replacing per-shingle×per-seed JVM expression evaluation with two
-    numpy ops. Returns (id, __minhash array<long>, __shingles)."""
+    numpy ops.
+
+    Round 4: the shingle sets come back as their 64-bit hashes
+    (``__shash array<long>``), not strings — the only downstream
+    consumer is the exact-Jaccard verifier, and set intersection over
+    longs is both a cheaper Arrow transfer and a far cheaper JVM
+    ``array_intersect`` than over shingle strings (hash collisions
+    perturb a Jaccard count with probability ~n²/2⁶⁴ — negligible).
+    Returns (id, __minhash array<long>, __shash array<long>)."""
     import re
 
     import numpy as np
@@ -238,25 +246,26 @@ def minhash_signature_arrow(
 
     def batches(it):
         for pdf in it:
-            ids, sigs, shingles = [], [], []
+            ids, sigs, shashes = [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 words = re.sub(r"\s+", " ", (t or "").strip().lower(), flags=re.ASCII).split(" ")
                 if len(words) < k:
                     sh = [" ".join(words)]
                 else:
                     sh = list({" ".join(words[j : j + k]) for j in range(len(words) - k + 1)})
-                h = pd.util.hash_array(np.array(sh, dtype=object)) % _MERSENNE61
+                raw = pd.util.hash_array(np.array(sh, dtype=object))
+                h = raw % _MERSENNE61
                 vals = (A[:, None] * h[None, :].astype(np.uint64) + B[:, None]) % _MERSENNE61
                 ids.append(i)
                 sigs.append(vals.min(axis=1).astype(np.int64))
-                shingles.append(sh)
+                shashes.append(raw.view("int64"))
             yield pd.DataFrame(
-                {id_col: ids, "__minhash": sigs, "__shingles": shingles}
+                {id_col: ids, "__minhash": sigs, "__shash": shashes}
             )
 
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, text_col).mapInPandas(
-        batches, f"{id_col} {id_type}, __minhash array<long>, __shingles array<string>"
+        batches, f"{id_col} {id_type}, __minhash array<long>, __shash array<long>"
     )
 
 
@@ -289,10 +298,12 @@ def minhash_near_dup_pairs(
 
     if method == "arrow":
         sigs = minhash_signature_arrow(df, id_col, text_col, k, num_hashes)
+        sh_col = "__shash"  # hashed shingle sets — cheap long intersects
     else:
         sigs = minhash_signature(df, text_col, k, num_hashes)
+        sh_col = "__shingles"
     sigs = sigs.select(
-        F.col(id_col), F.col("__shingles"), F.col("__minhash")
+        F.col(id_col), F.col(sh_col), F.col("__minhash")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = sigs.select(
         id_col,
@@ -332,10 +343,10 @@ def minhash_near_dup_pairs(
         )
         .distinct()
     )
-    sh = sigs.select(F.col(id_col), F.col("__shingles"))
+    sh = sigs.select(F.col(id_col), F.col(sh_col))
     verified = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("__shingles").alias("__sa")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("__shingles").alias("__sb")), "id_b")
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col(sh_col).alias("__sa")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col(sh_col).alias("__sb")), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("__sa", "__sb"))
@@ -537,6 +548,38 @@ def connected_components(
     prev = _sig(e)
     if prev[0] == 0:
         return e.select(F.col("u").alias(id_out), F.col("v").alias(comp_col))
+    if prev[0] <= 2_000_000:
+        # The near-dup pair graph after LSH is almost always a sliver of
+        # the corpus — when the (deduplicated) edge list fits on the
+        # driver, a local union-find finishes in milliseconds instead of
+        # O(log² n) Spark rounds of shuffle+checkpoint overhead. Same
+        # broadcast-threshold reasoning Spark applies to joins; the
+        # distributed star rounds below remain the path for genuinely
+        # huge duplicate graphs.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        nodes = set()
+        for row in e.collect():
+            u, v = row["u"], row["v"]
+            nodes.add(u)
+            nodes.add(v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # min-root union keeps the min-label invariant directly
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        labels = [(x, find(x)) for x in sorted(nodes)]
+        spark = pairs.sparkSession
+        out = spark.createDataFrame(labels, schema=e.schema)
+        return out.select(F.col("u").alias(id_out), F.col("v").alias(comp_col))
     for _ in range(max_iterations):
         # large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

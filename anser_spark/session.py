@@ -35,6 +35,15 @@ def get_spark(app_name: str = "anser-spark", cpus: str | int | None = None) -> S
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM for driver+executors: size the heap for a
+        # long session of heavy queries (8g measured sustained GC drag
+        # over a ~50-query run on this 128 GiB box; cluster deployments
+        # set executor memory explicitly and ignore this)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local-fs writes don't need the v1 commit protocol's double
+        # rename or _SUCCESS markers — mutation versions swap via the
+        # engine's own atomic pointer
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
     return builder.getOrCreate()
