@@ -410,17 +410,22 @@ def _q_embedding_sim_join(spark, sf_dir):
 
 
 def _q_text_stats(spark, sf_dir):
-    # M7 language-ID + quality heuristics — every emitted column is
-    # plain SQL (stopword-vote argmax, punct/length/word-len banding),
-    # so the whole heuristic is a full value-hash oracle. The xxhash64
-    # fingerprint column is excluded here (no xxhash64 in DuckDB) and
-    # stays covered by pytest goldens + the exact_dedup gate.
-    from anser_spark.operators.text import text_stats
+    # M7 language-ID + quality heuristics + the component metric columns
+    # in one gate (composite, see the 50-gate cap note) — every emitted
+    # column is plain SQL (stopword-vote argmax, punct/length/word-len
+    # banding), so the whole heuristic is a full value-hash oracle. The
+    # xxhash64 fingerprint column is excluded here (no xxhash64 in
+    # DuckDB) and stays covered by pytest goldens + the exact_dedup gate.
+    from anser_spark.operators.text import quality_metrics, text_stats
 
     docs = _db(spark, sf_dir).collection("documents").df()
-    return text_stats(docs).select(
+    stats = text_stats(docs).select(
         "doc_id", "n_tokens", "n_chars_calc", "lang_id", "quality"
     )
+    comps = quality_metrics(docs).select(
+        "doc_id", "punct_ratio", "mean_word_len", "length_score", "en_stop_hits"
+    )
+    return stats.join(comps, "doc_id")
 
 
 def _q_window_rank(spark, sf_dir):
@@ -1378,6 +1383,35 @@ def _q_bucket_stages(spark, sf_dir):
     return explicit.unionByName(auto)
 
 
+def _q_bm25_search(spark, sf_dir):
+    # M7 corpus ranking: BM25 top-k for a fixed query bag — ONE
+    # constant-width stats aggregate (N, avgdl, per-term df) collected
+    # as literals, then a pure-Column scoring scan + TakeOrdered. The
+    # DuckDB oracle recomputes the identical Lucene-style formula.
+    from anser_spark.operators.ranking import bm25_top_k
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    out = bm25_top_k(docs, ["data", "model", "training"], k=20)
+    from pyspark.sql import functions as F
+
+    # integer-scaled score: decimal-place rounding of doubles differs
+    # between engines at the last digit; round-to-integer agrees
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("score") * F.lit(1e6)).cast("long").alias("score_e6"),
+    )
+
+
+def _q_embedding_quantize(spark, sf_dir):
+    # M7 embedding compression: per-vector symmetric int8 max-abs
+    # quantization, audited as exact scalars (scale, code sums,
+    # reconstruction MSE) — array HOFs at scan speed, no shuffle
+    from anser_spark.operators.quantize import quantization_report
+
+    emb = _db(spark, sf_dir).collection("embeddings").df()
+    return quantization_report(emb)
+
+
 def _q_media_pipeline(spark, sf_dir):
     # multimodal plumbing + Arrow-batched feature extraction in one
     # gate: metadata attach + frame-sample counts joined with the stub
@@ -1430,7 +1464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into_summary": _q_merge_into_summary,
         "densify_fill": _q_densify_fill,
         "window_range_30d": _q_window_range_30d,
-        "text_quality_metrics": _q_text_quality_metrics,
+        "bm25_search": _q_bm25_search,
+        "embedding_quantize": _q_embedding_quantize,
         "tpch_q7_shape": _q_tpch_q7_shape,
         "tpch_q10_shape": _q_tpch_q10_shape,
         "session_windows": _q_session_windows,
@@ -1486,7 +1521,11 @@ def _text_stats_oracle() -> str:
           round(length_score * 0.3
                 + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
                 + (CASE WHEN mwl >= 3 AND mwl <= 12 THEN 1.0 ELSE 0.3 END) * 0.3
-                + least(stop_ratio * 3, 1.0) * 0.2, 6) AS quality
+                + least(stop_ratio * 3, 1.0) * 0.2, 6) AS quality,
+          round(punct_ratio, 4) AS punct_ratio,
+          round(mwl, 4) AS mean_word_len,
+          round(length_score, 4) AS length_score,
+          CAST(h_en AS INTEGER) AS en_stop_hits
         FROM d
     """
 
@@ -1838,21 +1877,72 @@ def oracle_sql() -> dict[str, str]:
                    ), 2) AS rev30
             FROM orders
         """,
-        "text_quality_metrics": """
-            SELECT doc_id, n_chars,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-                   END AS INTEGER) AS n_tokens,
-                   round(CASE WHEN len(text) > 0
-                         THEN (len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g'))) * 1.0 / len(text)
-                         ELSE 0.0 END, 4) AS punct_ratio,
-                   round(CASE WHEN trim(text) <> ''
-                         THEN len(text) * 1.0 / len(regexp_split_to_array(trim(text), '\\s+'))
-                         ELSE 0.0 END, 4) AS mean_word_len,
-                   round(least(len(text) / 500.0, 1.0), 4) AS length_score,
-                   CAST(len(regexp_extract_all(lower(text),
-                       '\\b(the|and|of|to|a|in|is|it|that|for)\\b')) AS INTEGER) AS en_stop_hits
-            FROM documents
+        # Same tokenization as the Spark operator; the BM25 constants
+        # are spelled as the same arithmetic ((1.2+1.0), 1-0.75) so both
+        # engines evaluate identical double literals, and ln() runs on
+        # exact integer-derived inputs — same libm on this host.
+        "bm25_search": """
+            WITH t AS (
+              SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '') AS w
+              FROM documents
+            ), s AS (
+              SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+                CAST(len(list_filter(w, x -> x = 'data')) AS DOUBLE) AS tf0,
+                CAST(len(list_filter(w, x -> x = 'model')) AS DOUBLE) AS tf1,
+                CAST(len(list_filter(w, x -> x = 'training')) AS DOUBLE) AS tf2
+              FROM t
+            ), g AS (
+              SELECT count(*) AS n, avg(n_tokens) AS avgdl,
+                sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM s
+            ), scored AS (
+              SELECT doc_id, n_tokens,
+                ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+                  / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * n_tokens / avgdl))
+                + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+                  / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * n_tokens / avgdl))
+                + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+                  / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * n_tokens / avgdl))
+                AS score
+              FROM s, g
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(round(score * 1e6) AS BIGINT) AS score_e6
+            FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+        """,
+        # int8 max-abs quantization audit: identical fold order (left
+        # reduce over the vector), identical zero-vector guard, float32
+        # widened to double on both sides before any arithmetic
+        "embedding_quantize": """
+            WITH q AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                                 x -> abs(x))) / 127.0,
+                         1e-30) AS scale
+              FROM embeddings
+            ), c AS (
+              SELECT vec_id, e, scale,
+                list_transform(e, x -> CAST(round(x / scale) AS BIGINT)) AS codes
+              FROM q
+            )
+            SELECT vec_id,
+              CAST(len(e) AS INTEGER) AS n_dims,
+              CAST(round(scale * 1e8) AS BIGINT) AS scale_e8,
+              list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                          (a, b) -> a + b) AS q_sum,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                       list_transform(codes, x -> abs(x))),
+                          (a, b) -> a + b) AS q_l1,
+              CAST(round(list_reduce(
+                      list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(generate_series(1, len(e)),
+                          i -> (codes[i] * scale - e[i]) * (codes[i] * scale - e[i]))),
+                      (a, b) -> a + b) / len(e) * 1e9) AS BIGINT) AS mse_e9
+            FROM c
         """,
         "tpch_q7_shape": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

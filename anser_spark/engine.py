@@ -184,7 +184,7 @@ class Database:
         src = self.engine.sources.get(self.name)
         if src and os.path.isdir(src):
             for entry in os.listdir(src):
-                for ext in (".parquet", ".jsonl", ".json", ".ndjson", ".csv"):
+                for ext in (".parquet", ".jsonl", ".json", ".ndjson", ".csv", ".orc"):
                     if entry.endswith(ext):
                         names.add(entry[: -len(ext)])
                         break
@@ -246,7 +246,7 @@ class Collection:
         src = self.engine.sources.get(self.db_name)
         if not src:
             return None
-        for ext in (".parquet", ".jsonl", ".json", ".ndjson", ".csv", ""):
+        for ext in (".parquet", ".jsonl", ".json", ".ndjson", ".csv", ".orc", ""):
             candidate = os.path.join(src, f"{self.name}{ext}")
             if os.path.exists(candidate):
                 return candidate
@@ -439,6 +439,13 @@ class Collection:
             self._rewrite(transform(base))
             return True, matched
         all_files = self._data_files(path)
+        if not all_files:
+            # non-parquet directory source (e.g. an ORC mount): file-level
+            # surgery doesn't apply — materialize as a parquet version
+            base = self.df()
+            matched = base.where(pred).count() if want_count else None
+            self._rewrite(transform(base))
+            return True, matched
         write_pcols: Sequence[str] | None = None  # default: managed partitioning
         if not self.partition_columns():
             # layout we didn't create: reconstruct partition keys from
@@ -516,6 +523,7 @@ class Collection:
             bad_layout = write_pcols is None
         if (
             os.path.isfile(path)
+            or not existing  # non-parquet directory source (e.g. ORC)
             or _ns_timestamp_columns(path)
             or shape(aligned.schema) != shape(base_schema)
             or bad_layout

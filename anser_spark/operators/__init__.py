@@ -27,6 +27,8 @@ from anser_spark.operators.corpus import (
     contaminated_pairs,
     decontaminate,
 )
+from anser_spark.operators.ranking import bm25_score, bm25_top_k
+from anser_spark.operators.quantize import quantize_embeddings, quantization_report
 
 __all__ = [
     "with_token_count",
@@ -50,4 +52,8 @@ __all__ = [
     "hash_split",
     "contaminated_pairs",
     "decontaminate",
+    "bm25_score",
+    "bm25_top_k",
+    "quantize_embeddings",
+    "quantization_report",
 ]

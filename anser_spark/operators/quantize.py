@@ -1,0 +1,74 @@
+"""Embedding quantization: per-vector symmetric int8 scalar
+quantization (the standard storage/ANN compression for embedding
+columns — 4× smaller than float32, dot products survive to ~1e-3).
+
+Pure Column array HOFs — scan speed, no shuffle, no Python. The
+quantized vector stays an array<int> column; summary scalars
+(reconstruction error, norms) are exposed for auditability and for
+exact SQL twinning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_embeddings", "quantization_report"]
+
+_EPS = 1e-30  # zero-vector guard: scale 0 would divide by zero
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "qvec",
+    scale_out: str = "scale",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric max-abs quantization: scale = max|x| / (2^(bits-1)-1),
+    q_i = round(x_i / scale). Keeps all original columns, adds the
+    int codes array and the per-vector scale (dequantize: q_i · scale).
+    """
+    qmax = float((1 << (bits - 1)) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.greatest(maxabs / F.lit(qmax), F.lit(_EPS))
+    codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return df.withColumn(scale_out, scale).withColumn(out, codes)
+
+
+def quantization_report(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector quantization audit as plain scalars: dimension count,
+    scale, sum / L1 of the int codes, and the reconstruction MSE of
+    dequantized vs original. Everything is exactly expressible in
+    ANSI SQL (list HOFs), so this frame is value-hash verifiable.
+
+    ``scale``/``mse`` are emitted integer-scaled (×1e8 / ×1e9, rounded
+    to a long): decimal-place rounding of doubles differs between
+    engines at the last digit (BigDecimal HALF_UP vs multiply-floor),
+    while round-to-integer of the identical double agrees everywhere
+    off the measure-zero .5 boundary."""
+    q = quantize_embeddings(df, vec_col, id_col, bits=bits)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    recon = F.zip_with(
+        F.col("qvec"), v, lambda c, x: (c.cast("double") * F.col("scale") - x)
+    )
+    mse = F.aggregate(
+        recon, F.lit(0.0), lambda acc, e: acc + e * e
+    ) / F.size(F.col(vec_col))
+    return q.select(
+        id_col,
+        F.size(F.col(vec_col)).alias("n_dims"),
+        F.round(F.col("scale") * F.lit(1e8)).cast("long").alias("scale_e8"),
+        F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, c: a + c).alias("q_sum"),
+        F.aggregate(
+            F.col("qvec"), F.lit(0).cast("long"), lambda a, c: a + F.abs(c)
+        ).alias("q_l1"),
+        F.round(mse * F.lit(1e9)).cast("long").alias("mse_e9"),
+    )

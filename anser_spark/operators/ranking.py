@@ -1,0 +1,102 @@
+"""Corpus ranking: BM25 scoring over a document table.
+
+The retrieval primitive of a training-data pipeline (mining documents
+relevant to a seed set, dataset search, quality-weighted sampling).
+Built scale-first:
+
+- Corpus statistics (N, avgdl, per-term document frequencies) come from
+  ONE aggregate job whose result is a constant-size row collected to
+  the driver — the same "small side becomes a literal" reasoning as a
+  broadcast join, valid at any corpus size because its width is
+  O(query terms), not O(corpus).
+- Scoring is then a single pure-Column scan (term frequencies via
+  array HOFs, no Python, no shuffle); top-k goes through Spark's
+  TakeOrdered path.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_score", "bm25_top_k"]
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for a bag of query terms.
+
+    Standard Robertson/Sparck-Jones BM25 with the +1 idf smoothing
+    (Lucene's formulation): idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·|d|/avgdl)).
+
+    Returns (id_col, n_tokens, score). Two scans total: one constant-
+    width stats aggregate, one scoring scan.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = _tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    def _tf(term: str):
+        # single-arg lambda: a 2-arg filter lambda would receive the
+        # element INDEX as its second argument (PySpark arity dispatch)
+        return F.size(F.filter(F.col("__toks"), lambda w: w == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"__tf{i}") for i, t in enumerate(terms)]
+    scored = base.select(id_col, F.size("__toks").alias("n_tokens"), *tf_cols)
+
+    # one job, one constant-size row: corpus size, average doc length,
+    # and document frequency of every query term
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("n_tokens").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+    if n_docs == 0:
+        return scored.select(id_col, "n_tokens", F.lit(0.0).alias("score"))
+    idfs = [
+        math.log(1.0 + (n_docs - stats[f"__df{i}"] + 0.5) / (stats[f"__df{i}"] + 0.5))
+        for i in range(len(terms))
+    ]
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("n_tokens") / F.lit(avgdl)
+    )
+    score = None
+    for i, idf in enumerate(idfs):
+        tf = F.col(f"__tf{i}").cast("double")
+        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    return scored.select(id_col, "n_tokens", score.alias("score"))
+
+
+def bm25_top_k(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Top-k BM25 matches, deterministically ordered (score desc, id) —
+    compiles to TakeOrderedAndProject, no full sort."""
+    scored = bm25_score(df, query_terms, id_col, text_col, **kwargs)
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)

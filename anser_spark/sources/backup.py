@@ -40,6 +40,9 @@ class BackupOptions:
     limit: int = 0
     indexes_only: bool = False
     enable_logging: bool = False
+    # export format: parquet (native), orc (columnar interchange),
+    # json (mongoexport analogue: one JSON document per line), csv
+    format: str = "parquet"
 
 
 def backup_collection(collection: Collection, options: BackupOptions) -> dict[str, Any]:
@@ -102,10 +105,16 @@ def backup_collection(collection: Collection, options: BackupOptions) -> dict[st
             out = out.orderBy(*order)
         if options.limit:
             out = out.limit(options.limit)
-        data_path = base + ".parquet"
-        out.write.mode("overwrite").parquet(data_path)
+        fmt = options.format or "parquet"
+        if fmt not in ("parquet", "orc", "json", "csv"):
+            raise ValueError(f"unsupported backup format: {fmt!r}")
+        data_path = base + "." + fmt
+        writer = out.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", "true")
+        getattr(writer, fmt)(data_path)
         report["data_path"] = data_path
-        if options.enable_logging:
+        if options.enable_logging and fmt == "parquet":
             _log_progress(ns, data_path, count, start_at)
     if options.enable_logging:
         logger.info(

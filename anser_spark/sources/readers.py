@@ -87,12 +87,15 @@ def read_parquet_table(
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Extension-dispatched source reader: parquet datasets (the native
-    format), plus JSON-lines and CSV single-file sources (mongoimport/
-    mongoexport analogues). Non-parquet sources become parquet on the
-    first mutation (every version write is parquet)."""
+    format), ORC (Spark-native columnar interchange), plus JSON-lines
+    and CSV single-file sources (mongoimport/mongoexport analogues).
+    Non-parquet sources become parquet on the first mutation (every
+    version write is parquet)."""
     lower = path.lower()
     if lower.endswith((".json", ".jsonl", ".ndjson")):
         return spark.read.json(path)
     if lower.endswith(".csv"):
         return spark.read.csv(path, header=True, inferSchema=True)
+    if lower.endswith(".orc"):
+        return spark.read.orc(path)
     return read_parquet_table(spark, path)

@@ -1,0 +1,134 @@
+"""Round-4 additions: BM25 ranking, embedding quantization, ORC
+source/sink, backup export formats."""
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anser_spark.operators import (
+    bm25_score,
+    bm25_top_k,
+    quantization_report,
+    quantize_embeddings,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark engines process data at scale"),
+        (2, "the model trains on data data data"),
+        (3, "training data for the model"),
+        (4, "nothing relevant here at all"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_matches_reference_math(corpus):
+    out = {r["doc_id"]: r for r in bm25_score(corpus, ["data", "model"]).collect()}
+    # pure-Python reference on the same 5-doc corpus
+    docs = {
+        1: "spark engines process data at scale",
+        2: "the model trains on data data data",
+        3: "training data for the model",
+        4: "nothing relevant here at all",
+        5: "",
+    }
+    toks = {i: [w for w in t.lower().split() if w] for i, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    for term in ["data", "model"]:
+        df_t = sum(1 for v in toks.values() if term in v)
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            expected = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+            # scores are additive per term; accumulate for comparison below
+            docs.setdefault("_exp", {}).setdefault(i, 0.0)  # type: ignore[arg-type]
+            docs["_exp"][i] += expected  # type: ignore[index]
+    for i, exp in docs["_exp"].items():  # type: ignore[union-attr]
+        assert out[i]["score"] == pytest.approx(exp, rel=1e-12)
+    # ranking: doc 2 (tf=3 of 'data' + 'model') must beat doc 4 (zero)
+    top = bm25_top_k(corpus, ["data", "model"], k=2).collect()
+    assert top[0]["doc_id"] == 2
+    assert all(r["score"] > 0 for r in top)
+
+
+def test_bm25_validation_and_plan(corpus):
+    with pytest.raises(ValueError):
+        bm25_score(corpus, [])
+    plan = bm25_top_k(corpus, ["data"], k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_quantize_roundtrip(spark):
+    rows = [
+        (0, [1.0, -2.0, 0.5, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # zero vector: guard, codes all 0
+        (2, [-0.001, 0.001, 0.0005, -0.00025]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # max-abs symmetric: the largest-magnitude element maps to ±127
+    assert q[0]["qvec"][3] == 127
+    assert q[0]["scale"] == pytest.approx(1.0)
+    assert q[0]["qvec"] == [1, -2, 1, 127]  # 0.5/1.0 rounds HALF_UP to 1
+    assert q[1]["qvec"] == [0, 0, 0, 0]
+    assert max(abs(c) for c in q[2]["qvec"]) == 127
+    # dequantized error bounded by scale/2 per element
+    for r in q.values():
+        for code, x in zip(r["qvec"], r["embedding"]):
+            assert abs(code * r["scale"] - x) <= r["scale"] / 2 + 1e-12
+    rep = {r["vec_id"]: r for r in quantization_report(df).collect()}
+    assert rep[1]["q_l1"] == 0 and rep[1]["mse_e9"] == 0
+    assert rep[0]["n_dims"] == 4
+    assert rep[0]["q_l1"] == 1 + 2 + 1 + 127
+
+
+def test_orc_source_and_backup_formats(spark, tmp_path):
+    from anser_spark.engine import Engine
+    from anser_spark.sources.backup import BackupOptions, backup_collection
+    from anser_spark.sources.readers import read_table
+
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "name", "val"]
+    )
+    orc_path = str(tmp_path / "table.orc")
+    src.write.orc(orc_path)
+    back = read_table(spark, orc_path)
+    assert sorted(r["k"] for r in back.collect()) == [1, 2, 3]
+    assert dict(back.dtypes)["val"] == "double"
+
+    # engine reads an ORC source as a collection; first mutation
+    # converts it to a parquet version
+    srcdir = tmp_path / "srcs"
+    srcdir.mkdir()
+    src.write.orc(str(srcdir / "orc_coll.orc"))
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    eng.mount("db1", str(srcdir))
+    coll = eng.db("db1").collection("orc_coll")
+    assert coll.count() == 3
+    coll.update_all({"k": {"$gte": 2}}, {"$inc": {"val": 1.0}})
+    vals = {r["k"]: r["val"] for r in coll.df().collect()}
+    assert vals == {1: 10.0, 2: 21.0, 3: 31.0}
+
+    # backup export formats round-trip
+    for fmt, reader in [
+        ("orc", lambda p: spark.read.orc(p)),
+        ("json", lambda p: spark.read.json(p)),
+        ("csv", lambda p: spark.read.csv(p, header=True, inferSchema=True)),
+    ]:
+        report = backup_collection(
+            coll, BackupOptions(target_dir=str(tmp_path / f"bk_{fmt}"), format=fmt)
+        )
+        assert report["data_path"].endswith("." + fmt)
+        got = reader(report["data_path"])
+        assert got.count() == 3
+    with pytest.raises(ValueError):
+        backup_collection(
+            coll, BackupOptions(target_dir=str(tmp_path / "bk_bad"), format="avro")
+        )
