@@ -1352,10 +1352,15 @@ def _q_temporal_joins(spark, sf_dir):
 
 def _q_corpus_splits(spark, sf_dir):
     # corpus management in one gate: every document's deterministic
-    # md5-bucket train/val/test assignment plus its per-language
-    # stratified-sample membership (NULL lang = dropped by the sampler)
+    # md5-bucket train/val/test assignment, its per-language
+    # stratified-sample membership (NULL lang = dropped by the
+    # sampler), and its global-shuffle key (reproducible training-order
+    # permutation — sorting by it IS the shuffle)
+    from anser_spark.operators.corpus import with_shuffle_key
+
     strat = _q_stratified_sample(spark, sf_dir).withColumnRenamed("lang", "strat_lang")
-    return _q_hash_split(spark, sf_dir).join(strat, "doc_id", "left")
+    split = _q_hash_split(spark, sf_dir).join(strat, "doc_id", "left")
+    return with_shuffle_key(split, salt="epoch0")
 
 
 def _q_bucket_stages(spark, sf_dir):
@@ -1681,7 +1686,8 @@ def oracle_sql() -> dict[str, str]:
                                                 WHEN 'de' THEN 16384
                                                 WHEN 'zh' THEN 65536
                                                 ELSE 6553 END
-                        THEN lang END AS strat_lang
+                        THEN lang END AS strat_lang,
+                   md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
             FROM b
         """,
         "decontamination": """

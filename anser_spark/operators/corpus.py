@@ -16,7 +16,14 @@ from pyspark.sql import functions as F
 
 from anser_spark.operators.dedup import shingle_postings_arrow
 
-__all__ = ["hash_split", "stratified_sample", "contaminated_pairs", "decontaminate"]
+__all__ = [
+    "hash_split",
+    "stratified_sample",
+    "contaminated_pairs",
+    "decontaminate",
+    "with_shuffle_key",
+    "shuffle_shards",
+]
 
 _BUCKETS = 1 << 16
 
@@ -152,3 +159,42 @@ def decontaminate(
         F.col("train_id").alias(id_col)
     )
     return train.join(bad.distinct(), on=id_col, how="left_anti")
+
+
+def with_shuffle_key(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    out: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global-shuffle key for training-order
+    randomization: the full 128-bit md5(salt || id) as a hex string —
+    sorting (or range-partitioning) by it is a reproducible uniform
+    permutation of the corpus.
+
+    This is the scale-correct form of "shuffle the dataset": no RNG
+    state, no `orderBy(rand())` (whose per-task draws are neither
+    stable under retries nor reproducible across runs), and writers
+    shard it without a global sort via
+    ``df.repartitionByRange(n, shuffle_key)`` + per-partition local
+    sort — each output shard is an independent contiguous slice of the
+    permutation. A new ``salt`` is a fresh epoch-independent permutation.
+    """
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    return df.withColumn(out, key)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Materialize the deterministic shuffle as ``num_shards`` range
+    shards, each locally sorted by the key — the layout a sharded
+    training-data writer consumes. One range-partitioning exchange,
+    no global sort."""
+    keyed = with_shuffle_key(df, id_col, salt)
+    return keyed.repartitionByRange(num_shards, F.col("shuffle_key")).sortWithinPartitions(
+        "shuffle_key"
+    )

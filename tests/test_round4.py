@@ -132,3 +132,37 @@ def test_orc_source_and_backup_formats(spark, tmp_path):
         backup_collection(
             coll, BackupOptions(target_dir=str(tmp_path / "bk_bad"), format="avro")
         )
+
+
+def test_shuffle_key_and_shards(spark):
+    import hashlib
+
+    from anser_spark.operators.corpus import shuffle_shards, with_shuffle_key
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = {r["doc_id"]: r["shuffle_key"] for r in with_shuffle_key(df).collect()}
+    # exact md5 parity with the pure-Python reference
+    for i in (0, 1, 500, 999):
+        assert out[i] == hashlib.md5(str(i).encode()).hexdigest()
+    # a salt is an independent permutation
+    salted = {r["doc_id"]: r["shuffle_key"] for r in with_shuffle_key(df, salt="s").collect()}
+    order_a = sorted(out, key=out.get)
+    order_b = sorted(salted, key=salted.get)
+    assert order_a != order_b
+    # shards: contiguous key ranges, locally sorted, union = corpus
+    sharded = shuffle_shards(df, num_shards=8)
+    parts = sharded.rdd.glom().collect()
+    non_empty = [p for p in parts if p]
+    assert len(non_empty) >= 2
+    bounds = []
+    seen = set()
+    for p in non_empty:
+        keys = [r["shuffle_key"] for r in p]
+        assert keys == sorted(keys)  # locally sorted
+        bounds.append((keys[0], keys[-1]))
+        seen.update(r["doc_id"] for r in p)
+    assert seen == set(range(1000))
+    # range partitioning: shard key ranges do not interleave
+    bounds.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
