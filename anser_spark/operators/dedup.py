@@ -416,6 +416,51 @@ def with_simhash(
     return df.withColumn(out, packed)
 
 
+def with_simhash_arrow(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", out: str = "simhash"
+) -> DataFrame:
+    """Arrow-batched SimHash: per-batch numpy pipeline — siphash the
+    tokens once (``pd.util.hash_array``, fixed key ⇒ deterministic
+    across workers), unpack to a (tokens × 64) bit matrix, vote by
+    column sum, pack the sign vector back into a signed long.
+
+    Same algorithm as :func:`with_simhash` under a different 64-bit
+    token hash family (siphash vs xxhash64) — fingerprints differ but
+    every Hamming-distance property is identical. Round-4 bake-off at
+    sf0.1: 1.0s vs 2.1-3.7s for the JVM 64-wide vote aggregate."""
+    types = dict(df.dtypes)
+
+    def batches(it):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, sims = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                words = re.sub(
+                    r"\s+", " ", (t or "").strip().lower(), flags=re.ASCII
+                ).split(" ")
+                h = pd.util.hash_array(np.array(words, dtype=object))
+                # bit k of each hash → column k (little-endian byte view
+                # matches (h >> k) & 1 numbering, i.e. JVM bit_get(h, k))
+                bits = np.unpackbits(
+                    h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                )
+                votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
+                packed = np.packbits(
+                    (votes > 0).astype(np.uint8), bitorder="little"
+                ).view(np.int64)[0]
+                ids.append(i)
+                sims.append(packed)
+            yield pd.DataFrame({id_col: ids, out: np.array(sims, dtype=np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches, f"{id_col} {types[id_col]}, {out} long"
+    )
+
+
 def simhash_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash longs (popcount of xor)."""
     x = a.bitwiseXOR(b)

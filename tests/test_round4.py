@@ -166,3 +166,50 @@ def test_shuffle_key_and_shards(spark):
     bounds.sort()
     for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
         assert hi1 <= lo2
+
+
+def test_simhash_arrow_golden_and_properties(spark):
+    import numpy as np
+    import pandas as pd
+    import re as _re
+
+    from anser_spark.operators.dedup import simhash_hamming, with_simhash_arrow
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  Quick Brown Fox jumps over the lazy dog"),  # normalizes to 1
+        (3, "the quick brown fox leaps over the lazy dog"),   # near dup
+        (4, "completely unrelated text about database engines"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in with_simhash_arrow(df).collect()}
+
+    # independent per-doc reference: same hash family, scalar vote loop
+    def ref(text):
+        words = _re.sub(r"\s+", " ", text.strip().lower(), flags=_re.ASCII).split(" ")
+        hashes = pd.util.hash_array(np.array(words, dtype=object))
+        votes = [0] * 64
+        for h in hashes:
+            for k in range(64):
+                votes[k] += 1 if (int(h) >> k) & 1 else -1
+        packed = 0
+        for k in range(64):
+            if votes[k] > 0:
+                packed |= 1 << k
+        return packed - (1 << 64) if packed >= (1 << 63) else packed
+
+    for i, text in rows:
+        assert got[i] == ref(text), f"doc {i}"
+    assert got[1] == got[2]  # normalization folds case/whitespace
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(got[1], got[3]) < hamming(got[1], got[4])
+    # Column-side hamming agrees with python popcount
+    pairs = spark.createDataFrame([(got[1], got[3])], ["a", "b"])
+    from pyspark.sql import functions as F
+
+    spark_h = pairs.select(simhash_hamming(F.col("a"), F.col("b")).alias("h")).first()["h"]
+    assert spark_h == hamming(got[1], got[3])
