@@ -390,13 +390,27 @@ def _q_minhash_near_dups(spark, sf_dir):
 
 
 def _q_embedding_near_dups(spark, sf_dir):
-    # M7 embedding-cosine near-dups via hyperplane LSH (approximate —
-    # rows-only check). 64-bit signatures / 4 bands: candidate volume
-    # stays ~1e-5 of all pairs, the config that scales.
+    # M7 embedding-cosine near-dups via hyperplane LSH. 64-bit
+    # signatures / 4 bands: candidate volume stays ~1e-5 of all pairs,
+    # the config that scales. The synthetic corpus has no organic pair
+    # above 0.52 cosine, so 20 exact duplicates are planted (ids
+    # offset by 1e6): identical vectors share every band hash, so LSH
+    # recall on them is exactly 1 and verification prunes everything
+    # else — the end-to-end output is provably the planted pair set,
+    # which an exact O(n²) DuckDB join reproduces → full value-hash
+    # oracle for the LSH plumbing. (Recall on sub-identical organic
+    # pairs remains probabilistic by design — the documented LSH
+    # contract, covered by pytest with controlled noise.)
+    from pyspark.sql import functions as F
+
     from anser_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = _db(spark, sf_dir).collection("embeddings").df()
-    return embedding_near_dup_pairs(emb, dim=64, threshold=0.95, bits=64, bands=4)
+    emb = _db(spark, sf_dir).collection("embeddings").df().select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    aug = emb.unionByName(planted)
+    return embedding_near_dup_pairs(aug, dim=64, threshold=0.95, bits=64, bands=4)
 
 
 def _q_embedding_sim_join(spark, sf_dir):
@@ -2176,12 +2190,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         """,
+        # the LSH output over the planted-duplicate augmentation is
+        # provably the exact pair set (see _q_embedding_near_dups), so
+        # an exact O(n²) join IS its ground truth at gate scale
+        "embedding_near_dups": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings
+              WHERE vec_id < 20
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.95
+        """,
         # Remaining rows-only gates, each impossible to oracle in SQL:
-        # - minhash_near_dups: xxhash64-seeded MinHash signatures (no
-        #   xxhash64 in DuckDB; candidates are LSH-band approximate)
-        # - embedding_near_dups: seeded random-hyperplane LSH buckets
-        # - simhash_fingerprints: xxhash64 token hashes (pure-Python
-        #   golden in tests/test_operators.py instead)
+        # - minhash_near_dups: siphash-seeded MinHash signatures (no
+        #   such hash in DuckDB; candidates are LSH-band approximate)
+        # - simhash_fingerprints: siphash token hashes (independent
+        #   scalar-loop golden in tests/test_round4.py instead)
         # - hll_distinct: Spark HLL++ sketch internals differ from
         #   DuckDB's approx_count_distinct implementation
     }

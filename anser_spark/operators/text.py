@@ -251,7 +251,12 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out: str | None = None) -> 
 
 def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document pre-scrub PII match counts (n_emails, n_ipv4,
-    n_phones) — the audit half of scrub_pii."""
+    n_phones) — the audit half of scrub_pii. Each pattern counts
+    independently over the ORIGINAL text (scrub_pii chains replacements
+    in order, so e.g. digits inside an email are never re-counted by
+    the phone pass there) — overlapping matches can therefore
+    double-count in the audit; the counts are a per-category signal,
+    not a partition of the text."""
     text = F.col(text_col)
     counts = [
         F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
