@@ -1404,22 +1404,49 @@ def _q_bucket_stages(spark, sf_dir):
     return explicit.unionByName(auto)
 
 
-def _q_bm25_search(spark, sf_dir):
-    # M7 corpus ranking: BM25 top-k for a fixed query bag — ONE
-    # constant-width stats aggregate (N, avgdl, per-term df) collected
-    # as literals, then a pure-Column scoring scan + TakeOrdered. The
-    # DuckDB oracle recomputes the identical Lucene-style formula.
-    from anser_spark.operators.ranking import bm25_top_k
-
-    docs = _db(spark, sf_dir).collection("documents").df()
-    out = bm25_top_k(docs, ["data", "model", "training"], k=20)
+def _q_hybrid_search(spark, sf_dir):
+    # M7 hybrid retrieval in one gate: BM25 text leg (constant-width
+    # stats aggregate → pure-Column scoring scan → TakeOrdered) + a
+    # $vectorSearch pipeline-stage vector leg (Atlas cosine
+    # normalization (1+cos)/2, TakeOrdered) fused by weighted
+    # reciprocal-rank (the $rankFusion combiner). Every rank and the
+    # RRF sum are exactly SQL-reproducible; the fused score is
+    # integer-scaled (decimal rounding of doubles differs between
+    # engines at the last digit; round-to-integer agrees).
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # integer-scaled score: decimal-place rounding of doubles differs
-    # between engines at the last digit; round-to-integer agrees
-    return out.select(
-        "doc_id", "n_tokens",
-        F.round(F.col("score") * F.lit(1e6)).cast("long").alias("score_e6"),
+    from anser_spark.operators.ranking import bm25_top_k, rank_fusion
+
+    db = _db(spark, sf_dir)
+    docs = db.collection("documents").df()
+    text = bm25_top_k(docs, ["data", "model", "training"], k=20).withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id")))
+    )
+    qv = [
+        float(x)
+        for x in db.collection("embeddings").df().where("vec_id = 0").first()["embedding"]
+    ]
+    vec = (
+        db.collection("embeddings")
+        .pipe([{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                                  "limit": 20, "exact": True}}])
+        .to_df()
+        .withColumnRenamed("vec_id", "doc_id")
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id")))
+        )
+    )
+    fused = rank_fusion(
+        {"text": text, "vector": vec},
+        key="doc_id",
+        weights={"text": 1.0, "vector": 1.0},
+    )
+    return fused.select(
+        "doc_id",
+        "text_rank",
+        "vector_rank",
+        F.round(F.col("fused_score") * F.lit(1e9)).cast("long").alias("rrf_e9"),
     )
 
 
@@ -1485,7 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_into_summary": _q_merge_into_summary,
         "densify_fill": _q_densify_fill,
         "window_range_30d": _q_window_range_30d,
-        "bm25_search": _q_bm25_search,
+        "hybrid_search": _q_hybrid_search,
         "embedding_quantize": _q_embedding_quantize,
         "tpch_q7_shape": _q_tpch_q7_shape,
         "tpch_q10_shape": _q_tpch_q10_shape,
@@ -1899,11 +1926,13 @@ def oracle_sql() -> dict[str, str]:
                    ), 2) AS rev30
             FROM orders
         """,
-        # Same tokenization as the Spark operator; the BM25 constants
-        # are spelled as the same arithmetic ((1.2+1.0), 1-0.75) so both
-        # engines evaluate identical double literals, and ln() runs on
-        # exact integer-derived inputs — same libm on this host.
-        "bm25_search": """
+        # BM25 leg: same tokenization as the Spark operator; the
+        # constants are spelled as the same arithmetic ((1.2+1.0),
+        # 1-0.75) so both engines evaluate identical double literals,
+        # and ln() runs on exact integer-derived inputs — same libm on
+        # this host. Vector leg: Atlas cosine normalization (1+cos)/2.
+        # RRF: same leg order, same 1.0/(60+rank) terms.
+        "hybrid_search": """
             WITH t AS (
               SELECT doc_id,
                 list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
@@ -1922,7 +1951,7 @@ def oracle_sql() -> dict[str, str]:
                 sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
               FROM s
             ), scored AS (
-              SELECT doc_id, n_tokens,
+              SELECT doc_id,
                 ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
                   / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * n_tokens / avgdl))
                 + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
@@ -1931,10 +1960,29 @@ def oracle_sql() -> dict[str, str]:
                   / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * n_tokens / avgdl))
                 AS score
               FROM s, g
+            ), trank AS (
+              SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                                  AS BIGINT) AS text_rank
+              FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+            ), vscored AS (
+              SELECT vec_id AS doc_id,
+                (1.0 + list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                    WHERE vec_id = 0))) / 2.0 AS score
+              FROM embeddings
+            ), vrank AS (
+              SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                                  AS BIGINT) AS vector_rank
+              FROM (SELECT * FROM vscored ORDER BY score DESC, doc_id LIMIT 20)
             )
-            SELECT doc_id, n_tokens,
-                   CAST(round(score * 1e6) AS BIGINT) AS score_e6
-            FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+            SELECT coalesce(trank.doc_id, vrank.doc_id) AS doc_id,
+                   text_rank, vector_rank,
+                   CAST(round((CASE WHEN text_rank IS NOT NULL
+                                    THEN 1.0 / (60.0 + text_rank) ELSE 0.0 END
+                             + CASE WHEN vector_rank IS NOT NULL
+                                    THEN 1.0 / (60.0 + vector_rank) ELSE 0.0 END)
+                              * 1e9) AS BIGINT) AS rrf_e9
+            FROM trank FULL OUTER JOIN vrank ON trank.doc_id = vrank.doc_id
         """,
         # int8 max-abs quantization audit: identical fold order (left
         # reduce over the vector), identical zero-vector guard, float32

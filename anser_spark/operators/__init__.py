@@ -27,7 +27,7 @@ from anser_spark.operators.corpus import (
     contaminated_pairs,
     decontaminate,
 )
-from anser_spark.operators.ranking import bm25_score, bm25_top_k
+from anser_spark.operators.ranking import bm25_score, bm25_top_k, rank_fusion
 from anser_spark.operators.quantize import quantize_embeddings, quantization_report
 
 __all__ = [
@@ -54,6 +54,7 @@ __all__ = [
     "decontaminate",
     "bm25_score",
     "bm25_top_k",
+    "rank_fusion",
     "quantize_embeddings",
     "quantization_report",
 ]

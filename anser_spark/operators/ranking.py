@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_score", "bm25_top_k"]
+__all__ = ["bm25_score", "bm25_top_k", "rank_fusion"]
 
 
 def _tokens(text_col: str):
@@ -86,6 +86,48 @@ def bm25_score(
         part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part
     return scored.select(id_col, "n_tokens", score.alias("score"))
+
+
+def rank_fusion(
+    ranked: dict,
+    key: str,
+    weights: dict | None = None,
+    rrf_k: int = 60,
+    rank_col: str = "rank",
+    out: str = "fused_score",
+) -> DataFrame:
+    """Reciprocal-rank fusion of named ranked lists (the $rankFusion /
+    hybrid-search combiner): fused(doc) = Σ_p w_p / (rrf_k + rank_p),
+    summing over the pipelines that ranked the doc.
+
+    ``ranked``: name → DataFrame carrying ``key`` and a 1-based
+    ``rank_col``. Returns one row per doc in ANY list: (key,
+    <name>_rank …, out), fused score descending is the hybrid ranking.
+
+    RRF only consumes ranks, never raw scores — which is what makes
+    fusing heterogeneous scorers (BM25 vs cosine) principled. The
+    inputs are top-k lists (bounded by construction), so the
+    full-outer-join chain is a few broadcast-size frames, not a
+    corpus-scale shuffle.
+    """
+    if not ranked:
+        raise ValueError("rank_fusion requires at least one ranked input")
+    weights = dict(weights or {})
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("rank_fusion weights must be non-negative")
+    fused: DataFrame | None = None
+    for name, df in ranked.items():
+        leg = df.select(F.col(key), F.col(rank_col).cast("long").alias(f"{name}_rank"))
+        fused = leg if fused is None else fused.join(leg, on=key, how="full_outer")
+    score = None
+    for name in ranked:
+        w = float(weights.get(name, 1.0))
+        part = F.when(
+            F.col(f"{name}_rank").isNotNull(),
+            F.lit(w) / (F.lit(float(rrf_k)) + F.col(f"{name}_rank")),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return fused.withColumn(out, score)
 
 
 def bm25_top_k(

@@ -227,6 +227,12 @@ def _compile_stage(  # noqa: C901
     if op == "$geoNear":
         return _geo_near(df, arg)
 
+    if op == "$vectorSearch":
+        return _vector_search(df, arg)
+
+    if op == "$rankFusion":
+        return _rank_fusion_stage(df, arg, resolve, sink)
+
     if op == "$documents":
         # inline literal source (Mongo 5.1; db.aggregate-level stage).
         # Mongo requires it first in a db-level pipeline; here it simply
@@ -471,6 +477,127 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         .drop("__geo_m")
         .orderBy(F.col(dist_field).asc())
     )
+
+
+def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """``$vectorSearch`` (Atlas 7.0 surface) over an embedding column.
+
+    Spec: ``path`` (array<numeric> column, dotted paths resolve into
+    structs), ``queryVector``, ``limit``, optional ``filter`` (query
+    document, applied as a pre-filter — pushed to the scan),
+    ``numCandidates`` (ANN beam), ``exact`` (ENN), and — fixed-schema
+    divergence from Mongo's ``{"$meta": "vectorSearchScore"}`` — the
+    similarity lands in an ordinary column named by ``scoreField``
+    (default "score"). Score follows Atlas' cosine normalization:
+    (1 + cosine) / 2 ∈ [0, 1].
+
+    Physical strategy: score is a pure-Column dot/norm over the vector
+    column; ``exact`` (or no index option) compiles to
+    TakeOrderedAndProject — one scan, no shuffle. ``index: {"kind":
+    "ivf", "nlist": …, "nprobe": …}`` routes through the IVF operators
+    (sample-trained centroids, probe-pruned candidate lists) — at
+    scale the index is trained once and amortized; here it trains
+    inline, documented as the gate-scale form.
+    """
+    from anser_spark.functions.filters import resolve_field
+    from anser_spark.operators.similarity import dot_col, norm_col
+
+    path = arg["path"]
+    qv = [float(x) for x in arg["queryVector"]]
+    limit = int(arg["limit"])
+    score_field = arg.get("scoreField", "score")
+    if arg.get("filter"):
+        df = df.where(compile_filter(arg["filter"], df.schema))
+    vec = resolve_field(path)
+    qcol = F.array(*[F.lit(x) for x in qv])
+    qnorm = float(sum(x * x for x in qv) ** 0.5)
+    cosine = dot_col(vec, qcol) / (norm_col(vec) * F.lit(qnorm))
+    index = arg.get("index")
+    if isinstance(index, Mapping) and index.get("kind") == "ivf":
+        if "." in path:
+            raise PipelineCompileError(
+                "$vectorSearch index over a dotted path is not supported"
+            )
+        from anser_spark.operators.ivf import ivf_assign, ivf_train_sample
+
+        nlist = int(index.get("nlist", 16))
+        nprobe = int(index.get("nprobe", max(1, nlist // 4)))
+        # inline train+assign (amortized in a real deployment); probe
+        # prunes to the nprobe nearest centroid lists before scoring
+        ivf = ivf_train_sample(df, k=nlist, vec_col=path)
+        assigned = ivf_assign(df, ivf, out="__ivf_list")
+        import numpy as np
+
+        c = np.array(ivf.centroids)
+        q = np.array(qv)
+        sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-30)
+        probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+        df = assigned.where(F.col("__ivf_list").isin(probe)).drop("__ivf_list")
+        vec = resolve_field(path)
+        cosine = dot_col(vec, qcol) / (norm_col(vec) * F.lit(qnorm))
+    out = df.withColumn(score_field, (F.lit(1.0) + cosine) / F.lit(2.0))
+    order_key = df.columns[0]
+    return out.orderBy(F.desc(score_field), F.col(order_key)).limit(limit)
+
+
+def _rank_fusion_stage(
+    df: DataFrame,
+    arg: Mapping[str, Any],
+    resolve: Callable[[str], DataFrame] | None,
+    sink: Callable[[str, DataFrame, Mapping[str, Any] | None], None] | None,
+) -> DataFrame:
+    """``$rankFusion`` (Mongo 8.1): run named sub-pipelines over the
+    current frame, rank each result, fuse by weighted reciprocal-rank
+    (1/(60 + rank)), return docs ordered by the fused score.
+
+    Each input pipeline must be RANKED — its ordering is reconstructed
+    from the last order-defining stage ($sort keys, or $vectorSearch's
+    score field descending); $limit/$skip/$match after it are fine,
+    stages that drop the ordering columns are not. Ranks are assigned
+    with a row_number over that ordering: a single-partition window,
+    which is exactly right because ranked inputs are top-k-bounded by
+    construction (Mongo likewise requires $vectorSearch.limit /
+    $sort+$limit shapes here).
+
+    Output schema (fixed-schema divergence from Mongo's scoreDetails
+    metadata): the identity column, one ``<name>_rank`` per pipeline,
+    and ``score`` = the fused RRF value.
+    """
+    from pyspark.sql import Window
+
+    from anser_spark.operators.ranking import rank_fusion
+
+    pipelines = arg["input"]["pipelines"]
+    if not pipelines:
+        raise PipelineCompileError("$rankFusion requires at least one input pipeline")
+    weights = (arg.get("combination") or {}).get("weights") or {}
+    key = arg.get("key") or ("_id" if "_id" in df.columns else df.columns[0])
+    ranked: dict[str, DataFrame] = {}
+    for name, stages in pipelines.items():
+        sub = compile_pipeline(df, stages, resolve, sink)
+        order = None
+        for stage in reversed(list(stages)):
+            op, sarg = next(iter(stage.items()))
+            if op == "$sort":
+                order = parse_sort_keys(sarg)
+                break
+            if op == "$vectorSearch":
+                sf = sarg.get("scoreField", "score") if isinstance(sarg, Mapping) else "score"
+                order = [F.desc(sf), F.col(key).asc()]
+                break
+            if op in ("$limit", "$skip", "$match", "$project", "$addFields", "$set"):
+                continue
+            break
+        if order is None:
+            raise PipelineCompileError(
+                f"$rankFusion input {name!r} is not ranked: it needs a "
+                "$sort or $vectorSearch stage"
+            )
+        ranked[name] = sub.withColumn(
+            "rank", F.row_number().over(Window.orderBy(*order))
+        )
+    fused = rank_fusion(ranked, key=key, weights=weights, out="score")
+    return fused.orderBy(F.desc("score"), F.col(key))
 
 
 def _redact(df: DataFrame, expr: Any) -> DataFrame:

@@ -213,3 +213,100 @@ def test_simhash_arrow_golden_and_properties(spark):
 
     spark_h = pairs.select(simhash_hamming(F.col("a"), F.col("b")).alias("h")).first()["h"]
     assert spark_h == hamming(got[1], got[3])
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)], "even" if i % 2 == 0 else "odd"))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "parity"])
+
+
+def test_vector_search_stage_exact(vec_df):
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    qv = [r for r in vec_df.where("vec_id = 0").first()["embedding"]]
+    out = compile_pipeline(
+        vec_df,
+        [{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                            "limit": 5, "exact": True}}],
+    ).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0  # self-match first
+    assert out[0]["score"] == pytest.approx(1.0)  # (1+cos)/2 at cos=1
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+    # pure-python cross-check of the full ranking
+    import math
+
+    rows = {r["vec_id"]: r["embedding"] for r in vec_df.collect()}
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+    expect = sorted(rows, key=lambda i: (-cos(rows[i], qv), i))[:5]
+    assert [r["vec_id"] for r in out] == expect
+
+
+def test_vector_search_stage_filter_and_ivf(vec_df):
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    qv = [r for r in vec_df.where("vec_id = 0").first()["embedding"]]
+    flt = compile_pipeline(
+        vec_df,
+        [{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                            "limit": 5, "filter": {"parity": "odd"}}}],
+    ).collect()
+    assert all(r["vec_id"] % 2 == 1 for r in flt)
+    # ivf at full probe == exact top-k (probe covers every list)
+    exact = compile_pipeline(
+        vec_df,
+        [{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                            "limit": 5, "exact": True}}],
+    ).collect()
+    ivf = compile_pipeline(
+        vec_df,
+        [{"$vectorSearch": {"path": "embedding", "queryVector": qv, "limit": 5,
+                            "index": {"kind": "ivf", "nlist": 4, "nprobe": 4}}}],
+    ).collect()
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in exact]
+
+
+def test_rank_fusion_stage(spark, vec_df):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    qv = [r for r in vec_df.where("vec_id = 0").first()["embedding"]]
+    out = compile_pipeline(
+        vec_df,
+        [{"$rankFusion": {
+            "input": {"pipelines": {
+                "vector": [{"$vectorSearch": {"path": "embedding",
+                                              "queryVector": qv, "limit": 5,
+                                              "exact": True}}],
+                "small_ids": [{"$sort": {"vec_id": 1}}, {"$limit": 5}],
+            }},
+            "combination": {"weights": {"vector": 2.0, "small_ids": 1.0}},
+            "key": "vec_id",
+        }}],
+    ).collect()
+    got = {r["vec_id"]: r for r in out}
+    # vec 0 is rank 1 in both legs: fused = 2/61 + 1/61
+    assert got[0]["score"] == pytest.approx(2.0 / 61 + 1.0 / 61)
+    assert got[0]["vector_rank"] == 1 and got[0]["small_ids_rank"] == 1
+    # fused ordering is descending
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # docs only in one leg carry a NULL rank for the other
+    one_leg = [r for r in out if r["vector_rank"] is None or r["small_ids_rank"] is None]
+    assert one_leg, "expected docs ranked by only one pipeline"
+    with pytest.raises(PipelineCompileError):
+        compile_pipeline(
+            vec_df,
+            [{"$rankFusion": {"input": {"pipelines": {
+                "bad": [{"$match": {"parity": "odd"}}]}}, "key": "vec_id"}}],
+        )
