@@ -12,7 +12,8 @@ Stage support:
     $match $project $addFields $set $unset $group $sort $limit $skip
     $unwind $lookup $count $replaceRoot $replaceWith $sortByCount
     $sample $out $merge $setWindowFields $densify $fill $bucket
-    $bucketAuto $facet $unionWith $graphLookup
+    $bucketAuto $facet $unionWith $graphLookup $redact $geoNear
+    $documents $search $vectorSearch $rankFusion $scoreFusion
 """
 
 from __future__ import annotations
@@ -227,11 +228,17 @@ def _compile_stage(  # noqa: C901
     if op == "$geoNear":
         return _geo_near(df, arg)
 
+    if op == "$search":
+        return _search_stage(df, arg)
+
     if op == "$vectorSearch":
         return _vector_search(df, arg)
 
     if op == "$rankFusion":
         return _rank_fusion_stage(df, arg, resolve, sink)
+
+    if op == "$scoreFusion":
+        return _score_fusion_stage(df, arg, resolve, sink)
 
     if op == "$documents":
         # inline literal source (Mongo 5.1; db.aggregate-level stage).
@@ -479,6 +486,34 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     )
 
 
+def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """``$search`` (Atlas text-operator subset): ``{"text": {"query":
+    …, "path": …}}`` scores documents by BM25 relevance over
+    whitespace query terms and returns them relevance-ordered.
+
+    Fixed-schema divergence from Atlas: the relevance lands in an
+    ordinary column named by ``scoreField`` (default "score") instead
+    of ``{"$meta": "searchScore"}``. Physical shape: one constant-width
+    corpus-stats aggregate at compile time, one scoring scan, one
+    broadcast-size join back on the identity column."""
+    spec = arg.get("text")
+    if not isinstance(spec, Mapping) or "query" not in spec or "path" not in spec:
+        raise PipelineCompileError(
+            "$search supports the text operator: {'text': {'query': …, 'path': …}}"
+        )
+    terms = [w for w in str(spec["query"]).lower().split() if w]
+    if not terms:
+        raise PipelineCompileError("$search text.query must contain at least one term")
+    score_field = arg.get("scoreField", "score")
+    key = "_id" if "_id" in df.columns else df.columns[0]
+    from anser_spark.operators.ranking import bm25_score
+
+    scored = bm25_score(df, terms, id_col=key, text_col=str(spec["path"])).select(
+        F.col(key), F.col("score").alias(score_field)
+    )
+    return df.join(scored, on=key).orderBy(F.desc(score_field), F.col(key))
+
+
 def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """``$vectorSearch`` (Atlas 7.0 surface) over an embedding column.
 
@@ -581,7 +616,7 @@ def _rank_fusion_stage(
             if op == "$sort":
                 order = parse_sort_keys(sarg)
                 break
-            if op == "$vectorSearch":
+            if op in ("$vectorSearch", "$search"):
                 sf = sarg.get("scoreField", "score") if isinstance(sarg, Mapping) else "score"
                 order = [F.desc(sf), F.col(key).asc()]
                 break
@@ -598,6 +633,76 @@ def _rank_fusion_stage(
         )
     fused = rank_fusion(ranked, key=key, weights=weights, out="score")
     return fused.orderBy(F.desc("score"), F.col(key))
+
+
+def _score_fusion_stage(
+    df: DataFrame,
+    arg: Mapping[str, Any],
+    resolve: Callable[[str], DataFrame] | None,
+    sink: Callable[[str, DataFrame, Mapping[str, Any] | None], None] | None,
+) -> DataFrame:
+    """``$scoreFusion`` (Mongo 8.2): fuse named SCORED sub-pipelines by
+    a weighted combination of their (optionally normalized) scores —
+    the score-aware sibling of ``$rankFusion``.
+
+    Each input pipeline must leave a score column (the ``scoreField``
+    of $search/$vectorSearch, default "score"). ``input.normalization``:
+    ``none``, ``sigmoid`` (1/(1+e^-s)), or ``minMaxScaler`` (per-leg
+    min-max to [0,1] — one constant-size aggregate per bounded leg).
+    ``combination.weights`` as in $rankFusion; ``combination.method``:
+    ``sum`` (default) or ``avg`` (weighted mean over the legs that
+    scored the doc). Output: identity, ``<name>_score`` (normalized)
+    per leg, fused ``score``, ordered by fused score."""
+    pipelines = arg["input"]["pipelines"]
+    if not pipelines:
+        raise PipelineCompileError("$scoreFusion requires at least one input pipeline")
+    normalization = arg["input"].get("normalization", "none")
+    if normalization not in ("none", "sigmoid", "minMaxScaler"):
+        raise PipelineCompileError(
+            f"unsupported $scoreFusion normalization: {normalization!r}"
+        )
+    comb = arg.get("combination") or {}
+    weights = comb.get("weights") or {}
+    method = comb.get("method", "sum")
+    if method not in ("sum", "avg"):
+        raise PipelineCompileError(f"unsupported $scoreFusion method: {method!r}")
+    key = arg.get("key") or ("_id" if "_id" in df.columns else df.columns[0])
+    score_field = arg.get("scoreField", "score")
+
+    fused: DataFrame | None = None
+    for name, stages in pipelines.items():
+        sub = compile_pipeline(df, stages, resolve, sink)
+        if score_field not in sub.columns:
+            raise PipelineCompileError(
+                f"$scoreFusion input {name!r} does not produce a "
+                f"{score_field!r} column ($search/$vectorSearch do)"
+            )
+        s = F.col(score_field).cast("double")
+        if normalization == "sigmoid":
+            s = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+        elif normalization == "minMaxScaler":
+            # legs are top-k bounded, so this is a constant-size agg
+            row = sub.agg(
+                F.min(score_field).alias("lo"), F.max(score_field).alias("hi")
+            ).collect()[0]
+            lo, hi = float(row["lo"]), float(row["hi"])
+            span = (hi - lo) or 1.0
+            s = (s - F.lit(lo)) / F.lit(span)
+        leg = sub.select(F.col(key), s.alias(f"{name}_score"))
+        fused = leg if fused is None else fused.join(leg, on=key, how="full_outer")
+    total = None
+    present_w = None
+    for name in pipelines:
+        w = float(weights.get(name, 1.0))
+        col = F.col(f"{name}_score")
+        part = F.when(col.isNotNull(), F.lit(w) * col).otherwise(F.lit(0.0))
+        wpart = F.when(col.isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
+        total = part if total is None else total + part
+        present_w = wpart if present_w is None else present_w + wpart
+    score = total if method == "sum" else total / F.greatest(present_w, F.lit(1e-300))
+    return fused.withColumn(score_field, score).orderBy(
+        F.desc(score_field), F.col(key)
+    )
 
 
 def _redact(df: DataFrame, expr: Any) -> DataFrame:

@@ -310,3 +310,114 @@ def test_rank_fusion_stage(spark, vec_df):
             [{"$rankFusion": {"input": {"pipelines": {
                 "bad": [{"$match": {"parity": "odd"}}]}}, "key": "vec_id"}}],
         )
+
+
+def test_search_stage_bm25(corpus):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    out = compile_pipeline(
+        corpus,
+        [{"$search": {"text": {"query": "data model", "path": "text"}}},
+         {"$limit": 3}],
+    ).collect()
+    # relevance order: doc 2 (data x3 + model) first; scores positive
+    assert out[0]["doc_id"] == 2
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+    # original columns survive
+    assert "text" in out[0].asDict()
+    with pytest.raises(PipelineCompileError):
+        compile_pipeline(corpus, [{"$search": {"text": {"query": "  ", "path": "text"}}}])
+    # $search ranks a $rankFusion input
+    fused = compile_pipeline(
+        corpus,
+        [{"$rankFusion": {
+            "input": {"pipelines": {
+                "rel": [{"$search": {"text": {"query": "data", "path": "text"}}},
+                        {"$limit": 3}],
+                "ids": [{"$sort": {"doc_id": 1}}, {"$limit": 3}],
+            }},
+            "key": "doc_id",
+        }}],
+    ).collect()
+    assert {r["doc_id"] for r in fused} >= {1, 2, 3}
+
+
+def test_stream_into_collection(spark, tmp_path):
+    import time as _time
+
+    from anser_spark.engine import Engine
+    from anser_spark.streaming.ingest import stream_into_collection
+
+    # file stream source: two batches of JSON lines
+    srcdir = tmp_path / "stream_src"
+    srcdir.mkdir()
+    schema = "event_id long, kind string"
+    with open(srcdir / "a.jsonl", "w") as fh:
+        fh.write('{"event_id": 1, "kind": "x"}\n{"event_id": 2, "kind": "y"}\n')
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    coll = eng.db("ing").collection("events_in")
+    stream = spark.readStream.schema(schema).json(str(srcdir))
+    q = stream_into_collection(
+        stream, coll, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert coll.count() == 2
+    # second run picks up only NEW files (checkpointed offsets)
+    with open(srcdir / "b.jsonl", "w") as fh:
+        fh.write('{"event_id": 3, "kind": "z"}\n')
+    q2 = stream_into_collection(
+        stream, coll, checkpoint_dir=str(tmp_path / "ckpt"), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert coll.count() == 3
+    # ingested collection is a first-class queryable collection
+    assert coll.find({"kind": "z"}).all()[0]["event_id"] == 3
+
+
+def test_score_fusion_stage(vec_df, corpus):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    qv = [r for r in vec_df.where("vec_id = 0").first()["embedding"]]
+    vs = {"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                            "limit": 5, "exact": True}}
+    out = compile_pipeline(
+        vec_df,
+        [{"$scoreFusion": {
+            "input": {"pipelines": {"a": [vs], "b": [vs]},
+                      "normalization": "none"},
+            "combination": {"weights": {"a": 1.0, "b": 3.0}},
+            "key": "vec_id",
+        }}],
+    ).collect()
+    got = {r["vec_id"]: r for r in out}
+    # identical legs: fused(sum) = 4 * leg score; self-match = 4.0
+    assert got[0]["score"] == pytest.approx(4.0)
+    for r in out:
+        assert r["score"] == pytest.approx(r["a_score"] + 3.0 * r["b_score"])
+    # avg with minMaxScaler: scores land in [0, 1]
+    avg = compile_pipeline(
+        vec_df,
+        [{"$scoreFusion": {
+            "input": {"pipelines": {"a": [vs]}, "normalization": "minMaxScaler"},
+            "combination": {"method": "avg"},
+            "key": "vec_id",
+        }}],
+    ).collect()
+    scores = [r["score"] for r in avg]
+    assert max(scores) == pytest.approx(1.0) and min(scores) == pytest.approx(0.0)
+    # sigmoid bounds
+    sig = compile_pipeline(
+        vec_df,
+        [{"$scoreFusion": {
+            "input": {"pipelines": {"a": [vs]}, "normalization": "sigmoid"},
+            "key": "vec_id",
+        }}],
+    ).collect()
+    assert all(0.5 < r["score"] < 1.0 for r in sig)  # raw scores in (0,1]
+    with pytest.raises(PipelineCompileError):
+        compile_pipeline(
+            corpus,
+            [{"$scoreFusion": {"input": {"pipelines": {
+                "bad": [{"$match": {"doc_id": 1}}]}}, "key": "doc_id"}}],
+        )
