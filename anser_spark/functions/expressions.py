@@ -143,6 +143,15 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
     # ---- literals / variables
     if op == "$literal":
         return F.lit(arg)
+    if op == "$meta":
+        # search relevance metadata: $search/$vectorSearch on this
+        # fixed-schema engine materialize the score as an ordinary
+        # column (default scoreField "score"), so {"$meta":
+        # "searchScore"/"vectorSearchScore"} resolves to that column.
+        # textScore (legacy $text) has no source here.
+        if arg in ("searchScore", "vectorSearchScore"):
+            return F.col("score")
+        raise ExprCompileError(f"unsupported $meta kind: {arg!r}")
     if op == "$let":
         inner = dict(env or {})
         for vname, vexpr in arg.get("vars", {}).items():

@@ -421,3 +421,16 @@ def test_score_fusion_stage(vec_df, corpus):
             [{"$scoreFusion": {"input": {"pipelines": {
                 "bad": [{"$match": {"doc_id": 1}}]}}, "key": "doc_id"}}],
         )
+
+
+def test_meta_search_score_projection(corpus):
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    out = compile_pipeline(
+        corpus,
+        [{"$search": {"text": {"query": "data", "path": "text"}}},
+         {"$project": {"doc_id": 1, "relevance": {"$meta": "searchScore"}}},
+         {"$limit": 2}],
+    ).collect()
+    assert out[0]["relevance"] > 0
+    assert list(out[0].asDict()) == ["doc_id", "relevance"]
