@@ -589,9 +589,95 @@ class Collection:
     def pipe(self, pipeline: Sequence[Mapping[str, Any]]) -> "Aggregation":
         from anser_spark.plans.pipeline import Aggregation
 
-        return Aggregation(self, pipeline)
+        return Aggregation(self, self._resolve_search_indexes(pipeline))
 
     aggregate = pipe
+
+    # -- search indexes (Atlas createSearchIndex surface) --------------
+    def _search_index_dir(self) -> str:
+        return os.path.join(self._store_dir, "_search_indexes")
+
+    def create_search_index(self, name: str, definition: Mapping[str, Any]) -> None:
+        """Create (or rebuild) a named vector-search index. ``kind:
+        "ivf"`` trains sample-based centroids NOW and persists them, so
+        ``$vectorSearch`` with ``index: "<name>"`` probes a prebuilt
+        index instead of training inline — the Atlas model (a
+        vectorSearch index is created ahead of queries) and the
+        amortization story at scale. The index is a snapshot: rebuild
+        after bulk mutations (re-run create_search_index)."""
+        definition = dict(definition)
+        kind = definition.get("kind", "ivf")
+        if kind != "ivf":
+            raise ValueError(f"unsupported search index kind: {kind!r}")
+        path = definition.get("path", "embedding")
+        nlist = int(definition.get("nlist", 16))
+        from anser_spark.operators.ivf import ivf_train_sample
+
+        ivf = ivf_train_sample(self.df(), k=nlist, vec_col=path)
+        definition.update(
+            {"kind": "ivf", "path": path, "nlist": nlist, "centroids": ivf.centroids}
+        )
+        os.makedirs(self._search_index_dir(), exist_ok=True)
+        tmp = os.path.join(self._search_index_dir(), f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(definition, fh)
+        os.replace(tmp, os.path.join(self._search_index_dir(), f"{name}.json"))
+
+    def list_search_indexes(self) -> list[str]:
+        d = self._search_index_dir()
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(d)
+            if f.endswith(".json") and not f.startswith(".")
+        )
+
+    def drop_search_index(self, name: str) -> None:
+        p = os.path.join(self._search_index_dir(), f"{name}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def _load_search_index(self, name: str) -> Mapping[str, Any]:
+        p = os.path.join(self._search_index_dir(), f"{name}.json")
+        if not os.path.exists(p):
+            raise NotFoundError(f"search index does not exist: {name}")
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _resolve_search_indexes(self, stages: Sequence[Mapping[str, Any]]):
+        """Replace ``$vectorSearch: {index: "<name>"}`` references with
+        the stored index definition (centroids included), recursing into
+        $rankFusion/$scoreFusion/$facet sub-pipelines."""
+
+        def walk(stage_list):
+            out = []
+            for stage in stage_list:
+                if not isinstance(stage, Mapping) or len(stage) != 1:
+                    out.append(stage)
+                    continue
+                op, arg = next(iter(stage.items()))
+                if (
+                    op == "$vectorSearch"
+                    and isinstance(arg, Mapping)
+                    and isinstance(arg.get("index"), str)
+                ):
+                    arg = dict(arg)
+                    arg["index"] = dict(self._load_search_index(arg["index"]))
+                    stage = {op: arg}
+                elif op in ("$rankFusion", "$scoreFusion") and isinstance(arg, Mapping):
+                    arg = dict(arg)
+                    inp = dict(arg.get("input") or {})
+                    inp["pipelines"] = {
+                        k: walk(v) for k, v in (inp.get("pipelines") or {}).items()
+                    }
+                    arg["input"] = inp
+                    stage = {op: arg}
+                elif op == "$facet" and isinstance(arg, Mapping):
+                    stage = {op: {k: walk(v) for k, v in arg.items()}}
+                out.append(stage)
+            return out
+
+        return walk(list(stages))
 
     def distinct(self, field: str, query: Mapping[str, Any] | None = None) -> list[Any]:
         """Mongo `distinct` command: distinct values of a (dotted) field

@@ -553,13 +553,21 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             raise PipelineCompileError(
                 "$vectorSearch index over a dotted path is not supported"
             )
-        from anser_spark.operators.ivf import ivf_assign, ivf_train_sample
+        from anser_spark.operators.ivf import IVFIndex, ivf_assign, ivf_train_sample
 
         nlist = int(index.get("nlist", 16))
         nprobe = int(index.get("nprobe", max(1, nlist // 4)))
-        # inline train+assign (amortized in a real deployment); probe
-        # prunes to the nprobe nearest centroid lists before scoring
-        ivf = ivf_train_sample(df, k=nlist, vec_col=path)
+        if index.get("centroids"):
+            # prebuilt index (Collection.create_search_index): no
+            # training on the query path — the Atlas model
+            ivf = IVFIndex(
+                centroids=[list(map(float, c)) for c in index["centroids"]],
+                vec_col=path,
+                id_col=df.columns[0],
+            )
+        else:
+            # inline train (gate-scale form; amortized in a deployment)
+            ivf = ivf_train_sample(df, k=nlist, vec_col=path)
         assigned = ivf_assign(df, ivf, out="__ivf_list")
         import numpy as np
 

@@ -434,3 +434,46 @@ def test_meta_search_score_projection(corpus):
     ).collect()
     assert out[0]["relevance"] > 0
     assert list(out[0].asDict()) == ["doc_id", "relevance"]
+
+
+def test_persistent_vector_search_index(spark, tmp_path):
+    import random
+
+    from anser_spark.engine import Engine, NotFoundError
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    coll = eng.db("vs").collection("vecs")
+    coll._rewrite(spark.createDataFrame(rows, ["vec_id", "embedding"]))
+
+    coll.create_search_index("emb_ivf", {"kind": "ivf", "path": "embedding",
+                                         "nlist": 4, "nprobe": 4})
+    assert coll.list_search_indexes() == ["emb_ivf"]
+
+    qv = rows[0][1]
+    by_name = coll.pipe(
+        [{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                            "limit": 5, "index": "emb_ivf"}}]
+    ).to_df().collect()
+    exact = coll.pipe(
+        [{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                            "limit": 5, "exact": True}}]
+    ).to_df().collect()
+    # full probe == exact ranking, served from the PREBUILT index
+    assert [r["vec_id"] for r in by_name] == [r["vec_id"] for r in exact]
+
+    # named index resolves inside $rankFusion sub-pipelines too
+    fused = coll.pipe(
+        [{"$rankFusion": {"input": {"pipelines": {
+            "v": [{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                                     "limit": 5, "index": "emb_ivf"}}]}},
+          "key": "vec_id"}}]
+    ).to_df().collect()
+    assert fused[0]["vec_id"] == 0
+
+    coll.drop_search_index("emb_ivf")
+    assert coll.list_search_indexes() == []
+    with pytest.raises(NotFoundError):
+        coll.pipe([{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                                      "limit": 5, "index": "emb_ivf"}}])
