@@ -253,21 +253,50 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
     if op == "$ne":
         a, b = _args(arg, schema, env)
         return ~a.eqNullSafe(b)
+    # Mongo aggregation comparisons NEVER return null: they rank by
+    # BSON total order, where null/missing sorts below every value.
+    # SQL's null-propagating <,> diverge exactly when an operand is
+    # null (caught by the seeded expression fuzz) — the null branches
+    # below restore BSON semantics; same-typed non-null operands fall
+    # through to the native comparison.
     if op == "$gt":
         a, b = _args(arg, schema, env)
-        return a > b
+        return (
+            F.when(a.isNull(), F.lit(False))
+            .when(b.isNull(), F.lit(True))
+            .otherwise(a > b)
+        )
     if op == "$gte":
         a, b = _args(arg, schema, env)
-        return a >= b
+        return (
+            F.when(a.isNull(), b.isNull())
+            .when(b.isNull(), F.lit(True))
+            .otherwise(a >= b)
+        )
     if op == "$lt":
         a, b = _args(arg, schema, env)
-        return a < b
+        return (
+            F.when(b.isNull(), F.lit(False))
+            .when(a.isNull(), F.lit(True))
+            .otherwise(a < b)
+        )
     if op == "$lte":
         a, b = _args(arg, schema, env)
-        return a <= b
+        return (
+            F.when(b.isNull(), a.isNull())
+            .when(a.isNull(), F.lit(True))
+            .otherwise(a <= b)
+        )
     if op == "$cmp":
         a, b = _args(arg, schema, env)
-        return F.when(a > b, 1).when(a < b, -1).otherwise(0)
+        return (
+            F.when(a.isNull() & b.isNull(), 0)
+            .when(a.isNull(), -1)
+            .when(b.isNull(), 1)
+            .when(a > b, 1)
+            .when(a < b, -1)
+            .otherwise(0)
+        )
 
     # ---- boolean
     if op == "$and":
