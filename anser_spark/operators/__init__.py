@@ -28,7 +28,11 @@ from anser_spark.operators.corpus import (
     decontaminate,
 )
 from anser_spark.operators.ranking import bm25_score, bm25_top_k, rank_fusion
-from anser_spark.operators.quantize import quantize_embeddings, quantization_report
+from anser_spark.operators.quantize import (
+    quantize_embeddings,
+    quantization_report,
+    quantized_cosine_top_k,
+)
 
 __all__ = [
     "with_token_count",
@@ -57,4 +61,5 @@ __all__ = [
     "rank_fusion",
     "quantize_embeddings",
     "quantization_report",
+    "quantized_cosine_top_k",
 ]

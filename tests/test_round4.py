@@ -477,3 +477,34 @@ def test_persistent_vector_search_index(spark, tmp_path):
     with pytest.raises(NotFoundError):
         coll.pipe([{"$vectorSearch": {"path": "embedding", "queryVector": qv,
                                       "limit": 5, "index": "emb_ivf"}}])
+
+
+def test_quantized_cosine_top_k(spark):
+    import math
+    import random
+
+    from anser_spark.operators import quantize_embeddings, quantized_cosine_top_k
+
+    rng = random.Random(23)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+    coded = quantize_embeddings(df)
+    got = quantized_cosine_top_k(coded, q, k=10)
+    out = got.collect()
+    assert out[0]["vec_id"] == 0 and out[0]["qcosine"] > 0.999
+    # plan: TakeOrdered, no shuffle
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    # int8 rounding keeps ranking close to exact: top-10 recall >= 8/10
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+    exact = set(sorted(range(200), key=lambda i: (-cos(rows[i][1], q), i))[:10])
+    approx = {r["vec_id"] for r in out}
+    assert len(exact & approx) >= 8
+    # per-pair cosine error is small (scale cancels; only rounding noise)
+    exact_cos = {i: cos(rows[i][1], q) for i in approx}
+    for r in out:
+        assert abs(r["qcosine"] - exact_cos[r["vec_id"]]) < 0.01
