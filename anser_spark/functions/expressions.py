@@ -439,8 +439,13 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         a, start, n = arg
         return F.slice(c(a), start + 1 if start >= 0 else start, n)
     if op == "$in":
+        # Mongo $in never returns null: a null needle matches only an
+        # explicit null element (SQL's array_contains yields null there
+        # — caught by the seeded expression fuzz). exists() compares
+        # null-safely per element.
         needle, hay = arg
-        return F.array_contains(c(hay), c(needle))
+        nc = c(needle)
+        return F.exists(c(hay), lambda e: e.eqNullSafe(nc))
     if op == "$filter":
         inp = c(arg["input"])
         var = arg.get("as", "this")

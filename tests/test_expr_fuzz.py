@@ -35,7 +35,21 @@ MAX_DEPTH = 4
 def rand_num_expr(rng, depth=0):
     if depth >= MAX_DEPTH or rng.random() < 0.3:
         return rng.choice(["$a", "$b", rng.randint(-20, 20)])
-    op = rng.choice(["$add", "$subtract", "$multiply", "$abs", "$cond", "$ifNull", "$max", "$min"])
+    op = rng.choice(["$add", "$subtract", "$multiply", "$abs", "$cond",
+                     "$ifNull", "$max", "$min", "$switch", "$strLenCP"])
+    if op == "$switch":
+        return {
+            "$switch": {
+                "branches": [
+                    {"case": rand_bool_expr(rng, depth + 1),
+                     "then": rand_num_expr(rng, depth + 1)}
+                    for _ in range(rng.randint(1, 2))
+                ],
+                "default": rand_num_expr(rng, depth + 1),
+            }
+        }
+    if op == "$strLenCP":
+        return {"$strLenCP": {"$ifNull": [rand_str_expr(rng, depth + 1), ""]}}
     if op in ("$add", "$multiply"):
         return {op: [rand_num_expr(rng, depth + 1) for _ in range(rng.randint(2, 3))]}
     if op == "$subtract":
@@ -56,14 +70,20 @@ def rand_num_expr(rng, depth=0):
 
 
 def rand_bool_expr(rng, depth=0):
-    op = rng.choice(["$gt", "$gte", "$lt", "$lte", "$eq", "$ne"])
+    op = rng.choice(["$gt", "$gte", "$lt", "$lte", "$eq", "$ne", "$in"])
+    if op == "$in":
+        return {"$in": [rand_num_expr(rng, depth + 1),
+                        [rng.randint(-20, 20) for _ in range(rng.randint(1, 4))]]}
     return {op: [rand_num_expr(rng, depth + 1), rand_num_expr(rng, depth + 1)]}
 
 
 def rand_str_expr(rng, depth=0):
     if depth >= MAX_DEPTH or rng.random() < 0.35:
         return rng.choice(["$s", "$t", "lit"])
-    op = rng.choice(["$concat", "$toUpper", "$toLower", "$cond"])
+    op = rng.choice(["$concat", "$toUpper", "$toLower", "$cond", "$substrCP"])
+    if op == "$substrCP":
+        return {"$substrCP": [{"$ifNull": [rand_str_expr(rng, depth + 1), "pad"]},
+                              rng.randint(0, 2), rng.randint(1, 4)]}
     if op == "$concat":
         return {op: [rand_str_expr(rng, depth + 1) for _ in range(rng.randint(2, 3))]}
     if op == "$cond":
@@ -94,6 +114,19 @@ def ev(expr, doc):
         return ev(arg[1], doc) if v is None else v
     if op == "$cond":
         return ev(arg[1], doc) if ev(arg[0], doc) else ev(arg[2], doc)
+    if op == "$switch":
+        for br in arg["branches"]:
+            if ev(br["case"], doc):
+                return ev(br["then"], doc)
+        return ev(arg["default"], doc)
+    if op == "$in":
+        return ev(arg[0], doc) in arg[1]
+    if op == "$strLenCP":
+        return len(ev(arg, doc))
+    if op == "$substrCP":
+        s = ev(arg[0], doc)
+        start, n = arg[1], arg[2]
+        return s[start:start + n]
     args = [ev(a, doc) for a in (arg if isinstance(arg, list) else [arg])]
     # Mongo arithmetic: any null operand → null
     if op in ("$add", "$subtract", "$multiply", "$abs", "$max", "$min",
