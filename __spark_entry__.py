@@ -382,11 +382,29 @@ def _q_cosine_top_k(spark, sf_dir):
 
 
 def _q_minhash_near_dups(spark, sf_dir):
-    # M7 MinHash+LSH near-dup pairs (approximate — rows-only check)
+    # M7 MinHash+LSH near-dup pairs — full value-hash oracle via the
+    # planted-duplicate construction (the embedding_near_dups pattern):
+    # 20 exact-text copies are planted (ids offset by 1e6) and the
+    # verification threshold is 1.0. Identical texts have identical
+    # shingle sets, hence identical MinHash signatures, hence collide in
+    # EVERY LSH band — candidate recall on jaccard=1.0 pairs is exactly
+    # 1, not probabilistic. Verification (exact Jaccard over hashed
+    # shingle sets) then keeps precisely the identical-set pairs, so the
+    # end-to-end LSH output is provably {pairs with identical shingle
+    # sets}, which DuckDB reproduces with an exact O(n²) set-equality
+    # join (gate scale only). Sub-1.0 thresholds keep their documented
+    # probabilistic-recall contract, covered by pytest with controlled
+    # noise (tests/test_dedup.py).
+    from pyspark.sql import functions as F
+
     from anser_spark.operators.dedup import minhash_near_dup_pairs
 
-    docs = _db(spark, sf_dir).collection("documents").df()
-    return minhash_near_dup_pairs(docs, k=3, threshold=0.5)
+    docs = _db(spark, sf_dir).collection("documents").df().select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    aug = docs.unionByName(planted)
+    return minhash_near_dup_pairs(aug, k=3, threshold=1.0)
 
 
 def _q_embedding_near_dups(spark, sf_dir):
@@ -430,16 +448,16 @@ def _q_text_stats(spark, sf_dir):
     # banding), so the whole heuristic is a full value-hash oracle. The
     # xxhash64 fingerprint column is excluded here (no xxhash64 in
     # DuckDB) and stays covered by pytest goldens + the exact_dedup gate.
-    from anser_spark.operators.text import quality_metrics, text_stats
+    # text_profile fuses stats + components into ONE projection — the
+    # plan is a single FileScan of documents, no doc_id self-join
+    # (plan-asserted in tests/test_round5.py).
+    from anser_spark.operators.text import text_profile
 
     docs = _db(spark, sf_dir).collection("documents").df()
-    stats = text_stats(docs).select(
-        "doc_id", "n_tokens", "n_chars_calc", "lang_id", "quality"
+    return text_profile(docs).select(
+        "doc_id", "n_tokens", "n_chars_calc", "lang_id", "quality",
+        "punct_ratio", "mean_word_len", "length_score", "en_stop_hits",
     )
-    comps = quality_metrics(docs).select(
-        "doc_id", "punct_ratio", "mean_word_len", "length_score", "en_stop_hits"
-    )
-    return stats.join(comps, "doc_id")
 
 
 def _q_window_rank(spark, sf_dir):
@@ -627,14 +645,43 @@ def _q_window_shift(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
-    # M7 SimHash fingerprints (64-bit packed votes — rows-only check;
-    # neither hash family exists in the oracle engine). Arrow-batched
-    # numpy variant (round-4 bake-off winner, ~3× over the JVM 64-wide
-    # vote aggregate); the Column formulation stays as with_simhash.
-    from anser_spark.operators.dedup import with_simhash_arrow
+    # M7 SimHash — planted-duplicate oracle: every document is planted
+    # once more (id offset by 1e6), fingerprints are computed over the
+    # augmented corpus (copies land in different Arrow batches /
+    # partitions than their originals), and the gate emits the Hamming
+    # distance between each original and its copy. SimHash of identical
+    # text is identical by construction (fixed siphash key, deterministic
+    # vote matrix), so the provable output is hamming=0 for all 500 docs
+    # — DuckDB twins it with literal zeros. This hash-verifies the full
+    # pipeline (tokenize → siphash → bit votes → packing → XOR popcount
+    # hamming) end-to-end and cross-partition; the fingerprint VALUES
+    # stay covered by the independent scalar-loop golden in
+    # tests/test_round4.py (no siphash in the oracle engine). Arrow
+    # numpy variant (round-4 bake-off winner); Column formulation stays
+    # as with_simhash.
+    from pyspark.sql import functions as F
 
-    docs = _db(spark, sf_dir).collection("documents").df()
-    return with_simhash_arrow(docs).select("doc_id", "simhash")
+    from anser_spark.operators.dedup import simhash_hamming, with_simhash_arrow
+
+    docs = _db(spark, sf_dir).collection("documents").df().select("doc_id", "text")
+    # cap planted copies at 500 docs: at sf0.01 — the scale the driver
+    # verifies — that is EVERY document (full per-doc coverage); at
+    # bench scales it bounds the gate's extra fingerprint work
+    planted = docs.where(F.col("doc_id") < 500).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fp = with_simhash_arrow(docs.unionByName(planted)).select("doc_id", "simhash")
+    orig = fp.where(F.col("doc_id") < 1_000_000).select(
+        "doc_id", F.col("simhash").alias("__fa")
+    )
+    copy = fp.where(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("doc_id"),
+        F.col("simhash").alias("__fb"),
+    )
+    return orig.join(copy, "doc_id").select(
+        "doc_id",
+        simhash_hamming(F.col("__fa"), F.col("__fb")).cast("long").alias("hamming"),
+    )
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1012,16 +1059,40 @@ def _q_heavy_hitters(spark, sf_dir):
 
 
 def _q_hll_distinct(spark, sf_dir):
-    # mergeable HLL sketches per event type + lossless union (rows-only:
-    # DataSketches estimates have no DuckDB twin); asserts merge ==
-    # direct in tests/test_sketches.py
+    # mergeable HLL sketches per event type + lossless union, verified
+    # as an ERROR-BOUND gate: the DataSketches estimate itself has no
+    # DuckDB twin (different sketch internals), but |est - exact| ≤
+    # 5%·exact is a checkable contract — at lgConfigK=12 the sketch's
+    # rsd is ~1.6%, and the sketch is DETERMINISTIC for fixed input
+    # (keyed hash, no RNG), so a bound that holds once holds every run.
+    # Emits (event_type, n_exact, within_5pct): DuckDB twins n_exact
+    # with exact count(DISTINCT) and within_5pct with literal true —
+    # a full value-hash oracle over every emitted column. merge == direct
+    # stays asserted in tests/test_sketches.py.
+    from pyspark.sql import functions as F
+
     from anser_spark.operators.sketches import hll_distinct, hll_merge_estimate
 
     events = _db(spark, sf_dir).collection("events").df()
     per_type = hll_distinct(events, "user_id", by="event_type")
-    merged = hll_merge_estimate(per_type).select("distinct_est")
-    return per_type.select("event_type", "distinct_est").unionByName(
-        merged.selectExpr("'__all__' AS event_type", "distinct_est")
+    merged = hll_merge_estimate(per_type).selectExpr(
+        "'__all__' AS event_type", "distinct_est"
+    )
+    est = per_type.select("event_type", "distinct_est").unionByName(merged)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    ).unionByName(
+        events.agg(F.count_distinct("user_id").alias("n_exact")).select(
+            F.lit("__all__").alias("event_type"), "n_exact"
+        )
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("distinct_est") - F.col("n_exact"))
+            <= F.lit(0.05) * F.col("n_exact")
+        ).alias("within_5pct"),
     )
 
 
@@ -1416,12 +1487,24 @@ def _q_hybrid_search(spark, sf_dir):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from anser_spark.operators.ranking import bm25_top_k, rank_fusion
+    from anser_spark.operators.ranking import rank_fusion
 
     db = _db(spark, sf_dir)
-    docs = db.collection("documents").df()
-    text = bm25_top_k(docs, ["data", "model", "training"], k=20).withColumn(
-        "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id")))
+    # text leg runs through the $search PIPELINE STAGE (round 5: the
+    # full operator compiler — matching-docs-only, inline
+    # bm25_score_expr, single scan), not the bm25_top_k helper: the
+    # stage's BM25 math is expression-identical, so this puts the
+    # $search surface itself under the driver's value-hash gate.
+    text = (
+        db.collection("documents")
+        .pipe([
+            {"$search": {"text": {"query": "data model training", "path": "text"}}},
+            {"$limit": 20},
+        ])
+        .to_df()
+        .withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id")))
+        )
     )
     qv = [
         float(x)
@@ -1963,7 +2046,9 @@ def oracle_sql() -> dict[str, str]:
             ), trank AS (
               SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
                                   AS BIGINT) AS text_rank
-              FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+              -- score > 0: $search returns MATCHING documents only
+              FROM (SELECT * FROM scored WHERE score > 0
+                    ORDER BY score DESC, doc_id LIMIT 20)
             ), vscored AS (
               SELECT vec_id AS doc_id,
                 (1.0 + list_cosine_similarity(CAST(embedding AS DOUBLE[]),
@@ -2179,16 +2264,22 @@ def oracle_sql() -> dict[str, str]:
               FROM t, UNNEST(generate_series(1, len(w) - 1)) AS u(i)
               WHERE len(w) >= 2
             ), gs AS (
-              SELECT doc_id, max(c) AS top_gram_count, sum(c) AS n_grams
+              -- CAST: DuckDB sum(BIGINT) widens to HUGEINT, which pandas
+              -- reads back as float64 — the values match Spark's int64
+              -- exactly, but the driver's value hash is dtype-sensitive
+              SELECT doc_id, max(c) AS top_gram_count,
+                     CAST(sum(c) AS BIGINT) AS n_grams
               FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
               GROUP BY doc_id
             )
-            SELECT uni.doc_id, n_tokens, n_distinct_tokens,
+            SELECT uni.doc_id,
+              CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
               CASE WHEN n_tokens > 0
                    THEN round(1.0 - n_distinct_tokens / CAST(n_tokens AS DOUBLE), 4)
                    ELSE 0.0 END AS dup_word_frac,
-              coalesce(top_gram_count, 0) AS top_gram_count,
-              coalesce(n_grams, 0) AS n_grams,
+              CAST(coalesce(top_gram_count, 0) AS BIGINT) AS top_gram_count,
+              CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
               CASE WHEN coalesce(n_grams, 0) > 0
                    THEN round(top_gram_count / CAST(n_grams AS DOUBLE), 4)
                    ELSE 0.0 END AS top_gram_frac
@@ -2255,11 +2346,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.95
         """,
-        # Remaining rows-only gates, each impossible to oracle in SQL:
-        # - minhash_near_dups: siphash-seeded MinHash signatures (no
-        #   such hash in DuckDB; candidates are LSH-band approximate)
-        # - simhash_fingerprints: siphash token hashes (independent
-        #   scalar-loop golden in tests/test_round4.py instead)
-        # - hll_distinct: Spark HLL++ sketch internals differ from
-        #   DuckDB's approx_count_distinct implementation
+        # minhash LSH over the planted-duplicate augmentation at
+        # threshold 1.0: identical shingle sets ⇒ identical signatures ⇒
+        # collide in every band ⇒ candidate recall exactly 1; exact
+        # verification then keeps precisely the identical-set pairs —
+        # which this O(n²) set-equality join enumerates (same shingle
+        # normalization as _NGRAM_JACCARD_ORACLE, k=3)
+        "minhash_near_dups": r"""
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+            ), s AS (
+              SELECT doc_id,
+                CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                     ELSE list_distinct(list_transform(
+                            generate_series(1, len(w) - 2),
+                            i -> array_to_string(w[i:i+2], ' ')))
+                END AS sh
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(
+                             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+                    FROM aug)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(len(list_intersect(a.sh, b.sh))
+                    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE),
+                    6) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))
+                  = len(list_distinct(list_concat(a.sh, b.sh)))
+        """,
+        # simhash(identical text) is identical (deterministic keyed
+        # hash), so original-vs-planted-copy hamming is provably 0 for
+        # every document; the fingerprint VALUES are covered by the
+        # scalar-loop golden in tests/test_round4.py (no siphash in
+        # DuckDB)
+        "simhash_fingerprints": """
+            SELECT doc_id, CAST(0 AS BIGINT) AS hamming FROM documents
+        """,
+        # error-bound oracle: the estimate has no SQL twin (sketch
+        # internals differ) but the ±5% contract does — n_exact is
+        # exact count(DISTINCT), within_5pct is literal true (the
+        # sketch is deterministic: a bound that holds, holds every run)
+        "hll_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_exact,
+                   true AS within_5pct
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT '__all__', count(DISTINCT user_id), true FROM events
+        """,
     }

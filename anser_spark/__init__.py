@@ -37,4 +37,4 @@ __all__ = [
     "get_spark",
 ]
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"

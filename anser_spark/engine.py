@@ -102,11 +102,21 @@ class Engine:
         spark: SparkSession,
         workdir: str | None = None,
         sources: Mapping[str, str] | None = None,
+        assume_unique_ids: bool = False,
     ) -> None:
         self.spark = spark
         self.workdir = workdir or tempfile.mkdtemp(prefix="anser_spark_")
         # db name → directory of <name>.parquet source datasets
         self.sources: dict[str, str] = dict(sources or {})
+        # The engine never ENFORCES _id uniqueness (externally-mounted
+        # parquet can carry duplicates), so single-document mutations
+        # re-scan for every file containing the victim's key before the
+        # copy-on-write. Deployments that guarantee unique keys (the
+        # normal Mongo-shaped case: engine-generated ObjectIds, upsert
+        # discipline) can set assume_unique_ids=True to skip that scan
+        # — first-match mutations then cost one pushed-down victim
+        # lookup plus one single-file rewrite.
+        self.assume_unique_ids = bool(assume_unique_ids)
         # op registries (environment.go:167-205): duplicate registration is an error
         self.manual_ops: dict[str, Any] = {}
         self.stream_processors: dict[str, Any] = {}
@@ -239,8 +249,25 @@ class Collection:
         p = os.path.join(self._store_dir, "_CURRENT")
         if os.path.exists(p):
             with open(p) as fh:
-                return fh.read().strip()
+                return fh.readline().strip()
         return None
+
+    def pointer_meta(self) -> dict[str, str]:
+        """key=value metadata lines carried in the _CURRENT pointer file
+        below the version line. Because the pointer swap is one atomic
+        os.replace, metadata written with a version commits EXACTLY when
+        that version becomes visible — the property the streaming-ingest
+        exactly-once contract rests on (a batch marker can never be
+        observed without its rows, nor the rows without the marker)."""
+        p = os.path.join(self._store_dir, "_CURRENT")
+        meta: dict[str, str] = {}
+        if os.path.exists(p):
+            with open(p) as fh:
+                for line in fh.read().splitlines()[1:]:
+                    if "=" in line:
+                        k, _, v = line.partition("=")
+                        meta[k] = v
+        return meta
 
     def _source_path(self) -> str | None:
         src = self.engine.sources.get(self.db_name)
@@ -297,13 +324,26 @@ class Collection:
         n = int(ptr[1:]) + 1 if ptr and ptr.startswith("v") else 1
         return f"v{n}", ptr
 
-    def _swap_pointer(self, version: str, old_ptr: str | None) -> None:
+    def _swap_pointer(
+        self,
+        version: str,
+        old_ptr: str | None,
+        meta_update: Mapping[str, str] | None = None,
+    ) -> None:
         """Atomic tmp+rename pointer swap, then reap the old version dir.
         Old versions may share data files with the new one via hard links
-        — removing the old directory entries leaves shared inodes alive."""
+        — removing the old directory entries leaves shared inodes alive.
+        Existing pointer metadata (``pointer_meta``) is carried forward;
+        ``meta_update`` merges new keys in the SAME atomic rename, so a
+        metadata fact and the version it describes commit together."""
+        meta = self.pointer_meta()
+        if meta_update:
+            meta.update({str(k): str(v) for k, v in meta_update.items()})
         tmp = os.path.join(self._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             fh.write(version)
+            for k in sorted(meta):
+                fh.write(f"\n{k}={meta[k]}")
         os.replace(tmp, os.path.join(self._store_dir, "_CURRENT"))
         old = (
             os.path.join(self._store_dir, old_ptr)
@@ -325,11 +365,13 @@ class Collection:
         writer.parquet(vdir)
         return vdir
 
-    def _rewrite(self, df: DataFrame) -> None:
+    def _rewrite(
+        self, df: DataFrame, meta_update: Mapping[str, str] | None = None
+    ) -> None:
         """Write the next dataset version and swap the pointer atomically."""
         version, ptr = self._next_version()
         self._write_version(df, version)
-        self._swap_pointer(version, ptr)
+        self._swap_pointer(version, ptr, meta_update)
 
     def _data_files(self, base: str) -> list[str]:
         out = []
@@ -501,7 +543,9 @@ class Collection:
         self._swap_pointer(version, ptr)
         return True, matched
 
-    def _cow_append(self, new_df: DataFrame) -> None:
+    def _cow_append(
+        self, new_df: DataFrame, meta_update: Mapping[str, str] | None = None
+    ) -> None:
         """Append-only copy-on-write: link EVERY existing file unchanged
         and write just the new rows as additional files. Requires an
         exactly matching schema (else parquet files in one dataset
@@ -510,7 +554,7 @@ class Collection:
 
         path = self.current_path()
         if path is None:
-            self._rewrite(new_df)
+            self._rewrite(new_df, meta_update=meta_update)
             return
         base_schema = self.df().schema
         aligned = self._align(new_df, base_schema)
@@ -529,7 +573,8 @@ class Collection:
             or bad_layout
         ):
             self._rewrite(
-                self.df().unionByName(aligned, allowMissingColumns=True)
+                self.df().unionByName(aligned, allowMissingColumns=True),
+                meta_update=meta_update,
             )
             return
         version, ptr = self._next_version()
@@ -542,7 +587,7 @@ class Collection:
                 os.link(src_file, dst)
             except OSError:
                 shutil.copy2(src_file, dst)
-        self._swap_pointer(version, ptr)
+        self._swap_pointer(version, ptr, meta_update)
 
     def drop(self) -> None:
         os.makedirs(self._store_dir, exist_ok=True)
@@ -742,13 +787,18 @@ class Collection:
         else:
             self._rewrite(new_df)
 
-    def insert_df(self, df: DataFrame) -> None:
+    def insert_df(
+        self, df: DataFrame, pointer_meta: Mapping[str, str] | None = None
+    ) -> None:
         """Bulk append a whole DataFrame (the scale path for inserts):
-        existing files are linked unchanged, only the new rows write."""
+        existing files are linked unchanged, only the new rows write.
+        ``pointer_meta`` commits atomically with the new version (see
+        ``pointer_meta()``) — the hook streaming ingestion uses to make
+        batch appends idempotent."""
         if self.exists():
-            self._cow_append(df)
+            self._cow_append(df, meta_update=pointer_meta)
         else:
-            self._rewrite(df)
+            self._rewrite(df, meta_update=pointer_meta)
 
     def _order_key(self, df: DataFrame) -> F.Column:
         return F.col("_id") if "_id" in df.columns else F.col(df.columns[0])
@@ -758,12 +808,20 @@ class Collection:
         Mongo's UpdateOne/DeleteOne semantics need a single victim; we
         define natural order as _id order and document non-atomicity.
 
-        Also captures the victim's parquet file (``_metadata.file_path``)
-        in the SAME job, so the follow-up copy-on-write can skip its
-        file-detection scan entirely — a single-doc mutation then costs
-        one pushed-down victim scan plus one single-file write. With a
-        non-unique key the mutation applies to the victim's key within
-        its file (victim selection itself is always deterministic)."""
+        Also resolves the parquet files the follow-up copy-on-write must
+        rewrite, so it can skip its file-detection scan. The victim's own
+        file comes back from the SAME limit(1) job
+        (``_metadata.file_path``); because the engine never enforces _id
+        uniqueness, a second pushed-down key-equality scan then collects
+        EVERY file containing the victim's key — duplicate-key rows in
+        other files are rewritten exactly as the pre-victim-capture code
+        did, instead of being silently left behind. Engines constructed
+        with ``assume_unique_ids=True`` skip that second scan (the
+        single-file fast path: one victim lookup + one file rewrite).
+        The mutation applies to the victim's key within the resolved
+        files; victim selection itself is always deterministic."""
+        from pyspark.errors import AnalysisException
+
         key = self._order_key(df)
         try:
             victim = (
@@ -777,13 +835,29 @@ class Collection:
                 return None
             row = victim[0]
             files: set[str] | None = {row["__victim_file"]}
-        except Exception:  # noqa: BLE001 — non-parquet-backed frame (ns-ts path)
+        except AnalysisException:
+            # non-parquet-backed frame (ns-timestamp path, view sources):
+            # no file metadata — leave detection to the COW itself.
+            # Genuine predicate/compile errors propagate; only the
+            # missing-_metadata analysis error falls back.
             victim = df.where(pred).orderBy(key).limit(1).collect()
             if not victim:
                 return None
             row = victim[0]
             files = None
         value = row["_id"] if "_id" in df.columns else row[df.columns[0]]
+        if files is not None and not self.engine.assume_unique_ids:
+            # every file holding this key, not just the victim's: a
+            # pushed-down point lookup (footer min/max prune; only the
+            # key column + file metadata are read)
+            per_file = (
+                df.where(key == F.lit(value))
+                .select(F.col("_metadata.file_path").alias("__f"))
+                .groupBy("__f")
+                .count()
+                .collect()
+            )
+            files = {r["__f"] for r in per_file} or files
         return key, value, files
 
     def update(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:

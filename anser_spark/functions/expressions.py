@@ -34,6 +34,38 @@ class ExprCompileError(ValueError):
     pass
 
 
+# The column name {"$meta": "searchScore"/"vectorSearchScore"} resolves
+# to. compile_pipeline maintains it while folding stages (set on every
+# $search/$vectorSearch/fusion stage, saved/restored around nested
+# sub-pipeline compiles, reset to "score" at each top-level pipeline),
+# so it always names the score column of the most recent search stage
+# in the pipeline being compiled. Driver-side, single-threaded compile
+# state — never consulted by executors.
+_ACTIVE_SCORE_FIELD = "score"
+
+
+def active_score_field() -> str:
+    return _ACTIVE_SCORE_FIELD
+
+
+def set_active_score_field(name: str) -> str:
+    """Set the $meta score column; returns the previous value so
+    callers can restore it (sub-pipeline compiles must not leak)."""
+    global _ACTIVE_SCORE_FIELD
+    prev = _ACTIVE_SCORE_FIELD
+    _ACTIVE_SCORE_FIELD = name
+    return prev
+
+
+def _truthy(col: Column) -> Column:
+    """Mongo boolean coercion: null, 0, and false are falsy; everything
+    else is truthy, and the result is a non-null boolean. (Edge left as
+    documented divergence: Mongo treats non-empty STRINGS as truthy;
+    a string cast to boolean here yields null → false. Conditions on
+    raw strings don't survive schema typing anyway.)"""
+    return F.coalesce(col.cast("boolean"), F.lit(False))
+
+
 def compile_expr(
     expr: Any,
     schema: T.StructType | None = None,
@@ -146,11 +178,15 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
     if op == "$meta":
         # search relevance metadata: $search/$vectorSearch on this
         # fixed-schema engine materialize the score as an ordinary
-        # column (default scoreField "score"), so {"$meta":
-        # "searchScore"/"vectorSearchScore"} resolves to that column.
+        # column (the stage's scoreField, default "score"), so
+        # {"$meta": "searchScore"/"vectorSearchScore"} resolves to the
+        # column the most recent search stage in the SAME pipeline
+        # produced — compile_pipeline threads the name through
+        # set_active_score_field, so a custom scoreField no longer
+        # breaks $meta (or silently reads an unrelated "score" column).
         # textScore (legacy $text) has no source here.
         if arg in ("searchScore", "vectorSearchScore"):
-            return F.col("score")
+            return F.col(active_score_field())
         raise ExprCompileError(f"unsupported $meta kind: {arg!r}")
     if op == "$let":
         inner = dict(env or {})
@@ -300,12 +336,16 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
 
     # ---- boolean
     if op == "$and":
-        return _fold(_args(arg, schema, env), lambda a, b: a & b)
+        # Mongo boolean coercion, not SQL three-valued logic: null/0/
+        # false are falsy and the result is ALWAYS true/false (SQL's
+        # null AND true = null would leak nulls — caught by the round-5
+        # expression fuzz, same class as the r4 $gt/$in fixes)
+        return _fold([_truthy(a) for a in _args(arg, schema, env)], lambda a, b: a & b)
     if op == "$or":
-        return _fold(_args(arg, schema, env), lambda a, b: a | b)
+        return _fold([_truthy(a) for a in _args(arg, schema, env)], lambda a, b: a | b)
     if op == "$not":
         cols = _args(arg, schema, env)
-        return ~cols[0].cast("boolean")
+        return ~_truthy(cols[0])
 
     # ---- conditional
     if op == "$cond":
@@ -429,7 +469,11 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         return F.size(c(arg))
     if op == "$arrayElemAt":
         a, idx = arg
-        return F.element_at(c(a), idx + 1 if isinstance(idx, int) and idx >= 0 else idx)
+        # try_element_at: Mongo returns missing (null here) for an
+        # out-of-range index; plain element_at throws under ANSI mode
+        return F.try_element_at(
+            c(a), F.lit(idx + 1 if isinstance(idx, int) and idx >= 0 else idx)
+        )
     if op == "$concatArrays":
         return F.concat(*_args(arg, schema, env))
     if op == "$slice":

@@ -4,6 +4,7 @@ from anser_spark.operators.text import (
     with_language_id,
     with_fingerprint,
     text_stats,
+    text_profile,
 )
 from anser_spark.operators.dedup import (
     exact_dedup,
@@ -40,6 +41,7 @@ __all__ = [
     "with_language_id",
     "with_fingerprint",
     "text_stats",
+    "text_profile",
     "exact_dedup",
     "minhash_signature",
     "minhash_near_dup_pairs",

@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_score", "bm25_top_k", "rank_fusion"]
+__all__ = ["bm25_score", "bm25_score_expr", "bm25_top_k", "rank_fusion"]
 
 
 def _tokens(text_col: str):
@@ -86,6 +86,61 @@ def bm25_score(
         part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part
     return scored.select(id_col, "n_tokens", score.alias("score"))
+
+
+def bm25_score_expr(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> F.Column:
+    """BM25 as a pure Column EXPRESSION over ``df``'s text column — the
+    zero-join form: corpus stats (N, avgdl, per-term df) come from the
+    same ONE constant-width aggregate as :func:`bm25_score`, folded in
+    as literals; term frequencies evaluate inline in the consuming
+    plan. A $search stage built on this is a single scan of the corpus
+    (no score-frame self-join — at 100 TB that join was a corpus-wide
+    shuffle on the id column). Term count is O(query), so the repeated
+    tokenize-per-term stays a few codegen'd expressions.
+
+    score > 0 ⟺ the document contains ≥1 query term (idf is strictly
+    positive under the +1 smoothing), so the expression doubles as the
+    match predicate.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = _tokens(text_col)
+
+    def _tf(term: str):
+        # single-arg lambda via closure: a default-arg lambda would have
+        # arity 2 and PySpark would pass the element INDEX as the second
+        # argument (the same dispatch trap bm25_score documents)
+        return F.size(F.filter(toks, lambda w: w == F.lit(term)))
+
+    tf_exprs = [_tf(t) for t in terms]
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(toks)).alias("avgdl"),
+        *[
+            F.sum((tf > 0).cast("long")).alias(f"__df{i}")
+            for i, tf in enumerate(tf_exprs)
+        ],
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+    if n_docs == 0 or avgdl == 0.0:
+        return F.lit(0.0)
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.size(toks).cast("double") / F.lit(avgdl)
+    )
+    score = None
+    for i, t in enumerate(terms):
+        idf = math.log(1.0 + (n_docs - stats[f"__df{i}"] + 0.5) / (stats[f"__df{i}"] + 0.5))
+        tf = tf_exprs[i].cast("double")
+        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    return score
 
 
 def rank_fusion(

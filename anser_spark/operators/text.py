@@ -19,6 +19,7 @@ __all__ = [
     "with_language_id",
     "with_fingerprint",
     "text_stats",
+    "text_profile",
     "repetition_metrics",
     "scrub_pii",
     "pii_metrics",
@@ -105,25 +106,34 @@ def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "qualit
     return df.withColumn(out, F.round(score, 6))
 
 
-def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """The SQL-expressible components of the quality heuristic as
-    individual columns (n_tokens, punct_ratio, mean_word_len,
-    length_score, en_stop_hits) — the value-hash-oracle-able subset of
-    with_quality_score (whose composite weighting stays heuristic)."""
-    text = F.col(text_col)
+def _quality_component_cols(text: Column) -> dict[str, Column]:
+    """The SQL-expressible quality components, shared by
+    quality_metrics and text_profile so both emit identical values."""
     n_chars = F.length(text)
     n_tokens = token_count_col(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
     length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    return {
+        "punct_ratio": F.round(punct_ratio, 4),
+        "mean_word_len": F.round(mean_word_len, 4),
+        "length_score": F.round(length_score, 4),
+        "en_stop_hits": _stopword_hits(text, LANG_STOPWORDS["en"]),
+    }
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The SQL-expressible components of the quality heuristic as
+    individual columns (n_tokens, punct_ratio, mean_word_len,
+    length_score, en_stop_hits) — the value-hash-oracle-able subset of
+    with_quality_score (whose composite weighting stays heuristic)."""
+    text = F.col(text_col)
+    comps = _quality_component_cols(text)
     return df.select(
         *df.columns,
-        n_tokens.alias("n_tokens"),
-        F.round(punct_ratio, 4).alias("punct_ratio"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(length_score, 4).alias("length_score"),
-        _stopword_hits(text, LANG_STOPWORDS["en"]).alias("en_stop_hits"),
+        token_count_col(text).alias("n_tokens"),
+        *[c.alias(name) for name, c in comps.items()],
     )
 
 
@@ -142,6 +152,20 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = with_language_id(df, text_col)
     df = with_fingerprint(df, text_col)
     return df
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """text_stats + the quality component metrics fused into ONE
+    projection (Catalyst collapses the whole chain into a single
+    Project over a single FileScan — no join, no shuffle). At 100 TB
+    every extra pass over the documents table is hours of scan time;
+    profile-style consumers should use this instead of joining
+    text_stats with quality_metrics on the id column."""
+    base = text_stats(df, text_col)
+    comps = _quality_component_cols(F.col(text_col))
+    return base.select(
+        *base.columns, *[c.alias(name) for name, c in comps.items()]
+    )
 
 
 def _word_array(text: Column) -> Column:
@@ -174,10 +198,13 @@ def repetition_metrics(
     toks = _word_array(F.coalesce(F.col(text_col), F.lit("")))
     base = df.select(F.col(id_col), toks.alias("__toks"))
 
+    # Integer outputs are emitted as BIGINT everywhere (F.size is int32,
+    # F.sum is int64): a uniform width keeps the frame's serialized form
+    # identical to an ANSI-SQL twin, where sum() may widen differently.
     uni = base.select(
         id_col,
-        F.size("__toks").alias("n_tokens"),
-        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct_tokens"),
     )
 
     n = F.size("__toks")
@@ -202,8 +229,12 @@ def repetition_metrics(
 
     joined = uni.join(gram_stats, id_col, "left")
     n_tok = F.col("n_tokens")
-    top_c = F.coalesce(F.col("top_gram_count"), F.lit(0)).alias("top_gram_count")
-    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams")
+    top_c = (
+        F.coalesce(F.col("top_gram_count"), F.lit(0))
+        .cast("long")
+        .alias("top_gram_count")
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams")
     return joined.select(
         id_col,
         "n_tokens",

@@ -61,6 +61,9 @@ _ACCUMULATORS = {
 }
 
 
+_PIPE_DEPTH = 0  # compile_pipeline nesting depth (driver-side state)
+
+
 def compile_pipeline(
     df: DataFrame,
     stages: Sequence[Mapping[str, Any]],
@@ -79,22 +82,45 @@ def compile_pipeline(
     array-of-all-matches per key (OOM/straggler risk on skewed keys);
     the fused plan is a plain join AQE can broadcast or skew-split.
     """
-    stages = list(stages)
-    i = 0
-    while i < len(stages):
-        stage = stages[i]
-        if not isinstance(stage, Mapping) or len(stage) != 1:
-            raise PipelineCompileError(f"stage {i} must have exactly one key: {stage!r}")
-        op, arg = next(iter(stage.items()))
-        if op == "$lookup" and i + 1 < len(stages):
-            preserve = _fusible_unwind(stages[i + 1], arg.get("as") if isinstance(arg, Mapping) else None)
-            if preserve is not None:
-                df = _lookup(df, arg, resolve_collection, unwind_preserve=preserve)
-                i += 2
-                continue
-        df = _compile_stage(df, op, arg, resolve_collection, sink)
-        i += 1
-    return df
+    global _PIPE_DEPTH
+    from anser_spark.functions import expressions as _exprs
+
+    # $meta score threading: a fresh top-level pipeline starts from the
+    # default "score"; nested compiles ($rankFusion/$scoreFusion/$facet
+    # legs) inherit the current value and restore it on exit, so a
+    # leg's custom scoreField can't leak to siblings or the parent.
+    prev_score = _exprs.set_active_score_field(
+        "score" if _PIPE_DEPTH == 0 else _exprs.active_score_field()
+    )
+    _PIPE_DEPTH += 1
+    try:
+        stages = list(stages)
+        i = 0
+        while i < len(stages):
+            stage = stages[i]
+            if not isinstance(stage, Mapping) or len(stage) != 1:
+                raise PipelineCompileError(
+                    f"stage {i} must have exactly one key: {stage!r}"
+                )
+            op, arg = next(iter(stage.items()))
+            if op == "$lookup" and i + 1 < len(stages):
+                preserve = _fusible_unwind(stages[i + 1], arg.get("as") if isinstance(arg, Mapping) else None)
+                if preserve is not None:
+                    df = _lookup(df, arg, resolve_collection, unwind_preserve=preserve)
+                    i += 2
+                    continue
+            df = _compile_stage(df, op, arg, resolve_collection, sink)
+            if op in ("$search", "$vectorSearch", "$scoreFusion"):
+                _exprs.set_active_score_field(
+                    arg.get("scoreField", "score") if isinstance(arg, Mapping) else "score"
+                )
+            elif op == "$rankFusion":
+                _exprs.set_active_score_field("score")
+            i += 1
+        return df
+    finally:
+        _PIPE_DEPTH -= 1
+        _exprs.set_active_score_field(prev_score)
 
 
 def _fusible_unwind(stage: Any, as_name: str | None) -> bool | None:
@@ -486,32 +512,187 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     )
 
 
+_SEARCH_OPERATORS = (
+    "text", "phrase", "compound", "equals", "range", "exists", "in", "wildcard"
+)
+
+
+def _search_score_option(spec: Mapping[str, Any], score: Column) -> Column:
+    """Atlas per-operator ``score`` option: ``{"boost": {"value": w}}``
+    multiplies, ``{"constant": {"value": c}}`` replaces."""
+    opt = spec.get("score")
+    if not isinstance(opt, Mapping):
+        return score
+    if "boost" in opt:
+        return score * F.lit(float(opt["boost"]["value"]))
+    if "constant" in opt:
+        return F.lit(float(opt["constant"]["value"]))
+    raise PipelineCompileError(f"unsupported $search score option: {opt!r}")
+
+
+def _compile_search_op(  # noqa: C901
+    df: DataFrame, op: str, spec: Mapping[str, Any]
+) -> tuple[Column, Column]:
+    """One Atlas search operator → (match predicate, score Column).
+
+    Every operator is pure Column math over the current frame — no
+    joins, no shuffles; the whole $search stage stays one scan.
+    Relevance operators (text/phrase) score BM25 (stats folded in as
+    literals via bm25_score_expr); structured operators (equals/range/
+    exists/in/wildcard) score the Atlas constant 1. ``compound``
+    composes clauses with Lucene semantics.
+    """
+    from anser_spark.functions.filters import resolve_field
+    from anser_spark.operators.ranking import bm25_score_expr
+
+    if op in ("text", "phrase") and not (
+        isinstance(spec, Mapping) and "query" in spec and "path" in spec
+    ):
+        raise PipelineCompileError(
+            f"$search {op} requires {{'query': …, 'path': …}}"
+        )
+    if op == "text":
+        terms = [w for w in str(spec["query"]).lower().split() if w]
+        if not terms:
+            raise PipelineCompileError("$search text.query must contain at least one term")
+        score = bm25_score_expr(df, terms, text_col=str(spec["path"]))
+        return score > 0, _search_score_option(spec, score)
+    if op == "phrase":
+        terms = [w for w in str(spec["query"]).lower().split() if w]
+        if not terms:
+            raise PipelineCompileError("$search phrase.query must contain at least one term")
+        # exact adjacent-terms match on normalized text (lower,
+        # whitespace-collapsed, word-boundary anchored); scored BM25
+        # over the phrase's terms (documented divergence: Atlas scores
+        # positionally, this engine scores the constituent terms)
+        import re as _re
+
+        path = str(spec["path"])
+        normalized = F.regexp_replace(
+            F.lower(F.trim(resolve_field(path).cast("string"))), r"\s+", " "
+        )
+        phrase = " ".join(terms)
+        pred = normalized.rlike(
+            r"(^|\s)" + _re.escape(phrase) + r"(\s|$)"
+        )
+        score = bm25_score_expr(df, terms, text_col=path)
+        return pred, _search_score_option(spec, F.when(pred, score).otherwise(F.lit(0.0)))
+    if op == "equals":
+        pred = resolve_field(str(spec["path"])) == F.lit(spec["value"])
+        return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "range":
+        field = resolve_field(str(spec["path"]))
+        parts = []
+        for bound, cmp in (("gt", field.__gt__), ("gte", field.__ge__),
+                           ("lt", field.__lt__), ("lte", field.__le__)):
+            if bound in spec:
+                parts.append(cmp(F.lit(spec[bound])))
+        if not parts:
+            raise PipelineCompileError("$search range needs gt/gte/lt/lte")
+        pred = parts[0]
+        for p in parts[1:]:
+            pred = pred & p
+        return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "exists":
+        return resolve_field(str(spec["path"])).isNotNull(), _search_score_option(
+            spec, F.lit(1.0)
+        )
+    if op == "in":
+        vals = list(spec["value"])
+        return resolve_field(str(spec["path"])).isin(vals), _search_score_option(
+            spec, F.lit(1.0)
+        )
+    if op == "wildcard":
+        import re as _re
+
+        pat = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in str(spec["query"])
+        )
+        pred = resolve_field(str(spec["path"])).cast("string").rlike(f"^{pat}$")
+        return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "compound":
+        must = [_one_search_op(df, c) for c in spec.get("must", [])]
+        filt = [_one_search_op(df, c) for c in spec.get("filter", [])]
+        must_not = [_one_search_op(df, c) for c in spec.get("mustNot", [])]
+        should = [_one_search_op(df, c) for c in spec.get("should", [])]
+        if not (must or filt or must_not or should):
+            raise PipelineCompileError("$search compound needs at least one clause")
+        min_should = int(spec.get("minimumShouldMatch", 0))
+        # Lucene semantics: should is optional when must/filter anchor
+        # the match (unless minimumShouldMatch), required-as-OR otherwise
+        if not (must or filt) and should and min_should == 0:
+            min_should = 1
+        pred = None
+        for p, _s in must + filt:
+            pred = p if pred is None else pred & p
+        for p, _s in must_not:
+            np_ = ~F.coalesce(p, F.lit(False))
+            pred = np_ if pred is None else pred & np_
+        if should and min_should > 0:
+            n_matched = None
+            for p, _s in should:
+                one = F.coalesce(p, F.lit(False)).cast("int")
+                n_matched = one if n_matched is None else n_matched + one
+            sp = n_matched >= F.lit(min_should)
+            pred = sp if pred is None else pred & sp
+        score = F.lit(0.0)
+        for p, s in must:
+            score = score + F.when(p, s).otherwise(F.lit(0.0))
+        for p, s in should:
+            score = score + F.when(F.coalesce(p, F.lit(False)), s).otherwise(F.lit(0.0))
+        if not (must or should):
+            score = F.lit(1.0)  # pure filter/mustNot compound: constant
+        return pred, _search_score_option(spec, score)
+    raise PipelineCompileError(f"unsupported $search operator: {op!r}")
+
+
+def _one_search_op(df: DataFrame, clause: Mapping[str, Any]) -> tuple[Column, Column]:
+    if not isinstance(clause, Mapping) or len(clause) != 1:
+        raise PipelineCompileError(
+            f"$search compound clause must have exactly one operator: {clause!r}"
+        )
+    (op, spec), = clause.items()
+    if op not in _SEARCH_OPERATORS:
+        raise PipelineCompileError(f"unsupported $search operator: {op!r}")
+    return _compile_search_op(df, op, spec)
+
+
 def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
-    """``$search`` (Atlas text-operator subset): ``{"text": {"query":
-    …, "path": …}}`` scores documents by BM25 relevance over
-    whitespace query terms and returns them relevance-ordered.
+    """``$search`` (Atlas operator subset): text, phrase, compound
+    (must/mustNot/should/filter + minimumShouldMatch), equals, range,
+    exists, in, wildcard — with per-operator ``score`` boost/constant
+    options. Documents come back relevance-ordered, MATCHING documents
+    only (Atlas semantics; for relevance operators that also bounds the
+    result to the term postings).
 
     Fixed-schema divergence from Atlas: the relevance lands in an
     ordinary column named by ``scoreField`` (default "score") instead
-    of ``{"$meta": "searchScore"}``. Physical shape: one constant-width
-    corpus-stats aggregate at compile time, one scoring scan, one
-    broadcast-size join back on the identity column."""
-    spec = arg.get("text")
-    if not isinstance(spec, Mapping) or "query" not in spec or "path" not in spec:
+    of ``{"$meta": "searchScore"}`` metadata ($meta still resolves to
+    it — the compiler threads the name). Physical shape: per relevance
+    operator ONE constant-width corpus-stats aggregate at compile time
+    (folded in as literals), then the whole stage is a single scoring
+    scan — no joins, no shuffles (plan-asserted in tests)."""
+    known_opts = {"scoreField", "index", "count", "highlight", "returnStoredSource"}
+    ops = [(k, v) for k, v in arg.items() if k not in known_opts]
+    if len(ops) != 1:
         raise PipelineCompileError(
-            "$search supports the text operator: {'text': {'query': …, 'path': …}}"
+            f"$search requires exactly one operator, got {[k for k, _v in ops]!r} "
+            f"(supported: {', '.join(_SEARCH_OPERATORS)})"
         )
-    terms = [w for w in str(spec["query"]).lower().split() if w]
-    if not terms:
-        raise PipelineCompileError("$search text.query must contain at least one term")
+    op, spec = ops[0]
+    if op not in _SEARCH_OPERATORS:
+        raise PipelineCompileError(f"unsupported $search operator: {op!r}")
+    if not isinstance(spec, Mapping):
+        raise PipelineCompileError(f"$search {op} spec must be a document")
     score_field = arg.get("scoreField", "score")
     key = "_id" if "_id" in df.columns else df.columns[0]
-    from anser_spark.operators.ranking import bm25_score
-
-    scored = bm25_score(df, terms, id_col=key, text_col=str(spec["path"])).select(
-        F.col(key), F.col("score").alias(score_field)
+    pred, score = _compile_search_op(df, op, spec)
+    return (
+        df.where(F.coalesce(pred, F.lit(False)))
+        .withColumn(score_field, score.cast("double"))
+        .orderBy(F.desc(score_field), F.col(key))
     )
-    return df.join(scored, on=key).orderBy(F.desc(score_field), F.col(key))
 
 
 def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
@@ -545,9 +726,21 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         df = df.where(compile_filter(arg["filter"], df.schema))
     vec = resolve_field(path)
     qcol = F.array(*[F.lit(x) for x in qv])
-    qnorm = float(sum(x * x for x in qv) ** 0.5)
+    # epsilon clamp: an all-zero queryVector would otherwise divide by 0
+    # and score every row NaN (same guard as quantized_cosine_top_k)
+    qnorm = max(float(sum(x * x for x in qv) ** 0.5), 1e-30)
     cosine = dot_col(vec, qcol) / (norm_col(vec) * F.lit(qnorm))
     index = arg.get("index")
+    if isinstance(index, str):
+        # named indexes resolve to centroid mappings in Collection.pipe
+        # (which knows the collection's stored search indexes); a string
+        # surviving to this point means the pipeline was compiled
+        # without that context — failing loudly beats silently running
+        # the exact scan the index was meant to avoid
+        raise PipelineCompileError(
+            f"$vectorSearch index {index!r} is unresolved: named indexes "
+            "require the pipeline to run through Collection.pipe"
+        )
     if isinstance(index, Mapping) and index.get("kind") == "ivf":
         if "." in path:
             raise PipelineCompileError(
@@ -619,14 +812,17 @@ def _rank_fusion_stage(
     for name, stages in pipelines.items():
         sub = compile_pipeline(df, stages, resolve, sink)
         order = None
+        order_op = None
         for stage in reversed(list(stages)):
             op, sarg = next(iter(stage.items()))
             if op == "$sort":
                 order = parse_sort_keys(sarg)
+                order_op = op
                 break
             if op in ("$vectorSearch", "$search"):
                 sf = sarg.get("scoreField", "score") if isinstance(sarg, Mapping) else "score"
                 order = [F.desc(sf), F.col(key).asc()]
+                order_op = op
                 break
             if op in ("$limit", "$skip", "$match", "$project", "$addFields", "$set"):
                 continue
@@ -635,6 +831,17 @@ def _rank_fusion_stage(
             raise PipelineCompileError(
                 f"$rankFusion input {name!r} is not ranked: it needs a "
                 "$sort or $vectorSearch stage"
+            )
+        # $vectorSearch carries a mandatory limit; a $search-ranked leg
+        # is only bounded by its term postings, and the rank assignment
+        # below is a single-partition row_number — require an explicit
+        # top-k bound so a fusion leg can never window the whole corpus
+        if order_op == "$search" and not any(
+            isinstance(s, Mapping) and "$limit" in s for s in stages
+        ):
+            raise PipelineCompileError(
+                f"$rankFusion input {name!r} is ranked by $search but has "
+                "no $limit: ranked fusion inputs must be top-k bounded"
             )
         ranked[name] = sub.withColumn(
             "rank", F.row_number().over(Window.orderBy(*order))
@@ -693,8 +900,13 @@ def _score_fusion_stage(
             row = sub.agg(
                 F.min(score_field).alias("lo"), F.max(score_field).alias("hi")
             ).collect()[0]
-            lo, hi = float(row["lo"]), float(row["hi"])
-            span = (hi - lo) or 1.0
+            if row["lo"] is None:
+                # empty leg: no rows to normalize — any affine map is
+                # vacuous, but float(None) would crash the compile
+                lo, span = 0.0, 1.0
+            else:
+                lo, hi = float(row["lo"]), float(row["hi"])
+                span = (hi - lo) or 1.0
             s = (s - F.lit(lo)) / F.lit(span)
         leg = sub.select(F.col(key), s.alias(f"{name}_score"))
         fused = leg if fused is None else fused.join(leg, on=key, how="full_outer")
@@ -1339,8 +1551,9 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             # the one $setWindowFields operator that genuinely needs the
             # UDF path: Arrow-batched applyInPandas per partition key,
             # sorted in pandas, pandas ewm(adjust=False) = Mongo's exact
-            # recurrence. Without partitionBy this is ONE sequential
-            # task (documented; the recurrence itself is sequential).
+            # recurrence. Without partitionBy the chunk-carry
+            # formulation parallelizes the single global sequence
+            # (range chunks + geometric carry — _exp_moving_avg_chunked).
             alpha = oparg.get("alpha")
             if alpha is None:
                 n_param = oparg.get("N")
@@ -1370,28 +1583,22 @@ def _exp_moving_avg(
 ) -> DataFrame:
     """EMA recurrence via applyInPandas per partition key.
 
-    SCALE CONSTRAINT: the recurrence E_t = α·x_t + (1-α)·E_{t-1} is
-    inherently sequential in sort order, so WITHOUT ``partitionBy`` the
-    entire dataset lands in ONE applyInPandas group — a single
-    sequential task that must also fit one executor's memory. That is a
-    property of the operator's semantics, not of this implementation;
-    callers on large data must supply ``partitionBy`` (each key then
-    runs as its own parallel task). A RuntimeWarning fires on the
-    unpartitioned path."""
+    The recurrence E_t = α·x_t + (1-α)·E_{t-1} is sequential in sort
+    order, so each ``partitionBy`` key runs as one sequential pandas
+    group — parallel ACROSS keys, which is the right shape when keys
+    are plentiful (collecting per-key carry state, as the chunked path
+    does, would not scale to millions of keys). WITHOUT ``partitionBy``
+    the chunk-carry formulation (``_exp_moving_avg_chunked``) takes
+    over instead of degenerating to a single sequential task."""
     from pyspark.sql import types as _T
 
     if out_name in df.columns:
         df = df.drop(out_name)
     if not part_cols:
-        import warnings
-
-        warnings.warn(
-            "$expMovingAvg without partitionBy runs the whole dataset as one "
-            "sequential task (the EMA recurrence cannot parallelize within a "
-            "partition); supply partitionBy for datasets of any size",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        # the one-sequential-task shape is gone: the unpartitioned case
+        # runs the chunk-carry formulation (parallel chunk-local EMA +
+        # geometric carry combine) instead of a single pandas group
+        return _exp_moving_avg_chunked(df, sort_spec, inp, alpha, out_name)
     orig_cols = list(df.columns)
     work = df.withColumn(
         "__ema_part", part_cols[0] if part_cols else F.lit(0)
@@ -1411,6 +1618,148 @@ def _exp_moving_avg(
         return pdf
 
     out = work.groupBy("__ema_part").applyInPandas(ema, schema=schema)
+    return out.select(*orig_cols, out_name)
+
+
+def _exp_moving_avg_chunked(
+    df: DataFrame,
+    sort_spec: Mapping[str, Any],
+    inp: Column,
+    alpha: float,
+    out_name: str,
+) -> DataFrame:
+    """Global (unpartitioned) EMA without the single-sequential-task
+    bound: a two-pass chunk-carry formulation.
+
+    Range-partition the rows by the sort key into P chunks (equal sort
+    keys never split). Pass 1 computes, per chunk, the CLOSING state of
+    a chunk-local adjust=False EMA (one parallel scan). The driver then
+    folds the P closing states into the carry entering each chunk —
+    P scalar ops, the only sequential work left. Pass 2 recomputes the
+    chunk-local series and corrects it with the carry:
+
+        E_t = (E'_t − (1-α)^{p_t}·x_first) + (1-α)^{p_t}·C
+
+    where E'_t is the chunk-local pandas ``ewm(adjust=False)`` series
+    (whose first non-null input x_first got FULL weight — the
+    subtraction strips that and re-weights it α, turning E'_t into the
+    pure in-chunk contribution), p_t counts non-null inputs up to t in
+    the chunk, and C is the EMA carried in from all previous chunks
+    (first chunk: E_t = E'_t verbatim). ignore_na/Mongo semantics hold:
+    null inputs emit the running EMA and don't decay it (p_t doesn't
+    advance), and rows before any value are null.
+
+    Cost: one range shuffle + two Arrow-batched scans + a P-row collect
+    — wall clock is bounded by the largest chunk, not the dataset.
+    Chunk boundaries only affect float rounding (≤ ulps), not values.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+    from pyspark.storagelevel import StorageLevel
+
+    if out_name in df.columns:
+        df = df.drop(out_name)
+    orig_cols = list(df.columns)
+    work = df.withColumn("__ema_in", inp.cast("double"))
+    sort_fields = list(sort_spec.items())
+    for i, (fld, _d) in enumerate(sort_fields):
+        work = work.withColumn(f"__ema_s{i}", compile_expr(f"${fld}", df.schema))
+    scols = [
+        F.col(f"__ema_s{i}").asc() if d in (1, True) else F.col(f"__ema_s{i}").desc()
+        for i, (_f, d) in enumerate(sort_fields)
+    ]
+    n_chunks = max(2, work.sparkSession.sparkContext.defaultParallelism)
+    chunked = (
+        work.repartitionByRange(n_chunks, *scols)
+        .sortWithinPartitions(*scols)
+        .withColumn("__ema_chunk", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    beta = 1.0 - alpha
+
+    def _fold_batches(it):
+        """Chunk-local EMA state folded across the partition's Arrow
+        batches: yields (batch_pdf, e_series, p_series, chunk_id) with
+        state (last EMA, non-null count, first value) carried over."""
+        e0, cnt, x_first, chunk_id = None, 0, None, None
+        for pdf in it:
+            x = pdf["__ema_in"]
+            if chunk_id is None and len(pdf):
+                chunk_id = int(pdf["__ema_chunk"].iloc[0])
+            # continue the recurrence from e0 by prepending it as a
+            # pseudo-row (full weight == "initial state"), then dropping
+            seed = [] if e0 is None else [e0]
+            series = pd.concat(
+                [pd.Series(seed, dtype="float64"), x], ignore_index=True
+            ).ewm(alpha=alpha, adjust=False, ignore_na=True).mean()[len(seed):]
+            series.index = x.index
+            p = x.notna().cumsum() + cnt
+            if x.notna().any():
+                if x_first is None:
+                    x_first = float(x.dropna().iloc[0])
+                last = series.dropna()
+                e0 = float(last.iloc[-1]) if len(last) else e0
+                cnt = int(p.iloc[-1])
+            yield pdf, series, p, chunk_id
+
+    def stats(it):
+        e0, cnt, x_first, chunk_id = None, 0, None, None
+        for pdf, series, p, cid in _fold_batches(it):
+            chunk_id = cid
+            if pdf["__ema_in"].notna().any():
+                if x_first is None:
+                    x_first = float(pdf["__ema_in"].dropna().iloc[0])
+                e0 = float(series.dropna().iloc[-1])
+                cnt = int(p.iloc[-1])
+        if chunk_id is not None:
+            yield pd.DataFrame(
+                {
+                    "chunk": [chunk_id],
+                    "cnt": [cnt],
+                    "e_end": [np.nan if e0 is None else e0],
+                    "x_first": [np.nan if x_first is None else x_first],
+                }
+            )
+
+    per_chunk = chunked.mapInPandas(
+        stats, "chunk int, cnt long, e_end double, x_first double"
+    ).collect()
+    carries: dict[int, float | None] = {}
+    carry: float | None = None
+    for r in sorted(per_chunk, key=lambda r: r["chunk"]):
+        carries[r["chunk"]] = carry
+        if r["cnt"] > 0:
+            if carry is None:
+                carry = r["e_end"]
+            else:
+                decay = beta ** r["cnt"]
+                carry = (r["e_end"] - decay * r["x_first"]) + decay * carry
+
+    schema = _T.StructType(
+        list(chunked.schema.fields) + [_T.StructField(out_name, _T.DoubleType())]
+    )
+
+    def correct(it):
+        x_first = None
+        for pdf, series, p, chunk_id in _fold_batches(it):
+            x = pdf["__ema_in"]
+            if x_first is None and x.notna().any():
+                x_first = float(x.dropna().iloc[0])
+            c = carries.get(chunk_id) if chunk_id is not None else None
+            if c is None:
+                pdf[out_name] = series
+            else:
+                decay = np.power(beta, p.to_numpy(dtype="float64"))
+                local = series.to_numpy(dtype="float64") - decay * (
+                    x_first if x_first is not None else 0.0
+                )
+                pdf[out_name] = np.where(
+                    p.to_numpy() > 0, local + decay * c, c
+                )
+            yield pdf
+
+    out = chunked.mapInPandas(correct, schema=schema)
     return out.select(*orig_cols, out_name)
 
 

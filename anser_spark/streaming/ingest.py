@@ -8,6 +8,17 @@ rows write), and version visibility is the engine's atomic pointer
 swap — readers always see a complete version, never a half-written
 batch.
 
+Exactly-once: Structured Streaming guarantees a deterministic,
+monotonically increasing ``batch_id`` per checkpoint, and re-delivers a
+batch (same id, same data) if the previous attempt wasn't known to
+commit. The sink records the last committed batch id INSIDE the
+collection's version pointer (``Collection.pointer_meta``), which is
+swapped with one atomic rename — so the marker and the batch's rows
+become visible together, and a replayed batch is recognized and
+skipped. That upgrades foreachBatch's native at-least-once contract to
+exactly-once for this sink (the standard "idempotent foreachBatch via
+batchId" pattern from the Structured Streaming programming guide).
+
 At scale this is the standard "streaming ingest into a lakehouse
 table" shape: bounded work per batch, no global state, and the
 collection stays queryable by every batch/fluent/pipeline operator
@@ -16,11 +27,23 @@ while the stream runs.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame
 
 __all__ = ["stream_into_collection"]
+
+
+def _sink_id(checkpoint_dir: str) -> str:
+    """Stable identity for one (stream, checkpoint) lineage: batch ids
+    are only comparable within a checkpoint, so the committed-batch
+    marker is keyed by it. Hashing the ABSOLUTE path keeps the key
+    stable across restarts from the same checkpoint while distinct
+    checkpoints (new lineage, ids restart) get distinct markers."""
+    norm = os.path.abspath(checkpoint_dir)
+    return "ingest_" + hashlib.md5(norm.encode()).hexdigest()[:12]
 
 
 def stream_into_collection(
@@ -35,19 +58,24 @@ def stream_into_collection(
     stops it).
 
     ``available_now=True`` processes everything currently available
-    and stops — the batch-backfill trigger. Exactly-once note: the
-    checkpoint tracks which source offsets each batch covered; a batch
-    retried AFTER its collection append but before checkpoint commit
-    would append twice — the same at-least-once contract as any
-    non-idempotent foreachBatch sink. Pair with
-    ``streaming_first_seen`` (keyed dedup) or an idempotent key +
-    downstream exact_dedup for exactly-once effect.
+    and stops — the batch-backfill trigger. Appends are EXACTLY-ONCE:
+    the last committed batch id rides in the collection's atomic
+    version pointer, so a batch retried after its append committed
+    (but before the stream checkpoint advanced) is detected and
+    skipped instead of appending twice — no keyed dedup needed
+    downstream. ``streaming_first_seen`` remains the tool for
+    SOURCE-side duplicates (same logical record delivered as two
+    different batches), which no sink-side marker can detect.
     """
+    marker = _sink_id(checkpoint_dir)
 
-    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        committed = collection.pointer_meta().get(marker)
+        if committed is not None and int(committed) >= batch_id:
+            return  # replay of a batch whose append already committed
         if batch_df.isEmpty():
             return
-        collection.insert_df(batch_df)
+        collection.insert_df(batch_df, pointer_meta={marker: str(batch_id)})
 
     writer = stream.writeStream.foreachBatch(_append).option(
         "checkpointLocation", checkpoint_dir

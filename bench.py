@@ -3,6 +3,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+
+``--repeat N`` (or $SPARK_GRAFT_REPEAT) runs every query N times;
+"queries"/"value" stay the FIRST (one-shot) pass so round-over-round
+numbers remain comparable, and "queries_steady"/"value_steady" report
+the best subsequent pass — per-query cost with planning/JIT amortized,
+where a real regression isn't drowned in one-time overhead.
 """
 
 from __future__ import annotations
@@ -20,6 +26,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    repeat = max(1, repeat)
 
     import __spark_entry__ as ent
     from anser_spark.session import get_spark
@@ -44,25 +54,32 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name, fn in ent.queries().items():
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink forces full evaluation (count() would let Catalyst
-        # prune every column and undercount the real work)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        for attempt in range(repeat):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink forces full evaluation (count() would let Catalyst
+            # prune every column and undercount the real work)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - start, 4)
+            if attempt == 0:
+                timings[name] = elapsed
+            else:
+                steady[name] = min(steady.get(name, elapsed), elapsed)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "anser_spark_headline_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "anser_spark_headline_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if steady:
+        out["queries_steady"] = steady
+        out["value_steady"] = round(sum(steady.values()), 4)
+        out["repeat"] = repeat
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

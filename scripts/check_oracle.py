@@ -29,6 +29,55 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _kind(s: pd.Series) -> str:
+    """Canonical dtype class. The driver's value hash serializes values,
+    so int64 1000 and float64 1000.0 hash DIFFERENTLY even though they
+    compare equal — the local gate must treat a class mismatch as a
+    failure, never coerce across classes (the r4 `repetition_metrics`
+    miss: np.allclose certified a gate the driver's exact hash rejected).
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    # object columns: classify by the first non-null value
+    for v in s:
+        if v is None or (isinstance(v, float) and v != v):
+            continue
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        return "object"
+    return "empty"
+
+
+def _canon_values(s: pd.Series, kind: str) -> pd.Series:
+    """Exact, representation-faithful canonical form per value."""
+    if kind == "int":
+        # unify widths; nulls (shouldn't appear in int cols, but nullable
+        # Int64 allows them) render as a sentinel
+        return s.astype("Int64").map(lambda v: "∅" if pd.isna(v) else str(int(v)))
+    if kind == "float":
+        # bit-exact: hex round-trips the double; NaN is its own token
+        return s.astype("float64").map(
+            lambda v: "nan" if v != v else float(v).hex()
+        )
+    if kind == "bool":
+        return s.map(lambda v: "∅" if pd.isna(v) else str(bool(v)))
+    if kind == "datetime":
+        return pd.to_datetime(s).astype("datetime64[ns]").map(
+            lambda v: "∅" if pd.isna(v) else v.isoformat()
+        )
+    return s.map(lambda v: "∅" if v is None else str(v))
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -41,17 +90,25 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     for col in a.columns:
         av, bv = a[col], b[col]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            ok = np.allclose(
-                av.astype(float).fillna(np.nan),
-                bv.astype(float).fillna(np.nan),
-                rtol=1e-9, atol=1e-9, equal_nan=True,
+        ka, kb = _kind(av), _kind(bv)
+        if "empty" in (ka, kb) and len(a) == 0:
+            continue
+        if ka != kb and "empty" not in (ka, kb):
+            problems.append(
+                f"column {col!r}: dtype class mismatch spark={ka}({av.dtype}) "
+                f"vs oracle={kb}({bv.dtype}) — values may still be equal, but "
+                f"the driver's hash serializes dtype-sensitively"
             )
-        else:
-            ok = av.astype(str).equals(bv.astype(str))
-        if not ok:
-            diffs = (av.astype(str) != bv.astype(str)).sum()
-            problems.append(f"column {col!r}: {diffs} differing values (e.g. {av.iloc[0]!r} vs {bv.iloc[0]!r})")
+            continue
+        kind = ka if ka != "empty" else kb
+        ca, cb = _canon_values(av, kind), _canon_values(bv, kind)
+        if not ca.equals(cb):
+            neq = (ca.values != cb.values)
+            idx = int(np.argmax(neq))
+            problems.append(
+                f"column {col!r}: {int(neq.sum())} differing values "
+                f"(first at row {idx}: {av.iloc[idx]!r} vs {bv.iloc[idx]!r})"
+            )
     return problems
 
 

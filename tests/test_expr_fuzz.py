@@ -36,7 +36,25 @@ def rand_num_expr(rng, depth=0):
     if depth >= MAX_DEPTH or rng.random() < 0.3:
         return rng.choice(["$a", "$b", rng.randint(-20, 20)])
     op = rng.choice(["$add", "$subtract", "$multiply", "$abs", "$cond",
-                     "$ifNull", "$max", "$min", "$switch", "$strLenCP"])
+                     "$ifNull", "$max", "$min", "$switch", "$strLenCP",
+                     "$cmp", "$indexOfCP", "$size", "$indexOfArray",
+                     "$arrayElemAt"])
+    if op == "$cmp":
+        return {"$cmp": [rand_num_expr(rng, depth + 1), rand_num_expr(rng, depth + 1)]}
+    if op == "$indexOfCP":
+        return {"$indexOfCP": [rand_str_expr(rng, depth + 1), rng.choice(["a", "e", "m", "z"])]}
+    if op == "$size":
+        return {"$size": rand_arr_expr(rng, depth + 1)}
+    if op == "$indexOfArray":
+        return {"$indexOfArray": [rand_arr_expr(rng, depth + 1),
+                                  rng.choice(["alpha", "beta", "x", "mm"])]}
+    if op == "$arrayElemAt":
+        # numeric consumer via $strLenCP of the element (null-guarded);
+        # index range includes out-of-bounds (Mongo: missing → null)
+        return {"$strLenCP": {"$ifNull": [
+            {"$arrayElemAt": [rand_arr_expr(rng, depth + 1), rng.randint(-4, 4)]},
+            "",
+        ]}}
     if op == "$switch":
         return {
             "$switch": {
@@ -70,17 +88,37 @@ def rand_num_expr(rng, depth=0):
 
 
 def rand_bool_expr(rng, depth=0):
-    op = rng.choice(["$gt", "$gte", "$lt", "$lte", "$eq", "$ne", "$in"])
+    op = rng.choice(["$gt", "$gte", "$lt", "$lte", "$eq", "$ne", "$in",
+                     "$and", "$or", "$not"])
     if op == "$in":
         return {"$in": [rand_num_expr(rng, depth + 1),
                         [rng.randint(-20, 20) for _ in range(rng.randint(1, 4))]]}
+    if op in ("$and", "$or"):
+        # mixed bool/numeric operands: Mongo coerces by truthiness
+        # (null/0/false falsy) and NEVER returns null — the SQL
+        # three-valued & / | would
+        mk = lambda: (rand_bool_expr(rng, depth + 1) if rng.random() < 0.6  # noqa: E731
+                      else rand_num_expr(rng, depth + 1))
+        return {op: [mk() for _ in range(rng.randint(2, 3))]}
+    if op == "$not":
+        return {"$not": [rand_bool_expr(rng, depth + 1) if rng.random() < 0.6
+                         else rand_num_expr(rng, depth + 1)]}
     return {op: [rand_num_expr(rng, depth + 1), rand_num_expr(rng, depth + 1)]}
+
+
+def rand_arr_expr(rng, depth=0):
+    # arrays come from $split of a null-guarded string on a space
+    return {"$split": [{"$ifNull": [rand_str_expr(rng, depth + 1), "x y"]}, " "]}
 
 
 def rand_str_expr(rng, depth=0):
     if depth >= MAX_DEPTH or rng.random() < 0.35:
         return rng.choice(["$s", "$t", "lit"])
-    op = rng.choice(["$concat", "$toUpper", "$toLower", "$cond", "$substrCP"])
+    op = rng.choice(["$concat", "$toUpper", "$toLower", "$cond", "$substrCP",
+                     "$trim"])
+    if op == "$trim":
+        return {"$trim": {"input": {"$concat": [
+            " ", {"$ifNull": [rand_str_expr(rng, depth + 1), "pad"]}, "  "]}}}
     if op == "$substrCP":
         return {"$substrCP": [{"$ifNull": [rand_str_expr(rng, depth + 1), "pad"]},
                               rng.randint(0, 2), rng.randint(1, 4)]}
@@ -98,6 +136,11 @@ def rand_str_expr(rng, depth=0):
 
 
 # ---- pure-Python reference (Mongo semantics for the covered subset) ----
+
+
+def _truthy(v):
+    """Mongo boolean coercion: null/0/false falsy, else truthy."""
+    return not (v is None or v is False or v == 0)
 
 
 def ev(expr, doc):
@@ -127,6 +170,37 @@ def ev(expr, doc):
         s = ev(arg[0], doc)
         start, n = arg[1], arg[2]
         return s[start:start + n]
+    if op in ("$and", "$or"):
+        vals = [_truthy(ev(a, doc)) for a in arg]
+        return all(vals) if op == "$and" else any(vals)
+    if op == "$not":
+        return not _truthy(ev(arg[0], doc))
+    if op == "$cmp":
+        a, b = ev(arg[0], doc), ev(arg[1], doc)
+        ka = (0,) if a is None else (1, a)
+        kb = (0,) if b is None else (1, b)
+        return (ka > kb) - (ka < kb)
+    if op == "$indexOfCP":
+        s = ev(arg[0], doc)
+        return None if s is None else s.find(arg[1])
+    if op == "$trim":
+        s = ev(arg["input"], doc)
+        return None if s is None else s.strip(" ")
+    if op == "$split":
+        s = ev(arg[0], doc)
+        return None if s is None else s.split(arg[1])
+    if op == "$size":
+        return len(ev(arg, doc))
+    if op == "$indexOfArray":
+        a = ev(arg[0], doc)
+        if a is None:
+            return None
+        return a.index(arg[1]) if arg[1] in a else -1
+    if op == "$arrayElemAt":
+        a, idx = ev(arg[0], doc), arg[1]
+        if a is None:
+            return None
+        return a[idx] if -len(a) <= idx < len(a) else None
     args = [ev(a, doc) for a in (arg if isinstance(arg, list) else [arg])]
     # Mongo arithmetic: any null operand → null
     if op in ("$add", "$subtract", "$multiply", "$abs", "$max", "$min",

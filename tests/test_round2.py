@@ -662,31 +662,26 @@ def test_exp_moving_avg_n_form(doc_collection):
     assert abs(vals[2] - 6.0) < 1e-9
 
 
-def test_exp_moving_avg_unpartitioned_warns(engine, spark):
-    # the EMA recurrence is sequential; without partitionBy the whole
-    # dataset is ONE applyInPandas task — the engine must say so
-    import warnings
-
+def test_exp_moving_avg_unpartitioned_chunked(engine, spark):
+    # without partitionBy the chunk-carry formulation runs (round 5 —
+    # the r4 one-sequential-task warning shape is gone); values must
+    # equal the plain sequential recurrence
     db = engine.db("appdb")
     c = db.collection("wema2")
-    c._rewrite(spark.createDataFrame([(1, 1.0), (2, 2.0)], "t int, v double"))
-    with pytest.warns(RuntimeWarning, match="one.*sequential task"):
-        c.pipe([
-            {"$setWindowFields": {
-                "sortBy": {"t": 1},
-                "output": {"ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}},
-            }},
-        ]).all()
-    # partitioned path stays silent
-    with warnings.catch_warnings():
-        warnings.simplefilter("error", RuntimeWarning)
-        c.pipe([
-            {"$setWindowFields": {
-                "partitionBy": "$t",
-                "sortBy": {"t": 1},
-                "output": {"ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}},
-            }},
-        ]).all()
+    c._rewrite(spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(1, 101)], "t int, v double"))
+    out = c.pipe([
+        {"$setWindowFields": {
+            "sortBy": {"t": 1},
+            "output": {"ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}}},
+        }},
+        {"$sort": {"t": 1}},
+    ]).all()
+    e = None
+    for r in out:
+        x = float(r["t"] % 7)  # v of row t is t % 7
+        e = x if e is None else 0.5 * x + 0.5 * e
+        assert r["ema"] == pytest.approx(e, rel=1e-12)
 
 
 def test_distinct_df_distributed(doc_collection):

@@ -1,0 +1,421 @@
+"""Round-5 hardening: the five r4 ADVICE items ($search matching-only
+results + bounded fusion legs, $meta scoreField threading, victim-file
+COW under duplicate keys, $scoreFusion empty-leg guard, $vectorSearch
+zero-norm / unresolved-index guards)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark engines process data at scale"),
+        (2, "the model trains on data data data"),
+        (3, "training data for the model"),
+        (4, "nothing relevant here at all"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], "odd" if i % 2 else "even")
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "parity"])
+
+
+def test_search_returns_only_matching_docs(corpus):
+    # Atlas $search returns matching documents only: docs 4 (no query
+    # term) and 5 (empty) must NOT appear with score 0
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    out = compile_pipeline(
+        corpus, [{"$search": {"text": {"query": "data model", "path": "text"}}}]
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert set(ids) == {1, 2, 3}
+    assert all(r["score"] > 0 for r in out)
+    # no term matches anywhere → empty result, not a zero-scored corpus
+    none = compile_pipeline(
+        corpus, [{"$search": {"text": {"query": "zzzqqq", "path": "text"}}}]
+    ).collect()
+    assert none == []
+
+
+def test_rank_fusion_search_leg_requires_limit(corpus):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    with pytest.raises(PipelineCompileError, match="top-k bounded"):
+        compile_pipeline(
+            corpus,
+            [{"$rankFusion": {"input": {"pipelines": {
+                "rel": [{"$search": {"text": {"query": "data", "path": "text"}}}],
+            }}, "key": "doc_id"}}],
+        )
+    # with a $limit the leg compiles and fuses
+    out = compile_pipeline(
+        corpus,
+        [{"$rankFusion": {"input": {"pipelines": {
+            "rel": [{"$search": {"text": {"query": "data", "path": "text"}}},
+                    {"$limit": 2}],
+        }}, "key": "doc_id"}}],
+    ).collect()
+    assert len(out) == 2
+
+
+def test_meta_resolves_custom_score_field(corpus):
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    # scoreField="relevance" + a decoy user column literally named
+    # "score": $meta must read the search score, not the decoy
+    decoy = corpus.withColumn("score", F.lit(-99.0))
+    out = compile_pipeline(
+        decoy,
+        [{"$search": {"text": {"query": "data", "path": "text"},
+                      "scoreField": "relevance"}},
+         {"$project": {"doc_id": 1, "rel": {"$meta": "searchScore"}}},
+         {"$limit": 1}],
+    ).collect()
+    assert out[0]["rel"] > 0  # not the -99 decoy
+
+    # nested leg scoreFields don't leak: after the fusion stage, $meta
+    # reads the fused "score"
+    fused = compile_pipeline(
+        corpus,
+        [{"$rankFusion": {"input": {"pipelines": {
+            "rel": [{"$search": {"text": {"query": "data", "path": "text"},
+                                 "scoreField": "leg_rel"}}, {"$limit": 3}],
+        }}, "key": "doc_id"}},
+         {"$project": {"doc_id": 1, "fused": {"$meta": "searchScore"}}}],
+    ).collect()
+    assert all(r["fused"] > 0 for r in fused)
+
+
+def test_score_fusion_empty_leg_min_max(vec_df):
+    # a leg yielding zero rows used to crash minMaxScaler with
+    # float(None); it must contribute nothing instead
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    qv = [r for r in vec_df.where("vec_id = 0").first()["embedding"]]
+    out = compile_pipeline(
+        vec_df,
+        [{"$scoreFusion": {
+            "input": {"pipelines": {
+                "vec": [{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                                           "limit": 5, "exact": True}}],
+                "empty": [{"$match": {"vec_id": -1}},
+                          {"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                                             "limit": 5, "exact": True}}],
+            }, "normalization": "minMaxScaler"},
+            "key": "vec_id",
+        }}],
+    ).collect()
+    assert len(out) == 5
+    assert all(r["empty_score"] is None for r in out)
+
+
+def test_vector_search_guards(vec_df):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    # all-zero queryVector: epsilon clamp → finite scores, no NaN
+    out = compile_pipeline(
+        vec_df,
+        [{"$vectorSearch": {"path": "embedding", "queryVector": [0.0] * 8,
+                            "limit": 3, "exact": True}}],
+    ).collect()
+    assert len(out) == 3
+    assert all(r["score"] == r["score"] for r in out)  # not NaN
+    # a string index reaching the compiler unresolved must raise, not
+    # silently fall back to the exact scan
+    with pytest.raises(PipelineCompileError, match="unresolved"):
+        compile_pipeline(
+            vec_df,
+            [{"$vectorSearch": {"path": "embedding", "queryVector": [1.0] * 8,
+                                "limit": 3, "index": "my_ivf"}}],
+        )
+
+
+def test_update_one_duplicate_key_across_files(spark, tmp_path):
+    # duplicate _id living in a DIFFERENT parquet file than the victim:
+    # the single-file shortcut must not leave it behind (r4 ADVICE)
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    coll = eng.db("dup").collection("docs")
+    # two single-file COW appends → the duplicate key spans two files
+    coll.insert_df(spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0)], ["_id", "tag", "n"]).repartition(1))
+    coll.insert_df(spark.createDataFrame(
+        [(1, "c", 0), (3, "d", 0)], ["_id", "tag", "n"]).repartition(1))
+    assert coll.count() == 4
+    coll.update({"_id": 1}, {"$inc": {"n": 5}})
+    rows = {(r["_id"], r["tag"]): r["n"] for r in coll.find({}).all()}
+    # both _id=1 rows mutated (pre-victim-capture semantics: the
+    # mutation applies to the victim's key, wherever it lives)
+    assert rows[(1, "a")] == 5 and rows[(1, "c")] == 5
+    assert rows[(2, "b")] == 0 and rows[(3, "d")] == 0
+
+    # assume_unique_ids=True keeps the single-file fast path
+    eng2 = Engine(spark, workdir=str(tmp_path / "wd2"), assume_unique_ids=True)
+    c2 = eng2.db("dup").collection("docs")
+    c2.insert_df(spark.createDataFrame([(1, 0)], ["_id", "n"]).repartition(1))
+    c2.insert_df(spark.createDataFrame([(2, 0)], ["_id", "n"]).repartition(1))
+    c2.update({"_id": 2}, {"$inc": {"n": 7}})
+    assert {r["_id"]: r["n"] for r in c2.find({}).all()} == {1: 0, 2: 7}
+
+
+def test_stream_ingest_exactly_once_replay(spark, tmp_path):
+    # Replay scenario: the sink's append COMMITTED but the stream
+    # checkpoint didn't advance (crash in between). On restart the same
+    # batch is re-delivered — the batch marker in the version pointer
+    # must detect it and skip, leaving no duplicate rows.
+    import shutil as _shutil
+
+    from anser_spark.engine import Engine
+    from anser_spark.streaming.ingest import stream_into_collection
+
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    (srcdir / "a.jsonl").write_text('{"event_id": 1}\n{"event_id": 2}\n')
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    coll = eng.db("ing").collection("evts")
+    stream = spark.readStream.schema("event_id long").json(str(srcdir))
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_into_collection(stream, coll, checkpoint_dir=ckpt, available_now=True)
+    q.awaitTermination(120)
+    assert coll.count() == 2
+    meta = coll.pointer_meta()
+    assert any(k.startswith("ingest_") and v == "0" for k, v in meta.items())
+
+    # wipe the checkpoint: Spark re-delivers the same files as batch 0
+    _shutil.rmtree(ckpt)
+    q2 = stream_into_collection(stream, coll, checkpoint_dir=ckpt, available_now=True)
+    q2.awaitTermination(120)
+    assert coll.count() == 2  # replayed batch skipped — no duplicates
+
+    # the marker survives unrelated mutations (pointer meta is carried
+    # through every version swap), so replay detection keeps working
+    coll.update_all({}, {"$set": {"seen": True}})
+    assert any(k.startswith("ingest_") for k in coll.pointer_meta())
+    _shutil.rmtree(ckpt)
+    q3 = stream_into_collection(stream, coll, checkpoint_dir=ckpt, available_now=True)
+    q3.awaitTermination(120)
+    assert coll.count() == 2
+
+    # a genuinely NEW batch (same checkpoint lineage) still appends
+    (srcdir / "b.jsonl").write_text('{"event_id": 3}\n')
+    q4 = stream_into_collection(stream, coll, checkpoint_dir=ckpt, available_now=True)
+    q4.awaitTermination(120)
+    assert coll.count() == 3
+
+
+def test_text_profile_single_scan(spark, corpus):
+    # fused stats+quality projection: identical values to the join of
+    # text_stats and quality_metrics, but the plan has exactly ONE scan
+    # and no join
+    from anser_spark.operators.text import quality_metrics, text_profile, text_stats
+
+    prof = text_profile(corpus)
+    joined = (
+        text_stats(corpus)
+        .select("doc_id", "n_tokens", "n_chars_calc", "lang_id", "quality")
+        .join(
+            quality_metrics(corpus).select(
+                "doc_id", "punct_ratio", "mean_word_len", "length_score",
+                "en_stop_hits",
+            ),
+            "doc_id",
+        )
+    )
+    cols = joined.columns
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted((r.asDict() for r in prof.select(cols).collect()), key=key) == \
+        sorted((r.asDict() for r in joined.collect()), key=key)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_ema_chunked_differential(spark):
+    # chunk-carry EMA vs the plain sequential recurrence: random series
+    # with nulls, descending sort, and a null-prefix — bitwise-close
+    import random
+
+    import pandas as pd
+
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(500):
+        v = None if rng.random() < 0.2 else round(rng.uniform(-50, 50), 3)
+        rows.append((i, v))
+    # null prefix: rows before any value must stay null
+    rows[0] = (0, None)
+    rows[1] = (1, None)
+    df = spark.createDataFrame(rows, "t int, v double")
+    for direction in (1, -1):
+        out = compile_pipeline(df, [
+            {"$setWindowFields": {
+                "sortBy": {"t": direction},
+                "output": {"ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.3}}},
+            }},
+        ]).orderBy("t").collect()
+        ordered = sorted(rows, key=lambda r: r[0], reverse=direction == -1)
+        ref = pd.Series([v for _t, v in ordered], dtype="float64").ewm(
+            alpha=0.3, adjust=False, ignore_na=True
+        ).mean()
+        ref_by_t = {t: ref.iloc[i] for i, (t, _v) in enumerate(ordered)}
+        for r in out:
+            expect = ref_by_t[r["t"]]
+            if expect != expect:  # NaN → null row before any value
+                assert r["ema"] is None or r["ema"] != r["ema"]
+            else:
+                assert r["ema"] == pytest.approx(expect, rel=1e-9, abs=1e-12)
+
+
+@pytest.fixture(scope="module")
+def search_corpus(spark):
+    rows = [
+        (1, "spark engines process data at scale", "eng", 2020),
+        (2, "the model trains on data data data", "ml", 2021),
+        (3, "training data for the model", "ml", 2022),
+        (4, "nothing relevant here at all", "misc", 2023),
+        (5, "big data model training at scale", "ml", 2024),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "tag", "year"])
+
+
+def test_search_single_scan_plan(search_corpus):
+    # the whole $search stage (text operator) must be one scan: stats
+    # fold in as literals, scoring is inline — no join, no exchange
+    # besides the final order
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    out = compile_pipeline(
+        search_corpus,
+        [{"$search": {"text": {"query": "data model", "path": "text"}}}],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_search_phrase(search_corpus):
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    out = compile_pipeline(
+        search_corpus,
+        [{"$search": {"phrase": {"query": "training data", "path": "text"}}}],
+    ).collect()
+    assert [r["doc_id"] for r in out] == [3]  # only the adjacent phrase
+    assert out[0]["score"] > 0
+    # 'data ... training' non-adjacent (doc 5 has 'model training') no match
+    out2 = compile_pipeline(
+        search_corpus,
+        [{"$search": {"phrase": {"query": "model training", "path": "text"}}}],
+    ).collect()
+    assert [r["doc_id"] for r in out2] == [5]
+
+
+def test_search_structured_operators(search_corpus):
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    eq = compile_pipeline(
+        search_corpus, [{"$search": {"equals": {"path": "tag", "value": "ml"}}}]
+    ).collect()
+    assert {r["doc_id"] for r in eq} == {2, 3, 5}
+    assert all(r["score"] == 1.0 for r in eq)
+
+    rng = compile_pipeline(
+        search_corpus,
+        [{"$search": {"range": {"path": "year", "gte": 2021, "lt": 2023}}}],
+    ).collect()
+    assert {r["doc_id"] for r in rng} == {2, 3}
+
+    isin = compile_pipeline(
+        search_corpus, [{"$search": {"in": {"path": "year", "value": [2020, 2024]}}}]
+    ).collect()
+    assert {r["doc_id"] for r in isin} == {1, 5}
+
+    wc = compile_pipeline(
+        search_corpus, [{"$search": {"wildcard": {"path": "text", "query": "*trains*"}}}]
+    ).collect()
+    assert {r["doc_id"] for r in wc} == {2}
+
+    ex = compile_pipeline(
+        search_corpus, [{"$search": {"exists": {"path": "tag"}}}]
+    ).collect()
+    assert len(ex) == 5
+
+
+def test_search_compound(search_corpus):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    # must (text) + filter (equals) + mustNot (range): ml docs about
+    # data, excluding year >= 2024
+    out = compile_pipeline(
+        search_corpus,
+        [{"$search": {"compound": {
+            "must": [{"text": {"query": "data", "path": "text"}}],
+            "filter": [{"equals": {"path": "tag", "value": "ml"}}],
+            "mustNot": [{"range": {"path": "year", "gte": 2024}}],
+        }}}],
+    ).collect()
+    assert {r["doc_id"] for r in out} == {2, 3}
+    # doc 2 (tf=3 'data') outranks doc 3 (tf=1)
+    assert out[0]["doc_id"] == 2 and out[0]["score"] > out[1]["score"]
+
+    # pure-should compound = OR; minimumShouldMatch=2 = AND-ish
+    should_or = compile_pipeline(
+        search_corpus,
+        [{"$search": {"compound": {"should": [
+            {"equals": {"path": "tag", "value": "eng"}},
+            {"equals": {"path": "year", "value": 2024}},
+        ]}}}],
+    ).collect()
+    assert {r["doc_id"] for r in should_or} == {1, 5}
+    msm = compile_pipeline(
+        search_corpus,
+        [{"$search": {"compound": {
+            "should": [
+                {"equals": {"path": "tag", "value": "ml"}},
+                {"range": {"path": "year", "gte": 2024}},
+            ],
+            "minimumShouldMatch": 2,
+        }}}],
+    ).collect()
+    assert {r["doc_id"] for r in msm} == {5}
+    # should scores add: doc 5 matched both → score 2
+    assert msm[0]["score"] == 2.0
+
+    # boost/constant score options
+    boosted = compile_pipeline(
+        search_corpus,
+        [{"$search": {"equals": {"path": "tag", "value": "ml",
+                                 "score": {"boost": {"value": 3.0}}}}}],
+    ).collect()
+    assert all(r["score"] == 3.0 for r in boosted)
+    const = compile_pipeline(
+        search_corpus,
+        [{"$search": {"text": {"query": "data", "path": "text",
+                               "score": {"constant": {"value": 7.5}}}}}],
+    ).collect()
+    assert all(r["score"] == 7.5 for r in const)
+
+    with pytest.raises(PipelineCompileError, match="exactly one operator"):
+        compile_pipeline(
+            search_corpus,
+            [{"$search": {"text": {"query": "a", "path": "text"},
+                          "phrase": {"query": "b", "path": "text"}}}],
+        )
+    with pytest.raises(PipelineCompileError, match="unsupported"):
+        compile_pipeline(
+            search_corpus, [{"$search": {"moreLikeThis": {"like": {}}}}]
+        )
