@@ -257,6 +257,9 @@ def _compile_stage(  # noqa: C901
     if op == "$search":
         return _search_stage(df, arg)
 
+    if op == "$searchMeta":
+        return _search_meta_stage(df, arg)
+
     if op == "$vectorSearch":
         return _vector_search(df, arg)
 
@@ -513,7 +516,8 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
 
 _SEARCH_OPERATORS = (
-    "text", "phrase", "compound", "equals", "range", "exists", "in", "wildcard"
+    "text", "phrase", "compound", "equals", "range", "exists", "in",
+    "wildcard", "autocomplete",
 )
 
 
@@ -611,6 +615,40 @@ def _compile_search_op(  # noqa: C901
         )
         pred = resolve_field(str(spec["path"])).cast("string").rlike(f"^{pat}$")
         return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "autocomplete":
+        # Atlas autocomplete = edge-gram prefix matching: every query
+        # term must be a PREFIX of some token in the path;
+        # tokenOrder "sequential" additionally requires the prefixes to
+        # hit consecutive tokens in query order. Compiled to one rlike
+        # over normalized text — no edge-gram index materialization
+        # needed (the scan-side equivalent; documented divergence:
+        # Atlas's index also powers fuzzy, which is not supported here).
+        # Constant score 1 (Atlas's edge-gram scores are index-internal).
+        import re as _re
+
+        terms = [w for w in str(spec["query"]).lower().split() if w]
+        if not terms:
+            raise PipelineCompileError(
+                "$search autocomplete.query must contain at least one term"
+            )
+        normalized = F.regexp_replace(
+            F.lower(F.trim(resolve_field(str(spec["path"])).cast("string"))),
+            r"\s+", " ",
+        )
+        order = spec.get("tokenOrder", "any")
+        if order == "sequential":
+            pat = r"(^|\s)" + r"\S*\s".join(_re.escape(t) for t in terms)
+            pred = normalized.rlike(pat)
+        elif order == "any":
+            pred = None
+            for t in terms:
+                one = normalized.rlike(r"(^|\s)" + _re.escape(t))
+                pred = one if pred is None else pred & one
+        else:
+            raise PipelineCompileError(
+                f"unsupported autocomplete tokenOrder: {order!r}"
+            )
+        return pred, _search_score_option(spec, F.lit(1.0))
     if op == "compound":
         must = [_one_search_op(df, c) for c in spec.get("must", [])]
         filt = [_one_search_op(df, c) for c in spec.get("filter", [])]
@@ -693,6 +731,124 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         .withColumn(score_field, score.cast("double"))
         .orderBy(F.desc(score_field), F.col(key))
     )
+
+
+def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    """``$searchMeta`` (Atlas): metadata about a search — the match
+    count, or facet buckets — WITHOUT returning the documents.
+
+    Forms:
+      - ``{"<operator>": {...}}`` → one row ``{count: {total: n}}``
+      - ``{"facet": {"operator": {...}, "facets": {name: spec, ...}}}``
+        where spec is ``{"type": "string", "path": p, "numBuckets": k}``
+        (top-k values by frequency) or ``{"type": "number", "path": p,
+        "boundaries": [b0, b1, ...]}`` ($bucket-style half-open ranges)
+        → one row ``{count: {total}, facet_<name>: [{_id, count}, ...]}``.
+
+    Fixed-schema divergences (documented): the exact ``total`` is
+    reported (Atlas may return a lowerBound), and facet buckets land in
+    ``facet_<name>`` array columns instead of nested metadata.
+
+    Physical shape: the operator predicate is pure Column (one filtered
+    scan); each facet is one small groupBy whose result is BOUNDED
+    (numBuckets / len(boundaries)), collected and emitted as a one-row
+    literal frame — the same constant-size-collect reasoning as the
+    BM25 stats aggregate.
+    """
+    from pyspark.sql import types as _T
+
+    facets: Mapping[str, Any] = {}
+    if "facet" in arg:
+        fspec = arg["facet"]
+        if "operator" not in fspec or "facets" not in fspec:
+            raise PipelineCompileError(
+                "$searchMeta facet needs {'operator': …, 'facets': …}"
+            )
+        (fop, fsp), = fspec["operator"].items() if len(fspec["operator"]) == 1 else (
+            (None, None),
+        )
+        if fop is None:
+            raise PipelineCompileError(
+                "$searchMeta facet.operator must have exactly one operator"
+            )
+        pred, _score = _one_search_op(df, {fop: fsp})
+        facets = fspec["facets"]
+    else:
+        ops = [(k, v) for k, v in arg.items() if k not in ("count", "scoreField", "index")]
+        if len(ops) != 1:
+            raise PipelineCompileError(
+                "$searchMeta requires exactly one operator (or facet)"
+            )
+        pred, _score = _one_search_op(df, dict([ops[0]]))
+    matched = df.where(F.coalesce(pred, F.lit(False)))
+
+    from anser_spark.functions.filters import resolve_field
+
+    total = matched.count()
+    row: dict[str, Any] = {"count": {"total": total}}
+    fields: list[_T.StructField] = [
+        _T.StructField(
+            "count", _T.StructType([_T.StructField("total", _T.LongType())])
+        )
+    ]
+    for name, spec in facets.items():
+        ftype = spec.get("type")
+        path = str(spec["path"])
+        col = resolve_field(path)
+        if ftype == "string":
+            k = int(spec.get("numBuckets", 10))
+            buckets = (
+                matched.groupBy(col.cast("string").alias("_id"))
+                .agg(F.count(F.lit(1)).alias("count"))
+                .orderBy(F.desc("count"), F.asc("_id"))
+                .limit(k)
+                .collect()
+            )
+            row[f"facet_{name}"] = [
+                {"_id": r["_id"], "count": r["count"]} for r in buckets
+            ]
+            idt: _T.DataType = _T.StringType()
+        elif ftype == "number":
+            bounds = [float(b) for b in spec["boundaries"]]
+            if sorted(bounds) != bounds or len(bounds) < 2:
+                raise PipelineCompileError(
+                    "$searchMeta number facet boundaries must be ascending, ≥2"
+                )
+            expr = None
+            v = col.cast("double")
+            for lo, hi in zip(bounds, bounds[1:]):
+                cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+                expr = F.when(cond, F.lit(lo)) if expr is None else expr.when(cond, F.lit(lo))
+            per = (
+                matched.withColumn("__fb", expr)
+                .where(F.col("__fb").isNotNull())
+                .groupBy("__fb")
+                .agg(F.count(F.lit(1)).alias("count"))
+                .collect()
+            )
+            counts = {r["__fb"]: r["count"] for r in per}
+            row[f"facet_{name}"] = [
+                {"_id": lo, "count": counts.get(lo, 0)} for lo in bounds[:-1]
+            ]
+            idt = _T.DoubleType()
+        else:
+            raise PipelineCompileError(
+                f"unsupported $searchMeta facet type: {ftype!r} (string/number)"
+            )
+        fields.append(
+            _T.StructField(
+                f"facet_{name}",
+                _T.ArrayType(
+                    _T.StructType(
+                        [
+                            _T.StructField("_id", idt),
+                            _T.StructField("count", _T.LongType()),
+                        ]
+                    )
+                ),
+            )
+        )
+    return df.sparkSession.createDataFrame([row], _T.StructType(fields))
 
 
 def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:

@@ -419,3 +419,74 @@ def test_search_compound(search_corpus):
         compile_pipeline(
             search_corpus, [{"$search": {"moreLikeThis": {"like": {}}}}]
         )
+
+
+def test_search_autocomplete(search_corpus):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    # prefix match: "train" prefixes 'trains'/'training'
+    out = compile_pipeline(
+        search_corpus,
+        [{"$search": {"autocomplete": {"query": "train", "path": "text"}}}],
+    ).collect()
+    assert {r["doc_id"] for r in out} == {2, 3, 5}
+    # any-order multi-term: each term prefixes SOME token
+    out2 = compile_pipeline(
+        search_corpus,
+        [{"$search": {"autocomplete": {"query": "scale dat", "path": "text"}}}],
+    ).collect()
+    assert {r["doc_id"] for r in out2} == {1, 5}
+    # sequential: prefixes must hit consecutive tokens in order
+    seq = compile_pipeline(
+        search_corpus,
+        [{"$search": {"autocomplete": {"query": "model train", "path": "text",
+                                       "tokenOrder": "sequential"}}}],
+    ).collect()
+    # docs 2 ('model trains') and 5 ('model training') have adjacent
+    # prefix hits; doc 3 has 'model' last — nothing follows to prefix
+    assert {r["doc_id"] for r in seq} == {2, 5}
+    with pytest.raises(PipelineCompileError, match="tokenOrder"):
+        compile_pipeline(
+            search_corpus,
+            [{"$search": {"autocomplete": {"query": "x", "path": "text",
+                                           "tokenOrder": "zigzag"}}}],
+        )
+
+
+def test_search_meta(search_corpus):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    # count form
+    out = compile_pipeline(
+        search_corpus,
+        [{"$searchMeta": {"text": {"query": "data", "path": "text"}}}],
+    ).collect()
+    assert len(out) == 1 and out[0]["count"]["total"] == 4
+
+    # facet form: string facet (top values) + number facet (boundaries)
+    fac = compile_pipeline(
+        search_corpus,
+        [{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "data model training", "path": "text"}},
+            "facets": {
+                "tags": {"type": "string", "path": "tag", "numBuckets": 2},
+                "years": {"type": "number", "path": "year",
+                          "boundaries": [2020, 2022, 2025]},
+            },
+        }}}],
+    ).collect()
+    assert len(fac) == 1
+    r = fac[0]
+    assert r["count"]["total"] == 4  # doc 4 matches no term
+    tags = [(b["_id"], b["count"]) for b in r["facet_tags"]]
+    assert tags[0] == ("ml", 3)
+    years = {b["_id"]: b["count"] for b in r["facet_years"]}
+    assert years[2020.0] + years[2022.0] == sum(years.values())
+    with pytest.raises(PipelineCompileError, match="facet type"):
+        compile_pipeline(
+            search_corpus,
+            [{"$searchMeta": {"facet": {
+                "operator": {"exists": {"path": "tag"}},
+                "facets": {"bad": {"type": "date", "path": "year"}},
+            }}}],
+        )
