@@ -1441,13 +1441,28 @@ def _q_corpus_splits(spark, sf_dir):
     # corpus management in one gate: every document's deterministic
     # md5-bucket train/val/test assignment, its per-language
     # stratified-sample membership (NULL lang = dropped by the
-    # sampler), and its global-shuffle key (reproducible training-order
-    # permutation — sorting by it IS the shuffle)
-    from anser_spark.operators.corpus import with_shuffle_key
+    # sampler), its global-shuffle key (reproducible training-order
+    # permutation — sorting by it IS the shuffle), and its
+    # quality-weighted Bernoulli-sample membership (round 5:
+    # weighted_sample with weight = min(1, len(text)/2000), rate 0.8 —
+    # inclusion probability min(1, rate·w) on an independent md5 coin,
+    # exactly integer-reproducible in SQL)
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.corpus import weighted_sample, with_shuffle_key
 
     strat = _q_stratified_sample(spark, sf_dir).withColumnRenamed("lang", "strat_lang")
     split = _q_hash_split(spark, sf_dir).join(strat, "doc_id", "left")
-    return with_shuffle_key(split, salt="epoch0")
+    docs = _db(spark, sf_dir).collection("documents").df().select("doc_id", "text")
+    w = F.least(F.lit(1.0), F.length("text") / F.lit(2000.0))
+    kept = weighted_sample(
+        docs.withColumn("__w", w), "__w", rate=0.8, salt="ws"
+    ).select("doc_id", F.lit(True).alias("ws_kept"))
+    return (
+        with_shuffle_key(split, salt="epoch0")
+        .join(kept, "doc_id", "left")
+        .withColumn("ws_kept", F.coalesce(F.col("ws_kept"), F.lit(False)))
+    )
 
 
 def _q_bucket_stages(spark, sf_dir):
@@ -1796,12 +1811,17 @@ def oracle_sql() -> dict[str, str]:
         # per-language stratified-sample thresholds (floor(rate * 65536))
         "corpus_splits": """
             WITH b AS (
-              SELECT doc_id, lang,
+              SELECT doc_id, lang, text,
                 (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
-                AS bucket
+                AS bucket,
+                (strpos('0123456789abcdef', substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5('ws' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5('ws' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5('ws' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                AS ws_bucket
               FROM documents
             )
             SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
@@ -1813,7 +1833,10 @@ def oracle_sql() -> dict[str, str]:
                                                 WHEN 'zh' THEN 65536
                                                 ELSE 6553 END
                         THEN lang END AS strat_lang,
-                   md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+                   md5('epoch0' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                   coalesce(ws_bucket < floor(
+                       least(1.0, 0.8 * least(1.0, len(text) / 2000.0)) * 65536.0),
+                     false) AS ws_kept
             FROM b
         """,
         "decontamination": """

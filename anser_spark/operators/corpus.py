@@ -19,6 +19,7 @@ from anser_spark.operators.dedup import shingle_postings_arrow
 __all__ = [
     "hash_split",
     "stratified_sample",
+    "weighted_sample",
     "contaminated_pairs",
     "decontaminate",
     "with_shuffle_key",
@@ -108,6 +109,41 @@ def stratified_sample(
         edge = F.when(F.col(strata_col) == name, F.lit(int(float(r) * _BUCKETS))).otherwise(
             edge
         )
+    return df.where(bucket < edge)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str | Column,
+    rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each document
+    with probability ``min(1, rate · weight)`` — quality-weighted
+    corpus curation (sample high-quality documents at a higher rate)
+    with the same properties as the other corpus operators: no RNG
+    state (the coin is the document's md5 bucket, so membership is a
+    pure scan-speed filter), exactly reproducible by a SQL oracle, and
+    MONOTONE — raising ``rate`` or a document's weight only ever ADDS
+    documents to the sample (the kept bucket range widens), which is
+    what makes incremental corpus rebuilds append-only.
+
+    ``weight_col`` is a column name or Column of non-negative weights
+    (e.g. a quality score in [0, 1]); the inclusion threshold is
+    ``floor(min(1, rate·w) · 65536)`` in integer math so the oracle
+    reproduces the edge exactly.
+    """
+    if not (0.0 <= float(rate)):
+        raise ValueError("rate must be non-negative")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    p = F.least(F.lit(1.0), F.lit(float(rate)) * w.cast("double"))
+    edge = F.floor(p * F.lit(float(_BUCKETS))).cast("long")
     return df.where(bucket < edge)
 
 

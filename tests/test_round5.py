@@ -490,3 +490,29 @@ def test_search_meta(search_corpus):
                 "facets": {"bad": {"type": "date", "path": "year"}},
             }}}],
         )
+
+
+def test_weighted_sample(spark):
+    # deterministic weighted Bernoulli: p = min(1, rate·w); monotone in
+    # both rate and weight; weight 0 never sampled, w ≥ 1/rate always
+    from anser_spark.operators.corpus import weighted_sample
+
+    rows = [(i, 0.0 if i % 10 == 0 else (i % 100) / 50.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    kept = weighted_sample(df, "w", rate=0.5)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert all(i % 10 != 0 for i in ids)  # zero weight never kept
+    # w >= 2 → p = 1 → always kept
+    certain = {i for i, w in rows if 0.5 * w >= 1.0}
+    assert certain <= ids
+    # determinism
+    assert ids == {r["doc_id"] for r in weighted_sample(df, "w", rate=0.5).collect()}
+    # monotone: higher rate only adds documents
+    more = {r["doc_id"] for r in weighted_sample(df, "w", rate=0.9).collect()}
+    assert ids <= more
+    # rough calibration: overall kept fraction ≈ mean(min(1, 0.5w))
+    import statistics
+    expect = statistics.mean(min(1.0, 0.5 * w) for _i, w in rows)
+    assert abs(len(ids) / len(rows) - expect) < 0.05
+    with pytest.raises(ValueError):
+        weighted_sample(df, "w", rate=-1)
