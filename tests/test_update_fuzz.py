@@ -39,7 +39,7 @@ def make_rows(rng, count=25):
 
 
 def rand_update(rng):
-    choice = rng.randrange(10)
+    choice = rng.randrange(15)
     if choice == 0:
         return {"$set": {"n": rng.choice([0, 9]), "s": "set!"}}
     if choice == 1:
@@ -58,7 +58,23 @@ def rand_update(rng):
         return {"$addToSet": {"arr": rng.choice([1, 9])}}
     if choice == 8:
         return {"$pull": {"arr": rng.choice([1, 5])}}
-    return {"$pop": {"arr": rng.choice([1, -1])}}
+    if choice == 9:
+        return {"$pop": {"arr": rng.choice([1, -1])}}
+    # round-5 widening: $unset / $rename / $pullAll / $push modifiers /
+    # $setOnInsert-on-update (must be a no-op outside upserts)
+    if choice == 10:
+        return {"$unset": {rng.choice(["s", "x"]): ""}}
+    if choice == 11:
+        return {"$rename": {"s": "s_renamed"}}
+    if choice == 12:
+        return {"$pullAll": {"arr": rng.choice([[1, 5], [2], []])}}
+    if choice == 13:
+        each = [rng.choice([6, 7]), rng.choice([8, 9])]
+        mods = {"$each": each}
+        if rng.random() < 0.6:
+            mods["$slice"] = rng.choice([-3, 0, 2, 10])
+        return {"$push": {"arr": mods}}
+    return {"$setOnInsert": {"n": 999}}
 
 
 def rand_filter(rng):
@@ -89,7 +105,14 @@ def ref_apply(doc, update):
             elif op == "$max":
                 doc[path] = value if cur is None else max(cur, value)
             elif op == "$push":
-                doc[path] = (cur or []) + [value]
+                if isinstance(value, dict) and "$each" in value:
+                    base = (cur or []) + list(value["$each"])
+                    if "$slice" in value:
+                        n = value["$slice"]
+                        base = base[:n] if n >= 0 else base[n:]
+                    doc[path] = base
+                else:
+                    doc[path] = (cur or []) + [value]
             elif op == "$addToSet":
                 base = cur or []
                 doc[path] = base + ([] if value in base else [value])
@@ -98,6 +121,18 @@ def ref_apply(doc, update):
             elif op == "$pop":
                 base = cur or []
                 doc[path] = base[:-1] if value == 1 else base[1:]
+            elif op == "$unset":
+                # fixed-schema divergence: a partially-matched $unset
+                # nulls the column (documented); all-matched column
+                # drops happen at the engine layer, not apply_update
+                doc[path] = None
+            elif op == "$rename":
+                doc[value] = doc.get(path)
+                doc[path] = None
+            elif op == "$pullAll":
+                doc[path] = [v for v in (cur or []) if v not in value]
+            elif op == "$setOnInsert":
+                pass  # only applies on upsert-insert, never on update
     return doc
 
 
