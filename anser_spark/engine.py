@@ -634,9 +634,49 @@ class Collection:
     def pipe(self, pipeline: Sequence[Mapping[str, Any]]) -> "Aggregation":
         from anser_spark.plans.pipeline import Aggregation
 
+        pipeline = self._resolve_coll_stats(pipeline)
         return Aggregation(self, self._resolve_search_indexes(pipeline))
 
     aggregate = pipe
+
+    def _resolve_coll_stats(self, stages: Sequence[Mapping[str, Any]]):
+        """``$collStats`` (must be the first stage, as in Mongo): emit
+        one stats document for this collection — ``count`` (exact
+        document count) and/or ``storageStats`` (data bytes, file
+        count, current version, partition columns) — rewritten into a
+        ``$documents`` literal so the rest of the pipeline composes
+        normally. Storage stats are pure driver-side metadata (an
+        os.walk of the current version directory — no Spark job);
+        ``count`` runs one count job. Fixed-schema divergence from
+        Mongo's host/localTime-bearing output: deterministic fields
+        only."""
+        stages = list(stages)
+        if not stages or not isinstance(stages[0], Mapping) or "$collStats" not in stages[0]:
+            if any(isinstance(s, Mapping) and "$collStats" in s for s in stages):
+                raise ValueError("$collStats must be the first pipeline stage")
+            return stages
+        arg = stages[0]["$collStats"] or {}
+        doc: dict[str, Any] = {"ns": str(self.namespace)}
+        if "count" in arg:
+            doc["count"] = self.count()
+        if "storageStats" in arg:
+            path = self.current_path()
+            size = n_files = 0
+            if path and os.path.isfile(path):
+                size, n_files = os.path.getsize(path), 1
+            elif path:
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        if not f.startswith((".", "_")):
+                            size += os.path.getsize(os.path.join(root, f))
+                            n_files += 1
+            doc["storage_size_bytes"] = size
+            doc["file_count"] = n_files
+            doc["version"] = self._pointer() or "source"
+            # comma-joined (a bare [] has no inferable element type in
+            # the $documents literal)
+            doc["partition_columns"] = ",".join(self.partition_columns())
+        return [{"$documents": [doc]}, *stages[1:]]
 
     # -- search indexes (Atlas createSearchIndex surface) --------------
     def _search_index_dir(self) -> str:

@@ -516,3 +516,24 @@ def test_weighted_sample(spark):
     assert abs(len(ids) / len(rows) - expect) < 0.05
     with pytest.raises(ValueError):
         weighted_sample(df, "w", rate=-1)
+
+
+def test_coll_stats_stage(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    c = eng.db("statsdb").collection("t")
+    c.insert_df(spark.createDataFrame([(i, i * 2) for i in range(10)], ["_id", "v"]))
+    out = c.pipe([{"$collStats": {"count": {}, "storageStats": {}}}]).all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["ns"] == "statsdb.t" and r["count"] == 10
+    assert r["storage_size_bytes"] > 0 and r["file_count"] >= 1
+    assert r["version"] == "v1"
+    # composes with downstream stages
+    n = c.pipe([{"$collStats": {"count": {}}},
+                {"$project": {"count": 1}}]).all()
+    assert n[0]["count"] == 10
+    # non-leading $collStats is an error, as in Mongo
+    with pytest.raises(ValueError, match="first"):
+        c.pipe([{"$match": {}}, {"$collStats": {"count": {}}}])
