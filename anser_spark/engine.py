@@ -318,6 +318,50 @@ class Collection:
             return [c for c in text.split(",") if c]
         return []
 
+    def set_clustering(self, *cols: str, n_files: int | None = None) -> None:
+        """Declare clustering columns: every subsequent version write
+        range-partitions and sorts rows by ``cols`` before writing, so
+        each parquet file covers a NARROW, non-overlapping range of the
+        clustering key. Parquet footer min/max stats then actually
+        prune: a key-equality probe (point lookup, the duplicate-key
+        file scan of first-match mutations, COW match-file detection on
+        the key) reads ~one file instead of every file — the flat-file
+        analogue of a clustered index, and the standard lakehouse
+        sort-on-write layout. Costs one range exchange per version
+        write (read-optimized trade, documented); takes effect on the
+        next rewrite. Pass no columns to clear.
+
+        ``n_files`` pins the number of range shards (an explicit
+        repartition count AQE respects); default None lets AQE size the
+        shards by data volume — the right default at scale, where shard
+        count should track bytes, not a stored constant."""
+        os.makedirs(self._store_dir, exist_ok=True)
+        with open(os.path.join(self._store_dir, "_CLUSTERING"), "w") as fh:
+            fh.write(",".join(cols))
+            if n_files:
+                fh.write(f"\n{int(n_files)}")
+
+    def clustering_columns(self) -> tuple[list[str], int | None]:
+        p = os.path.join(self._store_dir, "_CLUSTERING")
+        if os.path.exists(p):
+            with open(p) as fh:
+                lines = fh.read().splitlines()
+            cols = [c for c in (lines[0] if lines else "").split(",") if c]
+            n = int(lines[1]) if len(lines) > 1 and lines[1].strip() else None
+            return cols, n
+        return [], None
+
+    def optimize(self) -> None:
+        """Compact the collection into a fresh fully-clustered version
+        (the lakehouse OPTIMIZE analogue). Appends and partial COW
+        rewrites add files that OVERLAP the clustered ranges (they link
+        old files untouched — re-clustering them would defeat the
+        file-level write path); running optimize() after heavy append
+        churn restores the non-overlapping layout, re-sharpening footer
+        min/max pruning. One full read→write job; same atomic pointer
+        swap as every version."""
+        self._rewrite(self.df())
+
     def _next_version(self) -> tuple[str, str | None]:
         os.makedirs(self._store_dir, exist_ok=True)
         ptr = self._pointer()
@@ -356,6 +400,18 @@ class Collection:
     def _write_version(
         self, df: DataFrame, version: str, pcols: Sequence[str] | None = None
     ) -> str:
+        raw_ccols, n_shards = self.clustering_columns()
+        ccols = [c for c in raw_ccols if c in df.columns]
+        if ccols:
+            # clustered layout: range-partition + sort so every written
+            # file covers a narrow, non-overlapping key range — parquet
+            # footer min/max stats become selective (see set_clustering)
+            cexprs = [F.col(c) for c in ccols]
+            df = (
+                df.repartitionByRange(n_shards, *cexprs)
+                if n_shards
+                else df.repartitionByRange(*cexprs)
+            ).sortWithinPartitions(*ccols)
         writer = df.write.mode("overwrite")
         pcols = self.partition_columns() if pcols is None else list(pcols)
         pcols = [c for c in pcols if c in df.columns]

@@ -537,3 +537,57 @@ def test_coll_stats_stage(spark, tmp_path):
     # non-leading $collStats is an error, as in Mongo
     with pytest.raises(ValueError, match="first"):
         c.pipe([{"$match": {}}, {"$collStats": {"count": {}}}])
+
+
+def test_clustered_writes_prune_key_probes(spark, tmp_path):
+    # set_clustering → files cover non-overlapping key ranges → parquet
+    # footer min/max makes key probes touch ONE file
+    import pyarrow.parquet as pq
+
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    c = eng.db("cl").collection("t")
+    c.set_clustering("_id", n_files=4)
+    # write ids in scrambled order across 8 partitions
+    ids = [(i * 37) % 1000 for i in range(1000)]
+    c.insert_df(
+        spark.createDataFrame([(i, f"v{i}") for i in ids], ["_id", "v"]).repartition(8)
+    )
+    files = c._data_files(c.current_path())
+    assert len(files) > 1
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # _id is the sort key
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping clustered files: {ranges}"
+
+    # a key-equality probe resolves to exactly one file
+    from pyspark.sql import functions as F
+
+    probe = (
+        c.df().where(F.col("_id") == 777)
+        .select(F.col("_metadata.file_path").alias("f")).distinct().collect()
+    )
+    assert len(probe) == 1
+
+    # appends overlap (documented) — optimize() restores the layout
+    c.insert_df(spark.createDataFrame([(5, "new"), (995, "new")], ["_id", "v"]))
+    c.optimize()
+    files2 = c._data_files(c.current_path())
+    r2 = []
+    for f in files2:
+        md = pq.read_metadata(f)
+        s = [md.row_group(g).column(0).statistics for g in range(md.num_row_groups)]
+        r2.append((min(x.min for x in s), max(x.max for x in s)))
+    r2.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(r2, r2[1:]):
+        assert hi1 <= lo2
+    assert c.count() == 1002
