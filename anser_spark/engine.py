@@ -351,6 +351,57 @@ class Collection:
             return cols, n
         return [], None
 
+    def set_retention(self, n_versions: int) -> None:
+        """Keep the last ``n_versions`` dataset versions instead of only
+        the current one — time travel for corpus builds: audit what a
+        training run actually read, diff versions, roll back by reading
+        an old version and rewriting it. Retained versions are nearly
+        free (copy-on-write hard links share unchanged files); the cost
+        is only the rewritten/appended files each version adds. Applies
+        on the next pointer swap."""
+        if int(n_versions) < 1:
+            raise ValueError("retention must keep at least the current version")
+        os.makedirs(self._store_dir, exist_ok=True)
+        with open(os.path.join(self._store_dir, "_RETENTION"), "w") as fh:
+            fh.write(str(int(n_versions)))
+
+    def retention(self) -> int:
+        p = os.path.join(self._store_dir, "_RETENTION")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return max(1, int(fh.read().strip() or 1))
+        return 1
+
+    def versions(self) -> list[str]:
+        """Readable dataset versions, oldest→newest (current last).
+        Only versions at or below the committed pointer count — a
+        version directory being written ahead of its pointer swap is
+        not yet readable and is excluded."""
+        ptr = self._pointer()
+        if not os.path.isdir(self._store_dir) or not (ptr and ptr.startswith("v")):
+            return []
+        cur = int(ptr[1:])
+        return sorted(
+            (n for n in os.listdir(self._store_dir)
+             if n.startswith("v") and n[1:].isdigit() and int(n[1:]) <= cur and
+             os.path.isdir(os.path.join(self._store_dir, n))),
+            key=lambda n: int(n[1:]),
+        )
+
+    def df_at(self, version: str) -> DataFrame:
+        """Time-travel read: the collection AS OF ``version`` (one of
+        ``versions()``). Same lazy reader as ``df()``; raises
+        NotFoundError for a reaped or unknown version."""
+        path = os.path.join(self._store_dir, version)
+        if not os.path.isdir(path):
+            raise NotFoundError(
+                f"version {version!r} of {self.namespace} does not exist "
+                f"(retained: {self.versions()})"
+            )
+        from anser_spark.sources.readers import read_table
+
+        return read_table(self.engine.spark, path)
+
     def optimize(self) -> None:
         """Compact the collection into a fresh fully-clustered version
         (the lakehouse OPTIMIZE analogue). Appends and partial COW
@@ -374,9 +425,10 @@ class Collection:
         old_ptr: str | None,
         meta_update: Mapping[str, str] | None = None,
     ) -> None:
-        """Atomic tmp+rename pointer swap, then reap the old version dir.
-        Old versions may share data files with the new one via hard links
-        — removing the old directory entries leaves shared inodes alive.
+        """Atomic tmp+rename pointer swap, then reap version dirs older
+        than the retention window (``set_retention``; default keeps only
+        the new current). Versions share data files via hard links —
+        removing a directory's entries leaves shared inodes alive.
         Existing pointer metadata (``pointer_meta``) is carried forward;
         ``meta_update`` merges new keys in the SAME atomic rename, so a
         metadata fact and the version it describes commit together."""
@@ -389,13 +441,17 @@ class Collection:
             for k in sorted(meta):
                 fh.write(f"\n{k}={meta[k]}")
         os.replace(tmp, os.path.join(self._store_dir, "_CURRENT"))
-        old = (
-            os.path.join(self._store_dir, old_ptr)
-            if old_ptr and old_ptr.startswith("v")
-            else None
-        )
-        if old and os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        # reap versions beyond the retention window (default 1 = only
+        # the new current). Hard-linked files mean a retained version
+        # costs directory entries, not data bytes, unless rewritten.
+        keep = max(1, self.retention())
+        current_n = int(version[1:]) if version.startswith("v") else 0
+        for name in os.listdir(self._store_dir):
+            if name.startswith("v") and name[1:].isdigit():
+                if int(name[1:]) <= current_n - keep:
+                    shutil.rmtree(
+                        os.path.join(self._store_dir, name), ignore_errors=True
+                    )
 
     def _write_version(
         self, df: DataFrame, version: str, pcols: Sequence[str] | None = None

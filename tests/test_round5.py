@@ -591,3 +591,30 @@ def test_clustered_writes_prune_key_probes(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(r2, r2[1:]):
         assert hi1 <= lo2
     assert c.count() == 1002
+
+
+def test_version_retention_time_travel(spark, tmp_path):
+    from anser_spark.engine import Engine, NotFoundError
+
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    c = eng.db("tt").collection("t")
+    c.set_retention(3)
+    c.insert_df(spark.createDataFrame([(1, "a")], ["_id", "v"]))   # v1
+    c.update_all({}, {"$set": {"v": "b"}})                          # v2
+    c.insert_df(spark.createDataFrame([(2, "c")], ["_id", "v"]))   # v3
+    c.update_all({"_id": 2}, {"$set": {"v": "d"}})                  # v4
+    assert c.versions() == ["v2", "v3", "v4"]  # v1 reaped (keep 3)
+    # time-travel reads see the historical states
+    assert [r["v"] for r in c.df_at("v2").collect()] == ["b"]
+    assert {r["v"] for r in c.df_at("v3").collect()} == {"b", "c"}
+    assert {r["v"] for r in c.df().collect()} == {"b", "d"}
+    with pytest.raises(NotFoundError, match="v1"):
+        c.df_at("v1")
+
+    # default retention (1): old version reaped on swap, as before
+    c2 = eng.db("tt").collection("u")
+    c2.insert_df(spark.createDataFrame([(1,)], ["_id"]))
+    c2.update_all({}, {"$set": {"x": 1}})
+    assert c2.versions() == ["v2"]
+    with pytest.raises(ValueError):
+        c2.set_retention(0)
