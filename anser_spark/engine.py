@@ -402,6 +402,23 @@ class Collection:
 
         return read_table(self.engine.spark, path)
 
+    def diff_versions(self, old: str, new: str | None = None) -> DataFrame:
+        """Row-level diff between two retained versions (``new`` defaults
+        to the current version): every row that appears in exactly one
+        side, tagged ``change_type`` 'added' (in new only) or 'removed'
+        (in old only) — an update shows as removed+added. Multiset
+        semantics (``exceptAll``), so duplicate rows diff correctly.
+        Physical shape: two scans + one hash-aggregate distinct per
+        side; no driver materialization — compose/write the result like
+        any frame. The CDC primitive for corpus builds: what changed
+        between yesterday's dataset and today's."""
+        cur = self._pointer()
+        new_df = self.df() if new is None or new == cur else self.df_at(new)
+        old_df = self.df_at(old) if old != cur else self.df()
+        added = new_df.exceptAll(old_df).withColumn("change_type", F.lit("added"))
+        removed = old_df.exceptAll(new_df).withColumn("change_type", F.lit("removed"))
+        return added.unionByName(removed)
+
     def optimize(self) -> None:
         """Compact the collection into a fresh fully-clustered version
         (the lakehouse OPTIMIZE analogue). Appends and partial COW

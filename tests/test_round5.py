@@ -618,3 +618,28 @@ def test_version_retention_time_travel(spark, tmp_path):
     assert c2.versions() == ["v2"]
     with pytest.raises(ValueError):
         c2.set_retention(0)
+
+
+def test_diff_versions(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    c = eng.db("cdc").collection("t")
+    c.set_retention(5)
+    c.insert_df(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["_id", "v"]))          # v1
+    c.update_all({"_id": 2}, {"$set": {"v": "B"}})               # v2
+    c.remove_id(3)                                               # v3
+    c.insert_df(spark.createDataFrame([(4, "d")], ["_id", "v"]))  # v4
+    d = {(r["_id"], r["change_type"]): r["v"]
+         for r in c.diff_versions("v1").collect()}
+    assert d == {
+        (2, "removed"): "b", (2, "added"): "B",   # update = remove+add
+        (3, "removed"): "c",
+        (4, "added"): "d",
+    }
+    # bounded diff between two historical versions
+    d2 = {(r["_id"], r["change_type"]) for r in c.diff_versions("v2", "v3").collect()}
+    assert d2 == {(3, "removed")}
+    # identical versions diff empty
+    assert c.diff_versions("v4").count() == 0
