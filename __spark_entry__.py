@@ -670,7 +670,16 @@ def _q_simhash(spark, sf_dir):
     planted = docs.where(F.col("doc_id") < 500).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    fp = with_simhash_arrow(docs.unionByName(planted)).select("doc_id", "simhash")
+    # persist: the fingerprint frame feeds BOTH sides of the
+    # original-vs-copy join — without it the whole Arrow siphash/vote
+    # lineage recomputes twice (measured ~2× the gate's wall clock)
+    from pyspark.storagelevel import StorageLevel
+
+    fp = (
+        with_simhash_arrow(docs.unionByName(planted))
+        .select("doc_id", "simhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     orig = fp.where(F.col("doc_id") < 1_000_000).select(
         "doc_id", F.col("simhash").alias("__fa")
     )
