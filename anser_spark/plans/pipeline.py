@@ -517,7 +517,7 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
 _SEARCH_OPERATORS = (
     "text", "phrase", "compound", "equals", "range", "exists", "in",
-    "wildcard", "autocomplete",
+    "wildcard", "autocomplete", "moreLikeThis",
 )
 
 
@@ -649,6 +649,42 @@ def _compile_search_op(  # noqa: C901
                 f"unsupported autocomplete tokenOrder: {order!r}"
             )
         return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "moreLikeThis":
+        # Atlas moreLikeThis: find documents resembling the given
+        # example document(s). Scan-side formulation: extract the
+        # examples' representative terms (top-12 by term frequency,
+        # length ≥ 3, English stopwords dropped — deterministic
+        # tie-break by term) and score them like a text query.
+        # Fixed-schema divergence: Atlas infers fields from the search
+        # index; here ``path`` names the text column (default "text"),
+        # and the example documents themselves are not excluded from
+        # the result (Atlas also returns them when they match).
+        from collections import Counter
+
+        from anser_spark.operators.text import LANG_STOPWORDS
+
+        like = spec.get("like")
+        if like is None:
+            raise PipelineCompileError("$search moreLikeThis requires 'like'")
+        docs = like if isinstance(like, (list, tuple)) else [like]
+        words: list[str] = []
+        for d in docs:
+            if not isinstance(d, Mapping):
+                raise PipelineCompileError(
+                    "moreLikeThis 'like' entries must be documents"
+                )
+            for v in d.values():
+                if isinstance(v, str):
+                    words.extend(v.lower().split())
+        stop = set(LANG_STOPWORDS["en"])
+        counts = Counter(w for w in words if len(w) >= 3 and w not in stop)
+        terms = [t for t, _n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:12]]
+        if not terms:
+            raise PipelineCompileError(
+                "moreLikeThis 'like' documents contain no usable terms"
+            )
+        score = bm25_score_expr(df, terms, text_col=str(spec.get("path", "text")))
+        return score > 0, _search_score_option(spec, score)
     if op == "compound":
         must = [_one_search_op(df, c) for c in spec.get("must", [])]
         filt = [_one_search_op(df, c) for c in spec.get("filter", [])]

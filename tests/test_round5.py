@@ -643,3 +643,32 @@ def test_diff_versions(spark, tmp_path):
     assert d2 == {(3, "removed")}
     # identical versions diff empty
     assert c.diff_versions("v4").count() == 0
+
+
+def test_search_more_like_this(search_corpus):
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    out = compile_pipeline(
+        search_corpus,
+        [{"$search": {"moreLikeThis": {
+            "like": {"text": "data model training pipelines"}}}}],
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    # docs sharing the example's terms, most-similar first; doc 4
+    # (no overlap) excluded
+    assert set(ids) == {1, 2, 3, 5} and 4 not in ids
+    assert out[0]["doc_id"] in (3, 5)  # highest term overlap
+    # multiple like docs merge their term pools
+    multi = compile_pipeline(
+        search_corpus,
+        [{"$search": {"moreLikeThis": {"like": [
+            {"text": "spark engines"}, {"text": "nothing relevant"}]}}}],
+    ).collect()
+    assert {r["doc_id"] for r in multi} == {1, 4}
+    with pytest.raises(PipelineCompileError, match="like"):
+        compile_pipeline(search_corpus, [{"$search": {"moreLikeThis": {}}}])
+    with pytest.raises(PipelineCompileError, match="usable terms"):
+        compile_pipeline(
+            search_corpus,
+            [{"$search": {"moreLikeThis": {"like": {"text": "a of to"}}}}],
+        )
