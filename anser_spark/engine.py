@@ -47,12 +47,21 @@ __all__ = [
     "Namespace",
     "ChangeInfo",
     "NotFoundError",
+    "WriteConflictError",
 ]
 
 
 class NotFoundError(LookupError):
     """Analogue of mongo ErrNoDocuments / reference ResultsNotFound
     (db/errors.go:8-12)."""
+
+
+class WriteConflictError(RuntimeError):
+    """Another writer committed a version between this mutation's read
+    snapshot and its pointer swap — the optimistic-concurrency analogue
+    of Mongo's WriteConflict. The losing mutation raises instead of
+    silently overwriting the winner's version (last-wins lost update);
+    retry re-reads the new current version."""
 
 
 def is_not_found(exc: BaseException) -> bool:
@@ -448,7 +457,18 @@ class Collection:
         removing a directory's entries leaves shared inodes alive.
         Existing pointer metadata (``pointer_meta``) is carried forward;
         ``meta_update`` merges new keys in the SAME atomic rename, so a
-        metadata fact and the version it describes commit together."""
+        metadata fact and the version it describes commit together.
+
+        Optimistic concurrency: under an exclusive flock on the store's
+        ``_LOCK`` file, the pointer is re-read and compared to
+        ``old_ptr`` (the mutation's read snapshot); if another writer
+        committed in between, WriteConflictError is raised and the
+        just-written version directory is removed — a concurrent loser
+        can never silently overwrite the winner (best-effort on
+        filesystems without POSIX locks: the compare-and-swap check
+        still runs, only lock-free)."""
+        import contextlib
+
         meta = self.pointer_meta()
         if meta_update:
             meta.update({str(k): str(v) for k, v in meta_update.items()})
@@ -457,7 +477,35 @@ class Collection:
             fh.write(version)
             for k in sorted(meta):
                 fh.write(f"\n{k}={meta[k]}")
-        os.replace(tmp, os.path.join(self._store_dir, "_CURRENT"))
+
+        @contextlib.contextmanager
+        def _store_lock():
+            lockpath = os.path.join(self._store_dir, "_LOCK")
+            lf = open(lockpath, "a+")  # noqa: SIM115 — held across yield
+            try:
+                try:
+                    import fcntl
+
+                    fcntl.flock(lf, fcntl.LOCK_EX)
+                except (ImportError, OSError):
+                    pass  # lock-free fallback: CAS check below still runs
+                yield
+            finally:
+                lf.close()  # releases the flock
+
+        with _store_lock():
+            committed = self._pointer()
+            if committed != old_ptr:
+                os.remove(tmp)
+                shutil.rmtree(
+                    os.path.join(self._store_dir, version), ignore_errors=True
+                )
+                raise WriteConflictError(
+                    f"{self.namespace}: version {committed!r} was committed by "
+                    f"another writer after this mutation read {old_ptr!r}; "
+                    "retry against the new current version"
+                )
+            os.replace(tmp, os.path.join(self._store_dir, "_CURRENT"))
         # reap versions beyond the retention window (default 1 = only
         # the new current). Hard-linked files mean a retained version
         # costs directory entries, not data bytes, unless rewritten.

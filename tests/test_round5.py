@@ -672,3 +672,31 @@ def test_search_more_like_this(search_corpus):
             search_corpus,
             [{"$search": {"moreLikeThis": {"like": {"text": "a of to"}}}}],
         )
+
+
+def test_write_conflict_detection(spark, tmp_path):
+    # optimistic concurrency: a mutation whose read snapshot went stale
+    # (another writer committed meanwhile) must raise, not last-wins
+    import os
+
+    from anser_spark.engine import Engine, WriteConflictError
+
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    c = eng.db("occ").collection("t")
+    c.insert_df(spark.createDataFrame([(1, "a")], ["_id", "v"]))      # v1
+    # loser takes its snapshot at v1...
+    version, stale_ptr = c._next_version()
+    assert (version, stale_ptr) == ("v2", "v1")
+    # ...winner commits v2 first
+    c.update_all({}, {"$set": {"v": "winner"}})
+    assert c._pointer() == "v2"
+    # loser finishes its write and tries to swap with the stale snapshot
+    c._write_version(spark.createDataFrame([(1, "loser")], ["_id", "v"]), "v3")
+    with pytest.raises(WriteConflictError, match="another writer"):
+        c._swap_pointer("v3", stale_ptr)
+    # winner's data stands; loser's version dir was cleaned up
+    assert [r["v"] for r in c.find({}).all()] == ["winner"]
+    assert not os.path.isdir(os.path.join(c._store_dir, "v3"))
+    # retry against the fresh snapshot succeeds
+    c.update_all({}, {"$set": {"v": "retry"}})
+    assert [r["v"] for r in c.find({}).all()] == ["retry"]
