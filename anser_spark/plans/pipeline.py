@@ -896,8 +896,11 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     ``numCandidates`` (ANN beam), ``exact`` (ENN), and — fixed-schema
     divergence from Mongo's ``{"$meta": "vectorSearchScore"}`` — the
     similarity lands in an ordinary column named by ``scoreField``
-    (default "score"). Score follows Atlas' cosine normalization:
-    (1 + cosine) / 2 ∈ [0, 1].
+    (default "score"). ``similarity`` selects the Atlas similarity
+    function with its documented score normalization:
+    "cosine" (default) → (1 + cos)/2 ∈ [0, 1];
+    "euclidean" → 1/(1 + L2 distance) ∈ (0, 1];
+    "dotProduct" → (1 + a·q)/2 (callers normalize vectors, per Atlas).
 
     Physical strategy: score is a pure-Column dot/norm over the vector
     column; ``exact`` (or no index option) compiles to
@@ -916,12 +919,32 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     score_field = arg.get("scoreField", "score")
     if arg.get("filter"):
         df = df.where(compile_filter(arg["filter"], df.schema))
-    vec = resolve_field(path)
-    qcol = F.array(*[F.lit(x) for x in qv])
+    similarity = arg.get("similarity", "cosine")
+    if similarity not in ("cosine", "euclidean", "dotProduct"):
+        raise PipelineCompileError(
+            f"unsupported $vectorSearch similarity: {similarity!r}"
+        )
     # epsilon clamp: an all-zero queryVector would otherwise divide by 0
     # and score every row NaN (same guard as quantized_cosine_top_k)
     qnorm = max(float(sum(x * x for x in qv) ** 0.5), 1e-30)
-    cosine = dot_col(vec, qcol) / (norm_col(vec) * F.lit(qnorm))
+    qcol = F.array(*[F.lit(x) for x in qv])
+
+    def _score_col(vec: Column) -> Column:
+        dot = dot_col(vec, qcol)
+        if similarity == "cosine":
+            cos = dot / (norm_col(vec) * F.lit(qnorm))
+            return (F.lit(1.0) + cos) / F.lit(2.0)
+        if similarity == "dotProduct":
+            return (F.lit(1.0) + dot) / F.lit(2.0)
+        # euclidean: ‖a−q‖² = ‖a‖² − 2a·q + ‖q‖², clamped ≥ 0 against
+        # float cancellation before the sqrt
+        d2 = F.greatest(
+            norm_col(vec) * norm_col(vec) - F.lit(2.0) * dot + F.lit(qnorm * qnorm),
+            F.lit(0.0),
+        )
+        return F.lit(1.0) / (F.lit(1.0) + F.sqrt(d2))
+
+    vec = resolve_field(path)
     index = arg.get("index")
     if isinstance(index, str):
         # named indexes resolve to centroid mappings in Collection.pipe
@@ -958,12 +981,16 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
         c = np.array(ivf.centroids)
         q = np.array(qv)
-        sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-30)
-        probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+        if similarity == "euclidean":
+            # probe the nearest centroids by the query's metric
+            order = np.argsort(np.linalg.norm(c - q, axis=1))
+        else:
+            sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-30)
+            order = np.argsort(-sims)
+        probe = [int(i) for i in order[:nprobe]]
         df = assigned.where(F.col("__ivf_list").isin(probe)).drop("__ivf_list")
         vec = resolve_field(path)
-        cosine = dot_col(vec, qcol) / (norm_col(vec) * F.lit(qnorm))
-    out = df.withColumn(score_field, (F.lit(1.0) + cosine) / F.lit(2.0))
+    out = df.withColumn(score_field, _score_col(vec))
     order_key = df.columns[0]
     return out.orderBy(F.desc(score_field), F.col(order_key)).limit(limit)
 

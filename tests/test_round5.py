@@ -700,3 +700,36 @@ def test_write_conflict_detection(spark, tmp_path):
     # retry against the fresh snapshot succeeds
     c.update_all({}, {"$set": {"v": "retry"}})
     assert [r["v"] for r in c.find({}).all()] == ["retry"]
+
+
+def test_vector_search_similarity_functions(spark, vec_df):
+    import math
+
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    row0 = vec_df.where("vec_id = 0").first()
+    qv = list(row0["embedding"])
+
+    def run(sim):
+        return compile_pipeline(
+            vec_df,
+            [{"$vectorSearch": {"path": "embedding", "queryVector": qv,
+                                "limit": 4, "exact": True, "similarity": sim}}],
+        ).collect()
+
+    cos = run("cosine")
+    assert cos[0]["vec_id"] == 0 and cos[0]["score"] == pytest.approx(1.0)
+    euc = run("euclidean")
+    # self-distance 0 → score exactly 1; everything else strictly lower
+    assert euc[0]["vec_id"] == 0 and euc[0]["score"] == pytest.approx(1.0)
+    assert all(r["score"] < 1.0 for r in euc[1:])
+    # euclidean score matches the definition for a checked row
+    other = euc[1]
+    ov = list(vec_df.where(F.col("vec_id") == other["vec_id"]).first()["embedding"])
+    d = math.sqrt(sum((a - b) ** 2 for a, b in zip(ov, qv)))
+    assert other["score"] == pytest.approx(1.0 / (1.0 + d), rel=1e-9)
+    dot = run("dotProduct")
+    exp = (1.0 + sum(a * a for a in qv)) / 2.0
+    assert dot[0]["vec_id"] == 0 or dot[0]["score"] >= exp - 1e-9  # self high
+    with pytest.raises(PipelineCompileError, match="similarity"):
+        run("manhattan")
