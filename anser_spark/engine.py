@@ -860,25 +860,65 @@ class Collection:
         return os.path.join(self._store_dir, "_search_indexes")
 
     def create_search_index(self, name: str, definition: Mapping[str, Any]) -> None:
-        """Create (or rebuild) a named vector-search index. ``kind:
-        "ivf"`` trains sample-based centroids NOW and persists them, so
-        ``$vectorSearch`` with ``index: "<name>"`` probes a prebuilt
-        index instead of training inline — the Atlas model (a
-        vectorSearch index is created ahead of queries) and the
-        amortization story at scale. The index is a snapshot: rebuild
-        after bulk mutations (re-run create_search_index)."""
+        """Create (or rebuild) a named search index — the Atlas model:
+        indexes are built ahead of queries and the query path only
+        reads them. Both kinds are snapshots: rebuild after bulk
+        mutations (re-run create_search_index).
+
+        ``kind: "ivf"`` trains sample-based centroids NOW and persists
+        them, so ``$vectorSearch {index: "<name>"}`` probes a prebuilt
+        index instead of training inline.
+
+        ``kind: "bm25"`` precomputes the text-relevance corpus
+        statistics — N, avgdl, and the per-term document frequencies
+        (one tokenize+distinct+count job, written as a parquet term
+        table) — so ``$search {index: "<name>", text: …}`` resolves a
+        query's idf values with a pushed-down point lookup on the term
+        table instead of re-aggregating the corpus per query. At 100 TB
+        that turns every text query's stats pass from a full scan into
+        a metadata read; scoring stays the same single inline-Column
+        scan."""
         definition = dict(definition)
         kind = definition.get("kind", "ivf")
-        if kind != "ivf":
-            raise ValueError(f"unsupported search index kind: {kind!r}")
-        path = definition.get("path", "embedding")
-        nlist = int(definition.get("nlist", 16))
-        from anser_spark.operators.ivf import ivf_train_sample
+        if kind == "ivf":
+            path = definition.get("path", "embedding")
+            nlist = int(definition.get("nlist", 16))
+            from anser_spark.operators.ivf import ivf_train_sample
 
-        ivf = ivf_train_sample(self.df(), k=nlist, vec_col=path)
-        definition.update(
-            {"kind": "ivf", "path": path, "nlist": nlist, "centroids": ivf.centroids}
-        )
+            ivf = ivf_train_sample(self.df(), k=nlist, vec_col=path)
+            definition.update(
+                {"kind": "ivf", "path": path, "nlist": nlist, "centroids": ivf.centroids}
+            )
+        elif kind == "bm25":
+            path = definition.get("path", "text")
+            docs = self.df()
+            # same tokenizer as operators.ranking._tokens
+            toks = F.filter(
+                F.split(F.lower(F.trim(F.col(path))), r"\s+"), lambda t: t != ""
+            )
+            stats = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(F.size(toks)).alias("avgdl"),
+            ).collect()[0]
+            terms_dir = os.path.join(self._search_index_dir(), f"{name}_terms")
+            (
+                docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .write.mode("overwrite")
+                .parquet(terms_dir)
+            )
+            definition.update(
+                {
+                    "kind": "bm25",
+                    "path": path,
+                    "n_docs": int(stats["n"]),
+                    "avgdl": float(stats["avgdl"] or 0.0),
+                    "terms_dir": terms_dir,
+                }
+            )
+        else:
+            raise ValueError(f"unsupported search index kind: {kind!r}")
         os.makedirs(self._search_index_dir(), exist_ok=True)
         tmp = os.path.join(self._search_index_dir(), f".{name}.tmp")
         with open(tmp, "w") as fh:
@@ -907,8 +947,9 @@ class Collection:
             return json.load(fh)
 
     def _resolve_search_indexes(self, stages: Sequence[Mapping[str, Any]]):
-        """Replace ``$vectorSearch: {index: "<name>"}`` references with
-        the stored index definition (centroids included), recursing into
+        """Replace ``$search``/``$vectorSearch`` ``{index: "<name>"}``
+        references with the stored index definition (centroids / bm25
+        corpus stats included), recursing into
         $rankFusion/$scoreFusion/$facet sub-pipelines."""
 
         def walk(stage_list):
@@ -919,7 +960,7 @@ class Collection:
                     continue
                 op, arg = next(iter(stage.items()))
                 if (
-                    op == "$vectorSearch"
+                    op in ("$search", "$vectorSearch")
                     and isinstance(arg, Mapping)
                     and isinstance(arg.get("index"), str)
                 ):

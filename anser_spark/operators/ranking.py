@@ -94,6 +94,7 @@ def bm25_score_expr(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    stats: tuple[int, float, dict] | None = None,
 ) -> F.Column:
     """BM25 as a pure Column EXPRESSION over ``df``'s text column — the
     zero-join form: corpus stats (N, avgdl, per-term df) come from the
@@ -103,6 +104,12 @@ def bm25_score_expr(
     (no score-frame self-join — at 100 TB that join was a corpus-wide
     shuffle on the id column). Term count is O(query), so the repeated
     tokenize-per-term stays a few codegen'd expressions.
+
+    ``stats`` supplies PRECOMPUTED ``(n_docs, avgdl, {term: df})`` — a
+    persistent bm25 search index (``Collection.create_search_index``)
+    resolves them with a point lookup on its term table, skipping the
+    corpus aggregate entirely; terms absent from the map get df=0
+    (maximal idf, matching the aggregate's answer for an unseen term).
 
     score > 0 ⟺ the document contains ≥1 query term (idf is strictly
     positive under the +1 smoothing), so the expression doubles as the
@@ -120,23 +127,28 @@ def bm25_score_expr(
         return F.size(F.filter(toks, lambda w: w == F.lit(term)))
 
     tf_exprs = [_tf(t) for t in terms]
-    stats = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.size(toks)).alias("avgdl"),
-        *[
-            F.sum((tf > 0).cast("long")).alias(f"__df{i}")
-            for i, tf in enumerate(tf_exprs)
-        ],
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 0.0)
+    if stats is None:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(toks)).alias("avgdl"),
+            *[
+                F.sum((tf > 0).cast("long")).alias(f"__df{i}")
+                for i, tf in enumerate(tf_exprs)
+            ],
+        ).collect()[0]
+        n_docs, avgdl = agg["n"], float(agg["avgdl"] or 0.0)
+        dfs = [agg[f"__df{i}"] for i in range(len(terms))]
+    else:
+        n_docs, avgdl, df_map = stats
+        dfs = [int(df_map.get(t, 0)) for t in terms]
     if n_docs == 0 or avgdl == 0.0:
         return F.lit(0.0)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.size(toks).cast("double") / F.lit(avgdl)
     )
     score = None
-    for i, t in enumerate(terms):
-        idf = math.log(1.0 + (n_docs - stats[f"__df{i}"] + 0.5) / (stats[f"__df{i}"] + 0.5))
+    for i, _t in enumerate(terms):
+        idf = math.log(1.0 + (n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5))
         tf = tf_exprs[i].cast("double")
         part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part

@@ -535,19 +535,28 @@ def _search_score_option(spec: Mapping[str, Any], score: Column) -> Column:
 
 
 def _compile_search_op(  # noqa: C901
-    df: DataFrame, op: str, spec: Mapping[str, Any]
+    df: DataFrame, op: str, spec: Mapping[str, Any], stats_loader=None
 ) -> tuple[Column, Column]:
     """One Atlas search operator → (match predicate, score Column).
 
     Every operator is pure Column math over the current frame — no
     joins, no shuffles; the whole $search stage stays one scan.
-    Relevance operators (text/phrase) score BM25 (stats folded in as
-    literals via bm25_score_expr); structured operators (equals/range/
-    exists/in/wildcard) score the Atlas constant 1. ``compound``
-    composes clauses with Lucene semantics.
+    Relevance operators (text/phrase/moreLikeThis) score BM25 (stats
+    folded in as literals via bm25_score_expr); structured operators
+    (equals/range/exists/in/wildcard) score the Atlas constant 1.
+    ``compound`` composes clauses with Lucene semantics.
+
+    ``stats_loader(terms) -> (n_docs, avgdl, {term: df})`` is supplied
+    when a persistent bm25 index backs the stage: relevance clauses
+    then resolve their idf values from the index's term table (a
+    pushed-down point lookup) instead of aggregating the corpus.
     """
     from anser_spark.functions.filters import resolve_field
     from anser_spark.operators.ranking import bm25_score_expr
+
+    def _bm25(terms: list[str], path: str) -> Column:
+        stats = stats_loader(terms) if stats_loader is not None else None
+        return bm25_score_expr(df, terms, text_col=path, stats=stats)
 
     if op in ("text", "phrase") and not (
         isinstance(spec, Mapping) and "query" in spec and "path" in spec
@@ -559,7 +568,7 @@ def _compile_search_op(  # noqa: C901
         terms = [w for w in str(spec["query"]).lower().split() if w]
         if not terms:
             raise PipelineCompileError("$search text.query must contain at least one term")
-        score = bm25_score_expr(df, terms, text_col=str(spec["path"]))
+        score = _bm25(terms, str(spec["path"]))
         return score > 0, _search_score_option(spec, score)
     if op == "phrase":
         terms = [w for w in str(spec["query"]).lower().split() if w]
@@ -579,7 +588,7 @@ def _compile_search_op(  # noqa: C901
         pred = normalized.rlike(
             r"(^|\s)" + _re.escape(phrase) + r"(\s|$)"
         )
-        score = bm25_score_expr(df, terms, text_col=path)
+        score = _bm25(terms, path)
         return pred, _search_score_option(spec, F.when(pred, score).otherwise(F.lit(0.0)))
     if op == "equals":
         pred = resolve_field(str(spec["path"])) == F.lit(spec["value"])
@@ -683,13 +692,13 @@ def _compile_search_op(  # noqa: C901
             raise PipelineCompileError(
                 "moreLikeThis 'like' documents contain no usable terms"
             )
-        score = bm25_score_expr(df, terms, text_col=str(spec.get("path", "text")))
+        score = _bm25(terms, str(spec.get("path", "text")))
         return score > 0, _search_score_option(spec, score)
     if op == "compound":
-        must = [_one_search_op(df, c) for c in spec.get("must", [])]
-        filt = [_one_search_op(df, c) for c in spec.get("filter", [])]
-        must_not = [_one_search_op(df, c) for c in spec.get("mustNot", [])]
-        should = [_one_search_op(df, c) for c in spec.get("should", [])]
+        must = [_one_search_op(df, c, stats_loader) for c in spec.get("must", [])]
+        filt = [_one_search_op(df, c, stats_loader) for c in spec.get("filter", [])]
+        must_not = [_one_search_op(df, c, stats_loader) for c in spec.get("mustNot", [])]
+        should = [_one_search_op(df, c, stats_loader) for c in spec.get("should", [])]
         if not (must or filt or must_not or should):
             raise PipelineCompileError("$search compound needs at least one clause")
         min_should = int(spec.get("minimumShouldMatch", 0))
@@ -721,7 +730,9 @@ def _compile_search_op(  # noqa: C901
     raise PipelineCompileError(f"unsupported $search operator: {op!r}")
 
 
-def _one_search_op(df: DataFrame, clause: Mapping[str, Any]) -> tuple[Column, Column]:
+def _one_search_op(
+    df: DataFrame, clause: Mapping[str, Any], stats_loader=None
+) -> tuple[Column, Column]:
     if not isinstance(clause, Mapping) or len(clause) != 1:
         raise PipelineCompileError(
             f"$search compound clause must have exactly one operator: {clause!r}"
@@ -729,7 +740,7 @@ def _one_search_op(df: DataFrame, clause: Mapping[str, Any]) -> tuple[Column, Co
     (op, spec), = clause.items()
     if op not in _SEARCH_OPERATORS:
         raise PipelineCompileError(f"unsupported $search operator: {op!r}")
-    return _compile_search_op(df, op, spec)
+    return _compile_search_op(df, op, spec, stats_loader)
 
 
 def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
@@ -761,7 +772,29 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         raise PipelineCompileError(f"$search {op} spec must be a document")
     score_field = arg.get("scoreField", "score")
     key = "_id" if "_id" in df.columns else df.columns[0]
-    pred, score = _compile_search_op(df, op, spec)
+    index = arg.get("index")
+    if isinstance(index, str):
+        raise PipelineCompileError(
+            f"$search index {index!r} is unresolved: named indexes "
+            "require the pipeline to run through Collection.pipe"
+        )
+    stats_loader = None
+    if isinstance(index, Mapping) and index.get("kind") == "bm25":
+        n_docs = int(index["n_docs"])
+        avgdl = float(index["avgdl"])
+        terms_dir = str(index["terms_dir"])
+
+        def stats_loader(terms: list[str]):  # noqa: F811
+            # point lookup on the persisted term table: pushed-down isin
+            # over a parquet keyed by term — O(query terms) rows back
+            rows = (
+                df.sparkSession.read.parquet(terms_dir)
+                .where(F.col("term").isin([t.lower() for t in terms]))
+                .collect()
+            )
+            return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
+
+    pred, score = _compile_search_op(df, op, spec, stats_loader)
     return (
         df.where(F.coalesce(pred, F.lit(False)))
         .withColumn(score_field, score.cast("double"))

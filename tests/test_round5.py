@@ -417,7 +417,7 @@ def test_search_compound(search_corpus):
         )
     with pytest.raises(PipelineCompileError, match="unsupported"):
         compile_pipeline(
-            search_corpus, [{"$search": {"moreLikeThis": {"like": {}}}}]
+            search_corpus, [{"$search": {"geoShape": {"relation": "within"}}}]
         )
 
 
@@ -733,3 +733,41 @@ def test_vector_search_similarity_functions(spark, vec_df):
     assert dot[0]["vec_id"] == 0 or dot[0]["score"] >= exp - 1e-9  # self high
     with pytest.raises(PipelineCompileError, match="similarity"):
         run("manhattan")
+
+
+def test_bm25_search_index(spark, tmp_path):
+    # persistent bm25 index: $search {index: name} resolves idf from the
+    # stored term table — scores identical to the index-free aggregate
+    from anser_spark.engine import Engine, NotFoundError
+
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    c = eng.db("idx").collection("docs")
+    c.insert_df(spark.createDataFrame(
+        [(1, "spark engines process data at scale"),
+         (2, "the model trains on data data data"),
+         (3, "training data for the model"),
+         (4, "nothing relevant here at all")], ["doc_id", "text"]))
+    c.create_search_index("txt", {"kind": "bm25", "path": "text"})
+    assert "txt" in c.list_search_indexes()
+
+    q = {"text": {"query": "data model", "path": "text"}}
+    with_idx = c.pipe([{"$search": {"index": "txt", **q}}]).all()
+    without = c.pipe([{"$search": q}]).all()
+    assert [(r["doc_id"], r["score"]) for r in with_idx] == \
+        [(r["doc_id"], r["score"]) for r in without]
+    assert {r["doc_id"] for r in with_idx} == {1, 2, 3}
+
+    # unseen term: df=0 idf — same as the aggregate's answer
+    q2 = {"text": {"query": "data zzznever", "path": "text"}}
+    a = [(r["doc_id"], r["score"]) for r in c.pipe([{"$search": {"index": "txt", **q2}}]).all()]
+    b = [(r["doc_id"], r["score"]) for r in c.pipe([{"$search": q2}]).all()]
+    assert a == b
+
+    # unknown index name raises through pipe
+    with pytest.raises(NotFoundError):
+        c.pipe([{"$search": {"index": "nope", **q}}]).all()
+    # unresolved string index (bypassing pipe) raises at compile
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    with pytest.raises(PipelineCompileError, match="unresolved"):
+        compile_pipeline(c.df(), [{"$search": {"index": "txt", **q}}])
