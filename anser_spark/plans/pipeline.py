@@ -535,7 +535,11 @@ def _search_score_option(spec: Mapping[str, Any], score: Column) -> Column:
 
 
 def _compile_search_op(  # noqa: C901
-    df: DataFrame, op: str, spec: Mapping[str, Any], stats_loader=None
+    df: DataFrame,
+    op: str,
+    spec: Mapping[str, Any],
+    stats_loader=None,
+    need_score: bool = True,
 ) -> tuple[Column, Column]:
     """One Atlas search operator → (match predicate, score Column).
 
@@ -550,6 +554,11 @@ def _compile_search_op(  # noqa: C901
     when a persistent bm25 index backs the stage: relevance clauses
     then resolve their idf values from the index's term table (a
     pushed-down point lookup) instead of aggregating the corpus.
+
+    ``need_score=False`` (the $searchMeta path) skips BM25 entirely —
+    the match predicate of a relevance clause only needs "contains ≥1
+    query term", so a count/facet query never pays the corpus-stats
+    aggregate its unused scores would have cost.
     """
     from anser_spark.functions.filters import resolve_field
     from anser_spark.operators.ranking import bm25_score_expr
@@ -557,6 +566,19 @@ def _compile_search_op(  # noqa: C901
     def _bm25(terms: list[str], path: str) -> Column:
         stats = stats_loader(terms) if stats_loader is not None else None
         return bm25_score_expr(df, terms, text_col=path, stats=stats)
+
+    def _any_term_pred(terms: list[str], path: str) -> Column:
+        from anser_spark.operators.ranking import _tokens
+
+        toks = _tokens(path)
+
+        def has(term: str) -> Column:
+            return F.exists(toks, lambda w: w == F.lit(term))
+
+        pred = None
+        for t in terms:
+            pred = has(t) if pred is None else pred | has(t)
+        return pred
 
     if op in ("text", "phrase") and not (
         isinstance(spec, Mapping) and "query" in spec and "path" in spec
@@ -568,7 +590,10 @@ def _compile_search_op(  # noqa: C901
         terms = [w for w in str(spec["query"]).lower().split() if w]
         if not terms:
             raise PipelineCompileError("$search text.query must contain at least one term")
-        score = _bm25(terms, str(spec["path"]))
+        path = str(spec["path"])
+        if not need_score:
+            return _any_term_pred(terms, path), F.lit(1.0)
+        score = _bm25(terms, path)
         return score > 0, _search_score_option(spec, score)
     if op == "phrase":
         terms = [w for w in str(spec["query"]).lower().split() if w]
@@ -588,6 +613,8 @@ def _compile_search_op(  # noqa: C901
         pred = normalized.rlike(
             r"(^|\s)" + _re.escape(phrase) + r"(\s|$)"
         )
+        if not need_score:
+            return pred, F.lit(1.0)
         score = _bm25(terms, path)
         return pred, _search_score_option(spec, F.when(pred, score).otherwise(F.lit(0.0)))
     if op == "equals":
@@ -692,13 +719,16 @@ def _compile_search_op(  # noqa: C901
             raise PipelineCompileError(
                 "moreLikeThis 'like' documents contain no usable terms"
             )
-        score = _bm25(terms, str(spec.get("path", "text")))
+        path = str(spec.get("path", "text"))
+        if not need_score:
+            return _any_term_pred(terms, path), F.lit(1.0)
+        score = _bm25(terms, path)
         return score > 0, _search_score_option(spec, score)
     if op == "compound":
-        must = [_one_search_op(df, c, stats_loader) for c in spec.get("must", [])]
-        filt = [_one_search_op(df, c, stats_loader) for c in spec.get("filter", [])]
-        must_not = [_one_search_op(df, c, stats_loader) for c in spec.get("mustNot", [])]
-        should = [_one_search_op(df, c, stats_loader) for c in spec.get("should", [])]
+        must = [_one_search_op(df, c, stats_loader, need_score) for c in spec.get("must", [])]
+        filt = [_one_search_op(df, c, stats_loader, need_score) for c in spec.get("filter", [])]
+        must_not = [_one_search_op(df, c, stats_loader, need_score) for c in spec.get("mustNot", [])]
+        should = [_one_search_op(df, c, stats_loader, need_score) for c in spec.get("should", [])]
         if not (must or filt or must_not or should):
             raise PipelineCompileError("$search compound needs at least one clause")
         min_should = int(spec.get("minimumShouldMatch", 0))
@@ -731,7 +761,10 @@ def _compile_search_op(  # noqa: C901
 
 
 def _one_search_op(
-    df: DataFrame, clause: Mapping[str, Any], stats_loader=None
+    df: DataFrame,
+    clause: Mapping[str, Any],
+    stats_loader=None,
+    need_score: bool = True,
 ) -> tuple[Column, Column]:
     if not isinstance(clause, Mapping) or len(clause) != 1:
         raise PipelineCompileError(
@@ -740,7 +773,7 @@ def _one_search_op(
     (op, spec), = clause.items()
     if op not in _SEARCH_OPERATORS:
         raise PipelineCompileError(f"unsupported $search operator: {op!r}")
-    return _compile_search_op(df, op, spec, stats_loader)
+    return _compile_search_op(df, op, spec, stats_loader, need_score)
 
 
 def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
@@ -840,7 +873,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             raise PipelineCompileError(
                 "$searchMeta facet.operator must have exactly one operator"
             )
-        pred, _score = _one_search_op(df, {fop: fsp})
+        pred, _score = _one_search_op(df, {fop: fsp}, need_score=False)
         facets = fspec["facets"]
     else:
         ops = [(k, v) for k, v in arg.items() if k not in ("count", "scoreField", "index")]
@@ -848,7 +881,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             raise PipelineCompileError(
                 "$searchMeta requires exactly one operator (or facet)"
             )
-        pred, _score = _one_search_op(df, dict([ops[0]]))
+        pred, _score = _one_search_op(df, dict([ops[0]]), need_score=False)
     matched = df.where(F.coalesce(pred, F.lit(False)))
 
     from anser_spark.functions.filters import resolve_field
