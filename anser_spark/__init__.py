@@ -24,6 +24,7 @@ from anser_spark.engine import (
     Namespace,
     ChangeInfo,
     NotFoundError,
+    WriteConflictError,
 )
 from anser_spark.session import get_spark
 
@@ -34,6 +35,7 @@ __all__ = [
     "Namespace",
     "ChangeInfo",
     "NotFoundError",
+    "WriteConflictError",
     "get_spark",
 ]
 
