@@ -40,13 +40,20 @@ def make_rows(rng, n=40):
 def rand_predicate(rng):
     field = rng.choice(["status", "priority", "score", "version", "tags"])
     if field == "tags":
-        op = rng.choice(["eq_scalar", "$size", "$all", "$in"])
+        op = rng.choice(["eq_scalar", "$size", "$all", "$in", "$elemMatch"])
         if op == "eq_scalar":
             return {"tags": rng.choice(["red", "blue", "nope"])}
         if op == "$size":
             return {"tags": {"$size": rng.randint(0, 3)}}
         if op == "$all":
             return {"tags": {"$all": rng.sample(["red", "blue", "green"], rng.randint(1, 2))}}
+        if op == "$elemMatch":
+            inner = rng.choice([
+                {"$eq": rng.choice(["red", "blue", "nope"])},
+                {"$in": rng.sample(["red", "blue", "yellow"], 2)},
+                {"$ne": rng.choice(["red", "yellow"])},
+            ])
+            return {"tags": {"$elemMatch": inner}}
         return {"tags": {"$in": rng.sample(["red", "blue", "yellow", "nope"], 2)}}
     if field == "status":
         op = rng.choice(["eq", "$ne", "$in", "$nin", "$regex", "$exists"])
@@ -59,6 +66,9 @@ def rand_predicate(rng):
             return {"status": {"$exists": rng.choice([True, False])}}
         if op in ("$in", "$nin"):
             return {"status": {op: rng.sample(["success", "failed", "zzz"], 2)}}
+        if rng.random() < 0.25:
+            # $not negates the whole inner condition; null/missing MATCH
+            return {"status": {"$not": {op if op != "eq" else "$eq": v}}}
         return {"status": {op: v}}
     # numeric fields
     op = rng.choice(["$gt", "$gte", "$lt", "$lte", "$eq", "$ne", "$mod", "$in"])
@@ -70,6 +80,8 @@ def rand_predicate(rng):
         return {field: {"$mod": [rng.choice([2, 3]), rng.randint(0, 2)]}}
     if op == "$in":
         return {field: {"$in": [v, v + 1 if isinstance(v, int) else 0.5]}}
+    if rng.random() < 0.25:
+        return {field: {"$not": {op: v}}}
     return {field: {op: v}}
 
 
@@ -127,6 +139,16 @@ def _cmp_match(value, op, arg):
         return is_arr and len(value) == arg
     if op == "$all":
         return is_arr and all(v in value for v in arg)
+    if op == "$not":
+        # negates the whole inner operator document; docs whose field is
+        # null/missing therefore MATCH (they fail the inner predicate)
+        return not all(_cmp_match(value, o, a) for o, a in arg.items())
+    if op == "$elemMatch":
+        if not is_arr:
+            return False
+        return any(
+            all(_cmp_match(elem, o, a) for o, a in arg.items()) for elem in value
+        )
     raise AssertionError(op)
 
 
