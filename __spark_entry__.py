@@ -450,13 +450,23 @@ def _q_text_stats(spark, sf_dir):
     # DuckDB) and stays covered by pytest goldens + the exact_dedup gate.
     # text_profile fuses stats + components into ONE projection — the
     # plan is a single FileScan of documents, no doc_id self-join
-    # (plan-asserted in tests/test_round5.py).
-    from anser_spark.operators.text import text_profile
+    # (plan-asserted in tests/test_round5.py). The winnowing fingerprint
+    # leg (MOSS rolling-hash document fingerprinting, SIGMOD 2003) rides
+    # the same scan: md5 k-gram hashes make the ENTIRE selected-hash set
+    # oracle-able — fp_digest pins the exact set, not just its size.
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.text import text_profile, winnow_fingerprints_col
 
     docs = _db(spark, sf_dir).collection("documents").df()
+    fp = winnow_fingerprints_col(F.col("text"), k=8, w=4)
     return text_profile(docs).select(
         "doc_id", "n_tokens", "n_chars_calc", "lang_id", "quality",
         "punct_ratio", "mean_word_len", "length_score", "en_stop_hits",
+        F.size(fp).cast("long").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", fp)).alias("fp_digest"),
+        F.try_element_at(fp, F.lit(1)).alias("min_fp"),
+        F.try_element_at(fp, F.lit(-1)).alias("max_fp"),
     )
 
 
@@ -738,6 +748,22 @@ def _q_ivf_top_k(spark, sf_dir):
     return ivf_top_k(assigned, index, query_vec, k=10, nprobe=8)
 
 
+def _q_ann_top_k(spark, sf_dir):
+    # Composite ANN gate (frees a slot under the 50-gate cap): the
+    # brute-force cosine top-k baseline and the IVF full-probe path
+    # (provably identical to brute force at nprobe=k) union'd with a
+    # kind tag; both legs share the same exact-cosine oracle.
+    from pyspark.sql import functions as F
+
+    brute = _q_cosine_top_k(spark, sf_dir).select(
+        F.lit("brute").alias("kind"), "vec_id", "cosine"
+    )
+    ivf = _q_ivf_top_k(spark, sf_dir).select(
+        F.lit("ivf").alias("kind"), "vec_id", "cosine"
+    )
+    return brute.unionByName(ivf)
+
+
 def _mut_db(spark, sf_dir, tag):
     """A writable engine with the sf_dir mounted read-only: mutation
     gates copy a source table into the engine workdir, mutate it through
@@ -822,6 +848,68 @@ def _q_merge_into_summary(spark, sf_dir):
     ).all()
     out = mut.collection("prio_summary").df()
     return out.select("_id", "n", F.round("total", 2).alias("total"))
+
+
+def _q_line_dedup_clean(spark, sf_dir):
+    # C4-style line cleaning + CCNet corpus-wide line dedup, end to end:
+    # lines are constructed deterministically from the word-soup corpus
+    # (replace ' table ' with newline — mirrored verbatim in the
+    # oracle), cleaned (≥3-word lines), then every normalized line is
+    # kept only at its first (doc_id, position) occurrence across the
+    # corpus and documents are reassembled. dedup_digest pins the exact
+    # reassembled text per document.
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.corpus import clean_lines, dedup_lines
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    lined = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("text"),
+    )
+    cleaned = clean_lines(lined, min_words=3)
+    dd = dedup_lines(
+        cleaned.select(
+            "doc_id",
+            F.col("n_lines").alias("n_input_lines"),
+            F.col("n_kept_lines").alias("n_quality_lines"),
+            F.col("clean_text").alias("text"),
+        )
+    )
+    return dd.select(
+        "doc_id",
+        F.col("n_input_lines").cast("long").alias("n_lines"),
+        F.col("n_quality_lines").cast("long").alias("n_kept_quality"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_dedup"),
+        F.md5(F.col("dedup_text")).alias("dedup_digest"),
+    )
+
+
+def _q_change_stream_cdc(spark, sf_dir):
+    # Change streams (Mongo watch()/$changeStream, batch form): version
+    # retention + row-level diff → insert/update/delete events with
+    # pre+post images. Endpoint semantics: a row updated then deleted
+    # emits ONE delete whose pre-image is the watch-start state
+    # (intermediate versions collapse — documented in watch()).
+    from pyspark.sql import functions as F
+
+    eng = _mut_db(spark, sf_dir, "cdc")
+    coll = eng.db("mut").collection("nation")
+    coll._rewrite(eng.db("tpch").collection("nation").df())
+    coll.set_retention(10)
+    coll.update_all({"n_regionkey": 1}, {"$inc": {"n_regionkey": 10}})
+    coll.remove_all({"n_nationkey": {"$gte": 20}})
+    coll.insert({"n_nationkey": 50, "n_name": "NATION_X", "n_regionkey": 5})
+    ev = coll.watch("v1", key="n_nationkey")
+    jget = F.get_json_object
+    return ev.select(
+        F.col("operationType").alias("op"),
+        F.col("documentKey").cast("long").alias("n_nationkey"),
+        jget("fullDocumentBeforeChange", "$.n_name").alias("pre_name"),
+        jget("fullDocumentBeforeChange", "$.n_regionkey").cast("long").alias("pre_regionkey"),
+        jget("fullDocument", "$.n_name").alias("post_name"),
+        jget("fullDocument", "$.n_regionkey").cast("long").alias("post_regionkey"),
+    )
 
 
 def _q_densify_fill(spark, sf_dir):
@@ -1065,6 +1153,29 @@ def _q_heavy_hitters(spark, sf_dir):
     events = _db(spark, sf_dir).collection("events").df()
     keyed = events.select(F.get_json_object("props", "$.k").alias("kv"))
     return heavy_hitters(keyed, "kv", k=10)
+
+
+def _q_sketches(spark, sf_dir):
+    # Composite sketch gate (frees a slot under the 50-gate cap):
+    # heavy hitters + HLL error-bound legs union'd with a kind tag.
+    # Schema: (kind, key, n, ok) — heavy rows carry exact top-k counts
+    # (ok literal true); hll rows carry exact distincts + the ≤5%
+    # sketch-error contract (see _q_hll_distinct's determinism note).
+    from pyspark.sql import functions as F
+
+    heavy = _q_heavy_hitters(spark, sf_dir).select(
+        F.lit("heavy").alias("kind"),
+        F.col("value").alias("key"),
+        F.col("freq").cast("long").alias("n"),
+        F.lit(True).alias("ok"),
+    )
+    hll = _q_hll_distinct(spark, sf_dir).select(
+        F.lit("hll").alias("kind"),
+        F.col("event_type").alias("key"),
+        F.col("n_exact").alias("n"),
+        F.col("within_5pct").alias("ok"),
+    )
+    return heavy.unionByName(hll)
 
 
 def _q_hll_distinct(spark, sf_dir):
@@ -1597,7 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_splits": _q_corpus_splits,
         "decontamination": _q_decontamination,
         "exact_dedup_docs": _q_exact_dedup,
-        "cosine_top_k": _q_cosine_top_k,
+        "ann_top_k": _q_ann_top_k,
         "minhash_near_dups": _q_minhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_sim_join": _q_embedding_sim_join,
@@ -1612,11 +1723,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": _q_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
-        "ivf_top_k": _q_ivf_top_k,
         "update_all_inc_set": _q_update_all_inc_set,
         "upsert_paths": _q_upsert_paths,
         "bulk_mixed": _q_bulk_mixed,
         "merge_into_summary": _q_merge_into_summary,
+        "change_stream_cdc": _q_change_stream_cdc,
+        "line_dedup_clean": _q_line_dedup_clean,
         "densify_fill": _q_densify_fill,
         "window_range_30d": _q_window_range_30d,
         "hybrid_search": _q_hybrid_search,
@@ -1626,8 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "redact_levels": _q_redact_levels,
         "geo_near": _q_geo_near,
-        "heavy_hitters": _q_heavy_hitters,
-        "hll_distinct": _q_hll_distinct,
+        "sketches": _q_sketches,
         "temporal_joins": _q_temporal_joins,
         "group_rank_stats": _q_group_rank_stats,
         "media_pipeline": _q_media_pipeline,
@@ -1670,8 +1781,31 @@ def _text_stats_oracle() -> str:
             CASE WHEN n_tokens > 0 THEN h_all / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stop_ratio,
             least(n_chars / 500.0, 1.0) AS length_score
           FROM c
+        ), wnorm AS (
+          -- winnowing twin (k=8, w=4): same normalization, identical
+          -- md5 digests, window-min over k-gram hash sequence
+          SELECT doc_id,
+                 regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS s
+          FROM documents
+        ), widx AS (
+          SELECT doc_id, s,
+                 unnest(range(1, greatest(length(s) - 8 + 1, 0) + 1)) AS i
+          FROM wnorm
+        ), wgrams AS (
+          SELECT doc_id, i,
+                 substr(md5(substr(s, CAST(i AS INT), 8)), 1, 16) AS h
+          FROM widx
+        ), wmin AS (
+          SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 count(*) OVER (PARTITION BY doc_id) AS m
+          FROM wgrams
+        ), wsets AS (
+          SELECT doc_id, list_sort(list_distinct(list(fp))) AS fps
+          FROM wmin WHERE i <= greatest(m - 4 + 1, 1) GROUP BY doc_id
         )
-        SELECT doc_id, n_tokens, n_chars AS n_chars_calc,
+        SELECT d.doc_id, n_tokens, n_chars AS n_chars_calc,
           CASE {lang_case} ELSE 'und' END AS lang_id,
           round(length_score * 0.3
                 + (1.0 - least(punct_ratio * 4, 1.0)) * 0.2
@@ -1680,8 +1814,12 @@ def _text_stats_oracle() -> str:
           round(punct_ratio, 4) AS punct_ratio,
           round(mwl, 4) AS mean_word_len,
           round(length_score, 4) AS length_score,
-          CAST(h_en AS INTEGER) AS en_stop_hits
-        FROM d
+          CAST(h_en AS INTEGER) AS en_stop_hits,
+          CAST(coalesce(len(w.fps), 0) AS BIGINT) AS n_fingerprints,
+          md5(coalesce(array_to_string(w.fps, ','), '')) AS fp_digest,
+          w.fps[1] AS min_fp,
+          w.fps[-1] AS max_fp
+        FROM d LEFT JOIN wsets w ON d.doc_id = w.doc_id
     """
 
 
@@ -1875,13 +2013,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
         """,
-        "cosine_top_k": """
-            SELECT vec_id,
-                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
-            FROM embeddings
-            ORDER BY cosine DESC, vec_id
-            LIMIT 10
+        # both legs (brute force and IVF full-probe) provably return the
+        # exact top-k, so the composite oracle is the same SELECT twice
+        "ann_top_k": """
+            WITH exact AS (
+                SELECT vec_id,
+                       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+                FROM embeddings
+                ORDER BY cosine DESC, vec_id
+                LIMIT 10
+            )
+            SELECT 'brute' AS kind, vec_id, cosine FROM exact
+            UNION ALL
+            SELECT 'ivf', vec_id, cosine FROM exact
         """,
         "embedding_sim_join": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1973,14 +2118,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_totalprice FROM orders
             WHERE o_orderdate >= TIMESTAMP '2001-01-01'
         """,
-        "ivf_top_k": """
-            SELECT vec_id,
-                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS cosine
-            FROM embeddings
-            ORDER BY cosine DESC, vec_id
-            LIMIT 10
-        """,
         "update_all_inc_set": """
             SELECT c_custkey, c_name, c_nationkey,
                    round(CASE WHEN c_mktsegment = 'BUILDING'
@@ -2012,6 +2149,76 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
             UNION ALL
             SELECT 'ZZ', -1, 0.0
+        """,
+        # line cleaning + corpus-wide first-occurrence line dedup twin:
+        # same line construction (plain replace), same ≥3-word rule,
+        # same (doc_id, position) winner, same newline reassembly
+        "line_dedup_clean": """
+            WITH lined AS (
+              SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+              FROM documents
+            ), raw AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos0
+              FROM lined
+            ), nonblank AS (
+              SELECT * FROM raw WHERE trim(line) <> ''
+            ), counts AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+              FROM nonblank GROUP BY doc_id
+            ), quality AS (
+              SELECT doc_id, pos0, line,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS rn
+              FROM nonblank
+              WHERE len(list_filter(regexp_split_to_array(trim(line), '\\s+'),
+                                    w -> w <> '')) >= 3
+            ), qcounts AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_quality
+              FROM quality GROUP BY doc_id
+            ), normed AS (
+              SELECT doc_id, rn, line,
+                     regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS norm
+              FROM quality
+            ), winners AS (
+              SELECT norm, min(struct_pack(d := doc_id, p := rn)) AS w
+              FROM normed GROUP BY norm
+            ), kept AS (
+              SELECT n.doc_id, n.rn, n.line
+              FROM normed n JOIN winners win ON n.norm = win.norm
+              WHERE n.doc_id = win.w.d AND n.rn = win.w.p
+            ), rebuilt AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_dedup,
+                     string_agg(line, chr(10) ORDER BY rn) AS dedup_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.n_lines, 0) AS n_lines,
+                   coalesce(q.n_kept_quality, 0) AS n_kept_quality,
+                   coalesce(r.n_kept_dedup, 0) AS n_kept_dedup,
+                   md5(coalesce(r.dedup_text, '')) AS dedup_digest
+            FROM documents d
+            LEFT JOIN counts c USING (doc_id)
+            LEFT JOIN qcounts q USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # expected change-stream events from the known mutation script:
+        # updates for surviving $inc victims, deletes with v1 pre-images
+        # (update-then-delete collapses to delete-of-original — endpoint
+        # diff semantics), one insert
+        "change_stream_cdc": """
+            SELECT 'update' AS op, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   n_name AS pre_name, CAST(n_regionkey AS BIGINT) AS pre_regionkey,
+                   n_name AS post_name, CAST(n_regionkey + 10 AS BIGINT) AS post_regionkey
+            FROM nation WHERE n_regionkey = 1 AND n_nationkey < 20
+            UNION ALL
+            SELECT 'delete', CAST(n_nationkey AS BIGINT), n_name,
+                   CAST(n_regionkey AS BIGINT),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+            FROM nation WHERE n_nationkey >= 20
+            UNION ALL
+            SELECT 'insert', CAST(50 AS BIGINT), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT), 'NATION_X', CAST(5 AS BIGINT)
         """,
         "densify_fill": """
             WITH filt AS (
@@ -2199,12 +2406,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, round(m / 1000.0, 3) AS dist_km
             FROM d WHERE m <= 3000000
         """,
-        "heavy_hitters": """
-            SELECT value, freq FROM (
-                SELECT json_extract_string(props, '$.k') AS value,
-                       count(*) AS freq
-                FROM events GROUP BY 1
-            ) ORDER BY freq DESC, value ASC LIMIT 10
+        # composite sketch oracle: exact top-k counts (heavy leg) +
+        # exact distincts with the ±5% sketch-error contract (hll leg —
+        # the estimate has no SQL twin, sketch internals differ, but
+        # the bound does; the sketch is deterministic so a bound that
+        # holds, holds every run)
+        "sketches": """
+            (
+              SELECT 'heavy' AS kind, value AS key,
+                     CAST(freq AS BIGINT) AS n, true AS ok
+              FROM (
+                  SELECT json_extract_string(props, '$.k') AS value,
+                         count(*) AS freq
+                  FROM events GROUP BY 1
+              ) ORDER BY freq DESC, value ASC LIMIT 10
+            ) UNION ALL (
+              SELECT 'hll', event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT), true
+              FROM events GROUP BY event_type
+            ) UNION ALL (
+              SELECT 'hll', '__all__',
+                     CAST(count(DISTINCT user_id) AS BIGINT), true FROM events
+            )
         """,
         # ASOF LEFT JOIN half + interval-containment half, joined on the
         # click id — DuckDB's native ASOF is the ground truth for the
@@ -2416,16 +2639,5 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB)
         "simhash_fingerprints": """
             SELECT doc_id, CAST(0 AS BIGINT) AS hamming FROM documents
-        """,
-        # error-bound oracle: the estimate has no SQL twin (sketch
-        # internals differ) but the ±5% contract does — n_exact is
-        # exact count(DISTINCT), within_5pct is literal true (the
-        # sketch is deterministic: a bound that holds, holds every run)
-        "hll_distinct": """
-            SELECT event_type, count(DISTINCT user_id) AS n_exact,
-                   true AS within_5pct
-            FROM events GROUP BY event_type
-            UNION ALL
-            SELECT '__all__', count(DISTINCT user_id), true FROM events
         """,
     }

@@ -424,9 +424,85 @@ class Collection:
         cur = self._pointer()
         new_df = self.df() if new is None or new == cur else self.df_at(new)
         old_df = self.df_at(old) if old != cur else self.df()
+        # schema evolution between versions (e.g. insert added _id):
+        # align both sides to the union schema, missing columns null —
+        # a column the old version never had diffs as null→value
+        for c in new_df.columns:
+            if c not in old_df.columns:
+                old_df = old_df.withColumn(
+                    c, F.lit(None).cast(new_df.schema[c].dataType)
+                )
+        for c in old_df.columns:
+            if c not in new_df.columns:
+                new_df = new_df.withColumn(
+                    c, F.lit(None).cast(old_df.schema[c].dataType)
+                )
+        old_df = old_df.select(*new_df.columns)
         added = new_df.exceptAll(old_df).withColumn("change_type", F.lit("added"))
         removed = old_df.exceptAll(new_df).withColumn("change_type", F.lit("removed"))
         return added.unionByName(removed)
+
+    def watch(self, since: str, key: str = "_id") -> DataFrame:
+        """Change-stream analogue of Mongo ``watch()``/``$changeStream``
+        (batch form over retained versions): one event row per document
+        that changed between ``since`` and the current version, shaped
+        like change-stream events —
+
+          - ``operationType``: 'insert' | 'update' | 'delete'
+          - ``documentKey``: the ``key`` column's value (native type)
+          - ``fullDocument``: post-image as a JSON string (null on
+            delete) — JSON keeps the event schema stable across
+            collection schemas, as Mongo's open document does
+          - ``fullDocumentBeforeChange``: pre-image (null on insert) —
+            Mongo 6.0 ``changeStreamPreAndPostImages`` semantics for
+            free, since both endpoint versions are retained datasets
+
+        Endpoint semantics (documented divergence): events are derived
+        from the version DIFF, so intermediate states between the two
+        versions collapse — a document updated then deleted emits one
+        'delete' whose pre-image is its ``since``-version state. A
+        replaced document emits 'update' (batch diffs cannot tell
+        update from replace). Requires ``set_retention`` ≥ the window
+        you want to watch.
+
+        Physical shape: the diff's two exceptAll aggregates, then one
+        key-partitioned window + full outer join to pair pre/post
+        images per key (multiset-safe: duplicate keys pair by
+        row_number). All columns ride as one JSON string each side, so
+        the join carries (key, rn, json) only.
+        """
+        from pyspark.sql.window import Window
+
+        diff = self.diff_versions(since)
+        cols = [c for c in diff.columns if c != "change_type"]
+        if key not in cols:
+            raise ValueError(f"watch key column {key!r} not in {cols}")
+        doc = F.to_json(F.struct(*[F.col(c) for c in cols]))
+        w = Window.partitionBy("_k").orderBy("_doc")
+        added = (
+            diff.where(F.col("change_type") == "added")
+            .select(F.col(key).alias("_k"), doc.alias("_doc"))
+            .withColumn("_rn", F.row_number().over(w))
+        )
+        removed = (
+            diff.where(F.col("change_type") == "removed")
+            .select(F.col(key).alias("_k"), doc.alias("_doc"))
+            .withColumn("_rn", F.row_number().over(w))
+        )
+        paired = added.alias("a").join(
+            removed.alias("r"),
+            on=[added["_k"].eqNullSafe(removed["_k"]), added["_rn"] == removed["_rn"]],
+            how="full_outer",
+        )
+        return paired.select(
+            F.when(F.col("a._doc").isNull(), F.lit("delete"))
+            .when(F.col("r._doc").isNull(), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("operationType"),
+            F.coalesce(F.col("a._k"), F.col("r._k")).alias("documentKey"),
+            F.col("a._doc").alias("fullDocument"),
+            F.col("r._doc").alias("fullDocumentBeforeChange"),
+        )
 
     def optimize(self) -> None:
         """Compact the collection into a fresh fully-clustered version

@@ -23,6 +23,8 @@ __all__ = [
     "contaminated_pairs",
     "decontaminate",
     "with_shuffle_key",
+    "clean_lines",
+    "dedup_lines",
     "shuffle_shards",
 ]
 
@@ -218,6 +220,119 @@ def with_shuffle_key(
     """
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     return df.withColumn(out, key)
+
+
+def _line_norm(line: Column) -> Column:
+    """Dedup-match normalization: case-fold, trim, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(line)), r"\s+", " ")
+
+
+def clean_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    blocklist: list[str] | None = None,
+    out: str = "clean_text",
+) -> DataFrame:
+    """C4-style line-level document cleaning (Raffel et al. 2020 §2.2):
+    drop lines with fewer than ``min_words`` words, optionally lines
+    without terminal punctuation (``.!?"``), optionally lines containing
+    any (case-insensitive) ``blocklist`` phrase — then reassemble the
+    document from the surviving lines in order.
+
+    Entirely pure Column HOFs (filter over the split array) — NO
+    shuffle, NO explode: at 100 TB this is scan-speed row-local work,
+    which is why line cleaning runs *before* the corpus-wide dedup
+    pass. Adds ``n_lines`` / ``n_kept_lines`` counters and the ``out``
+    column; empty documents yield 0/0 and an empty string.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+
+    def keep(line: Column) -> Column:
+        words = F.filter(F.split(F.trim(line), r"\s+"), lambda w: w != "")
+        cond = F.size(words) >= F.lit(min_words)
+        if require_terminal_punct:
+            cond = cond & F.trim(line).rlike(r'[.!?"]\s*$')
+        for phrase in blocklist or []:
+            cond = cond & ~F.lower(line).contains(phrase.lower())
+        return cond
+
+    kept = F.filter(lines, keep)
+    return df.select(
+        *df.columns,
+        F.size(F.filter(lines, lambda l: F.trim(l) != "")).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, sep).alias(out),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    out: str = "dedup_text",
+) -> DataFrame:
+    """Corpus-wide line/paragraph-level exact dedup (the CCNet/C4
+    pre-processing step): every normalized line is kept only at its
+    FIRST occurrence across the whole corpus — first = smallest
+    ``(id_col, line position)``, so the result is deterministic and
+    incremental re-runs keep the same survivors.
+
+    Scale shape: posexplode → groupBy the line's xxhash64 with a
+    ``min(struct(id, pos))`` winner (partial aggregation combines
+    map-side, so a boilerplate line occurring a billion times shuffles
+    one pre-combined row per map partition — this is why it's an agg,
+    not a window over the hash, which would sort the full duplicate
+    set); winners join back on the 8-byte hash; surviving lines
+    re-assemble per document with ``array_agg`` sorted by position.
+    Shuffled bytes are (hash, id, pos) triples plus each KEPT line
+    once; duplicate line text never travels twice.
+
+    Output: input columns + ``n_lines`` / ``n_kept_lines`` + ``out``
+    (documents whose every line was seen before come back with an
+    empty string — filter on ``n_kept_lines`` to drop them).
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("__did"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("__pos", "__line"),
+        )
+        .where(F.trim(F.col("__line")) != "")
+        .withColumn("__h", F.xxhash64(_line_norm(F.col("__line"))))
+    )
+    winners = lines.groupBy("__h").agg(
+        F.min(F.struct("__did", "__pos")).alias("__w")
+    )
+    kept = lines.join(winners, "__h").where(
+        (F.col("__did") == F.col("__w.__did")) & (F.col("__pos") == F.col("__w.__pos"))
+    )
+    rebuilt = kept.groupBy("__did").agg(
+        F.count(F.lit(1)).alias("n_kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias(out),
+    )
+    counts = (
+        lines.groupBy("__did")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .withColumnRenamed("__did", id_col)
+    )
+    return (
+        df.join(counts, id_col, "left")
+        .join(rebuilt.withColumnRenamed("__did", id_col), id_col, "left")
+        .fillna({"n_lines": 0, "n_kept_lines": 0})
+        .fillna({out: ""})
+    )
 
 
 def shuffle_shards(

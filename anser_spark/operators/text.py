@@ -18,6 +18,9 @@ __all__ = [
     "quality_metrics",
     "with_language_id",
     "with_fingerprint",
+    "winnow_fingerprints_col",
+    "with_winnow_fingerprints",
+    "winnow_similarity_col",
     "text_stats",
     "text_profile",
     "repetition_metrics",
@@ -142,6 +145,75 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
     whitespace-collapsed) — the exact-dedup key."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(out, F.xxhash64(normalized))
+
+
+def winnow_fingerprints_col(
+    text: Column, k: int = 8, w: int = 4, hash_chars: int = 16
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): the standard local fingerprinting
+    scheme whose selected-hash SET is guaranteed to overlap for any two
+    documents sharing a substring of length ≥ ``k + w - 1``.
+
+    Pipeline, all inside ONE pure-Column expression (no shuffle, no
+    Python — per-row work parallelizes with the scan):
+
+      1. normalize: case-fold + strip every non-alphanumeric char, so
+         fingerprints are whitespace/punctuation-insensitive;
+      2. hash every character ``k``-gram → first ``hash_chars`` hex
+         digits of md5 (md5 chosen deliberately: DuckDB computes the
+         identical digest, making the whole operator value-hash
+         oracle-able end to end);
+      3. slide a window of ``w`` consecutive hashes, keeping each
+         window's minimum (lexicographic on hex = order on the digest);
+      4. distinct + sort → the document's fingerprint set.
+
+    Returns an ``array<string>`` column. Cost is O(len·w) comparisons
+    per document; ``w`` is a small constant (4-16), so this stays
+    scan-bound. Documents whose normalized text has fewer than ``k``
+    chars fingerprint to an empty array; with fewer than ``w`` k-grams
+    a single window over all of them still yields one fingerprint
+    (the winnowing guarantee: every non-trivial doc is represented).
+    """
+    # null text fingerprints to the empty set (coalesce before length:
+    # greatest() ignores nulls, so an unguarded null would otherwise
+    # flow through sequence/md5 into a [null] fingerprint array)
+    norm = F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), "[^a-z0-9]+", "")
+    m = F.length(norm) - F.lit(k) + F.lit(1)  # number of k-grams
+    grams = F.when(m < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.substring(F.md5(norm.substr(i, F.lit(k))), 1, hash_chars),
+        )
+    )
+    n_windows = F.greatest(m - F.lit(w) + F.lit(1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    return F.when(m < 1, F.array().cast("array<string>")).otherwise(
+        F.array_sort(F.array_distinct(mins))
+    )
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "fingerprints",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    return df.withColumn(out, winnow_fingerprints_col(F.col(text_col), k=k, w=w))
+
+
+def winnow_similarity_col(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two winnowing fingerprint sets — the MOSS
+    match score. Pure Column (array_intersect/union on sorted sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
