@@ -104,7 +104,23 @@ def compile_pipeline(
                 )
             op, arg = next(iter(stage.items()))
             if op == "$lookup" and i + 1 < len(stages):
-                preserve = _fusible_unwind(stages[i + 1], arg.get("as") if isinstance(arg, Mapping) else None)
+                as_name = arg.get("as") if isinstance(arg, Mapping) else None
+                if i + 2 < len(stages) and isinstance(arg, Mapping):
+                    non_empty = _emptiness_match(stages[i + 1], as_name)
+                    if non_empty is not None:
+                        dropped, residual = _drop_residual(stages[i + 2], as_name)
+                        if dropped:
+                            fused = _lookup_semi(
+                                df, arg, resolve_collection, non_empty
+                            )
+                            if fused is not None:
+                                df = fused
+                                stages[i + 2 : i + 3] = (
+                                    [residual] if residual else []
+                                )
+                                i += 2
+                                continue
+                preserve = _fusible_unwind(stages[i + 1], as_name)
                 if preserve is not None:
                     df = _lookup(df, arg, resolve_collection, unwind_preserve=preserve)
                     i += 2
@@ -143,6 +159,126 @@ def _fusible_unwind(stage: Any, as_name: str | None) -> bool | None:
     if idx or path != f"${as_name}":
         return None
     return preserve
+
+
+def _emptiness_match(stage: Any, as_name: str | None) -> bool | None:
+    """If ``stage`` is a $match whose ONLY condition tests whether the
+    $lookup's ``as`` array is empty, return True for a non-empty test
+    (→ left_semi join) or False for an empty test (→ left_anti); else
+    None.  Recognized idioms (the Mongo spellings of EXISTS / NOT
+    EXISTS subqueries — TPC-H q4/q21/q22 shapes):
+
+      {as: {$ne: []}}            {as: {$eq: []}} / {as: []}
+      {as: {$size: 0}}
+      {"as.0": {$exists: true|false}}
+      {$expr: {$gt: [{$size: "$as"}, 0]}} / {$expr: {$eq|$ne: [{$size: "$as"}, 0]}}
+
+    Elements of a $lookup result are documents, never [], so Mongo's
+    element-wise $eq/$ne array semantics collapse to whole-value
+    (non-)emptiness here — the rewrite is exact."""
+    if as_name is None or not isinstance(stage, Mapping) or len(stage) != 1:
+        return None
+    arg = stage.get("$match")
+    if not isinstance(arg, Mapping) or len(arg) != 1:
+        return None
+    key, val = next(iter(arg.items()))
+    if key == as_name:
+        if isinstance(val, list) and val == []:
+            return False
+        if isinstance(val, Mapping) and len(val) == 1:
+            op, rhs = next(iter(val.items()))
+            if op == "$ne" and rhs == []:
+                return True
+            if op == "$eq" and rhs == []:
+                return False
+            if op == "$size" and rhs == 0:
+                return False
+        return None
+    if key == f"{as_name}.0":
+        if isinstance(val, Mapping) and len(val) == 1 and "$exists" in val:
+            return bool(val["$exists"])
+        return None
+    if key == "$expr" and isinstance(val, Mapping) and len(val) == 1:
+        op, operands = next(iter(val.items()))
+        if (
+            op in ("$gt", "$eq", "$ne")
+            and isinstance(operands, list)
+            and len(operands) == 2
+            and operands[0] == {"$size": f"${as_name}"}
+            and operands[1] == 0
+        ):
+            return op in ("$gt", "$ne")
+    return None
+
+
+def _drop_residual(
+    stage: Any, as_name: str
+) -> tuple[bool, Mapping[str, Any] | None]:
+    """Does ``stage`` drop the ``as`` column?  Returns (dropped,
+    residual-stage) where the residual carries the stage's OTHER
+    exclusions (or None if ``as`` was all it did)."""
+    if not isinstance(stage, Mapping) or len(stage) != 1:
+        return False, None
+    op, arg = next(iter(stage.items()))
+    if op == "$unset":
+        names = [arg] if isinstance(arg, str) else list(arg)
+        if as_name in names:
+            rest = [n for n in names if n != as_name]
+            return True, ({"$unset": rest} if rest else None)
+        return False, None
+    if op == "$project" and isinstance(arg, Mapping):
+        # exclusion-only projection (all values falsy) that drops `as`
+        if as_name in arg and all(not v for v in arg.values()):
+            rest = {k: v for k, v in arg.items() if k != as_name}
+            return True, ({"$project": rest} if rest else None)
+    return False, None
+
+
+def _lookup_semi(
+    df: DataFrame,
+    arg: Mapping[str, Any],
+    resolve: Callable[[str], DataFrame] | None,
+    non_empty: bool,
+) -> DataFrame | None:
+    """$lookup + $match-(non)empty + drop-`as` fused into ONE
+    left_semi/left_anti join.  The unfused plan builds a collect_list
+    array per key (an extra shuffle plus a per-key array that is pure
+    OOM/straggler risk on skewed keys) only for the $match to test
+    emptiness and the next stage to throw it away; the fused plan
+    never materializes matches at all and Catalyst/AQE can broadcast
+    the foreign key column.  eqNullSafe keeps Mongo's null-matches-null
+    $lookup semantics identical to the unfused path.
+
+    Handles the classic form and the correlated pipeline form (the
+    sub-pipeline's filters apply to the foreign side before the semi
+    join — TPC-H q21's EXISTS-with-predicate shape).  Returns None to
+    decline (uncorrelated pipeline form: emptiness is a global, not
+    per-row, property there — the collect_list path is already one
+    aggregation + broadcast)."""
+    if resolve is None:
+        raise PipelineCompileError("$lookup requires a collection resolver")
+    if "pipeline" in arg:
+        if "localField" in arg and "foreignField" in arg:
+            # Mongo 8 concise syntax — same normalization as _lookup
+            arg = dict(arg)
+            lf, ff = arg.pop("localField"), arg.pop("foreignField")
+            arg["let"] = {**arg.get("let", {}), "__lf": f"${lf}"}
+            arg["pipeline"] = [
+                {"$match": {"$expr": {"$eq": ["$$__lf", f"${ff}"]}}}
+            ] + list(arg["pipeline"])
+        return _lookup_pipeline(df, arg, resolve, semi=non_empty)
+    for field in ("from", "localField", "foreignField", "as"):
+        if field not in arg:
+            raise PipelineCompileError(f"$lookup missing {field!r}")
+    foreign = resolve(arg["from"])
+    local_f, foreign_f, out = arg["localField"], arg["foreignField"], arg["as"]
+    keys = foreign.select(F.col(foreign_f).alias("__lk"))
+    how = "left_semi" if non_empty else "left_anti"
+    joined = df.join(keys, on=df[local_f].eqNullSafe(keys["__lk"]), how=how)
+    if out in df.columns:
+        # Mongo overwrote the column with the match array, then dropped it
+        joined = joined.drop(out)
+    return joined
 
 
 def _compile_stage(  # noqa: C901
@@ -1395,7 +1531,8 @@ def _lookup_pipeline(
     arg: Mapping[str, Any],
     resolve: Callable[[str], DataFrame],
     unwind_preserve: bool | None = None,
-) -> DataFrame:
+    semi: bool | None = None,
+) -> DataFrame | None:
     """$lookup pipeline form.
 
     The correlated case keys on the FIRST ``{$match: {$expr: ...}}``
@@ -1423,6 +1560,9 @@ def _lookup_pipeline(
         )
 
     key_idx = next((i for i, s in enumerate(stages) if _is_expr_match(s)), None)
+
+    if key_idx is None and semi is not None:
+        return None  # uncorrelated — decline semi/anti fusion
 
     if key_idx is None:
         if any("$$" in repr(s) for s in stages):
@@ -1522,6 +1662,16 @@ def _lookup_pipeline(
     out_col = arg["as"]
     if out_col in df.columns:
         df = df.drop(out_col)
+
+    if semi is not None:
+        # fused $lookup(pipeline)+$match-(non)empty+drop → semi/anti join
+        keys = sub.select(*[F.col(f"__lk{i}") for i in range(len(join_pairs))])
+        on = [
+            local.eqNullSafe(keys[f"__lk{i}"])
+            for i, (local, _f) in enumerate(join_pairs)
+        ]
+        how = "left_semi" if semi else "left_anti"
+        return df.join(keys, on=functools_reduce_and(on), how=how)
 
     if unwind_preserve is not None:
         # fused $lookup(pipeline)+$unwind → direct join on the let-keys

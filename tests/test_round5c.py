@@ -1,0 +1,328 @@
+"""Round-5 continuation: $lookup semi/anti-join fusion.
+
+The Mongo idiom for EXISTS / NOT EXISTS subqueries is
+$lookup → $match on (non-)emptiness of the `as` array → drop the array
+(TPC-H q4/q21/q22 shapes).  The compiler fuses the triple into ONE
+left_semi/left_anti join — no collect_list array build, no regroup
+shuffle.  These tests prove the fusion fires (plan-level), matches the
+unfused semantics exactly (value-level, incl. null keys and every
+recognized $match idiom), and does NOT fire when the array is still
+needed.
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from anser_spark.plans.pipeline import compile_pipeline
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SEMI_MATCHES = [
+    {"exists": {"$ne": []}},
+    {"exists.0": {"$exists": True}},
+    {"$expr": {"$gt": [{"$size": "$exists"}, 0]}},
+    {"$expr": {"$ne": [{"$size": "$exists"}, 0]}},
+]
+ANTI_MATCHES = [
+    {"exists": {"$eq": []}},
+    {"exists": []},
+    {"exists": {"$size": 0}},
+    {"exists.0": {"$exists": False}},
+    {"$expr": {"$eq": [{"$size": "$exists"}, 0]}},
+]
+
+
+def _unfused(coll, match, drop):
+    # an interleaved no-op $addFields breaks the 3-stage peephole, so
+    # this runs the collect_list path — the semantics reference.
+    # orders→customer on o_orderkey=c_custkey splits non-trivially both
+    # ways (150 semi / 1350 anti at sf0.001).
+    return sorted(
+        r["o_orderkey"]
+        for r in coll.pipe(
+            [
+                {"$lookup": {"from": "customer", "localField": "o_orderkey",
+                             "foreignField": "c_custkey", "as": "exists"}},
+                {"$match": match},
+                {"$addFields": {"__noop": {"$literal": 1}}},
+                drop,
+                {"$unset": "__noop"},
+                {"$project": {"o_orderkey": 1}},
+            ]
+        ).all()
+    )
+
+
+def _fused(coll, match, drop):
+    return sorted(
+        r["o_orderkey"]
+        for r in coll.pipe(
+            [
+                {"$lookup": {"from": "customer", "localField": "o_orderkey",
+                             "foreignField": "c_custkey", "as": "exists"}},
+                {"$match": match},
+                drop,
+                {"$project": {"o_orderkey": 1}},
+            ]
+        ).all()
+    )
+
+
+@pytest.mark.parametrize("match", SEMI_MATCHES)
+def test_semi_fusion_matches_unfused(engine, match):
+    cust = engine.db("tpch").collection("orders")
+    got = _fused(cust, match, {"$unset": "exists"})
+    ref = _unfused(
+        cust, {"$expr": {"$gt": [{"$size": "$exists"}, 0]}}, {"$unset": "exists"}
+    )
+    assert got == ref
+    assert len(got) > 0
+
+
+@pytest.mark.parametrize("match", ANTI_MATCHES)
+def test_anti_fusion_matches_unfused(engine, match):
+    cust = engine.db("tpch").collection("orders")
+    got = _fused(cust, match, {"$unset": "exists"})
+    ref = _unfused(
+        cust, {"$expr": {"$eq": [{"$size": "$exists"}, 0]}}, {"$unset": "exists"}
+    )
+    assert got == ref
+    assert len(got) > 0
+
+
+def test_fusion_plan_is_semi_join_without_array_build(engine):
+    cust = engine.db("tpch").collection("customer")
+    df = cust.pipe(
+        [
+            {"$lookup": {"from": "orders", "localField": "c_custkey",
+                         "foreignField": "o_custkey", "as": "exists"}},
+            {"$match": {"exists": {"$ne": []}}},
+            {"$unset": "exists"},
+        ]
+    ).to_df()
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "collect_list" not in plan
+    anti = cust.pipe(
+        [
+            {"$lookup": {"from": "orders", "localField": "c_custkey",
+                         "foreignField": "o_custkey", "as": "exists"}},
+            {"$match": {"exists": {"$size": 0}}},
+            {"$project": {"exists": 0}},
+        ]
+    ).to_df()
+    plan = _plan(anti)
+    assert "LeftAnti" in plan
+    assert "collect_list" not in plan
+
+
+def test_no_fusion_when_array_still_used(engine):
+    # the drop is NOT adjacent — the array is consumed by $project first,
+    # so the peephole must not fire and `n` must be the true match count
+    cust = engine.db("tpch").collection("customer")
+    out = cust.pipe(
+        [
+            {"$match": {"c_custkey": {"$lte": 20}}},
+            {"$lookup": {"from": "orders", "localField": "c_custkey",
+                         "foreignField": "o_custkey", "as": "exists"}},
+            {"$match": {"$expr": {"$gt": [{"$size": "$exists"}, 0]}}},
+            {"$project": {"c_custkey": 1, "n": {"$size": "$exists"}}},
+        ]
+    ).all()
+    assert len(out) > 0
+    assert all(r["n"] >= 1 for r in out)
+
+
+def test_fusion_null_key_semantics(spark):
+    # Mongo $lookup matches null local keys to null foreign keys;
+    # the fused semi/anti joins must keep that via eqNullSafe
+    schema = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("k", T.StringType()),
+    ])
+    local = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "zz")], schema
+    )
+    foreign = spark.createDataFrame(
+        [(10, "a"), (11, None)], schema
+    )
+    resolve = {"f": foreign}.get
+
+    semi = compile_pipeline(
+        local,
+        [
+            {"$lookup": {"from": "f", "localField": "k",
+                         "foreignField": "k", "as": "m"}},
+            {"$match": {"m": {"$ne": []}}},
+            {"$unset": "m"},
+        ],
+        resolve,
+    )
+    assert sorted(r["_id"] for r in semi.collect()) == [1, 2]
+
+    anti = compile_pipeline(
+        local,
+        [
+            {"$lookup": {"from": "f", "localField": "k",
+                         "foreignField": "k", "as": "m"}},
+            {"$match": {"m": {"$eq": []}}},
+            {"$unset": "m"},
+        ],
+        resolve,
+    )
+    assert [r["_id"] for r in anti.collect()] == [3]
+
+
+def test_fusion_residual_exclusions_and_overwrite(spark):
+    schema = T.StructType([
+        T.StructField("_id", T.LongType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("m", T.StringType()),   # collides with `as`
+        T.StructField("junk", T.StringType()),
+    ])
+    local = spark.createDataFrame([(1, "a", "keepme?", "x")], schema)
+    foreign = spark.createDataFrame(
+        [(10, "a")],
+        T.StructType([T.StructField("fid", T.LongType()),
+                      T.StructField("k", T.StringType())]),
+    )
+    out = compile_pipeline(
+        local,
+        [
+            {"$lookup": {"from": "f", "localField": "k",
+                         "foreignField": "k", "as": "m"}},
+            # residual exclusion of `junk` must still apply post-fusion
+            {"$match": {"m": {"$ne": []}}},
+            {"$project": {"m": 0, "junk": 0}},
+        ],
+        {"f": foreign}.get,
+    )
+    rows = out.collect()
+    # `m` was overwritten by the $lookup then dropped — original column gone
+    assert out.columns == ["_id", "k"]
+    assert rows[0]["_id"] == 1
+
+
+def test_tpch_q4_shape_semi_join(engine):
+    """TPC-H q4 in Mongo idiom: orders in a date window having at least
+    one lineitem — EXISTS via $lookup+$match+$unset, counted per
+    o_orderpriority.  Cross-checked against DuckDB on the same parquet."""
+    duckdb = pytest.importorskip("duckdb")
+    import datetime
+    import os
+
+    td = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    lo = datetime.datetime(1996, 7, 1)
+    hi = datetime.datetime(1996, 10, 1)
+    orders = engine.db("tpch").collection("orders")
+    got = orders.pipe(
+        [
+            {"$match": {"o_orderdate": {"$gte": lo, "$lt": hi}}},
+            {"$lookup": {"from": "lineitem", "localField": "o_orderkey",
+                         "foreignField": "l_orderkey", "as": "items"}},
+            {"$match": {"items": {"$ne": []}}},
+            {"$unset": "items"},
+            {"$group": {"_id": "$o_orderpriority", "order_count": {"$sum": 1}}},
+            {"$sort": {"_id": 1}},
+        ]
+    ).all()
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT o_orderpriority AS _id, count(*) AS order_count
+        FROM '{td}/orders.parquet' o
+        WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+          AND EXISTS (SELECT 1 FROM '{td}/lineitem.parquet' l
+                      WHERE l.l_orderkey = o.o_orderkey)
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert [(r["_id"], r["order_count"]) for r in got] == exp
+
+
+def _pl_lookup(match_stage):
+    # correlated pipeline form with a foreign-side predicate (q21 shape)
+    return {
+        "$lookup": {
+            "from": "customer",
+            "let": {"ok": "$o_orderkey"},
+            "pipeline": [
+                {"$match": {"$expr": {"$and": [
+                    {"$eq": ["$$ok", "$c_custkey"]},
+                    {"$gt": ["$c_acctbal", 0]},
+                ]}}},
+            ],
+            "as": "exists",
+        }
+    }
+
+
+def test_pipeline_form_semi_fusion(engine):
+    orders = engine.db("tpch").collection("orders")
+    fused = orders.pipe([
+        _pl_lookup(None),
+        {"$match": {"exists": {"$ne": []}}},
+        {"$unset": "exists"},
+        {"$project": {"o_orderkey": 1}},
+    ])
+    plan = _plan(fused.to_df())
+    assert "LeftSemi" in plan and "collect_list" not in plan
+    got = sorted(r["o_orderkey"] for r in fused.all())
+    ref = sorted(
+        r["o_orderkey"]
+        for r in orders.pipe([
+            _pl_lookup(None),
+            {"$match": {"$expr": {"$gt": [{"$size": "$exists"}, 0]}}},
+            {"$addFields": {"__noop": {"$literal": 1}}},
+            {"$unset": "exists"},
+            {"$unset": "__noop"},
+            {"$project": {"o_orderkey": 1}},
+        ]).all()
+    )
+    assert got == ref and len(got) > 0
+
+
+def test_pipeline_form_anti_fusion(engine):
+    orders = engine.db("tpch").collection("orders")
+    fused = orders.pipe([
+        _pl_lookup(None),
+        {"$match": {"exists": {"$size": 0}}},
+        {"$unset": "exists"},
+        {"$project": {"o_orderkey": 1}},
+    ])
+    plan = _plan(fused.to_df())
+    assert "LeftAnti" in plan and "collect_list" not in plan
+    got = sorted(r["o_orderkey"] for r in fused.all())
+    ref = sorted(
+        r["o_orderkey"]
+        for r in orders.pipe([
+            _pl_lookup(None),
+            {"$match": {"$expr": {"$eq": [{"$size": "$exists"}, 0]}}},
+            {"$addFields": {"__noop": {"$literal": 1}}},
+            {"$unset": "exists"},
+            {"$unset": "__noop"},
+            {"$project": {"o_orderkey": 1}},
+        ]).all()
+    )
+    assert got == ref and len(got) > 0
+
+
+def test_uncorrelated_pipeline_declines_fusion(engine):
+    # no $expr match in the sub-pipeline ⇒ decline (global emptiness);
+    # the unfused path must still produce the right answer
+    orders = engine.db("tpch").collection("orders")
+    out = orders.pipe([
+        {"$match": {"o_orderkey": {"$lte": 8}}},
+        {"$lookup": {"from": "customer",
+                     "pipeline": [{"$match": {"c_acctbal": {"$gt": 0.0}}},
+                                  {"$limit": 2}],
+                     "as": "exists"}},
+        {"$match": {"$expr": {"$gt": [{"$size": "$exists"}, 0]}}},
+        {"$unset": "exists"},
+    ]).all()
+    # every order carries the same (uncorrelated) 2-element array
+    n = orders.find({"o_orderkey": {"$lte": 8}}).count()
+    assert len(out) == n and n > 0
