@@ -456,11 +456,21 @@ def _q_text_stats(spark, sf_dir):
     # oracle-able — fp_digest pins the exact set, not just its size.
     from pyspark.sql import functions as F
 
-    from anser_spark.operators.text import text_profile, winnow_fingerprints_col
+    from anser_spark.operators.text import text_profile, with_winnow_fingerprints
 
     docs = _db(spark, sf_dir).collection("documents").df()
-    fp = winnow_fingerprints_col(F.col("text"), k=8, w=4)
-    return text_profile(docs).select(
+    # fingerprinting is CPU-bound per row while Spark sizes partitions
+    # by BYTES — a byte-small single-file table would run one task, so
+    # re-split by rows to use every core (at 100 TB the file count
+    # provides this parallelism naturally; the tiny shuffle is the
+    # price of the bench's one-file layout)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # DataFrame form: norm/grams materialize once per row (the
+    # one-Column form re-evaluates them per lambda element — O(len²));
+    # `__fp` is then referenced 4× below, which also keeps IT pinned
+    prof = with_winnow_fingerprints(text_profile(docs), "text", out="__fp", k=8, w=4)
+    fp = F.col("__fp")
+    return prof.select(
         "doc_id", "n_tokens", "n_chars_calc", "lang_id", "quality",
         "punct_ratio", "mean_word_len", "length_score", "en_stop_hits",
         F.size(fp).cast("long").alias("n_fingerprints"),

@@ -168,12 +168,18 @@ def winnow_fingerprints_col(
          window's minimum (lexicographic on hex = order on the digest);
       4. distinct + sort → the document's fingerprint set.
 
-    Returns an ``array<string>`` column. Cost is O(len·w) comparisons
-    per document; ``w`` is a small constant (4-16), so this stays
-    scan-bound. Documents whose normalized text has fewer than ``k``
-    chars fingerprint to an empty array; with fewer than ``w`` k-grams
-    a single window over all of them still yields one fingerprint
-    (the winnowing guarantee: every non-trivial doc is represented).
+    Returns an ``array<string>`` column. Documents whose normalized
+    text has fewer than ``k`` chars fingerprint to an empty array; with
+    fewer than ``w`` k-grams a single window over all of them still
+    yields one fingerprint (the winnowing guarantee: every non-trivial
+    doc is represented).
+
+    .. warning:: This one-Column form is the SEMANTIC SPEC, fine for
+       short strings and unit tests.  On real documents use
+       :func:`with_winnow_fingerprints`: higher-order-function lambdas
+       evaluate interpreted, re-computing the inlined normalization and
+       gram array PER ELEMENT — O(len²) — where the DataFrame form
+       materializes them once per row and stays O(len·w).
     """
     # null text fingerprints to the empty set (coalesce before length:
     # greatest() ignores nulls, so an unguarded null would otherwise
@@ -202,8 +208,50 @@ def with_winnow_fingerprints(
     out: str = "fingerprints",
     k: int = 8,
     w: int = 4,
+    hash_chars: int = 16,
 ) -> DataFrame:
-    return df.withColumn(out, winnow_fingerprints_col(F.col(text_col), k=k, w=w))
+    """DataFrame form of :func:`winnow_fingerprints_col` — USE THIS ON
+    REAL DATA.  The one-Column form nests the normalization and the
+    k-gram array inside ``transform`` lambdas; Spark evaluates
+    higher-order-function lambdas interpreted and re-computes any
+    non-attribute subexpression PER ELEMENT, which turns the
+    normalization regex and the gram hashing quadratic in document
+    length (measured: a single sf0.1 partition ran >12 min; this form
+    runs the same data in seconds).  Materializing ``norm`` and
+    ``grams`` as intermediate columns pins them to one evaluation per
+    row — each is referenced more than once downstream, so Catalyst's
+    CollapseProject keeps the projections stacked instead of inlining
+    the expensive expressions back into the lambdas."""
+    norm_c, grams_c = f"__wnorm_{out}", f"__wgrams_{out}"
+    df = df.withColumn(
+        norm_c,
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9]+", ""
+        ),
+    )
+    nc = F.col(norm_c)
+    m = F.length(nc) - F.lit(k) + F.lit(1)
+    df = df.withColumn(
+        grams_c,
+        F.when(m < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                lambda i: F.substring(F.md5(nc.substr(i, F.lit(k))), 1, hash_chars),
+            )
+        ),
+    )
+    g = F.col(grams_c)
+    n_windows = F.greatest(F.size(g) - F.lit(w) + F.lit(1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows), lambda j: F.array_min(F.slice(g, j, w))
+    )
+    df = df.withColumn(
+        out,
+        F.when(F.size(g) < 1, F.array().cast("array<string>")).otherwise(
+            F.array_sort(F.array_distinct(mins))
+        ),
+    )
+    return df.drop(norm_c, grams_c)
 
 
 def winnow_similarity_col(a: Column, b: Column) -> Column:
