@@ -168,14 +168,30 @@ def shingle_postings_arrow(
 
 
 def shingle_col(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingles (distinct) of normalized text."""
+    """Word k-gram shingles (distinct) of normalized text.
+
+    Built from ``k`` shifted copies of the word array zipped ONCE, so
+    the transform lambda touches only its own element.  (The obvious
+    ``transform(indices, i -> slice(words, i, k))`` form re-evaluates
+    the whole ``words`` expression per element — higher-order-function
+    lambdas run interpreted with no common-subexpression reuse, which
+    makes that form O(len²) per document.)"""
+    text = F.coalesce(text, F.lit(""))  # NULL text shingles like ""
     words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shifted = [
+        words if j == 0 else F.slice(words, j + 1, F.greatest(n - j, F.lit(1)))
+        for j in range(k)
+    ]
+    zipped = F.arrays_zip(*shifted)  # positional fields "0".."k-1"
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)])
+    )
+    # drop the null-padded tail windows (concat_ws skips nulls, so they
+    # would otherwise surface as truncated shingles)
+    full = F.slice(grams, 1, F.greatest(n - k + 1, F.lit(1)))
     return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-        )
+        F.array_distinct(full)
     )
 
 

@@ -34,8 +34,12 @@ def quantize_embeddings(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(v, F.abs))
     scale = F.greatest(maxabs / F.lit(qmax), F.lit(_EPS))
-    codes = F.transform(v, lambda x: F.round(x / scale).cast("int"))
-    return df.withColumn(scale_out, scale).withColumn(out, codes)
+    df = df.withColumn(scale_out, scale)
+    # reference the MATERIALIZED scale column inside the lambda — the
+    # raw `scale` expression would re-run the array_max scan per element
+    # (interpreted HOF lambdas have no subexpression reuse: O(d²))
+    codes = F.transform(v, lambda x: F.round(x / F.col(scale_out)).cast("int"))
+    return df.withColumn(out, codes)
 
 
 def quantization_report(
