@@ -888,6 +888,29 @@ class Collection:
         from anser_spark.plans.pipeline import Aggregation
 
         pipeline = self._resolve_coll_stats(pipeline)
+        stages = list(pipeline)
+        if stages and isinstance(stages[0], Mapping) and "$changeStream" in stages[0]:
+            # Mongo's $changeStream as a leading stage: the rest of the
+            # pipeline composes over the change-event frame (the stage
+            # IS Collection.watch() — batch form over retained
+            # versions).  Divergence from Mongo's resume tokens: the
+            # resume point is a retained VERSION id (startAtVersion),
+            # since batch change streams are version diffs, not oplog
+            # tails; `key` names the document-key column (default _id).
+            arg = stages[0]["$changeStream"] or {}
+            since = arg.get("startAtVersion")
+            if since is None:
+                raise ValueError(
+                    "$changeStream requires startAtVersion: batch change "
+                    "streams diff retained versions (see set_retention/"
+                    "versions); there is no oplog to tail"
+                )
+            ev = self.watch(str(since), key=arg.get("key", "_id"))
+            return Aggregation(ev, self._resolve_search_indexes(stages[1:]))
+        if any(
+            isinstance(s, Mapping) and "$changeStream" in s for s in stages
+        ):
+            raise ValueError("$changeStream must be the first pipeline stage")
         return Aggregation(self, self._resolve_search_indexes(pipeline))
 
     aggregate = pipe

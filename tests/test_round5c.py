@@ -326,3 +326,50 @@ def test_uncorrelated_pipeline_declines_fusion(engine):
     # every order carries the same (uncorrelated) 2-element array
     n = orders.find({"o_orderkey": {"$lte": 8}}).count()
     assert len(out) == n and n > 0
+
+
+# ---------------------------------------------------------------------------
+# $changeStream leading pipeline stage (Mongo parity glue over watch())
+# ---------------------------------------------------------------------------
+
+
+def _cs_coll(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path))
+    coll = eng.db("wdb").collection("items")
+    coll._rewrite(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "_id long, name string, v long",
+    ))
+    coll.set_retention(10)
+    return coll
+
+
+def test_change_stream_stage_composes(spark, tmp_path):
+    import json
+
+    coll = _cs_coll(spark, tmp_path)
+    coll.update_all({"_id": 2}, {"$set": {"v": 99}})
+    coll.remove_all({"_id": 3})
+    coll.insert({"_id": 4, "name": "d", "v": 40})
+    out = coll.pipe([
+        {"$changeStream": {"startAtVersion": "v1"}},
+        {"$match": {"operationType": {"$ne": "delete"}}},
+        {"$sort": {"documentKey": 1}},
+        {"$project": {"documentKey": 1, "operationType": 1, "fullDocument": 1}},
+    ]).all()
+    assert [(r["documentKey"], r["operationType"]) for r in out] == [
+        (2, "update"), (4, "insert")
+    ]
+    assert json.loads(out[0]["fullDocument"])["v"] == 99
+
+
+def test_change_stream_stage_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    coll = _cs_coll(spark, tmp_path)
+    with _pytest.raises(ValueError, match="startAtVersion"):
+        coll.pipe([{"$changeStream": {}}])
+    with _pytest.raises(ValueError, match="first pipeline stage"):
+        coll.pipe([{"$match": {}}, {"$changeStream": {"startAtVersion": "v1"}}])
