@@ -27,7 +27,7 @@ from anser_spark.engine import Collection
 from anser_spark.functions.filters import compile_filter
 from anser_spark.functions.sort import parse_sort_keys
 
-__all__ = ["BackupOptions", "backup_collection"]
+__all__ = ["BackupOptions", "backup_collection", "restore_collection"]
 
 
 @dataclass
@@ -122,6 +122,80 @@ def backup_collection(collection: Collection, options: BackupOptions) -> dict[st
             ns, count, time.monotonic() - start_at,
         )
     return report
+
+
+def restore_collection(
+    engine: Any,
+    source_dir: str,
+    namespace: str | None = None,
+    db: str | None = None,
+    collection: str | None = None,
+) -> dict[str, Any]:
+    """Restore a ``backup_collection`` export into a (possibly renamed)
+    collection — the mongorestore analogue the reference pairs with its
+    backup sink.
+
+    ``namespace`` picks which backup inside ``source_dir`` to restore
+    ("db.coll", required only when the directory holds several);
+    ``db``/``collection`` override the restore target (defaults: the
+    backed-up namespace). The data format is auto-detected from the
+    export's file extension; json/csv restores re-apply the manifest's
+    schema so types (timestamps, longs-vs-ints, nested structs for
+    json) round-trip instead of being re-inferred. The read+write is
+    one distributed job into a fresh collection version (atomic pointer
+    swap — a failed restore never corrupts an existing collection)."""
+    manifests = sorted(
+        f for f in os.listdir(source_dir) if f.endswith(".metadata.json")
+    )
+    if namespace is not None:
+        manifests = [f for f in manifests if f == f"{namespace}.metadata.json"]
+    if not manifests:
+        raise FileNotFoundError(
+            f"no backup metadata found in {source_dir!r}"
+            + (f" for namespace {namespace!r}" if namespace else "")
+        )
+    if len(manifests) > 1:
+        raise ValueError(
+            f"multiple backups in {source_dir!r}: "
+            f"{[m[: -len('.metadata.json')] for m in manifests]} — "
+            "pass namespace= to pick one"
+        )
+    metadata_path = os.path.join(source_dir, manifests[0])
+    with open(metadata_path) as fh:
+        manifest = json.load(fh)
+    base = metadata_path[: -len(".metadata.json")]
+    fmt = next(
+        (f for f in ("parquet", "orc", "json", "csv") if os.path.exists(base + "." + f)),
+        None,
+    )
+    if fmt is None:
+        raise FileNotFoundError(
+            f"backup {manifest['namespace']} has no data export "
+            "(indexes_only backup?) — nothing to restore"
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(manifest["schema"])
+    spark = engine.spark
+    if fmt == "parquet":
+        df = spark.read.parquet(base + ".parquet")
+    elif fmt == "orc":
+        df = spark.read.orc(base + ".orc")
+    elif fmt == "json":
+        df = spark.read.schema(schema).json(base + ".json")
+    else:
+        df = spark.read.schema(schema).option("header", "true").csv(base + ".csv")
+    target = engine.db(db or manifest["db"]).collection(
+        collection or manifest["collection"]
+    )
+    target._rewrite(df)
+    return {
+        "namespace": str(target.namespace),
+        "source_namespace": manifest["namespace"],
+        "count": target.count(),
+        "format": fmt,
+        "data_path": base + "." + fmt,
+    }
 
 
 def _log_progress(ns: Any, data_path: str, count: int, start_at: float) -> None:

@@ -373,3 +373,62 @@ def test_change_stream_stage_errors(spark, tmp_path):
         coll.pipe([{"$changeStream": {}}])
     with _pytest.raises(ValueError, match="first pipeline stage"):
         coll.pipe([{"$match": {}}, {"$changeStream": {"startAtVersion": "v1"}}])
+
+
+# ---------------------------------------------------------------------------
+# restore_collection — the mongorestore analogue for the backup sink
+# ---------------------------------------------------------------------------
+
+
+def test_backup_restore_roundtrip_parquet(doc_collection, tmp_path):
+    from anser_spark.sources.backup import (
+        BackupOptions, backup_collection, restore_collection,
+    )
+
+    bdir = str(tmp_path / "bk")
+    backup_collection(doc_collection, BackupOptions(target_dir=bdir))
+    rep = restore_collection(
+        doc_collection.engine, bdir, collection="docs_restored"
+    )
+    assert rep["count"] == 6 and rep["format"] == "parquet"
+    restored = doc_collection.engine.db("appdb").collection("docs_restored")
+    a = [r.asDict(recursive=True) for r in doc_collection.df().collect()]
+    b = [r.asDict(recursive=True) for r in restored.df().collect()]
+    a.sort(key=lambda d: d["_id"]); b.sort(key=lambda d: d["_id"])
+    assert a == b
+
+
+def test_backup_restore_json_schema_roundtrip(doc_collection, tmp_path):
+    # json export stringifies timestamps/structs; restore must re-apply
+    # the manifest schema, not re-infer
+    from anser_spark.sources.backup import (
+        BackupOptions, backup_collection, restore_collection,
+    )
+
+    bdir = str(tmp_path / "bkj")
+    backup_collection(
+        doc_collection, BackupOptions(target_dir=bdir, format="json")
+    )
+    restore_collection(doc_collection.engine, bdir, collection="docs_j")
+    restored = doc_collection.engine.db("appdb").collection("docs_j")
+    assert restored.df().schema == doc_collection.df().schema
+    row = restored.find_id("a1").one()
+    assert row["meta"]["owner"] == "alice"
+    assert row["time"].year == 2026
+
+
+def test_restore_errors(doc_collection, tmp_path):
+    import pytest as _pytest
+
+    from anser_spark.sources.backup import (
+        BackupOptions, backup_collection, restore_collection,
+    )
+
+    with _pytest.raises(FileNotFoundError, match="no backup metadata"):
+        restore_collection(doc_collection.engine, str(tmp_path))
+    bdir = str(tmp_path / "bkio")
+    backup_collection(
+        doc_collection, BackupOptions(target_dir=bdir, indexes_only=True)
+    )
+    with _pytest.raises(FileNotFoundError, match="no data export"):
+        restore_collection(doc_collection.engine, bdir)
