@@ -1016,6 +1016,46 @@ class Collection:
                     "terms_dir": terms_dir,
                 }
             )
+        elif kind == "minhash":
+            # incremental-dedup index: per-document MinHash signatures +
+            # hashed shingle sets, plus the banded (id, band, bhash)
+            # table the candidate join reads. New batches match against
+            # the stored corpus via near_dups_against_index without
+            # re-signaturing history — the steady-state ingest shape.
+            path = definition.get("path", "text")
+            id_col = definition.get("id_col", "_id")
+            k = int(definition.get("k", 3))
+            num_hashes = int(definition.get("numHashes", 32))
+            bands_n = int(definition.get("bands", 16))
+            seed = int(definition.get("seed", 42))
+            from anser_spark.operators.dedup import (
+                banded_signatures,
+                minhash_signature_arrow,
+            )
+
+            os.makedirs(self._search_index_dir(), exist_ok=True)
+            sig_dir = os.path.join(self._search_index_dir(), f"{name}_minhash")
+            minhash_signature_arrow(
+                self.df(), id_col, path, k, num_hashes, seed
+            ).write.mode("overwrite").parquet(sig_dir)
+            stored = self.engine.spark.read.parquet(sig_dir)
+            bands_dir = os.path.join(self._search_index_dir(), f"{name}_bands")
+            banded_signatures(stored, id_col, num_hashes, bands_n).write.mode(
+                "overwrite"
+            ).parquet(bands_dir)
+            definition.update(
+                {
+                    "kind": "minhash",
+                    "path": path,
+                    "id_col": id_col,
+                    "k": k,
+                    "numHashes": num_hashes,
+                    "bands": bands_n,
+                    "seed": seed,
+                    "sig_dir": sig_dir,
+                    "bands_dir": bands_dir,
+                }
+            )
         else:
             raise ValueError(f"unsupported search index kind: {kind!r}")
         os.makedirs(self._search_index_dir(), exist_ok=True)
@@ -1044,6 +1084,47 @@ class Collection:
             raise NotFoundError(f"search index does not exist: {name}")
         with open(p) as fh:
             return json.load(fh)
+
+    def near_dups_against_index(
+        self, new_df: DataFrame, index: str, threshold: float = 0.7
+    ) -> DataFrame:
+        """Match a new batch against this collection's persisted
+        ``kind="minhash"`` index (see create_search_index): returns
+        (new_id, old_id, jaccard ≥ threshold) without re-signaturing
+        the stored corpus. The index is a snapshot — rebuild it after
+        bulk mutations, like the other index kinds."""
+        d = self._load_search_index(index)
+        if d.get("kind") != "minhash":
+            raise ValueError(
+                f"index {index!r} is kind={d.get('kind')!r}, expected minhash"
+            )
+        from anser_spark.operators.dedup import near_dups_against_sigs
+
+        spark = self.engine.spark
+        return near_dups_against_sigs(
+            new_df,
+            spark.read.parquet(d["sig_dir"]),
+            spark.read.parquet(d["bands_dir"]),
+            id_col=d["id_col"],
+            text_col=d["path"],
+            k=d["k"],
+            num_hashes=d["numHashes"],
+            bands=d["bands"],
+            seed=d["seed"],
+            threshold=threshold,
+        )
+
+    def dedup_batch_against_index(
+        self, new_df: DataFrame, index: str, threshold: float = 0.7
+    ) -> DataFrame:
+        """Drop every batch document that near-duplicates a stored
+        corpus document (the incremental-ingest filter)."""
+        d = self._load_search_index(index)
+        pairs = self.near_dups_against_index(new_df, index, threshold)
+        victims = pairs.select(
+            F.col("new_id").alias(d["id_col"])
+        ).distinct()
+        return new_df.join(victims, on=d["id_col"], how="left_anti")
 
     def _resolve_search_indexes(self, stages: Sequence[Mapping[str, Any]]):
         """Replace ``$search``/``$vectorSearch`` ``{index: "<name>"}``

@@ -25,7 +25,9 @@ __all__ = [
     "shingles_arrow",
     "shingle_postings_arrow",
     "minhash_signature",
+    "banded_signatures",
     "minhash_near_dup_pairs",
+    "near_dups_against_sigs",
     "minhash_dedup",
     "with_simhash",
     "ngram_jaccard_pairs",
@@ -299,43 +301,15 @@ def minhash_signature_arrow(
     )
 
 
-def minhash_near_dup_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    num_hashes: int = 32,
-    bands: int = 16,
-    threshold: float = 0.7,
-    method: str = "arrow",
+def banded_signatures(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
-
-    LSH: split the signature into `bands` bands of num_hashes/bands rows;
-    docs sharing any band-hash become candidates; candidates are verified
-    with exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard).
-
-    ``method``: 'arrow' (default — numpy-vectorized signatures, the
-    round-3 bake-off winner) or 'column' (pure JVM expressions; same
-    verified output, different hash family for the candidate stage).
-    """
+    """LSH banding: (id, band, bhash) rows — one xxhash64 per band over
+    that band's signature slice.  Docs sharing any (band, bhash) are
+    candidates; the narrow 3-column shape is what candidate joins (and
+    the persisted minhash index) carry."""
     rows = num_hashes // bands
-    # materialize signatures once: this projection feeds banding AND both
-    # sides of the verification join — without persist the whole
-    # shingle+minhash lineage recomputes 3× (measured ~3× wall clock).
-    # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
-    from pyspark.storagelevel import StorageLevel
-
-    if method == "arrow":
-        sigs = minhash_signature_arrow(df, id_col, text_col, k, num_hashes)
-        sh_col = "__shash"  # hashed shingle sets — cheap long intersects
-    else:
-        sigs = minhash_signature(df, text_col, k, num_hashes)
-        sh_col = "__shingles"
-    sigs = sigs.select(
-        F.col(id_col), F.col(sh_col), F.col("__minhash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(
             F.array(
@@ -357,6 +331,44 @@ def minhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bhash")
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    method: str = "arrow",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    LSH: split the signature into `bands` bands of num_hashes/bands rows;
+    docs sharing any band-hash become candidates; candidates are verified
+    with exact Jaccard over shingle sets. Returns (id_a, id_b, jaccard).
+
+    ``method``: 'arrow' (default — numpy-vectorized signatures, the
+    round-3 bake-off winner) or 'column' (pure JVM expressions; same
+    verified output, different hash family for the candidate stage).
+    """
+    # materialize signatures once: this projection feeds banding AND both
+    # sides of the verification join — without persist the whole
+    # shingle+minhash lineage recomputes 3× (measured ~3× wall clock).
+    # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
+    from pyspark.storagelevel import StorageLevel
+
+    if method == "arrow":
+        sigs = minhash_signature_arrow(df, id_col, text_col, k, num_hashes)
+        sh_col = "__shash"  # hashed shingle sets — cheap long intersects
+    else:
+        sigs = minhash_signature(df, text_col, k, num_hashes)
+        sh_col = "__shingles"
+    sigs = sigs.select(
+        F.col(id_col), F.col(sh_col), F.col("__minhash")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = banded_signatures(sigs, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -384,6 +396,77 @@ def minhash_near_dup_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def near_dups_against_sigs(
+    new_df: DataFrame,
+    old_sigs: DataFrame,
+    old_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW batch against an
+    EXISTING corpus's precomputed MinHash signatures (see
+    ``Collection.create_search_index(kind="minhash")``) without
+    re-signaturing history — the steady-state ingest shape at 100 TB,
+    where the corpus is billions of documents and the batch is not.
+
+    Only the batch is signatured (same seed/params as the index, or the
+    hash families would not collide); candidates come from the batch's
+    banded keys equi-joined against the stored (id, band, bhash) table
+    — broadcastable when the batch is small, never all-pairs — and are
+    verified with exact Jaccard over the stored hashed shingle sets.
+
+    Returns (new_id, old_id, jaccard ≥ threshold).  Batch-internal
+    duplicates are out of scope — run :func:`minhash_near_dup_pairs`
+    on the batch for those."""
+    from pyspark.storagelevel import StorageLevel
+
+    sigs_new = (
+        minhash_signature_arrow(new_df, id_col, text_col, k, num_hashes, seed)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded_new = banded_signatures(sigs_new, id_col, num_hashes, bands)
+    cand = (
+        banded_new.select(
+            F.col(id_col).alias("new_id"), "band", "bhash"
+        )
+        .join(
+            old_bands.select(
+                F.col(id_col).alias("old_id"), "band", "bhash"
+            ),
+            ["band", "bhash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sigs_new.select(
+                F.col(id_col).alias("new_id"), F.col("__shash").alias("__sa")
+            ),
+            "new_id",
+        )
+        .join(
+            old_sigs.select(
+                F.col(id_col).alias("old_id"), F.col("__shash").alias("__sb")
+            ),
+            "old_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", F.round("jaccard", 6).alias("jaccard"))
     )
     return verified
 

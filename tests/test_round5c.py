@@ -432,3 +432,58 @@ def test_restore_errors(doc_collection, tmp_path):
     )
     with _pytest.raises(FileNotFoundError, match="no data export"):
         restore_collection(doc_collection.engine, bdir)
+
+
+# ---------------------------------------------------------------------------
+# Persistent MinHash index: incremental dedup of new batches vs the corpus
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_index_incremental_dedup(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path))
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text").limit(60)
+    coll = eng.db("corp").collection("docs")
+    coll._rewrite(corpus)
+    coll.create_search_index("mh", {"kind": "minhash", "id_col": "doc_id",
+                                    "path": "text"})
+    assert "mh" in coll.list_search_indexes()
+
+    # new batch: 3 exact copies of stored docs (shifted ids) + 3 fresh
+    # docs made of vocabulary that shares no 3-gram with the corpus
+    stored = corpus.limit(3).collect()
+    from pyspark.sql import Row
+    fresh = [
+        Row(doc_id=9000 + i, text=f"zz{i}a zz{i}b zz{i}c zz{i}d zz{i}e")
+        for i in range(3)
+    ]
+    copies = [Row(doc_id=8000 + i, text=r.text) for i, r in enumerate(stored)]
+    batch = spark.createDataFrame(copies + fresh, corpus.schema)
+
+    pairs = coll.near_dups_against_index(batch, "mh", threshold=1.0).collect()
+    got = {(r.new_id, r.old_id) for r in pairs}
+    want = {(8000 + i, r.doc_id) for i, r in enumerate(stored)}
+    # exact copies must match their stored original (jaccard 1.0 pairs
+    # collide in every band — recall 1 at threshold 1.0)
+    assert want <= got
+    assert all(r.jaccard == 1.0 for r in pairs)
+    assert not any(r.new_id >= 9000 for r in pairs)
+
+    kept = coll.dedup_batch_against_index(batch, "mh", threshold=1.0)
+    assert sorted(r.doc_id for r in kept.collect()) == [9000, 9001, 9002]
+
+
+def test_minhash_index_kind_mismatch(spark, tmp_path):
+    import pytest as _pytest
+
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path))
+    coll = eng.db("corp").collection("docs")
+    coll._rewrite(spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"))
+    coll.create_search_index("notmh", {"kind": "bm25", "path": "text"})
+    with _pytest.raises(ValueError, match="expected minhash"):
+        coll.near_dups_against_index(coll.df(), "notmh")
