@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 from anser_spark.operators.similarity import dot_col, norm_col
 
-__all__ = ["IVFIndex", "ivf_train", "ivf_train_sample", "ivf_assign", "ivf_top_k"]
+__all__ = [
+    "IVFIndex",
+    "ivf_train",
+    "ivf_train_sample",
+    "ivf_assign",
+    "ivf_top_k",
+    "ivf_knn_join",
+]
 
 
 @dataclass
@@ -172,4 +179,78 @@ def ivf_top_k(
         .select(F.col(index.id_col), F.round(cos, round_to).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(index.id_col))
         .limit(k)
+    )
+
+
+def _probe_cells_col(vec, centroids: list[list[float]], nprobe: int):
+    """The nprobe nearest centroid ids as an array<int> expression:
+    (distance, id) structs array_sorted ONCE, then sliced — every
+    per-centroid distance is evaluated exactly once per row (same
+    expression-growth reasoning as _nearest_centroid_col)."""
+    pairs = F.arrays_zip(
+        F.array(*[_sq_dist(vec, c) for c in centroids]),
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+    )
+    ordered = F.array_sort(pairs)  # struct order: by distance, then id
+    return F.transform(
+        F.slice(ordered, 1, max(1, nprobe)), lambda s: s["1"].cast("int")
+    )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    assigned: DataFrame,
+    index: IVFIndex,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str | None = None,
+    centroid_col: str = "centroid_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """KNN JOIN: for EVERY query vector in ``queries``, the top-k
+    nearest corpus vectors — the batch shape of :func:`ivf_top_k`
+    (embedding a new document batch and linking each to its corpus
+    neighbors), where per-query driver-side probing would mean one
+    Spark job per row.
+
+    Plan shape: each query row computes its ``nprobe`` nearest
+    centroids as ONE array expression, explodes to (query, cell), and
+    equi-joins the corpus on the cell id — cost ≈ |batch| · nprobe/nlist
+    · |corpus| candidate pairs instead of the |batch| · |corpus|
+    cross join; AQE broadcasts the (small) exploded query side. Exact
+    cosine inside the probed lists, per-query top-k via one
+    window on query_id (k is small, the heap never materializes more
+    than the candidates). nprobe=nlist degrades to the exact KNN join.
+
+    Returns (query_id, <corpus id>, cosine, rank), rank 1..k."""
+    from pyspark.sql.window import Window
+
+    qvec = query_vec_col or index.vec_col
+    cells = _probe_cells_col(F.col(qvec), index.centroids, nprobe)
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(qvec).alias("__qvec"),
+        F.explode(cells).alias(centroid_col),
+    )
+    vec = F.col(index.vec_col)
+    qv = F.col("__qvec")
+    qn = F.sqrt(
+        F.aggregate(qv, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    cos = dot_col(qv, vec) / (
+        F.greatest(norm_col(vec), F.lit(1e-30)) * F.greatest(qn, F.lit(1e-30))
+    )
+    scored = probes.join(assigned, centroid_col).select(
+        query_id_col,
+        F.col(index.id_col),
+        F.round(cos, round_to).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(index.id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy(query_id_col, "rank")
     )

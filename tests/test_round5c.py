@@ -487,3 +487,72 @@ def test_minhash_index_kind_mismatch(spark, tmp_path):
     coll.create_search_index("notmh", {"kind": "bm25", "path": "text"})
     with _pytest.raises(ValueError, match="expected minhash"):
         coll.near_dups_against_index(coll.df(), "notmh")
+
+
+# ---------------------------------------------------------------------------
+# IVF KNN join: batch of query vectors → top-k corpus neighbors each
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_knn_join_exact_at_full_probe(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.ivf import ivf_assign, ivf_knn_join, ivf_train_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding").limit(200).cache()
+    index = ivf_train_sample(emb, k=8, vec_col="embedding", id_col="vec_id")
+    assigned = ivf_assign(emb, index).cache()
+
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    out = ivf_knn_join(queries, assigned, index, k=4, nprobe=8,
+                       query_id_col="query_id").collect()
+
+    corpus = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+              for r in emb.collect()}
+    qrows = {r.query_id: np.array(r.embedding, dtype=np.float64)
+             for r in queries.collect()}
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.cosine))
+    assert set(got) == set(qrows)
+    for qid, q in qrows.items():
+        qn = np.linalg.norm(q) or 1e-30
+        sims = sorted(
+            ((float(np.dot(q, v) / (max(np.linalg.norm(v), 1e-30) * qn)), -vid)
+             for vid, v in corpus.items()),
+            reverse=True,
+        )[:4]
+        want = [(-nid, round(s, 4)) for s, nid in sims]
+        rows = sorted(got[qid])
+        assert [(vid, cos) for _rk, vid, cos in rows] == want, qid
+        # full probe: self is the top neighbor with cosine 1.0
+        assert rows[0][1] == qid and rows[0][2] == 1.0
+
+
+def test_ivf_knn_join_shape_at_low_probe(spark):
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.ivf import ivf_assign, ivf_knn_join, ivf_train_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding").limit(200)
+    index = ivf_train_sample(emb, k=8, vec_col="embedding", id_col="vec_id")
+    assigned = ivf_assign(emb, index)
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding"))
+    out = ivf_knn_join(queries, assigned, index, k=3, nprobe=1,
+                       query_id_col="query_id").collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    # every query got ≤k ranked results, ranks contiguous from 1
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+    # a query's own cell is always probed (its nearest centroid), so
+    # self-match keeps every query represented
+    assert set(per_q) == {r.query_id for r in queries.collect()}
