@@ -327,7 +327,9 @@ class Collection:
             return [c for c in text.split(",") if c]
         return []
 
-    def set_clustering(self, *cols: str, n_files: int | None = None) -> None:
+    def set_clustering(
+        self, *cols: str, n_files: int | None = None, layout: str = "linear"
+    ) -> None:
         """Declare clustering columns: every subsequent version write
         range-partitions and sorts rows by ``cols`` before writing, so
         each parquet file covers a NARROW, non-overlapping range of the
@@ -343,12 +345,26 @@ class Collection:
         ``n_files`` pins the number of range shards (an explicit
         repartition count AQE respects); default None lets AQE size the
         shards by data volume — the right default at scale, where shard
-        count should track bytes, not a stored constant."""
+        count should track bytes, not a stored constant.
+
+        ``layout="zorder"`` (2+ columns) sorts by an interleaved-bits
+        Z-order key instead of lexicographically: a linear (a, b) sort
+        prunes files only for probes on ``a`` (every file spans all of
+        ``b``), while Z-order gives EVERY clustering column partial
+        min/max locality, so single-column probes on any of them skip
+        most files — the multi-dimensional lakehouse layout (Delta/
+        Iceberg OPTIMIZE ZORDER). Numeric/timestamp/date columns get
+        range buckets (min/max from one small aggregate per write);
+        other types hash-bucket, which preserves equality pruning
+        only. One column degrades to linear."""
+        if layout not in ("linear", "zorder"):
+            raise ValueError(f"unknown clustering layout: {layout!r}")
         os.makedirs(self._store_dir, exist_ok=True)
         with open(os.path.join(self._store_dir, "_CLUSTERING"), "w") as fh:
             fh.write(",".join(cols))
-            if n_files:
-                fh.write(f"\n{int(n_files)}")
+            fh.write(f"\n{int(n_files)}" if n_files else "\n")
+            if layout != "linear":
+                fh.write(f"\n{layout}")
 
     def clustering_columns(self) -> tuple[list[str], int | None]:
         p = os.path.join(self._store_dir, "_CLUSTERING")
@@ -359,6 +375,15 @@ class Collection:
             n = int(lines[1]) if len(lines) > 1 and lines[1].strip() else None
             return cols, n
         return [], None
+
+    def clustering_layout(self) -> str:
+        p = os.path.join(self._store_dir, "_CLUSTERING")
+        if os.path.exists(p):
+            with open(p) as fh:
+                lines = fh.read().splitlines()
+            if len(lines) > 2 and lines[2].strip():
+                return lines[2].strip()
+        return "linear"
 
     def set_retention(self, n_versions: int) -> None:
         """Keep the last ``n_versions`` dataset versions instead of only
@@ -594,12 +619,83 @@ class Collection:
                         os.path.join(self._store_dir, name), ignore_errors=True
                     )
 
+    def _zorder_key(self, df: DataFrame, cols: Sequence[str]) -> Any:
+        """Interleaved-bits Z-order key over ``cols`` as one long
+        Column. Numeric/timestamp/date columns bucket by range (min/max
+        via ONE small aggregate job — the same scan the range exchange
+        pays anyway); other types bucket by hash (equality pruning
+        only). Nulls sort first (bucket 0)."""
+        from pyspark.sql import types as T
+
+        bits = min(16, 62 // max(1, len(cols)))
+        nb = (1 << bits) - 1
+
+        def rank_expr(c: str):
+            dt = df.schema[c].dataType
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                num = F.unix_micros(F.col(c)).cast("double")
+            elif isinstance(dt, T.DateType):
+                num = F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+            elif isinstance(dt, T.NumericType):
+                num = F.col(c).cast("double")
+            else:
+                return F.pmod(F.xxhash64(F.col(c)), F.lit(nb + 1)).cast("long")
+            return num  # bucketed below once min/max are known
+
+        numeric = [
+            c for c in cols
+            if isinstance(
+                df.schema[c].dataType,
+                (T.NumericType, T.TimestampType, T.TimestampNTZType, T.DateType),
+            )
+        ]
+        stats = {}
+        if numeric:
+            row = df.agg(
+                *[F.min(rank_expr(c)).alias(f"lo_{i}") for i, c in enumerate(numeric)],
+                *[F.max(rank_expr(c)).alias(f"hi_{i}") for i, c in enumerate(numeric)],
+            ).collect()[0]
+            for i, c in enumerate(numeric):
+                stats[c] = (row[f"lo_{i}"], row[f"hi_{i}"])
+
+        buckets = []
+        for c in cols:
+            if c in stats:
+                lo, hi = stats[c]
+                if lo is None or hi is None or hi <= lo:
+                    buckets.append(F.lit(0).cast("long"))
+                    continue
+                b = F.floor(
+                    (rank_expr(c) - F.lit(float(lo)))
+                    / F.lit((float(hi) - float(lo)) / nb)
+                ).cast("long")
+                buckets.append(
+                    F.coalesce(F.least(b, F.lit(nb)), F.lit(0)).cast("long")
+                )
+            else:
+                buckets.append(F.coalesce(rank_expr(c), F.lit(0)).cast("long"))
+        zkey = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, b in enumerate(buckets):
+                bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+                zkey = zkey + F.shiftleft(bit, i * len(buckets) + j)
+        return zkey
+
     def _write_version(
         self, df: DataFrame, version: str, pcols: Sequence[str] | None = None
     ) -> str:
         raw_ccols, n_shards = self.clustering_columns()
         ccols = [c for c in raw_ccols if c in df.columns]
-        if ccols:
+        if ccols and self.clustering_layout() == "zorder" and len(ccols) > 1:
+            # Z-order layout: range-partition + sort on the interleaved
+            # key so every clustering column gets min/max locality
+            df = df.withColumn("__zkey", self._zorder_key(df, ccols))
+            df = (
+                df.repartitionByRange(n_shards, F.col("__zkey"))
+                if n_shards
+                else df.repartitionByRange(F.col("__zkey"))
+            ).sortWithinPartitions("__zkey").drop("__zkey")
+        elif ccols:
             # clustered layout: range-partition + sort so every written
             # file covers a narrow, non-overlapping key range — parquet
             # footer min/max stats become selective (see set_clustering)

@@ -556,3 +556,81 @@ def test_ivf_knn_join_shape_at_low_probe(spark):
     # a query's own cell is always probed (its nearest centroid), so
     # self-match keeps every query represented
     assert set(per_q) == {r.query_id for r in queries.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: multi-column file pruning
+# ---------------------------------------------------------------------------
+
+
+def _file_ranges(coll, col_idx):
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in coll._data_files(coll.current_path()):
+        md = pq.read_metadata(f)
+        s = [md.row_group(g).column(col_idx).statistics
+             for g in range(md.num_row_groups)]
+        ranges.append((min(x.min for x in s), max(x.max for x in s)))
+    return ranges
+
+
+def _files_hit(ranges, v):
+    return sum(1 for lo, hi in ranges if lo <= v <= hi)
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    import random
+
+    from anser_spark.engine import Engine
+
+    random.seed(3)
+    rows = [(random.randrange(1000), random.randrange(1000), i)
+            for i in range(20000)]
+
+    def build(layout, sub):
+        eng = Engine(spark, workdir=str(tmp_path / sub))
+        c = eng.db("z").collection("t")
+        c.set_clustering("a", "b", n_files=16, layout=layout)
+        c.insert_df(spark.createDataFrame(rows, "a long, b long, pay long")
+                    .repartition(8))
+        return c
+
+    zc = build("zorder", "wz")
+    lc = build("linear", "wl")
+    n_files = len(zc._data_files(zc.current_path()))
+    assert n_files > 4
+
+    probes = [111, 555, 912]
+    # column a: both layouts prune well
+    za = sum(_files_hit(_file_ranges(zc, 0), v) for v in probes) / len(probes)
+    # column b: linear sort can't prune (every file spans all of b);
+    # z-order must skip most files
+    zb = sum(_files_hit(_file_ranges(zc, 1), v) for v in probes) / len(probes)
+    lb = sum(_files_hit(_file_ranges(lc, 1), v) for v in probes) / len(probes)
+    assert za <= n_files / 2, (za, n_files)
+    assert zb <= n_files / 2, (zb, n_files)
+    assert lb > n_files * 0.9, (lb, n_files)  # the layout z-order beats
+
+    # correctness unaffected by the layout
+    assert zc.count() == lc.count() == 20000
+    got = sorted(r["pay"] for r in zc.find({"a": rows[7][0], "b": rows[7][1]}).all())
+    want = sorted(p for a, b, p in rows if (a, b) == (rows[7][0], rows[7][1]))
+    assert got == want
+
+
+def test_zorder_single_column_degrades_to_linear(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "w1"))
+    c = eng.db("z").collection("t")
+    c.set_clustering("a", n_files=4, layout="zorder")
+    c.insert_df(spark.createDataFrame(
+        [((i * 37) % 500, i) for i in range(2000)], "a long, pay long"))
+    ranges = sorted(_file_ranges(c, 0))
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2  # non-overlapping = linear layout
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown clustering layout"):
+        c.set_clustering("a", layout="hilbert")
