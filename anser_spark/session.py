@@ -33,6 +33,17 @@ def get_spark(app_name: str = "anser-spark", cpus: str | int | None = None) -> S
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # SimplifyCaseConversionExpressions rewrites lower(upper(x)) →
+        # lower(x), which is UNSOUND for Unicode one-way case mappings
+        # (upper('ß')='SS' → lower='ss', but lower('ß')='ß') — found by
+        # the seeded expression fuzzer diverging from the Mongo-semantics
+        # evaluator. Excluding the rule restores correct composition of
+        # $toUpper/$toLower; the lost optimization is negligible.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "SimplifyCaseConversionExpressions",
+        )
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         # local mode = one JVM for driver+executors: size the heap for a

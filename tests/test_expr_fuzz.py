@@ -7,6 +7,7 @@ op set. Restricted to operators with exact cross-engine semantics
 (integer/decimal-free arithmetic, comparisons, $cond/$ifNull, string
 ops) so equality is bitwise, not approximate."""
 
+import os
 import random
 
 from pyspark.sql import functions as F
@@ -259,7 +260,7 @@ def ev(expr, doc):
 
 
 def test_expression_fuzz(spark):
-    rng = random.Random(20260813)
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260813")))
     df = spark.createDataFrame(ROWS)
     exprs = []
     for i in range(80):

@@ -5,6 +5,7 @@ evaluator implementing Mongo's documented semantics. Catches operator
 edge cases the hand-written goldens miss."""
 
 import datetime
+import os
 import random
 import re
 
@@ -176,7 +177,7 @@ def ref_match(doc, flt):
 
 
 def test_filter_fuzz(spark):
-    rng = random.Random(42)
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "42")))
     rows = make_rows(rng)
     from pyspark.sql import types as T
 

@@ -634,3 +634,19 @@ def test_zorder_single_column_degrades_to_linear(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown clustering layout"):
         c.set_clustering("a", layout="hilbert")
+
+
+def test_case_conversion_composes_on_unicode(spark):
+    # Catalyst's SimplifyCaseConversionExpressions rewrites
+    # lower(upper(x)) -> lower(x), which is unsound for one-way case
+    # mappings (upper('ß')='SS'). The session excludes the rule; the
+    # composed Mongo expressions must follow real casing.
+    from anser_spark.functions.expressions import compile_expr
+
+    df = spark.createDataFrame([("ß", "STRASSE")], "t string, u string")
+    row = df.select(
+        compile_expr({"$toLower": {"$toUpper": "$t"}}, df.schema).alias("lu"),
+        compile_expr({"$toUpper": {"$toLower": "$u"}}, df.schema).alias("ul"),
+    ).collect()[0]
+    assert row.lu == "ss"
+    assert row.ul == "STRASSE"

@@ -4,6 +4,7 @@ reference implementing Mongo's documented update semantics — and
 compared row by row."""
 
 import math
+import os
 import random
 
 from pyspark.sql import functions as F
@@ -164,7 +165,7 @@ def norm(value):
 
 
 def test_update_fuzz(spark):
-    rng = random.Random(7)
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "7")))
     for trial in range(25):
         rows = make_rows(rng)
         df = spark.createDataFrame(rows, SCHEMA)
