@@ -1222,6 +1222,35 @@ class Collection:
         ).distinct()
         return new_df.join(victims, on=d["id_col"], how="left_anti")
 
+    def append_to_minhash_index(self, index: str, new_df: DataFrame) -> None:
+        """Extend a ``kind="minhash"`` index with a new batch's
+        signatures — incremental maintenance, no corpus re-signaturing.
+        Duplicate signature rows (a batch appended twice) are harmless:
+        they only re-propose the same candidates, and verification is
+        exact."""
+        d = self._load_search_index(index)
+        if d.get("kind") != "minhash":
+            raise ValueError(
+                f"index {index!r} is kind={d.get('kind')!r}, expected minhash"
+            )
+        from pyspark.storagelevel import StorageLevel
+
+        from anser_spark.operators.dedup import (
+            banded_signatures,
+            minhash_signature_arrow,
+        )
+
+        sigs = minhash_signature_arrow(
+            new_df, d["id_col"], d["path"], d["k"], d["numHashes"], d["seed"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            sigs.write.mode("append").parquet(d["sig_dir"])
+            banded_signatures(
+                sigs, d["id_col"], d["numHashes"], d["bands"]
+            ).write.mode("append").parquet(d["bands_dir"])
+        finally:
+            sigs.unpersist()
+
     def _resolve_search_indexes(self, stages: Sequence[Mapping[str, Any]]):
         """Replace ``$search``/``$vectorSearch`` ``{index: "<name>"}``
         references with the stored index definition (centroids / bm25

@@ -52,6 +52,8 @@ def stream_into_collection(
     checkpoint_dir: str,
     query_name: str | None = None,
     available_now: bool = False,
+    dedup_index: str | None = None,
+    dedup_threshold: float = 0.7,
 ):
     """Start a streaming query appending every micro-batch to
     ``collection``. Returns the StreamingQuery (caller awaits /
@@ -66,7 +68,20 @@ def stream_into_collection(
     downstream. ``streaming_first_seen`` remains the tool for
     SOURCE-side duplicates (same logical record delivered as two
     different batches), which no sink-side marker can detect.
-    """
+
+    ``dedup_index`` names a ``kind="minhash"`` search index on the
+    collection: each batch is near-dup-filtered against the CORPUS
+    before appending, and the surviving documents' signatures extend
+    the index — the full incremental-ingest dedup loop (corpus
+    signatured once, each batch pays only its own cost; batch N+1
+    dedups against batch N without any rebuild). Index maintenance
+    caveat: the signature append runs after the data commit, so a
+    crash exactly between them leaves one batch's signatures missing
+    until the index is rebuilt — later duplicates OF THAT BATCH would
+    pass (bounded incompleteness). The orders are deliberate: the
+    reverse order could drop a replayed batch's rows against its own
+    signatures — data loss beats a stale index. Batch-INTERNAL
+    duplicates are out of scope (streaming_first_seen upstream)."""
     marker = _sink_id(checkpoint_dir)
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
@@ -75,7 +90,20 @@ def stream_into_collection(
             return  # replay of a batch whose append already committed
         if batch_df.isEmpty():
             return
-        collection.insert_df(batch_df, pointer_meta={marker: str(batch_id)})
+        if dedup_index is None:
+            collection.insert_df(batch_df, pointer_meta={marker: str(batch_id)})
+            return
+        from pyspark.storagelevel import StorageLevel
+
+        kept = collection.dedup_batch_against_index(
+            batch_df, dedup_index, dedup_threshold
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            if not kept.isEmpty():
+                collection.insert_df(kept, pointer_meta={marker: str(batch_id)})
+                collection.append_to_minhash_index(dedup_index, kept)
+        finally:
+            kept.unpersist()
 
     writer = stream.writeStream.foreachBatch(_append).option(
         "checkpointLocation", checkpoint_dir

@@ -650,3 +650,54 @@ def test_case_conversion_composes_on_unicode(spark):
     ).collect()[0]
     assert row.lu == "ss"
     assert row.ul == "STRASSE"
+
+
+def test_stream_ingest_with_incremental_dedup(spark, tmp_path):
+    # the full incremental loop: corpus indexed once; batch 1 dedups
+    # against the corpus AND extends the index; batch 2 dedups against
+    # both the corpus and batch 1 — no rebuild anywhere
+    import json
+
+    from anser_spark.engine import Engine
+    from anser_spark.streaming.ingest import stream_into_collection
+
+    eng = Engine(spark, workdir=str(tmp_path / "wd"))
+    coll = eng.db("ing").collection("docs")
+    base = "quick brown fox jumps over the lazy dog again and again"
+    coll.insert({"doc_id": 1, "text": base})
+    coll.insert({"doc_id": 2, "text": "completely different words entirely here"})
+    coll.create_search_index("mh", {"kind": "minhash", "id_col": "doc_id",
+                                    "path": "text"})
+
+    srcdir = tmp_path / "src"
+    srcdir.mkdir()
+    schema = "doc_id long, text string"
+
+    def put(name, rows):
+        with open(srcdir / name, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(srcdir))
+        q = stream_into_collection(
+            stream, coll, checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True, dedup_index="mh", dedup_threshold=1.0,
+        )
+        q.awaitTermination(180)
+
+    # batch 1: one dup of corpus doc 1, one fresh doc
+    put("b1.jsonl", [{"doc_id": 10, "text": base},
+                     {"doc_id": 11, "text": "fresh batch one content words here"}])
+    run()
+    assert sorted(r["doc_id"] for r in coll.find({}).all()) == [1, 2, 11]
+
+    # batch 2: dup of corpus, dup of BATCH-1 survivor (caught only via
+    # the incremental index append), and a fresh doc
+    put("b2.jsonl", [
+        {"doc_id": 20, "text": base},
+        {"doc_id": 21, "text": "fresh batch one content words here"},
+        {"doc_id": 22, "text": "totally new batch two material words"},
+    ])
+    run()
+    assert sorted(r["doc_id"] for r in coll.find({}).all()) == [1, 2, 11, 22]
