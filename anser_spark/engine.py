@@ -48,6 +48,7 @@ __all__ = [
     "ChangeInfo",
     "NotFoundError",
     "WriteConflictError",
+    "DocumentValidationError",
 ]
 
 
@@ -62,6 +63,11 @@ class WriteConflictError(RuntimeError):
     of Mongo's WriteConflict. The losing mutation raises instead of
     silently overwriting the winner's version (last-wins lost update);
     retry re-reads the new current version."""
+
+
+class DocumentValidationError(ValueError):
+    """An insert violated the collection's ``$jsonSchema`` validator
+    (Mongo DocumentValidationFailure, code 121)."""
 
 
 def is_not_found(exc: BaseException) -> bool:
@@ -384,6 +390,44 @@ class Collection:
             if len(lines) > 2 and lines[2].strip():
                 return lines[2].strip()
         return "linear"
+
+    def set_validator(self, json_schema: Mapping[str, Any] | None) -> None:
+        """Attach a ``$jsonSchema`` validator (Mongo collMod validator,
+        validationAction=error): inserts whose documents violate the
+        schema raise DocumentValidationError and commit nothing.
+        Divergence (documented): updates are not re-validated — the
+        batch engine rewrites whole files, so per-document update
+        validation would re-scan every rewrite; validate-on-ingest is
+        the supported contract. Pass None to clear."""
+        os.makedirs(self._store_dir, exist_ok=True)
+        p = os.path.join(self._store_dir, "_VALIDATOR")
+        if json_schema is None:
+            if os.path.exists(p):
+                os.remove(p)
+            return
+        # compile now to fail fast on unsupported keywords
+        compile_filter({"$jsonSchema": dict(json_schema)}, None)
+        with open(p, "w") as fh:
+            json.dump(dict(json_schema), fh)
+
+    def validator(self) -> Mapping[str, Any] | None:
+        p = os.path.join(self._store_dir, "_VALIDATOR")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return None
+
+    def _validate_incoming(self, df: DataFrame) -> None:
+        spec = self.validator()
+        if spec is None:
+            return
+        pred = compile_filter({"$jsonSchema": spec}, df.schema)
+        bad = df.where(~F.coalesce(pred, F.lit(False))).limit(3).collect()
+        if bad:
+            raise DocumentValidationError(
+                f"{self.namespace}: document failed $jsonSchema validation "
+                f"(first offender: {bad[0].asDict()})"
+            )
 
     def set_retention(self, n_versions: int) -> None:
         """Keep the last ``n_versions`` dataset versions instead of only
@@ -1345,6 +1389,7 @@ class Collection:
         if not docs:
             return
         new_df = self._docs_to_df(list(docs))
+        self._validate_incoming(new_df)
         if self.exists():
             self._cow_append(new_df)
         else:
@@ -1358,6 +1403,7 @@ class Collection:
         ``pointer_meta`` commits atomically with the new version (see
         ``pointer_meta()``) — the hook streaming ingestion uses to make
         batch appends idempotent."""
+        self._validate_incoming(df)
         if self.exists():
             self._cow_append(df, meta_update=pointer_meta)
         else:

@@ -182,6 +182,8 @@ def compile_filter(flt: Mapping[str, Any] | None, schema: T.StructType | None = 
             from anser_spark.functions.expressions import compile_expr
 
             clauses.append(compile_expr(value, schema).cast("boolean"))
+        elif key == "$jsonSchema":
+            clauses.append(_json_schema_pred(value, schema))
         elif key == "$sampleRate":
             # Bernoulli sample of matching docs (Mongo 4.4.2+); executor-
             # local rand, no shuffle — same contract as Mongo's
@@ -402,6 +404,154 @@ def _compile_op(
             inner = col.rlike(arg)
         return ~F.coalesce(inner, F.lit(False))
     raise FilterCompileError(f"unsupported operator: {op}")
+
+
+_JS_META_KEYWORDS = ("title", "description", "exclusiveMinimum", "exclusiveMaximum")
+
+
+def _json_schema_pred(spec: Mapping[str, Any], schema: T.StructType | None) -> Column:
+    """``$jsonSchema`` (Mongo's draft-4 subset) over the document root.
+
+    Fixed-schema semantics: a field's TYPE is static, so ``bsonType``/
+    ``type`` checks fold to literals; a bsonType mismatch means the
+    field can only pass by being absent (null). ``required`` means
+    present (isNotNull — the engine's documented $exists analogue);
+    ``properties`` constrain only when the field is present, as in
+    JSON Schema. Supported keywords: bsonType/type, required,
+    properties (nested objects recurse), enum, minimum/maximum
+    (+exclusiveMinimum/Maximum), minLength/maxLength, pattern,
+    minItems/maxItems, items (object form), allOf/anyOf/oneOf/not.
+    Unknown keywords raise (silently ignoring a constraint would
+    validate documents Mongo rejects)."""
+    if not isinstance(spec, Mapping):
+        raise FilterCompileError("$jsonSchema expects a document")
+
+    def field_info(name: str) -> tuple[Column | None, T.DataType | None]:
+        dt = field_type(schema, name)
+        if schema is not None and dt is None:
+            return None, None  # statically missing column
+        return resolve_field(name), dt
+
+    return _js_object_keywords(spec, field_info)
+
+
+def _js_object_keywords(spec, field_info) -> Column:
+    preds: list[Column] = []
+    for kw, val in spec.items():
+        if kw in _JS_META_KEYWORDS:
+            continue
+        if kw in ("bsonType", "type"):
+            wanted = [val] if isinstance(val, str) else list(val)
+            preds.append(F.lit("object" in wanted))
+        elif kw == "required":
+            for name in val:
+                col, dt = field_info(name)
+                preds.append(F.lit(False) if col is None else col.isNotNull())
+        elif kw == "properties":
+            for name, sub in val.items():
+                col, dt = field_info(name)
+                if col is None:
+                    continue  # absent field always satisfies its schema
+                preds.append(col.isNull() | _js_value_pred(sub, col, dt))
+        elif kw == "allOf":
+            preds.extend(_js_object_keywords(s, field_info) for s in val)
+        elif kw == "anyOf":
+            preds.append(_any_of([_js_object_keywords(s, field_info) for s in val]))
+        elif kw == "oneOf":
+            hits = [
+                F.coalesce(_js_object_keywords(s, field_info), F.lit(False)).cast("int")
+                for s in val
+            ]
+            total = hits[0]
+            for h in hits[1:]:
+                total = total + h
+            preds.append(total == 1)
+        elif kw == "not":
+            preds.append(
+                ~F.coalesce(_js_object_keywords(val, field_info), F.lit(False))
+            )
+        else:
+            raise FilterCompileError(f"unsupported $jsonSchema keyword: {kw!r}")
+    return _all_of(preds)
+
+
+def _js_value_pred(spec: Mapping[str, Any], col: Column, dt: T.DataType | None) -> Column:
+    if not isinstance(spec, Mapping):
+        raise FilterCompileError("$jsonSchema subschema must be a document")
+    preds: list[Column] = []
+    for kw, val in spec.items():
+        if kw in _JS_META_KEYWORDS:
+            continue
+        if kw in ("bsonType", "type"):
+            wanted = [val] if isinstance(val, str) else list(val)
+            ok = False
+            for name in wanted:
+                if name == "null":
+                    continue  # handled by the presence-OR wrapper
+                check = _TYPE_CHECKS.get(name)
+                if check is None:
+                    raise FilterCompileError(
+                        f"unsupported $jsonSchema bsonType: {name!r}"
+                    )
+                ok = ok or bool(dt is not None and check(dt))
+            preds.append(F.lit(ok))
+        elif kw == "enum":
+            with_null = [v for v in val if v is not None]
+            p = col.isin([_lit(v) for v in with_null]) if with_null else F.lit(False)
+            if None in val:
+                p = p | col.isNull()
+            preds.append(p)
+        elif kw == "minimum":
+            p = col > F.lit(val) if spec.get("exclusiveMinimum") else col >= F.lit(val)
+            preds.append(p)
+        elif kw == "maximum":
+            p = col < F.lit(val) if spec.get("exclusiveMaximum") else col <= F.lit(val)
+            preds.append(p)
+        elif kw == "minLength":
+            preds.append(F.length(col) >= int(val))
+        elif kw == "maxLength":
+            preds.append(F.length(col) <= int(val))
+        elif kw == "pattern":
+            preds.append(col.rlike(val))
+        elif kw == "minItems":
+            preds.append(F.size(col) >= int(val))
+        elif kw == "maxItems":
+            preds.append(F.size(col) <= int(val))
+        elif kw == "items":
+            if not isinstance(val, Mapping):
+                raise FilterCompileError(
+                    "$jsonSchema items supports the single-schema form"
+                )
+            elem_dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+            preds.append(F.forall(col, lambda e: _js_value_pred(val, e, elem_dt)))
+        elif kw in ("required", "properties"):
+            # object keywords against a struct-typed value
+            struct = dt if isinstance(dt, T.StructType) else None
+
+            def sub_info(name, _s=struct, _c=col):
+                if _s is None or name not in _s.fieldNames():
+                    return None, None
+                return _c.getField(name), _s[name].dataType
+
+            preds.append(_js_object_keywords({kw: val}, sub_info))
+        elif kw == "allOf":
+            preds.extend(_js_value_pred(s, col, dt) for s in val)
+        elif kw == "anyOf":
+            preds.append(_any_of([_js_value_pred(s, col, dt) for s in val]))
+        elif kw == "oneOf":
+            hits = [
+                F.coalesce(_js_value_pred(s, col, dt), F.lit(False)).cast("int")
+                for s in val
+            ]
+            total = hits[0]
+            for h in hits[1:]:
+                total = total + h
+            preds.append(total == 1)
+        elif kw == "not":
+            preds.append(~F.coalesce(_js_value_pred(val, col, dt), F.lit(False)))
+        else:
+            raise FilterCompileError(f"unsupported $jsonSchema keyword: {kw!r}")
+    return _all_of(preds)
 
 
 def _single_op(arg: Any) -> tuple[str, Any]:

@@ -701,3 +701,81 @@ def test_stream_ingest_with_incremental_dedup(spark, tmp_path):
     ])
     run()
     assert sorted(r["doc_id"] for r in coll.find({}).all()) == [1, 2, 11, 22]
+
+
+# ---------------------------------------------------------------------------
+# $jsonSchema query operator + collection validators
+# ---------------------------------------------------------------------------
+
+
+def test_json_schema_query_operator(doc_collection):
+    # find conforming docs: status string, priority ≥ 0 when present,
+    # tags at most 2 items
+    out = doc_collection.find({"$jsonSchema": {
+        "bsonType": "object",
+        "required": ["_id", "status"],
+        "properties": {
+            "status": {"bsonType": "string",
+                       "enum": ["success", "failed", "started",
+                                "undispatched"]},
+            "priority": {"bsonType": ["int", "long"], "minimum": 0},
+            "tags": {"bsonType": "array", "maxItems": 2,
+                     "items": {"bsonType": "string", "minLength": 3}},
+        },
+    }}).all()
+    ids = sorted(r["_id"] for r in out)
+    # a3: priority null (passes — absent), tags [] ok
+    # a4: priority 99, tags 2 ok; a5: 3 tags -> fails; a6: ok
+    # a1: ok; a2: ok; a5 fails (-1 priority AND 3 tags)
+    assert ids == ["a1", "a2", "a3", "a4", "a6"]
+
+
+def test_json_schema_nested_and_combinators(doc_collection):
+    out = doc_collection.find({"$jsonSchema": {
+        "properties": {
+            "meta": {"bsonType": "object",
+                     "required": ["owner"],
+                     "properties": {"attempt": {"minimum": 2}}},
+        },
+    }}).all()
+    # meta.owner null on a3 (required fails); attempt must be ≥2 → a2,a4,a6
+    assert sorted(r["_id"] for r in out) == ["a2", "a4", "a6"]
+
+    out = doc_collection.find({"$jsonSchema": {
+        "properties": {
+            "status": {"anyOf": [{"pattern": "^succ"}, {"enum": ["failed"]}]},
+        },
+    }}).all()
+    assert sorted(r["_id"] for r in out) == ["a1", "a2", "a4", "a6"]
+
+
+def test_json_schema_unknown_keyword_raises(doc_collection):
+    import pytest as _pytest
+
+    from anser_spark.functions.filters import FilterCompileError
+
+    with _pytest.raises(FilterCompileError, match="jsonSchema keyword"):
+        doc_collection.find({"$jsonSchema": {
+            "properties": {"status": {"uniqueItems": True}}}}).all()
+
+
+def test_collection_validator_blocks_bad_inserts(spark, tmp_path):
+    import pytest as _pytest
+
+    from anser_spark.engine import DocumentValidationError, Engine
+
+    eng = Engine(spark, workdir=str(tmp_path))
+    coll = eng.db("v").collection("t")
+    coll.set_validator({
+        "required": ["_id"],
+        "properties": {"score": {"minimum": 0, "maximum": 100}},
+    })
+    coll.insert({"_id": 1, "score": 50})
+    with _pytest.raises(DocumentValidationError, match="validation"):
+        coll.insert({"_id": 2, "score": 150})
+    assert coll.count() == 1  # failed insert committed nothing
+    with _pytest.raises(DocumentValidationError):
+        coll.insert_df(spark.createDataFrame([(None, 10)], "_id long, score long"))
+    coll.set_validator(None)
+    coll.insert({"_id": 2, "score": 150})
+    assert coll.count() == 2
