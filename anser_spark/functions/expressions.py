@@ -403,12 +403,20 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         if "i" in arg.get("options", ""):
             pattern = f"(?i){pattern}"
         return inp.rlike(pattern)
-    if op == "$indexOfCP":
-        # Mongo returns 0-based index, -1 when absent; F.instr is 1-based, 0 when absent
+    if op in ("$indexOfCP", "$indexOfBytes"):
+        # Mongo returns 0-based index, -1 when absent; F.instr is 1-based,
+        # 0 when absent. $indexOfBytes coincides with $indexOfCP for
+        # single-byte encodings (documented divergence on multi-byte).
         s = c(arg[0])
         if not isinstance(arg[1], str):
-            raise ExprCompileError("$indexOfCP requires a literal substring")
+            raise ExprCompileError(f"{op} requires a literal substring")
         return F.instr(s, arg[1]) - F.lit(1)
+    if op == "$strcasecmp":
+        a, b = _args(arg, schema, env)
+        la, lb = F.lower(a), F.lower(b)
+        return (
+            F.when(la < lb, F.lit(-1)).when(la > lb, F.lit(1)).otherwise(F.lit(0))
+        )
 
     # ---- dates
     if op == "$year":
@@ -639,6 +647,25 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
             arr = cols[0]
             return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double")) / F.size(arr)
         return _fold(cols, lambda a, b: a + b) / F.lit(len(cols))
+    if op in ("$stdDevPop", "$stdDevSamp"):
+        # expression form (the $group/window forms live in their
+        # stages): sqrt(E[x²] − E[x]²), n−1 denominator for samp. One
+        # array arg = over its elements; several args = over the args.
+        cols = _args(arg, schema, env)
+        arr = cols[0] if len(cols) == 1 else F.array(*cols)
+        n = F.size(arr).cast("double")
+        s1 = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        s2 = F.aggregate(
+            arr, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+        if op == "$stdDevPop":
+            return F.when(n >= 1, F.sqrt(F.greatest(s2 / n - (s1 / n) * (s1 / n), F.lit(0.0))))
+        return F.when(
+            n >= 2,
+            F.sqrt(
+                F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))
+            ),
+        )
 
     # ---- trig / extended math
     _TRIG = {
@@ -666,6 +693,11 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         return F.bitwise_not(c(arg))
     if op == "$binarySize":
         return F.octet_length(c(arg))
+    if op == "$bsonSize":
+        # no BSON here — the stable size analogue is the document's JSON
+        # rendering in bytes (documented divergence: JSON, not BSON,
+        # framing overhead)
+        return F.octet_length(F.to_json(c(arg)))
 
     # ---- regex find (beyond $regexMatch)
     # Both return Mongo's document shape {match, idx, captures}.

@@ -779,3 +779,27 @@ def test_collection_validator_blocks_bad_inserts(spark, tmp_path):
     coll.set_validator(None)
     coll.insert({"_id": 2, "score": 150})
     assert coll.count() == 2
+
+
+def test_new_expression_ops(doc_collection):
+    import math
+
+    out = doc_collection.pipe([
+        {"$match": {"_id": "a1"}},
+        {"$project": {
+            "_id": 0,
+            "cmp0": {"$strcasecmp": ["SUCCESS", "$status"]},
+            "cmpn": {"$strcasecmp": ["abc", "abd"]},
+            "idx": {"$indexOfBytes": ["$status", "cc"]},
+            "sdp": {"$stdDevPop": [[2, 4, 4, 4, 5, 5, 7, 9]]},
+            "sds": {"$stdDevSamp": [[1.0, 2.0, 3.0, 4.0]]},
+            "sds1": {"$stdDevSamp": [[1.0]]},
+            "bs": {"$bsonSize": "$meta"},
+        }},
+    ]).all()[0]
+    assert out["cmp0"] == 0 and out["cmpn"] == -1
+    assert out["idx"] == 2
+    assert abs(out["sdp"] - 2.0) < 1e-12
+    assert abs(out["sds"] - math.sqrt(5.0 / 3.0)) < 1e-12
+    assert out["sds1"] is None  # samp needs n>=2, as Mongo
+    assert out["bs"] > 10  # json rendering of the meta struct
