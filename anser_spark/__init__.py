@@ -26,6 +26,10 @@ from anser_spark.engine import (
     NotFoundError,
     WriteConflictError,
 )
+from anser_spark.functions.expressions import ExprCompileError
+from anser_spark.functions.filters import FilterCompileError
+from anser_spark.functions.updates import UpdateCompileError
+from anser_spark.plans.pipeline import PipelineCompileError
 from anser_spark.session import get_spark
 
 __all__ = [
@@ -36,6 +40,10 @@ __all__ = [
     "ChangeInfo",
     "NotFoundError",
     "WriteConflictError",
+    "ExprCompileError",
+    "FilterCompileError",
+    "UpdateCompileError",
+    "PipelineCompileError",
     "get_spark",
 ]
 

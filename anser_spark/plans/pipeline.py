@@ -1631,8 +1631,25 @@ def _lookup_pipeline(
     non_expr = {k: v for k, v in match_arg.items() if k != "$expr"}
     if non_expr:
         filtered = filtered.where(compile_filter(non_expr, filtered.schema))
+    # residual conditions that reference let variables compare the OUTER
+    # row against the foreign row — they cannot be applied foreign-side
+    # and become part of the join condition instead (TPC-H q21's
+    # `l2.l_suppkey <> l1.l_suppkey` shape)
+    residual_corr = [c for c in residual if "$$" in repr(c)]
+    residual = [c for c in residual if "$$" not in repr(c)]
     for cond in residual:
         filtered = filtered.where(compile_expr(cond, filtered.schema).cast("boolean"))
+    if residual_corr:
+        if len(stages) > 1:
+            raise PipelineCompileError(
+                "$lookup sub-pipeline stages after a correlated non-equality "
+                "$match are not supported (the filter depends on the outer "
+                "row, so the tail cannot be decorrelated)"
+            )
+        return _lookup_correlated_theta(
+            df, filtered, let, join_pairs, residual_corr, arg["as"],
+            unwind_preserve, semi,
+        )
     key_cols = [
         compile_expr(ffield, filtered.schema).alias(f"__lk{i}")
         for i, (_loc, ffield) in enumerate(join_pairs)
@@ -1641,22 +1658,33 @@ def _lookup_pipeline(
     # join keys must survive the user's sub-pipeline: silently extend
     # inclusion-projections to keep the internal __lk columns
     lk_names = [f"__lk{i}" for i in range(len(join_pairs))]
-    rest: list[Mapping[str, Any]] = []
+    sub = filtered
     for stage in stages[1:]:
         if "$project" in stage:
             proj = dict(stage["$project"])
             if any(v not in (0, False) for v in proj.values()):
                 for name in lk_names:
                     proj.setdefault(name, 1)
-            rest.append({"$project": proj})
+            sub = compile_pipeline(sub, [{"$project": proj}], None, None)
+        elif "$group" in stage:
+            # correlated aggregate subquery (TPC-H q2/q17 shape): Mongo
+            # runs the $group per outer row over its matching foreign
+            # docs; decorrelated, that is ONE aggregate grouped by
+            # (join keys + user _id) followed by the equi-join — the
+            # classic aggregate-then-join rewrite, never a per-row re-run
+            if "$$" in repr(stage):
+                raise PipelineCompileError(
+                    "$group inside a $lookup sub-pipeline must not "
+                    "reference let variables"
+                )
+            sub = _decorrelated_group(sub, stage["$group"], lk_names)
         else:
-            rest.append(stage)
-    sub = compile_pipeline(filtered, rest, None, None)
+            sub = compile_pipeline(sub, [stage], None, None)
     for name in lk_names:
         if name not in sub.columns:
             raise PipelineCompileError(
                 "$lookup sub-pipeline must not remove the join fields "
-                "(e.g. via $group/$replaceRoot)"
+                "(e.g. via $replaceRoot)"
             )
     data_cols = [c for c in sub.columns if not c.startswith("__lk")]
     out_col = arg["as"]
@@ -1707,6 +1735,139 @@ def functools_reduce_and(conds: list[Column]) -> Column:
     import functools
 
     return functools.reduce(lambda a, b: a & b, conds)
+
+
+def _decorrelated_group(
+    sub: DataFrame, g: Mapping[str, Any], lk_names: list[str]
+) -> DataFrame:
+    """One $group stage inside a correlated $lookup sub-pipeline,
+    decorrelated: group by (join keys + user _id) so a single shuffled
+    aggregate serves every outer row.  An outer row with no matching
+    foreign docs gets no group — Mongo's empty-input $group likewise
+    emits nothing, so the lookup array is empty on both engines."""
+    if "_id" not in g:
+        raise PipelineCompileError("$group requires _id")
+    uid = g["_id"]
+    accs = {k: v for k, v in g.items() if k != "_id"}
+    agg_cols = [_acc_column(spec, sub.schema).alias(n) for n, spec in accs.items()]
+    if not agg_cols:
+        agg_cols = [F.count(F.lit(1)).alias("__n")]
+        drop_n = True
+    else:
+        drop_n = False
+    keys = [F.col(n) for n in lk_names]
+    if uid is None:
+        grouped = sub.groupBy(*keys).agg(*agg_cols)
+        out = grouped.select(
+            *lk_names, F.lit(None).cast("string").alias("_id"),
+            *[F.col(n) for n in accs],
+        )
+    elif isinstance(uid, Mapping) and not any(str(k).startswith("$") for k in uid):
+        id_cols = [
+            compile_expr(v, sub.schema).alias(f"__id_{k}") for k, v in uid.items()
+        ]
+        grouped = sub.groupBy(*keys, *id_cols).agg(*agg_cols)
+        id_struct = F.struct(*[F.col(f"__id_{k}").alias(k) for k in uid]).alias("_id")
+        out = grouped.select(*lk_names, id_struct, *[F.col(n) for n in accs])
+    else:
+        grouped = sub.groupBy(
+            *keys, compile_expr(uid, sub.schema).alias("_id")
+        ).agg(*agg_cols)
+        out = grouped.select(*lk_names, "_id", *[F.col(n) for n in accs])
+    return out.drop("__n") if drop_n else out
+
+
+def _lookup_correlated_theta(
+    df: DataFrame,
+    filtered: DataFrame,
+    let: Mapping[str, Any],
+    join_pairs: list[tuple[Column, Any]],
+    residual_corr: list[Any],
+    out: str,
+    unwind_preserve: bool | None,
+    semi: bool | None,
+) -> DataFrame:
+    """Correlated $lookup whose $expr $match carries non-equality
+    conditions on let variables (q21's EXISTS-with-<> shape).  The
+    equalities stay the shuffle keys; the theta conditions join on
+    renamed columns (`__ov_<var>` outer, `__f_<field>` foreign) so a
+    self-join on the same collection never hits ambiguous lineage.
+    Spark still plans a hash join on the equi-keys with the theta part
+    as a post-join filter — one shuffle, no cartesian."""
+    from pyspark.sql import types as T
+
+    used_vars: set[str] = set()
+
+    def _rw(node: Any) -> Any:
+        if isinstance(node, str):
+            if node.startswith("$$"):
+                head, dot, tail = node[2:].partition(".")
+                if head not in let:
+                    raise PipelineCompileError(
+                        f"unbound let variable $${head} (system variables are "
+                        "not supported in correlated theta conditions)"
+                    )
+                used_vars.add(head)
+                return f"$__ov_{head}" + (dot + tail if dot else "")
+            if node.startswith("$"):
+                return "$__f_" + node[1:]
+            return node
+        if isinstance(node, Mapping):
+            if "$literal" in node:
+                return node
+            return {k: _rw(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [_rw(v) for v in node]
+        return node
+
+    rewritten = [_rw(c) for c in residual_corr]
+
+    if out in df.columns:
+        df = df.drop(out)
+    orig_cols = list(df.columns)
+    df2 = df
+    for var in sorted(used_vars):
+        df2 = df2.withColumn(f"__ov_{var}", compile_expr(let[var], df.schema))
+
+    data_cols = list(filtered.columns)
+    fr = filtered.select(
+        F.lit(True).alias("__f_matched"),
+        *[
+            compile_expr(ffield, filtered.schema).alias(f"__lk{i}")
+            for i, (_loc, ffield) in enumerate(join_pairs)
+        ],
+        *[F.col(c).alias(f"__f_{c}") for c in data_cols],
+    )
+
+    combined = T.StructType(list(df2.schema.fields) + list(fr.schema.fields))
+    on_conds = [
+        local.eqNullSafe(fr[f"__lk{i}"]) for i, (local, _f) in enumerate(join_pairs)
+    ] + [compile_expr(c, combined).cast("boolean") for c in rewritten]
+    on = functools_reduce_and(on_conds)
+
+    if semi is not None:
+        how = "left_semi" if semi else "left_anti"
+        return df2.join(fr, on=on, how=how).select(*orig_cols)
+
+    packed = F.struct(*[F.col(f"__f_{c}").alias(c) for c in data_cols])
+    if unwind_preserve is not None:
+        how = "left" if unwind_preserve else "inner"
+        joined = df2.join(fr, on=on, how=how)
+        if unwind_preserve:
+            packed = F.when(F.col("__f_matched"), packed)
+        return joined.select(*[df2[c] for c in orig_cols], packed.alias(out))
+
+    # plain array form: per-outer-row arrays differ even for equal join
+    # keys (the theta part sees the whole row), so regroup on a unique
+    # row id after the join — the same shuffle Mongo's semantics force
+    uid = "__row_uid"
+    df2 = df2.withColumn(uid, F.monotonically_increasing_id())
+    joined = df2.join(fr, on=on, how="left")
+    arr = F.collect_list(F.when(F.col("__f_matched"), packed)).alias(out)
+    agg = joined.groupBy(uid).agg(
+        *[F.first(F.col(c), ignorenulls=False).alias(c) for c in orig_cols], arr
+    )
+    return agg.select(*orig_cols, out)
 
 
 def _graph_lookup(
