@@ -522,14 +522,28 @@ def _sorted_struct_agg(arg: Mapping[str, Any], schema) -> Column:
 
 
 def _acc_column_extended(op: str, arg: Any, schema) -> Column | None:
-    """Mongo 5.2+/7.0 accumulators. $median/$percentile use Spark's
-    exact implementations (Mongo's are t-digest approximations —
-    documented divergence, exact ⊇ approximate in quality)."""
+    """Mongo 5.2+/7.0 accumulators. $median/$percentile honor Mongo's
+    ``method`` field: "approximate" (Mongo's default, t-digest) maps to
+    Spark's mergeable ``percentile_approx`` sketch — the 100 TB path, a
+    fixed-size state per group instead of a per-group sort.  "exact"
+    maps to Spark's exact percentile (our pre-7.0 behavior; sketch
+    internals differ from Mongo's t-digest either way, so approximate
+    VALUES are engine-specific — documented divergence)."""
     if op == "$median":
+        if isinstance(arg, Mapping) and arg.get("method") == "approximate":
+            return F.percentile_approx(
+                compile_expr(arg["input"], schema).cast("double"),
+                F.lit(0.5), F.lit(10_000),
+            )
         return F.median(compile_expr(arg["input"], schema))
     if op == "$percentile":
         ps = arg["p"]
         expr = compile_expr(arg["input"], schema)
+        if arg.get("method") == "approximate":
+            return F.percentile_approx(
+                expr.cast("double"),
+                F.array(*[F.lit(float(p)) for p in ps]), F.lit(10_000),
+            )
         return F.percentile(expr, F.array(*[F.lit(float(p)) for p in ps]))
     if op in ("$maxN", "$minN"):
         expr = compile_expr(arg["input"], schema)
@@ -2076,11 +2090,17 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 )
             wp = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
             inp = compile_expr(oparg["input"], df.schema)
+            approx = oparg.get("method") == "approximate"
             if op == "$median":
-                col = F.median(inp).over(wp)
+                col = (
+                    F.percentile_approx(inp.cast("double"), F.lit(0.5), F.lit(10_000))
+                    if approx else F.median(inp)
+                ).over(wp)
             else:
-                col = F.percentile(
-                    inp, F.array(*[F.lit(float(p)) for p in oparg["p"]])
+                parr = F.array(*[F.lit(float(p)) for p in oparg["p"]])
+                col = (
+                    F.percentile_approx(inp.cast("double"), parr, F.lit(10_000))
+                    if approx else F.percentile(inp, parr)
                 ).over(wp)
         elif op in ("$covariancePop", "$covarianceSamp"):
             a, b = oparg

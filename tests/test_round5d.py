@@ -1,0 +1,125 @@
+"""Round-5 continuation #2: approximate $percentile/$median (Mongo 7.0's
+default t-digest method mapped to Spark's mergeable percentile_approx
+sketch), plus coverage added alongside later features in this session.
+"""
+
+import pytest
+
+
+def test_percentile_approximate_method(engine):
+    # method: "approximate" = Spark's percentile_approx sketch; values
+    # must land within a tight band of the exact answer (accuracy
+    # parameter 10k on 6k rows ⇒ near-exact)
+    rows = engine.db("tpch").collection("lineitem").pipe([
+        {"$group": {
+            "_id": "$l_returnflag",
+            "p_exact": {"$percentile": {"input": "$l_quantity",
+                                        "p": [0.5, 0.9], "method": "exact"}},
+            "p_approx": {"$percentile": {"input": "$l_quantity",
+                                         "p": [0.5, 0.9],
+                                         "method": "approximate"}},
+            "m_exact": {"$median": {"input": "$l_quantity",
+                                    "method": "exact"}},
+            "m_approx": {"$median": {"input": "$l_quantity",
+                                     "method": "approximate"}},
+        }},
+        {"$sort": {"_id": 1}},
+    ]).all()
+    assert len(rows) == 3
+    for r in rows:
+        for e, a in zip(r["p_exact"], r["p_approx"]):
+            assert abs(e - a) <= max(1.0, 0.02 * abs(e))
+        assert abs(r["m_exact"] - r["m_approx"]) <= max(1.0, 0.02 * abs(r["m_exact"]))
+
+
+def test_percentile_default_stays_exact(engine):
+    # no method field ⇒ exact (pre-7.0 behavior preserved)
+    rows = engine.db("tpch").collection("lineitem").pipe([
+        {"$group": {
+            "_id": None,
+            "p_def": {"$percentile": {"input": "$l_quantity", "p": [0.25]}},
+            "p_exact": {"$percentile": {"input": "$l_quantity",
+                                        "p": [0.25], "method": "exact"}},
+        }},
+    ]).all()
+    assert rows[0]["p_def"] == rows[0]["p_exact"]
+
+
+def test_window_percentile_approximate(engine):
+    rows = engine.db("tpch").collection("lineitem").pipe([
+        {"$match": {"l_orderkey": {"$lt": 100}}},
+        {"$setWindowFields": {
+            "partitionBy": "$l_returnflag",
+            "output": {
+                "med_a": {"$median": {"input": "$l_quantity",
+                                      "method": "approximate"}},
+                "med_e": {"$median": {"input": "$l_quantity",
+                                      "method": "exact"}},
+            },
+        }},
+        {"$project": {"_id": 0, "med_a": 1, "med_e": 1}},
+        {"$limit": 50},
+    ]).all()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs(r["med_a"] - r["med_e"]) <= max(1.0, 0.05 * abs(r["med_e"]))
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup-style: cluster + intra-cluster cosine pruning)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    import os
+    td = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    return spark.read.parquet(os.path.join(td, "embeddings.parquet"))
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark, emb_df):
+    from pyspark.sql import functions as F
+    from anser_spark.operators.semdedup import semantic_dedup
+
+    base = emb_df.limit(100)
+    # plant exact copies (cosine 1.0 >= any eps) with shifted ids
+    copies = base.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    both = base.unionByName(copies)
+    kept = semantic_dedup(both, eps=0.99, k=4, seed=7)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # exactly one survivor per planted pair: 100 kept of 200, and never
+    # both members of a pair
+    assert len(ids) == 100
+    originals = {i for i in ids if i < 1_000_000}
+    dups = {i - 1_000_000 for i in ids if i >= 1_000_000}
+    assert originals.isdisjoint(dups) and len(originals) + len(dups) == 100
+
+
+def test_semantic_dedup_keep_flag_and_determinism(spark, emb_df):
+    from anser_spark.operators.semdedup import semantic_dedup
+
+    flagged1 = semantic_dedup(emb_df, eps=0.95, k=4, seed=7, keep_flag=True)
+    flagged2 = semantic_dedup(emb_df, eps=0.95, k=4, seed=7, keep_flag=True)
+    rows1 = sorted((r["vec_id"], r["semdedup_keep"]) for r in flagged1.collect())
+    rows2 = sorted((r["vec_id"], r["semdedup_keep"]) for r in flagged2.collect())
+    assert rows1 == rows2                      # deterministic keep rule
+    assert len(rows1) == emb_df.count()        # audit form keeps all rows
+    assert {r[1] for r in rows1} <= {True, False}
+
+
+def test_semantic_dedup_eps_monotone(spark, emb_df):
+    from anser_spark.operators.semdedup import semantic_dedup
+
+    loose = semantic_dedup(emb_df, eps=0.8, k=4, seed=7).count()
+    tight = semantic_dedup(emb_df, eps=0.999, k=4, seed=7).count()
+    # a higher threshold prunes fewer rows
+    assert tight >= loose
+
+
+def test_semantic_dedup_sub_sharding_bounds_clusters(spark, emb_df):
+    from anser_spark.operators.semdedup import semantic_dedup
+
+    # force sub-sharding (clusters of ~125 > max 40); the pipeline must
+    # still run and keep at least one row per cluster
+    kept = semantic_dedup(emb_df, eps=0.99, k=4, seed=7, max_cluster_size=40)
+    assert 0 < kept.count() <= emb_df.count()
