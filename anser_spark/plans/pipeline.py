@@ -478,7 +478,10 @@ def _acc_column(spec: Mapping[str, Any], schema) -> Column:
             if arg == 1:
                 return F.count(F.lit(1))
             return F.count(F.lit(1)) * F.lit(arg)
-        return F.sum(compile_expr(arg, schema))
+        # Mongo $sum ignores non-numeric values and returns 0 — never
+        # null — when a group has nothing to sum (Spark's sum is null)
+        summed = F.sum(compile_expr(arg, schema))
+        return F.coalesce(summed, F.lit(0).cast("long"))
     expr = compile_expr(arg, schema)
     if op == "$avg":
         return F.avg(expr)
@@ -491,9 +494,15 @@ def _acc_column(spec: Mapping[str, Any], schema) -> Column:
     if op == "$last":
         return F.last(expr, ignorenulls=False)
     if op == "$push":
-        return F.collect_list(expr)
+        # struct-wrap: collect_list drops bare nulls, Mongo $push keeps
+        # them (same treatment as $firstN/$lastN below)
+        return F.transform(
+            F.collect_list(F.struct(expr.alias("__v"))), lambda s: s["__v"]
+        )
     if op == "$addToSet":
-        return F.collect_set(expr)
+        return F.transform(
+            F.collect_set(F.struct(expr.alias("__v"))), lambda s: s["__v"]
+        )
     if op == "$stdDevPop":
         return F.stddev_pop(expr)
     if op == "$stdDevSamp":
@@ -2061,7 +2070,12 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 else F.lead(expr, by, default).over(w)
             )
         elif op == "$sum":
-            col = F.sum(compile_expr(oparg, df.schema)).over(wf)
+            # Mongo windowed $sum is 0 — not null — over an empty or
+            # all-null window (same rule as the $group accumulator)
+            col = F.coalesce(
+                F.sum(compile_expr(oparg, df.schema)).over(wf),
+                F.lit(0).cast("long"),
+            )
         elif op == "$avg":
             col = F.avg(compile_expr(oparg, df.schema)).over(wf)
         elif op == "$min":
