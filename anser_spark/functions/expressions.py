@@ -614,6 +614,26 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         srt = F.sort_array(a)
         n = F.size(srt)
         return F.try_element_at(srt, ((n + 1) / 2).cast("int"))
+    if op == "$percentile":
+        # Mongo 7.0 array-expression form; exact with linear
+        # interpolation (matches our $group accumulator's exact method;
+        # Mongo's approximate t-digest values are engine-specific)
+        a = F.filter(c(arg["input"]), lambda x: x.isNotNull())
+        srt = F.sort_array(a).cast("array<double>")
+        m = F.size(srt)
+        outs = []
+        for p in arg["p"]:
+            k = (m - 1).cast("double") * F.lit(float(p))
+            lo = F.floor(k).cast("int")
+            frac = k - lo.cast("double")
+            v_lo = F.try_element_at(srt, lo + 1)
+            v_hi = F.try_element_at(srt, lo + 2)
+            outs.append(
+                F.when(m == 0, F.lit(None).cast("double")).otherwise(
+                    v_lo + F.coalesce(v_hi - v_lo, F.lit(0.0)) * frac
+                )
+            )
+        return F.array(*outs)
     if op == "$getField":
         if isinstance(arg, str):
             return resolve_field(arg) if env is None or "CURRENT" not in env else c(f"${arg}")

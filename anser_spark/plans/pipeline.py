@@ -1966,7 +1966,8 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """$setWindowFields → Spark window functions (native, shuffle-on-
     partitionBy only). Supported window operators: $rank, $denseRank,
     $documentNumber, $shift, $sum/$avg/$min/$max/$count/$first/$last/
-    $push/$addToSet/$stdDevPop/$stdDevSamp/$covariancePop/$covarianceSamp
+    $push/$addToSet/$stdDevPop/$stdDevSamp/$covariancePop/$covarianceSamp/
+    $minN/$maxN/$firstN/$lastN/$top/$bottom/$topN/$bottomN
     (with optional `window.documents` row frame or `window.range` value
     frame, incl. time `unit`), $locf, $linearFill, $derivative,
     $integral (trapezoidal; lower frame bound must be unbounded),
@@ -1984,7 +1985,9 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
     _AGG_OPS = {"$sum", "$avg", "$min", "$max", "$count", "$first", "$last",
                 "$push", "$addToSet", "$stdDevPop", "$stdDevSamp",
-                "$covariancePop", "$covarianceSamp", "$median", "$percentile"}
+                "$covariancePop", "$covarianceSamp", "$median", "$percentile",
+                "$minN", "$maxN", "$firstN", "$lastN",
+                "$top", "$bottom", "$topN", "$bottomN"}
     # fixed-width units only; month/quarter/year are calendar-irregular
     _UNIT_MS = {
         "millisecond": 1,
@@ -2175,6 +2178,59 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 else wf
             )
             col = F.sum(contrib).over(iw)
+        elif op in ("$minN", "$maxN"):
+            # Mongo ignores nulls for minN/maxN (collect_list drops them)
+            inp = compile_expr(oparg["input"], df.schema)
+            n = int(oparg["n"])
+            arr = F.sort_array(F.collect_list(inp).over(wf), asc=op == "$minN")
+            col = F.slice(arr, 1, n)
+        elif op in ("$firstN", "$lastN"):
+            # frame-order head/tail; struct-wrap keeps nulls (Mongo does)
+            if not order_cols:
+                raise PipelineCompileError(f"{op} requires sortBy")
+            inp = compile_expr(oparg["input"], df.schema)
+            n = int(oparg["n"])
+            arr = F.transform(
+                F.collect_list(F.struct(inp.alias("__v"))).over(wf),
+                lambda s: s["__v"],
+            )
+            if op == "$firstN":
+                col = F.slice(arr, F.lit(1), F.lit(n))
+            else:
+                col = F.slice(
+                    arr,
+                    F.greatest(F.lit(1), F.size(arr) - F.lit(n) + 1),
+                    F.lit(n),
+                )
+        elif op in ("$top", "$bottom", "$topN", "$bottomN"):
+            # own sortBy (independent of the window's sortBy), same
+            # sorted-struct scaffold as the $group accumulators
+            sort_by = oparg["sortBy"]
+            dirs = list(sort_by.values())
+            if not all(d == dirs[0] for d in dirs):
+                raise PipelineCompileError(
+                    "$top/$bottom sortBy with mixed directions is not supported"
+                )
+            asc = dirs[0] in (1, True)
+            keys = [
+                compile_expr(f"${f}", df.schema).alias(f"__k{i}")
+                for i, f in enumerate(sort_by)
+            ]
+            outv = compile_expr(oparg["output"], df.schema).alias("__o")
+            arr = F.sort_array(
+                F.collect_list(F.struct(*keys, outv)).over(wf), asc=asc
+            )
+            n = 1 if op in ("$top", "$bottom") else int(oparg["n"])
+            if op in ("$bottom", "$bottomN"):
+                picked = F.slice(
+                    arr,
+                    F.greatest(F.lit(1), F.size(arr) - F.lit(n) + 1),
+                    F.lit(n),
+                )
+            else:
+                picked = F.slice(arr, F.lit(1), F.lit(n))
+            vals = F.transform(picked, lambda s: s["__o"])
+            col = vals.getItem(0) if op in ("$top", "$bottom") else vals
         elif op == "$expMovingAvg":
             # EMA is a sequential recurrence (E_t = α·x_t + (1-α)·E_{t-1})
             # with no numerically stable closed form over Spark windows —

@@ -123,3 +123,85 @@ def test_semantic_dedup_sub_sharding_bounds_clusters(spark, emb_df):
     # still run and keep at least one row per cluster
     kept = semantic_dedup(emb_df, eps=0.99, k=4, seed=7, max_cluster_size=40)
     assert 0 < kept.count() <= emb_df.count()
+
+
+# ---------------------------------------------------------------------------
+# n-variant window operators + $percentile expression form
+# ---------------------------------------------------------------------------
+
+
+def test_window_n_variants(engine):
+    rows = engine.db("tpch").collection("lineitem").pipe([
+        {"$match": {"l_orderkey": {"$lt": 40}}},
+        {"$setWindowFields": {
+            "partitionBy": "$l_returnflag",
+            "sortBy": {"l_orderkey": 1, "l_linenumber": 1},
+            "output": {
+                "min3": {"$minN": {"input": "$l_quantity", "n": 3}},
+                "max2": {"$maxN": {"input": "$l_quantity", "n": 2}},
+                "first2": {"$firstN": {"input": "$l_quantity", "n": 2}},
+                "last2": {"$lastN": {"input": "$l_quantity", "n": 2}},
+                "topq": {"$top": {"sortBy": {"l_quantity": 1},
+                                  "output": "$l_quantity"}},
+                "bot2": {"$bottomN": {"sortBy": {"l_quantity": 1},
+                                      "output": "$l_quantity", "n": 2}},
+            },
+        }},
+        {"$project": {"_id": 0, "l_returnflag": 1, "l_quantity": 1,
+                      "min3": 1, "max2": 1, "first2": 1, "last2": 1,
+                      "topq": 1, "bot2": 1}},
+    ]).all()
+    assert rows
+    # recompute per partition from the raw rows themselves
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_quantity"])
+    for r in rows:
+        qs = sorted(by_flag[r["l_returnflag"]])
+        assert r["min3"] == qs[:3]
+        assert r["max2"] == sorted(qs, reverse=True)[:2]
+        assert r["topq"] == qs[0]
+        assert r["bot2"] == qs[-2:]
+        assert len(r["first2"]) == min(2, len(qs))
+        assert len(r["last2"]) == min(2, len(qs))
+        # first/last follow the window sortBy (orderkey,linenumber) —
+        # every member must come from the partition's value multiset
+        assert all(v in qs for v in r["first2"] + r["last2"])
+
+
+def test_window_firstn_order(engine):
+    rows = engine.db("tpch").collection("orders").pipe([
+        {"$match": {"o_custkey": {"$lt": 6}}},
+        {"$setWindowFields": {
+            "partitionBy": "$o_custkey",
+            "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+            "output": {"f1": {"$firstN": {"input": "$o_orderkey", "n": 1}},
+                       "l1": {"$lastN": {"input": "$o_orderkey", "n": 1}}}}},
+        {"$sort": {"o_custkey": 1, "o_orderdate": 1, "o_orderkey": 1}},
+        {"$project": {"_id": 0, "o_custkey": 1, "o_orderkey": 1,
+                      "o_orderdate": 1, "f1": 1, "l1": 1}},
+    ]).all()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for ck, rs in by_cust.items():
+        ordered = sorted(rs, key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        for r in rs:
+            assert r["f1"] == [ordered[0]["o_orderkey"]]
+            assert r["l1"] == [ordered[-1]["o_orderkey"]]
+
+
+def test_percentile_expression_form(doc_collection):
+    out = doc_collection.pipe([
+        {"$match": {"_id": "a1"}},
+        {"$project": {"p": {"$percentile": {
+            "input": {"$literal": [1.0, 2.0, 3.0, 4.0]},
+            "p": [0.5, 1.0], "method": "exact"}}}},
+    ]).all()
+    assert out[0]["p"] == [2.5, 4.0]
+    out = doc_collection.pipe([
+        {"$match": {"_id": "a1"}},
+        {"$project": {"p": {"$percentile": {
+            "input": {"$literal": []}, "p": [0.5], "method": "exact"}}}},
+    ]).all()
+    assert out[0]["p"] == [None]
