@@ -600,7 +600,11 @@ def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     agg_cols = [_acc_column(spec, df.schema).alias(name) for name, spec in accs.items()]
 
     if id_spec is None:
-        out = df.agg(*agg_cols) if agg_cols else df.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+        # Spark's global aggregate emits one row even over empty input;
+        # Mongo's $group emits NOTHING when there are no input docs —
+        # count alongside and drop the empty-input row
+        out = df.agg(*agg_cols, F.count(F.lit(1)).alias("__n"))
+        out = out.where(F.col("__n") > 0).drop("__n")
         return out.select(F.lit(None).alias("_id"), *[F.col(n) for n in accs])
 
     if isinstance(id_spec, Mapping) and not any(
