@@ -205,3 +205,27 @@ def test_percentile_expression_form(doc_collection):
             "input": {"$literal": []}, "p": [0.5], "method": "exact"}}}},
     ]).all()
     assert out[0]["p"] == [None]
+
+
+def test_theta_lookup_plans_hash_join_not_nlj(engine):
+    """The correlated-theta path must keep the equalities as hash-join
+    keys with the theta part as a join-condition filter — at scale a
+    BroadcastNestedLoopJoin/CartesianProduct over the foreign table
+    would be the difference between one shuffle and O(n·m)."""
+    df = engine.db("tpch").collection("lineitem").pipe([
+        {"$match": {"l_returnflag": "R"}},
+        {"$lookup": {"from": "lineitem",
+                     "let": {"ok": "$l_orderkey", "sk": "$l_suppkey"},
+                     "pipeline": [
+                         {"$match": {"$expr": {"$and": [
+                             {"$eq": ["$$ok", "$l_orderkey"]},
+                             {"$ne": ["$$sk", "$l_suppkey"]},
+                         ]}}},
+                     ],
+                     "as": "others"}},
+        {"$match": {"others": {"$ne": []}}},
+        {"$unset": "others"},
+    ]).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
