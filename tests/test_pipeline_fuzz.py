@@ -294,3 +294,159 @@ def test_group_empty_input_emits_nothing(spark):
         None, None,
     ).collect()
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# Wider composition: $lookup / $unwind-preserve / $sortByCount mixed in
+# ---------------------------------------------------------------------------
+
+DIM_ROWS = [
+    {"status": "success", "weight": 3},
+    {"status": "failed", "weight": 7},
+    {"status": "started", "weight": 1},
+    {"status": "success", "weight": 5},
+]
+
+
+def ref_lookup(docs, dim, local, foreign, out):
+    res = []
+    for d in docs:
+        lv = d.get(local)
+        matches = [dict(m) for m in dim if m.get(foreign) == lv
+                   or (m.get(foreign) is None and lv is None)]
+        nd = dict(d)
+        nd[out] = matches
+        res.append(nd)
+    return res
+
+
+def ref_unwind_preserve(docs, field):
+    res = []
+    for d in docs:
+        arr = d.get(field)
+        if not arr:
+            nd = dict(d)
+            nd[field] = None
+            res.append(nd)
+            continue
+        for el in arr:
+            nd = dict(d)
+            nd[field] = el
+            res.append(nd)
+    return res
+
+
+def gen_pipeline2(rng):
+    stages = []
+    if rng.random() < 0.7:
+        stages.append({"$match": rand_filter(rng)})
+    kind = rng.random()
+    if kind < 0.45:
+        # classic lookup into the dim table (+ optional fused unwind)
+        stages.append({"$lookup": {"from": "dim", "localField": "status",
+                                   "foreignField": "status", "as": "w"}})
+        if rng.random() < 0.6:
+            stages.append({"$unwind": "$w"})
+            stages.append({"$addFields": {"wv": "$w.weight"}})
+            stages.append({"$unset": "w"})
+        else:
+            stages.append({"$addFields": {"wn": {"$size": "$w"}}})
+            stages.append({"$unset": "w"})
+    elif kind < 0.7:
+        stages.append({"$unwind": {"path": "$tags",
+                                   "preserveNullAndEmptyArrays": True}})
+    else:
+        stages.append({"$sortByCount": "$status"})
+    return stages
+
+
+def ref_pipeline2(docs, dim, stages):
+    cur = [dict(d) for d in docs]
+    for stage in stages:
+        (op, arg), = stage.items()
+        if op == "$match":
+            cur = [d for d in cur if ref_match(d, arg)]
+        elif op == "$lookup":
+            cur = ref_lookup(cur, dim, arg["localField"],
+                             arg["foreignField"], arg["as"])
+        elif op == "$unwind" and isinstance(arg, str):
+            out = []
+            for d in cur:
+                arr = d.get(arg[1:])
+                if not arr:
+                    continue
+                for el in arr:
+                    nd = dict(d)
+                    nd[arg[1:]] = el
+                    out.append(nd)
+            cur = out
+        elif op == "$unwind":
+            cur = ref_unwind_preserve(cur, arg["path"][1:])
+        elif op == "$addFields":
+            for name, expr in arg.items():
+                if isinstance(expr, str) and "." in expr:
+                    base, sub = expr[1:].split(".", 1)
+                    for d in cur:
+                        v = d.get(base)
+                        d[name] = None if v is None else v.get(sub)
+                elif isinstance(expr, dict) and "$size" in expr:
+                    f = expr["$size"][1:]
+                    for d in cur:
+                        d[name] = len(d.get(f) or [])
+                else:
+                    for d in cur:
+                        d[name] = ev_num(expr, d)
+        elif op == "$unset":
+            for d in cur:
+                d.pop(arg, None)
+        elif op == "$sortByCount":
+            counts = {}
+            for d in cur:
+                counts[d.get(arg[1:])] = counts.get(d.get(arg[1:]), 0) + 1
+            cur = [{"_id": k, "count": v} for k, v in
+                   sorted(counts.items(),
+                          key=lambda kv: (-kv[1], str(kv[0])))]
+        else:
+            raise AssertionError(op)
+    return cur
+
+
+def test_pipeline_composition_fuzz_lookup(spark):
+    from pyspark.sql import types as T
+
+    seed = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260814"))
+    rng = random.Random(seed + 1)
+    rows = make_rows(rng)
+    schema = T.StructType([
+        T.StructField("_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("priority", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.StringType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    dim_df = spark.createDataFrame(
+        [(d["status"], d["weight"]) for d in DIM_ROWS],
+        "status string, weight long")
+    resolve = lambda name: dim_df  # noqa: E731
+    failures = []
+    for trial in range(30):
+        stages = gen_pipeline2(rng)
+        try:
+            raw = compile_pipeline(df, stages, resolve, None).collect()
+            got = [r.asDict(recursive=True) for r in raw]
+        except Exception as exc:
+            failures.append((trial, stages, "COMPILE/RUN", repr(exc)))
+            continue
+        exp = ref_pipeline2(rows, DIM_ROWS, stages)
+        # lookup arrays (if kept) compare as multisets of structs
+        for row in got + exp:
+            if isinstance(row.get("w"), list):
+                row["w"] = sorted(str(sorted(m.items())) for m in row["w"])
+        # $sortByCount output order: count desc is deterministic only up
+        # to ties — canonize as multiset (row identity still checked)
+        if canon(got, set()) != canon(exp, set()):
+            failures.append((trial, stages, canon(exp, set())[:3],
+                             canon(got, set())[:3]))
+    assert not failures, failures[:2]
