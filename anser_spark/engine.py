@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import json
 import os
+import re
 import shutil
 import tempfile
 import uuid
@@ -136,6 +137,9 @@ class Engine:
         self.manual_ops: dict[str, Any] = {}
         self.stream_processors: dict[str, Any] = {}
         self.closers: list[Any] = []
+        # multi-collection transaction state (None = autocommit)
+        self._txn: "_Transaction | None" = None
+        self._recover_transactions()
 
     # -- registries ----------------------------------------------------
     def register_manual_migration_operation(self, name: str, fn: Any) -> None:
@@ -192,6 +196,211 @@ class Engine:
     def close(self) -> None:
         for closer in self.closers:
             closer()
+
+    # -- transactions ---------------------------------------------------
+    def transaction(self):
+        """Multi-collection transaction (the Mongo multi-document
+        transaction analogue over versioned parquet collections).
+
+        Inside the ``with`` block every mutation STAGES its new version
+        instead of publishing it: the data files are written, but each
+        collection's ``_CURRENT`` pointer is untouched.  Reads through
+        this engine see the staged versions (read-your-writes); other
+        engines keep seeing the committed state.  On exit the commit
+        takes every touched store's lock in a canonical order (no
+        deadlocks), re-validates each collection's pointer against the
+        transaction's read snapshot (all-or-nothing optimistic CAS —
+        one conflicting concurrent writer aborts the whole transaction
+        with WriteConflictError and every staged version is reclaimed),
+        durably records the decision in an fsynced intent journal, then
+        swaps all pointers.  A crash mid-commit is rolled FORWARD from
+        the journal on the next Engine construction over the same
+        workdir (the journal is written only after every CAS passed).
+
+        Guarantees (documented): atomicity and isolation with respect
+        to all writers and to readers using this engine; a concurrent
+        READER on another engine instance observes each collection's
+        swap atomically but may see collection A's new version before
+        B's during the commit window (Mongo's snapshot reads inside
+        transactions are the stronger contract — divergence).
+        ``drop()`` / ``create_collection`` are not transactional and
+        raise inside a transaction.
+
+        Usage::
+
+            with engine.transaction():
+                coll_a.update_all(q, u)
+                coll_b.insert(doc)
+        """
+        import contextlib
+
+        if self._txn is not None:
+            raise RuntimeError("nested transactions are not supported")
+
+        @contextlib.contextmanager
+        def _ctx():
+            txn = _Transaction(self)
+            self._txn = txn
+            try:
+                yield txn
+            except BaseException:
+                txn.abort()
+                raise
+            else:
+                txn.commit()
+
+        return _ctx()
+
+    def _recover_transactions(self) -> None:
+        """Roll forward any intent journal left by a crash mid-commit.
+        A journal exists only after every CAS check passed, so applying
+        it unconditionally is always the correct decision."""
+        jdir = os.path.join(self.workdir, "_TXNJOURNAL")
+        if not os.path.isdir(jdir):
+            return
+        for name in sorted(os.listdir(jdir)):
+            jpath = os.path.join(jdir, name)
+            try:
+                with open(jpath) as fh:
+                    lines = fh.read().splitlines()
+                for line in lines:
+                    if not line.strip():
+                        continue
+                    store_dir, version, meta_json = line.split("\t", 2)
+                    if not os.path.isdir(os.path.join(store_dir, version)):
+                        continue  # staged data lost — nothing to publish
+                    meta = json.loads(meta_json)
+                    tmp = os.path.join(
+                        store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}"
+                    )
+                    with open(tmp, "w") as fh2:
+                        fh2.write(version)
+                        for k in sorted(meta):
+                            fh2.write(f"\n{k}={meta[k]}")
+                    os.replace(tmp, os.path.join(store_dir, "_CURRENT"))
+                os.remove(jpath)
+            except OSError:
+                continue
+
+
+class _Transaction:
+    """Staged pointer swaps for one Engine.transaction() scope (see
+    Engine.transaction for the contract)."""
+
+    def __init__(self, engine: "Engine") -> None:
+        self.engine = engine
+        # store_dir → {coll, base_ptr, versions[], meta}
+        self.staged: dict[str, dict[str, Any]] = {}
+        self.active = True
+
+    def _stage(
+        self, coll: "Collection", version: str, old_ptr: str | None,
+        meta: Mapping[str, str],
+    ) -> None:
+        ent = self.staged.get(coll._store_dir)
+        if ent is None:
+            self.staged[coll._store_dir] = {
+                "coll": coll, "base_ptr": old_ptr,
+                "versions": [version], "meta": dict(meta),
+            }
+        else:
+            ent["versions"].append(version)
+            ent["meta"] = dict(meta)
+
+    def _staged_entry(self, store_dir: str) -> dict[str, Any] | None:
+        return self.staged.get(store_dir)
+
+    def abort(self) -> None:
+        if not self.active:
+            return
+        self.active = False
+        self.engine._txn = None
+        for ent in self.staged.values():
+            for v in ent["versions"]:
+                shutil.rmtree(
+                    os.path.join(ent["coll"]._store_dir, v), ignore_errors=True
+                )
+        self.staged.clear()
+
+    def commit(self) -> None:
+        if not self.active:
+            raise RuntimeError("transaction is no longer active")
+        engine = self.engine
+        entries = sorted(self.staged.values(), key=lambda e: e["coll"]._store_dir)
+        if not entries:
+            self.active = False
+            engine._txn = None
+            return
+        locks = []
+        journal_written = False
+        try:
+            # canonical lock order prevents deadlock between committers
+            for e in entries:
+                lockpath = os.path.join(e["coll"]._store_dir, "_LOCK")
+                lf = open(lockpath, "a+")  # noqa: SIM115 — held across commit
+                try:
+                    import fcntl
+
+                    fcntl.flock(lf, fcntl.LOCK_EX)
+                except (ImportError, OSError):
+                    pass
+                locks.append(lf)
+            engine._txn = None  # pointer reads below must see COMMITTED state
+            for e in entries:
+                committed = e["coll"]._pointer()
+                if committed != e["base_ptr"]:
+                    raise WriteConflictError(
+                        f"{e['coll'].namespace}: version {committed!r} was "
+                        f"committed by another writer after this transaction "
+                        f"read {e['base_ptr']!r}; the whole transaction "
+                        "aborted and staged versions were reclaimed"
+                    )
+            # durable decision record BEFORE any pointer moves
+            jdir = os.path.join(engine.workdir, "_TXNJOURNAL")
+            os.makedirs(jdir, exist_ok=True)
+            jpath = os.path.join(jdir, f"txn.{uuid.uuid4().hex}")
+            with open(jpath, "w") as fh:
+                for e in entries:
+                    fh.write(
+                        f"{e['coll']._store_dir}\t{e['versions'][-1]}\t"
+                        f"{json.dumps(e['meta'])}\n"
+                    )
+                fh.flush()
+                os.fsync(fh.fileno())
+            journal_written = True
+            for e in entries:
+                coll = e["coll"]
+                tmp = os.path.join(
+                    coll._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}"
+                )
+                with open(tmp, "w") as fh:
+                    fh.write(e["versions"][-1])
+                    for k in sorted(e["meta"]):
+                        fh.write(f"\n{k}={e['meta'][k]}")
+                os.replace(tmp, os.path.join(coll._store_dir, "_CURRENT"))
+            os.remove(jpath)
+        except BaseException:
+            self.engine._txn = None
+            self.active = False
+            if not journal_written:
+                # decision not durable yet ⇒ the transaction rolls back
+                for ent in self.staged.values():
+                    for v in ent["versions"]:
+                        shutil.rmtree(
+                            os.path.join(ent["coll"]._store_dir, v),
+                            ignore_errors=True,
+                        )
+            # journal_written: the decision is durable — recovery rolls
+            # the remaining pointer swaps forward from the journal
+            raise
+        finally:
+            engine._txn = None
+            self.active = False
+            for lf in locks:
+                lf.close()
+        # retention reaping outside the locks (commit is already durable)
+        for e in entries:
+            e["coll"]._reap_versions(e["versions"][-1])
 
 
 class Database:
@@ -261,6 +470,11 @@ class Collection:
         return os.path.join(self.engine.workdir, self.db_name, self.name)
 
     def _pointer(self) -> str | None:
+        txn = self.engine._txn
+        if txn is not None:
+            ent = txn._staged_entry(self._store_dir)
+            if ent is not None:
+                return ent["versions"][-1]  # read-your-writes in a txn
         p = os.path.join(self._store_dir, "_CURRENT")
         if os.path.exists(p):
             with open(p) as fh:
@@ -274,6 +488,11 @@ class Collection:
         that version becomes visible — the property the streaming-ingest
         exactly-once contract rests on (a batch marker can never be
         observed without its rows, nor the rows without the marker)."""
+        txn = self.engine._txn
+        if txn is not None:
+            ent = txn._staged_entry(self._store_dir)
+            if ent is not None:
+                return dict(ent["meta"])
         p = os.path.join(self._store_dir, "_CURRENT")
         meta: dict[str, str] = {}
         if os.path.exists(p):
@@ -456,15 +675,20 @@ class Collection:
         version directory being written ahead of its pointer swap is
         not yet readable and is excluded."""
         ptr = self._pointer()
-        if not os.path.isdir(self._store_dir) or not (ptr and ptr.startswith("v")):
+        cur = self._version_ordinal(ptr)
+        if not os.path.isdir(self._store_dir) or cur is None:
             return []
-        cur = int(ptr[1:])
-        return sorted(
-            (n for n in os.listdir(self._store_dir)
-             if n.startswith("v") and n[1:].isdigit() and int(n[1:]) <= cur and
-             os.path.isdir(os.path.join(self._store_dir, n))),
-            key=lambda n: int(n[1:]),
+        named = (
+            (n, self._version_ordinal(n)) for n in os.listdir(self._store_dir)
         )
+        return [
+            n for n, o in sorted(
+                ((n, o) for n, o in named
+                 if o is not None and o <= cur
+                 and os.path.isdir(os.path.join(self._store_dir, n))),
+                key=lambda t: t[1],
+            )
+        ]
 
     def df_at(self, version: str) -> DataFrame:
         """Time-travel read: the collection AS OF ``version`` (one of
@@ -584,10 +808,27 @@ class Collection:
         swap as every version."""
         self._rewrite(self.df())
 
+    @staticmethod
+    def _version_ordinal(name: str | None) -> int | None:
+        """Leading ordinal of a version dir name: ``v7`` and
+        ``v7.txn.ab12cd34`` are both ordinal 7; anything else None."""
+        if not name or not name.startswith("v"):
+            return None
+        m = re.match(r"v(\d+)(?:\.txn\.[0-9a-f]+)?$", name)
+        return int(m.group(1)) if m else None
+
     def _next_version(self) -> tuple[str, str | None]:
         os.makedirs(self._store_dir, exist_ok=True)
         ptr = self._pointer()
-        n = int(ptr[1:]) + 1 if ptr and ptr.startswith("v") else 1
+        ordinal = self._version_ordinal(ptr)
+        n = ordinal + 1 if ordinal is not None else 1
+        if self.engine._txn is not None:
+            # transaction scope: stage under a txn-private name so an
+            # uncommitted stage can never squat on the version NAME an
+            # independent (non-transactional) writer is about to commit
+            # — conflicts resolve at commit-time CAS, not by dir-name
+            # collision
+            return f"v{n}.txn.{uuid.uuid4().hex[:8]}", ptr
         return f"v{n}", ptr
 
     def _swap_pointer(
@@ -617,6 +858,12 @@ class Collection:
         meta = self.pointer_meta()
         if meta_update:
             meta.update({str(k): str(v) for k, v in meta_update.items()})
+        txn = self.engine._txn
+        if txn is not None:
+            # transaction scope: stage the swap (CAS + publication happen
+            # together at commit); data files are already on disk
+            txn._stage(self, version, old_ptr, meta)
+            return
         tmp = os.path.join(self._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             fh.write(version)
@@ -651,17 +898,24 @@ class Collection:
                     "retry against the new current version"
                 )
             os.replace(tmp, os.path.join(self._store_dir, "_CURRENT"))
+        self._reap_versions(version)
+
+    def _reap_versions(self, version: str) -> None:
         # reap versions beyond the retention window (default 1 = only
         # the new current). Hard-linked files mean a retained version
         # costs directory entries, not data bytes, unless rewritten.
+        # Staged dirs of a CONCURRENT still-active transaction can fall
+        # below the window and be reclaimed here — that transaction's
+        # commit-time CAS is already doomed (the pointer moved), so
+        # only its read-your-writes view is cut short (documented).
         keep = max(1, self.retention())
-        current_n = int(version[1:]) if version.startswith("v") else 0
+        current_n = self._version_ordinal(version) or 0
         for name in os.listdir(self._store_dir):
-            if name.startswith("v") and name[1:].isdigit():
-                if int(name[1:]) <= current_n - keep:
-                    shutil.rmtree(
-                        os.path.join(self._store_dir, name), ignore_errors=True
-                    )
+            o = self._version_ordinal(name)
+            if o is not None and o <= current_n - keep:
+                shutil.rmtree(
+                    os.path.join(self._store_dir, name), ignore_errors=True
+                )
 
     def _zorder_key(self, df: DataFrame, cols: Sequence[str]) -> Any:
         """Interleaved-bits Z-order key over ``cols`` as one long
@@ -755,7 +1009,24 @@ class Collection:
         if pcols:
             writer = writer.partitionBy(*pcols)
         vdir = os.path.join(self._store_dir, version)
-        writer.parquet(vdir)
+        # exclusive version-dir creation: write to a scratch dir, then
+        # one atomic rename. rename refuses a non-empty target, so two
+        # writers racing to the same version NUMBER can never clobber
+        # each other's files — the loser detects the race here instead
+        # of silently overwriting the winner and failing CAS later
+        # (retention listings skip the scratch names: "N.w.x" isn't
+        # a digit string).
+        scratch = f"{vdir}.w.{uuid.uuid4().hex[:8]}"
+        writer.parquet(scratch)
+        try:
+            os.rename(scratch, vdir)
+        except OSError:
+            shutil.rmtree(scratch, ignore_errors=True)
+            raise WriteConflictError(
+                f"{self.namespace}: version {version} was concurrently "
+                "created by another writer; retry against the new current "
+                "version"
+            )
         return vdir
 
     def _rewrite(
@@ -983,6 +1254,10 @@ class Collection:
         self._swap_pointer(version, ptr, meta_update)
 
     def drop(self) -> None:
+        if self.engine._txn is not None:
+            raise RuntimeError(
+                "drop() is not transactional — run it outside the transaction"
+            )
         os.makedirs(self._store_dir, exist_ok=True)
         tmp = os.path.join(self._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
