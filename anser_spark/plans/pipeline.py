@@ -2920,5 +2920,17 @@ class Aggregation:
         for row in self.to_df().toLocalIterator():
             yield row.asDict(recursive=True)
 
-    def explain(self, mode: str = "formatted") -> None:
-        self.to_df().explain(mode)
+    def explain(self, verbosity: str = "queryPlanner") -> dict:
+        """Mongo-shaped explain document (plans/query.explain_doc);
+        Spark explain modes print the raw plan instead, as before."""
+        if verbosity in ("formatted", "extended", "codegen", "cost", "simple"):
+            self.to_df().explain(verbosity)
+            return {}
+        from anser_spark.plans.query import explain_doc
+
+        ns = (
+            str(self._collection.namespace)
+            if hasattr(self._collection, "namespace")
+            else "<dataframe>"
+        )
+        return explain_doc(self.to_df(), ns, verbosity)

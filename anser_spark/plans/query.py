@@ -9,6 +9,7 @@ filters/pruned columns — verified in tests via explain()).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator, Mapping, Sequence
 from typing import Any
 
@@ -19,6 +20,104 @@ from anser_spark.functions.filters import compile_filter, resolve_field
 from anser_spark.functions.sort import parse_sort_keys
 
 __all__ = ["Query"]
+
+
+def explain_doc(df: DataFrame, namespace: str, verbosity: str = "queryPlanner") -> dict:
+    """Mongo-shaped explain document built from Spark's EXECUTED plan
+    (post-Catalyst, post-AQE-initial): the `winningPlan` chain maps
+    physical nodes to Mongo-style stage names, `scans` surfaces what
+    actually reached Parquet (pushed filters + pruned read schema —
+    the evidence that predicate/projection pushdown happened),
+    `joins`/`exchanges` expose the physical join strategies and the
+    shuffle count. ``verbosity="executionStats"`` additionally runs
+    the plan once and reports ``nReturned`` (the Mongo field name).
+    The raw Spark plan rides along as ``sparkPlan``."""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+
+    # longest/most-specific markers first — matching is startswith, so
+    # "SortMergeJoin" must be tried before "Sort"
+    _STAGE_MAP = [
+        ("TakeOrderedAndProject", "SORT_LIMIT"),
+        ("CollectLimit", "LIMIT"),
+        ("GlobalLimit", "LIMIT"),
+        ("LocalLimit", "LIMIT"),
+        ("SortMergeJoin", "JOIN_SORT_MERGE"),
+        ("SortAggregate", "GROUP"),
+        ("Sort", "SORT"),
+        ("HashAggregate", "GROUP"),
+        ("ObjectHashAggregate", "GROUP"),
+        ("BroadcastHashJoin", "JOIN_BROADCAST_HASH"),
+        ("ShuffledHashJoin", "JOIN_SHUFFLED_HASH"),
+        ("BroadcastNestedLoopJoin", "JOIN_NESTED_LOOP"),
+        ("CartesianProduct", "JOIN_NESTED_LOOP"),
+        ("Window", "WINDOW"),
+        ("Generate", "UNWIND"),
+        ("Filter", "FILTER"),
+        ("Project", "PROJECTION"),
+        ("Exchange", "SHUFFLE"),
+        ("FileScan parquet", "SCAN_PARQUET"),
+        ("Scan parquet", "SCAN_PARQUET"),
+    ]
+
+    stages: list[str] = []
+    joins: list[str] = []
+    scans: list[dict] = []
+    exchanges = 0
+    for raw_line in plan.splitlines():
+        # strip tree-drawing prefix and the *(n) codegen-stage marker so
+        # node names anchor at the start ("Filter ..." matches FILTER;
+        # "DataFilters: [...]" inside a scan line does not)
+        line = re.sub(r"^[\s+:\-]*(?:\*\(\d+\)\s*)?", "", raw_line)
+        for marker, stage in _STAGE_MAP:
+            if line.startswith(marker):
+                if not stages or stages[-1] != stage:
+                    stages.append(stage)
+                if stage.startswith("JOIN"):
+                    joins.append(stage)
+                if stage == "SHUFFLE":
+                    exchanges += 1
+                if stage == "SCAN_PARQUET":
+                    scan: dict = {}
+                    m = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+                    if m:
+                        scan["pushedFilters"] = [
+                            f.strip() for f in m.group(1).split(",") if f.strip()
+                        ]
+                    m = re.search(r"ReadSchema: (\S+)", line)
+                    if m:
+                        scan["readSchema"] = m.group(1)
+                    scans.append(scan)
+                break
+
+    # winningPlan: Mongo's nested inputStage chain, outermost first
+    winning: dict | None = None
+    for stage in stages:
+        node = {"stage": stage}
+        if winning is None:
+            winning = node
+        else:
+            tail = winning
+            while "inputStage" in tail:
+                tail = tail["inputStage"]
+            tail["inputStage"] = node
+
+    out = {
+        "queryPlanner": {
+            "namespace": namespace,
+            "winningPlan": winning or {"stage": "EOF"},
+            "scans": scans,
+            "joins": joins,
+            "shuffles": exchanges,
+            # codegen stages print as *(n) prefixes in this format
+            "wholeStageCodegen": bool(re.search(r"\*\(\d+\)", plan))
+            or "WholeStageCodegen" in plan,
+        },
+        "sparkPlan": plan,
+    }
+    if verbosity == "executionStats":
+        out["executionStats"] = {"nReturned": df.count()}
+    return out
 
 
 class Query:
@@ -113,8 +212,19 @@ class Query:
             df = df.limit(self._limit)
         return df.count()
 
-    def explain(self, mode: str = "formatted") -> None:
-        self.to_df().explain(mode)
+    def explain(self, verbosity: str = "queryPlanner") -> dict:
+        """Mongo-shaped explain document (see ``explain_doc``). Pass a
+        Spark explain mode ("formatted"/"extended"/"codegen"/"cost"/
+        "simple") to print the raw Spark plan instead, as before."""
+        if verbosity in ("formatted", "extended", "codegen", "cost", "simple"):
+            self.to_df().explain(verbosity)
+            return {}
+        ns = (
+            str(self._collection.namespace)
+            if hasattr(self._collection, "namespace")
+            else "<dataframe>"
+        )
+        return explain_doc(self.to_df(), ns, verbosity)
 
 
 def _apply_projection(df: DataFrame, projection: Mapping[str, Any]) -> DataFrame:

@@ -229,3 +229,45 @@ def test_theta_lookup_plans_hash_join_not_nlj(engine):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# Mongo-shaped explain()
+# ---------------------------------------------------------------------------
+
+
+def test_explain_find_shows_pushdown_and_topk(engine):
+    q = (engine.db("tpch").collection("orders")
+         .find({"o_totalprice": {"$gt": 100000.0}})
+         .sort("-o_totalprice").limit(5))
+    doc = q.explain()
+    planner = doc["queryPlanner"]
+    assert planner["namespace"] == "tpch.orders"
+    # top-k compiles to TakeOrdered; the filter reached the parquet scan
+    assert planner["winningPlan"]["stage"] == "SORT_LIMIT"
+    assert any("o_totalprice" in f for s in planner["scans"]
+               for f in s.get("pushedFilters", []))
+    assert planner["shuffles"] == 0
+    stats = q.explain("executionStats")["executionStats"]
+    assert stats["nReturned"] == 5
+
+
+def test_explain_pipeline_shows_join_and_group(engine):
+    doc = engine.db("tpch").collection("orders").pipe([
+        {"$lookup": {"from": "customer", "localField": "o_custkey",
+                     "foreignField": "c_custkey", "as": "c"}},
+        {"$unwind": "$c"},
+        {"$group": {"_id": "$c.c_mktsegment", "n": {"$sum": 1}}},
+    ]).explain()
+    planner = doc["queryPlanner"]
+    assert any(j.startswith("JOIN_") for j in planner["joins"])
+    chain = []
+    node = planner["winningPlan"]
+    while node:
+        chain.append(node["stage"])
+        node = node.get("inputStage")
+    assert "GROUP" in chain
+    # under AQE the pre-execution plan may not yet carry codegen stage
+    # markers — the field is informational, just typed
+    assert isinstance(planner["wholeStageCodegen"], bool)
+    assert "Scan parquet" in doc["sparkPlan"] or "FileScan" in doc["sparkPlan"]

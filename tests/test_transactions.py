@@ -136,3 +136,26 @@ def test_empty_transaction_is_noop(spark, tmp_path):
     with eng.transaction():
         assert a.find({}).count() == 2
     assert eng._txn is None
+
+
+def test_merge_stage_participates_in_txn(spark, tmp_path):
+    # $merge writes through the same staged COW path — a pipeline sink
+    # inside a transaction commits atomically with other mutations
+    eng, a, b = _mk(spark, tmp_path)
+    with pytest.raises(RuntimeError, match="boom"):
+        with eng.transaction():
+            a.pipe([
+                {"$group": {"_id": None, "total": {"$sum": "$v"}}},
+                {"$merge": {"into": "summary"}},
+            ]).all()
+            assert eng.db("appdb").collection("summary").find({}).count() == 1
+            raise RuntimeError("boom")
+    # aborted: the $merge target was never published
+    assert not eng.db("appdb").collection("summary").exists()
+    with eng.transaction():
+        a.pipe([
+            {"$group": {"_id": None, "total": {"$sum": "$v"}}},
+            {"$merge": {"into": "summary"}},
+        ]).all()
+    rows = eng.db("appdb").collection("summary").find({}).all()
+    assert rows[0]["total"] == 30
