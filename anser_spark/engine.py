@@ -251,6 +251,23 @@ class Engine:
 
         return _ctx()
 
+    def with_transaction(self, fn, max_retries: int = 3):
+        """Mongo's ``withTransaction`` convention: run ``fn(txn)``
+        inside a transaction and retry the WHOLE callback when the
+        commit loses the optimistic CAS (WriteConflictError — our
+        TransientTransactionError analogue). ``fn`` must be
+        re-runnable: each retry re-reads current state, so
+        read-modify-write logic composes correctly."""
+        last: WriteConflictError | None = None
+        for _ in range(max(1, max_retries)):
+            try:
+                with self.transaction() as txn:
+                    result = fn(txn)
+                return result
+            except WriteConflictError as exc:
+                last = exc
+        raise last
+
     def _recover_transactions(self) -> None:
         """Roll forward any intent journal left by a crash mid-commit.
         A journal exists only after every CAS check passed, so applying
@@ -1473,11 +1490,30 @@ class Collection:
             )
         else:
             raise ValueError(f"unsupported search index kind: {kind!r}")
+        # staleness tracking: remember which collection version the
+        # index snapshot was built against (Atlas indexes track the
+        # collection continuously; ours are explicit snapshots)
+        definition["built_at_version"] = self._pointer()
         os.makedirs(self._search_index_dir(), exist_ok=True)
         tmp = os.path.join(self._search_index_dir(), f".{name}.tmp")
         with open(tmp, "w") as fh:
             json.dump(definition, fh)
         os.replace(tmp, os.path.join(self._search_index_dir(), f"{name}.json"))
+
+    def search_index_status(self, name: str) -> dict[str, Any]:
+        """Freshness of a snapshot index vs the collection's current
+        version: ``stale`` is True once any mutation committed after
+        the index was built (rebuild with ``create_search_index``)."""
+        definition = self._load_search_index(name, warn_stale=False)
+        built = definition.get("built_at_version")
+        current = self._pointer()
+        return {
+            "name": name,
+            "kind": definition.get("kind"),
+            "built_at_version": built,
+            "current_version": current,
+            "stale": built != current,
+        }
 
     def list_search_indexes(self) -> list[str]:
         d = self._search_index_dir()
@@ -1493,12 +1529,27 @@ class Collection:
         if os.path.exists(p):
             os.remove(p)
 
-    def _load_search_index(self, name: str) -> Mapping[str, Any]:
+    def _load_search_index(
+        self, name: str, warn_stale: bool = True
+    ) -> Mapping[str, Any]:
         p = os.path.join(self._search_index_dir(), f"{name}.json")
         if not os.path.exists(p):
             raise NotFoundError(f"search index does not exist: {name}")
         with open(p) as fh:
-            return json.load(fh)
+            definition = json.load(fh)
+        if warn_stale and "built_at_version" in definition:
+            current = self._pointer()
+            if definition["built_at_version"] != current:
+                import warnings
+
+                warnings.warn(
+                    f"search index {name!r} on {self.namespace} was built at "
+                    f"version {definition['built_at_version']!r} but the "
+                    f"collection is at {current!r} — results reflect the "
+                    "older snapshot; rebuild with create_search_index()",
+                    stacklevel=3,
+                )
+        return definition
 
     def near_dups_against_index(
         self, new_df: DataFrame, index: str, threshold: float = 0.7
@@ -1508,7 +1559,7 @@ class Collection:
         (new_id, old_id, jaccard ≥ threshold) without re-signaturing
         the stored corpus. The index is a snapshot — rebuild it after
         bulk mutations, like the other index kinds."""
-        d = self._load_search_index(index)
+        d = self._load_search_index(index, warn_stale=False)
         if d.get("kind") != "minhash":
             raise ValueError(
                 f"index {index!r} is kind={d.get('kind')!r}, expected minhash"
@@ -1534,7 +1585,7 @@ class Collection:
     ) -> DataFrame:
         """Drop every batch document that near-duplicates a stored
         corpus document (the incremental-ingest filter)."""
-        d = self._load_search_index(index)
+        d = self._load_search_index(index, warn_stale=False)
         pairs = self.near_dups_against_index(new_df, index, threshold)
         victims = pairs.select(
             F.col("new_id").alias(d["id_col"])
@@ -1547,7 +1598,7 @@ class Collection:
         Duplicate signature rows (a batch appended twice) are harmless:
         they only re-propose the same candidates, and verification is
         exact."""
-        d = self._load_search_index(index)
+        d = self._load_search_index(index, warn_stale=False)
         if d.get("kind") != "minhash":
             raise ValueError(
                 f"index {index!r} is kind={d.get('kind')!r}, expected minhash"
@@ -1569,6 +1620,14 @@ class Collection:
             ).write.mode("append").parquet(d["bands_dir"])
         finally:
             sigs.unpersist()
+        # incremental maintenance keeps the snapshot current — advance
+        # the freshness marker to the collection's present version
+        d = dict(d)
+        d["built_at_version"] = self._pointer()
+        tmp = os.path.join(self._search_index_dir(), f".{index}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(d, fh)
+        os.replace(tmp, os.path.join(self._search_index_dir(), f"{index}.json"))
 
     def _resolve_search_indexes(self, stages: Sequence[Mapping[str, Any]]):
         """Replace ``$search``/``$vectorSearch`` ``{index: "<name>"}``

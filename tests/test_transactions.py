@@ -159,3 +159,58 @@ def test_merge_stage_participates_in_txn(spark, tmp_path):
         ]).all()
     rows = eng.db("appdb").collection("summary").find({}).all()
     assert rows[0]["total"] == 30
+
+
+def test_with_transaction_retries_on_conflict(spark, tmp_path):
+    eng, a, b = _mk(spark, tmp_path)
+    other = Engine(spark, workdir=eng.workdir)
+    calls = {"n": 0}
+
+    def body(txn):
+        calls["n"] += 1
+        a.update_all({}, {"$inc": {"v": 1}})
+        if calls["n"] == 1:
+            # sabotage the first attempt: a writer commits AFTER this
+            # txn took its read snapshot of alpha
+            other.db("appdb").collection("alpha").update_all(
+                {}, {"$inc": {"v": 1000}})
+        return "done"
+
+    assert eng.with_transaction(body) == "done"
+    assert calls["n"] == 2
+    # first attempt's sabotage (+1000) AND the retried body (+1) landed
+    rows = sorted(r["v"] for r in a.find({}).all())
+    assert rows == [1011, 1021]
+
+
+def test_with_transaction_exhausts_retries(spark, tmp_path):
+    eng, a, b = _mk(spark, tmp_path)
+    other = Engine(spark, workdir=eng.workdir)
+
+    def body(txn):
+        a.update_all({}, {"$inc": {"v": 10}})
+        other.db("appdb").collection("alpha").update_all(
+            {}, {"$inc": {"v": 1}})
+
+    with pytest.raises(WriteConflictError):
+        eng.with_transaction(body, max_retries=2)
+
+
+def test_search_index_staleness(spark, tmp_path):
+    import warnings
+
+    eng = Engine(spark, workdir=str(tmp_path / "w"))
+    coll = eng.db("appdb").collection("docs")
+    coll._rewrite(spark.createDataFrame(
+        [(i, f"alpha beta doc {i}") for i in range(30)], "_id long, text string"))
+    coll.create_search_index("tix", {"kind": "bm25", "path": "text"})
+    st = coll.search_index_status("tix")
+    assert st["stale"] is False and st["kind"] == "bm25"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # fresh index: no warning
+        coll._load_search_index("tix")
+    coll.update_all({}, {"$set": {"text": "mutated"}})
+    st = coll.search_index_status("tix")
+    assert st["stale"] is True
+    with pytest.warns(UserWarning, match="stale|older snapshot"):
+        coll._load_search_index("tix")
