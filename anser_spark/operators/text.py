@@ -26,6 +26,7 @@ __all__ = [
     "repetition_metrics",
     "scrub_pii",
     "pii_metrics",
+    "chunk_documents",
     "LANG_STOPWORDS",
     "PII_PATTERNS",
 ]
@@ -414,3 +415,70 @@ def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         for name, pattern, _ in PII_PATTERNS
     ]
     return df.select(*df.columns, *counts)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into ~``chunk_tokens``-token windows with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the standard training-data chunking pass (beyond-reference
+    component, same family as sequence packing in operators/packing).
+
+    Output: one row per chunk with (all original columns except the
+    text, ``chunk_id`` position, ``chunk_text``, ``chunk_n_tokens``).
+    Whitespace tokenization (the engine's token_count_col convention).
+
+    Scale shape: everything is JVM Column work in ONE scan — split once,
+    slice each window out of the token array, posexplode. No Python on
+    the data path, no shuffle at all (chunking is embarrassingly
+    row-local); chunks-per-doc is ceil(n/step), bounded by document
+    length, never materialized driver-side. Empty/whitespace-only
+    documents yield zero chunks; chunks shorter than ``min_tokens``
+    (the final sliver of a document) are dropped.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= F.lit(0), F.lit(0)
+    ).otherwise(
+        # a doc shorter than the overlap still yields its single chunk
+        F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1)
+        )
+    )
+    starts = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.when(
+        n_chunks > 0,
+        F.filter(
+            F.transform(
+                starts,
+                lambda i: F.slice(toks, i * F.lit(step) + 1, chunk_tokens),
+            ),
+            lambda c: F.size(c) >= F.lit(min_tokens),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    keep = [c for c in df.columns if c != text_col]
+    # materialize the token/chunk arrays as real columns BEFORE the HOF
+    # consumers — interpreted lambdas re-evaluate inlined subexpressions
+    # per element (SCALE.md: the O(len²) trap)
+    staged = df.select(*df.columns, chunks.alias("__chunks"))
+    out = staged.select(
+        *keep, F.posexplode("__chunks").alias("chunk_id", "__ctoks")
+    )
+    return out.select(
+        *keep,
+        "chunk_id",
+        F.array_join("__ctoks", " ").alias("chunk_text"),
+        F.size("__ctoks").alias("chunk_n_tokens"),
+    )

@@ -3,6 +3,8 @@ default t-digest method mapped to Spark's mergeable percentile_approx
 sketch), plus coverage added alongside later features in this session.
 """
 
+import os
+
 import pytest
 
 
@@ -271,3 +273,72 @@ def test_explain_pipeline_shows_join_and_group(engine):
     # markers — the field is informational, just typed
     assert isinstance(planner["wholeStageCodegen"], bool)
     assert "Scan parquet" in doc["sparkPlan"] or "FileScan" in doc["sparkPlan"]
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (token-window splitting with overlap)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_reconstruction(spark):
+    from anser_spark.operators.text import chunk_documents
+
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate([0, 1, 5, 16, 17, 47, 100])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc  # empty doc → no chunks
+    for i, n in enumerate([0, 1, 5, 16, 17, 47, 100]):
+        if n == 0:
+            continue
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        # every token position covered exactly once after dropping the
+        # 4-token overlap prefix of every chunk but the first
+        rebuilt = chunks[0]["chunk_text"].split()
+        for c in chunks[1:]:
+            rebuilt += c["chunk_text"].split()[4:]
+        assert rebuilt == [f"t{i}_{j}" for j in range(n)]
+        assert all(c["chunk_n_tokens"] <= 16 for c in chunks)
+        assert all(c["chunk_n_tokens"] == len(c["chunk_text"].split())
+                   for c in chunks)
+
+
+def test_chunk_documents_vs_duckdb(spark):
+    import duckdb
+    from anser_spark.operators.text import chunk_documents
+
+    td = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(td, "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_documents(docs.select("doc_id", "text"),
+                                 chunk_tokens=32, overlap=0).collect()
+    )
+    con = duckdb.connect()
+    exp = sorted(con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '') AS ts
+          FROM '{td}/documents.parquet'
+        ), idx AS (
+          SELECT doc_id, ts, unnest(range(0, cast(ceil(len(ts)/32.0) AS INT))) AS c
+          FROM toks WHERE len(ts) > 0
+        )
+        SELECT doc_id, c,
+               array_to_string(ts[c*32+1 : c*32+32], ' ')
+        FROM idx
+    """).fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from anser_spark.operators.text import chunk_documents
+
+    td = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(td, "documents.parquet"))
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local: one scan, zero shuffles
