@@ -222,3 +222,58 @@ def test_group_push_keeps_nulls(spark):
                            None, None).collect()
     assert sorted(out[0]["arr"], key=lambda v: (v is None, v)) == [1, 3, None]
     assert None in out[0]["st"] and {1, 3} <= {v for v in out[0]["st"] if v}
+
+
+def test_group_compound_and_expr_id_fuzz(spark):
+    # compound-document and expression _id forms over the same random
+    # accumulators (the flat-key grouping + struct re-nest path)
+    seed = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260813"))
+    rng = random.Random(seed + 7)
+    rows = make_rows(rng)
+    df = spark.createDataFrame(
+        [(r["_id"], r["g"], r["h"], r["a"], r["b"]) for r in rows],
+        "_id long, g string, h long, a long, b long",
+    )
+    mism = []
+    for trial in range(8):
+        accs = {f"o{i}": rand_acc(rng) for i in range(4)}
+        compound = trial % 2 == 0
+        if compound:
+            stage = {"$group": {"_id": {"g": "$g", "h": "$h"}, **accs}}
+        else:
+            stage = {"$group": {"_id": {"$mod": ["$h", 2]}, **accs}}
+        got_rows = compile_pipeline(df, [stage], None, None).collect()
+        if compound:
+            got = {(r["_id"]["g"], r["_id"]["h"]): r.asDict() for r in got_rows}
+            keyf = lambda d: (d["g"], d["h"])  # noqa: E731
+        else:
+            got = {r["_id"]: r.asDict() for r in got_rows}
+            keyf = lambda d: (d["h"] % 2) if d["h"] is not None else None  # noqa: E731
+        groups = {}
+        for d in rows:
+            groups.setdefault(keyf(d), []).append(d)
+        exp = {}
+        for key, members in groups.items():
+            exp[key] = {name: ref_acc(*next(iter(spec.items())), members)
+                        for name, spec in accs.items()}
+        assert set(got) == set(exp)
+        for key, erow in exp.items():
+            for name, spec in accs.items():
+                e, g = erow[name], got[key][name]
+                (op, _), = spec.items()
+                if op in ("$push", "$addToSet", "$minN", "$maxN"):
+                    ok = sorted(map(str, map(_norm, e or []))) == \
+                        sorted(map(str, map(_norm, g or [])))
+                elif isinstance(e, float) and g is not None:
+                    ok = abs(e - g) < 1e-6
+                elif isinstance(e, list):
+                    ok = g is not None and len(e) == len(g) and all(
+                        (x is None and y is None)
+                        or (x is not None and y is not None
+                            and abs(float(x) - float(y)) < 1e-6)
+                        for x, y in zip(e, g))
+                else:
+                    ok = _norm(e) == _norm(g)
+                if not ok:
+                    mism.append((trial, key, name, spec, e, g))
+    assert not mism, mism[:5]
