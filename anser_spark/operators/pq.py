@@ -1,0 +1,239 @@
+"""Product quantization (PQ) for embedding columns — the standard
+billion-scale ANN compression (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011; the IVF-PQ
+layout is FAISS's workhorse index).
+
+The d-dim vector splits into ``m`` subvectors; each subvector is
+replaced by the id of its nearest centroid from a 2^nbits-entry
+per-subspace codebook. A 768-dim float32 embedding (3 KB) becomes m=96
+one-byte codes (96 B) — 32× smaller — and query-time scoring needs no
+reconstruction: asymmetric distance computation (ADC) precomputes one
+(m × 2^nbits) lookup table per QUERY, then every candidate's distance
+is m table lookups.
+
+Scale design (100 TB lens):
+- Codebooks train on a bounded driver SAMPLE (same reasoning as
+  `ivf_train_sample`: codebook quality needs a sample, not the corpus)
+  with vectorized numpy Lloyd's per subspace — m small k-means runs.
+- Encoding is one Arrow-batched mapInPandas pass: per batch, m argmin
+  matmuls (batch × 2^nbits per subspace). No shuffle.
+- ADC scoring is another Arrow pass: the per-query LUT is built ONCE
+  driver-side (m · 2^nbits floats, broadcast as a closure literal) and
+  each batch scores via numpy fancy-indexing — candidates never
+  reconstruct, floats never leave the executors.
+- Composes with IVF (`ivfpq_top_k`): probe nprobe inverted lists, ADC
+  only within them — the classic IVF-PQ two-level index.
+
+Distances are approximations (codebook resolution bounds the error);
+`pq_top_k(..., rerank=N)` optionally re-scores the top-N ADC
+candidates exactly against the original vectors — the standard
+recall-restoring refinement step, one bounded join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["PQCodebooks", "pq_train_sample", "pq_encode", "pq_top_k", "ivfpq_top_k"]
+
+
+@dataclass
+class PQCodebooks:
+    codebooks: list[list[list[float]]]  # m × ksub × dsub
+    vec_col: str
+    id_col: str
+
+    @property
+    def m(self) -> int:
+        return len(self.codebooks)
+
+    @property
+    def ksub(self) -> int:
+        return len(self.codebooks[0])
+
+    @property
+    def dsub(self) -> int:
+        return len(self.codebooks[0][0])
+
+
+def _kmeans(x, k, rng, max_iter=12):
+    import numpy as np
+
+    centers = [x[rng.randint(len(x))]]
+    for _ in range(k - 1):
+        d2 = np.min([((x - c) ** 2).sum(axis=1) for c in centers], axis=0)
+        probs = d2 / d2.sum() if d2.sum() > 0 else None
+        centers.append(x[rng.choice(len(x), p=probs)])
+    c = np.array(centers)
+    for _ in range(max_iter):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new_c = c.copy()
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                new_c[j] = members.mean(axis=0)
+            else:
+                new_c[j] = x[d.min(axis=1).argmax()]
+        if np.allclose(new_c, c):
+            return new_c
+        c = new_c
+    return c
+
+
+def pq_train_sample(
+    df: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_sample: int = 100_000,
+    seed: int = 42,
+) -> PQCodebooks:
+    """Train m per-subspace codebooks (2^nbits entries each) on a
+    bounded driver sample. Requires dim % m == 0."""
+    import numpy as np
+
+    rows = df.select(vec_col).limit(int(max_sample)).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} is not divisible by m={m}")
+    ksub = 1 << nbits
+    if len(x) < ksub:
+        raise ValueError(f"need at least {ksub} sample vectors, got {len(x)}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        books.append([list(map(float, c)) for c in _kmeans(sub, ksub, rng)])
+    return PQCodebooks(codebooks=books, vec_col=vec_col, id_col=id_col)
+
+
+def pq_encode(df: DataFrame, cb: PQCodebooks, out: str = "pq_codes") -> DataFrame:
+    """One Arrow pass: each vector → array<int> of m codebook ids."""
+    m, dsub = cb.m, cb.dsub
+    books = cb.codebooks
+    vec_col = cb.vec_col
+
+    in_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{in_schema}, `{out}` array<int>"
+
+    def encode(batches):
+        import numpy as np
+
+        B = [np.asarray(b, dtype=np.float64) for b in books]  # m × ksub × dsub
+        Bn = [np.einsum("kd,kd->k", b, b) for b in B]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                # argmin ||s - c||² = argmin (||c||² - 2 s·c)
+                d = Bn[j][None, :] - 2.0 * (sub @ B[j].T)
+                codes[:, j] = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out] = list(codes)
+            yield pdf
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
+def _adc_lut(query, cb: PQCodebooks):
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    dsub = cb.dsub
+    lut = np.empty((cb.m, cb.ksub), dtype=np.float64)
+    for j in range(cb.m):
+        sub = q[j * dsub : (j + 1) * dsub]
+        B = np.asarray(cb.codebooks[j], dtype=np.float64)
+        lut[j] = ((B - sub[None, :]) ** 2).sum(axis=1)
+    return lut
+
+
+def pq_top_k(
+    encoded: DataFrame,
+    cb: PQCodebooks,
+    query: list[float],
+    k: int = 10,
+    codes_col: str = "pq_codes",
+    rerank: int = 0,
+) -> DataFrame:
+    """ADC top-k by approximate squared L2: one Arrow scoring pass over
+    the codes (the per-query LUT is a closure literal — m·2^nbits
+    floats), then TakeOrdered. ``rerank=N`` re-scores the top-N
+    candidates exactly on the original vector column first — the
+    standard refinement; N is bounded, so the exact pass is tiny."""
+    lut_list = _adc_lut(query, cb).tolist()
+    id_col = cb.id_col
+
+    def score(batches):
+        import numpy as np
+
+        lut = np.asarray(lut_list)
+        mi = np.arange(lut.shape[0])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray([np.asarray(c) for c in pdf[codes_col]])
+            out = pdf[[id_col]].copy()
+            out["adc_dist"] = lut[mi[None, :], codes].sum(axis=1)
+            yield out
+
+    scored = encoded.mapInPandas(
+        score, schema=f"`{id_col}` {encoded.schema[id_col].dataType.simpleString()}, adc_dist double"
+    )
+    if not rerank:
+        return scored.orderBy("adc_dist", id_col).limit(k)
+    shortlist = scored.orderBy("adc_dist", id_col).limit(int(rerank))
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    exact = (
+        encoded.join(F.broadcast(shortlist.select(id_col)), id_col)
+        .withColumn(
+            "exact_dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col(cb.vec_col), qcol, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    return exact.select(id_col, "exact_dist").orderBy("exact_dist", id_col).limit(k)
+
+
+def ivfpq_top_k(
+    assigned_encoded: DataFrame,
+    ivf_centroids: list[list[float]],
+    cb: PQCodebooks,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    centroid_col: str = "centroid_id",
+    codes_col: str = "pq_codes",
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ: prune to the nprobe nearest inverted lists (partition
+    filter on the centroid column — pushed down when the dataset is
+    written partitioned by it), then ADC inside. The FAISS IVFPQ shape:
+    list pruning bounds candidates, PQ bounds bytes per candidate."""
+
+    def d2(c):
+        return sum((a - b) ** 2 for a, b in zip(query, c))
+
+    probe = sorted(range(len(ivf_centroids)), key=lambda i: d2(ivf_centroids[i]))[
+        : max(1, int(nprobe))
+    ]
+    pruned = assigned_encoded.where(F.col(centroid_col).isin([int(p) for p in probe]))
+    return pq_top_k(pruned, cb, query, k=k, codes_col=codes_col, rerank=rerank)
