@@ -2015,6 +2015,72 @@ class Collection:
     def bulk(self, ordered: bool = True) -> "Bulk":
         return Bulk(self, ordered=ordered)
 
+    # -- PyMongo-style aliases ------------------------------------------
+    # The reference exposes mgo-style Go names; Python users expect the
+    # PyMongo verbs. Thin aliases with PyMongo's no-match semantics
+    # (matched 0 is a result, not an error). Results stay ChangeInfo —
+    # documented divergence from PyMongo's UpdateResult/DeleteResult.
+
+    def insert_one(self, doc: Mapping[str, Any]) -> None:
+        self.insert(doc)
+
+    def insert_many(self, docs: Sequence[Mapping[str, Any]]) -> None:
+        self.insert(*docs)
+
+    def find_one(self, query: Mapping[str, Any] | None = None):
+        """First match as a dict, or None (PyMongo's contract; the
+        fluent ``find().one()`` raises NotFoundError instead)."""
+        try:
+            return self.find(query).one()
+        except NotFoundError:
+            return None
+
+    def count_documents(self, query: Mapping[str, Any] | None = None) -> int:
+        return self.find(query).count()
+
+    def update_one(
+        self,
+        query: Mapping[str, Any] | None,
+        update: Mapping[str, Any],
+        upsert: bool = False,
+    ) -> ChangeInfo:
+        if upsert:
+            return self.upsert(query, update)
+        try:
+            return self.update(query, update)
+        except NotFoundError:
+            return ChangeInfo()
+
+    def update_many(
+        self,
+        query: Mapping[str, Any] | None,
+        update: Mapping[str, Any],
+        upsert: bool = False,
+    ) -> ChangeInfo:
+        ci = self.update_all(query, update)
+        if upsert and not ci.updated:
+            return self.upsert(query, update)
+        return ci
+
+    def replace_one(
+        self,
+        query: Mapping[str, Any] | None,
+        replacement: Mapping[str, Any],
+        upsert: bool = False,
+    ) -> ChangeInfo:
+        if any(str(k).startswith("$") for k in replacement):
+            raise ValueError("replacement document must not contain $-operators")
+        return self.update_one(query, replacement, upsert=upsert)
+
+    def delete_one(self, query: Mapping[str, Any] | None) -> ChangeInfo:
+        try:
+            return self.remove(query)
+        except NotFoundError:
+            return ChangeInfo()
+
+    def delete_many(self, query: Mapping[str, Any] | None) -> ChangeInfo:
+        return self.remove_all(query)
+
     # -- misc ----------------------------------------------------------
     def write_manifest(self) -> str:
         """Schema + layout manifest (the 'index metadata' analogue used
