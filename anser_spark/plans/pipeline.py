@@ -1523,6 +1523,16 @@ def _lookup(
     if out in df.columns:
         df = df.drop(out)  # Mongo overwrites an existing field of that name
 
+    local_is_arr = _is_array_field(df.schema, local_f)
+    foreign_is_arr = _is_array_field(foreign.schema, foreign_f)
+    if local_is_arr or foreign_is_arr:
+        # Mongo array-field join semantics: an array localField matches
+        # foreign docs whose key equals ANY element (and vice versa)
+        return _lookup_array_field(
+            df, foreign, local_f, foreign_f, out,
+            local_is_arr, foreign_is_arr, unwind_preserve,
+        )
+
     if unwind_preserve is not None:
         # fused $lookup+$unwind → direct join, struct-typed `as` column
         fr = foreign.select(
@@ -1551,6 +1561,89 @@ def _lookup(
     return joined.withColumn(
         out, F.coalesce(F.col(out), F.array().cast(elem_type))
     )
+
+
+def _is_array_field(schema, name: str) -> bool:
+    from pyspark.sql import types as T
+
+    cur = schema
+    for part in str(name).split("."):
+        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
+            return False
+        cur = cur[part].dataType
+    return isinstance(cur, T.ArrayType)
+
+
+def _lookup_array_field(
+    df: DataFrame,
+    foreign: DataFrame,
+    local_f: str,
+    foreign_f: str,
+    out: str,
+    local_is_arr: bool,
+    foreign_is_arr: bool,
+    unwind_preserve: bool | None,
+) -> DataFrame:
+    """Classic $lookup where localField and/or foreignField is an
+    ARRAY: Mongo matches on ANY element. Compiled as explode →
+    EQUI-join → regroup on a row id — always a hash join, never the
+    array_contains theta condition (which would plan a nested loop).
+    When both sides are arrays, a foreign doc matching via several
+    shared elements still appears once (dedup on the id pair).
+    Documented divergence: whole-array equality (local [1,2] matching a
+    foreign ARRAY value [1,2]) is not matched — element semantics only.
+
+    The input frames are persisted for the duration of the join: the
+    row ids come from monotonically_increasing_id, and the id-bearing
+    frame appears on both sides of the regroup self-join, so its
+    partitions must not be recomputed with fresh ids."""
+    from pyspark.storagelevel import StorageLevel
+
+    luid, fuid = "__al_luid", "__al_fuid"
+    df2 = df.withColumn(luid, F.monotonically_increasing_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    fr2 = foreign.withColumn(fuid, F.monotonically_increasing_id())
+    if local_is_arr:
+        lk = df2.select(
+            luid, F.explode(F.array_distinct(F.col(local_f))).alias("__lv")
+        )
+    else:
+        lk = df2.select(luid, F.col(local_f).alias("__lv"))
+    fcols = [F.col(c).alias(f"__f_{c}") for c in foreign.columns]
+    if foreign_is_arr:
+        fr2 = fr2.withColumn("__fv", F.explode(F.array_distinct(F.col(foreign_f))))
+        fk = fr2.select(fuid, "__fv", *fcols)
+    else:
+        fk = fr2.select(fuid, F.col(foreign_f).alias("__fv"), *fcols)
+    matched = lk.join(fk, on=lk["__lv"].eqNullSafe(fk["__fv"]), how="inner")
+    if local_is_arr and foreign_is_arr:
+        matched = matched.dropDuplicates([luid, fuid])
+    data_cols = [f"__f_{c}" for c in foreign.columns]
+
+    if unwind_preserve is not None:
+        # fused $unwind: one row per (doc, matched foreign doc)
+        packed = F.struct(
+            *[F.col(f"__f_{c}").alias(c) for c in foreign.columns]
+        )
+        m = matched.select(luid, packed.alias("__pk"), F.lit(True).alias("__hit"))
+        how = "left" if unwind_preserve else "inner"
+        joined = df2.join(m, on=luid, how=how)
+        res = joined.select(
+            *[df2[c] for c in df.columns],
+            (F.when(F.col("__hit"), F.col("__pk")) if unwind_preserve
+             else F.col("__pk")).alias(out),
+        )
+        return res
+
+    grouped = matched.groupBy(luid).agg(
+        F.collect_list(
+            F.struct(*[F.col(c).alias(c[len("__f_"):]) for c in data_cols])
+        ).alias(out)
+    )
+    joined = df2.join(grouped, on=luid, how="left").drop(luid)
+    elem_type = grouped.schema[out].dataType
+    return joined.withColumn(out, F.coalesce(F.col(out), F.array().cast(elem_type)))
 
 
 def _lookup_pipeline(

@@ -342,3 +342,91 @@ def test_chunk_documents_no_shuffle(spark):
     docs = spark.read.parquet(os.path.join(td, "documents.parquet"))
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # row-local: one scan, zero shuffles
+
+
+# ---------------------------------------------------------------------------
+# $lookup with array-valued localField / foreignField (any-element match)
+# ---------------------------------------------------------------------------
+
+
+def _tagdim(spark):
+    return spark.createDataFrame(
+        [("red", 1), ("blue", 2), ("green", 3), ("yellow", 4)],
+        "tag string, weight long")
+
+
+def test_lookup_array_local_field(spark, doc_collection):
+    dim = _tagdim(spark)
+    doc_collection.engine.db("appdb").collection("tagdim")._rewrite(dim)
+    out = doc_collection.pipe([
+        {"$lookup": {"from": "tagdim", "localField": "tags",
+                     "foreignField": "tag", "as": "tw"}},
+        {"$project": {"_id": 1, "n": {"$size": "$tw"},
+                      "total": {"$sum": {"$map": {"input": "$tw",
+                                                  "in": "$$this.weight"}}}}},
+        {"$sort": {"_id": 1}},
+    ]).all()
+    by_id = {r["_id"]: r for r in out}
+    # a1 tags [red, blue] → weights 1+2; a3 tags [] → empty array
+    assert by_id["a1"]["n"] == 2 and by_id["a1"]["total"] == 3
+    assert by_id["a3"]["n"] == 0 and by_id["a3"]["total"] == 0
+    assert by_id["a5"]["n"] == 3 and by_id["a5"]["total"] == 6
+
+
+def test_lookup_array_local_fused_unwind(spark, doc_collection):
+    dim = _tagdim(spark)
+    doc_collection.engine.db("appdb").collection("tagdim")._rewrite(dim)
+    out = doc_collection.pipe([
+        {"$match": {"_id": "a4"}},
+        {"$lookup": {"from": "tagdim", "localField": "tags",
+                     "foreignField": "tag", "as": "tw"}},
+        {"$unwind": "$tw"},
+        {"$project": {"_id": 1, "t": "$tw.tag", "w": "$tw.weight"}},
+        {"$sort": {"w": 1}},
+    ]).all()
+    # a4 tags [green, red] → two rows
+    assert [(r["t"], r["w"]) for r in out] == [("red", 1), ("green", 3)]
+
+
+def test_lookup_array_foreign_field(spark, doc_collection):
+    # foreign side carries the array: groups list their member tags
+    groups = spark.createDataFrame(
+        [("warm", ["red", "yellow"]), ("cool", ["blue", "green"]),
+         ("all", ["red", "blue", "green", "yellow"])],
+        "gname string, members array<string>")
+    doc_collection.engine.db("appdb").collection("taggroups")._rewrite(groups)
+    out = doc_collection.pipe([
+        {"$match": {"_id": "a2"}},      # tags [blue]
+        {"$unwind": "$tags"},
+        {"$lookup": {"from": "taggroups", "localField": "tags",
+                     "foreignField": "members", "as": "g"}},
+        {"$project": {"_id": 1, "names": {"$map": {"input": "$g",
+                                                   "in": "$$this.gname"}}}},
+    ]).all()
+    assert sorted(out[0]["names"]) == ["all", "cool"]
+
+
+def test_lookup_both_arrays_dedup(spark, doc_collection):
+    groups = spark.createDataFrame(
+        [("multi", ["red", "blue", "green"])],
+        "gname string, members array<string>")
+    doc_collection.engine.db("appdb").collection("taggroups")._rewrite(groups)
+    out = doc_collection.pipe([
+        {"$match": {"_id": "a5"}},      # tags [blue, green, red]
+        {"$lookup": {"from": "taggroups", "localField": "tags",
+                     "foreignField": "members", "as": "g"}},
+        {"$project": {"_id": 1, "n": {"$size": "$g"}}},
+    ]).all()
+    # three shared elements, ONE matching group doc — appears once
+    assert out[0]["n"] == 1
+
+
+def test_lookup_array_plans_hash_join(spark, doc_collection):
+    dim = _tagdim(spark)
+    doc_collection.engine.db("appdb").collection("tagdim")._rewrite(dim)
+    df = doc_collection.pipe([
+        {"$lookup": {"from": "tagdim", "localField": "tags",
+                     "foreignField": "tag", "as": "tw"}},
+    ]).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
