@@ -66,6 +66,21 @@ def _truthy(col: Column) -> Column:
     return F.coalesce(col.cast("boolean"), F.lit(False))
 
 
+def _literal_col(value: Any) -> Column:
+    """$literal for arbitrary JSON shapes: documents become struct
+    literals, arrays of documents become array<struct> — F.lit alone
+    rejects dict/list-of-dict values."""
+    if isinstance(value, Mapping):
+        if not value:
+            raise ExprCompileError("$literal of an empty document is unsupported")
+        return F.struct(
+            *[_literal_col(v).alias(str(k)) for k, v in value.items()]
+        )
+    if isinstance(value, (list, tuple)):
+        return F.array(*[_literal_col(v) for v in value])
+    return F.lit(value)
+
+
 def compile_expr(
     expr: Any,
     schema: T.StructType | None = None,
@@ -174,7 +189,7 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
 
     # ---- literals / variables
     if op == "$literal":
-        return F.lit(arg)
+        return _literal_col(arg)
     if op == "$meta":
         # search relevance metadata: $search/$vectorSearch on this
         # fixed-schema engine materialize the score as an ordinary
@@ -580,10 +595,36 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         [a] = _args(arg, schema, env)
         return F.forall(a, lambda x: F.coalesce(x.cast("boolean"), F.lit(False)))
     if op == "$sortArray":
-        asc = arg.get("sortBy", 1)
-        if asc not in (1, -1):
-            raise ExprCompileError("$sortArray supports scalar sortBy 1/-1 only")
-        return F.sort_array(c(arg["input"]), asc=asc == 1)
+        sort_by = arg.get("sortBy", 1)
+        if sort_by in (1, -1):
+            return F.sort_array(c(arg["input"]), asc=sort_by == 1)
+        if isinstance(sort_by, Mapping) and sort_by:
+            # document sortBy: sort an array of documents by fields —
+            # rebuild each element as (key fields…, element), let
+            # sort_array order by the struct prefix, then unwrap.
+            # Mixed directions would need a custom comparator; reject.
+            dirs = list(sort_by.values())
+            if any(d not in (1, -1) for d in dirs) or not all(
+                d == dirs[0] for d in dirs
+            ):
+                raise ExprCompileError(
+                    "$sortArray document sortBy supports uniform 1/-1 "
+                    "directions only"
+                )
+            fields = list(sort_by)
+            keyed = F.transform(
+                c(arg["input"]),
+                lambda x: F.struct(
+                    *[x.getField(f).alias(f"__k{i}") for i, f in enumerate(fields)],
+                    x.alias("__v"),
+                ),
+            )
+            return F.transform(
+                F.sort_array(keyed, asc=dirs[0] == 1), lambda s: s["__v"]
+            )
+        raise ExprCompileError(
+            "$sortArray sortBy must be 1/-1 or a field-direction document"
+        )
     if op == "$firstN":
         return F.slice(c(arg["input"]), 1, int(arg["n"]))
     if op == "$lastN":

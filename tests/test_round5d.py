@@ -430,3 +430,50 @@ def test_lookup_array_plans_hash_join(spark, doc_collection):
     ]).to_df()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sort_array_document_sortby(spark, engine):
+    df = spark.createDataFrame(
+        [(1, [("b", 2), ("a", 9), ("c", 1)])],
+        "id long, items array<struct<n:string,v:long>>")
+    coll = engine.db("appdb").collection("sortarr")
+    coll._rewrite(df)
+    out = coll.pipe([
+        {"$project": {"s": {"$sortArray": {"input": "$items",
+                                           "sortBy": {"v": 1}}}}},
+    ]).all()
+    assert [e["n"] for e in out[0]["s"]] == ["c", "b", "a"]
+    out = coll.pipe([
+        {"$project": {"s": {"$sortArray": {"input": "$items",
+                                           "sortBy": {"v": -1}}}}},
+    ]).all()
+    assert [e["n"] for e in out[0]["s"]] == ["a", "b", "c"]
+    out = coll.pipe([
+        {"$project": {"s": {"$sortArray": {"input": "$items",
+                                           "sortBy": {"n": 1, "v": 1}}}}},
+    ]).all()
+    assert [e["n"] for e in out[0]["s"]] == ["a", "b", "c"]
+    from anser_spark import ExprCompileError
+    with pytest.raises(ExprCompileError):
+        coll.pipe([
+            {"$project": {"s": {"$sortArray": {
+                "input": "$items", "sortBy": {"n": 1, "v": -1}}}}},
+        ]).to_df()
+
+
+def test_literal_document_and_array_of_documents(doc_collection):
+    out = doc_collection.pipe([
+        {"$match": {"_id": "a1"}},
+        {"$project": {
+            "d": {"$literal": {"x": 1, "y": "s"}},
+            "arr": {"$literal": [{"n": "b", "v": 2}, {"n": "a", "v": 9}]},
+            "sorted": {"$sortArray": {
+                "input": {"$literal": [{"n": "b", "v": 2}, {"n": "a", "v": 9},
+                                       {"n": "c", "v": 1}]},
+                "sortBy": {"v": 1}}},
+        }},
+    ]).all()
+    r = out[0]
+    assert r["d"]["x"] == 1 and r["d"]["y"] == "s"
+    assert [e["n"] for e in r["arr"]] == ["b", "a"]
+    assert [e["n"] for e in r["sorted"]] == ["c", "b", "a"]
