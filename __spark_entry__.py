@@ -311,16 +311,30 @@ def _q_text_token_count(spark, sf_dir):
 def _q_sequence_packing(spark, sf_dir):
     # M7 sequence packing (concat-then-chunk, the LLM-pretraining
     # layout): whitespace token counts → sharded deterministic packing
-    # into 512-token blocks; window cumsum only, no sequential state
+    # into 512-token blocks; window cumsum only, no sequential state.
+    # Composite since round-5 continuation: the per-doc chunk count from
+    # chunk_documents (64-token windows, 16 overlap) rides along, putting
+    # the chunking operator's window arithmetic under the same value-hash
+    # oracle (ceil((n-16)/48), floored at 1, 0 for empty docs).
     from pyspark.sql import functions as F
 
     from anser_spark.operators.packing import pack_sequences
-    from anser_spark.operators.text import token_count_col
+    from anser_spark.operators.text import chunk_documents, token_count_col
 
     docs = _db(spark, sf_dir).collection("documents").df()
     toks = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
-    return pack_sequences(toks, capacity=512, num_shards=8).select(
+    nch = (
+        chunk_documents(docs.select("doc_id", "text"),
+                        chunk_tokens=64, overlap=16)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    )
+    packed = pack_sequences(toks, capacity=512, num_shards=8).select(
         "doc_id", "shard", "pack_offset", "block_start", "block_end"
+    )
+    return (
+        packed.join(nch, "doc_id", "left")
+        .withColumn("n_chunks", F.coalesce(F.col("n_chunks"), F.lit(0).cast("long")))
     )
 
 
@@ -760,10 +774,20 @@ def _q_ivf_top_k(spark, sf_dir):
 
 def _q_ann_top_k(spark, sf_dir):
     # Composite ANN gate (frees a slot under the 50-gate cap): the
-    # brute-force cosine top-k baseline and the IVF full-probe path
-    # (provably identical to brute force at nprobe=k) union'd with a
-    # kind tag; both legs share the same exact-cosine oracle.
+    # brute-force cosine top-k baseline, the IVF full-probe path
+    # (provably identical to brute force at nprobe=k), and since the
+    # round-5 continuation an IVF-PQ leg union'd with a kind tag.
+    # The PQ leg runs the full train→encode→ADC→rerank pipeline with
+    # rerank ≥ corpus, which is PROVABLY the exact L2 top-k (the exact
+    # re-score covers every candidate regardless of codebook content) —
+    # DuckDB reproduces the ids with list_distance and the gate emits
+    # their exact cosines, so all three legs stay fully value-hashed.
+    # ADC-quality (bounded-rerank) behavior is pytest-covered with
+    # recall bounds (tests/test_pq.py).
     from pyspark.sql import functions as F
+
+    from anser_spark.operators.pq import pq_encode, pq_top_k, pq_train_sample
+    from anser_spark.operators.similarity import dot_col, norm_col
 
     brute = _q_cosine_top_k(spark, sf_dir).select(
         F.lit("brute").alias("kind"), "vec_id", "cosine"
@@ -771,7 +795,22 @@ def _q_ann_top_k(spark, sf_dir):
     ivf = _q_ivf_top_k(spark, sf_dir).select(
         F.lit("ivf").alias("kind"), "vec_id", "cosine"
     )
-    return brute.unionByName(ivf)
+    emb = _db(spark, sf_dir).collection("embeddings").df()
+    query = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    cb = pq_train_sample(emb, m=8, nbits=6, seed=7)
+    enc = pq_encode(emb, cb)
+    ids = pq_top_k(enc, cb, query, k=10, rerank=1 << 30).select("vec_id")
+    import math as _math
+
+    qn = _math.sqrt(sum(v * v for v in query)) or 1.0
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    vec = F.col("embedding")
+    pq = emb.join(F.broadcast(ids), "vec_id").select(
+        F.lit("pq").alias("kind"),
+        "vec_id",
+        F.round(dot_col(vec, qcol) / (norm_col(vec) * F.lit(qn)), 4).alias("cosine"),
+    )
+    return brute.unionByName(ivf).unionByName(pq)
 
 
 def _mut_db(spark, sf_dir, tag):
@@ -1957,7 +1996,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pack_offset AS BIGINT) AS pack_offset,
                    CAST(floor(pack_offset / 512) AS BIGINT) AS block_start,
                    CAST(floor((pack_offset + greatest(n_tokens, 1) - 1) / 512)
-                        AS BIGINT) AS block_end
+                        AS BIGINT) AS block_end,
+                   CAST(CASE WHEN n_tokens = 0 THEN 0
+                        ELSE greatest(CAST(ceil((n_tokens - 16) / 48.0) AS BIGINT), 1)
+                   END AS BIGINT) AS n_chunks
             FROM packed
         """,
         # bucket = int of the first 4 md5 hex digits, summed per-char
@@ -2037,6 +2079,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'brute' AS kind, vec_id, cosine FROM exact
             UNION ALL
             SELECT 'ivf', vec_id, cosine FROM exact
+            UNION ALL
+            SELECT 'pq', e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4)
+            FROM embeddings e
+            JOIN (
+                SELECT vec_id FROM embeddings
+                ORDER BY list_distance(CAST(embedding AS DOUBLE[]),
+                    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+                    vec_id
+                LIMIT 10
+            ) t USING (vec_id)
         """,
         "embedding_sim_join": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
