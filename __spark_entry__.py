@@ -797,7 +797,10 @@ def _q_ann_top_k(spark, sf_dir):
     )
     emb = _db(spark, sf_dir).collection("embeddings").df()
     query = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
-    cb = pq_train_sample(emb, m=8, nbits=6, seed=7)
+    # small training sample: codebook quality is irrelevant to the
+    # rerank-exact contract, and a 5k sample keeps the driver-side
+    # k-means (the leg's dominant cost at sf0.1) in the ~100ms range
+    cb = pq_train_sample(emb, m=8, nbits=6, seed=7, max_sample=5_000)
     enc = pq_encode(emb, cb)
     ids = pq_top_k(enc, cb, query, k=10, rerank=1 << 30).select("vec_id")
     import math as _math

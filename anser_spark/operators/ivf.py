@@ -100,17 +100,22 @@ def ivf_train_sample(
     if len(x) < k:
         raise ValueError(f"need at least k={k} vectors to train, got {len(x)}")
     rng = np.random.RandomState(seed)
-    # k-means++ init
+    # k-means++ init with an incremental running min: bit-identical to
+    # re-deriving the min over all chosen centers per step (same values,
+    # same rng draws), but O(k·n) instead of O(k²·n)
     centers = [x[rng.randint(len(x))]]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
     for _ in range(k - 1):
-        d2 = np.min(
-            [((x - c) ** 2).sum(axis=1) for c in centers], axis=0
-        )
         probs = d2 / d2.sum() if d2.sum() > 0 else None
-        centers.append(x[rng.choice(len(x), p=probs)])
+        nxt = x[rng.choice(len(x), p=probs)]
+        centers.append(nxt)
+        d2 = np.minimum(d2, ((x - nxt) ** 2).sum(axis=1))
     c = np.array(centers)
+    xn = (x * x).sum(axis=1)
     for _ in range(max_iter):
-        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # argmin ||x-c||² == argmin (||c||² - 2 x·c): one matmul, no
+        # n×k×d temporary
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
         assign = d.argmin(axis=1)
         new_c = c.copy()
         for j in range(k):
@@ -118,7 +123,7 @@ def ivf_train_sample(
             if len(members):
                 new_c[j] = members.mean(axis=0)
             else:  # re-seed an empty cluster from the farthest point
-                new_c[j] = x[d.min(axis=1).argmax()]
+                new_c[j] = x[(d.min(axis=1) + xn).argmax()]
         if np.allclose(new_c, c):
             c = new_c
             break

@@ -61,14 +61,23 @@ class PQCodebooks:
 def _kmeans(x, k, rng, max_iter=12):
     import numpy as np
 
+    # k-means++ with an INCREMENTAL running min — recomputing distances
+    # to every chosen center per step is O(k²·n) and dominates training
+    # time at k=256; the running min is bit-identical (same values, same
+    # rng draws) and O(k·n)
     centers = [x[rng.randint(len(x))]]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
     for _ in range(k - 1):
-        d2 = np.min([((x - c) ** 2).sum(axis=1) for c in centers], axis=0)
         probs = d2 / d2.sum() if d2.sum() > 0 else None
-        centers.append(x[rng.choice(len(x), p=probs)])
+        nxt = x[rng.choice(len(x), p=probs)]
+        centers.append(nxt)
+        d2 = np.minimum(d2, ((x - nxt) ** 2).sum(axis=1))
     c = np.array(centers)
+    xn = (x * x).sum(axis=1)
     for _ in range(max_iter):
-        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        # argmin ||x-c||² == argmin (||c||² - 2 x·c): one matmul, no
+        # n×k×d temporary
+        d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
         assign = d.argmin(axis=1)
         new_c = c.copy()
         for j in range(k):
@@ -76,7 +85,7 @@ def _kmeans(x, k, rng, max_iter=12):
             if len(members):
                 new_c[j] = members.mean(axis=0)
             else:
-                new_c[j] = x[d.min(axis=1).argmax()]
+                new_c[j] = x[(d.min(axis=1) + xn).argmax()]
         if np.allclose(new_c, c):
             return new_c
         c = new_c
