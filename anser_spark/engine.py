@@ -449,13 +449,51 @@ class Database:
                     names.add(entry)
         return sorted(names)
 
-    def create_collection(self, name: str) -> "Collection":
+    def create_collection(
+        self,
+        name: str,
+        view_on: str | None = None,
+        pipeline: Sequence[Mapping[str, Any]] | None = None,
+    ) -> "Collection":
+        if view_on is not None:
+            return self.create_view(name, view_on, pipeline or [])
         coll = self.collection(name)
         if not coll.exists():
             empty = self.engine.spark.createDataFrame(
                 [], T.StructType([T.StructField("_id", T.StringType())])
             )
             coll._rewrite(empty)
+        return coll
+
+    def create_view(
+        self, name: str, view_on: str, pipeline: Sequence[Mapping[str, Any]]
+    ) -> "Collection":
+        """Mongo view: a read-only collection defined as an aggregation
+        pipeline over another collection (db.createView / the
+        createCollection viewOn form). Reads re-compile the pipeline
+        over the CURRENT source version — a view is always fresh, it is
+        the lazy-DataFrame the engine already is, just named. Mutations
+        on a view raise; views-on-views compose (cycles rejected at
+        create time, as Mongo does)."""
+        coll = self.collection(name)
+        if coll.exists():
+            raise ValueError(f"collection already exists: {coll.namespace}")
+        # reject definition cycles by walking the viewOn chain
+        seen = {name}
+        cur = view_on
+        for _ in range(64):
+            if cur in seen:
+                raise ValueError(f"view cycle detected at {cur!r}")
+            seen.add(cur)
+            vd = self.collection(cur)._view_def()
+            if vd is None:
+                break
+            cur = vd["viewOn"]
+        else:
+            raise ValueError("view chain too deep (max 64)")
+        os.makedirs(coll._store_dir, exist_ok=True)
+        with open(os.path.join(coll._store_dir, "_VIEW"), "w") as fh:
+            json.dump({"viewOn": view_on, "pipeline": list(pipeline)}, fh)
         return coll
 
     def drop_database(self) -> None:
@@ -539,11 +577,33 @@ class Collection:
         return self._source_path()
 
     def exists(self) -> bool:
-        return self.current_path() is not None
+        return self.is_view() or self.current_path() is not None
+
+    def _view_def(self) -> dict[str, Any] | None:
+        p = os.path.join(self._store_dir, "_VIEW")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return None
+
+    def is_view(self) -> bool:
+        return self._view_def() is not None
 
     def df(self) -> DataFrame:
         """The collection as a lazy DataFrame (the engine-internal fast
-        path — fluent `find()` wraps this)."""
+        path — fluent `find()` wraps this). A VIEW compiles its stored
+        pipeline over the source collection's CURRENT version — always
+        fresh, zero materialization."""
+        view = self._view_def()
+        if view is not None:
+            from anser_spark.plans.pipeline import compile_pipeline
+
+            src = Collection(self.engine, self.db_name, view["viewOn"])
+
+            def _resolve(name: str) -> DataFrame:
+                return Collection(self.engine, self.db_name, name).df()
+
+            return compile_pipeline(src.df(), view["pipeline"], _resolve, None)
         path = self.current_path()
         if path is None:
             raise NotFoundError(f"collection does not exist: {self.namespace}")
@@ -835,6 +895,8 @@ class Collection:
         return int(m.group(1)) if m else None
 
     def _next_version(self) -> tuple[str, str | None]:
+        if self.is_view():
+            raise TypeError(f"{self.namespace} is a view — views are read-only")
         os.makedirs(self._store_dir, exist_ok=True)
         ptr = self._pointer()
         ordinal = self._version_ordinal(ptr)
@@ -1275,6 +1337,10 @@ class Collection:
             raise RuntimeError(
                 "drop() is not transactional — run it outside the transaction"
             )
+        vp = os.path.join(self._store_dir, "_VIEW")
+        if os.path.exists(vp):
+            os.remove(vp)  # dropping a view removes only its definition
+            return
         os.makedirs(self._store_dir, exist_ok=True)
         tmp = os.path.join(self._store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
@@ -1720,6 +1786,8 @@ class Collection:
 
     def insert(self, *docs: Mapping[str, Any]) -> None:
         """InsertOne/InsertMany (reference db/wrapper.go:117-125)."""
+        if self.is_view():
+            raise TypeError(f"{self.namespace} is a view — views are read-only")
         if not docs:
             return
         new_df = self._docs_to_df(list(docs))
@@ -1806,6 +1874,8 @@ class Collection:
     def update(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
         """Update/replace the first match; NotFoundError if none
         (reference db/wrapper.go:188-210)."""
+        if self.is_view():
+            raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
         pred = compile_filter(query, df.schema)
         hit = self._first_match_pred(df, pred)
@@ -1832,6 +1902,8 @@ class Collection:
         """UpdateMany (reference db/wrapper.go:237-244) — ONE distributed
         copy-on-write rewrite. ``array_filters`` supports ``$[ident]``
         positional array updates."""
+        if self.is_view():
+            raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
         pred = compile_filter(query, df.schema)
 
@@ -1892,6 +1964,8 @@ class Collection:
         """Update-or-insert (reference db/wrapper.go:146-165): MERGE
         semantics — matched ⇒ update, not matched ⇒ synthesize a row from
         the filter's equality fields + the update document."""
+        if self.is_view():
+            raise TypeError(f"{self.namespace} is a view — views are read-only")
         if not self.exists():
             doc = synthesize_upsert_doc(query, update)
             self.insert(doc)
@@ -1917,6 +1991,8 @@ class Collection:
 
     def remove(self, query: Mapping[str, Any] | None) -> ChangeInfo:
         """DeleteOne (reference db/wrapper.go:127-130)."""
+        if self.is_view():
+            raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
         pred = compile_filter(query, df.schema)
         hit = self._first_match_pred(df, pred)
@@ -1932,6 +2008,8 @@ class Collection:
 
     def remove_all(self, query: Mapping[str, Any] | None) -> ChangeInfo:
         """DeleteMany (reference db/wrapper.go:137-144)."""
+        if self.is_view():
+            raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
         pred = compile_filter(query, df.schema)
         if self._pred_nondeterministic(pred):
