@@ -150,6 +150,10 @@ def ref_acc(op, arg, members):
     if op == "$median":
         return _percentile_linear(nums, 0.5)
     if op == "$percentile":
+        # Mongo: no numeric values ⇒ null (not an array of nulls) —
+        # Spark's F.percentile agrees; caught by the seed-777 shake
+        if not nums:
+            return None
         return [_percentile_linear(nums, p) for p in arg["p"]]
     raise AssertionError(op)
 
