@@ -1386,6 +1386,7 @@ class Collection:
         from anser_spark.plans.pipeline import Aggregation
 
         pipeline = self._resolve_coll_stats(pipeline)
+        pipeline = self._resolve_list_search_indexes(pipeline)
         stages = list(pipeline)
         if stages and isinstance(stages[0], Mapping) and "$changeStream" in stages[0]:
             # Mongo's $changeStream as a leading stage: the rest of the
@@ -1451,6 +1452,58 @@ class Collection:
             # the $documents literal)
             doc["partition_columns"] = ",".join(self.partition_columns())
         return [{"$documents": [doc]}, *stages[1:]]
+
+    def _resolve_list_search_indexes(self, stages: Sequence[Mapping[str, Any]]):
+        """``$listSearchIndexes`` (leading stage, as Atlas): one document
+        per search index on this collection — name, kind (divergence:
+        Atlas reports type search/vectorSearch; ours are the engine's
+        index kinds), indexed path, freshness (built_at_version /
+        current_version / stale) — rewritten to a ``$documents`` literal
+        so the rest of the pipeline composes. Driver-side metadata only,
+        no Spark job. An optional ``{name: <n>}`` argument filters."""
+        stages = list(stages)
+        if (
+            not stages
+            or not isinstance(stages[0], Mapping)
+            or "$listSearchIndexes" not in stages[0]
+        ):
+            if any(
+                isinstance(s, Mapping) and "$listSearchIndexes" in s for s in stages
+            ):
+                raise ValueError("$listSearchIndexes must be the first pipeline stage")
+            return stages
+        arg = stages[0]["$listSearchIndexes"] or {}
+        names = self.list_search_indexes()
+        if isinstance(arg, Mapping) and arg.get("name"):
+            names = [n for n in names if n == arg["name"]]
+        docs = []
+        for n in names:
+            st = self.search_index_status(n)
+            d = self._load_search_index(n, warn_stale=False)
+            docs.append(
+                {
+                    "name": n,
+                    "kind": str(st["kind"]),
+                    "path": str(d.get("path") or ""),
+                    # None pointers (source-mounted collections) become
+                    # "source" so the literal keeps a string type
+                    "built_at_version": st["built_at_version"] or "source",
+                    "current_version": st["current_version"] or "source",
+                    "stale": bool(st["stale"]),
+                    "queryable": True,
+                }
+            )
+        if not docs:
+            # an empty $documents literal has no schema — synthesize the
+            # empty frame through a never-true filter on a typed stub
+            return [
+                {"$documents": [{"name": "", "kind": "", "path": "",
+                                 "built_at_version": "", "current_version": "",
+                                 "stale": False, "queryable": False}]},
+                {"$match": {"queryable": True}},
+                *stages[1:],
+            ]
+        return [{"$documents": docs}, *stages[1:]]
 
     # -- search indexes (Atlas createSearchIndex surface) --------------
     def _search_index_dir(self) -> str:

@@ -477,3 +477,30 @@ def test_literal_document_and_array_of_documents(doc_collection):
     assert r["d"]["x"] == 1 and r["d"]["y"] == "s"
     assert [e["n"] for e in r["arr"]] == ["b", "a"]
     assert [e["n"] for e in r["sorted"]] == ["c", "b", "a"]
+
+
+def test_list_search_indexes_stage(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "lsi"))
+    coll = eng.db("appdb").collection("docs")
+    coll._rewrite(spark.createDataFrame(
+        [(i, f"alpha beta {i}") for i in range(20)], "_id long, text string"))
+    # empty listing composes (typed empty frame)
+    assert coll.pipe([{"$listSearchIndexes": {}}]).all() == []
+    coll.create_search_index("tix", {"kind": "bm25", "path": "text"})
+    out = coll.pipe([{"$listSearchIndexes": {}}]).all()
+    assert len(out) == 1 and out[0]["name"] == "tix"
+    assert out[0]["kind"] == "bm25" and out[0]["stale"] is False
+    coll.update_all({}, {"$set": {"text": "mutated"}})
+    out = coll.pipe([
+        {"$listSearchIndexes": {"name": "tix"}},
+        {"$project": {"name": 1, "stale": 1}},
+    ]).all()
+    assert out[0]["stale"] is True
+    # name filter misses → empty
+    assert coll.pipe([{"$listSearchIndexes": {"name": "nope"}}]).all() == []
+    # non-leading placement is an error, as Mongo
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="first"):
+        coll.pipe([{"$match": {}}, {"$listSearchIndexes": {}}]).all()
