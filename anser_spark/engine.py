@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 import json
+import logging
 import os
 import re
 import shutil
@@ -40,6 +41,8 @@ from anser_spark.functions.updates import (
     compile_replacement,
     has_dollar_key,
 )
+
+_LOG = logging.getLogger(__name__)
 
 __all__ = [
     "Engine",
@@ -270,8 +273,19 @@ class Engine:
 
     def _recover_transactions(self) -> None:
         """Roll forward any intent journal left by a crash mid-commit.
-        A journal exists only after every CAS check passed, so applying
-        it unconditionally is always the correct decision."""
+
+        A journal exists only after every CAS check passed, so at
+        journal time each store's pointer equaled the journaled
+        ``base`` pointer.  Replay is therefore conditional, not
+        unconditional: under the store's ``_LOCK`` the pointer is
+        re-read and the swap is applied only while it STILL equals
+        ``base`` — if a later commit (possible when the crashed
+        process's sibling engines kept running and retention kept the
+        staged dir alive) already moved the pointer past the journaled
+        target, replaying would move ``_CURRENT`` backward and lose
+        that newer commit, so the line is skipped instead."""
+        import fcntl
+
         jdir = os.path.join(self.workdir, "_TXNJOURNAL")
         if not os.path.isdir(jdir):
             return
@@ -283,21 +297,51 @@ class Engine:
                 for line in lines:
                     if not line.strip():
                         continue
-                    store_dir, version, meta_json = line.split("\t", 2)
+                    parts = line.split("\t", 3)
+                    if len(parts) == 4:
+                        store_dir, version, base_json, meta_json = parts
+                        base_ptr = json.loads(base_json)
+                    else:  # pre-round-6 journal line (no base pointer)
+                        store_dir, version, meta_json = parts
+                        base_ptr = ...  # sentinel: replay unconditionally
                     if not os.path.isdir(os.path.join(store_dir, version)):
                         continue  # staged data lost — nothing to publish
                     meta = json.loads(meta_json)
-                    tmp = os.path.join(
-                        store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}"
+                    lf = open(  # noqa: SIM115 — held across the swap
+                        os.path.join(store_dir, "_LOCK"), "a+"
                     )
-                    with open(tmp, "w") as fh2:
-                        fh2.write(version)
-                        for k in sorted(meta):
-                            fh2.write(f"\n{k}={meta[k]}")
-                    os.replace(tmp, os.path.join(store_dir, "_CURRENT"))
+                    try:
+                        try:
+                            fcntl.flock(lf, fcntl.LOCK_EX)
+                        except OSError:
+                            pass  # lock-free fallback: pointer check runs
+                        current = self._read_pointer_at(store_dir)
+                        if current == version:
+                            continue  # this line's swap already landed
+                        if base_ptr is not ... and current != base_ptr:
+                            continue  # a newer commit superseded the txn
+                        tmp = os.path.join(
+                            store_dir, f"_CURRENT.tmp.{uuid.uuid4().hex[:8]}"
+                        )
+                        with open(tmp, "w") as fh2:
+                            fh2.write(version)
+                            for k in sorted(meta):
+                                fh2.write(f"\n{k}={meta[k]}")
+                        os.replace(tmp, os.path.join(store_dir, "_CURRENT"))
+                    finally:
+                        lf.close()
                 os.remove(jpath)
             except OSError:
                 continue
+
+    @staticmethod
+    def _read_pointer_at(store_dir: str) -> str | None:
+        """Read a store's ``_CURRENT`` version (first line), or None."""
+        try:
+            with open(os.path.join(store_dir, "_CURRENT")) as fh:
+                return fh.read().splitlines()[0]
+        except (OSError, IndexError):
+            return None
 
 
 class _Transaction:
@@ -380,6 +424,7 @@ class _Transaction:
                 for e in entries:
                     fh.write(
                         f"{e['coll']._store_dir}\t{e['versions'][-1]}\t"
+                        f"{json.dumps(e['base_ptr'])}\t"
                         f"{json.dumps(e['meta'])}\n"
                     )
                 fh.flush()
@@ -1368,6 +1413,7 @@ class Collection:
         path = self.current_path()
         if path is None:
             raise NotFoundError(f"collection does not exist: {self.namespace}")
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         try:
@@ -1379,7 +1425,13 @@ class Collection:
                     if f.endswith(".parquet"):
                         total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
             return total
-        except Exception:
+        except (OSError, pa.lib.ArrowException):
+            # IO/footer corruption must not silently look like a fast
+            # metadata count — log and degrade to the exact scan
+            _LOG.debug(
+                "estimated_document_count: footer walk failed for %s; "
+                "falling back to df().count()", self.namespace, exc_info=True,
+            )
             return self.df().count()
 
     def pipe(self, pipeline: Sequence[Mapping[str, Any]]) -> "Aggregation":
@@ -2095,6 +2147,8 @@ class Collection:
         db/wrapper.go:395-450): select ONE doc by filter+sort, update or
         remove it, return the pre- or post-image. Batch engine ⇒ not
         atomic; victim choice is deterministic (sort, then _id)."""
+        from pyspark.errors import AnalysisException
+
         from anser_spark.functions.sort import parse_sort_keys
 
         if remove and update is not None:
@@ -2116,7 +2170,11 @@ class Collection:
                 .select("*", F.col("_metadata.file_path").alias("__victim_file"))
                 .collect()
             )
-        except Exception:  # noqa: BLE001 — non-parquet-backed frame
+        except AnalysisException:  # _metadata absent: non-parquet frame
+            _LOG.debug(
+                "find_and_modify: _metadata.file_path unavailable for %s; "
+                "COW falls back to the detection scan", self.namespace,
+            )
             victim = df.where(pred).orderBy(*order).limit(1).collect()
         if not victim:
             if upsert and not remove:

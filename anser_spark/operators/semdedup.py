@@ -60,6 +60,7 @@ def semantic_dedup(
     search index) to skip training; otherwise k-means trains here on
     ``sample_fraction`` of the data (None = all of it).
     """
+    caller_cols = list(df.columns)
     if index is None:
         index = ivf_train(
             df, k=k, vec_col=vec_col, id_col=id_col,
@@ -82,7 +83,6 @@ def semantic_dedup(
     )
     assigned = assigned.withColumn("__shard", shard_mod.cast("int"))
 
-    in_cols = assigned.columns
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in assigned.schema.fields
     ) + ", semdedup_keep boolean"
@@ -121,6 +121,6 @@ def semantic_dedup(
     )
     if keep_flag:
         return flagged.drop("__shard")
-    return flagged.where(F.col("semdedup_keep")).select(
-        *[c for c in in_cols if c != "__shard"]
-    )
+    # pruned form returns EXACTLY the caller's columns — cluster_id is
+    # part of the keep_flag audit form only
+    return flagged.where(F.col("semdedup_keep")).select(*caller_cols)

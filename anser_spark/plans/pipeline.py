@@ -1593,17 +1593,22 @@ def _lookup_array_field(
     Documented divergence: whole-array equality (local [1,2] matching a
     foreign ARRAY value [1,2]) is not matched — element semantics only.
 
-    The input frames are persisted for the duration of the join: the
-    row ids come from monotonically_increasing_id, and the id-bearing
-    frame appears on both sides of the regroup self-join, so its
-    partitions must not be recomputed with fresh ids."""
-    from pyspark.storagelevel import StorageLevel
-
+    The id-bearing frames are eagerly localCheckpoint-ed: the row ids
+    come from monotonically_increasing_id and the frame appears on both
+    sides of the regroup self-join, so its partitions must be computed
+    exactly once — a task retry re-deriving fresh ids would corrupt the
+    join.  localCheckpoint (not persist) truncates the lineage so a
+    retry rereads the stored partitions, and its storage is reclaimed
+    by the ContextCleaner once the result frame is unreferenced — no
+    session-lifetime cache pin."""
     luid, fuid = "__al_luid", "__al_fuid"
-    df2 = df.withColumn(luid, F.monotonically_increasing_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
+    df2 = df.withColumn(luid, F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
     )
     fr2 = foreign.withColumn(fuid, F.monotonically_increasing_id())
+    if local_is_arr and foreign_is_arr:
+        # fuid feeds the (luid, fuid) dedup — must be retry-stable too
+        fr2 = fr2.localCheckpoint(eager=True)
     if local_is_arr:
         lk = df2.select(
             luid, F.explode(F.array_distinct(F.col(local_f))).alias("__lv")
@@ -1646,6 +1651,56 @@ def _lookup_array_field(
     return joined.withColumn(out, F.coalesce(F.col(out), F.array().cast(elem_type)))
 
 
+def _expr_has_var(node: Any) -> bool:
+    """True iff an aggregation-EXPRESSION tree contains a genuine
+    ``$$var`` path reference.  Strings under ``$literal`` never count —
+    unlike the old ``'$$' in repr(...)`` substring check, a literal
+    string that merely CONTAINS ``$$`` (``{"$literal": "$$ price"}``)
+    is not a correlation."""
+    if isinstance(node, str):
+        return node.startswith("$$")
+    if isinstance(node, Mapping):
+        if len(node) == 1 and "$literal" in node:
+            return False
+        return any(_expr_has_var(v) for v in node.values())
+    if isinstance(node, (list, tuple)):
+        return any(_expr_has_var(v) for v in node)
+    return False
+
+
+def _query_has_var(node: Any) -> bool:
+    """True iff a QUERY-context filter document references a ``$$var``.
+    In query context every scalar value is a literal (``{"f": "$$x"}``
+    matches the text ``$$x``); only subtrees under ``$expr`` switch to
+    expression context where ``$$``-prefixed strings are variables."""
+    if isinstance(node, Mapping):
+        for k, v in node.items():
+            if k == "$expr":
+                if _expr_has_var(v):
+                    return True
+            elif _query_has_var(v):
+                return True
+        return False
+    if isinstance(node, (list, tuple)):
+        return any(_query_has_var(v) for v in node)
+    return False
+
+
+def _stage_has_var_ref(stage: Any) -> bool:
+    """True iff a pipeline stage references a ``$$var``: $match args
+    walk in query context, every other stage arg in expression
+    context."""
+    if not isinstance(stage, Mapping):
+        return False
+    for name, arg in stage.items():
+        if name == "$match":
+            if _query_has_var(arg):
+                return True
+        elif _expr_has_var(arg):
+            return True
+    return False
+
+
 def _lookup_pipeline(
     df: DataFrame,
     arg: Mapping[str, Any],
@@ -1685,7 +1740,7 @@ def _lookup_pipeline(
         return None  # uncorrelated — decline semi/anti fusion
 
     if key_idx is None:
-        if any("$$" in repr(s) for s in stages):
+        if any(_stage_has_var_ref(s) for s in stages):
             raise PipelineCompileError(
                 "$lookup pipeline form with let-variable references needs a "
                 "{$match: {$expr: ...}} stage to carry the join keys"
@@ -1708,7 +1763,7 @@ def _lookup_pipeline(
 
     prefix = stages[:key_idx]
     for s in prefix:
-        if "$$" in repr(s):
+        if _stage_has_var_ref(s):
             raise PipelineCompileError(
                 "$lookup sub-pipeline stages before the $expr $match must be "
                 "uncorrelated (no $$variable references)"
@@ -1755,8 +1810,8 @@ def _lookup_pipeline(
     # row against the foreign row — they cannot be applied foreign-side
     # and become part of the join condition instead (TPC-H q21's
     # `l2.l_suppkey <> l1.l_suppkey` shape)
-    residual_corr = [c for c in residual if "$$" in repr(c)]
-    residual = [c for c in residual if "$$" not in repr(c)]
+    residual_corr = [c for c in residual if _expr_has_var(c)]
+    residual = [c for c in residual if not _expr_has_var(c)]
     for cond in residual:
         filtered = filtered.where(compile_expr(cond, filtered.schema).cast("boolean"))
     if residual_corr:
@@ -1792,7 +1847,7 @@ def _lookup_pipeline(
             # docs; decorrelated, that is ONE aggregate grouped by
             # (join keys + user _id) followed by the equi-join — the
             # classic aggregate-then-join rewrite, never a per-row re-run
-            if "$$" in repr(stage):
+            if _expr_has_var(stage["$group"]):
                 raise PipelineCompileError(
                     "$group inside a $lookup sub-pipeline must not "
                     "reference let variables"

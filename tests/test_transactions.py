@@ -131,6 +131,64 @@ def test_crash_mid_commit_rolls_forward(spark, tmp_path):
     assert not os.listdir(jdir)
 
 
+def test_stale_journal_does_not_move_pointer_backward(spark, tmp_path):
+    # a journal whose base pointer no longer matches the store's
+    # current pointer (a NEWER commit landed after the crash) must be
+    # skipped — replaying it would lose the newer commit
+    import json
+
+    eng, a, b = _mk(spark, tmp_path)
+    b.set_retention(5)
+    with eng.transaction() as txn:
+        b.update_all({}, {"$set": {"v": 2}})
+        staged = dict(txn.staged)
+    ent = staged[b._store_dir]
+    txn_version = ent["versions"][-1]
+    # a NEWER commit moves the pointer past the journaled target
+    b.update_all({}, {"$set": {"v": 3}})
+    newer = b._pointer()
+    assert newer != txn_version
+    # resurrect the txn's journal with its (now stale) base pointer
+    jdir = os.path.join(eng.workdir, "_TXNJOURNAL")
+    os.makedirs(jdir, exist_ok=True)
+    with open(os.path.join(jdir, "txn.staletest"), "w") as fh:
+        fh.write(
+            f"{b._store_dir}\t{txn_version}\t"
+            f"{json.dumps(ent['base_ptr'])}\t{{}}\n"
+        )
+    eng2 = Engine(spark, workdir=eng.workdir)
+    b2 = eng2.db("appdb").collection("beta")
+    assert b2._pointer() == newer  # untouched — no backward move
+    assert b2.find({"v": 3}).count() == 1
+    assert not os.listdir(jdir)  # stale journal consumed, not replayed
+
+
+def test_new_format_journal_rolls_forward(spark, tmp_path):
+    # same crash simulation as above but with the 4-field (base-pointer)
+    # journal the commit path now writes: base matches → replay applies
+    import json
+
+    eng, a, b = _mk(spark, tmp_path)
+    b.set_retention(5)
+    with eng.transaction() as txn:
+        b.update_all({}, {"$set": {"v": 2}})
+        staged = dict(txn.staged)
+    ent = staged[b._store_dir]
+    jdir = os.path.join(eng.workdir, "_TXNJOURNAL")
+    os.makedirs(jdir, exist_ok=True)
+    with open(os.path.join(jdir, "txn.crash4"), "w") as fh:
+        fh.write(
+            f"{b._store_dir}\t{ent['versions'][-1]}\t"
+            f"{json.dumps(ent['base_ptr'])}\t{{}}\n"
+        )
+    with open(os.path.join(b._store_dir, "_CURRENT"), "w") as fh:
+        fh.write(ent["base_ptr"])  # roll pointer back to pre-txn state
+    eng2 = Engine(spark, workdir=eng.workdir)
+    b2 = eng2.db("appdb").collection("beta")
+    assert b2.find({"v": 2}).count() == 1
+    assert not os.listdir(jdir)
+
+
 def test_empty_transaction_is_noop(spark, tmp_path):
     eng, a, b = _mk(spark, tmp_path)
     with eng.transaction():
