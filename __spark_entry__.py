@@ -851,6 +851,39 @@ def _q_update_all_inc_set(spark, sf_dir):
     )
 
 
+def _q_pipeline_update(spark, sf_dir):
+    # §2.4 Mongo 4.2 aggregation-pipeline update form (update is a
+    # LIST of stages; db/wrapper.go:188-244 forwards any update shape):
+    # $set with expressions over the doc's own fields, then $unset —
+    # compiled through the ordinary pipeline compiler over the matched
+    # rows and unioned back in the same COW rewrite
+    from pyspark.sql import functions as F
+
+    eng = _mut_db(spark, sf_dir, "pup")
+    coll = eng.db("mut").collection("customer")
+    coll._rewrite(eng.db("tpch").collection("customer").df())
+    coll.update_all(
+        {"c_mktsegment": "BUILDING"},
+        [
+            {"$set": {
+                "c_acctbal": {"$add": [
+                    "$c_acctbal", {"$multiply": ["$c_nationkey", 10]}
+                ]},
+                "seg_flag": {"$cond": [
+                    {"$gte": ["$c_acctbal", 0]}, "pos", "neg"
+                ]},
+            }},
+            {"$unset": "c_comment"},
+        ],
+    )
+    return coll.df().select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        "c_mktsegment",
+        "seg_flag",
+    )
+
+
 def _q_upsert_paths(spark, sf_dir):
     # §2.4 upsert: matched ⇒ update, unmatched ⇒ synthesized insert
     # (hasDollarKey dispatch, db/wrapper.go:146-165)
@@ -1776,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_clusters": _q_dedup_clusters,
         "update_all_inc_set": _q_update_all_inc_set,
+        "pipeline_update": _q_pipeline_update,
         "upsert_paths": _q_upsert_paths,
         "bulk_mixed": _q_bulk_mixed,
         "merge_into_summary": _q_merge_into_summary,
@@ -2191,6 +2225,17 @@ def oracle_sql() -> dict[str, str]:
                               THEN c_acctbal + 100.0 ELSE c_acctbal END, 2) AS acctbal,
                    CASE WHEN c_mktsegment = 'BUILDING'
                         THEN 'BUMPED' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer
+        """,
+        "pipeline_update": """
+            SELECT c_custkey,
+                   round(CASE WHEN c_mktsegment = 'BUILDING'
+                              THEN c_acctbal + c_nationkey * 10
+                              ELSE c_acctbal END, 2) AS acctbal,
+                   c_mktsegment,
+                   CASE WHEN c_mktsegment = 'BUILDING'
+                        THEN (CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END)
+                        ELSE NULL END AS seg_flag
             FROM customer
         """,
         "upsert_paths": """

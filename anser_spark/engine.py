@@ -40,6 +40,8 @@ from anser_spark.functions.updates import (
     compile_update,
     compile_replacement,
     has_dollar_key,
+    is_pipeline_update,
+    validate_pipeline_update,
 )
 
 _LOG = logging.getLogger(__name__)
@@ -1976,9 +1978,30 @@ class Collection:
             files = {r["__f"] for r in per_file} or files
         return key, value, files
 
+    def _upsert_doc(
+        self, query: Mapping[str, Any] | None, update: Any
+    ) -> dict[str, Any]:
+        """Insert-path document for an unmatched upsert.  The Mongo 4.2
+        pipeline update form runs the stage list over the document
+        synthesized from the filter's equality fields (server
+        semantics); operator/replacement forms go straight to
+        synthesize_upsert_doc."""
+        if not is_pipeline_update(update):
+            return synthesize_upsert_doc(query, update)
+        from anser_spark.plans.pipeline import compile_pipeline
+
+        base = synthesize_upsert_doc(query, {})
+        stages = [dict(s) for s in validate_pipeline_update(update)]
+        out = compile_pipeline(self._docs_to_df([base]), stages, None, None)
+        rows = out.limit(1).collect()
+        doc = rows[0].asDict(recursive=True) if rows else dict(base)
+        doc.setdefault("_id", base["_id"])
+        return doc
+
     def update(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:
-        """Update/replace the first match; NotFoundError if none
-        (reference db/wrapper.go:188-210)."""
+        """Update/replace the first match or apply a Mongo 4.2 update
+        pipeline to it; NotFoundError if none (reference
+        db/wrapper.go:188-210 forwards any update shape)."""
         if self.is_view():
             raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
@@ -2018,7 +2041,7 @@ class Collection:
             # column carries only nulls, so honor BSON semantics and
             # drop it. The count() is only paid when the update
             # contains such an operator.
-            if not has_dollar_key(update):
+            if is_pipeline_update(update) or not has_dollar_key(update):
                 return []
             plan = compile_update(update, df.schema, array_filters)
             if plan.drop_if_all_matched and n_matched == df.count():
@@ -2038,7 +2061,8 @@ class Collection:
             self._rewrite(out)
             return ChangeInfo(updated=matched)
         may_drop = bool(
-            has_dollar_key(update)
+            not is_pipeline_update(update)
+            and has_dollar_key(update)
             and compile_update(update, df.schema, array_filters).drop_if_all_matched
         )
         if may_drop:
@@ -2072,7 +2096,7 @@ class Collection:
         if self.is_view():
             raise TypeError(f"{self.namespace} is a view — views are read-only")
         if not self.exists():
-            doc = synthesize_upsert_doc(query, update)
+            doc = self._upsert_doc(query, update)
             self.insert(doc)
             return ChangeInfo(updated=1, upserted_id=doc.get("_id"))
         df = self.df()
@@ -2087,7 +2111,7 @@ class Collection:
                 hit_files=files,
             )
             return ChangeInfo(updated=1)
-        doc = synthesize_upsert_doc(query, update)
+        doc = self._upsert_doc(query, update)
         self._cow_append(self._docs_to_df([doc]))
         return ChangeInfo(updated=1, upserted_id=doc.get("_id"))
 
@@ -2178,7 +2202,7 @@ class Collection:
             victim = df.where(pred).orderBy(*order).limit(1).collect()
         if not victim:
             if upsert and not remove:
-                doc = synthesize_upsert_doc(query, update)
+                doc = self._upsert_doc(query, update)
                 self.insert(doc)
                 if return_new:
                     return self.find_id(doc["_id"]).one()
@@ -2375,7 +2399,7 @@ class Bulk:
                         result.matched += 1
                         result.modified += 1
                     elif kind == "upsert":
-                        inserts.append(synthesize_upsert_doc(sel, upd))
+                        inserts.append(coll._upsert_doc(sel, upd))
                 elif kind == "update_all":
                     sel, upd = payload
                     pred = compile_filter(sel, df.schema)

@@ -35,7 +35,14 @@ from pyspark.sql import types as T
 
 from anser_spark.functions.filters import _lit, field_type, _element_predicate
 
-__all__ = ["has_dollar_key", "compile_update", "apply_update", "UpdateCompileError"]
+__all__ = [
+    "has_dollar_key",
+    "is_pipeline_update",
+    "compile_update",
+    "apply_update",
+    "apply_pipeline_update",
+    "UpdateCompileError",
+]
 
 
 class UpdateCompileError(ValueError):
@@ -61,10 +68,103 @@ _UPDATE_OPS = {
 
 
 def has_dollar_key(update: Mapping[str, Any]) -> bool:
-    """Port of the reference's hasDollarKey (db/wrapper.go:612-618)."""
+    """Port of the reference's hasDollarKey (db/wrapper.go:612-618).
+
+    Callers must route the Mongo 4.2 aggregation-pipeline update form
+    (a LIST of stage docs) through ``is_pipeline_update`` FIRST — a
+    non-Mapping here raises rather than silently reading as a
+    whole-document replacement."""
+    if is_pipeline_update(update):
+        raise UpdateCompileError(
+            "aggregation-pipeline update (a list of stages) must be "
+            "dispatched via is_pipeline_update/apply_pipeline_update, "
+            "not has_dollar_key"
+        )
+    if not isinstance(update, Mapping):
+        raise UpdateCompileError(
+            f"update must be a document or a pipeline (list of stages), "
+            f"got {type(update).__name__}"
+        )
     for key in update:
         return isinstance(key, str) and key.startswith("$")
     return False
+
+
+def is_pipeline_update(update: Any) -> bool:
+    """True for the Mongo 4.2 aggregation-pipeline update form:
+    ``update(q, [{"$set": ...}, {"$unset": ...}])`` (the reference's
+    ``Update(q, u interface{})``, db/wrapper.go:188-210, forwards any
+    update shape to the server)."""
+    return isinstance(update, Sequence) and not isinstance(
+        update, (str, bytes, Mapping)
+    )
+
+
+# Mongo restricts update pipelines to exactly these stages
+_PIPELINE_UPDATE_STAGES = {
+    "$set",
+    "$addFields",
+    "$unset",
+    "$project",
+    "$replaceRoot",
+    "$replaceWith",
+}
+
+
+def validate_pipeline_update(
+    stages: Sequence[Mapping[str, Any]],
+) -> list[Mapping[str, Any]]:
+    """Check an update pipeline's stage names against Mongo's allowed
+    set; returns the stage list. Raises UpdateCompileError otherwise."""
+    out: list[Mapping[str, Any]] = []
+    for s in stages:
+        if not isinstance(s, Mapping) or len(s) != 1:
+            raise UpdateCompileError(
+                f"each update-pipeline stage must be a single-key "
+                f"document, got: {s!r}"
+            )
+        name = next(iter(s))
+        if name not in _PIPELINE_UPDATE_STAGES:
+            raise UpdateCompileError(
+                f"{name} is not allowed in an update pipeline (Mongo "
+                "permits $set/$addFields/$unset/$project/$replaceRoot/"
+                "$replaceWith)"
+            )
+        out.append(s)
+    if not out:
+        raise UpdateCompileError("update pipeline must not be empty")
+    return out
+
+
+def apply_pipeline_update(
+    df: DataFrame,
+    pred: Column,
+    stages: Sequence[Mapping[str, Any]],
+    id_field: str = "_id",
+) -> DataFrame:
+    """Aggregation-pipeline update: run the stage list over the MATCHED
+    rows through the ordinary pipeline compiler and union the result
+    back with the untouched rows — one distributed pass, same COW shape
+    as operator updates.
+
+    Fixed-schema caveats (same family as $unset/$rename above): a
+    column the pipeline removes survives as NULL for matched rows when
+    any row was left unmatched; a column the pipeline adds appears as
+    NULL on unmatched rows. Changing a column's TYPE for a subset of
+    rows is unrepresentable and raises from the union."""
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    stages = validate_pipeline_update(stages)
+    marker = "__pu_m"
+    base = df.withColumn(marker, F.coalesce(pred, F.lit(False)))
+    matched = base.where(F.col(marker)).drop(marker)
+    unmatched = base.where(~F.col(marker)).drop(marker)
+    transformed = compile_pipeline(matched, [dict(s) for s in stages], None, None)
+    if id_field in df.columns and id_field not in transformed.columns:
+        raise UpdateCompileError(
+            f"an update pipeline must not remove the {id_field} field"
+        )
+    return transformed.unionByName(unmatched, allowMissingColumns=True)
 
 
 def _split(path: str) -> tuple[str, str | None]:
@@ -383,7 +483,10 @@ def apply_update(
     id_field: str = "_id",
     array_filters: Sequence[Mapping[str, Any]] | None = None,
 ) -> DataFrame:
-    """Apply an update or replacement document to rows matching ``pred``."""
+    """Apply an update document, update pipeline, or replacement
+    document to rows matching ``pred``."""
+    if is_pipeline_update(update):
+        return apply_pipeline_update(df, pred, update, id_field)
     if has_dollar_key(update):
         plan = compile_update(update, schema or df.schema, array_filters)
     else:

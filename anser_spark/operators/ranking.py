@@ -17,11 +17,20 @@ Built scale-first:
 from __future__ import annotations
 
 import math
+from collections.abc import Callable, Mapping
+from typing import Any
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_score", "bm25_score_expr", "bm25_top_k", "rank_fusion"]
+__all__ = [
+    "bm25_score",
+    "bm25_score_expr",
+    "bm25_top_k",
+    "rank_fusion",
+    "parse_text_search",
+    "text_match",
+]
 
 
 def _tokens(text_col: str):
@@ -195,6 +204,103 @@ def rank_fusion(
         ).otherwise(F.lit(0.0))
         score = part if score is None else score + part
     return fused.withColumn(out, score)
+
+
+def parse_text_search(search: str) -> tuple[list[str], list[str], list[str]]:
+    """Split a legacy ``$text`` ``$search`` string per Mongo's grammar:
+    double-quoted phrases must ALL appear, ``-``-prefixed terms must
+    NOT appear, remaining terms are OR'd. Phrase words also join the
+    scoring terms (Mongo scores them like ordinary terms).
+
+    Returns ``(terms, phrases, negated)``."""
+    import re as _re
+
+    phrases = [p for p in _re.findall(r'"([^"]*)"', search) if p.strip()]
+    rest = _re.sub(r'"[^"]*"', " ", search)
+    terms: list[str] = []
+    negated: list[str] = []
+    for tok in rest.split():
+        if tok.startswith("-") and len(tok) > 1:
+            negated.append(tok[1:])
+        else:
+            terms.append(tok)
+    for p in phrases:
+        terms.extend(p.split())
+    return terms, phrases, negated
+
+
+def text_match(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    text_col: str = "text",
+    stats_loader: Callable[[list[str]], tuple[int, float, dict]] | None = None,
+) -> tuple[F.Column, F.Column]:
+    """Legacy ``{$text: {$search: ...}}`` query operator (the find
+    surface the reference accepts verbatim, db/interface.go:26) mapped
+    onto the BM25 machinery: returns ``(pred, score)`` where ``pred``
+    selects matching documents (any positive term, all phrases, no
+    negated term) and ``score`` is the BM25 relevance that
+    ``{"$meta": "textScore"}`` projections/sorts read.
+
+    ``stats_loader(terms)`` supplies precomputed ``(n_docs, avgdl,
+    {term: df})`` — a persistent bm25 search index resolves it with a
+    point lookup so no corpus aggregate runs at query time.
+
+    Documented divergences: relevance is BM25 (not Mongo's tf-idf
+    weighting — ordering may differ), no stemming or language analyzer
+    (``$language`` accepted and ignored beyond validation), and
+    ``$diacriticSensitive`` is always effectively True (no folding).
+    """
+    search = spec.get("$search")
+    if not isinstance(search, str) or not search.strip():
+        raise ValueError("$text requires a non-empty $search string")
+    unknown = set(spec) - {
+        "$search", "$caseSensitive", "$language", "$diacriticSensitive"
+    }
+    if unknown:
+        raise ValueError(f"unsupported $text options: {sorted(unknown)}")
+    case_sensitive = bool(spec.get("$caseSensitive", False))
+    terms, phrases, negated = parse_text_search(search)
+    if not terms and not negated:
+        raise ValueError(f"$text $search has no searchable terms: {search!r}")
+
+    score_terms = sorted({t.lower() for t in terms})
+    if score_terms:
+        stats = stats_loader(score_terms) if stats_loader is not None else None
+        score = bm25_score_expr(df, score_terms, text_col=text_col, stats=stats)
+    else:
+        score = F.lit(0.0)  # negation-only query (Mongo returns nothing)
+
+    if case_sensitive:
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        )
+        has = lambda term: F.exists(toks, lambda w: w == F.lit(term))  # noqa: E731
+        contains = lambda p: F.col(text_col).contains(F.lit(p))  # noqa: E731
+    else:
+        toks = _tokens(text_col)
+        has = lambda term: F.exists(  # noqa: E731
+            toks, lambda w: w == F.lit(term.lower())
+        )
+        contains = lambda p: F.lower(F.col(text_col)).contains(  # noqa: E731
+            F.lit(p.lower())
+        )
+
+    pred = None
+    if terms:
+        pos = None
+        for t in terms:
+            pos = has(t) if pos is None else (pos | has(t))
+        pred = pos
+    for p in phrases:
+        pred = contains(p) if pred is None else (pred & contains(p))
+    for t in negated:
+        neg = ~F.coalesce(has(t), F.lit(False))
+        pred = neg if pred is None else (pred & neg)
+    if not terms and negated:
+        # Mongo: a $search of only negated terms matches nothing
+        pred = F.lit(False)
+    return F.coalesce(pred, F.lit(False)), score
 
 
 def bm25_top_k(

@@ -297,9 +297,14 @@ def _compile_stage(  # noqa: C901
         return _project(df, arg)
 
     if op in ("$addFields", "$set"):
-        for name, expr in arg.items():
-            df = df.withColumn(name, compile_expr(expr, df.schema))
-        return df
+        # Mongo evaluates every expression in ONE stage against the
+        # stage's INPUT document — a field set here must not be visible
+        # to its siblings (use separate stages for dependencies).
+        # withColumns (one select) gives exactly that; sequential
+        # withColumn would leak earlier siblings' new values.
+        return df.withColumns(
+            {name: compile_expr(expr, schema) for name, expr in arg.items()}
+        )
 
     if op == "$unset":
         names = [arg] if isinstance(arg, str) else list(arg)

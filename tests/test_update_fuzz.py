@@ -164,6 +164,86 @@ def norm(value):
     return value
 
 
+def rand_pipeline_update(rng):
+    """Random Mongo 4.2 pipeline-form update (list of stages)."""
+    stages = []
+    for _ in range(rng.choice([1, 1, 2])):
+        kind = rng.randrange(5)
+        if kind == 0:
+            stages.append(
+                {"$set": {"n": {"$add": ["$n", rng.choice([1, -4, 10])]}}}
+            )
+        elif kind == 1:
+            stages.append(
+                {"$set": {"y": {"$multiply": ["$x", rng.choice([2.0, 0.0])]}}}
+            )
+        elif kind == 2:
+            stages.append({"$unset": rng.choice(["s", ["s", "x"]])})
+        elif kind == 3:
+            stages.append(
+                {"$addFields": {"tag": {
+                    "$cond": [{"$gte": ["$n", 0]}, "pos", "neg"]
+                }}}
+            )
+        else:
+            stages.append({"$set": {"s": {"$literal": "stamped"}}})
+    return stages
+
+
+def ref_apply_pipeline(doc, stages):
+    """Pure-Python Mongo semantics for the stage subset above: $add /
+    $multiply return null on a null operand; $gte uses BSON order
+    (null < numbers); $unset nulls the column (fixed-schema caveat)."""
+    doc = dict(doc)
+    for stage in stages:
+        (name, arg), = stage.items()
+        if name in ("$set", "$addFields"):
+            for path, expr in arg.items():
+                (op, operands), = expr.items()
+                if op == "$add":
+                    vals = [doc.get(o[1:]) if isinstance(o, str) else o for o in operands]
+                    doc[path] = None if any(v is None for v in vals) else sum(vals)
+                elif op == "$multiply":
+                    vals = [doc.get(o[1:]) if isinstance(o, str) else o for o in operands]
+                    doc[path] = None if any(v is None for v in vals) else vals[0] * vals[1]
+                elif op == "$cond":
+                    test, then, els = operands
+                    (top, targs), = test.items()
+                    assert top == "$gte"
+                    v = doc.get(targs[0][1:])
+                    ok = v is not None and v >= targs[1]  # null < numbers
+                    doc[path] = then if ok else els
+                elif op == "$literal":
+                    doc[path] = operands
+        elif name == "$unset":
+            for p in [arg] if isinstance(arg, str) else arg:
+                doc[p] = None
+    return doc
+
+
+def test_pipeline_update_fuzz(spark):
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "11")))
+    for trial in range(20):
+        rows = make_rows(rng)
+        df = spark.createDataFrame(rows, SCHEMA)
+        stages = rand_pipeline_update(rng)
+        flt = rand_filter(rng)
+        pred = compile_filter(flt, SCHEMA)
+        out = apply_update(df, pred, stages, SCHEMA)
+        got = {r["_id"]: r.asDict() for r in out.collect()}
+        for doc in rows:
+            expected = (
+                ref_apply_pipeline(doc, stages) if ref_match(doc, flt) else dict(doc)
+            )
+            actual = got[doc["_id"]]
+            for key, want in expected.items():
+                have = actual.get(key)
+                assert norm(have) == norm(want), (
+                    f"trial {trial}: stages {stages!r} filter {flt!r} "
+                    f"doc {doc['_id']}: field {key!r} got {have!r} want {want!r}"
+                )
+
+
 def test_update_fuzz(spark):
     rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "7")))
     for trial in range(25):
