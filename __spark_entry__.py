@@ -884,6 +884,23 @@ def _q_pipeline_update(spark, sf_dir):
     )
 
 
+def _q_text_find(spark, sf_dir):
+    # §2.2 legacy {$text: {$search: ...}} find operator (accepted
+    # verbatim by the reference find surface, db/interface.go:26):
+    # OR'd terms, a quoted phrase, a negated term, and a residual
+    # equality filter, all in one find()
+    return (
+        _db(spark, sf_dir)
+        .collection("documents")
+        .find({
+            "$text": {"$search": "spark -merge"},
+            "lang": "en",
+        })
+        .select({"_id": 0, "doc_id": 1, "lang": 1})
+        .to_df()
+    )
+
+
 def _q_upsert_paths(spark, sf_dir):
     # §2.4 upsert: matched ⇒ update, unmatched ⇒ synthesized insert
     # (hasDollarKey dispatch, db/wrapper.go:146-165)
@@ -1810,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "update_all_inc_set": _q_update_all_inc_set,
         "pipeline_update": _q_pipeline_update,
+        "text_find": _q_text_find,
         "upsert_paths": _q_upsert_paths,
         "bulk_mixed": _q_bulk_mixed,
         "merge_into_summary": _q_merge_into_summary,
@@ -2226,6 +2244,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_mktsegment = 'BUILDING'
                         THEN 'BUMPED' ELSE c_mktsegment END AS c_mktsegment
             FROM customer
+        """,
+        "text_find": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang = 'en'
+              AND list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'spark')
+              AND NOT list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'merge')
         """,
         "pipeline_update": """
             SELECT c_custkey,

@@ -1697,6 +1697,42 @@ class Collection:
             if f.endswith(".json") and not f.startswith(".")
         )
 
+    def _text_index_info(self, df: DataFrame):
+        """(text column, stats loader) for the legacy ``$text`` find
+        operator, from the first FRESH bm25 search index on this
+        collection — the loader resolves query-term document
+        frequencies with a pushed-down point lookup on the persisted
+        term table, so no corpus aggregate runs at query time.  A stale
+        or absent index returns (None, None) and $text scores with
+        inline stats instead."""
+        for name in self.list_search_indexes():
+            try:
+                d = self._load_search_index(name, warn_stale=False)
+            except NotFoundError:
+                continue
+            if d.get("kind") != "bm25":
+                continue
+            if d.get("built_at_version") != self._pointer():
+                continue  # stale snapshot — don't score against old idf
+            path = d.get("path", "text")
+            if path not in df.columns:
+                continue
+            n_docs = int(d["n_docs"])
+            avgdl = float(d["avgdl"])
+            terms_dir = str(d["terms_dir"])
+            spark = self.engine.spark
+
+            def loader(terms: list[str]):
+                rows = (
+                    spark.read.parquet(terms_dir)
+                    .where(F.col("term").isin([t.lower() for t in terms]))
+                    .collect()
+                )
+                return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
+
+            return path, loader
+        return None, None
+
     def drop_search_index(self, name: str) -> None:
         p = os.path.join(self._search_index_dir(), f"{name}.json")
         if os.path.exists(p):

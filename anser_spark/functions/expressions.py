@@ -199,8 +199,9 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
         # produced — compile_pipeline threads the name through
         # set_active_score_field, so a custom scoreField no longer
         # breaks $meta (or silently reads an unrelated "score" column).
-        # textScore (legacy $text) has no source here.
-        if arg in ("searchScore", "vectorSearchScore"):
+        # textScore reads the hidden column a legacy $text $match
+        # materializes (the $match sets the active field to it).
+        if arg in ("searchScore", "vectorSearchScore", "textScore"):
             return F.col(active_score_field())
         raise ExprCompileError(f"unsupported $meta kind: {arg!r}")
     if op == "$let":

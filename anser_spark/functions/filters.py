@@ -40,7 +40,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["compile_filter", "FilterCompileError"]
+__all__ = ["compile_filter", "extract_text_spec", "FilterCompileError"]
 
 
 class FilterCompileError(ValueError):
@@ -151,6 +151,23 @@ def _any_of(cols: list[Column]) -> Column:
     return functools.reduce(lambda a, b: a | b, cols) if cols else F.lit(False)
 
 
+def extract_text_spec(
+    flt: Mapping[str, Any] | None,
+) -> tuple[Mapping[str, Any] | None, Mapping[str, Any] | None]:
+    """Pull a top-level legacy ``{$text: {...}}`` clause out of a find
+    filter / $match document (Mongo restricts $text to the top level).
+    Returns ``(spec, residual_filter)``; ``spec`` is None when absent.
+    The caller scores/filters with :func:`anser_spark.operators.
+    ranking.text_match` and compiles the residual normally."""
+    if not isinstance(flt, Mapping) or "$text" not in flt:
+        return None, flt
+    spec = flt["$text"]
+    if not isinstance(spec, Mapping):
+        raise FilterCompileError("$text expects a document")
+    residual = {k: v for k, v in flt.items() if k != "$text"}
+    return spec, (residual or None)
+
+
 def compile_filter(flt: Mapping[str, Any] | None, schema: T.StructType | None = None) -> Column:
     """Compile a Mongo query document to a boolean Column.
 
@@ -164,6 +181,12 @@ def compile_filter(flt: Mapping[str, Any] | None, schema: T.StructType | None = 
 
     clauses: list[Column] = []
     for key, value in flt.items():
+        if key == "$text":
+            raise FilterCompileError(
+                "$text is only valid at the top level of a find() filter "
+                "or a $match stage (extract_text_spec handles it there); "
+                "it cannot appear under $or/$nor/$elemMatch"
+            )
         if key in _LOGICAL:
             if not isinstance(value, Sequence) or isinstance(value, (str, bytes)):
                 raise FilterCompileError(f"{key} expects a list of filter documents")

@@ -28,6 +28,15 @@ def parse_sort_keys(keys: Sequence[str] | Mapping[str, int] | str | None) -> lis
     out: list[Column] = []
     if isinstance(keys, Mapping):
         for name, direction in keys.items():
+            if isinstance(direction, Mapping) and direction.get("$meta") in (
+                "textScore", "searchScore", "vectorSearchScore"
+            ):
+                # Mongo $meta sort: descending by the relevance column
+                # the most recent $text/$search stage materialized
+                from anser_spark.functions.expressions import active_score_field
+
+                out.append(resolve_field(active_score_field()).desc_nulls_last())
+                continue
             col = resolve_field(name)
             out.append(col.desc_nulls_last() if direction < 0 else col.asc_nulls_first())
         return out

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from anser_spark.functions.expressions import compile_expr
-from anser_spark.functions.filters import compile_filter
+from anser_spark.functions.filters import compile_filter, extract_text_spec
 from anser_spark.functions.sort import parse_sort_keys
 
 __all__ = ["Aggregation", "compile_pipeline", "PipelineCompileError"]
@@ -126,6 +126,10 @@ def compile_pipeline(
                     i += 2
                     continue
             df = _compile_stage(df, op, arg, resolve_collection, sink)
+            if op == "$match" and _TEXT_SCORE_COL in df.columns:
+                # legacy $text ran inside this $match: later
+                # {"$meta": "textScore"} reads its hidden score column
+                _exprs.set_active_score_field(_TEXT_SCORE_COL)
             if op in ("$search", "$vectorSearch", "$scoreFusion"):
                 _exprs.set_active_score_field(
                     arg.get("scoreField", "score") if isinstance(arg, Mapping) else "score"
@@ -133,6 +137,8 @@ def compile_pipeline(
             elif op == "$rankFusion":
                 _exprs.set_active_score_field("score")
             i += 1
+        if _PIPE_DEPTH == 1 and _TEXT_SCORE_COL in df.columns:
+            df = df.drop(_TEXT_SCORE_COL)
         return df
     finally:
         _PIPE_DEPTH -= 1
@@ -291,6 +297,9 @@ def _compile_stage(  # noqa: C901
     schema = df.schema
 
     if op == "$match":
+        text_spec, residual = extract_text_spec(arg)
+        if text_spec is not None:
+            return _text_match_stage(df, text_spec, residual)
         return df.where(compile_filter(arg, schema))
 
     if op == "$project":
@@ -942,6 +951,46 @@ def _one_search_op(
     if op not in _SEARCH_OPERATORS:
         raise PipelineCompileError(f"unsupported $search operator: {op!r}")
     return _compile_search_op(df, op, spec, stats_loader, need_score)
+
+
+_TEXT_SCORE_COL = "__textScore"
+
+
+def _text_match_stage(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    residual: Mapping[str, Any] | None,
+) -> DataFrame:
+    """Legacy ``{$text: ...}`` inside a ``$match`` stage: score with
+    BM25 (operators.ranking.text_match) into the hidden
+    ``__textScore`` column, keep matching rows, then apply the
+    residual filter. compile_pipeline notices the hidden column and
+    points the active $meta score field at it; the column is dropped
+    at the end of the top-level pipeline unless a projection exposed
+    it."""
+    from anser_spark.operators.ranking import text_match
+
+    text_col = _default_text_col(df)
+    pred, score = text_match(df, spec, text_col)
+    out = (
+        df.withColumn(_TEXT_SCORE_COL, score.cast("double"))
+        .where(F.coalesce(pred, F.lit(False)))
+    )
+    if residual:
+        out = out.where(compile_filter(residual, out.schema))
+    return out
+
+
+def _default_text_col(df: DataFrame) -> str:
+    """The column a legacy $text targets when no index names one: a
+    string column called ``text`` (the documents-table convention)."""
+    for f in df.schema.fields:
+        if f.name == "text" and isinstance(f.dataType, T.StringType):
+            return "text"
+    raise PipelineCompileError(
+        "$text needs a string column named 'text' (or run find() on a "
+        "collection with a bm25 search index naming the indexed field)"
+    )
 
 
 def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:

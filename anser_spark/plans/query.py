@@ -16,7 +16,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from anser_spark.functions.filters import compile_filter, resolve_field
+from anser_spark.functions.filters import compile_filter, extract_text_spec, resolve_field
 from anser_spark.functions.sort import parse_sort_keys
 
 __all__ = ["Query"]
@@ -164,13 +164,54 @@ class Query:
             return self._collection
         return self._collection.df()
 
+    def _text_filtered(self, df: DataFrame) -> tuple[DataFrame, bool]:
+        """Apply the filter, handling a top-level legacy ``$text``
+        clause: matching docs are kept and the BM25 relevance lands in
+        the hidden ``__textScore`` column for ``{"$meta": "textScore"}``
+        projections/sorts. Returns (frame, had_text)."""
+        spec, residual = extract_text_spec(self._filter)
+        if spec is None:
+            return df.where(compile_filter(self._filter, df.schema)), False
+        from anser_spark.operators.ranking import text_match
+
+        text_col, stats_loader = None, None
+        coll = self._collection
+        if not isinstance(coll, DataFrame) and hasattr(coll, "_text_index_info"):
+            text_col, stats_loader = coll._text_index_info(df)
+        if text_col is None:
+            if "text" not in df.columns:
+                raise ValueError(
+                    "$text needs a bm25 search index or a column named "
+                    "'text' on the collection"
+                )
+            text_col = "text"
+        pred, score = text_match(df, spec, text_col, stats_loader)
+        df = df.withColumn("__textScore", score.cast("double")).where(
+            F.coalesce(pred, F.lit(False))
+        )
+        if residual:
+            df = df.where(compile_filter(residual, df.schema))
+        return df, True
+
+    def _sort_cols(self) -> list[Column]:
+        order: list[Column] = []
+        for key in self._sort or []:
+            if isinstance(key, Mapping):
+                for name, v in key.items():
+                    if isinstance(v, Mapping) and v.get("$meta") == "textScore":
+                        # Mongo $meta sort: descending relevance
+                        order.append(F.col("__textScore").desc())
+                    else:
+                        order.extend(parse_sort_keys({name: v}))
+            else:
+                order.extend(parse_sort_keys(key))
+        return order
+
     def to_df(self) -> DataFrame:
         """Compile to a DataFrame. Order of application mirrors server
         execution: filter → sort → skip → limit → projection."""
-        df = self._base_df()
-        pred = compile_filter(self._filter, df.schema)
-        df = df.where(pred)
-        order = parse_sort_keys(self._sort)
+        df, had_text = self._text_filtered(self._base_df())
+        order = self._sort_cols()
         if order:
             df = df.orderBy(*order)
         if self._skip:
@@ -179,6 +220,8 @@ class Query:
             df = df.limit(self._limit)
         if self._projection:
             df = _apply_projection(df, self._projection)
+        if had_text and "__textScore" in df.columns:
+            df = df.drop("__textScore")  # hidden unless meta-projected
         return df
 
     # -- actions (db/wrapper.go:452-520) -------------------------------
@@ -204,8 +247,7 @@ class Query:
             yield row.asDict(recursive=True)
 
     def count(self) -> int:
-        df = self._base_df()
-        df = df.where(compile_filter(self._filter, df.schema))
+        df, _had_text = self._text_filtered(self._base_df())
         if self._skip:
             df = df.offset(self._skip)
         if self._limit is not None and self._limit > 0:
@@ -238,7 +280,10 @@ def _apply_projection(df: DataFrame, projection: Mapping[str, Any]) -> DataFrame
             names.insert(0, "_id")
         cols: list[Column] = []
         for name in names:
-            if "." in name:
+            meta = incl.get(name)
+            if isinstance(meta, Mapping) and meta.get("$meta") == "textScore":
+                cols.append(F.col("__textScore").alias(name))
+            elif "." in name:
                 cols.append(resolve_field(name).alias(name.replace(".", "_")))
             else:
                 cols.append(F.col(name))

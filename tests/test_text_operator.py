@@ -1,0 +1,144 @@
+"""Legacy ``{$text: {$search: ...}}`` find/$match operator (the find
+surface the reference accepts verbatim, db/interface.go:26), mapped
+onto the BM25/$search machinery.  Goldens compare against the $search
+stage's scoring on the same corpus."""
+
+import pytest
+
+from anser_spark.engine import Engine
+from anser_spark.functions.filters import FilterCompileError
+
+
+DOCS = [
+    {"_id": "d1", "text": "spark rules the cluster", "lang": "en"},
+    {"_id": "d2", "text": "mongo queries documents", "lang": "en"},
+    {"_id": "d3", "text": "spark and mongo together", "lang": "en"},
+    {"_id": "d4", "text": "Spark Capital letters", "lang": "en"},
+    {"_id": "d5", "text": "nothing relevant here", "lang": "de"},
+    {"_id": "d6", "text": None, "lang": "de"},
+]
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "textw"))
+    c = eng.db("t").collection("docs")
+    c.insert_many(DOCS)
+    return c
+
+
+def ids(rows):
+    return sorted(r["_id"] for r in rows)
+
+
+def test_text_terms_are_ored(coll):
+    rows = coll.find({"$text": {"$search": "spark mongo"}}).all()
+    assert ids(rows) == ["d1", "d2", "d3", "d4"]
+
+
+def test_text_negation(coll):
+    rows = coll.find({"$text": {"$search": "spark -mongo"}}).all()
+    assert ids(rows) == ["d1", "d4"]
+
+
+def test_text_phrase_must_appear(coll):
+    rows = coll.find({"$text": {"$search": '"spark and mongo"'}}).all()
+    assert ids(rows) == ["d3"]
+
+
+def test_text_case_sensitive(coll):
+    rows = coll.find(
+        {"$text": {"$search": "Spark", "$caseSensitive": True}}
+    ).all()
+    assert ids(rows) == ["d4"]
+
+
+def test_text_residual_filter_combines(coll):
+    rows = coll.find({"$text": {"$search": "spark"}, "lang": "en"}).all()
+    assert ids(rows) == ["d1", "d3", "d4"]
+
+
+def test_text_count(coll):
+    assert coll.find({"$text": {"$search": "spark mongo"}}).count() == 4
+
+
+def test_text_meta_projection_and_sort(coll):
+    rows = (
+        coll.find({"$text": {"$search": "spark"}})
+        .select({"_id": 1, "score": {"$meta": "textScore"}})
+        .sort({"score": {"$meta": "textScore"}})
+        .all()
+    )
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    # hidden column never leaks without a meta projection
+    plain = coll.find({"$text": {"$search": "spark"}}).all()
+    assert all("__textScore" not in r for r in plain)
+
+
+def test_text_matches_search_stage_scores(coll):
+    # the $search text stage scores with the same BM25 — the $text
+    # find must agree on both membership and relative order
+    via_search = coll.pipe([
+        {"$search": {"text": {"query": "spark", "path": "text"}}},
+        {"$project": {"_id": 1, "s": {"$meta": "searchScore"}}},
+    ]).all()
+    via_text = (
+        coll.find({"$text": {"$search": "spark"}})
+        .select({"_id": 1, "s": {"$meta": "textScore"}})
+        .sort({"s": {"$meta": "textScore"}})
+        .all()
+    )
+    assert [r["_id"] for r in via_search] == [r["_id"] for r in via_text]
+    for a, b in zip(via_search, via_text):
+        assert a["s"] == pytest.approx(b["s"])
+
+
+def test_text_in_pipeline_match(coll):
+    rows = coll.pipe([
+        {"$match": {"$text": {"$search": "spark -mongo"}}},
+        {"$project": {"_id": 1, "sc": {"$meta": "textScore"}}},
+        {"$sort": {"sc": {"$meta": "textScore"}}},
+    ]).all()
+    assert [r["_id"] for r in rows][0] in ("d1", "d4")
+    assert ids(rows) == ["d1", "d4"]
+    assert all(r["sc"] > 0 for r in rows)
+    # no hidden column when not projected
+    bare = coll.pipe([{"$match": {"$text": {"$search": "spark"}}}]).all()
+    assert all("__textScore" not in r for r in bare)
+
+
+def test_text_uses_bm25_index_stats(coll):
+    base = (
+        coll.find({"$text": {"$search": "spark mongo"}})
+        .select({"_id": 1, "s": {"$meta": "textScore"}})
+        .all()
+    )
+    coll.create_search_index("ti", {"kind": "bm25", "path": "text"})
+    indexed = (
+        coll.find({"$text": {"$search": "spark mongo"}})
+        .select({"_id": 1, "s": {"$meta": "textScore"}})
+        .all()
+    )
+    a = {r["_id"]: r["s"] for r in base}
+    b = {r["_id"]: r["s"] for r in indexed}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k])
+
+
+def test_text_nested_raises(coll):
+    with pytest.raises(FilterCompileError, match="top level"):
+        coll.find({"$or": [{"$text": {"$search": "spark"}}]}).all()
+
+
+def test_text_bad_spec_raises(coll):
+    with pytest.raises(ValueError, match="non-empty"):
+        coll.find({"$text": {"$search": ""}}).all()
+    with pytest.raises(ValueError, match="unsupported \\$text options"):
+        coll.find({"$text": {"$search": "x", "$bogus": 1}}).all()
+
+
+def test_text_negation_only_matches_nothing(coll):
+    assert coll.find({"$text": {"$search": "-spark"}}).count() == 0
