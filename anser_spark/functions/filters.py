@@ -181,6 +181,8 @@ def compile_filter(flt: Mapping[str, Any] | None, schema: T.StructType | None = 
 
     clauses: list[Column] = []
     for key, value in flt.items():
+        if key == "$comment":
+            continue  # Mongo: query annotation for the profiler — no match effect
         if key == "$text":
             raise FilterCompileError(
                 "$text is only valid at the top level of a find() filter "

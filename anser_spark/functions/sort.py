@@ -28,6 +28,12 @@ def parse_sort_keys(keys: Sequence[str] | Mapping[str, int] | str | None) -> lis
     out: list[Column] = []
     if isinstance(keys, Mapping):
         for name, direction in keys.items():
+            if name == "$natural":
+                # Mongo natural order = storage order, which carries no
+                # semantic guarantee; here scan order plays that role,
+                # so ±$natural compiles to no sort key (documented
+                # divergence: -1 does not reverse the scan)
+                continue
             if isinstance(direction, Mapping) and direction.get("$meta") in (
                 "textScore", "searchScore", "vectorSearchScore"
             ):
@@ -43,6 +49,8 @@ def parse_sort_keys(keys: Sequence[str] | Mapping[str, int] | str | None) -> lis
     for key in keys:
         if not key:
             continue
+        if key.lstrip("-+") == "$natural":
+            continue  # storage order — no sort key (see Mapping branch)
         if key.startswith("-"):
             name = key[1:]
             if not name:

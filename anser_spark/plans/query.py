@@ -158,6 +158,20 @@ class Query:
         self._hint = hint
         return self
 
+    def collation(self, spec: Mapping[str, Any] | None) -> "Query":
+        """Collation option: only the binary comparison this engine
+        actually performs is accepted (``{"locale": "simple"}`` or
+        None); any other locale/option raises instead of silently
+        returning differently-ordered results."""
+        if spec:
+            extra = set(spec) - {"locale"}
+            if spec.get("locale", "simple") != "simple" or extra:
+                raise ValueError(
+                    f"unsupported collation {dict(spec)!r}: only "
+                    "{'locale': 'simple'} (binary comparison) is implemented"
+                )
+        return self
+
     # -- compilation ---------------------------------------------------
     def _base_df(self) -> DataFrame:
         if isinstance(self._collection, DataFrame):

@@ -109,11 +109,24 @@ def main() -> None:
         f"SELECT count(*) FROM read_parquet('{SRC}/documents.parquet')"
     ).fetchone()[0]
     n_docs = n_base * R
-    vocab_arr = np.array(vocab)
+    # realistic lexical statistics, not a uniform draw from the tiny
+    # base vocabulary: the vocabulary grows with corpus size (Heaps'
+    # law; 2R suffix variants per base word) and a mild Zipf exponent
+    # weights the draw, so shingle posting lists stay power-law-bounded
+    # like a real corpus instead of saturating (the round-6 rehearsal
+    # caught the uniform small-vocab version driving Σ postings² up 82x
+    # at 10x docs, which read as a fake super-linear ngram_jaccard)
+    variants = max(2, 2 * R)
+    vocab_arr = np.array(
+        [w if j == 0 else f"{w}{j}" for w in vocab for j in range(variants)]
+    )
+    ranks = np.arange(1, len(vocab_arr) + 1, dtype=float)
+    zipf_p = 1.0 / ranks ** 0.7
+    zipf_p /= zipf_p.sum()
     texts = []
     doc_lens = rng.choice(lens, size=n_docs)
     for i in range(n_docs):
-        toks = vocab_arr[rng.integers(0, len(vocab_arr), int(doc_lens[i]))]
+        toks = vocab_arr[rng.choice(len(vocab_arr), int(doc_lens[i]), p=zipf_p)]
         texts.append(" ".join(toks))
     # plant duplicates: 1% exact copies, 1% near copies (one token edit)
     n_dup = n_docs // 100

@@ -84,3 +84,23 @@ def test_namespace_and_dbs(engine):
     assert ns.is_valid()
     assert not Namespace("", "x").is_valid()
     assert "lineitem" in engine.db("tpch").collection_names()
+
+
+def test_natural_sort_and_comment_accepted(doc_collection):
+    # $natural sort = storage order (no sort key, documented); $comment
+    # is a profiler annotation with no match effect
+    rows = doc_collection.find(
+        {"status": "failed", "$comment": "audit trail"}
+    ).sort("$natural").all()
+    assert sorted(r["_id"] for r in rows) == ["a2", "a6"]
+    rows2 = doc_collection.find({}).sort({"$natural": -1}).limit(2).all()
+    assert len(rows2) == 2
+
+
+def test_collation_simple_ok_others_raise(doc_collection):
+    import pytest as _pytest
+
+    q = doc_collection.find({}).collation({"locale": "simple"})
+    assert q.count() == 6
+    with _pytest.raises(ValueError, match="unsupported collation"):
+        doc_collection.find({}).collation({"locale": "en", "strength": 2})
