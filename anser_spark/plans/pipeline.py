@@ -587,12 +587,23 @@ def _acc_column_extended(op: str, arg: Any, schema) -> Column | None:
                 F.slice(wrapped, F.size(wrapped) - F.lit(n - 1), F.lit(n))
             )
         return F.transform(sliced, lambda s: s.getField("__v"))
-    if op == "$top":
-        srt = _sorted_struct_agg(arg, schema)
-        return F.try_element_at(srt, F.lit(1)).getField("__o")
-    if op == "$bottom":
-        srt = _sorted_struct_agg(arg, schema)
-        return F.try_element_at(srt, F.lit(-1)).getField("__o")
+    if op in ("$top", "$bottom"):
+        # bounded state: min_by/max_by keep ONE candidate per group
+        # (struct ordering = the lexicographic sortBy; null fields sort
+        # first, matching sort_array). The round-6 sf1 rehearsal showed
+        # the sorted-array form collecting whole groups — 2M-element
+        # agg buffers at 6M rows; an OOM at 100 TB.
+        sort_by = arg["sortBy"]
+        dirs = list(sort_by.values())
+        if not all(d == dirs[0] for d in dirs):
+            raise PipelineCompileError(
+                "$top/$bottom sortBy with mixed directions is not supported"
+            )
+        asc = dirs[0] in (1, True)
+        ks = F.struct(*[compile_expr(f"${f}", schema) for f in sort_by])
+        out = compile_expr(arg["output"], schema)
+        want_min = asc if op == "$top" else not asc
+        return F.min_by(out, ks) if want_min else F.max_by(out, ks)
     if op in ("$topN", "$bottomN"):
         srt = _sorted_struct_agg(arg, schema)
         n = int(arg["n"])
@@ -606,12 +617,104 @@ def _acc_column_extended(op: str, arg: Any, schema) -> Column | None:
     return None
 
 
+_TOPN_OPS = ("$topN", "$bottomN", "$minN", "$maxN")
+
+
+def _topn_prefilter(
+    df: DataFrame, heavy: Mapping[str, Mapping[str, Any]], id_spec: Any
+) -> tuple[DataFrame, dict[str, Column]]:
+    """Bounded-state $topN/$bottomN/$minN/$maxN: a row_number window
+    partitioned by the group keys marks each accumulator's candidate
+    rows and the aggregate collects only rn<=n — at most n array
+    elements per group instead of the whole group (the round-6 sf1
+    rehearsal measured the collect-whole-group form building 2M-element
+    agg buffers on 6M rows; at 100 TB that OOMs a reducer). The window
+    partitions by the same expressions as the groupBy, so the plan is
+    one exchange + per-group sort + bounded aggregate."""
+    from pyspark.sql import Window
+
+    schema = df.schema
+    if isinstance(id_spec, Mapping) and not any(
+        str(k).startswith("$") for k in id_spec
+    ):
+        part = [compile_expr(v, schema) for v in id_spec.values()]
+    else:
+        part = [compile_expr(id_spec, schema)]
+    overrides: dict[str, Column] = {}
+    for j, (name, spec) in enumerate(heavy.items()):
+        op, arg = next(iter(spec.items()))
+        n = int(arg["n"])
+        rn = f"__tnrn_{j}"
+        if op in ("$topN", "$bottomN"):
+            sort_by = arg["sortBy"]
+            dirs = list(sort_by.values())
+            if not all(d == dirs[0] for d in dirs):
+                raise PipelineCompileError(
+                    "$top/$bottom sortBy with mixed directions is not supported"
+                )
+            asc = dirs[0] in (1, True)
+            keys = [compile_expr(f"${f}", schema) for f in sort_by]
+            head = asc if op == "$topN" else not asc
+            order = [
+                k.asc_nulls_first() if head else k.desc_nulls_last()
+                for k in keys
+            ]
+            out_expr = compile_expr(arg["output"], schema)
+            df = df.withColumn(
+                rn,
+                F.row_number().over(Window.partitionBy(*part).orderBy(*order)),
+            )
+            kept = F.when(
+                F.col(rn) <= n,
+                F.struct(
+                    *[
+                        compile_expr(f"${f}", schema).alias(f"__k{i}")
+                        for i, f in enumerate(sort_by)
+                    ],
+                    out_expr.alias("__o"),
+                ),
+            )
+            arr = F.sort_array(F.collect_list(kept), asc=asc)
+            overrides[name] = F.transform(arr, lambda s: s.getField("__o"))
+        else:  # $minN / $maxN — Mongo ignores nulls
+            inp = compile_expr(arg["input"], schema)
+            asc = op == "$minN"
+            order = inp.asc_nulls_last() if asc else inp.desc_nulls_last()
+            df = df.withColumn(
+                rn,
+                F.row_number().over(Window.partitionBy(*part).orderBy(order)),
+            )
+            kept = F.when((F.col(rn) <= n) & inp.isNotNull(), inp)
+            overrides[name] = F.sort_array(F.collect_list(kept), asc=asc)
+    return df, overrides
+
+
 def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     if "_id" not in arg:
         raise PipelineCompileError("$group requires _id")
     id_spec = arg["_id"]
     accs = {k: v for k, v in arg.items() if k != "_id"}
-    agg_cols = [_acc_column(spec, df.schema).alias(name) for name, spec in accs.items()]
+    heavy = {
+        name: spec
+        for name, spec in accs.items()
+        if isinstance(spec, Mapping)
+        and len(spec) == 1
+        and next(iter(spec)) in _TOPN_OPS
+    }
+    overrides: dict[str, Column] = {}
+    if heavy and id_spec is not None:
+        # keyed groups take the bounded window-prefilter path; the
+        # global (_id: None) group keeps the collect form — a global
+        # row_number would itself be a single-task sort
+        df, overrides = _topn_prefilter(df, heavy, id_spec)
+    agg_cols = [
+        (
+            overrides[name]
+            if name in overrides
+            else _acc_column(spec, df.schema)
+        ).alias(name)
+        for name, spec in accs.items()
+    ]
 
     if id_spec is None:
         # Spark's global aggregate emits one row even over empty input;

@@ -26,7 +26,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "1"))
+    # default 2: the committed receipts carry BOTH one-shot and steady
+    # numbers (one-shot round-over-round comparisons drown in JIT/host
+    # jitter — NOTES_r5 measured a 43.8-82s same-tree spread)
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "2"))
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     repeat = max(1, repeat)
