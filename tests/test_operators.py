@@ -580,3 +580,53 @@ def test_repetition_metrics_null_and_values(spark):
         assert (r["n_tokens"], r["n_distinct_tokens"], r["dup_word_frac"],
                 r["top_gram_count"], r["n_grams"], r["top_gram_frac"]) == (0, 0, 0.0, 0, 0, 0.0)
     assert out[5]["n_tokens"] == 1 and out[5]["n_grams"] == 0
+
+
+def _wav_bytes(freq=440.0, sr=8000, ms=250, channels=1, width=2):
+    import io
+    import math
+    import struct
+    import wave
+
+    n = sr * ms // 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(sr)
+        amp = 2 ** (8 * width - 1) - 1
+        frames = b"".join(
+            struct.pack("<h", int(amp * 0.5 * math.sin(2 * math.pi * freq * i / sr)))
+            * channels
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_wav_real_codec(spark):
+    # the REAL audio decode path (stdlib wave): container metadata and
+    # signal features computed from actual PCM bytes, malformed bytes
+    # degrade to an all-null feature row
+    import math
+
+    from anser_spark.operators.multimodal import decode_wav, extract_audio_features
+
+    wav = _wav_bytes()
+    d = decode_wav(wav)
+    assert d["sample_rate"] == 8000 and d["n_channels"] == 1
+    assert d["duration_ms"] == 250 and d["n_frames"] == 2000
+    # 0.5-amplitude sine: rms = 0.5/sqrt(2), peak ~= 0.5
+    assert abs(d["rms"] - 0.5 / math.sqrt(2)) < 0.01
+    assert abs(d["peak"] - 0.5) < 0.01
+    assert decode_wav(b"not a wav file") is None
+
+    df = spark.createDataFrame(
+        [("m1", wav), ("m2", b"garbage"), ("m3", None)],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows["m1"]["sample_rate"] == 8000
+    assert abs(rows["m1"]["peak"] - 0.5) < 0.01
+    assert rows["m2"]["sample_rate"] is None
+    assert rows["m3"]["rms"] is None
