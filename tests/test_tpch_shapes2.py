@@ -178,6 +178,8 @@ def test_q9_shape_profit_by_nation_year(engine):
 def test_q11_shape_global_threshold(engine):
     # q11's shape: per-group totals kept only above a fraction of the
     # GLOBAL total — scalar subquery via an uncorrelated pipeline $lookup
+    # (threshold 0.05: discriminates at every sf — sf0.1/sf1 max nation
+    # share is 0.056, so 0.1 selected nothing there)
     got = engine.db("tpch").collection("supplier").pipe([
         {"$group": {"_id": "$s_nationkey", "bal": {"$sum": "$s_acctbal"}}},
         {"$lookup": {"from": "supplier",
@@ -185,7 +187,7 @@ def test_q11_shape_global_threshold(engine):
                                               "tot": {"$sum": "$s_acctbal"}}}],
                      "as": "g"}},
         {"$unwind": "$g"},
-        {"$match": {"$expr": {"$gt": ["$bal", {"$multiply": [0.1, "$g.tot"]}]}}},
+        {"$match": {"$expr": {"$gt": ["$bal", {"$multiply": [0.05, "$g.tot"]}]}}},
         {"$project": {"bal": {"$round": ["$bal", 4]}}},
         {"$sort": {"_id": 1}},
     ]).all()
@@ -193,7 +195,7 @@ def test_q11_shape_global_threshold(engine):
         select s_nationkey, round(sum(s_acctbal), 4) as bal
         from supplier
         group by 1
-        having sum(s_acctbal) > (select 0.1 * sum(s_acctbal) from supplier)
+        having sum(s_acctbal) > (select 0.05 * sum(s_acctbal) from supplier)
         order by 1
     """)
     assert _rows(got, "_id", "bal") == exp
