@@ -28,11 +28,20 @@ SHIFTS = {
     "customer": {"c_custkey": "c_custkey"},
     "supplier": {"s_suppkey": "s_suppkey"},
     "part": {"p_partkey": "p_partkey"},
-    "orders": {"o_orderkey": "o_orderkey", "o_custkey": "c_custkey"},
+    # price columns get a tiny per-replica perturbation (+r cents):
+    # exact replication makes every revenue-style aggregate a 10-way
+    # bit-level float tie across replicas, which Spark and DuckDB break
+    # differently (a fixture artifact, not an engine property)
+    "orders": {
+        "o_orderkey": "o_orderkey",
+        "o_custkey": "c_custkey",
+        "o_totalprice": "__cents",
+    },
     "lineitem": {
         "l_orderkey": "o_orderkey",
         "l_partkey": "p_partkey",
         "l_suppkey": "s_suppkey",
+        "l_extendedprice": "__cents",
     },
     "events": {"event_id": "event_id", "user_id": "user_id"},
 }
@@ -67,7 +76,10 @@ def main() -> None:
 
     for table, shift in SHIFTS.items():
         repl = ", ".join(
-            f"{col} + r * {offsets[key]} AS {col}" for col, key in shift.items()
+            f"round({col} + r * 0.01, 2) AS {col}"
+            if key == "__cents"
+            else f"{col} + r * {offsets[key]} AS {col}"
+            for col, key in shift.items()
         )
         con.execute(
             f"COPY (SELECT * EXCLUDE (r) REPLACE ({repl}) "

@@ -208,7 +208,9 @@ def test_q15_shape_top_supplier_window(engine):
           from lineitem
           where l_shipdate >= '1996-01-01' and l_shipdate < '1996-04-01'
           group by 1)
-        select l_suppkey, round(revenue, 4) from rev
-        where revenue = (select max(revenue) from rev)
+        select l_suppkey, round(revenue, 4)
+        from (select *, max(revenue) over () as mx from rev)
+        where revenue = mx
+        order by 1
     """)
     assert _rows(got, "_id", "revenue") == exp
