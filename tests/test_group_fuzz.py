@@ -38,7 +38,7 @@ def make_rows(rng, n=80):
 
 ACCS = ["$sum", "$sum1", "$avg", "$min", "$max", "$count", "$push",
         "$addToSet", "$stdDevPop", "$stdDevSamp", "$minN", "$maxN",
-        "$topN", "$bottomN", "$median", "$percentile"]
+        "$topN", "$bottomN", "$top", "$bottom", "$median", "$percentile"]
 
 
 def rand_acc(rng):
@@ -57,6 +57,8 @@ def rand_acc(rng):
         # _id in sortBy makes the order total ⇒ deterministic output
         return {op: {"sortBy": {"a": 1, "_id": 1}, "output": field,
                      "n": rng.randint(1, 4)}}
+    if op in ("$top", "$bottom"):
+        return {op: {"sortBy": {"a": 1, "_id": 1}, "output": field}}
     if op == "$median":
         return {"$median": {"input": field, "method": "exact"}}
     return {"$percentile": {"input": field,
@@ -138,6 +140,11 @@ def ref_acc(op, arg, members):
         return sorted(nums)[: arg["n"]]
     if op == "$maxN":
         return sorted(nums, reverse=True)[: arg["n"]]
+    if op in ("$top", "$bottom"):
+        ordered = sorted(members, key=lambda m: (_bson_key(m, "a"),
+                                                 _bson_key(m, "_id")))
+        pick = ordered[0] if op == "$top" else ordered[-1]
+        return pick.get(arg["output"][1:])
     if op in ("$topN", "$bottomN"):
         ordered = sorted(members, key=lambda m: (_bson_key(m, "a"),
                                                  _bson_key(m, "_id")))
