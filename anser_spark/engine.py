@@ -1441,6 +1441,7 @@ class Collection:
 
         pipeline = self._resolve_coll_stats(pipeline)
         pipeline = self._resolve_list_search_indexes(pipeline)
+        pipeline = self._resolve_text_indexes(pipeline)
         stages = list(pipeline)
         if stages and isinstance(stages[0], Mapping) and "$changeStream" in stages[0]:
             # Mongo's $changeStream as a leading stage: the rest of the
@@ -1837,6 +1838,43 @@ class Collection:
         with open(tmp, "w") as fh:
             json.dump(d, fh)
         os.replace(tmp, os.path.join(self._search_index_dir(), f"{index}.json"))
+
+    def _resolve_text_indexes(self, stages: Sequence[Mapping[str, Any]]):
+        """Embed a fresh bm25 index's stats into a leading
+        ``{$match: {$text: ...}}`` stage (Mongo requires $text in the
+        first $match) so the stage scores with a term-table point
+        lookup instead of a corpus aggregate — same contract as the
+        find() path's ``_text_index_info``."""
+        stages = list(stages)
+        if not stages or not isinstance(stages[0], Mapping):
+            return stages
+        match_arg = stages[0].get("$match")
+        if not isinstance(match_arg, Mapping) or "$text" not in match_arg:
+            return stages
+        spec = match_arg["$text"]
+        if not isinstance(spec, Mapping) or "$_index" in spec:
+            return stages
+        for name in self.list_search_indexes():
+            try:
+                d = self._load_search_index(name, warn_stale=False)
+            except NotFoundError:
+                continue
+            if d.get("kind") != "bm25":
+                continue
+            if d.get("built_at_version") != self._pointer():
+                continue  # stale snapshot — score with inline stats
+            spec = dict(spec)
+            spec["$_index"] = {
+                "path": d.get("path", "text"),
+                "n_docs": int(d["n_docs"]),
+                "avgdl": float(d["avgdl"]),
+                "terms_dir": str(d["terms_dir"]),
+            }
+            match_arg = dict(match_arg)
+            match_arg["$text"] = spec
+            stages[0] = {**stages[0], "$match": match_arg}
+            break
+        return stages
 
     def _resolve_search_indexes(self, stages: Sequence[Mapping[str, Any]]):
         """Replace ``$search``/``$vectorSearch`` ``{index: "<name>"}``

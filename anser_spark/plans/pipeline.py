@@ -1073,8 +1073,29 @@ def _text_match_stage(
     it."""
     from anser_spark.operators.ranking import text_match
 
-    text_col = _default_text_col(df)
-    pred, score = text_match(df, spec, text_col)
+    spec = dict(spec)
+    index = spec.pop("$_index", None)
+    stats_loader = None
+    if isinstance(index, Mapping):
+        # fresh bm25 index resolved by Collection.pipe: idf stats come
+        # from a pushed-down point lookup on the persisted term table
+        text_col = str(index["path"])
+        n_docs = int(index["n_docs"])
+        avgdl = float(index["avgdl"])
+        terms_dir = str(index["terms_dir"])
+        spark = df.sparkSession
+
+        def stats_loader(terms):  # noqa: F811
+            rows = (
+                spark.read.parquet(terms_dir)
+                .where(F.col("term").isin([t.lower() for t in terms]))
+                .collect()
+            )
+            return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
+
+    else:
+        text_col = _default_text_col(df)
+    pred, score = text_match(df, spec, text_col, stats_loader)
     out = (
         df.withColumn(_TEXT_SCORE_COL, score.cast("double"))
         .where(F.coalesce(pred, F.lit(False)))

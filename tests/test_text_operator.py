@@ -142,3 +142,20 @@ def test_text_bad_spec_raises(coll):
 
 def test_text_negation_only_matches_nothing(coll):
     assert coll.find({"$text": {"$search": "-spark"}}).count() == 0
+
+
+def test_text_pipeline_uses_index_stats(coll):
+    base = coll.pipe([
+        {"$match": {"$text": {"$search": "spark mongo"}}},
+        {"$project": {"_id": 1, "s": {"$meta": "textScore"}}},
+    ]).all()
+    coll.create_search_index("tpi", {"kind": "bm25", "path": "text"})
+    indexed = coll.pipe([
+        {"$match": {"$text": {"$search": "spark mongo"}}},
+        {"$project": {"_id": 1, "s": {"$meta": "textScore"}}},
+    ]).all()
+    a = {r["_id"]: r["s"] for r in base}
+    b = {r["_id"]: r["s"] for r in indexed}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k])
