@@ -223,6 +223,67 @@ def close(a, b):
     return a == b
 
 
+def test_window_fuzz_time_range(spark):
+    # range frames with a time `unit` over a TIMESTAMP sortBy: rows at
+    # hour t, bounds in hours — the reference frame is the same numeric
+    # interval over t
+    import datetime
+
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "17")))
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("p", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("w", T.DoubleType()),
+        ]
+    )
+    base = datetime.datetime(2026, 1, 1)
+    for trial in range(8):
+        rows = make_rows(rng)
+        for r in rows:
+            r["ts"] = base + datetime.timedelta(hours=r["t"])
+        df = spark.createDataFrame(rows, schema)
+        outputs = {}
+        for k in range(rng.choice([1, 2])):
+            frame = rand_frame(rng)
+            if frame is None or "documents" in frame:
+                frame = {"range": [rng.choice(BOUNDS), "unbounded"]}
+            frame = {"range": frame["range"], "unit": "hour"}
+            op = rng.choice(["$sum", "$avg", "$min", "$max", "$count"])
+            outputs[f"o{k}"] = {
+                op: {} if op == "$count" else "$v", "window": frame
+            }
+        stage = {
+            "$setWindowFields": {
+                "partitionBy": "$p",
+                "sortBy": {"ts": 1},
+                "output": outputs,
+            }
+        }
+        got = {
+            r["_id"]: r.asDict()
+            for r in compile_pipeline(df, [stage], None, None).collect()
+        }
+        ref_outputs = {
+            name: {**{op: a for op, a in spec.items() if op != "window"},
+                   "window": {"range": spec["window"]["range"]}}
+            for name, spec in outputs.items()
+        }
+        expect = ref_swf(rows, ref_outputs)
+        for _id, want in expect.items():
+            for name, wv in want.items():
+                hv = got[_id][name]
+                assert close(hv, wv), (
+                    f"trial {trial}: output {name} {outputs[name]!r} "
+                    f"doc {_id}: got {hv!r} want {wv!r}"
+                )
+
+
 def test_window_fuzz(spark):
     rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "13")))
     from anser_spark.plans.pipeline import compile_pipeline
