@@ -884,6 +884,75 @@ def _q_pipeline_update(spark, sf_dir):
     )
 
 
+def _gopher_filter_oracle() -> str:
+    from anser_spark.operators.text import LANG_STOPWORDS
+
+    stops = "|".join(w for ws in LANG_STOPWORDS.values() for w in ws)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+            list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> x <> '') AS words,
+            list_filter(string_split(text, chr(10)),
+                        l -> trim(l) <> '') AS lines
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+            len(words) AS n_words,
+            CASE WHEN len(words) > 0 THEN
+              list_sum(list_transform(words, w -> len(w)))::DOUBLE / len(words)
+            ELSE 0.0 END AS mean_wl,
+            (len(text) - len(replace(text, '#', '')))
+              + (len(string_split(text, '...')) - 1)
+              + (len(string_split(text, chr(8230))) - 1) AS n_symbols,
+            len(lines) AS n_lines,
+            CASE WHEN len(lines) > 0 THEN
+              len(list_filter(lines, l -> regexp_matches(trim(l), '^[\u2022\-\*]')))::DOUBLE / len(lines)
+            ELSE 0.0 END AS bullet_frac,
+            CASE WHEN len(lines) > 0 THEN
+              len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|\u2026)$')))::DOUBLE / len(lines)
+            ELSE 0.0 END AS ellipsis_frac,
+            CASE WHEN len(words) > 0 THEN
+              len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(words)
+            ELSE 0.0 END AS alpha_frac,
+            len(regexp_extract_all(lower(text), '(?i)\\b({stops})\\b', 1)) AS stop_hits
+          FROM base
+        )
+        SELECT doc_id,
+          COALESCE(n_words >= 5 AND n_words <= 100000, FALSE) AS rule_word_count,
+          COALESCE(mean_wl >= 3.0 AND mean_wl <= 10.0, FALSE) AS rule_mean_word_len,
+          COALESCE(CASE WHEN n_words > 0
+                        THEN n_symbols::DOUBLE / n_words <= 0.1 END, FALSE) AS rule_symbol_ratio,
+          COALESCE(bullet_frac <= 0.9, FALSE) AS rule_bullets,
+          COALESCE(ellipsis_frac <= 0.3, FALSE) AS rule_ellipsis,
+          COALESCE(alpha_frac >= 0.8, FALSE) AS rule_alpha_words,
+          COALESCE(stop_hits >= 2, FALSE) AS rule_stopwords,
+          COALESCE(n_words >= 5 AND n_words <= 100000, FALSE)
+            AND COALESCE(mean_wl >= 3.0 AND mean_wl <= 10.0, FALSE)
+            AND COALESCE(CASE WHEN n_words > 0
+                              THEN n_symbols::DOUBLE / n_words <= 0.1 END, FALSE)
+            AND COALESCE(bullet_frac <= 0.9, FALSE)
+            AND COALESCE(ellipsis_frac <= 0.3, FALSE)
+            AND COALESCE(alpha_frac >= 0.8, FALSE)
+            AND COALESCE(stop_hits >= 2, FALSE) AS gopher_keep
+        FROM m
+    """
+
+
+def _q_gopher_filter(spark, sf_dir):
+    # M8 Gopher/MassiveText quality rules (Rae et al. 2021 A1.1) as
+    # boolean flags + conjunctive keep — pure Column, ONE scan, zero
+    # exchanges (plan-asserted in pytest)
+    from anser_spark.operators.text import gopher_rules
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return gopher_rules(docs).select(
+        "doc_id", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_bullets", "rule_ellipsis",
+        "rule_alpha_words", "rule_stopwords", "gopher_keep",
+    )
+
+
 def _q_text_find(spark, sf_dir):
     # §2.2 legacy {$text: {$search: ...}} find operator (accepted
     # verbatim by the reference find surface, db/interface.go:26):
@@ -1828,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_all_inc_set": _q_update_all_inc_set,
         "pipeline_update": _q_pipeline_update,
         "text_find": _q_text_find,
+        "gopher_filter": _q_gopher_filter,
         "upsert_paths": _q_upsert_paths,
         "bulk_mixed": _q_bulk_mixed,
         "merge_into_summary": _q_merge_into_summary,
@@ -2245,6 +2315,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'BUMPED' ELSE c_mktsegment END AS c_mktsegment
             FROM customer
         """,
+        "gopher_filter": _gopher_filter_oracle(),
         "text_find": """
             SELECT doc_id, lang FROM documents
             WHERE lang = 'en'

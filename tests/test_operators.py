@@ -630,3 +630,29 @@ def test_decode_wav_real_codec(spark):
     assert abs(rows["m1"]["peak"] - 0.5) < 0.01
     assert rows["m2"]["sample_rate"] is None
     assert rows["m3"]["rms"] is None
+
+
+def test_gopher_rules(spark):
+    from anser_spark.operators.text import gopher_rules
+
+    docs = [
+        ("g1", "the quick brown fox jumps over the lazy dog and runs home"),
+        ("g2", "aa bb cc"),  # too short, no alpha problem but <5 words
+        ("g3", "# # # # # the of and to in a is it for on"),  # symbol-heavy
+        ("g4", "- one\n- two\n- three\n- four"),  # all bullet lines
+        ("g5", "the of and...\nto in a...\nis it for...\nhmm..."),  # ellipses
+        ("g6", "1 2 3 4 5 6 7 8 9 10 the of"),  # mostly non-alpha words
+        ("g7", None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert rows["g1"]["gopher_keep"] is True
+    assert rows["g2"]["rule_word_count"] is False
+    assert rows["g3"]["rule_symbol_ratio"] is False
+    assert rows["g4"]["rule_bullets"] is False and rows["g4"]["gopher_keep"] is False
+    assert rows["g5"]["rule_ellipsis"] is False
+    assert rows["g6"]["rule_alpha_words"] is False
+    assert rows["g7"]["gopher_keep"] is False
+    # single scan, zero exchanges
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
