@@ -939,6 +939,18 @@ def _gopher_filter_oracle() -> str:
     """
 
 
+def _q_temperature_mix(spark, sf_dir):
+    # M8 temperature-weighted corpus mixing (share ∝ n^(1/T), T=2) over
+    # the deterministic md5-bucket filter — one bounded count aggregate
+    # + one filter scan, SQL-twin reproducible
+    from anser_spark.operators.corpus import temperature_mix
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    return temperature_mix(
+        docs, strata_col="lang", id_col="doc_id", temperature=2.0
+    ).select("doc_id", "lang")
+
+
 def _q_gopher_filter(spark, sf_dir):
     # M8 Gopher/MassiveText quality rules (Rae et al. 2021 A1.1) as
     # boolean flags + conjunctive keep — pure Column, ONE scan, zero
@@ -1898,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_update": _q_pipeline_update,
         "text_find": _q_text_find,
         "gopher_filter": _q_gopher_filter,
+        "temperature_mix": _q_temperature_mix,
         "upsert_paths": _q_upsert_paths,
         "bulk_mixed": _q_bulk_mixed,
         "merge_into_summary": _q_merge_into_summary,
@@ -2316,6 +2329,27 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "gopher_filter": _gopher_filter_oracle(),
+        "temperature_mix": """
+            WITH c AS (
+              SELECT lang, count(*)::DOUBLE AS n FROM documents
+              WHERE lang IS NOT NULL GROUP BY 1
+            ), tot AS (
+              SELECT sum(n) AS nt,
+                     (SELECT sum(p) FROM (SELECT pow(n, 0.5) AS p FROM c ORDER BY lang)) AS z
+              FROM c
+            ), e AS (
+              SELECT lang,
+                CAST(floor(round(LEAST(1.0, (pow(n, 0.5) / z) * nt / n), 6) * 65536) AS BIGINT) AS edge
+              FROM c, tot
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN e USING (lang)
+            WHERE (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)
+                  < e.edge
+        """,
         "text_find": """
             SELECT doc_id, lang FROM documents
             WHERE lang = 'en'

@@ -19,6 +19,7 @@ from anser_spark.operators.dedup import shingle_postings_arrow
 __all__ = [
     "hash_split",
     "stratified_sample",
+    "temperature_mix",
     "weighted_sample",
     "contaminated_pairs",
     "decontaminate",
@@ -112,6 +113,56 @@ def stratified_sample(
             edge
         )
     return df.where(bucket < edge)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    total_rows: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-weighted corpus re-balancing — the multinomial
+    mixing rule of multilingual/multi-source pretraining (share of
+    stratum i ∝ n_i^(1/T); Lample & Conneau 2019 §3.1). T=1 keeps
+    natural proportions, T→∞ approaches uniform over strata, T<1
+    sharpens toward the big strata.
+
+    Realized as per-stratum rates over the deterministic md5-bucket
+    filter (:func:`stratified_sample`): rate_i = min(1, share_i ·
+    N / n_i), rounded to 6 decimals so an SQL twin reproduces the
+    integer bucket edges. Downsampling only — a stratum whose target
+    exceeds its size keeps all rows (no upsampling/repetition;
+    epoch-level repetition is the trainer's concern, not the
+    sampler's).
+
+    Cost: ONE count aggregate (one row per stratum, driver-side
+    bounded by stratum cardinality) + one filter scan. No RNG state,
+    no shuffle of the data itself; same (corpus, T, salt) always
+    selects the same documents.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    rows = (
+        df.groupBy(F.col(strata_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    counts = {r["__k"]: int(r["__n"]) for r in rows if r["__k"] is not None}
+    if not counts:
+        return df.limit(0)
+    powed = {k: n ** (1.0 / temperature) for k, n in counts.items()}
+    z = sum(powed[k] for k in sorted(powed))  # fixed order: stable float sum
+    n_total = float(total_rows if total_rows is not None else sum(counts.values()))
+    rates = {
+        k: round(min(1.0, (powed[k] / z) * n_total / n), 6)
+        for k, n in counts.items()
+    }
+    return stratified_sample(
+        df, rates, strata_col=strata_col, id_col=id_col,
+        default_rate=0.0, salt=salt,
+    )
 
 
 def weighted_sample(

@@ -656,3 +656,35 @@ def test_gopher_rules(spark):
     # single scan, zero exchanges
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_temperature_mix(spark):
+    from anser_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # T=1: natural proportions — everything kept (rate_i = 1)
+    nat = temperature_mix(df, temperature=1.0)
+    assert nat.count() == 1000
+    # T→large: shares → uniform (500/500 target): big downsampled to
+    # ~500, small (target 500 > 100 rows) fully kept — no upsampling
+    mix = temperature_mix(df, temperature=100.0)
+    by = {r["source"]: r["n"] for r in
+          mix.groupBy("source").agg(__import__("pyspark.sql.functions",
+          fromlist=["count"]).count("*").alias("n")).collect()}
+    assert by["small"] == 100
+    assert 400 < by["big"] < 600
+    # deterministic: same inputs → same selection
+    a = sorted(r["doc_id"] for r in mix.collect())
+    b = sorted(r["doc_id"] for r in temperature_mix(df, temperature=100.0).collect())
+    assert a == b
+    # T<1 sharpens toward the big stratum
+    sharp = temperature_mix(df, temperature=0.5, total_rows=500)
+    bys = {r["source"]: r["n"] for r in
+           sharp.groupBy("source").agg(__import__("pyspark.sql.functions",
+           fromlist=["count"]).count("*").alias("n")).collect()}
+    assert bys.get("big", 0) > 8 * bys.get("small", 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="temperature"):
+        temperature_mix(df, temperature=0.0)
