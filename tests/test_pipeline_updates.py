@@ -151,3 +151,25 @@ def test_pipeline_update_all_rows_matched(doc_collection):
     assert sorted(
         r["version"] for r in doc_collection.find({}).all()
     ) == [1, 2, 3, 4, 5, 6]
+
+
+def test_pymongo_aliases_accept_pipeline_updates(doc_collection):
+    # update_one/update_many route through update/update_all → pipeline
+    # form works through the PyMongo-style aliases too
+    doc_collection.update_one(
+        {"_id": "a1"}, [{"$set": {"version": {"$add": ["$version", 5]}}}]
+    )
+    assert get(doc_collection, "a1")["version"] == 5
+    ci = doc_collection.update_many(
+        {"status": "failed"}, [{"$set": {"version": {"$literal": 77}}}]
+    )
+    assert ci.updated == 2
+    assert get(doc_collection, "a2")["version"] == 77
+    ci2 = doc_collection.update_many(
+        {"status": "ghost"},
+        [{"$set": {"status": {"$literal": "made"}}}],
+        upsert=True,
+    )
+    assert ci2.updated == 1
+    made = doc_collection.find({"status": "made"}).all()
+    assert len(made) == 1
