@@ -1436,9 +1436,34 @@ class Collection:
             )
             return self.df().count()
 
-    def pipe(self, pipeline: Sequence[Mapping[str, Any]]) -> "Aggregation":
+    def pipe(
+        self,
+        pipeline: Sequence[Mapping[str, Any]],
+        let: Mapping[str, Any] | None = None,
+        allow_disk_use: bool | None = None,
+        collation: Mapping[str, Any] | None = None,
+        comment: str | None = None,
+        hint: Any = None,
+    ) -> "Aggregation":
+        """Aggregate. Mongo ``aggregate`` options: ``let`` binds
+        pipeline-level CONSTANT variables (``$$name`` references are
+        substituted as ``$literal``s before compilation — Mongo's let
+        values cannot read document fields either); ``allow_disk_use``
+        and ``comment`` are accepted and ignored (Spark always spills;
+        comments are profiler annotations); ``hint`` is advisory;
+        ``collation`` accepts only {'locale': 'simple'} (binary
+        comparison — anything else raises instead of mis-collating)."""
         from anser_spark.plans.pipeline import Aggregation
 
+        if collation:
+            extra = set(collation) - {"locale"}
+            if collation.get("locale", "simple") != "simple" or extra:
+                raise ValueError(
+                    f"unsupported collation {dict(collation)!r}: only "
+                    "{'locale': 'simple'} (binary comparison) is implemented"
+                )
+        if let:
+            pipeline = _substitute_let(list(pipeline), dict(let))
         pipeline = self._resolve_coll_stats(pipeline)
         pipeline = self._resolve_list_search_indexes(pipeline)
         pipeline = self._resolve_text_indexes(pipeline)
@@ -2555,6 +2580,33 @@ def new_object_id() -> str:
     """Deterministic-enough ObjectId stand-in (hex string)."""
     _OID_COUNTER[0] += 1
     return uuid.uuid4().hex[:18] + f"{_OID_COUNTER[0]:06x}"
+
+
+def _substitute_let(node: Any, let: Mapping[str, Any]) -> Any:
+    """Replace ``$$name`` references to aggregate-level ``let``
+    variables with ``{"$literal": value}`` (Mongo: let values are
+    constants, evaluated once, no document access).  Strings under
+    ``$literal`` stay untouched; undeclared ``$$`` names (system
+    variables, $lookup lets) pass through for the expression compiler
+    to resolve.  Dotted access into a let document is unsupported and
+    raises rather than silently matching nothing."""
+    if isinstance(node, str) and node.startswith("$$"):
+        head, _, rest = node[2:].partition(".")
+        if head in let:
+            if rest:
+                raise ValueError(
+                    f"dotted access into aggregate let variable "
+                    f"{head!r} is not supported ({node!r})"
+                )
+            return {"$literal": let[head]}
+        return node
+    if isinstance(node, Mapping):
+        if len(node) == 1 and "$literal" in node:
+            return node
+        return {k: _substitute_let(v, let) for k, v in node.items()}
+    if isinstance(node, (list, tuple)):
+        return [_substitute_let(v, let) for v in node]
+    return node
 
 
 def synthesize_upsert_doc(

@@ -260,3 +260,38 @@ def test_redact_root_prune(docs_df):
             {"$eq": ["$status", "failed"]}, "$$PRUNE", "$$KEEP"]}}],
     ).collect()
     assert sorted(r["_id"] for r in out) == ["a1", "a3", "a4", "a5"]
+
+
+def test_aggregate_options_let_and_friends(engine):
+    nation = engine.db("tpch").collection("nation")
+    # let variables substitute as constants anywhere in the pipeline
+    rows = nation.pipe(
+        [
+            {"$match": {"$expr": {"$lt": ["$n_regionkey", "$$maxr"]}}},
+            {"$project": {"n_nationkey": 1,
+                          "tag": {"$concat": ["$$prefix", "$n_name"]}}},
+            {"$sort": {"n_nationkey": 1}},
+            {"$limit": 3},
+        ],
+        let={"maxr": 2, "prefix": "N:"},
+        allow_disk_use=True,
+        comment="audit",
+        collation={"locale": "simple"},
+    ).all()
+    assert len(rows) == 3
+    assert all(r["tag"].startswith("N:") for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported collation"):
+        nation.pipe([{"$limit": 1}], collation={"locale": "en"})
+    with _pytest.raises(ValueError, match="dotted access"):
+        nation.pipe(
+            [{"$match": {"$expr": {"$eq": ["$n_name", "$$doc.name"]}}}],
+            let={"doc": {"name": "x"}},
+        ).all()
+    # $literal strings containing $$ stay literal
+    out = nation.pipe(
+        [{"$project": {"s": {"$literal": "$$maxr"}}}, {"$limit": 1}],
+        let={"maxr": 9},
+    ).all()
+    assert out[0]["s"] == "$$maxr"

@@ -159,3 +159,14 @@ def test_text_pipeline_uses_index_stats(coll):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == pytest.approx(b[k])
+
+
+def test_text_residual_filter_pushes_down(spark, tmp_path):
+    # the residual equality combines with $text AFTER the score column,
+    # but Catalyst must still push it to the parquet scan
+    eng = Engine(spark, workdir=str(tmp_path / "tp"))
+    c = eng.db("t").collection("docs2")
+    c.insert_many(DOCS)
+    df = c.find({"$text": {"$search": "spark"}, "lang": "en"}).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
