@@ -919,6 +919,11 @@ class Collection:
             F.coalesce(F.col("a._k"), F.col("r._k")).alias("documentKey"),
             F.col("a._doc").alias("fullDocument"),
             F.col("r._doc").alias("fullDocumentBeforeChange"),
+            # resume-token analogue: the diff's endpoint version —
+            # watch(resumeAfterVersion) continues exactly where this
+            # batch of events left off (Mongo's event _id plays this
+            # role against the oplog)
+            F.lit(self._pointer()).alias("resumeAfterVersion"),
         )
 
     def optimize(self) -> None:

@@ -271,3 +271,23 @@ def test_winnow_empty_and_short_docs(spark):
     }
     assert rows[0] == [] and rows[1] == []
     assert rows[2] is None or rows[2] == []
+
+
+def test_watch_resume_after_version(spark, tmp_path):
+    # events carry the diff's endpoint version; feeding it back into
+    # watch() yields exactly the NEXT batch of changes (resume-token
+    # analogue of Mongo's event _id)
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "wrv"))
+    c = eng.db("d").collection("t")
+    c.set_retention(10)
+    c.insert_many([{"_id": i, "v": 0} for i in range(3)])
+    v0 = c._pointer()
+    c.update_all({"_id": 1}, {"$set": {"v": 1}})
+    ev1 = c.watch(v0).collect()
+    assert {e["operationType"] for e in ev1} == {"update"}
+    token = ev1[0]["resumeAfterVersion"]
+    c.insert({"_id": 9, "v": 9})
+    ev2 = c.watch(token).collect()
+    assert [(e["operationType"], e["documentKey"]) for e in ev2] == [("insert", 9)]
