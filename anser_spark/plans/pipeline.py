@@ -1787,15 +1787,24 @@ def _lookup_array_field(
     if local_is_arr and foreign_is_arr:
         # fuid feeds the (luid, fuid) dedup — must be retry-stable too
         fr2 = fr2.localCheckpoint(eager=True)
-    if local_is_arr:
-        lk = df2.select(
-            luid, F.explode(F.array_distinct(F.col(local_f))).alias("__lv")
+    def _elems(col: Column) -> Column:
+        # Mongo semantics via the generated {$in: elements} query: a
+        # NULL/missing array is the null VALUE (one null element, so it
+        # pairs with null counterparts); an EMPTY array has no elements
+        # and matches nothing (explode of [] emits no rows)
+        return F.explode(
+            F.when(col.isNull(), F.array(F.lit(None))).otherwise(
+                F.array_distinct(col)
+            )
         )
+
+    if local_is_arr:
+        lk = df2.select(luid, _elems(F.col(local_f)).alias("__lv"))
     else:
         lk = df2.select(luid, F.col(local_f).alias("__lv"))
     fcols = [F.col(c).alias(f"__f_{c}") for c in foreign.columns]
     if foreign_is_arr:
-        fr2 = fr2.withColumn("__fv", F.explode(F.array_distinct(F.col(foreign_f))))
+        fr2 = fr2.withColumn("__fv", _elems(F.col(foreign_f)))
         fk = fr2.select(fuid, "__fv", *fcols)
     else:
         fk = fr2.select(fuid, F.col(foreign_f).alias("__fv"), *fcols)
