@@ -873,6 +873,22 @@ def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
     # ---- type conversion
     if op == "$toString":
         return c(arg).cast("string")
+    if op == "$toObjectId":
+        # ObjectIds are 24-hex strings in this engine (new_object_id):
+        # normalize case; a malformed non-null input errors like Mongo
+        s = c(arg).cast("string")
+        valid = s.rlike("^[0-9a-fA-F]{24}$")
+        return (
+            F.when(s.isNull(), F.lit(None).cast("string"))
+            .when(valid, F.lower(s))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("$toObjectId: invalid ObjectId string: "), s
+                    )
+                ).cast("string")
+            )
+        )
     if op == "$toInt":
         return c(arg).cast("int")
     if op == "$toLong":

@@ -258,3 +258,25 @@ def test_sample_rate_match(engine):
     assert 0 < n_half < n_all
     assert len(orders.find({"$sampleRate": 0.0}).all()) == 0
     assert len(orders.find({"$sampleRate": 1.0}).all()) == n_all
+
+
+def test_to_object_id(spark):
+    from pyspark.sql import functions as F
+
+    from anser_spark.functions.expressions import compile_expr
+
+    df = spark.createDataFrame(
+        [("507F1F77BCF86CD799439011",), (None,)], "s string"
+    )
+    out = df.select(
+        compile_expr({"$toObjectId": "$s"}, df.schema).alias("o")
+    ).collect()
+    assert out[0]["o"] == "507f1f77bcf86cd799439011"
+    assert out[1]["o"] is None
+    bad = spark.createDataFrame([("nope",)], "s string")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="invalid ObjectId"):
+        bad.select(
+            compile_expr({"$toObjectId": "$s"}, bad.schema).alias("o")
+        ).collect()
