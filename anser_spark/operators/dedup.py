@@ -357,7 +357,6 @@ def minhash_near_dup_pairs(
     # sides of the verification join — without persist the whole
     # shingle+minhash lineage recomputes 3× (measured ~3× wall clock).
     # MEMORY_AND_DISK: at cluster scale this spills instead of OOMing.
-    from pyspark.storagelevel import StorageLevel
 
     if method == "arrow":
         sigs = minhash_signature_arrow(df, id_col, text_col, k, num_hashes)
@@ -365,9 +364,13 @@ def minhash_near_dup_pairs(
     else:
         sigs = minhash_signature(df, text_col, k, num_hashes)
         sh_col = "__shingles"
+    # eager localCheckpoint: both the banding and the candidate
+    # verification read the signatures — computed once, stored once,
+    # and the blocks are reclaimed with the result (a bare persist
+    # pinned the cache for the session; r6 advisor-pattern sweep)
     sigs = sigs.select(
         F.col(id_col), F.col(sh_col), F.col("__minhash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     banded = banded_signatures(sigs, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -427,11 +430,10 @@ def near_dups_against_sigs(
     Returns (new_id, old_id, jaccard ≥ threshold).  Batch-internal
     duplicates are out of scope — run :func:`minhash_near_dup_pairs`
     on the batch for those."""
-    from pyspark.storagelevel import StorageLevel
 
     sigs_new = (
         minhash_signature_arrow(new_df, id_col, text_col, k, num_hashes, seed)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)  # dual-read; reclaimed with result
     )
     banded_new = banded_signatures(sigs_new, id_col, num_hashes, bands)
     cand = (
@@ -620,7 +622,6 @@ def ngram_jaccard_pairs(
     # formulation: 125s vs ~2s for this plan). Hot-shingle postings are
     # the residual skew caveat (AQE skew-join splits them; PPJoin-style
     # prefix filtering is the known further prune).
-    from pyspark.storagelevel import StorageLevel
 
     # Arrow-batched shingling (round-3 bake-off: the JVM transform/
     # slice/array_distinct shingle expression was the dominant cost of
@@ -632,7 +633,7 @@ def ngram_jaccard_pairs(
     # cross Arrow, no JVM explode)
     ex = shingle_postings_arrow(
         proj, id_col, text_col, k, carry=["__blk"], n_out="__n"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)  # dual-read; reclaimed with result
     a = ex.alias("a")
     b = ex.alias("b")
     common = (

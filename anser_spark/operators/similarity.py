@@ -158,7 +158,6 @@ def lsh_bucket_candidates(
             F.col(id_col), _signature_col(F.col(vec_col), planes).alias("__sig")
         )
     mask = (1 << rows) - 1
-    from pyspark.storagelevel import StorageLevel
 
     banded = (
         sig.select(
@@ -178,9 +177,11 @@ def lsh_bucket_candidates(
             ).alias("bk"),
         )
         .select(id_col, "bk.band", "bk.bval")
-        # both sides of the self-join read this — persist or the 64 dot
-        # products per vector compute twice (spills to disk at scale)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # both sides of the self-join read this — eager localCheckpoint
+        # computes the 64 dot products per vector once, stores the
+        # result (spillable), and releases it with the frame instead of
+        # pinning the cache for the session
+        .localCheckpoint(eager=True)
     )
     a = banded.alias("a")
     b = banded.alias("b")

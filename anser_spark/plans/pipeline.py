@@ -2236,13 +2236,18 @@ def _graph_lookup(
     df: DataFrame, arg: Mapping[str, Any], resolve: Callable[[str], DataFrame]
 ) -> DataFrame:
     """$graphLookup: bounded-depth BFS as iterative equi-joins (one Spark
-    join per level, frontier deduped and persisted; default maxDepth 10
-    — Mongo's unbounded recursion needs an explicit bound in a batch
-    engine). depthField and restrictSearchWithMatch supported (the
-    restriction filters traversed docs at every step, pushed to the
-    foreign scan once)."""
-    from pyspark.storagelevel import StorageLevel
+    join per level, frontier deduped; default maxDepth 10 — Mongo's
+    unbounded recursion needs an explicit bound in a batch engine).
+    depthField and restrictSearchWithMatch supported (the restriction
+    filters traversed docs at every step, pushed to the foreign scan
+    once).
 
+    Iteration state is eager-localCheckpoint-ed, not persisted: source
+    row ids (monotonically_increasing_id) and each BFS level are
+    computed exactly once, lineage is truncated (no recompute blow-up
+    across levels), and the ContextCleaner reclaims the blocks when the
+    result frame is released — the session-lifetime persist pin the
+    advisor flagged on the array-field lookup applied here too."""
     foreign = resolve(arg["from"])
     restrict = arg.get("restrictSearchWithMatch")
     if restrict:
@@ -2253,10 +2258,9 @@ def _graph_lookup(
     depth_field = arg.get("depthField")
     max_depth = int(arg.get("maxDepth", 10))
 
-    src = df.withColumn("__rid", F.monotonically_increasing_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
+    src = df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True  # pins the ids; see docstring
     )
-    src.count()  # pin the ids
     frontier = src.select(
         "__rid", compile_expr(arg["startWith"], src.schema).alias("__val")
     )
@@ -2278,11 +2282,12 @@ def _graph_lookup(
                 on=[hits["__rid"] == F.col("__arid"), hits["__key"] == F.col("__akey")],
                 how="left_anti",
             )
-        hits = hits.persist(StorageLevel.MEMORY_AND_DISK)
-        if hits.count() == 0:
+        hits = hits.localCheckpoint(eager=True)  # level stored once
+        if hits.isEmpty():
             break
+        # acc is a union of checkpointed levels: cheap lineage, no
+        # re-persist per level, nothing pinned past the result's life
         acc = hits if acc is None else acc.unionByName(hits)
-        acc = acc.persist(StorageLevel.MEMORY_AND_DISK)
         if isinstance(hits.schema[connect_from].dataType, T.ArrayType):
             next_vals = hits.select("__rid", F.explode(connect_from).alias("__val"))
         else:
@@ -2681,7 +2686,6 @@ def _exp_moving_avg_chunked(
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as _T
-    from pyspark.storagelevel import StorageLevel
 
     if out_name in df.columns:
         df = df.drop(out_name)
@@ -2695,11 +2699,15 @@ def _exp_moving_avg_chunked(
         for i, (_f, d) in enumerate(sort_fields)
     ]
     n_chunks = max(2, work.sparkSession.sparkContext.defaultParallelism)
+    # eager localCheckpoint, not persist: the chunk ids must be
+    # computed exactly once (both downstream passes read them), and the
+    # blocks are reclaimed when the result is released instead of
+    # pinning the cache for the session
     chunked = (
         work.repartitionByRange(n_chunks, *scols)
         .sortWithinPartitions(*scols)
         .withColumn("__ema_chunk", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     beta = 1.0 - alpha
 
