@@ -1937,6 +1937,37 @@ class Collection:
                     stage = {op: arg}
                 elif op == "$facet" and isinstance(arg, Mapping):
                     stage = {op: {k: walk(v) for k, v in arg.items()}}
+                elif (
+                    op == "$unionWith"
+                    and isinstance(arg, Mapping)
+                    and arg.get("pipeline")
+                ):
+                    # the sub-pipeline runs against the OTHER collection
+                    # — its named indexes resolve there, not here
+                    target = self.engine.db(self.db_name).collection(
+                        str(arg["coll"])
+                    )
+                    stage = {op: {
+                        **arg,
+                        "pipeline": target._resolve_search_indexes(
+                            arg["pipeline"]
+                        ),
+                    }}
+                elif (
+                    op == "$lookup"
+                    and isinstance(arg, Mapping)
+                    and arg.get("pipeline")
+                    and isinstance(arg.get("from"), str)
+                ):
+                    target = self.engine.db(self.db_name).collection(
+                        str(arg["from"])
+                    )
+                    stage = {op: {
+                        **arg,
+                        "pipeline": target._resolve_search_indexes(
+                            arg["pipeline"]
+                        ),
+                    }}
                 out.append(stage)
             return out
 

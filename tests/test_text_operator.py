@@ -170,3 +170,26 @@ def test_text_residual_filter_pushes_down(spark, tmp_path):
     df = c.find({"$text": {"$search": "spark"}, "lang": "en"}).to_df()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:200]
+
+
+def test_named_index_resolves_in_union_with_subpipeline(spark, tmp_path):
+    # $search {index: "<name>"} inside a $unionWith sub-pipeline must
+    # resolve against the UNION'd collection's indexes
+    eng = Engine(spark, workdir=str(tmp_path / "uw"))
+    a = eng.db("t").collection("a")
+    a.insert_many([{"_id": "a1", "text": "alpha words here maybe"}])
+    b = eng.db("t").collection("b")
+    b.insert_many(
+        [{"_id": f"b{i}", "text": t} for i, t in enumerate(
+            ["spark is here", "nothing else", "spark again today ok"])]
+    )
+    b.create_search_index("bidx", {"kind": "bm25", "path": "text"})
+    rows = a.pipe([
+        {"$unionWith": {"coll": "b", "pipeline": [
+            {"$search": {"index": "bidx",
+                         "text": {"query": "spark", "path": "text"}}},
+            {"$project": {"_id": 1, "text": 1}},
+        ]}},
+    ]).all()
+    got = sorted(r["_id"] for r in rows)
+    assert got == ["a1", "b0", "b2"]
