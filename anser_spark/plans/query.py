@@ -15,6 +15,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from anser_spark.functions.filters import compile_filter, extract_text_spec, resolve_field
 from anser_spark.functions.sort import parse_sort_keys
@@ -283,24 +284,96 @@ class Query:
         return explain_doc(self.to_df(), ns, verbosity)
 
 
+def _proj_op_col(df: DataFrame, name: str, spec: Mapping[str, Any]) -> Column:
+    """Mongo projection OPERATORS on an array field: ``$slice`` (first/
+    last n, or [skip, limit] incl. negative skip-from-end) and
+    ``$elemMatch`` (array of just the FIRST element matching a query
+    doc, null when none — Mongo omits the field)."""
+    from anser_spark.functions.filters import _element_predicate, field_type
+
+    col = resolve_field(name)
+    if "$slice" in spec:
+        arg = spec["$slice"]
+        sz = F.size(col)
+        if isinstance(arg, (list, tuple)):
+            skip, limit = int(arg[0]), int(arg[1])
+            if limit <= 0:
+                raise ValueError("$slice limit must be positive")
+            start = (
+                F.lit(skip + 1) if skip >= 0
+                else F.greatest(F.lit(1), sz + F.lit(skip + 1))
+            )
+            return F.slice(col, start, F.lit(limit)).alias(name)
+        n = int(arg)
+        if n >= 0:
+            return F.slice(col, 1, n).alias(name)
+        start = F.greatest(F.lit(1), sz + F.lit(n + 1))
+        return F.slice(col, start, F.lit(-n)).alias(name)
+    cond = spec["$elemMatch"]
+    dt = field_type(df.schema, name)
+    elem_dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+    matched = F.filter(
+        col,
+        lambda e: F.coalesce(
+            _element_predicate(e, cond, elem_dt), F.lit(False)
+        ),
+    )
+    return F.when(F.size(matched) > 0, F.slice(matched, 1, 1)).alias(name)
+
+
 def _apply_projection(df: DataFrame, projection: Mapping[str, Any]) -> DataFrame:
-    incl = {k: v for k, v in projection.items() if v not in (0, False)}
-    excl = {k for k, v in projection.items() if v in (0, False)}
+    ops: dict[str, Mapping[str, Any]] = {}
+    metas: dict[str, Mapping[str, Any]] = {}
+    incl: dict[str, Any] = {}
+    excl: set[str] = set()
+    for k, v in projection.items():
+        if k.endswith(".$"):
+            raise ValueError(
+                "the positional '.$' projection is not supported — use "
+                "{field: {'$elemMatch': ...}} instead"
+            )
+        if isinstance(v, Mapping):
+            if v.get("$meta") == "textScore":
+                metas[k] = v
+            elif "$slice" in v or "$elemMatch" in v:
+                ops[k] = v
+            else:
+                raise ValueError(f"unsupported projection spec for {k!r}: {v!r}")
+        elif v in (0, False):
+            excl.add(k)
+        else:
+            incl[k] = v
     if incl and excl - {"_id"}:
         raise ValueError("cannot mix inclusion and exclusion projections (except _id)")
-    if incl:
-        names = list(incl)
+
+    def _plain(name: str) -> Column:
+        if "." in name:
+            return resolve_field(name).alias(name.replace(".", "_"))
+        return F.col(name)
+
+    # Mongo quirk: $slice WITHOUT any plain inclusion keeps ALL other
+    # fields (minus exclusions); $elemMatch and plain inclusions use
+    # ordinary inclusion semantics
+    elem_ops = {k for k, v in ops.items() if "$elemMatch" in v}
+    if incl or metas or elem_ops:
+        names = list(dict.fromkeys([*incl, *metas, *ops]))
         if "_id" in df.columns and "_id" not in excl and "_id" not in names:
             names.insert(0, "_id")
         cols: list[Column] = []
         for name in names:
-            meta = incl.get(name)
-            if isinstance(meta, Mapping) and meta.get("$meta") == "textScore":
+            if name in metas:
                 cols.append(F.col("__textScore").alias(name))
-            elif "." in name:
-                cols.append(resolve_field(name).alias(name.replace(".", "_")))
+            elif name in ops:
+                cols.append(_proj_op_col(df, name, ops[name]))
             else:
-                cols.append(F.col(name))
+                cols.append(_plain(name))
+        return df.select(*cols)
+    if ops:  # $slice-only: every column, sliced fields replaced
+        cols = [
+            _proj_op_col(df, c, ops[c]) if c in ops else F.col(c)
+            for c in df.columns
+            if c not in excl
+        ]
         return df.select(*cols)
     if excl:
         return df.drop(*[c for c in excl if c in df.columns])

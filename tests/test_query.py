@@ -104,3 +104,37 @@ def test_collation_simple_ok_others_raise(doc_collection):
     assert q.count() == 6
     with _pytest.raises(ValueError, match="unsupported collation"):
         doc_collection.find({}).collation({"locale": "en", "strength": 2})
+
+
+def test_projection_slice_and_elem_match(doc_collection):
+    # $slice first-n / last-n / [skip, limit]; Mongo quirk: $slice alone
+    # keeps every other field
+    row = doc_collection.find({"_id": "a5"}).select({"tags": {"$slice": 2}}).one()
+    assert row["tags"] == ["blue", "green"]
+    assert "status" in row  # slice-only keeps other fields
+    row = doc_collection.find({"_id": "a5"}).select({"tags": {"$slice": -1}}).one()
+    assert row["tags"] == ["red"]
+    row = doc_collection.find({"_id": "a5"}).select(
+        {"tags": {"$slice": [1, 1]}, "_id": 1}
+    ).one()
+    assert row["tags"] == ["green"]
+    row = doc_collection.find({"_id": "a5"}).select(
+        {"tags": {"$slice": [-2, 1]}}
+    ).one()
+    assert row["tags"] == ["green"]
+    # $elemMatch: first matching element only, inclusion semantics
+    row = doc_collection.find({"_id": "a6"}).select(
+        {"scores": {"$elemMatch": {"$lt": 0.5}}}
+    ).one()
+    assert row["scores"] == [0.01]
+    assert "status" not in row  # elemMatch is inclusion-style
+    row = doc_collection.find({"_id": "a1"}).select(
+        {"scores": {"$elemMatch": {"$gt": 5.0}}}
+    ).one()
+    assert row["scores"] is None  # no match -> null (Mongo omits)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positional"):
+        doc_collection.find({}).select({"tags.$": 1}).all()
+    with _pytest.raises(ValueError, match="unsupported projection"):
+        doc_collection.find({}).select({"tags": {"$nope": 1}}).all()
