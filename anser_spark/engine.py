@@ -2429,6 +2429,51 @@ class Collection:
     def delete_many(self, query: Mapping[str, Any] | None) -> ChangeInfo:
         return self.remove_all(query)
 
+    def find_one_and_update(
+        self,
+        query: Mapping[str, Any] | None,
+        update: Any,
+        sort: Sequence[str] | None = None,
+        upsert: bool = False,
+        return_document: str = "before",
+    ) -> dict[str, Any] | None:
+        """PyMongo's findOneAndUpdate: pre-image by default
+        (``return_document="after"`` for the post-image); None when
+        nothing matched and no upsert."""
+        try:
+            return self.find_and_modify(
+                query=query, sort=sort, update=update, upsert=upsert,
+                return_new=return_document == "after",
+            )
+        except NotFoundError:
+            return None
+
+    def find_one_and_replace(
+        self,
+        query: Mapping[str, Any] | None,
+        replacement: Mapping[str, Any],
+        sort: Sequence[str] | None = None,
+        upsert: bool = False,
+        return_document: str = "before",
+    ) -> dict[str, Any] | None:
+        if any(str(k).startswith("$") for k in replacement):
+            raise ValueError("replacement document must not contain $-operators")
+        return self.find_one_and_update(
+            query, replacement, sort=sort, upsert=upsert,
+            return_document=return_document,
+        )
+
+    def find_one_and_delete(
+        self,
+        query: Mapping[str, Any] | None,
+        sort: Sequence[str] | None = None,
+    ) -> dict[str, Any] | None:
+        """PyMongo's findOneAndDelete: the removed document, or None."""
+        try:
+            return self.find_and_modify(query=query, sort=sort, remove=True)
+        except NotFoundError:
+            return None
+
     # -- misc ----------------------------------------------------------
     def write_manifest(self) -> str:
         """Schema + layout manifest (the 'index metadata' analogue used

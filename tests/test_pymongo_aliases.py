@@ -58,3 +58,29 @@ def test_delete_semantics(coll):
     assert coll.delete_one({"tag": "zz"}).removed == 0
     assert coll.delete_many({}).removed == 2
     assert coll.count_documents({}) == 0
+
+
+def test_find_one_and_family(doc_collection):
+    # findOneAndUpdate: pre-image default, post-image on request,
+    # None on no match; findOneAndDelete returns the removed doc
+    pre = doc_collection.find_one_and_update(
+        {"status": "failed"}, {"$inc": {"version": 1}}, sort=["-priority"]
+    )
+    assert pre["_id"] == "a6" and pre["version"] == 5
+    post = doc_collection.find_one_and_update(
+        {"_id": "a6"}, {"$inc": {"version": 1}}, return_document="after"
+    )
+    assert post["version"] == 7
+    assert doc_collection.find_one_and_update({"status": "nope"}, {"$set": {"v": 1}}) is None
+    gone = doc_collection.find_one_and_delete({"_id": "a3"})
+    assert gone["_id"] == "a3"
+    assert doc_collection.find_one({"_id": "a3"}) is None
+    assert doc_collection.find_one_and_delete({"_id": "zz"}) is None
+    rep = doc_collection.find_one_and_replace(
+        {"_id": "a2"}, {"status": "swapped"}, return_document="after"
+    )
+    assert rep["status"] == "swapped" and rep["_id"] == "a2"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="replacement"):
+        doc_collection.find_one_and_replace({"_id": "a1"}, {"$set": {"x": 1}})
