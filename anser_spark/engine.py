@@ -1728,6 +1728,31 @@ class Collection:
             if f.endswith(".json") and not f.startswith(".")
         )
 
+    def _query_pred(self, df: DataFrame, query: Mapping[str, Any] | None):
+        """Mutation-targeting predicate: compile_filter plus the legacy
+        top-level ``$text`` clause Mongo also allows in update/delete
+        filters (scored match only — no textScore surface on
+        mutations)."""
+        from anser_spark.functions.filters import extract_text_spec
+        from anser_spark.operators.ranking import text_match
+
+        spec, residual = extract_text_spec(query)
+        if spec is None:
+            return compile_filter(query, df.schema)
+        text_col, stats_loader = self._text_index_info(df)
+        if text_col is None:
+            if "text" not in df.columns:
+                raise ValueError(
+                    "$text needs a bm25 search index or a column named "
+                    "'text' on the collection"
+                )
+            text_col = "text"
+        pred, _score = text_match(df, spec, text_col, stats_loader)
+        pred = F.coalesce(pred, F.lit(False))
+        if residual:
+            pred = pred & compile_filter(residual, df.schema)
+        return pred
+
     def _text_index_info(self, df: DataFrame):
         """(text column, stats loader) for the legacy ``$text`` find
         operator, from the first FRESH bm25 search index on this
@@ -2140,7 +2165,7 @@ class Collection:
         if self.is_view():
             raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
-        pred = compile_filter(query, df.schema)
+        pred = self._query_pred(df, query)
         hit = self._first_match_pred(df, pred)
         if hit is None:
             raise NotFoundError(f"no document matches {query!r}")
@@ -2168,7 +2193,7 @@ class Collection:
         if self.is_view():
             raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
-        pred = compile_filter(query, df.schema)
+        pred = self._query_pred(df, query)
 
         def _full_match_drops(n_matched: int) -> list[str]:
             # $unset/$rename null the source column on a partial match
@@ -2235,7 +2260,7 @@ class Collection:
             self.insert(doc)
             return ChangeInfo(updated=1, upserted_id=doc.get("_id"))
         df = self.df()
-        pred = compile_filter(query, df.schema)
+        pred = self._query_pred(df, query)
         hit = self._first_match_pred(df, pred)
         if hit is not None:
             key, value, files = hit
@@ -2258,7 +2283,7 @@ class Collection:
         if self.is_view():
             raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
-        pred = compile_filter(query, df.schema)
+        pred = self._query_pred(df, query)
         hit = self._first_match_pred(df, pred)
         if hit is None:
             raise NotFoundError(f"no document matches {query!r}")
@@ -2275,7 +2300,7 @@ class Collection:
         if self.is_view():
             raise TypeError(f"{self.namespace} is a view — views are read-only")
         df = self.df()
-        pred = compile_filter(query, df.schema)
+        pred = self._query_pred(df, query)
         if self._pred_nondeterministic(pred):
             # one materialized draw — count and survivors agree exactly
             snap = df.withColumn(
@@ -2317,7 +2342,7 @@ class Collection:
         if not remove and update is None:
             raise ValueError("must specify update or remove")
         df = self.df()
-        pred = compile_filter(query, df.schema)
+        pred = self._query_pred(df, query)
         order = parse_sort_keys(sort) or [self._order_key(df)]
         try:
             # capture the victim's file in the same job — the COW below

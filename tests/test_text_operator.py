@@ -193,3 +193,17 @@ def test_named_index_resolves_in_union_with_subpipeline(spark, tmp_path):
     ]).all()
     got = sorted(r["_id"] for r in rows)
     assert got == ["a1", "b0", "b2"]
+
+
+def test_text_in_mutation_filters(coll):
+    # Mongo accepts $text in update/delete targeting too
+    info = coll.update_all(
+        {"$text": {"$search": "spark -mongo"}}, {"$set": {"lang": "hit"}}
+    )
+    assert info.updated == 2
+    assert sorted(
+        r["_id"] for r in coll.find({"lang": "hit"}).all()
+    ) == ["d1", "d4"]
+    info = coll.remove_all({"$text": {"$search": "mongo"}})
+    assert info.removed == 2
+    assert coll.find({}).count() == 4
