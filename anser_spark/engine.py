@@ -2595,7 +2595,7 @@ class Bulk:
                     raise NotFoundError(f"collection does not exist: {coll.namespace}")
                 if kind in ("update", "upsert"):
                     sel, upd = payload
-                    pred = compile_filter(sel, df.schema)
+                    pred = coll._query_pred(df, sel)
                     hit = df.where(pred).orderBy(coll._order_key(df)).limit(1).collect()
                     if hit:
                         key = coll._order_key(df)
@@ -2607,13 +2607,13 @@ class Bulk:
                         inserts.append(coll._upsert_doc(sel, upd))
                 elif kind == "update_all":
                     sel, upd = payload
-                    pred = compile_filter(sel, df.schema)
+                    pred = coll._query_pred(df, sel)
                     n = df.where(pred).count()
                     df = apply_update(df, pred, upd, df.schema)
                     result.matched += n
                     result.modified += n
                 elif kind == "remove":
-                    pred = compile_filter(payload, df.schema)
+                    pred = coll._query_pred(df, payload)
                     hit = df.where(pred).orderBy(coll._order_key(df)).limit(1).collect()
                     if hit:
                         key = coll._order_key(df)
@@ -2621,7 +2621,7 @@ class Bulk:
                         df = df.where(~key.eqNullSafe(F.lit(value)))
                         result.matched += 1
                 elif kind == "remove_all":
-                    pred = compile_filter(payload, df.schema)
+                    pred = coll._query_pred(df, payload)
                     result.matched += df.where(pred).count()
                     df = df.where(~F.coalesce(pred, F.lit(False)))
             return df

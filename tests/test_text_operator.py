@@ -207,3 +207,15 @@ def test_text_in_mutation_filters(coll):
     info = coll.remove_all({"$text": {"$search": "mongo"}})
     assert info.removed == 2
     assert coll.find({}).count() == 4
+
+
+def test_text_in_bulk_selectors(coll):
+    res = (
+        coll.bulk()
+        .update_all({"$text": {"$search": "spark"}}, {"$set": {"lang": "s"}})
+        .remove_all({"$text": {"$search": "relevant"}})
+        .run()
+    )
+    assert res.matched == 4  # 3 spark docs updated + 1 removed
+    assert coll.find({"lang": "s"}).count() == 3
+    assert coll.find({"_id": "d5"}).count() == 0
