@@ -486,6 +486,11 @@ def apply_update(
     """Apply an update document, update pipeline, or replacement
     document to rows matching ``pred``."""
     if is_pipeline_update(update):
+        if array_filters:
+            raise UpdateCompileError(
+                "arrayFilters cannot be used with an aggregation-pipeline "
+                "update (Mongo restriction)"
+            )
         return apply_pipeline_update(df, pred, update, id_field)
     if has_dollar_key(update):
         plan = compile_update(update, schema or df.schema, array_filters)

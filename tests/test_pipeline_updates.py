@@ -173,3 +173,11 @@ def test_pymongo_aliases_accept_pipeline_updates(doc_collection):
     assert ci2.updated == 1
     made = doc_collection.find({"status": "made"}).all()
     assert len(made) == 1
+
+
+def test_pipeline_update_rejects_array_filters(doc_collection):
+    with pytest.raises(UpdateCompileError, match="arrayFilters"):
+        doc_collection.update_all(
+            {}, [{"$set": {"v": 1}}],
+            array_filters=[{"e": {"$lt": 0.5}}],
+        )
