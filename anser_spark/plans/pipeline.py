@@ -797,8 +797,16 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
 _SEARCH_OPERATORS = (
     "text", "phrase", "compound", "equals", "range", "exists", "in",
-    "wildcard", "autocomplete", "moreLikeThis",
+    "wildcard", "autocomplete", "moreLikeThis", "regex", "near",
 )
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except (TypeError, ValueError):
+        return False
 
 
 def _search_score_option(spec: Mapping[str, Any], score: Column) -> Column:
@@ -931,6 +939,44 @@ def _compile_search_op(  # noqa: C901
         )
         pred = resolve_field(str(spec["path"])).cast("string").rlike(f"^{pat}$")
         return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "regex":
+        # Atlas regex operator: full-string match (Lucene anchors the
+        # pattern); Java regex syntax here — a documented divergence
+        # from Lucene's (no \d classes in Lucene, etc.)
+        pred = (
+            resolve_field(str(spec["path"]))
+            .cast("string")
+            .rlike(f"^(?:{spec['query']})$")
+        )
+        return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "near":
+        # Atlas near: proximity scoring around origin with pivot —
+        # score = pivot / (pivot + |value - origin|) ∈ (0, 1], matching
+        # every doc with a non-null path. origin may be numeric, a
+        # date (ISO string or datetime → millisecond distance), or a
+        # GeoJSON point / [lon, lat] (meter distance via haversine).
+        import datetime as _dt
+
+        origin = spec["origin"]
+        pivot = float(spec["pivot"])
+        field = resolve_field(str(spec["path"]))
+        if isinstance(origin, Mapping) and "coordinates" in origin:
+            origin = origin["coordinates"]
+        if isinstance(origin, (list, tuple)):
+            lon0, lat0 = float(origin[0]), float(origin[1])
+            dist = _haversine_m(field, lon0, lat0)
+        elif isinstance(origin, _dt.datetime) or (
+            isinstance(origin, str) and not _is_number(origin)
+        ):
+            origin_ts = F.lit(origin).cast("timestamp")
+            dist = F.abs(
+                F.unix_millis(field.cast("timestamp"))
+                - F.unix_millis(origin_ts)
+            ).cast("double")
+        else:
+            dist = F.abs(field.cast("double") - F.lit(float(origin)))
+        score = F.lit(pivot) / (F.lit(pivot) + dist)
+        return field.isNotNull(), _search_score_option(spec, score)
     if op == "autocomplete":
         # Atlas autocomplete = edge-gram prefix matching: every query
         # term must be a PREFIX of some token in the path;

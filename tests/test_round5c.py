@@ -803,3 +803,51 @@ def test_new_expression_ops(doc_collection):
     assert abs(out["sds"] - math.sqrt(5.0 / 3.0)) < 1e-12
     assert out["sds1"] is None  # samp needs n>=2, as Mongo
     assert out["bs"] > 10  # json rendering of the meta struct
+
+
+def test_search_regex_and_near(spark, tmp_path):
+    import datetime
+
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "srn"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "a", "text": "alpha-42", "n": 10.0,
+         "ts": datetime.datetime(2026, 1, 1), "loc": [0.0, 0.0]},
+        {"_id": "b", "text": "beta-7", "n": 13.0,
+         "ts": datetime.datetime(2026, 1, 2), "loc": [1.0, 0.0]},
+        {"_id": "c", "text": "gamma", "n": None,
+         "ts": datetime.datetime(2026, 1, 9), "loc": [10.0, 10.0]},
+    ])
+    rows = c.pipe([
+        {"$search": {"regex": {"path": "text", "query": r"[a-z]+-\d+"}}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert sorted(r["_id"] for r in rows) == ["a", "b"]
+    # numeric near: score = pivot/(pivot+|n-origin|), nearest first
+    rows = c.pipe([
+        {"$search": {"near": {"path": "n", "origin": 12, "pivot": 2}}},
+        {"$project": {"_id": 1, "s": {"$meta": "searchScore"}}},
+    ]).all()
+    assert [r["_id"] for r in rows] == ["b", "a"]
+    assert rows[0]["s"] == pytest.approx(2 / 3)
+    assert rows[1]["s"] == pytest.approx(0.5)
+    # date near: millisecond distance
+    rows = c.pipe([
+        {"$search": {"near": {
+            "path": "ts", "origin": datetime.datetime(2026, 1, 2),
+            "pivot": 86_400_000}}},
+        {"$project": {"_id": 1}},
+        {"$limit": 1},
+    ]).all()
+    assert rows[0]["_id"] == "b"
+    # geo near: [lon, lat] haversine meters
+    rows = c.pipe([
+        {"$search": {"near": {
+            "path": "loc", "origin": [0.5, 0.0], "pivot": 100_000}}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert [r["_id"] for r in rows][:2] == ["a", "b"] or \
+           [r["_id"] for r in rows][:2] == ["b", "a"]
+    assert [r["_id"] for r in rows][2] == "c"
