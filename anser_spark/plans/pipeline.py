@@ -798,6 +798,7 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 _SEARCH_OPERATORS = (
     "text", "phrase", "compound", "equals", "range", "exists", "in",
     "wildcard", "autocomplete", "moreLikeThis", "regex", "near",
+    "embeddedDocument",
 )
 
 
@@ -939,6 +940,97 @@ def _compile_search_op(  # noqa: C901
         )
         pred = resolve_field(str(spec["path"])).cast("string").rlike(f"^{pat}$")
         return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "embeddedDocument":
+        # Atlas embeddedDocument: the sub-operator applies PER ELEMENT
+        # of an array<struct> path; a document matches when any element
+        # matches. Sub-operator paths are prefixed with the embedded
+        # path ("items.qty" inside path "items"). Supported element
+        # operators: equals, range, exists, in, wildcard, regex, text
+        # (any-term containment). Score = number of matching elements
+        # (Atlas sums per-element scores; structured clauses score 1
+        # each — documented divergence for BM25-scored text clauses).
+        import re as _re2
+
+        epath = str(spec["path"])
+        (sub_op, sub_spec), = spec["operator"].items()
+
+        def _field_of(e: Column) -> Column:
+            sp = str(sub_spec["path"])
+            if sp == epath:
+                return e
+            if not sp.startswith(epath + "."):
+                raise PipelineCompileError(
+                    f"embeddedDocument sub-operator path {sp!r} must be "
+                    f"prefixed with the embedded path {epath!r}"
+                )
+            col = e
+            for part in sp[len(epath) + 1 :].split("."):
+                col = col.getItem(part)
+            return col
+
+        def elem_pred(e: Column) -> Column:
+            if sub_op == "equals":
+                return _field_of(e) == F.lit(sub_spec["value"])
+            if sub_op == "range":
+                fld = _field_of(e)
+                parts = []
+                for bound, cmp in (
+                    ("gt", fld.__gt__), ("gte", fld.__ge__),
+                    ("lt", fld.__lt__), ("lte", fld.__le__),
+                ):
+                    if bound in sub_spec:
+                        parts.append(cmp(F.lit(sub_spec[bound])))
+                if not parts:
+                    raise PipelineCompileError(
+                        "embeddedDocument range needs gt/gte/lt/lte"
+                    )
+                pred = parts[0]
+                for p in parts[1:]:
+                    pred = pred & p
+                return pred
+            if sub_op == "exists":
+                return _field_of(e).isNotNull()
+            if sub_op == "in":
+                return _field_of(e).isin(list(sub_spec["value"]))
+            if sub_op == "wildcard":
+                pat = "".join(
+                    ".*" if ch == "*" else "." if ch == "?" else _re2.escape(ch)
+                    for ch in str(sub_spec["query"])
+                )
+                return _field_of(e).cast("string").rlike(f"^{pat}$")
+            if sub_op == "regex":
+                return (
+                    _field_of(e)
+                    .cast("string")
+                    .rlike(f"^(?:{sub_spec['query']})$")
+                )
+            if sub_op == "text":
+                terms = [
+                    w for w in str(sub_spec["query"]).lower().split() if w
+                ]
+                toks = F.filter(
+                    F.split(F.lower(F.trim(_field_of(e).cast("string"))), r"\s+"),
+                    lambda t: t != "",
+                )
+                pred = None
+                for t in terms:
+                    h = F.exists(toks, lambda w: w == F.lit(t))
+                    pred = h if pred is None else pred | h
+                if pred is None:
+                    raise PipelineCompileError(
+                        "embeddedDocument text.query must contain a term"
+                    )
+                return pred
+            raise PipelineCompileError(
+                f"unsupported embeddedDocument sub-operator: {sub_op!r}"
+            )
+
+        arr = resolve_field(epath)
+        n_match = F.size(
+            F.filter(arr, lambda e: F.coalesce(elem_pred(e), F.lit(False)))
+        )
+        pred = F.coalesce(n_match > 0, F.lit(False))
+        return pred, _search_score_option(spec, n_match.cast("double"))
     if op == "regex":
         # Atlas regex operator: full-string match (Lucene anchors the
         # pattern); Java regex syntax here — a documented divergence

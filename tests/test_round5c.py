@@ -851,3 +851,32 @@ def test_search_regex_and_near(spark, tmp_path):
     assert [r["_id"] for r in rows][:2] == ["a", "b"] or \
            [r["_id"] for r in rows][:2] == ["b", "a"]
     assert [r["_id"] for r in rows][2] == "c"
+
+
+def test_search_embedded_document(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "sed"))
+    c = eng.db("t").collection("orders")
+    c.insert_many([
+        {"_id": "o1", "items": [{"sku": "a", "qty": 2}, {"sku": "b", "qty": 9}]},
+        {"_id": "o2", "items": [{"sku": "c", "qty": 1}]},
+        {"_id": "o3", "items": []},
+    ])
+    rows = c.pipe([
+        {"$search": {"embeddedDocument": {
+            "path": "items",
+            "operator": {"range": {"path": "items.qty", "gte": 2}},
+        }}},
+        {"$project": {"_id": 1, "s": {"$meta": "searchScore"}}},
+    ]).all()
+    got = {r["_id"]: r["s"] for r in rows}
+    assert got == {"o1": 2.0}
+    rows = c.pipe([
+        {"$search": {"embeddedDocument": {
+            "path": "items",
+            "operator": {"in": {"path": "items.sku", "value": ["b", "c"]}},
+        }}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert sorted(r["_id"] for r in rows) == ["o1", "o2"]
