@@ -431,25 +431,28 @@ def _compile_stage(  # noqa: C901
         if sink is None:
             raise PipelineCompileError("$out requires a sink")
         name = arg if isinstance(arg, str) else arg["coll"]
-        sink(name, df, {"mode": "out"})
+        opts = {"mode": "out"}
+        if isinstance(arg, Mapping) and arg.get("db"):
+            opts["db"] = str(arg["db"])  # cross-db target (Mongo 4.4)
+        sink(name, df, opts)
         return df
 
     if op == "$merge":
         if sink is None:
             raise PipelineCompileError("$merge requires a sink")
         spec = {"into": arg} if isinstance(arg, str) else dict(arg)
-        name = spec["into"] if isinstance(spec["into"], str) else spec["into"]["coll"]
-        sink(
-            name,
-            df,
-            {
-                "mode": "merge",
-                "on": spec.get("on", "_id"),
-                "let": spec.get("let"),
-                "whenMatched": spec.get("whenMatched", "replace"),
-                "whenNotMatched": spec.get("whenNotMatched", "insert"),
-            },
-        )
+        into = spec["into"]
+        name = into if isinstance(into, str) else into["coll"]
+        opts = {
+            "mode": "merge",
+            "on": spec.get("on", "_id"),
+            "let": spec.get("let"),
+            "whenMatched": spec.get("whenMatched", "replace"),
+            "whenNotMatched": spec.get("whenNotMatched", "insert"),
+        }
+        if isinstance(into, Mapping) and into.get("db"):
+            opts["db"] = str(into["db"])  # cross-db target
+        sink(name, df, opts)
         return df
 
     raise PipelineCompileError(f"unsupported pipeline stage: {op}")
@@ -3259,8 +3262,11 @@ class Aggregation:
             whenMatched (replace | keepExisting | merge | fail) and
             whenNotMatched (insert | discard | fail) modes — one
             distributed plan, copy-on-write rewrite."""
-            target = db.collection(name)
             opts = dict(options or {})
+            target_db = (
+                coll.engine.db(opts["db"]) if opts.get("db") else db
+            )
+            target = target_db.collection(name)
             mode = opts.get("mode", "out")
             if mode == "out" or not target.exists():
                 target._rewrite(df)

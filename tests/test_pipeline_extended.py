@@ -295,3 +295,20 @@ def test_aggregate_options_let_and_friends(engine):
         let={"maxr": 9},
     ).all()
     assert out[0]["s"] == "$$maxr"
+
+
+def test_out_and_merge_cross_db(engine):
+    nation = engine.db("tpch").collection("nation")
+    nation.pipe([
+        {"$match": {"n_regionkey": 1}},
+        {"$project": {"n_nationkey": 1, "n_name": 1}},
+        {"$out": {"db": "otherdb", "coll": "n1"}},
+    ]).all()
+    out = engine.db("otherdb").collection("n1")
+    assert out.exists() and out.find({}).count() > 0
+    assert not engine.db("tpch").collection("n1").exists()
+    nation.pipe([
+        {"$group": {"_id": "$n_regionkey", "n": {"$sum": 1}}},
+        {"$merge": {"into": {"db": "otherdb", "coll": "sums"}}},
+    ]).all()
+    assert engine.db("otherdb").collection("sums").find({}).count() == 5
