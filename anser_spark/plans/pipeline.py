@@ -801,7 +801,7 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 _SEARCH_OPERATORS = (
     "text", "phrase", "compound", "equals", "range", "exists", "in",
     "wildcard", "autocomplete", "moreLikeThis", "regex", "near",
-    "embeddedDocument",
+    "embeddedDocument", "queryString",
 )
 
 
@@ -824,6 +824,106 @@ def _search_score_option(spec: Mapping[str, Any], score: Column) -> Column:
     if "constant" in opt:
         return F.lit(float(opt["constant"]["value"]))
     raise PipelineCompileError(f"unsupported $search score option: {opt!r}")
+
+
+def _parse_query_string(q: str) -> Any:
+    """Tokenize + parse the Lucene query-string subset:
+    ``field:value``, bare terms (default field), quoted phrases,
+    AND / OR / NOT (and ``-`` prefix), parentheses, ``*``/``?``
+    wildcards in values. Returns an AST of
+    ('or', [...]) / ('and', [...]) / ('not', node) /
+    ('term', field|None, value, is_phrase)."""
+    import re as _re
+
+    toks = _re.findall(
+        r'\(|\)|"[^"]*"|[^\s()]+',
+        q,
+    )
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def parse_or():
+        nonlocal pos
+        parts = [parse_and()]
+        while peek() == "OR":
+            pos += 1
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and():
+        nonlocal pos
+        parts = [parse_not()]
+        while True:
+            t = peek()
+            if t == "AND":
+                pos += 1
+                parts.append(parse_not())
+            elif t == "NOT":
+                # Lucene: "x NOT y" = x AND NOT y (prohibited clause)
+                pos += 1
+                parts.append(("not", parse_not()))
+            else:
+                break
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_not():
+        nonlocal pos
+        t = peek()
+        if t == "NOT":
+            pos += 1
+            return ("not", parse_not())
+        return parse_atom()
+
+    def parse_atom():
+        nonlocal pos
+        t = peek()
+        if t is None:
+            raise PipelineCompileError(f"queryString: unexpected end in {q!r}")
+        if t == "(":
+            pos += 1
+            node = parse_juxt()
+            if peek() != ")":
+                raise PipelineCompileError(f"queryString: missing ')' in {q!r}")
+            pos += 1
+            return node
+        pos += 1
+        if t.startswith("-") and len(t) > 1:
+            toks.insert(pos, t[1:])
+            return ("not", parse_atom())
+        field = None
+        val = t
+        if ":" in t and not t.startswith('"'):
+            field, val = t.split(":", 1)
+        is_phrase = val.startswith('"') and val.endswith('"')
+        if is_phrase:
+            val = val[1:-1]
+        return ("term", field, val, is_phrase)
+
+    def parse_juxt():
+        # bare juxtaposition = OR (Lucene's default operator), except
+        # prohibited clauses ("-term" / leading NOT) which are global
+        # must-nots over the juxtaposed group
+        nonlocal pos
+        parts = [parse_or()]
+        while peek() is not None and peek() != ")":
+            parts.append(parse_or())
+        pos_parts = [p for p in parts if not (isinstance(p, tuple) and p[0] == "not")]
+        neg_parts = [p for p in parts if isinstance(p, tuple) and p[0] == "not"]
+        if not neg_parts:
+            return parts[0] if len(parts) == 1 else ("or", parts)
+        out = None
+        if pos_parts:
+            out = pos_parts[0] if len(pos_parts) == 1 else ("or", pos_parts)
+        for n in neg_parts:
+            out = n if out is None else ("and", [out, n])
+        return out
+
+    node = parse_juxt()
+    if peek() is not None:
+        raise PipelineCompileError(f"queryString: trailing tokens in {q!r}")
+    return node
 
 
 def _compile_search_op(  # noqa: C901
@@ -942,6 +1042,51 @@ def _compile_search_op(  # noqa: C901
             for ch in str(spec["query"])
         )
         pred = resolve_field(str(spec["path"])).cast("string").rlike(f"^{pat}$")
+        return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "queryString":
+        # Lucene query-string subset compiled to one boolean Column:
+        # field:value terms tokenize-match (wildcards via */?), quoted
+        # phrases substring-match, AND/OR/NOT/parens compose;
+        # defaultPath fields bare terms. Constant score 1 (Atlas scores
+        # per-clause; documented divergence).
+        import re as _re3
+
+        default_path = str(spec["defaultPath"])
+        ast = _parse_query_string(str(spec["query"]))
+
+        def term_pred(field, val, is_phrase):
+            col = resolve_field(field or default_path).cast("string")
+            if is_phrase:
+                return F.lower(col).contains(F.lit(val.lower()))
+            if "*" in val or "?" in val:
+                pat = "".join(
+                    ".*" if ch == "*" else "." if ch == "?" else _re3.escape(ch)
+                    for ch in val.lower()
+                )
+                toks = F.filter(
+                    F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+                )
+                return F.exists(toks, lambda w: w.rlike(f"^{pat}$"))
+            toks = F.filter(
+                F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != ""
+            )
+            return F.exists(toks, lambda w: w == F.lit(val.lower()))
+
+        def compile_node(node) -> Column:
+            kind = node[0]
+            if kind == "term":
+                return F.coalesce(
+                    term_pred(node[1], node[2], node[3]), F.lit(False)
+                )
+            if kind == "not":
+                return ~compile_node(node[1])
+            parts = [compile_node(n) for n in node[1]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if kind == "and" else (out | p)
+            return out
+
+        pred = compile_node(ast)
         return pred, _search_score_option(spec, F.lit(1.0))
     if op == "embeddedDocument":
         # Atlas embeddedDocument: the sub-operator applies PER ELEMENT

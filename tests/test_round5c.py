@@ -880,3 +880,33 @@ def test_search_embedded_document(spark, tmp_path):
         {"$project": {"_id": 1}},
     ]).all()
     assert sorted(r["_id"] for r in rows) == ["o1", "o2"]
+
+
+def test_search_query_string(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "sqs"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "a", "text": "spark cluster engine", "lang": "en"},
+        {"_id": "b", "text": "mongo documents", "lang": "en"},
+        {"_id": "c", "text": "spark and mongo", "lang": "de"},
+        {"_id": "d", "text": None, "lang": "en"},
+    ])
+
+    def ids(query):
+        rows = c.pipe([
+            {"$search": {"queryString": {"defaultPath": "text", "query": query}}},
+            {"$project": {"_id": 1}},
+        ]).all()
+        return sorted(r["_id"] for r in rows)
+
+    assert ids("spark") == ["a", "c"]
+    assert ids("spark AND mongo") == ["c"]
+    assert ids("spark OR documents") == ["a", "b", "c"]
+    assert ids("spark NOT mongo") == ["a"]
+    assert ids("lang:de") == ["c"]
+    assert ids("(spark OR mongo) AND lang:en") == ["a", "b"]
+    assert ids('"spark cluster"') == ["a"]
+    assert ids("spar*") == ["a", "c"]
+    assert ids("-mongo spark") == ["a"]  # -term = global must_not
