@@ -623,17 +623,23 @@ def _acc_column_extended(op: str, arg: Any, schema) -> Column | None:
 _TOPN_OPS = ("$topN", "$bottomN", "$minN", "$maxN")
 
 
+_TOPN_SALT_BUCKETS = 64
+
+
 def _topn_prefilter(
     df: DataFrame, heavy: Mapping[str, Mapping[str, Any]], id_spec: Any
 ) -> tuple[DataFrame, dict[str, Column]]:
-    """Bounded-state $topN/$bottomN/$minN/$maxN: a row_number window
-    partitioned by the group keys marks each accumulator's candidate
-    rows and the aggregate collects only rn<=n — at most n array
-    elements per group instead of the whole group (the round-6 sf1
-    rehearsal measured the collect-whole-group form building 2M-element
-    agg buffers on 6M rows; at 100 TB that OOMs a reducer). The window
-    partitions by the same expressions as the groupBy, so the plan is
-    one exchange + per-group sort + bounded aggregate."""
+    """Bounded-state $topN/$bottomN/$minN/$maxN via a SALTED two-phase
+    window: phase 1 ranks within (group, salt) — salt =
+    pmod(spark_partition_id, 64), so parallelism is 64x the group
+    cardinality and no task ever sorts a whole group (the round-6 sf3
+    rehearsal showed the unsalted per-group window going super-linear
+    on 3-value group keys: three single-task sorts of 6M rows each) —
+    and the aggregate collects only each bucket's local top-n (≤ 64·n
+    candidates per group, a superset of the global top-n), then
+    sort_array + slice picks the exact answer. State stays O(64·n),
+    never O(group): the same OOM-proofing as the unsalted form, plus
+    scale-out on low-cardinality/skewed group keys."""
     from pyspark.sql import Window
 
     schema = df.schema
@@ -643,6 +649,7 @@ def _topn_prefilter(
         part = [compile_expr(v, schema) for v in id_spec.values()]
     else:
         part = [compile_expr(id_spec, schema)]
+    salt = F.pmod(F.spark_partition_id(), F.lit(_TOPN_SALT_BUCKETS))
     overrides: dict[str, Column] = {}
     for j, (name, spec) in enumerate(heavy.items()):
         op, arg = next(iter(spec.items()))
@@ -665,7 +672,9 @@ def _topn_prefilter(
             out_expr = compile_expr(arg["output"], schema)
             df = df.withColumn(
                 rn,
-                F.row_number().over(Window.partitionBy(*part).orderBy(*order)),
+                F.row_number().over(
+                    Window.partitionBy(*part, salt).orderBy(*order)
+                ),
             )
             kept = F.when(
                 F.col(rn) <= n,
@@ -678,17 +687,29 @@ def _topn_prefilter(
                 ),
             )
             arr = F.sort_array(F.collect_list(kept), asc=asc)
-            overrides[name] = F.transform(arr, lambda s: s.getField("__o"))
+            # the array is in sortBy order (sort_array(asc=asc)), so
+            # the FIRST n are $topN's answer and the LAST n $bottomN's
+            if op == "$topN":
+                sliced = F.slice(arr, 1, n)
+            else:
+                sliced = F.when(F.size(arr) <= n, arr).otherwise(
+                    F.slice(arr, F.size(arr) - F.lit(n - 1), F.lit(n))
+                )
+            overrides[name] = F.transform(sliced, lambda s: s.getField("__o"))
         else:  # $minN / $maxN — Mongo ignores nulls
             inp = compile_expr(arg["input"], schema)
             asc = op == "$minN"
             order = inp.asc_nulls_last() if asc else inp.desc_nulls_last()
             df = df.withColumn(
                 rn,
-                F.row_number().over(Window.partitionBy(*part).orderBy(order)),
+                F.row_number().over(
+                    Window.partitionBy(*part, salt).orderBy(order)
+                ),
             )
             kept = F.when((F.col(rn) <= n) & inp.isNotNull(), inp)
-            overrides[name] = F.sort_array(F.collect_list(kept), asc=asc)
+            overrides[name] = F.slice(
+                F.sort_array(F.collect_list(kept), asc=asc), 1, n
+            )
     return df, overrides
 
 
