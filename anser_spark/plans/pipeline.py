@@ -822,7 +822,7 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 _SEARCH_OPERATORS = (
     "text", "phrase", "compound", "equals", "range", "exists", "in",
     "wildcard", "autocomplete", "moreLikeThis", "regex", "near",
-    "embeddedDocument", "queryString",
+    "embeddedDocument", "queryString", "geoWithin",
 )
 
 
@@ -1063,6 +1063,34 @@ def _compile_search_op(  # noqa: C901
             for ch in str(spec["query"])
         )
         pred = resolve_field(str(spec["path"])).cast("string").rlike(f"^{pat}$")
+        return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "geoWithin":
+        # Atlas geoWithin over a [lon, lat] point path: circle
+        # (center + radius meters, haversine) or box (bottomLeft /
+        # topRight rectangle in degrees). Polygon geometry raises —
+        # point-in-polygon needs a real geo kernel.
+        field = resolve_field(str(spec["path"]))
+        if "circle" in spec:
+            c0 = spec["circle"]["center"]
+            coords = c0["coordinates"] if isinstance(c0, Mapping) else c0
+            dist = _haversine_m(field, float(coords[0]), float(coords[1]))
+            pred = dist <= F.lit(float(spec["circle"]["radius"]))
+        elif "box" in spec:
+            bl = spec["box"]["bottomLeft"]
+            tr = spec["box"]["topRight"]
+            bl = bl["coordinates"] if isinstance(bl, Mapping) else bl
+            tr = tr["coordinates"] if isinstance(tr, Mapping) else tr
+            lon = field.getItem(0).cast("double")
+            lat = field.getItem(1).cast("double")
+            pred = (
+                (lon >= F.lit(float(bl[0]))) & (lon <= F.lit(float(tr[0])))
+                & (lat >= F.lit(float(bl[1]))) & (lat <= F.lit(float(tr[1])))
+            )
+        else:
+            raise PipelineCompileError(
+                "$search geoWithin supports circle and box (polygon "
+                "geometry needs a geo kernel this engine lacks)"
+            )
         return pred, _search_score_option(spec, F.lit(1.0))
     if op == "queryString":
         # Lucene query-string subset compiled to one boolean Column:
@@ -1439,7 +1467,10 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     operator ONE constant-width corpus-stats aggregate at compile time
     (folded in as literals), then the whole stage is a single scoring
     scan — no joins, no shuffles (plan-asserted in tests)."""
-    known_opts = {"scoreField", "index", "count", "highlight", "returnStoredSource"}
+    known_opts = {
+        "scoreField", "index", "count", "highlight",
+        "returnStoredSource", "sort",
+    }
     ops = [(k, v) for k, v in arg.items() if k not in known_opts]
     if len(ops) != 1:
         raise PipelineCompileError(
@@ -1476,11 +1507,15 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
 
     pred, score = _compile_search_op(df, op, spec, stats_loader)
-    return (
-        df.where(F.coalesce(pred, F.lit(False)))
-        .withColumn(score_field, score.cast("double"))
-        .orderBy(F.desc(score_field), F.col(key))
+    out = df.where(F.coalesce(pred, F.lit(False))).withColumn(
+        score_field, score.cast("double")
     )
+    sort_opt = arg.get("sort")
+    if sort_opt:
+        # Atlas stage-level sort: field order replaces relevance order
+        # ({"$meta": "searchScore"} values still sort by the score)
+        return out.orderBy(*parse_sort_keys(sort_opt), F.col(key))
+    return out.orderBy(F.desc(score_field), F.col(key))
 
 
 def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:

@@ -910,3 +910,41 @@ def test_search_query_string(spark, tmp_path):
     assert ids('"spark cluster"') == ["a"]
     assert ids("spar*") == ["a", "c"]
     assert ids("-mongo spark") == ["a"]  # -term = global must_not
+
+
+def test_search_geo_within_and_sort_option(spark, tmp_path):
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "sgw"))
+    c = eng.db("t").collection("places")
+    c.insert_many([
+        {"_id": "p1", "loc": [0.0, 0.0], "pop": 10},
+        {"_id": "p2", "loc": [0.5, 0.5], "pop": 30},
+        {"_id": "p3", "loc": [50.0, 50.0], "pop": 20},
+    ])
+    rows = c.pipe([
+        {"$search": {"geoWithin": {
+            "path": "loc",
+            "circle": {"center": [0.0, 0.0], "radius": 100_000},
+        }}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert sorted(r["_id"] for r in rows) == ["p1", "p2"]
+    rows = c.pipe([
+        {"$search": {"geoWithin": {
+            "path": "loc",
+            "box": {"bottomLeft": [-1, -1], "topRight": [1, 1]},
+        }}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert sorted(r["_id"] for r in rows) == ["p1", "p2"]
+    # Atlas stage-level sort replaces relevance order
+    rows = c.pipe([
+        {"$search": {
+            "geoWithin": {"path": "loc",
+                          "box": {"bottomLeft": [-90, -90], "topRight": [90, 90]}},
+            "sort": {"pop": -1},
+        }},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert [r["_id"] for r in rows] == ["p2", "p3", "p1"]
