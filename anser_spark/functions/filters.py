@@ -224,6 +224,43 @@ def compile_filter(flt: Mapping[str, Any] | None, schema: T.StructType | None = 
     return _all_of(clauses)
 
 
+def _type_bracket_compatible(dt: T.DataType | None, value: Any) -> bool:
+    """Mongo type bracketing on a FIXED schema: values of different BSON
+    type families never equal or order-compare, so a literal whose type
+    can never match the column constant-folds instead of compiling to a
+    Spark comparison (which would raise a cast/AnalysisException under
+    ANSI where Mongo just matches nothing). None and unknown types stay
+    compatible (runtime decides)."""
+    import datetime as _dt
+
+    if value is None or dt is None:
+        return True
+    if isinstance(dt, T.ArrayType):
+        # array column: equality matches the whole array OR any element
+        return isinstance(value, (list, tuple)) or _type_bracket_compatible(
+            dt.elementType, value
+        )
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    if isinstance(value, bool):
+        return isinstance(dt, T.BooleanType)
+    if isinstance(value, (int, float)):
+        return isinstance(dt, numeric)
+    if isinstance(value, str):
+        return isinstance(dt, T.StringType)
+    if isinstance(value, _dt.datetime):
+        return isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType))
+    if isinstance(value, _dt.date):
+        return isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType))
+    if isinstance(value, (list, tuple)):
+        return isinstance(dt, T.ArrayType)
+    if isinstance(value, Mapping):
+        return isinstance(dt, (T.StructType, T.MapType))
+    return True
+
+
 def _compile_field(path: str, value: Any, schema: T.StructType | None) -> Column:
     col = resolve_field(path)
     dt = field_type(schema, path)
@@ -245,6 +282,8 @@ def _compile_field(path: str, value: Any, schema: T.StructType | None) -> Column
         return F.lit(value is None)
     if value is None:
         return col.isNull()
+    if not _type_bracket_compatible(dt, value):
+        return F.lit(False)
     if is_array and not isinstance(value, (list, tuple)):
         # Mongo: scalar equality against an array field means "contains"
         return F.array_contains(col, _lit(value))
@@ -286,6 +325,10 @@ def _compile_op(
             return ~F.coalesce(inner, F.lit(False))
         return F.lit(False)
 
+    if op in ("$eq", "$gt", "$gte", "$lt", "$lte") and not _type_bracket_compatible(dt, arg):
+        return F.lit(False)  # type bracketing: can never match
+    if op == "$ne" and not _type_bracket_compatible(dt, arg):
+        return F.lit(True)  # ...so $ne matches every document
     if op == "$eq":
         if arg is None:
             return col.isNull()
@@ -309,6 +352,8 @@ def _compile_op(
     if op == "$in":
         if not isinstance(arg, (list, tuple)):
             raise FilterCompileError("$in expects a list")
+        # type bracketing: drop list values that can never match
+        arg = [v for v in arg if _type_bracket_compatible(dt, v)]
         if is_array:
             # matches if any element of the field array is in arg
             return _any_of(
@@ -332,6 +377,10 @@ def _compile_op(
     if op == "$exists":
         return col.isNotNull() if arg else col.isNull()
     if op == "$regex":
+        if dt is not None and not isinstance(
+            dt, (T.StringType, T.ArrayType)
+        ):
+            return F.lit(False)  # Mongo: $regex matches strings only
         pattern = arg
         opts = whole.get("$options", "")
         if "i" in opts:
@@ -344,16 +393,31 @@ def _compile_op(
     if op == "$mod":
         if not isinstance(arg, (list, tuple)) or len(arg) != 2:
             raise FilterCompileError("$mod expects [divisor, remainder]")
+        if dt is not None and not _type_bracket_compatible(dt, 0):
+            return F.lit(False)  # $mod only matches numeric values
         return col % _lit(arg[0]) == _lit(arg[1])
     if op == "$size":
+        if dt is not None and not is_array:
+            return F.lit(False)  # Mongo: $size on a non-array matches nothing
         return F.size(col) == _lit(int(arg))
     if op == "$all":
         if not isinstance(arg, (list, tuple)):
             raise FilterCompileError("$all expects a list")
+        if dt is not None and not is_array:
+            # Mongo: $all against a scalar field = every value equals it
+            return _all_of(
+                [
+                    (col == _lit(v)) if _type_bracket_compatible(dt, v)
+                    else F.lit(False)
+                    for v in arg
+                ]
+            )
         return _all_of([F.array_contains(col, _lit(v)) for v in arg])
     if op == "$elemMatch":
         if not isinstance(arg, Mapping):
             raise FilterCompileError("$elemMatch expects a document")
+        if dt is not None and not is_array:
+            return F.lit(False)  # Mongo: $elemMatch needs an array
         elem_dt = dt.elementType if is_array else None
         return F.exists(col, lambda e: _element_predicate(e, arg, elem_dt))
     if op == "$geoWithin":
