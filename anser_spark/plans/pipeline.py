@@ -3355,6 +3355,69 @@ def _bucket(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 # (distributed sketch, one pass, no global sort).
 _BUCKET_AUTO_EXACT_MAX_ROWS = 2_000_000
 
+# Mongo $bucketAuto granularity preferred-number series (values per
+# decade; boundaries snap to member × 10^k). E48/E96/E192 omitted —
+# they raise rather than approximate.
+_R40 = [1.0, 1.06, 1.12, 1.18, 1.25, 1.32, 1.4, 1.5, 1.6, 1.7, 1.8,
+        1.9, 2.0, 2.12, 2.24, 2.36, 2.5, 2.65, 2.8, 3.0, 3.15, 3.35,
+        3.55, 3.75, 4.0, 4.25, 4.5, 4.75, 5.0, 5.3, 5.6, 6.0, 6.3,
+        6.7, 7.1, 7.5, 8.0, 8.5, 9.0, 9.5]
+_R80 = sorted(_R40 + [1.03, 1.09, 1.15, 1.22, 1.28, 1.36, 1.45, 1.55,
+                      1.65, 1.75, 1.85, 1.95, 2.06, 2.18, 2.3, 2.43,
+                      2.58, 2.72, 2.9, 3.07, 3.25, 3.45, 3.65, 3.87,
+                      4.12, 4.37, 4.62, 4.87, 5.15, 5.45, 5.8, 6.15,
+                      6.5, 6.9, 7.3, 7.75, 8.25, 8.75, 9.25, 9.75])
+_GRANULARITY_SERIES = {
+    "R5": [1.0, 1.6, 2.5, 4.0, 6.3],
+    "R10": [1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0],
+    "R20": [1.0, 1.12, 1.25, 1.4, 1.6, 1.8, 2.0, 2.24, 2.5, 2.8,
+            3.15, 3.55, 4.0, 4.5, 5.0, 5.6, 6.3, 7.1, 8.0, 9.0],
+    "R40": _R40,
+    "R80": _R80,
+    "1-2-5": [1.0, 2.0, 5.0],
+    "E6": [1.0, 1.5, 2.2, 3.3, 4.7, 6.8],
+    "E12": [1.0, 1.2, 1.5, 1.8, 2.2, 2.7, 3.3, 3.9, 4.7, 5.6, 6.8, 8.2],
+    "E24": [1.0, 1.1, 1.2, 1.3, 1.5, 1.6, 1.8, 2.0, 2.2, 2.4, 2.7,
+            3.0, 3.3, 3.6, 3.9, 4.3, 4.7, 5.1, 5.6, 6.2, 6.8, 7.5,
+            8.2, 9.1],
+}
+
+
+def _snap_series(x: float, granularity: str, up: bool) -> float:
+    """Round ``x`` to the preferred-number series: smallest series value
+    ≥ x (up) or largest ≤ x (down). 0 stays 0; POWERSOF2 uses powers of
+    two. Requires x ≥ 0 (Mongo restriction)."""
+    import math as _m
+
+    if x < 0:
+        raise PipelineCompileError(
+            "$bucketAuto granularity requires non-negative groupBy values"
+        )
+    if x == 0:
+        return 0.0
+    if granularity == "POWERSOF2":
+        e = _m.log2(x)
+        k = _m.ceil(e) if up else _m.floor(e)
+        if up and 2.0 ** k < x:
+            k += 1
+        if not up and 2.0 ** k > x:
+            k -= 1
+        return float(2.0 ** k)
+    series = _GRANULARITY_SERIES.get(granularity)
+    if series is None:
+        raise PipelineCompileError(
+            f"unsupported $bucketAuto granularity: {granularity!r}"
+        )
+    decade = _m.floor(_m.log10(x))
+    # search this decade and its neighbors (float-edge safety)
+    candidates = [
+        m * 10.0 ** k for k in (decade - 1, decade, decade + 1) for m in series
+    ]
+    eps = x * 1e-12
+    if up:
+        return min(c for c in candidates if c >= x - eps)
+    return max(c for c in candidates if c <= x + eps)
+
 
 def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """$bucketAuto: equal-population buckets with min/max per bucket.
@@ -3373,6 +3436,61 @@ def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     out_spec = arg.get("output", {"count": {"$sum": 1}})
     aggs = [_acc_column(spec, df.schema).alias(name) for name, spec in out_spec.items()]
     tagged = df.withColumn("__gb", group_by)
+
+    granularity = arg.get("granularity")
+    if granularity is not None:
+        # Mongo granularity: equal-population raw boundaries snapped to
+        # the preferred-number series — first edge rounds DOWN from the
+        # min, every other edge (incl. the max) rounds UP; duplicate
+        # snapped edges collapse. Bucket _ids are the SERIES edges, not
+        # data min/max, and buckets are [lo, hi) with the last edge
+        # covering the max.
+        qs = [i / n for i in range(1, n)]
+        stats = tagged.agg(
+            F.min(F.col("__gb").cast("double")).alias("lo"),
+            F.max(F.col("__gb").cast("double")).alias("hi"),
+            F.percentile_approx(F.col("__gb").cast("double"), qs, 10_000).alias("bs"),
+        ).first()
+        if stats["lo"] is None:
+            return tagged.limit(0).select(
+                F.struct(
+                    F.lit(None).cast("double").alias("min"),
+                    F.lit(None).cast("double").alias("max"),
+                ).alias("_id"),
+                *[F.lit(None).alias(name) for name in out_spec],
+            )
+        edges = [_snap_series(float(stats["lo"]), granularity, up=False)]
+        for b in list(stats["bs"] or []) + [float(stats["hi"])]:
+            e = _snap_series(float(b), granularity, up=True)
+            if e <= edges[-1]:
+                continue
+            edges.append(e)
+        if edges[-1] <= float(stats["hi"]):  # max must fall INSIDE
+            edges.append(_snap_series(float(stats["hi"]) * (1 + 1e-9),
+                                      granularity, up=True))
+        barr = F.array(*[F.lit(e) for e in edges[1:-1]])
+        tiled = tagged.withColumn(
+            "__tile",
+            F.aggregate(
+                barr, F.lit(0),
+                lambda acc, b: acc
+                + F.when(F.col("__gb").cast("double") >= b, 1).otherwise(0),
+            ),
+        )
+        lo_arr = F.array(*[F.lit(e) for e in edges[:-1]])
+        hi_arr = F.array(*[F.lit(e) for e in edges[1:]])
+        return (
+            tiled.groupBy("__tile")
+            .agg(*aggs)
+            .select(
+                F.struct(
+                    F.element_at(lo_arr, F.col("__tile") + 1).alias("min"),
+                    F.element_at(hi_arr, F.col("__tile") + 1).alias("max"),
+                ).alias("_id"),
+                *[F.col(name) for name in out_spec],
+            )
+            .orderBy(F.col("_id.min"))
+        )
 
     if tagged.count() <= _BUCKET_AUTO_EXACT_MAX_ROWS:
         tiled = tagged.withColumn(

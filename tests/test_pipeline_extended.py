@@ -312,3 +312,45 @@ def test_out_and_merge_cross_db(engine):
         {"$merge": {"into": {"db": "otherdb", "coll": "sums"}}},
     ]).all()
     assert engine.db("otherdb").collection("sums").find({}).count() == 5
+
+
+def test_bucket_auto_granularity(engine, spark):
+    rows = [{"_id": i, "v": float(v)} for i, v in enumerate(
+        [0.7, 1.1, 2.9, 3.4, 7.2, 12.0, 18.0, 31.0, 64.0, 99.0])]
+    df = spark.createDataFrame(rows)
+    from anser_spark.plans.pipeline import compile_pipeline
+
+    out = compile_pipeline(df, [
+        {"$bucketAuto": {"groupBy": "$v", "buckets": 3,
+                         "granularity": "R5"}},
+    ], None, None).collect()
+    # series edges only (R5 members x 10^k), buckets cover all docs
+    r5 = {1.0, 1.6, 2.5, 4.0, 6.3}
+    import math
+    for r in out:
+        for edge in (r["_id"]["min"], r["_id"]["max"]):
+            mant = edge / (10 ** math.floor(math.log10(edge)))
+            assert any(abs(mant - m) < 1e-9 for m in r5), edge
+    assert sum(r["count"] for r in out) == 10
+    # edges are increasing and the max value falls inside the last bucket
+    edges = [(r["_id"]["min"], r["_id"]["max"]) for r in out]
+    assert all(lo < hi for lo, hi in edges)
+    assert edges == sorted(edges)
+    assert edges[-1][1] > 99.0
+    # POWERSOF2
+    out2 = compile_pipeline(df, [
+        {"$bucketAuto": {"groupBy": "$v", "buckets": 4,
+                         "granularity": "POWERSOF2"}},
+    ], None, None).collect()
+    for r in out2:
+        for edge in (r["_id"]["min"], r["_id"]["max"]):
+            assert 2 ** round(math.log2(edge)) == edge, edge
+    assert sum(r["count"] for r in out2) == 10
+    import pytest as _pytest
+    from anser_spark.plans.pipeline import PipelineCompileError
+
+    with _pytest.raises(PipelineCompileError, match="granularity"):
+        compile_pipeline(df, [
+            {"$bucketAuto": {"groupBy": "$v", "buckets": 2,
+                             "granularity": "E96"}},
+        ], None, None).collect()
