@@ -33,8 +33,9 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
-from anser_spark.functions.filters import compile_filter
+from anser_spark.functions.filters import FilterCompileError, compile_filter
 from anser_spark.functions.updates import (
     apply_update,
     compile_update,
@@ -2654,7 +2655,11 @@ class Bulk:
                     continue
                 sel = payload if kind in ("remove", "remove_all") else payload[0]
                 preds.append(compile_filter(sel, df0.schema))
-        except Exception:  # noqa: BLE001
+        except (FilterCompileError, ValueError, AnalysisException):
+            # selector not compilable against the pre-bulk schema (e.g.
+            # references a column an earlier op adds, or a $text clause
+            # that needs the scoring path) — take the full-rewrite path,
+            # whose chain() compiles each op with full context
             cow_ok = False
 
         if not cow_ok:

@@ -176,12 +176,12 @@ def _regex_pattern(arg: Mapping[str, Any]) -> str:
 def _regex_group_count(pattern: str) -> int:
     """Number of capture groups, counted driver-side (for the
     ``captures`` array in $regexFind/$regexFindAll)."""
-    try:
-        import re as _re
+    import re as _re
 
+    try:
         return _re.compile(pattern).groups
-    except Exception:
-        return 0
+    except _re.error:
+        return 0  # Java-only syntax: the JVM side validates at runtime
 
 
 def _compile_op(op: str, arg: Any, schema, env) -> Column:  # noqa: C901
