@@ -1686,7 +1686,7 @@ def _q_window_rank_shift(spark, sf_dir):
     )
 
 
-def _q_group_rank_stats(spark, sf_dir):
+def _q_group_rank_stats_per_flag(spark, sf_dir):
     # $top/$bottom/$topN + $median/$percentile accumulators (Mongo 5.2/
     # 7.0) in ONE $group — sorted-struct slice and exact interpolated
     # percentiles share the per-flag partial aggregation
@@ -1729,6 +1729,45 @@ def _q_group_rank_stats(spark, sf_dir):
         )
         .to_df()
     )
+
+
+def _q_group_rank_stats(spark, sf_dir):
+    # per-flag N-accumulator stats (above) CROSS-JOINed with a GLOBAL
+    # (_id: None) $topN/$minN/$maxN group — the round-7 bounded-state
+    # path: salt-only window prefilter, never a whole-dataset
+    # collect_list buffer. The global row is a 1-row broadcast.
+    from pyspark.sql import functions as F
+
+    per_flag = _q_group_rank_stats_per_flag(spark, sf_dir)
+    glob = (
+        _db(spark, sf_dir)
+        .collection("lineitem")
+        .pipe(
+            [
+                {"$group": {
+                    "_id": None,
+                    "gtop3": {"$topN": {
+                        "output": "$l_extendedprice",
+                        "sortBy": {"l_orderkey": 1, "l_linenumber": 1,
+                                   "l_extendedprice": 1},
+                        "n": 3}},
+                    "gmin2": {"$minN": {"input": "$l_extendedprice", "n": 2}},
+                    "gmax1": {"$maxN": {"input": "$l_extendedprice", "n": 1}},
+                }},
+                {"$project": {
+                    "_id": 0,
+                    "g1": {"$arrayElemAt": ["$gtop3", 0]},
+                    "g2": {"$arrayElemAt": ["$gtop3", 1]},
+                    "g3": {"$arrayElemAt": ["$gtop3", 2]},
+                    "gm1": {"$arrayElemAt": ["$gmin2", 0]},
+                    "gm2": {"$arrayElemAt": ["$gmin2", 1]},
+                    "gx1": {"$arrayElemAt": ["$gmax1", 0]},
+                }},
+            ]
+        )
+        .to_df()
+    )
+    return per_flag.crossJoin(F.broadcast(glob))
 
 
 def _q_temporal_joins(spark, sf_dir):
@@ -2703,17 +2742,34 @@ def oracle_sql() -> dict[str, str]:
                                                    l_extendedprice) AS rn,
                        count(*) OVER (PARTITION BY l_returnflag) AS cnt
                 FROM lineitem
+            ), gl AS (
+                SELECT l_extendedprice,
+                       row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                          l_extendedprice) AS grn,
+                       row_number() OVER (ORDER BY l_extendedprice) AS vrn,
+                       row_number() OVER (ORDER BY l_extendedprice DESC) AS drn
+                FROM lineitem
+            ), g AS (
+                SELECT max(CASE WHEN grn = 1 THEN l_extendedprice END) AS g1,
+                       max(CASE WHEN grn = 2 THEN l_extendedprice END) AS g2,
+                       max(CASE WHEN grn = 3 THEN l_extendedprice END) AS g3,
+                       max(CASE WHEN vrn = 1 THEN l_extendedprice END) AS gm1,
+                       max(CASE WHEN vrn = 2 THEN l_extendedprice END) AS gm2,
+                       max(CASE WHEN drn = 1 THEN l_extendedprice END) AS gx1
+                FROM gl
+            ), per_flag AS (
+                SELECT l_returnflag AS flag,
+                       max(CASE WHEN rn = 1 THEN l_extendedprice END) AS top_price,
+                       max(CASE WHEN rn = cnt THEN l_extendedprice END) AS bot_price,
+                       max(CASE WHEN rn = 1 THEN l_extendedprice END) AS t1,
+                       max(CASE WHEN rn = 2 THEN l_extendedprice END) AS t2,
+                       max(CASE WHEN rn = 3 THEN l_extendedprice END) AS t3,
+                       median(l_quantity) AS med,
+                       quantile_cont(l_quantity, 0.25) AS p25,
+                       quantile_cont(l_quantity, 0.75) AS p75
+                FROM ranked GROUP BY l_returnflag
             )
-            SELECT l_returnflag AS flag,
-                   max(CASE WHEN rn = 1 THEN l_extendedprice END) AS top_price,
-                   max(CASE WHEN rn = cnt THEN l_extendedprice END) AS bot_price,
-                   max(CASE WHEN rn = 1 THEN l_extendedprice END) AS t1,
-                   max(CASE WHEN rn = 2 THEN l_extendedprice END) AS t2,
-                   max(CASE WHEN rn = 3 THEN l_extendedprice END) AS t3,
-                   median(l_quantity) AS med,
-                   quantile_cont(l_quantity, 0.25) AS p25,
-                   quantile_cont(l_quantity, 0.75) AS p75
-            FROM ranked GROUP BY l_returnflag
+            SELECT per_flag.*, g.* FROM per_flag CROSS JOIN g
         """,
         "redact_levels": """
             SELECT o_orderkey,

@@ -2153,9 +2153,31 @@ class Collection:
 
         base = synthesize_upsert_doc(query, {})
         stages = [dict(s) for s in validate_pipeline_update(update)]
-        out = compile_pipeline(self._docs_to_df([base]), stages, None, None)
+        # Mongo evaluates a missing field as null/missing; the
+        # synthesized frame only has the filter's equality fields, so
+        # seed null columns for every field the stage list references
+        # ("$path" strings) — otherwise compile_expr raises an
+        # unresolved-column AnalysisException on a perfectly normal
+        # update like {$set: {y: {$ifNull: ["$x", 0]}}}. (Seeded as
+        # NullType lit(None) columns on the frame — createDataFrame
+        # cannot infer a schema from bare None dict values, and an
+        # untyped null coerces freely inside $ifNull/$add/… exactly
+        # like Mongo's missing.)
+        frame = self._docs_to_df([base])
+        seeded: list[str] = []
+        for ref in _pipeline_field_refs(stages):
+            if ref not in frame.columns:
+                frame = frame.withColumn(ref, F.lit(None))
+                seeded.append(ref)
+        out = compile_pipeline(frame, stages, None, None)
         rows = out.limit(1).collect()
         doc = rows[0].asDict(recursive=True) if rows else dict(base)
+        # a seeded field the pipeline never assigned is still "missing"
+        # — drop it so the inserted doc matches Mongo (and so the
+        # NullType column can't poison downstream schema inference)
+        for ref in seeded:
+            if ref in doc and doc[ref] is None:
+                doc.pop(ref)
         doc.setdefault("_id", base["_id"])
         return doc
 
@@ -2718,6 +2740,44 @@ def _substitute_let(node: Any, let: Mapping[str, Any]) -> Any:
     if isinstance(node, (list, tuple)):
         return [_substitute_let(v, let) for v in node]
     return node
+
+
+def _pipeline_field_refs(stages: Sequence[Mapping[str, Any]]) -> list[str]:
+    """Top-level field names referenced by "$path" strings anywhere in
+    an update-pipeline stage list ("$$" variables and operator keys are
+    not references). Used to null-seed the one-row frame an unmatched
+    pipeline upsert evaluates over, so references to fields absent from
+    the filter behave as Mongo's missing→null instead of raising."""
+    refs: list[str] = []
+
+    def walk(node: Any) -> None:
+        if isinstance(node, str):
+            if node.startswith("$") and not node.startswith("$$"):
+                head = node[1:].split(".", 1)[0]
+                if head and not head.startswith("$"):
+                    refs.append(head)
+        elif isinstance(node, Mapping):
+            if len(node) == 1 and "$literal" in node:
+                return
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    for stage in stages:
+        walk(stage)
+    # $unset names fields by bare key strings, not "$path" refs
+    for stage in stages:
+        arg = stage.get("$unset")
+        if isinstance(arg, str):
+            refs.append(arg.split(".", 1)[0])
+        elif isinstance(arg, (list, tuple)):
+            refs.extend(str(a).split(".", 1)[0] for a in arg)
+    seen: dict[str, None] = {}
+    for r in refs:
+        seen.setdefault(r, None)
+    return list(seen)
 
 
 def synthesize_upsert_doc(

@@ -126,9 +126,16 @@ def compile_pipeline(
                     i += 2
                     continue
             df = _compile_stage(df, op, arg, resolve_collection, sink)
-            if op == "$match" and _TEXT_SCORE_COL in df.columns:
-                # legacy $text ran inside this $match: later
-                # {"$meta": "textScore"} reads its hidden score column
+            if (
+                op == "$match"
+                and isinstance(arg, Mapping)
+                and extract_text_spec(arg)[0] is not None
+            ):
+                # legacy $text ran inside THIS $match: later
+                # {"$meta": "textScore"} reads its hidden score column.
+                # Gated on the stage actually containing $text — a
+                # text-less $match must not re-point the score field
+                # and clobber an intervening $search scoreField.
                 _exprs.set_active_score_field(_TEXT_SCORE_COL)
             if op in ("$search", "$vectorSearch", "$scoreFusion"):
                 _exprs.set_active_score_field(
@@ -643,7 +650,12 @@ def _topn_prefilter(
     from pyspark.sql import Window
 
     schema = df.schema
-    if isinstance(id_spec, Mapping) and not any(
+    if id_spec is None:
+        # global group (_id: None): rank within salt buckets alone —
+        # 64 parallel bounded sorts instead of one whole-dataset
+        # collect_list buffer (the round-7-found scale-killer)
+        part: list[Column] = []
+    elif isinstance(id_spec, Mapping) and not any(
         str(k).startswith("$") for k in id_spec
     ):
         part = [compile_expr(v, schema) for v in id_spec.values()]
@@ -726,10 +738,11 @@ def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         and next(iter(spec)) in _TOPN_OPS
     }
     overrides: dict[str, Column] = {}
-    if heavy and id_spec is not None:
-        # keyed groups take the bounded window-prefilter path; the
-        # global (_id: None) group keeps the collect form — a global
-        # row_number would itself be a single-task sort
+    if heavy:
+        # keyed AND global (_id: None) groups take the bounded salted
+        # window-prefilter path; the global form partitions by salt
+        # alone, so no task ever sorts more than one salt bucket and
+        # the final agg buffer holds ≤ 64·n candidates
         df, overrides = _topn_prefilter(df, heavy, id_spec)
     agg_cols = [
         (
@@ -856,8 +869,11 @@ def _parse_query_string(q: str) -> Any:
     ('term', field|None, value, is_phrase)."""
     import re as _re
 
+    # the quoted-phrase alternative accepts an optional field prefix
+    # (``title:"big data"``) — without it the token split at whitespace
+    # inside the quotes and silently matched the literal '"big'
     toks = _re.findall(
-        r'\(|\)|"[^"]*"|[^\s()]+',
+        r'\(|\)|[^\s()]*"[^"]*"|[^\s()]+',
         q,
     )
     pos = 0
@@ -917,9 +933,17 @@ def _parse_query_string(q: str) -> Any:
         val = t
         if ":" in t and not t.startswith('"'):
             field, val = t.split(":", 1)
-        is_phrase = val.startswith('"') and val.endswith('"')
+        is_phrase = (
+            len(val) >= 2 and val.startswith('"') and val.endswith('"')
+        )
         if is_phrase:
             val = val[1:-1]
+        elif '"' in val:
+            # unpaired/embedded quote — refuse rather than match the
+            # literal '"foo' token against the index
+            raise PipelineCompileError(
+                f"queryString: unpaired quote in {q!r}"
+            )
         return ("term", field, val, is_phrase)
 
     def parse_juxt():
@@ -1513,8 +1537,19 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     sort_opt = arg.get("sort")
     if sort_opt:
         # Atlas stage-level sort: field order replaces relevance order
-        # ({"$meta": "searchScore"} values still sort by the score)
-        return out.orderBy(*parse_sort_keys(sort_opt), F.col(key))
+        # ({"$meta": "searchScore"} values still sort by the score).
+        # The active $meta score field is set to THIS stage's
+        # scoreField while parsing — compile_pipeline only registers it
+        # after the stage returns, so without this a custom scoreField
+        # would leave the sort reading the stale default "score".
+        from anser_spark.functions import expressions as _exprs
+
+        prev = _exprs.set_active_score_field(score_field)
+        try:
+            sort_keys = parse_sort_keys(sort_opt)
+        finally:
+            _exprs.set_active_score_field(prev)
+        return out.orderBy(*sort_keys, F.col(key))
     return out.orderBy(F.desc(score_field), F.col(key))
 
 

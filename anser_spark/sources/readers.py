@@ -10,6 +10,7 @@ the scan stays vectorized and distributed.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +25,7 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     """Columns stored as timestamp[ns], from the footer of one file."""
     if path in _NS_CACHE:
         return _NS_CACHE[path]
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     target = path
@@ -47,7 +49,12 @@ def _ns_timestamp_columns(path: str) -> list[str]:
                 and "nanoseconds" in str(col.logical_type or "")
             ):
                 cols.append(col.name)
-    except Exception:
+    except (OSError, pa.ArrowInvalid, pa.ArrowIOError) as exc:
+        # unreadable/odd footer → skip the ns-rewrite (the plain scan
+        # will surface any real read error with full context)
+        logging.getLogger(__name__).debug(
+            "ns-timestamp probe failed for %s: %s", target, exc
+        )
         cols = []
     _NS_CACHE[path] = cols
     return cols

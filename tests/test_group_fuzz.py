@@ -235,6 +235,73 @@ def test_group_push_keeps_nulls(spark):
     assert None in out[0]["st"] and {1, 3} <= {v for v in out[0]["st"] if v}
 
 
+def test_group_global_topn_fuzz(spark):
+    # _id: None with the $topN family — the round-7 bounded-state path
+    # (salt-only window prefilter instead of collecting the whole
+    # dataset into one agg buffer). 6 seeded trials × 4 N-accumulators.
+    seed = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260813"))
+    rng = random.Random(seed + 11)
+    rows = make_rows(rng, n=120)
+    df = spark.createDataFrame(
+        [(r["_id"], r["g"], r["h"], r["a"], r["b"]) for r in rows],
+        "_id long, g string, h long, a long, b long",
+    )
+    mism = []
+    for trial in range(6):
+        accs = {f"o{i}": rand_acc(rng) for i in range(4)}
+        # force at least one N-accumulator into every trial
+        accs["oN"] = rng.choice([
+            {"$topN": {"sortBy": {"a": 1, "_id": 1}, "output": "$b", "n": 3}},
+            {"$bottomN": {"sortBy": {"a": 1, "_id": 1}, "output": "$b", "n": 2}},
+            {"$minN": {"input": "$a", "n": 3}},
+            {"$maxN": {"input": "$b", "n": 4}},
+        ])
+        stage = {"$group": {"_id": None, **accs}}
+        got_rows = compile_pipeline(df, [stage], None, None).collect()
+        assert len(got_rows) == 1 and got_rows[0]["_id"] is None
+        got = got_rows[0].asDict()
+        exp = {name: ref_acc(*next(iter(spec.items())), rows)
+               for name, spec in accs.items()}
+        for name, spec in accs.items():
+            e, g = exp[name], got[name]
+            (op, _), = spec.items()
+            if op in ("$push", "$addToSet", "$minN", "$maxN"):
+                ok = sorted(map(str, map(_norm, e or []))) == \
+                    sorted(map(str, map(_norm, g or [])))
+            elif isinstance(e, float) and g is not None:
+                ok = abs(e - g) < 1e-6
+            elif isinstance(e, list):
+                ok = g is not None and len(e) == len(g) and all(
+                    (x is None and y is None)
+                    or (x is not None and y is not None
+                        and abs(float(x) - float(y)) < 1e-6)
+                    for x, y in zip(e, g))
+            else:
+                ok = _norm(e) == _norm(g)
+            if not ok:
+                mism.append((trial, name, spec, e, g))
+    assert not mism, mism[:5]
+
+
+def test_group_global_topn_plan_is_bounded(spark):
+    # the executed plan must show the salted window prefilter (a Window
+    # node), not a bare whole-dataset collect_list aggregate
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id int, v double")
+    out = compile_pipeline(df, [{"$group": {
+        "_id": None,
+        "t": {"$topN": {"sortBy": {"v": 1}, "output": "$id", "n": 5}}}}],
+        None, None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:2000]
+    # empty input still emits zero rows (Mongo's $group rule)
+    empty = compile_pipeline(df.where("id < 0"), [{"$group": {
+        "_id": None,
+        "t": {"$topN": {"sortBy": {"v": 1}, "output": "$id", "n": 5}}}}],
+        None, None)
+    assert empty.count() == 0
+
+
 def test_group_compound_and_expr_id_fuzz(spark):
     # compound-document and expression _id forms over the same random
     # accumulators (the flat-key grouping + struct re-nest path)

@@ -97,6 +97,21 @@ def test_upsert_pipeline_unmatched_synthesizes_through_stages(doc_collection):
     assert row["version"] == 8  # pipeline ran over the synthesized doc
 
 
+def test_upsert_pipeline_unmatched_references_missing_field(doc_collection):
+    # the stage references a field NOT among the filter's equality
+    # fields — Mongo evaluates it as missing→null; the synthesized
+    # one-row frame is null-seeded for referenced fields (round 7)
+    info = doc_collection.upsert(
+        {"_id": "zm"},
+        [{"$set": {"version": {"$ifNull": ["$version", 42]},
+                   "note": {"$ifNull": ["$status", "none"]}}}],
+    )
+    assert info.updated == 1
+    row = get(doc_collection, "zm")
+    assert row["version"] == 42
+    assert row["note"] == "none"
+
+
 def test_upsert_pipeline_matched_updates(doc_collection):
     doc_collection.upsert(
         {"_id": "a5"}, [{"$set": {"version": {"$add": ["$version", 10]}}}]
