@@ -1909,6 +1909,45 @@ def _q_media_pipeline(spark, sf_dir):
     return plumbing.join(features, "media_id")
 
 
+def _q_rank_sketch_stats(spark, sf_dir):
+    # composite (50-gate cap): the per-flag + global N-accumulator
+    # stats (3 rows) CROSS-JOINed with the sketch gate (16 rows) —
+    # both tiny result sets, 48 rows total, every underlying query
+    # body keeps a full value-hash row every round
+    from pyspark.sql import functions as F
+
+    return _q_group_rank_stats(spark, sf_dir).crossJoin(
+        F.broadcast(_q_sketches(spark, sf_dir))
+    )
+
+
+def _q_media_text_stats(spark, sf_dir):
+    # composite (50-gate cap): multimodal plumbing+features joined with
+    # the text-stats profile on the shared document key — one row per
+    # document carrying BOTH gates' columns
+    media = _q_media_pipeline(spark, sf_dir)
+    text = _q_text_stats(spark, sf_dir)
+    return media.join(text, media["media_id"] == text["doc_id"])
+
+
+def _q_gopher_repetition(spark, sf_dir):
+    # composite (50-gate cap): Gopher rule flags + repetition metrics,
+    # joined on doc_id (no column collisions between the two)
+    return _q_gopher_filter(spark, sf_dir).join(
+        _q_repetition_metrics(spark, sf_dir), "doc_id"
+    )
+
+
+def _q_densify_geo(spark, sf_dir):
+    # composite (50-gate cap): $densify/$fill series (23 rows) CROSS-
+    # JOINed with $geoNear (61 rows) — 1403 rows, both bodies hashed
+    from pyspark.sql import functions as F
+
+    return _q_densify_fill(spark, sf_dir).crossJoin(
+        F.broadcast(_q_geo_near(spark, sf_dir))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ≤50 entries by contract: the driver verifies at most 50 queries
     # per round, so related operators share composite gates (see the
@@ -1934,8 +1973,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_sim_join": _q_embedding_sim_join,
-        "text_stats": _q_text_stats,
-        "repetition_metrics": _q_repetition_metrics,
         "pii_scrub": _q_pii_scrub,
         "window_rank_shift": _q_window_rank_shift,
         "bucket_stages": _q_bucket_stages,
@@ -1948,14 +1985,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_all_inc_set": _q_update_all_inc_set,
         "pipeline_update": _q_pipeline_update,
         "text_find": _q_text_find,
-        "gopher_filter": _q_gopher_filter,
+        "gopher_repetition": _q_gopher_repetition,
+        "media_text_stats": _q_media_text_stats,
         "temperature_mix": _q_temperature_mix,
         "upsert_paths": _q_upsert_paths,
         "bulk_mixed": _q_bulk_mixed,
         "merge_into_summary": _q_merge_into_summary,
         "change_stream_cdc": _q_change_stream_cdc,
         "line_dedup_clean": _q_line_dedup_clean,
-        "densify_fill": _q_densify_fill,
+        "densify_geo": _q_densify_geo,
         "window_range_30d": _q_window_range_30d,
         "hybrid_search": _q_hybrid_search,
         "embedding_quantize": _q_embedding_quantize,
@@ -1963,11 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_shape": _q_tpch_q10_shape,
         "session_windows": _q_session_windows,
         "redact_levels": _q_redact_levels,
-        "geo_near": _q_geo_near,
-        "sketches": _q_sketches,
+        "rank_sketch_stats": _q_rank_sketch_stats,
         "temporal_joins": _q_temporal_joins,
-        "group_rank_stats": _q_group_rank_stats,
-        "media_pipeline": _q_media_pipeline,
     }
 
 
@@ -2071,7 +2106,7 @@ _NGRAM_JACCARD_ORACLE = r"""
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_bodies() -> dict[str, str]:
     from anser_spark.operators.text import PII_PATTERNS
 
     # single source of truth: the exact regexes the Spark operator runs
@@ -2938,3 +2973,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(0 AS BIGINT) AS hamming FROM documents
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    # composite gates (50-slot driver cap): each composite's oracle is
+    # the CROSS JOIN / key-join of its components' oracles — the same
+    # composition the Spark queries perform, so the value hash still
+    # pins every underlying query body each round.
+    o = _oracle_sql_bodies()
+    o["rank_sketch_stats"] = (
+        f"SELECT * FROM ({o.pop('group_rank_stats')}) r "
+        f"CROSS JOIN ({o.pop('sketches')}) s"
+    )
+    o["media_text_stats"] = (
+        f"SELECT * FROM ({o.pop('media_pipeline')}) m "
+        f"JOIN ({o.pop('text_stats')}) t ON m.media_id = t.doc_id"
+    )
+    o["gopher_repetition"] = (
+        f"SELECT * FROM ({o.pop('gopher_filter')}) g "
+        f"JOIN ({o.pop('repetition_metrics')}) r USING (doc_id)"
+    )
+    o["densify_geo"] = (
+        f"SELECT * FROM ({o.pop('densify_fill')}) d "
+        f"CROSS JOIN ({o.pop('geo_near')}) g"
+    )
+    return o
