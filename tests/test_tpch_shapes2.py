@@ -289,7 +289,10 @@ def test_q20_shape_group_having_join_back(engine):
         ) join supplier on l_suppkey = s_suppkey
         order by 1
     """)
-    assert _rows(got, "s_name", "qty") == exp
+    # compare as sorted multisets: scale fixtures replicate suppliers
+    # with DUPLICATE s_name values, so order-by-name is nondeterministic
+    # among ties (engines break them differently — a fixture artifact)
+    assert sorted(_rows(got, "s_name", "qty")) == sorted(exp)
     assert len(got) > 0
 
 
@@ -412,8 +415,14 @@ def test_lookup_group_compound_id_and_empty_match(engine):
         {"$project": {"s_suppkey": 1, "k": {"$size": "$by_flag"}}},
         {"$sort": {"s_suppkey": 1}},
     ]).all()
+    # FILTER: an unmatched left-join row yields the (NULL, NULL) struct,
+    # which DuckDB's count(distinct) counts as a value — but Mongo's
+    # empty-match $lookup gives an empty array, i.e. 0 (the skewed
+    # fixture, where some suppliers have no qty>49 rows, exposed this)
     exp = _sql("""
-        select s_suppkey, count(distinct (l_returnflag, l_linestatus))::bigint
+        select s_suppkey,
+               count(distinct (l_returnflag, l_linestatus))
+                   filter (where l_suppkey is not null)::bigint
         from supplier left join lineitem
           on s_suppkey = l_suppkey and l_quantity > 49
         group by 1 order by 1
