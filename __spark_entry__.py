@@ -85,14 +85,34 @@ def _q_filter_and_or(spark, sf_dir):
 
 
 def _q_filter_regex(spark, sf_dir):
-    # §2.2 $regex → rlike
-    return (
+    # composite (50-gate cap): §2.2 $regex → rlike, plus the round-7
+    # ICU collation surface ({'locale':'en','strength':2} equality and
+    # $in against the all-caps c_mktsegment — binary matches nothing,
+    # so the legs discriminate; oracle twin lower()-normalizes)
+    from pyspark.sql import functions as F
+
+    regex = (
         _db(spark, sf_dir)
         .collection("part")
         .find({"p_name": {"$regex": "blue"}, "p_size": {"$gte": 10}})
         .select({"p_partkey": 1, "p_name": 1, "p_size": 1})
         .to_df()
     )
+    cust = _db(spark, sf_dir).collection("customer")
+    ci = {"locale": "en", "strength": 2}
+    legs = (
+        cust.find({"c_mktsegment": "building"}).collation(ci).to_df()
+        .agg(F.count("*").alias("ci_eq"))
+        .crossJoin(
+            cust.find({"c_mktsegment": {"$in": ["machinery", "Household"]}})
+            .collation(ci).to_df().agg(F.count("*").alias("ci_in"))
+        )
+        .crossJoin(
+            cust.find({"c_mktsegment": "building"}).to_df()
+            .agg(F.count("*").alias("bin_eq"))
+        )
+    )
+    return regex.crossJoin(F.broadcast(legs))
 
 
 def _q_filter_nin_mod(spark, sf_dir):
@@ -2131,7 +2151,15 @@ def _oracle_sql_bodies() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-01-01'
         """,
         "filter_regex": """
-            SELECT p_partkey, p_name, p_size FROM part
+            SELECT p_partkey, p_name, p_size,
+                   (SELECT count(*) FROM customer
+                    WHERE lower(c_mktsegment) = lower('building')) AS ci_eq,
+                   (SELECT count(*) FROM customer
+                    WHERE lower(c_mktsegment) IN
+                          (lower('machinery'), lower('Household'))) AS ci_in,
+                   (SELECT count(*) FROM customer
+                    WHERE c_mktsegment = 'building') AS bin_eq
+            FROM part
             WHERE regexp_matches(p_name, 'blue') AND p_size >= 10
         """,
         "filter_nin_mod": """

@@ -1457,17 +1457,13 @@ class Collection:
         values cannot read document fields either); ``allow_disk_use``
         and ``comment`` are accepted and ignored (Spark always spills;
         comments are profiler annotations); ``hint`` is advisory;
-        ``collation`` accepts only {'locale': 'simple'} (binary
-        comparison — anything else raises instead of mis-collating)."""
+        ``collation`` maps to Spark's native ICU collations (round 7:
+        locale + strength 1/2/3 — string $match comparisons and $sort
+        keys; options ICU can't express raise; functions/collation.py)."""
+        from anser_spark.functions.collation import spark_collation_name
         from anser_spark.plans.pipeline import Aggregation
 
-        if collation:
-            extra = set(collation) - {"locale"}
-            if collation.get("locale", "simple") != "simple" or extra:
-                raise ValueError(
-                    f"unsupported collation {dict(collation)!r}: only "
-                    "{'locale': 'simple'} (binary comparison) is implemented"
-                )
+        coll_name = spark_collation_name(collation)
         if let:
             pipeline = _substitute_let(list(pipeline), dict(let))
         pipeline = self._resolve_coll_stats(pipeline)
@@ -1491,12 +1487,14 @@ class Collection:
                     "versions); there is no oplog to tail"
                 )
             ev = self.watch(str(since), key=arg.get("key", "_id"))
-            return Aggregation(ev, self._resolve_search_indexes(stages[1:]))
+            return Aggregation(
+                ev, self._resolve_search_indexes(stages[1:]), coll_name
+            )
         if any(
             isinstance(s, Mapping) and "$changeStream" in s for s in stages
         ):
             raise ValueError("$changeStream must be the first pipeline stage")
-        return Aggregation(self, self._resolve_search_indexes(pipeline))
+        return Aggregation(self, self._resolve_search_indexes(pipeline), coll_name)
 
     aggregate = pipe
 
@@ -1626,12 +1624,17 @@ class Collection:
                 {"kind": "ivf", "path": path, "nlist": nlist, "centroids": ivf.centroids}
             )
         elif kind == "bm25":
+            from anser_spark.operators.ranking import _tokens as _rank_tokens
+
             path = definition.get("path", "text")
+            language = definition.get("default_language", "none")
+            if language in ("en", "english"):
+                language = "english"
             docs = self.df()
-            # same tokenizer as operators.ranking._tokens
-            toks = F.filter(
-                F.split(F.lower(F.trim(F.col(path))), r"\s+"), lambda t: t != ""
-            )
+            # THE tokenizer (operators.ranking._tokens) — index build and
+            # query analysis must agree on the analyzer (round 7:
+            # default_language 'english' = stopwords + s-stemming)
+            toks = _rank_tokens(path, language)
             stats = docs.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.size(toks)).alias("avgdl"),
@@ -1648,6 +1651,7 @@ class Collection:
                 {
                     "kind": "bm25",
                     "path": path,
+                    "default_language": language,
                     "n_docs": int(stats["n"]),
                     "avgdl": float(stats["avgdl"] or 0.0),
                     "terms_dir": terms_dir,
@@ -1740,7 +1744,7 @@ class Collection:
         spec, residual = extract_text_spec(query)
         if spec is None:
             return compile_filter(query, df.schema)
-        text_col, stats_loader = self._text_index_info(df)
+        text_col, stats_loader, language = self._text_index_info(df)
         if text_col is None:
             if "text" not in df.columns:
                 raise ValueError(
@@ -1748,7 +1752,9 @@ class Collection:
                     "'text' on the collection"
                 )
             text_col = "text"
-        pred, _score = text_match(df, spec, text_col, stats_loader)
+        pred, _score = text_match(
+            df, spec, text_col, stats_loader, default_language=language
+        )
         pred = F.coalesce(pred, F.lit(False))
         if residual:
             pred = pred & compile_filter(residual, df.schema)
@@ -1787,8 +1793,8 @@ class Collection:
                 )
                 return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
 
-            return path, loader
-        return None, None
+            return path, loader, d.get("default_language", "none")
+        return None, None, "none"
 
     def drop_search_index(self, name: str) -> None:
         p = os.path.join(self._search_index_dir(), f"{name}.json")
@@ -1925,6 +1931,7 @@ class Collection:
                 "n_docs": int(d["n_docs"]),
                 "avgdl": float(d["avgdl"]),
                 "terms_dir": str(d["terms_dir"]),
+                "default_language": d.get("default_language", "none"),
             }
             match_arg = dict(match_arg)
             match_arg["$text"] = spec
@@ -2164,21 +2171,19 @@ class Collection:
         # untyped null coerces freely inside $ifNull/$add/… exactly
         # like Mongo's missing.)
         frame = self._docs_to_df([base])
-        seeded: list[str] = []
         for ref in _pipeline_field_refs(stages):
             if ref not in frame.columns:
                 frame = frame.withColumn(ref, F.lit(None))
-                seeded.append(ref)
         out = compile_pipeline(frame, stages, None, None)
         rows = out.limit(1).collect()
         doc = rows[0].asDict(recursive=True) if rows else dict(base)
-        # a seeded field the pipeline never assigned is still "missing"
-        # — drop it so the inserted doc matches Mongo (and so the
-        # NullType column can't poison downstream schema inference)
-        for ref in seeded:
-            if ref in doc and doc[ref] is None:
-                doc.pop(ref)
-        doc.setdefault("_id", base["_id"])
+        # drop null fields: a seeded field the stages never assigned is
+        # still "missing", and a stage output that EVALUATED to null
+        # (e.g. $multiply over a missing operand) is untyped — either
+        # way the columnar insert null-fills it, so the stored result
+        # is identical and schema inference can't trip on NullType
+        doc = {k: v for k, v in doc.items() if v is not None}
+        doc.setdefault("_id", base.get("_id"))
         return doc
 
     def update(self, query: Mapping[str, Any] | None, update: Mapping[str, Any]) -> ChangeInfo:

@@ -287,7 +287,9 @@ def _compile_field(path: str, value: Any, schema: T.StructType | None) -> Column
     if is_array and not isinstance(value, (list, tuple)):
         # Mongo: scalar equality against an array field means "contains"
         return F.array_contains(col, _lit(value))
-    return col == _lit(value)
+    from anser_spark.functions.collation import collate_if_string
+
+    return collate_if_string(col, dt) == _lit(value)
 
 
 def _compile_op(
@@ -329,26 +331,31 @@ def _compile_op(
         return F.lit(False)  # type bracketing: can never match
     if op == "$ne" and not _type_bracket_compatible(dt, arg):
         return F.lit(True)  # ...so $ne matches every document
+    # active collation (find collation()/aggregate option) applies to
+    # scalar string comparisons — array elements stay binary (documented)
+    from anser_spark.functions.collation import collate_if_string
+
+    ccol = collate_if_string(col, dt)
     if op == "$eq":
         if arg is None:
             return col.isNull()
         if is_array and not isinstance(arg, (list, tuple)):
             return F.array_contains(col, _lit(arg))
-        return col == _lit(arg)
+        return ccol == _lit(arg)
     if op == "$ne":
         if arg is None:
             return col.isNotNull()
         if is_array and not isinstance(arg, (list, tuple)):
             return ~F.coalesce(F.array_contains(col, _lit(arg)), F.lit(False))
-        return (col != _lit(arg)) | col.isNull()
+        return (ccol != _lit(arg)) | col.isNull()
     if op == "$gt":
-        return _cmp(col, is_array, lambda c: c > _lit(arg))
+        return _cmp(ccol, is_array, lambda c: c > _lit(arg))
     if op == "$gte":
-        return _cmp(col, is_array, lambda c: c >= _lit(arg))
+        return _cmp(ccol, is_array, lambda c: c >= _lit(arg))
     if op == "$lt":
-        return _cmp(col, is_array, lambda c: c < _lit(arg))
+        return _cmp(ccol, is_array, lambda c: c < _lit(arg))
     if op == "$lte":
-        return _cmp(col, is_array, lambda c: c <= _lit(arg))
+        return _cmp(ccol, is_array, lambda c: c <= _lit(arg))
     if op == "$in":
         if not isinstance(arg, (list, tuple)):
             raise FilterCompileError("$in expects a list")
@@ -365,7 +372,7 @@ def _compile_op(
         base = []
         non_null = [v for v in arg if v is not None]
         if non_null:
-            base.append(col.isin(*non_null))
+            base.append(ccol.isin(*non_null))
         if any(v is None for v in arg):
             base.append(col.isNull())
         return _any_of(base)

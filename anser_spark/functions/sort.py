@@ -8,19 +8,36 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column
+from pyspark.sql import types as T
 
-from anser_spark.functions.filters import resolve_field
+from anser_spark.functions.filters import field_type, resolve_field
 
 __all__ = ["parse_sort_keys"]
 
 
-def parse_sort_keys(keys: Sequence[str] | Mapping[str, int] | str | None) -> list[Column]:
+def parse_sort_keys(
+    keys: Sequence[str] | Mapping[str, int] | str | None,
+    schema: T.StructType | None = None,
+) -> list[Column]:
     """``("-a", "b")`` ⇒ [a DESC, b ASC]; also accepts a Mongo sort doc
     ``{"a": -1, "b": 1}`` (pipeline ``$sort`` form).
 
     Mongo sorts nulls first on ascending, last on descending; mirror that
     explicitly so results are deterministic across engines.
+
+    When a collation is active (find ``collation()`` / aggregate
+    option) and ``schema`` is provided, string-typed sort keys order by
+    the ICU collation instead of binary — pass the frame's schema from
+    call sites that honor collation.
     """
+    from anser_spark.functions.collation import active_collation, collate_if_string
+
+    def _field(name: str) -> Column:
+        col = resolve_field(name)
+        if schema is not None and active_collation() is not None:
+            col = collate_if_string(col, field_type(schema, name))
+        return col
+
     if keys is None:
         return []
     if isinstance(keys, str):
@@ -43,7 +60,7 @@ def parse_sort_keys(keys: Sequence[str] | Mapping[str, int] | str | None) -> lis
 
                 out.append(resolve_field(active_score_field()).desc_nulls_last())
                 continue
-            col = resolve_field(name)
+            col = _field(name)
             out.append(col.desc_nulls_last() if direction < 0 else col.asc_nulls_first())
         return out
     for key in keys:
@@ -55,11 +72,11 @@ def parse_sort_keys(keys: Sequence[str] | Mapping[str, int] | str | None) -> lis
             name = key[1:]
             if not name:
                 continue
-            out.append(resolve_field(name).desc_nulls_last())
+            out.append(_field(name).desc_nulls_last())
         else:
             if key.startswith("+"):
                 key = key[1:]
             if not key:
                 continue
-            out.append(resolve_field(key).asc_nulls_first())
+            out.append(_field(key).asc_nulls_first())
     return out

@@ -30,10 +30,89 @@ __all__ = [
     "rank_fusion",
     "parse_text_search",
     "text_match",
+    "analyze_terms",
+    "ENGLISH_STOPWORDS",
 ]
 
 
-def _tokens(text_col: str):
+# Snowball English stopword list (public domain, snowballstem.org) —
+# the same list Mongo's 'english' analyzer suppresses.
+ENGLISH_STOPWORDS = frozenset("""
+i me my myself we our ours ourselves you your yours yourself yourselves
+he him his himself she her hers herself it its itself they them their
+theirs themselves what which who whom this that these those am is are
+was were be been being have has had having do does did doing would
+should could ought i'm you're he's she's it's we're they're i've you've
+we've they've i'd you'd he'd she'd we'd they'd i'll you'll he'll she'll
+we'll they'll isn't aren't wasn't weren't hasn't haven't hadn't doesn't
+don't didn't won't wouldn't shan't shouldn't can't cannot couldn't
+mustn't let's that's who's what's here's there's when's where's why's
+how's a an the and but if or because as until while of at by for with
+about against between into through during before after above below to
+from up down in out on off over under again further then once here
+there when where why how all any both each few more most other some
+such no nor not only own same so than too very
+""".split())
+
+
+def _s_stem_py(w: str) -> str:
+    """Python twin of the Column s-stemmer below — MUST match exactly
+    (query terms are analyzed driver-side, documents executor-side)."""
+    import re as _re
+
+    if _re.search(r"(?<![ae])ies$", w):
+        return w[:-3] + "y"
+    if _re.search(r"(?<![aeo])es$", w):
+        return w[:-1]
+    if _re.search(r"(?<![us])s$", w):
+        return w[:-1]
+    return w
+
+
+def _s_stem_col(w):
+    """Harman's S-stemmer (public: 'How effective is suffixing?', JASIS
+    1991) as a pure Column when-chain: IES→Y (not EIES/AIES), ES→E (not
+    AES/EES/OES), trailing S dropped (not US/SS).  Not Snowball — a
+    documented, deterministic subset that conflates English plurals,
+    the dominant morphological variant in retrieval."""
+    return (
+        F.when(w.rlike(r"(?<![ae])ies$"), F.regexp_replace(w, r"ies$", "y"))
+        .when(w.rlike(r"(?<![aeo])es$"), F.regexp_replace(w, r"es$", "e"))
+        .when(w.rlike(r"(?<![us])s$"), F.regexp_replace(w, r"s$", ""))
+        .otherwise(w)
+    )
+
+
+def analyze_terms(terms: list[str], language: str = "none") -> list[str]:
+    """Driver-side query-term analysis matching :func:`_tokens`:
+    'none' lowercases; 'english' also drops stopwords and s-stems."""
+    out = [t.lower() for t in terms]
+    if language == "english":
+        out = [_s_stem_py(t) for t in out if t not in ENGLISH_STOPWORDS]
+    return out
+
+
+def _tokens(text_col: str, language: str = "none"):
+    """Tokenize a text column.  'none' (default): whitespace split +
+    lowercase — the engine's historical analyzer, shared by the BM25
+    index builder.  'english': split on non-alphanumerics, drop
+    Snowball stopwords, s-stem — Mongo's 'english' analyzer modulo the
+    stemmer (s-stem vs Snowball; documented in COVERAGE.md).  All pure
+    Column expressions — no UDFs, whole-stage codegen intact."""
+    if language == "english":
+        raw = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}']+"),
+            lambda t: t != "",
+        )
+        kept = F.filter(
+            raw, lambda w: ~w.isin(*sorted(ENGLISH_STOPWORDS))
+        )
+        return F.transform(kept, _s_stem_col)
+    if language != "none":
+        raise ValueError(
+            f"unsupported $text language {language!r}: 'none' (exact "
+            "tokens) and 'english' (stopwords + s-stemming) are implemented"
+        )
     return F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
     )
@@ -46,6 +125,7 @@ def bm25_score(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    language: str = "none",
 ) -> DataFrame:
     """Per-document BM25 score for a bag of query terms.
 
@@ -58,8 +138,10 @@ def bm25_score(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = [t.lower() for t in query_terms]
-    toks = _tokens(text_col)
+    terms = analyze_terms(query_terms, language)
+    if not terms:
+        raise ValueError("query_terms are all stopwords under this language")
+    toks = _tokens(text_col, language)
     base = df.select(F.col(id_col), toks.alias("__toks"))
     def _tf(term: str):
         # single-arg lambda: a 2-arg filter lambda would receive the
@@ -104,6 +186,7 @@ def bm25_score_expr(
     k1: float = 1.2,
     b: float = 0.75,
     stats: tuple[int, float, dict] | None = None,
+    language: str = "none",
 ) -> F.Column:
     """BM25 as a pure Column EXPRESSION over ``df``'s text column — the
     zero-join form: corpus stats (N, avgdl, per-term df) come from the
@@ -126,8 +209,10 @@ def bm25_score_expr(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = [t.lower() for t in query_terms]
-    toks = _tokens(text_col)
+    terms = analyze_terms(query_terms, language)
+    if not terms:
+        return F.lit(0.0)  # all stopwords: nothing to score
+    toks = _tokens(text_col, language)
 
     def _tf(term: str):
         # single-arg lambda via closure: a default-arg lambda would have
@@ -234,6 +319,7 @@ def text_match(
     spec: Mapping[str, Any],
     text_col: str = "text",
     stats_loader: Callable[[list[str]], tuple[int, float, dict]] | None = None,
+    default_language: str = "none",
 ) -> tuple[F.Column, F.Column]:
     """Legacy ``{$text: {$search: ...}}`` query operator (the find
     surface the reference accepts verbatim, db/interface.go:26) mapped
@@ -246,10 +332,16 @@ def text_match(
     {term: df})`` — a persistent bm25 search index resolves it with a
     point lookup so no corpus aggregate runs at query time.
 
-    Documented divergences: relevance is BM25 (not Mongo's tf-idf
-    weighting — ordering may differ), no stemming or language analyzer
-    (``$language`` accepted and ignored beyond validation), and
-    ``$diacriticSensitive`` is always effectively True (no folding).
+    Language analysis (round 7): ``$language`` (or the index's
+    ``default_language``) selects the analyzer — 'none' = exact
+    lowercased tokens (default), 'english'/'en' = Snowball stopword
+    removal + s-stemming on BOTH documents and query terms, so
+    'pony' matches 'ponies' and stopword-only queries match nothing,
+    as in Mongo.  Documented divergences: relevance is BM25 (not
+    Mongo's tf-idf — ordering may differ), the stemmer is Harman's
+    s-stemmer (not Snowball — weaker conflation, e.g. 'running' does
+    not reduce to 'run'), phrase matching is raw-substring (unstemmed),
+    and ``$diacriticSensitive`` is always effectively True (no folding).
     """
     search = spec.get("$search")
     if not isinstance(search, str) or not search.strip():
@@ -260,16 +352,34 @@ def text_match(
     if unknown:
         raise ValueError(f"unsupported $text options: {sorted(unknown)}")
     case_sensitive = bool(spec.get("$caseSensitive", False))
+    language = spec.get("$language", default_language) or "none"
+    if language in ("en", "english"):
+        language = "english"
+    elif language != "none":
+        raise ValueError(
+            f"unsupported $text $language {language!r}: 'none' and "
+            "'english' are implemented"
+        )
     terms, phrases, negated = parse_text_search(search)
     if not terms and not negated:
         raise ValueError(f"$text $search has no searchable terms: {search!r}")
 
+    # analyze query terms with the document analyzer (stopwords drop
+    # out; stems align with the stemmed token stream).  The
+    # case-sensitive predicate keeps surface forms: its token stream is
+    # unlowered, so analyzed (lowercased) terms would never match.
+    if not case_sensitive:
+        terms = analyze_terms(terms, language)
+        negated = analyze_terms(negated, language)
+
     score_terms = sorted({t.lower() for t in terms})
     if score_terms:
         stats = stats_loader(score_terms) if stats_loader is not None else None
-        score = bm25_score_expr(df, score_terms, text_col=text_col, stats=stats)
+        score = bm25_score_expr(
+            df, score_terms, text_col=text_col, stats=stats, language=language
+        )
     else:
-        score = F.lit(0.0)  # negation-only query (Mongo returns nothing)
+        score = F.lit(0.0)  # negation/stopword-only query
 
     if case_sensitive:
         toks = F.filter(
@@ -278,7 +388,7 @@ def text_match(
         has = lambda term: F.exists(toks, lambda w: w == F.lit(term))  # noqa: E731
         contains = lambda p: F.col(text_col).contains(F.lit(p))  # noqa: E731
     else:
-        toks = _tokens(text_col)
+        toks = _tokens(text_col, language)
         has = lambda term: F.exists(  # noqa: E731
             toks, lambda w: w == F.lit(term.lower())
         )
@@ -297,8 +407,8 @@ def text_match(
     for t in negated:
         neg = ~F.coalesce(has(t), F.lit(False))
         pred = neg if pred is None else (pred & neg)
-    if not terms and negated:
-        # Mongo: a $search of only negated terms matches nothing
+    if not terms and (negated or language == "english"):
+        # Mongo: negated-only (or all-stopword) $search matches nothing
         pred = F.lit(False)
     return F.coalesce(pred, F.lit(False)), score
 

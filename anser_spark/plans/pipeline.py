@@ -339,7 +339,8 @@ def _compile_stage(  # noqa: C901
         return _group(df, arg)
 
     if op == "$sort":
-        return df.orderBy(*parse_sort_keys(arg))
+        # schema makes string keys honor the active collation (round 7)
+        return df.orderBy(*parse_sort_keys(arg, df.schema))
 
     if op == "$limit":
         return df.limit(int(arg))
@@ -1452,9 +1453,13 @@ def _text_match_stage(
             )
             return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
 
+        language = str(index.get("default_language", "none"))
     else:
         text_col = _default_text_col(df)
-    pred, score = text_match(df, spec, text_col, stats_loader)
+        language = "none"
+    pred, score = text_match(
+        df, spec, text_col, stats_loader, default_language=language
+    )
     out = (
         df.withColumn(_TEXT_SCORE_COL, score.cast("double"))
         .where(F.coalesce(pred, F.lit(False)))
@@ -2361,10 +2366,59 @@ def _lookup_pipeline(
             continue
         residual.append(cond)
     if not join_pairs:
-        raise PipelineCompileError(
-            "$lookup pipeline form needs at least one let-variable equality "
-            "($expr $eq) — anything else would be a cross join"
+        # No let-variable equality. Two legitimate Mongo shapes land
+        # here (round 7; previously rejected):
+        #  - theta-only correlation ($gte/$lt/$ne between $$var and a
+        #    foreign field): a non-equi join — Spark plans a broadcast
+        #    nested-loop; inherently O(n·m) worst case, exactly what
+        #    the query asks for (document the cost, don't forbid it)
+        #  - a fully uncorrelated $expr (no $$vars anywhere): just a
+        #    foreign-side filter → the compute-once broadcast-pack path
+        theta_corr = [c for c in residual if _expr_has_var(c)]
+        plain = [c for c in residual if not _expr_has_var(c)]
+        filtered = foreign
+        non_expr = {k: v for k, v in match_arg.items() if k != "$expr"}
+        if non_expr:
+            filtered = filtered.where(compile_filter(non_expr, filtered.schema))
+        for cond in plain:
+            filtered = filtered.where(
+                compile_expr(cond, filtered.schema).cast("boolean")
+            )
+        if theta_corr:
+            if len(stages) > 1:
+                raise PipelineCompileError(
+                    "$lookup sub-pipeline stages after a correlated "
+                    "non-equality $match are not supported (the filter "
+                    "depends on the outer row, so the tail cannot be "
+                    "decorrelated)"
+                )
+            return _lookup_correlated_theta(
+                df, filtered, let, [], theta_corr, arg["as"],
+                unwind_preserve, semi,
+            )
+        if semi is not None:
+            return None  # uncorrelated — decline semi/anti fusion
+        sub = compile_pipeline(filtered, stages[1:], None, None)
+        out_col = arg["as"]
+        if out_col in df.columns:
+            df = df.drop(out_col)
+        packed = sub.agg(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in sub.columns])
+            ).alias(out_col)
         )
+        joined = df.crossJoin(F.broadcast(packed))
+        if unwind_preserve is not None:
+            exploded = (
+                F.explode_outer(F.col(out_col))
+                if unwind_preserve
+                else F.explode(F.col(out_col))
+            )
+            return joined.select(
+                *[c for c in joined.columns if c != out_col],
+                exploded.alias(out_col),
+            )
+        return joined
 
     filtered = foreign
     non_expr = {k: v for k, v in match_arg.items() if k != "$expr"}
@@ -3585,10 +3639,16 @@ class Aggregation:
     """Fluent wrapper mirroring the reference aggregationWrapper
     (db/wrapper.go:522-577): Hint is advisory; All/One/Iter execute."""
 
-    def __init__(self, collection: Any, pipeline: Sequence[Mapping[str, Any]]) -> None:
+    def __init__(
+        self,
+        collection: Any,
+        pipeline: Sequence[Mapping[str, Any]],
+        collation: str | None = None,
+    ) -> None:
         self._collection = collection
         self._pipeline = list(pipeline)
         self._hint: Any = None
+        self._collation = collation  # Spark collation name (round 7)
 
     def hint(self, hint: Any) -> "Aggregation":
         self._hint = hint
@@ -3739,12 +3799,17 @@ class Aggregation:
         return sink
 
     def to_df(self) -> DataFrame:
+        from anser_spark.functions.collation import use_collation
+
         base = (
             self._collection
             if isinstance(self._collection, DataFrame)
             else self._collection.df()
         )
-        return compile_pipeline(base, self._pipeline, self._resolver(), self._sink())
+        with use_collation(self._collation):
+            return compile_pipeline(
+                base, self._pipeline, self._resolver(), self._sink()
+            )
 
     def all(self) -> list[dict[str, Any]]:
         return [r.asDict(recursive=True) for r in self.to_df().collect()]

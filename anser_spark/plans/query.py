@@ -22,6 +22,10 @@ from anser_spark.functions.sort import parse_sort_keys
 
 __all__ = ["Query"]
 
+# skip() beyond this depth warns and points at seek() — offset still
+# produces and discards every skipped row, keyset pagination doesn't
+_DEEP_SKIP_WARN = 100_000
+
 
 def explain_doc(df: DataFrame, namespace: str, verbosity: str = "queryPlanner") -> dict:
     """Mongo-shaped explain document built from Spark's EXECUTED plan
@@ -131,7 +135,9 @@ class Query:
         self._sort: Sequence[str] | None = None
         self._limit: int | None = None
         self._skip: int | None = None
+        self._seek: dict[str, Any] | None = None
         self._hint: Any = None
+        self._collation: str | None = None
 
     # -- fluent builders (db/wrapper.go:385-389) -----------------------
     def select(self, projection: Mapping[str, Any]) -> "Query":
@@ -151,7 +157,37 @@ class Query:
         return self
 
     def skip(self, n: int) -> "Query":
+        """OFFSET-style skip. Fine at pagination depths humans use; at
+        deep offsets every skipped row is still produced and discarded
+        (true in Mongo too). Past _DEEP_SKIP_WARN a warning points at
+        ``seek()`` — the keyset form whose predicate pushes down to the
+        scan instead."""
+        if n and n > _DEEP_SKIP_WARN:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skip(%d) is deep paging: every skipped row is still "
+                "produced and discarded. Use .seek(last_doc) keyset "
+                "pagination instead — its predicate pushes down to the "
+                "scan.", n,
+            )
         self._skip = n
+        return self
+
+    def seek(self, last: Mapping[str, Any]) -> "Query":
+        """Keyset (seek-style) pagination — the deep-paging alternative
+        to ``skip``: pass the LAST document of the previous page (or
+        just its sort-key fields); compiles to a lexicographic
+        strictly-after predicate over the sort keys, which Catalyst
+        pushes to the parquet scan (footer min/max pruning) — page N
+        costs the same as page 1, vs ``offset``'s produce-and-discard.
+
+        Requires a ``sort()`` whose keys form a TOTAL order (include a
+        unique tiebreak key, e.g. ``_id``) — the same requirement every
+        keyset-pagination scheme has. Null sort-key values follow the
+        engine's sort order (nulls first on ascending, last on
+        descending)."""
+        self._seek = dict(last)
         return self
 
     def hint(self, hint: Any) -> "Query":
@@ -160,17 +196,17 @@ class Query:
         return self
 
     def collation(self, spec: Mapping[str, Any] | None) -> "Query":
-        """Collation option: only the binary comparison this engine
-        actually performs is accepted (``{"locale": "simple"}`` or
-        None); any other locale/option raises instead of silently
-        returning differently-ordered results."""
-        if spec:
-            extra = set(spec) - {"locale"}
-            if spec.get("locale", "simple") != "simple" or extra:
-                raise ValueError(
-                    f"unsupported collation {dict(spec)!r}: only "
-                    "{'locale': 'simple'} (binary comparison) is implemented"
-                )
+        """Collation (round 7: REAL, via Spark's native ICU collations):
+        ``{'locale': L}`` (tertiary), ``strength: 2`` (case-insensitive,
+        ``L_CI``) and ``strength: 1`` (case+accent-insensitive,
+        ``L_CI_AI``) apply to string filter comparisons and string sort
+        keys — JVM-side collated comparison, no UDFs.  Options ICU
+        cannot express (caseFirst, numericOrdering, ...) raise instead
+        of silently returning differently-ordered results
+        (functions/collation.py)."""
+        from anser_spark.functions.collation import spark_collation_name
+
+        self._collation = spark_collation_name(spec)
         return self
 
     # -- compilation ---------------------------------------------------
@@ -189,10 +225,10 @@ class Query:
             return df.where(compile_filter(self._filter, df.schema)), False
         from anser_spark.operators.ranking import text_match
 
-        text_col, stats_loader = None, None
+        text_col, stats_loader, language = None, None, "none"
         coll = self._collection
         if not isinstance(coll, DataFrame) and hasattr(coll, "_text_index_info"):
-            text_col, stats_loader = coll._text_index_info(df)
+            text_col, stats_loader, language = coll._text_index_info(df)
         if text_col is None:
             if "text" not in df.columns:
                 raise ValueError(
@@ -200,7 +236,9 @@ class Query:
                     "'text' on the collection"
                 )
             text_col = "text"
-        pred, score = text_match(df, spec, text_col, stats_loader)
+        pred, score = text_match(
+            df, spec, text_col, stats_loader, default_language=language
+        )
         df = df.withColumn("__textScore", score.cast("double")).where(
             F.coalesce(pred, F.lit(False))
         )
@@ -208,7 +246,7 @@ class Query:
             df = df.where(compile_filter(residual, df.schema))
         return df, True
 
-    def _sort_cols(self) -> list[Column]:
+    def _sort_cols(self, schema: Any = None) -> list[Column]:
         order: list[Column] = []
         for key in self._sort or []:
             if isinstance(key, Mapping):
@@ -217,16 +255,87 @@ class Query:
                         # Mongo $meta sort: descending relevance
                         order.append(F.col("__textScore").desc())
                     else:
-                        order.extend(parse_sort_keys({name: v}))
+                        order.extend(parse_sort_keys({name: v}, schema))
             else:
-                order.extend(parse_sort_keys(key))
+                order.extend(parse_sort_keys(key, schema))
         return order
+
+    def _seek_pairs(self) -> list[tuple[str, bool]]:
+        pairs: list[tuple[str, bool]] = []
+        flat: list[Any] = []
+        for key in self._sort or []:
+            # sort() accepts both sort("a", "-b") and sort(["a", "-b"])
+            if isinstance(key, (list, tuple)):
+                flat.extend(key)
+            else:
+                flat.append(key)
+        for key in flat:
+            if isinstance(key, Mapping):
+                for name, v in key.items():
+                    if isinstance(v, Mapping):
+                        continue  # $meta sorts can't carry a seek key
+                    pairs.append((str(name), not (isinstance(v, int) and v < 0)))
+            else:
+                k = str(key)
+                if not k or k.lstrip("-+") == "$natural":
+                    continue
+                if k.startswith("-"):
+                    pairs.append((k[1:], False))
+                else:
+                    pairs.append((k.lstrip("+"), True))
+        return pairs
+
+    def _seek_predicate(self) -> Column:
+        """Lexicographic strictly-after predicate over the sort keys:
+        OR over key positions i of (keys[:i] null-safe-equal last) AND
+        (keys[i] strictly after last[i] in its sort direction)."""
+        assert self._seek is not None
+        pairs = self._seek_pairs()
+        if not pairs:
+            raise ValueError("seek() requires a sort() with at least one key")
+        missing = [n for n, _ in pairs if n not in self._seek]
+        if missing:
+            raise ValueError(
+                f"seek() document is missing sort-key fields {missing}"
+            )
+        pred = F.lit(False)
+        eq_prefix = F.lit(True)
+        for name, asc in pairs:
+            col = resolve_field(name)
+            v = self._seek[name]
+            if v is None:
+                # asc: nulls first → everything non-null comes after;
+                # desc: nulls last → nothing comes after a null
+                strict = col.isNotNull() if asc else F.lit(False)
+            elif asc:
+                strict = col > F.lit(v)
+            else:
+                # desc sorts nulls last → they come after any value
+                strict = (col < F.lit(v)) | col.isNull()
+            pred = pred | (eq_prefix & strict)
+            eq_prefix = eq_prefix & col.eqNullSafe(F.lit(v))
+        return pred
 
     def to_df(self) -> DataFrame:
         """Compile to a DataFrame. Order of application mirrors server
-        execution: filter → sort → skip → limit → projection."""
+        execution: filter → seek → sort → skip → limit → projection."""
+        from anser_spark.functions.collation import use_collation
+
+        with use_collation(self._collation):
+            return self._to_df_collated()
+
+    def _to_df_collated(self) -> DataFrame:
+        if self._seek is not None and self._collation is not None:
+            raise ValueError(
+                "seek() keyset pagination under a non-simple collation is "
+                "not supported: the strictly-after predicate compares "
+                "binary, but the sort orders by the collation — pages "
+                "would skip or repeat rows"
+            )
         df, had_text = self._text_filtered(self._base_df())
-        order = self._sort_cols()
+        if self._seek is not None:
+            df = df.where(self._seek_predicate())
+        order = self._sort_cols(df.schema)
         if order:
             df = df.orderBy(*order)
         if self._skip:
@@ -262,7 +371,15 @@ class Query:
             yield row.asDict(recursive=True)
 
     def count(self) -> int:
+        from anser_spark.functions.collation import use_collation
+
+        with use_collation(self._collation):
+            return self._count_collated()
+
+    def _count_collated(self) -> int:
         df, _had_text = self._text_filtered(self._base_df())
+        if self._seek is not None:
+            df = df.where(self._seek_predicate())
         if self._skip:
             df = df.offset(self._skip)
         if self._limit is not None and self._limit > 0:

@@ -688,3 +688,85 @@ def test_temperature_mix(spark):
 
     with _pytest.raises(ValueError, match="temperature"):
         temperature_mix(df, temperature=0.0)
+
+
+def _make_bmp(pixels):
+    """Hand-build an uncompressed 24-bit BMP (bottom-up) from an
+    HxWx3 RGB uint8 array — the golden-input generator for decode_bmp."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    row = ((24 * w + 31) // 32) * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            r, g, b = px[y, x]
+            line += bytes([b, g, r])  # BGR
+        line += b"\0" * (row - len(line))
+        body += line
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def _make_ppm(pixels):
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return b"P6\n# golden\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def test_decode_bmp_ppm_golden():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import (
+        decode_bmp, decode_image, decode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(_make_bmp(img)), img)
+    assert np.array_equal(decode_ppm(_make_ppm(img)), img)
+    # dispatcher picks the right parser by magic bytes
+    assert np.array_equal(decode_image(_make_bmp(img)), img)
+    assert np.array_equal(decode_image(_make_ppm(img)), img)
+    # PGM (grayscale) replicates to 3 channels
+    gray = rng.integers(0, 256, size=(4, 2), dtype=np.uint8)
+    pgm = b"P5\n2 4\n255\n" + gray.tobytes()
+    out = decode_ppm(pgm)
+    assert out.shape == (4, 2, 3) and np.array_equal(out[:, :, 0], gray)
+    # non-images and truncated payloads → None, never an exception
+    assert decode_image(b"") is None
+    assert decode_image(b"\x89PNG\r\n\x1a\n") is None
+    assert decode_bmp(_make_bmp(img)[:30]) is None
+    assert decode_ppm(b"P6\n3 5\n255\n" + b"\x00" * 10) is None
+
+
+def test_extract_image_stats_real_decode(spark):
+    import numpy as np
+
+    from anser_spark.operators.multimodal import extract_image_stats
+
+    solid = np.full((4, 4, 3), [200, 100, 50], dtype=np.uint8)
+    rows = [
+        ("bmp1", _make_bmp(solid)),
+        ("ppm1", _make_ppm(solid)),
+        ("bad1", b"not an image"),
+        ("null1", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r.asDict() for r in extract_image_stats(df).collect()}
+    for mid in ("bmp1", "ppm1"):
+        r = got[mid]
+        assert (r["width"], r["height"], r["channels"]) == (4, 4, 3)
+        assert r["mean_r"] == 200.0 and r["mean_g"] == 100.0 and r["mean_b"] == 50.0
+        assert abs(r["mean_lum"] - (0.2126 * 200 + 0.7152 * 100 + 0.0722 * 50)) < 1e-9
+        assert r["std_lum"] == 0.0
+    assert got["bad1"]["width"] is None and got["null1"]["width"] is None

@@ -282,8 +282,14 @@ def test_aggregate_options_let_and_friends(engine):
     assert all(r["tag"].startswith("N:") for r in rows)
     import pytest as _pytest
 
+    # round 7: real locales work (ICU); inexpressible options raise
+    got = nation.pipe(
+        [{"$match": {"n_name": "nation_3"}}, {"$project": {"n_name": 1}}],
+        collation={"locale": "en", "strength": 2},
+    ).all()
+    assert [r["n_name"] for r in got] == ["NATION_3"]
     with _pytest.raises(ValueError, match="unsupported collation"):
-        nation.pipe([{"$limit": 1}], collation={"locale": "en"})
+        nation.pipe([{"$limit": 1}], collation={"locale": "en", "backwards": True})
     with _pytest.raises(ValueError, match="dotted access"):
         nation.pipe(
             [{"$match": {"$expr": {"$eq": ["$n_name", "$$doc.name"]}}}],

@@ -102,8 +102,40 @@ def test_collation_simple_ok_others_raise(doc_collection):
 
     q = doc_collection.find({}).collation({"locale": "simple"})
     assert q.count() == 6
+    # round 7: real locales map to Spark ICU collations instead of
+    # raising; inexpressible options still raise
     with _pytest.raises(ValueError, match="unsupported collation"):
-        doc_collection.find({}).collation({"locale": "en", "strength": 2})
+        doc_collection.find({}).collation(
+            {"locale": "en", "numericOrdering": True}
+        )
+
+
+def test_collation_real_locales(spark):
+    from anser_spark.plans.query import Query
+
+    df = spark.createDataFrame(
+        [(1, "Apple"), (2, "aPPLE"), (3, "Banana"), (4, "café"), (5, "cafe")],
+        "_id long, name string",
+    )
+    # strength 2 = case-insensitive: filter, $in, sort
+    ci = {"locale": "en", "strength": 2}
+    got = Query(df, {"name": "apple"}).collation(ci).all()
+    assert sorted(r["_id"] for r in got) == [1, 2]
+    got = Query(df, {"name": {"$in": ["APPLE", "CAFE"]}}).collation(ci).all()
+    assert sorted(r["_id"] for r in got) == [1, 2, 5]  # café ≠ CAFE at s2
+    order = [r["name"] for r in Query(df, {}).sort(["name", "_id"]).collation(ci).all()]
+    assert order == ["Apple", "aPPLE", "Banana", "cafe", "café"]
+    # strength 1 adds accent-insensitivity
+    got = Query(df, {"name": "cafe"}).collation(
+        {"locale": "en", "strength": 1}
+    ).all()
+    assert sorted(r["_id"] for r in got) == [4, 5]
+    # binary (no collation): none of the above match
+    assert Query(df, {"name": "apple"}).all() == []
+    # range comparison under collation (binary would keep 'aPPLE'/'Apple'
+    # below 'b'... actually above: 'A'<'a' in binary; under en_CI 'apple'<'b')
+    got = Query(df, {"name": {"$gte": "b"}}).collation(ci).all()
+    assert sorted(r["_id"] for r in got) == [3, 4, 5]
 
 
 def test_projection_slice_and_elem_match(doc_collection):
@@ -138,3 +170,64 @@ def test_projection_slice_and_elem_match(doc_collection):
         doc_collection.find({}).select({"tags.$": 1}).all()
     with _pytest.raises(ValueError, match="unsupported projection"):
         doc_collection.find({}).select({"tags": {"$nope": 1}}).all()
+
+
+def test_seek_keyset_pagination_matches_skip(engine):
+    # page through customer by (-c_acctbal, c_custkey): seek(last_doc)
+    # must produce exactly the rows skip-based paging produces
+    coll = engine.db("tpch").collection("customer")
+    q = lambda: coll.find({}).sort(["-c_acctbal", "c_custkey"])  # noqa: E731
+    page1 = q().limit(10).all()
+    page2_skip = q().skip(10).limit(10).all()
+    page2_seek = q().seek(page1[-1]).limit(10).all()
+    key = lambda r: (r["c_acctbal"], r["c_custkey"])  # noqa: E731
+    assert [key(r) for r in page2_seek] == [key(r) for r in page2_skip]
+    # third page too (seek from the seek-produced page)
+    page3_skip = q().skip(20).limit(10).all()
+    page3_seek = q().seek(page2_seek[-1]).limit(10).all()
+    assert [key(r) for r in page3_seek] == [key(r) for r in page3_skip]
+
+
+def test_seek_predicate_pushes_down(engine, spark):
+    # single ascending unique key: the strictly-after predicate must
+    # reach the parquet scan (PushedFilters), the whole point of seek
+    coll = engine.db("tpch").collection("customer")
+    df = coll.find({}).sort(["c_custkey"]).seek({"c_custkey": 50}).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(c_custkey,50" in plan, (
+        plan[:1500]
+    )
+    got = [r["c_custkey"] for r in df.limit(5).collect()]
+    assert got == [51, 52, 53, 54, 55]
+
+
+def test_seek_null_keys_and_errors(spark):
+    from anser_spark.plans.query import Query
+
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, None), (4, 2)], "_id long, v long"
+    )
+    # asc: nulls first — seeking from a null-v doc returns non-null v
+    # rows plus later null rows (tiebreak _id)
+    q = Query(df, {}).sort(["v", "_id"]).seek({"v": None, "_id": 1})
+    assert [(r["_id"], r["v"]) for r in q.all()] == [
+        (3, None), (4, 2), (2, 5)]
+    # desc: nulls last — after v=2 come the nulls
+    q2 = Query(df, {}).sort(["-v", "_id"]).seek({"v": 2, "_id": 4})
+    assert [(r["_id"], r["v"]) for r in q2.all()] == [(1, None), (3, None)]
+    # errors: no sort, missing key
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires a sort"):
+        Query(df, {}).seek({"v": 1}).to_df()
+    with _pytest.raises(ValueError, match="missing sort-key"):
+        Query(df, {}).sort(["v", "_id"]).seek({"v": 1}).to_df()
+
+
+def test_seek_with_collation_raises(spark):
+    from anser_spark.plans.query import Query
+
+    df = spark.createDataFrame([(1, "a")], "_id long, v string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collation"):
+        (Query(df, {}).sort(["v"]).seek({"v": "a"})
+         .collation({"locale": "en", "strength": 2}).to_df())

@@ -219,3 +219,55 @@ def test_text_in_bulk_selectors(coll):
     assert res.matched == 4  # 3 spark docs updated + 1 removed
     assert coll.find({"lang": "s"}).count() == 3
     assert coll.find({"_id": "d5"}).count() == 0
+
+
+def test_text_english_language_analysis(spark, tmp_path):
+    # round 7: $language 'english' = Snowball stopword removal +
+    # s-stemming on documents AND query terms
+    eng = Engine(spark, workdir=str(tmp_path / "texte"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "p1", "text": "The ponies are running in the fields."},
+        {"_id": "p2", "text": "A single pony grazes!"},
+        {"_id": "p3", "text": "Cats and dogs."},
+        {"_id": "p4", "text": "the and of"},
+    ])
+    # plural/singular conflation, both directions; punctuation stripped
+    assert ids(c.find({"$text": {"$search": "pony", "$language": "english"}}).all()) == ["p1", "p2"]
+    assert ids(c.find({"$text": {"$search": "ponies", "$language": "en"}}).all()) == ["p1", "p2"]
+    assert ids(c.find({"$text": {"$search": "dogs", "$language": "english"}}).all()) == ["p3"]
+    # stopword-only query matches nothing (Mongo behavior)
+    assert c.find({"$text": {"$search": "the and", "$language": "english"}}).all() == []
+    # default 'none' language: exact tokens — 'pony' only hits p2 (and
+    # 'grazes!' keeps its punctuation so 'grazes' misses)
+    assert ids(c.find({"$text": {"$search": "pony"}}).all()) == ["p2"]
+    assert c.find({"$text": {"$search": "grazes"}}).all() == []
+    # unsupported language raises
+    with pytest.raises(ValueError, match="language"):
+        c.find({"$text": {"$search": "x", "$language": "klingon"}}).all()
+
+
+def test_text_english_index_default_language(spark, tmp_path):
+    # a bm25 index built with default_language='english' stems its term
+    # table and the query path picks the language up from the index
+    eng = Engine(spark, workdir=str(tmp_path / "texti"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "p1", "text": "The ponies are running in the fields."},
+        {"_id": "p2", "text": "A single pony grazes!"},
+        {"_id": "p3", "text": "Cats and dogs."},
+    ])
+    c.create_search_index("txt", {"kind": "bm25", "default_language": "english"})
+    # no $language in the query: the index's default applies
+    assert ids(c.find({"$text": {"$search": "pony"}}).all()) == ["p1", "p2"]
+    # pipeline $match path embeds the index language too
+    rows = c.pipe([
+        {"$match": {"$text": {"$search": "cats"}}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert ids(rows) == ["p3"]
+    # index stats really are stemmed: the term table has 'pony' not 'ponies'
+    import os, json
+    d = c._load_search_index("txt", warn_stale=False)
+    terms = {r["term"] for r in spark.read.parquet(d["terms_dir"]).collect()}
+    assert "pony" in terms and "ponies" not in terms and "the" not in terms

@@ -263,3 +263,63 @@ def test_update_fuzz(spark):
                     f"trial {trial}: update {update!r} filter {flt!r} "
                     f"doc {doc['_id']}: field {key!r} got {have!r} want {want!r}"
                 )
+
+
+def test_pipeline_upsert_fuzz(engine):
+    """Round-7 mutation-surface matrix: the UPSERT insert path runs the
+    random stage list over the doc synthesized from the filter's
+    equality fields (fields referenced by the stages but absent from
+    the filter behave as missing→null, per the round-7 null-seeding
+    fix) — vs the same pure-Python evaluator. 6 seeded trials."""
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "11")) + 3)
+    spark = engine.spark
+    coll = engine.db("fuzzdb").collection("ups")
+    coll._rewrite(spark.createDataFrame(make_rows(rng, 5), SCHEMA))
+    for trial in range(6):
+        stages = rand_pipeline_update(rng)
+        q = {"_id": f"zz{trial:02d}"}
+        if rng.random() < 0.5:
+            q["n"] = rng.choice([1, 5])
+        info = coll.upsert(q, stages)
+        assert info.updated == 1
+        expected = ref_apply_pipeline(dict(q), stages)
+        row = coll.find_id(q["_id"]).one()
+        for key, want in expected.items():
+            assert norm(row.get(key)) == norm(want), (
+                f"trial {trial}: stages {stages!r} q {q!r}: "
+                f"field {key!r} got {row.get(key)!r} want {want!r}"
+            )
+
+
+def test_pipeline_find_and_modify_fuzz(engine):
+    """Round-7 mutation-surface matrix: findAndModify with a pipeline
+    update, return_new both ways — the returned doc is the pre-image
+    (return_new=False) or the stage output (True), and the stored doc
+    always carries the stage output. 6 seeded trials."""
+    rng = random.Random(int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "11")) + 9)
+    spark = engine.spark
+    for trial in range(6):
+        rows = make_rows(rng, 8)
+        coll = engine.db("fuzzdb").collection(f"fam{trial}")
+        coll._rewrite(spark.createDataFrame(rows, SCHEMA))
+        stages = rand_pipeline_update(rng)
+        target = rng.choice(rows)
+        return_new = rng.random() < 0.5
+        out = coll.find_and_modify(
+            query={"_id": target["_id"]}, update=stages,
+            return_new=return_new,
+        )
+        expected_new = ref_apply_pipeline(dict(target), stages)
+        compare = expected_new if return_new else dict(target)
+        for key, want in compare.items():
+            assert norm(out.get(key)) == norm(want), (
+                f"trial {trial} return_new={return_new}: stages "
+                f"{stages!r}: field {key!r} got {out.get(key)!r} "
+                f"want {want!r}"
+            )
+        stored = coll.find_id(target["_id"]).one()
+        for key, want in expected_new.items():
+            assert norm(stored.get(key)) == norm(want), (
+                f"trial {trial} stored: field {key!r} got "
+                f"{stored.get(key)!r} want {want!r}"
+            )
