@@ -2006,33 +2006,61 @@ class Collection:
 
         return walk(list(stages))
 
-    def distinct(self, field: str, query: Mapping[str, Any] | None = None) -> list[Any]:
+    def distinct(
+        self,
+        field: str,
+        query: Mapping[str, Any] | None = None,
+        collation: Mapping[str, Any] | None = None,
+    ) -> list[Any]:
         """Mongo `distinct` command: distinct values of a (dotted) field
         among matching docs, as a driver-side list. Array fields
-        distinct over their elements (Mongo semantics).
+        distinct over their elements (Mongo semantics).  ``collation``
+        (round 7) dedups string values under an ICU collation — one
+        representative per equivalence class, as in Mongo.
 
         BOUNDED-CARDINALITY ONLY: like the Mongo command (16 MB reply
         cap), the list materializes on the driver — a high-cardinality
         field at scale belongs on :meth:`distinct_df`, which keeps the
         result distributed."""
-        rows = self.distinct_df(field, query).collect()
+        rows = self.distinct_df(field, query, collation).collect()
         return sorted(r["v"] for r in rows)
 
     def distinct_df(
-        self, field: str, query: Mapping[str, Any] | None = None
+        self,
+        field: str,
+        query: Mapping[str, Any] | None = None,
+        collation: Mapping[str, Any] | None = None,
     ) -> DataFrame:
         """DataFrame variant of :meth:`distinct`: the distinct values of
         ``field`` (column ``v``) as a lazy, distributed frame — one
         hash-aggregate shuffle, safe at any cardinality; compose or
         write it without driver materialization."""
+        from anser_spark.functions.collation import (
+            decollate,
+            spark_collation_name,
+            use_collation,
+        )
         from anser_spark.functions.filters import field_type, resolve_field
 
+        coll_name = spark_collation_name(collation)
         df = self.df()
         if query:
-            df = df.where(compile_filter(query, df.schema))
+            with use_collation(coll_name):
+                df = df.where(compile_filter(query, df.schema))
         col = resolve_field(field)
-        if isinstance(field_type(df.schema, field), T.ArrayType):
+        dt = field_type(df.schema, field)
+        if isinstance(dt, T.ArrayType):
             col = F.explode(col)
+            dt = dt.elementType
+        if coll_name is not None and isinstance(dt, T.StringType):
+            # dedup under the collation, return one representative per
+            # class, de-collated so the result schema stays plain string
+            return (
+                df.select(F.collate(col, coll_name).alias("v"))
+                .where(F.col("v").isNotNull())
+                .distinct()
+                .select(decollate(F.col("v")).alias("v"))
+            )
         return df.select(col.alias("v")).where(F.col("v").isNotNull()).distinct()
 
     # -- write path ----------------------------------------------------

@@ -130,3 +130,25 @@ def collate_if_string(col: Column, dt: T.DataType | None) -> Column:
     if name is None or not isinstance(dt, T.StringType):
         return col
     return F.collate(col, name)
+
+
+def collate_expr_if_string(df, col: Column) -> tuple[Column, bool]:
+    """Like :func:`collate_if_string` for a computed expression whose
+    type isn't statically known: analyze the expression against ``df``
+    and wrap when it is a string.  Returns ``(column, wrapped)`` — a
+    wrapped GROUPING key's output should be normalized back with
+    :func:`decollate` so the collation does not leak into downstream
+    schemas (implicit-collation mismatches)."""
+    name = _ACTIVE.get()
+    if name is None:
+        return col, False
+    dt = df.select(col.alias("__collate_probe")).schema[0].dataType
+    if not isinstance(dt, T.StringType):
+        return col, False
+    return F.collate(col, name), True
+
+
+def decollate(col: Column) -> Column:
+    """Strip a non-default collation from a string column (back to the
+    binary default) so result schemas stay collation-free."""
+    return F.collate(col, "UTF8_BINARY")

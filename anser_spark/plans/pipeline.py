@@ -762,23 +762,46 @@ def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         out = out.where(F.col("__n") > 0).drop("__n")
         return out.select(F.lit(None).alias("_id"), *[F.col(n) for n in accs])
 
+    # active collation (aggregate option, round 7): string group keys
+    # collate like Mongo's — 'Apple'/'aPPLE' merge under strength 2.
+    # The representative _id is an arbitrary member of the equivalence
+    # class (as in Mongo); the output column is de-collated so the
+    # collation never leaks into downstream schemas.
+    from anser_spark.functions.collation import collate_expr_if_string, decollate
+
     if isinstance(id_spec, Mapping) and not any(
         str(k).startswith("$") for k in id_spec
     ):
         # compound key document → group by each sub-expression, then
         # re-nest as a struct _id (Catalyst groups on flat keys — cheaper
         # than grouping on a struct and identical semantics)
-        key_cols = {
-            k: compile_expr(v, df.schema).alias(f"__id_{k}") for k, v in id_spec.items()
-        }
+        key_cols: dict[str, Column] = {}
+        collated_keys: set[str] = set()
+        for k, v in id_spec.items():
+            expr, wrapped = collate_expr_if_string(df, compile_expr(v, df.schema))
+            key_cols[k] = expr.alias(f"__id_{k}")
+            if wrapped:
+                collated_keys.add(k)
         grouped = df.groupBy(*key_cols.values()).agg(*agg_cols)
         id_struct = F.struct(
-            *[F.col(f"__id_{k}").alias(k) for k in id_spec]
+            *[
+                (
+                    decollate(F.col(f"__id_{k}"))
+                    if k in collated_keys
+                    else F.col(f"__id_{k}")
+                ).alias(k)
+                for k in id_spec
+            ]
         ).alias("_id")
         return grouped.select(id_struct, *[F.col(n) for n in accs])
 
-    key = compile_expr(id_spec, df.schema).alias("_id")
-    return df.groupBy(key).agg(*agg_cols)
+    key_expr, wrapped = collate_expr_if_string(
+        df, compile_expr(id_spec, df.schema)
+    )
+    grouped = df.groupBy(key_expr.alias("_id")).agg(*agg_cols)
+    if wrapped:
+        grouped = grouped.withColumn("_id", decollate(F.col("_id")))
+    return grouped
 
 
 _EARTH_RADIUS_M = 6_371_000.0  # mean Earth radius; shared with filters.$centerSphere
@@ -2093,6 +2116,20 @@ def _lookup(
             local_is_arr, foreign_is_arr, unwind_preserve,
         )
 
+    # active collation (round 7): Mongo collates $lookup equality, so
+    # string join keys compare under the aggregate's collation (the
+    # foreign-side regroup key too — case-variant foreign keys merge
+    # into one match array).  Non-string keys are untouched.
+    from anser_spark.functions.collation import active_collation, collate_if_string
+    from anser_spark.functions.filters import field_type as _ftype
+
+    def _ckey(col, schema, name):
+        return (
+            collate_if_string(col, _ftype(schema, name))
+            if active_collation()
+            else col
+        )
+
     if unwind_preserve is not None:
         # fused $lookup+$unwind → direct join, struct-typed `as` column
         fr = foreign.select(
@@ -2101,7 +2138,11 @@ def _lookup(
         )
         how = "left" if unwind_preserve else "inner"
         joined = df.join(
-            fr, on=df[local_f].eqNullSafe(fr[f"__f_{foreign_f}"]), how=how
+            fr,
+            on=_ckey(df[local_f], df.schema, local_f).eqNullSafe(
+                _ckey(fr[f"__f_{foreign_f}"], foreign.schema, foreign_f)
+            ),
+            how=how,
         )
         packed = F.struct(*[F.col(f"__f_{c}").alias(c) for c in foreign.columns])
         if unwind_preserve:
@@ -2110,11 +2151,13 @@ def _lookup(
         return joined.select(*[df[c] for c in df.columns], packed.alias(out))
 
     fcols = [F.col(c) for c in foreign.columns]
-    grouped = foreign.groupBy(F.col(foreign_f).alias("__lk")).agg(
-        F.collect_list(F.struct(*fcols)).alias(out)
-    )
+    grouped = foreign.groupBy(
+        _ckey(F.col(foreign_f), foreign.schema, foreign_f).alias("__lk")
+    ).agg(F.collect_list(F.struct(*fcols)).alias(out))
     joined = df.join(
-        grouped, on=df[local_f].eqNullSafe(grouped["__lk"]), how="left"
+        grouped,
+        on=_ckey(df[local_f], df.schema, local_f).eqNullSafe(grouped["__lk"]),
+        how="left",
     ).drop("__lk")
     elem_type = grouped.schema[out].dataType
     # Mongo: no matches ⇒ empty array, not null

@@ -360,3 +360,64 @@ def test_bucket_auto_granularity(engine, spark):
             {"$bucketAuto": {"groupBy": "$v", "buckets": 2,
                              "granularity": "E96"}},
         ], None, None).collect()
+
+
+def test_collation_group_lookup_distinct(spark, tmp_path):
+    # round 7: collation reaches $group keys, classic $lookup equality,
+    # and the distinct command — Mongo collates all three
+    from anser_spark.engine import Engine
+    from anser_spark.functions.collation import use_collation
+    from anser_spark.plans.pipeline import Aggregation, compile_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "Apple", "X"), (2, "aPPLE", "x"), (3, "Banana", "y"), (4, "APPLE", "Y")],
+        "_id long, name string, tag string",
+    )
+    agg = Aggregation(df, [{"$group": {"_id": "$name", "n": {"$sum": 1}}}], "en_CI")
+    got = {r["_id"].lower(): r["n"] for r in agg.all()}
+    assert got == {"apple": 3, "banana": 1}
+    # compound key document collates each string sub-key
+    agg2 = Aggregation(
+        df,
+        [{"$group": {"_id": {"a": "$name", "b": "$tag"}, "n": {"$sum": 1}}}],
+        "en_CI",
+    )
+    got2 = sorted((r["_id"]["a"].lower(), r["_id"]["b"].lower(), r["n"]) for r in agg2.all())
+    assert got2 == [("apple", "x", 2), ("apple", "y", 1), ("banana", "y", 1)]
+    # binary default still splits case variants
+    assert len(Aggregation(df, [{"$group": {"_id": "$name", "n": {"$sum": 1}}}], None).all()) == 4
+
+    ldf = spark.createDataFrame([(1, "Apple"), (2, "pear")], "_id long, k string")
+    fdf = spark.createDataFrame(
+        [(10, "APPLE"), (11, "aPpLe"), (12, "Pear")], "fid long, fk string"
+    )
+    with use_collation("en_CI"):
+        out = compile_pipeline(
+            ldf,
+            [{"$lookup": {"from": "f", "localField": "k", "foreignField": "fk", "as": "m"}}],
+            lambda n: fdf, None,
+        )
+    assert {r["_id"]: sorted(m["fid"] for m in r["m"]) for r in out.collect()} == {
+        1: [10, 11], 2: [12],
+    }
+    with use_collation("en_CI"):
+        out2 = compile_pipeline(
+            ldf,
+            [
+                {"$lookup": {"from": "f", "localField": "k", "foreignField": "fk", "as": "m"}},
+                {"$unwind": "$m"},
+            ],
+            lambda n: fdf, None,
+        )
+    assert sorted((r["_id"], r["m"]["fid"]) for r in out2.collect()) == [
+        (1, 10), (1, 11), (2, 12),
+    ]
+
+    eng = Engine(spark, workdir=str(tmp_path / "cw"))
+    c = eng.db("d").collection("t")
+    c.insert_many(
+        [{"_id": i, "v": v} for i, v in enumerate(["Foo", "foo", "BAR", "bar", "baz"])]
+    )
+    ci = {"locale": "en", "strength": 2}
+    assert sorted(x.lower() for x in c.distinct("v", collation=ci)) == ["bar", "baz", "foo"]
+    assert len(c.distinct("v")) == 5
