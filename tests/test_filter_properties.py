@@ -106,3 +106,63 @@ def test_compile_is_deterministic(pdf, flt):
     a = {r["_id"] for r in pdf.where(compile_filter(flt, SCHEMA)).collect()}
     b = {r["_id"] for r in pdf.where(compile_filter(flt, SCHEMA)).collect()}
     assert a == b
+
+
+def test_collation_ci_matches_lowercase_oracle(spark):
+    """For pure-ASCII data, strength-2 'en' collation equality must
+    agree exactly with lower()-normalized binary equality (ICU and
+    ASCII case folding coincide there) — a seeded differential over
+    random case-mangled strings for $eq, $in, $gte and sort order."""
+    import random
+
+    from anser_spark.plans.query import Query
+
+    rng = random.Random(77)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    def mangle(w):
+        return "".join(ch.upper() if rng.random() < 0.5 else ch for ch in w)
+
+    rows = [(i, mangle(rng.choice(words))) for i in range(120)]
+    rows += [(200, None)]
+    df = spark.createDataFrame(rows, "_id long, w string")
+    ci = {"locale": "en", "strength": 2}
+    for trial in range(8):
+        probe = mangle(rng.choice(words))
+        got = sorted(
+            r["_id"] for r in Query(df, {"w": probe}).collation(ci).all()
+        )
+        want = sorted(
+            i for i, w in rows if w is not None and w.lower() == probe.lower()
+        )
+        assert got == want, (trial, probe)
+        pool = [mangle(rng.choice(words)) for _ in range(2)]
+        got_in = sorted(
+            r["_id"]
+            for r in Query(df, {"w": {"$in": pool}}).collation(ci).all()
+        )
+        want_in = sorted(
+            i for i, w in rows
+            if w is not None and w.lower() in {p.lower() for p in pool}
+        )
+        assert got_in == want_in, (trial, pool)
+        got_ge = sorted(
+            r["_id"]
+            for r in Query(df, {"w": {"$gte": probe}}).collation(ci).all()
+        )
+        want_ge = sorted(
+            i for i, w in rows if w is not None and w.lower() >= probe.lower()
+        )
+        assert got_ge == want_ge, (trial, probe)
+    # sort order: collated sort == sort by (lower(w), _id)
+    order = [
+        r["_id"]
+        for r in Query(df, {"w": {"$ne": None}}).sort(["w", "_id"]).collation(ci).all()
+    ]
+    want_order = [
+        i for i, w in sorted(
+            ((i, w) for i, w in rows if w is not None),
+            key=lambda t: (t[1].lower(), t[0]),
+        )
+    ]
+    assert order == want_order

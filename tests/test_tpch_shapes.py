@@ -80,7 +80,7 @@ def test_q12_shape_conditional_agg(engine):
                sum(case when o_orderpriority in ('1-URGENT','2-HIGH') then 0 else 1 end)::bigint
         from lineitem join orders on l_orderkey = o_orderkey
         where l_shipdate >= '1996-01-01' and l_shipdate < '1997-01-01'
-        group by 1 order by 1
+        group by 1 order by 1 nulls first
     """)
     assert _rows(got, "_id", "high", "low") == exp
 

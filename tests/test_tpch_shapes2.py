@@ -71,11 +71,15 @@ def test_q2_shape_correlated_max(engine):
         from supplier s join nation on s_nationkey = n_nationkey
                         join region on n_regionkey = r_regionkey
         where r_name = 'ASIA'
-          and s_acctbal = (select max(s2.s_acctbal) from supplier s2
-                           where s2.s_nationkey = s.s_nationkey)
-        order by s_name
+          and s_acctbal is not distinct from
+              (select max(s2.s_acctbal) from supplier s2
+               where s2.s_nationkey = s.s_nationkey)
+        order by s_name nulls first
     """)
-    assert _rows(got, "s_name", "n_name") == exp
+    # multiset compare: duplicate (incl. null) s_name sort keys make
+    # tie order engine-specific
+    nkey = lambda t: tuple((v is not None, v) for v in t)  # noqa: E731
+    assert sorted(_rows(got, "s_name", "n_name"), key=nkey) == sorted(exp, key=nkey)
     assert len(got) > 0
 
 
@@ -125,7 +129,7 @@ def test_q8_shape_market_share(engine):
           join supplier on l_suppkey = s_suppkey
           join nation sn on s_nationkey = sn.n_nationkey
         where r_name = 'AMERICA'
-        group by 1 order by 1
+        group by 1 order by 1 nulls first
     """)
     assert _rows(got, "_id", "share", nd=6) == exp
     assert len(got) >= 5
@@ -161,15 +165,15 @@ def test_q9_shape_profit_by_nation_year(engine):
     ]).all()
     exp = _sql("""
         select n_name, year(o_orderdate) as y,
-               round(sum(l_extendedprice*(1-l_discount)
-                         - 0.1*p_retailprice*l_quantity), 4)
+               round(coalesce(sum(l_extendedprice*(1-l_discount)
+                                  - 0.1*p_retailprice*l_quantity), 0), 4)
         from lineitem
           join part on l_partkey = p_partkey
           join orders on l_orderkey = o_orderkey
           join supplier on l_suppkey = s_suppkey
           join nation on s_nationkey = n_nationkey
         where p_name like '%widget%'
-        group by 1, 2 order by 1, 2
+        group by 1, 2 order by 1 nulls first, 2 nulls first
     """)
     assert _rows(got, "nation", "year", "profit") == exp
     assert len(got) > 10
@@ -222,7 +226,8 @@ def test_q13_shape_count_distribution(engine):
         select c_count, count(*)::bigint as custdist from (
           select c_custkey, count(o_orderkey)::bigint as c_count
           from customer left join orders
-            on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+            on c_custkey = o_custkey
+           and (o_orderpriority is null or o_orderpriority <> '1-URGENT')
           group by 1
         ) group by 1 order by 2 desc, 1 desc
     """)
@@ -256,8 +261,12 @@ def test_q17_shape_correlated_avg(engine):
         select round(sum(l_extendedprice) / 7.0, 4), count(*)::bigint
         from lineitem l join part on l_partkey = p_partkey
         where p_brand = 'Brand#13'
-          and l_quantity < (select 0.5 * avg(l2.l_quantity) from lineitem l2
-                            where l2.l_partkey = l.l_partkey)
+          and ((l_quantity is null
+                and (select avg(l2.l_quantity) from lineitem l2
+                     where l2.l_partkey = l.l_partkey) is not null)
+               or l_quantity < (select 0.5 * avg(l2.l_quantity)
+                                from lineitem l2
+                                where l2.l_partkey = l.l_partkey))
     """)
     assert _rows(got, "avg_yearly", "n") == exp
 
@@ -292,7 +301,8 @@ def test_q20_shape_group_having_join_back(engine):
     # compare as sorted multisets: scale fixtures replicate suppliers
     # with DUPLICATE s_name values, so order-by-name is nondeterministic
     # among ties (engines break them differently — a fixture artifact)
-    assert sorted(_rows(got, "s_name", "qty")) == sorted(exp)
+    nkey = lambda t: tuple((v is not None, v) for v in t)  # noqa: E731
+    assert sorted(_rows(got, "s_name", "qty"), key=nkey) == sorted(exp, key=nkey)
     assert len(got) > 0
 
 
@@ -383,7 +393,7 @@ def test_q22_shape_global_avg_anti_join(engine):
           and not exists (select 1 from orders
                           where o_custkey = c_custkey
                             and o_orderpriority = '1-URGENT')
-        group by 1 order by 1
+        group by 1 order by 1 nulls first
     """)
     assert _rows(got, "_id", "numcust", "totacctbal") == exp
     assert len(got) > 0
@@ -445,7 +455,10 @@ def test_lookup_group_distinct_only(engine):
         {"$sort": {"s_suppkey": 1}},
     ]).all()
     exp = _sql("""
-        select s_suppkey, count(distinct l_returnflag)::bigint
+        select s_suppkey,
+               (count(distinct l_returnflag)
+                + case when count(*) filter (where l_returnflag is null) > 0
+                       then 1 else 0 end)::bigint
         from supplier join lineitem on s_suppkey = l_suppkey
         group by 1 order by 1
     """)
@@ -473,7 +486,9 @@ def test_lookup_theta_array_form(engine):
     exp = _sql("""
         select c_custkey, count(o_orderkey)::bigint
         from customer left join orders
-          on c_custkey = o_custkey and o_totalprice > c_acctbal
+          on c_custkey = o_custkey
+         and ((o_totalprice is not null and c_acctbal is null)
+              or o_totalprice > c_acctbal)
         where c_custkey < 30
         group by 1 order by 1
     """)
@@ -500,7 +515,9 @@ def test_lookup_theta_unwind_fused(engine):
     exp = _sql("""
         select c_custkey, o_orderkey
         from customer join orders
-          on c_custkey = o_custkey and o_totalprice > c_acctbal
+          on c_custkey = o_custkey
+         and ((o_totalprice is not null and c_acctbal is null)
+              or o_totalprice > c_acctbal)
         where c_custkey < 10
         order by 1, 2
     """)
