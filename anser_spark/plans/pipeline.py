@@ -1024,14 +1024,34 @@ def _compile_search_op(  # noqa: C901
     from anser_spark.functions.filters import resolve_field
     from anser_spark.operators.ranking import bm25_score_expr
 
-    def _bm25(terms: list[str], path: str) -> Column:
+    def _bm25(terms: list[str], path: str, language: str = "none") -> Column:
         stats = stats_loader(terms) if stats_loader is not None else None
-        return bm25_score_expr(df, terms, text_col=path, stats=stats)
+        return bm25_score_expr(
+            df, terms, text_col=path, stats=stats, language=language
+        )
 
-    def _any_term_pred(terms: list[str], path: str) -> Column:
+    def _analyzer(spec: Mapping[str, Any]) -> str:
+        # Atlas analyzer names → this engine's analyzers (round 7):
+        # lucene.standard/keyword = exact lowercased tokens,
+        # lucene.english = Snowball stopwords + s-stemming (the same
+        # pipeline the legacy $text 'english' language uses)
+        name = str(spec.get("analyzer", "lucene.standard"))
+        mapping = {
+            "lucene.standard": "none",
+            "lucene.keyword": "none",
+            "lucene.english": "english",
+        }
+        if name not in mapping:
+            raise PipelineCompileError(
+                f"unsupported $search analyzer {name!r}: "
+                f"{sorted(mapping)} are implemented"
+            )
+        return mapping[name]
+
+    def _any_term_pred(terms: list[str], path: str, language: str = "none") -> Column:
         from anser_spark.operators.ranking import _tokens
 
-        toks = _tokens(path)
+        toks = _tokens(path, language)
 
         def has(term: str) -> Column:
             return F.exists(toks, lambda w: w == F.lit(term))
@@ -1048,13 +1068,21 @@ def _compile_search_op(  # noqa: C901
             f"$search {op} requires {{'query': …, 'path': …}}"
         )
     if op == "text":
+        from anser_spark.operators.ranking import analyze_terms
+
+        language = _analyzer(spec)
         terms = [w for w in str(spec["query"]).lower().split() if w]
         if not terms:
             raise PipelineCompileError("$search text.query must contain at least one term")
+        terms = analyze_terms(terms, language)
         path = str(spec["path"])
+        if not terms:
+            # every query term was a stopword under this analyzer —
+            # nothing can match (Lucene drops them the same way)
+            return F.lit(False), F.lit(0.0)
         if not need_score:
-            return _any_term_pred(terms, path), F.lit(1.0)
-        score = _bm25(terms, path)
+            return _any_term_pred(terms, path, language), F.lit(1.0)
+        score = _bm25(terms, path, language)
         return score > 0, _search_score_option(spec, score)
     if op == "phrase":
         terms = [w for w in str(spec["query"]).lower().split() if w]

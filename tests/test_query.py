@@ -231,3 +231,53 @@ def test_seek_with_collation_raises(spark):
     with _pytest.raises(ValueError, match="collation"):
         (Query(df, {}).sort(["v"]).seek({"v": "a"})
          .collation({"locale": "en", "strength": 2}).to_df())
+
+
+def test_seek_fuzz_matches_skip(spark):
+    """Seeded fuzzer for the keyset predicate: random frames with
+    duplicate key values and nulls, random 1-3-key mixed-direction
+    sorts (always _id-tiebroken so the order is total), random page
+    sizes — every page produced by seek(last_doc) must equal the
+    skip-based page, all the way to the end of the result."""
+    import os as _os
+    import random as _random
+
+    from anser_spark.plans.query import Query
+
+    rng = _random.Random(int(_os.environ.get("SPARK_GRAFT_FUZZ_SEED", "5")))
+    for trial in range(6):
+        n = rng.randint(15, 40)
+        rows = [
+            (
+                i,
+                rng.choice([None, 1, 2, 3]),
+                rng.choice([None, "a", "b", "c"]),
+                round(rng.choice([0.5, 1.5, 2.5]), 1),
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "_id long, k long, s string, f double")
+        nkeys = rng.randint(0, 2)
+        sort_keys = rng.sample(["k", "s", "f"], nkeys)
+        sort = [
+            ("-" if rng.random() < 0.5 else "") + k for k in sort_keys
+        ] + [("-" if rng.random() < 0.5 else "") + "_id"]
+        page = rng.randint(3, 7)
+        base = lambda: Query(df, {}).sort(sort)  # noqa: E731
+        skip_rows = base().all()
+        # walk pages by seek, compare against slices of the full sort
+        got, last = [], None
+        while True:
+            q = base().limit(page)
+            if last is not None:
+                q = q.seek(last)
+            chunk = q.all()
+            if not chunk:
+                break
+            got.extend(chunk)
+            last = chunk[-1]
+            if len(chunk) < page:
+                break
+        assert [r["_id"] for r in got] == [r["_id"] for r in skip_rows], (
+            trial, sort, page,
+        )

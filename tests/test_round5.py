@@ -771,3 +771,37 @@ def test_bm25_search_index(spark, tmp_path):
 
     with pytest.raises(PipelineCompileError, match="unresolved"):
         compile_pipeline(c.df(), [{"$search": {"index": "txt", **q}}])
+
+
+def test_search_text_analyzer_english(search_corpus):
+    # round 7: $search text with analyzer 'lucene.english' — stopwords
+    # drop, s-stemming conflates plurals on both sides
+    from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+    out = compile_pipeline(
+        search_corpus,
+        [{"$search": {"text": {"query": "engine", "path": "text",
+                               "analyzer": "lucene.english"}}}],
+    )
+    # 'engines' in doc 1 stems to 'engine'
+    assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
+    # standard analyzer: no stemming → no match
+    out2 = compile_pipeline(
+        search_corpus,
+        [{"$search": {"text": {"query": "engine", "path": "text"}}}],
+    )
+    assert out2.count() == 0
+    # stopword-only query under english matches nothing
+    out3 = compile_pipeline(
+        search_corpus,
+        [{"$search": {"text": {"query": "the at", "path": "text",
+                               "analyzer": "lucene.english"}}}],
+    )
+    assert out3.count() == 0
+    import pytest as _pytest
+    with _pytest.raises(PipelineCompileError, match="analyzer"):
+        compile_pipeline(
+            search_corpus,
+            [{"$search": {"text": {"query": "x", "path": "text",
+                                   "analyzer": "lucene.klingon"}}}],
+        )
