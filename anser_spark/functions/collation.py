@@ -66,6 +66,73 @@ _DEFAULTS = {
 }
 
 
+# Mongo locales are BCP-47 (alpha-2 regions: en_US, pt_BR); Spark's ICU
+# collation names use ISO-3166 ALPHA-3 (en_USA, pt_BRA). Common regions
+# mapped below; an unknown region falls back to the base language — the
+# documented approximation (regional tailorings rarely change ordering
+# for the text this engine compares).
+_REGION_A2_TO_A3 = {
+    "US": "USA", "GB": "GBR", "CA": "CAN", "AU": "AUS", "NZ": "NZL",
+    "IN": "IND", "BR": "BRA", "PT": "PRT", "DE": "DEU", "AT": "AUT",
+    "CH": "CHE", "FR": "FRA", "BE": "BEL", "MX": "MEX", "ES": "ESP",
+    "AR": "ARG", "SA": "SAU", "CN": "CHN", "TW": "TWN", "HK": "HKG",
+    "JP": "JPN", "KR": "KOR", "RU": "RUS", "ZA": "ZAF", "NL": "NLD",
+    "IT": "ITA", "SE": "SWE", "NO": "NOR", "DK": "DNK", "FI": "FIN",
+    "PL": "POL", "TR": "TUR",
+}
+
+
+_SUPPORTED: frozenset[str] | None = None
+
+
+def _supported_collations() -> frozenset[str] | None:
+    """Names Spark's CollationFactory actually accepts, read once from
+    the active session's ``collations()`` TVF.  None when no session is
+    active yet (pure name construction still works; Spark raises its
+    own COLLATION_INVALID_NAME at analysis if the guess was wrong)."""
+    global _SUPPORTED
+    if _SUPPORTED is not None:
+        return _SUPPORTED
+    from pyspark.errors import PySparkException
+    from pyspark.sql import SparkSession
+
+    try:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        _SUPPORTED = frozenset(
+            r["NAME"] for r in spark.sql("SELECT NAME FROM collations()").collect()
+        )
+    except PySparkException:  # TVF absent on older runtimes → no
+        return None           # validation; Spark raises its own
+    return _SUPPORTED         # COLLATION_INVALID_NAME at analysis
+
+
+def _spark_locale(locale: str) -> str:
+    """Normalize a Mongo BCP-47 locale to a Spark ICU collation base
+    name: 'en' → 'en'; 'en_US'/'en-US' → 'en_USA' when Spark supports
+    that regional tailoring; script subtags, unknown regions, and
+    regions Spark's ICU build has no separate tailoring for drop to
+    the base language (documented approximation — regional tailorings
+    rarely change ordering)."""
+    parts = locale.replace("-", "_").split("_")
+    base = parts[0]
+    if len(parts) >= 2:
+        region = parts[1]
+        cand = None
+        if region.upper() in _REGION_A2_TO_A3 and region.isupper():
+            cand = f"{base}_{_REGION_A2_TO_A3[region]}"
+        elif len(region) == 3 and region.isupper():
+            cand = f"{base}_{region}"  # already alpha-3
+        if cand is not None:
+            supported = _supported_collations()
+            if supported is None or cand in supported:
+                return cand
+        # script subtag (Hans/Hant/Latn/...), unknown or untailored
+        # region → base language
+    return base
+
+
 def spark_collation_name(spec: Mapping[str, Any] | None) -> str | None:
     """Translate a Mongo collation document to a Spark collation name,
     or ``None`` for binary comparison.  Raises ``ValueError`` for
@@ -94,7 +161,7 @@ def spark_collation_name(spec: Mapping[str, Any] | None) -> str | None:
             )
         return None
     strength = spec.get("strength", 3)
-    base = locale.replace("-", "_")
+    base = _spark_locale(locale)
     if strength == 1:
         return f"{base}_CI_AI"
     if strength == 2:

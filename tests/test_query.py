@@ -281,3 +281,20 @@ def test_seek_fuzz_matches_skip(spark):
         assert [r["_id"] for r in got] == [r["_id"] for r in skip_rows], (
             trial, sort, page,
         )
+
+
+def test_collation_regional_locales(spark):
+    # BCP-47 regional locales: supported tailorings map to Spark's
+    # alpha-3 names (en_US → en_USA), untailored regions and script
+    # subtags fall back to the base language
+    from anser_spark.functions.collation import spark_collation_name
+    from anser_spark.plans.query import Query
+
+    df = spark.createDataFrame([(1, "Apple"), (2, "aPPLE")], "_id long, name string")
+    for loc in ("en_US", "en-US", "pt_BR", "zh_Hans", "fr_CA"):
+        got = Query(df, {"name": "apple"}).collation(
+            {"locale": loc, "strength": 2}
+        ).all()
+        assert sorted(r["_id"] for r in got) == [1, 2], loc
+    assert spark_collation_name({"locale": "en_US", "strength": 2}) == "en_USA_CI"
+    assert spark_collation_name({"locale": "zh_Hans"}) == "zh"
