@@ -377,6 +377,11 @@ class Query:
             return self._count_collated()
 
     def _count_collated(self) -> int:
+        if self._seek is not None and self._collation is not None:
+            raise ValueError(
+                "seek() keyset pagination under a non-simple collation is "
+                "not supported (see to_df)"
+            )
         df, _had_text = self._text_filtered(self._base_df())
         if self._seek is not None:
             df = df.where(self._seek_predicate())

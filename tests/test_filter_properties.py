@@ -166,3 +166,28 @@ def test_collation_ci_matches_lowercase_oracle(spark):
         )
     ]
     assert order == want_order
+
+
+def test_collation_ci_group_matches_lowercase_oracle(spark):
+    """$group under strength-2 collation vs a Python lower()-keyed
+    groupby on ASCII data: group COUNTS must agree and each reported
+    _id must be a member of its equivalence class."""
+    import random
+
+    from anser_spark.plans.pipeline import Aggregation
+
+    rng = random.Random(31)
+    words = ["red", "green", "blue", "cyan"]
+    rows = [
+        (i, "".join(c.upper() if rng.random() < 0.5 else c for c in rng.choice(words)))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "_id long, w string")
+    agg = Aggregation(
+        df, [{"$group": {"_id": "$w", "n": {"$sum": 1}}}], "en_CI"
+    )
+    got = {r["_id"].lower(): r["n"] for r in agg.all()}
+    want = {}
+    for _i, w in rows:
+        want[w.lower()] = want.get(w.lower(), 0) + 1
+    assert got == want

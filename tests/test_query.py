@@ -231,6 +231,9 @@ def test_seek_with_collation_raises(spark):
     with _pytest.raises(ValueError, match="collation"):
         (Query(df, {}).sort(["v"]).seek({"v": "a"})
          .collation({"locale": "en", "strength": 2}).to_df())
+    with _pytest.raises(ValueError, match="collation"):
+        (Query(df, {}).sort(["v"]).seek({"v": "a"})
+         .collation({"locale": "en", "strength": 2}).count())
 
 
 def test_seek_fuzz_matches_skip(spark):
