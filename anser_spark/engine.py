@@ -2199,9 +2199,17 @@ class Collection:
         # untyped null coerces freely inside $ifNull/$add/… exactly
         # like Mongo's missing.)
         frame = self._docs_to_df([base])
+        # dotted references need a STRUCT-typed null seed — getItem on
+        # an untyped VOID column is an AnalysisException, while a null
+        # struct<tail: void> extracts to null exactly like Mongo's
+        # missing (e.g. {$set: {y: {$ifNull: ["$meta.count", 0]}}})
+        by_head: dict[str, list[list[str]]] = {}
         for ref in _pipeline_field_refs(stages):
-            if ref not in frame.columns:
-                frame = frame.withColumn(ref, F.lit(None))
+            parts = ref.split(".")
+            if parts[0] not in frame.columns:
+                by_head.setdefault(parts[0], []).append(parts[1:])
+        for head, tails in by_head.items():
+            frame = frame.withColumn(head, _null_seed_column(tails))
         out = compile_pipeline(frame, stages, None, None)
         rows = out.limit(1).collect()
         doc = rows[0].asDict(recursive=True) if rows else dict(base)
@@ -2775,8 +2783,31 @@ def _substitute_let(node: Any, let: Mapping[str, Any]) -> Any:
     return node
 
 
+def _null_seed_column(tails: Sequence[Sequence[str]]):
+    """A null column shaped for the dotted tails referenced under one
+    seeded head: no tails → untyped null; tails → null cast to a
+    nested struct whose leaves are NullType, so every referenced
+    extraction analyzes and evaluates to null (Mongo's missing)."""
+    paths = [list(t) for t in tails if t]
+    if not paths:
+        return F.lit(None)
+
+    def build(subpaths: list[list[str]]) -> T.StructType:
+        children: dict[str, list[list[str]]] = {}
+        for p in subpaths:
+            children.setdefault(p[0], []).append(p[1:])
+        fields = []
+        for name, rest in children.items():
+            deeper = [r for r in rest if r]
+            dt = build(deeper) if deeper else T.NullType()
+            fields.append(T.StructField(name, dt))
+        return T.StructType(fields)
+
+    return F.lit(None).cast(build(paths))
+
+
 def _pipeline_field_refs(stages: Sequence[Mapping[str, Any]]) -> list[str]:
-    """Top-level field names referenced by "$path" strings anywhere in
+    """Dotted field paths referenced by "$path" strings anywhere in
     an update-pipeline stage list ("$$" variables and operator keys are
     not references). Used to null-seed the one-row frame an unmatched
     pipeline upsert evaluates over, so references to fields absent from
@@ -2786,9 +2817,9 @@ def _pipeline_field_refs(stages: Sequence[Mapping[str, Any]]) -> list[str]:
     def walk(node: Any) -> None:
         if isinstance(node, str):
             if node.startswith("$") and not node.startswith("$$"):
-                head = node[1:].split(".", 1)[0]
-                if head and not head.startswith("$"):
-                    refs.append(head)
+                path = node[1:]
+                if path and not path.startswith("$"):
+                    refs.append(path)
         elif isinstance(node, Mapping):
             if len(node) == 1 and "$literal" in node:
                 return
@@ -2804,7 +2835,7 @@ def _pipeline_field_refs(stages: Sequence[Mapping[str, Any]]) -> list[str]:
     for stage in stages:
         arg = stage.get("$unset")
         if isinstance(arg, str):
-            refs.append(arg.split(".", 1)[0])
+            refs.append(arg)
         elif isinstance(arg, (list, tuple)):
             refs.extend(str(a).split(".", 1)[0] for a in arg)
     seen: dict[str, None] = {}

@@ -85,10 +85,20 @@ def _s_stem_col(w):
 
 def analyze_terms(terms: list[str], language: str = "none") -> list[str]:
     """Driver-side query-term analysis matching :func:`_tokens`:
-    'none' lowercases; 'english' also drops stopwords and s-stems."""
+    'none' lowercases; 'english' also re-tokenizes each term on the
+    document charset (so 'big-data' splits like the docs do), drops
+    stopwords, then s-stems.  Idempotence warning: stemming is NOT
+    idempotent against the stopword list (e.g. 'owns' stems to 'own',
+    which IS a stopword) — analyze exactly once; scoring entry points
+    take ``analyzed=True`` to skip re-analysis."""
+    import re as _re
+
     out = [t.lower() for t in terms]
     if language == "english":
-        out = [_s_stem_py(t) for t in out if t not in ENGLISH_STOPWORDS]
+        split = []
+        for t in out:
+            split.extend(w for w in _re.split(r"[^a-z0-9']+", t) if w)
+        out = [_s_stem_py(t) for t in split if t not in ENGLISH_STOPWORDS]
     return out
 
 
@@ -126,6 +136,7 @@ def bm25_score(
     k1: float = 1.2,
     b: float = 0.75,
     language: str = "none",
+    analyzed: bool = False,
 ) -> DataFrame:
     """Per-document BM25 score for a bag of query terms.
 
@@ -138,7 +149,11 @@ def bm25_score(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = analyze_terms(query_terms, language)
+    terms = (
+        [t.lower() for t in query_terms]
+        if analyzed  # caller already ran analyze_terms — never re-stem
+        else analyze_terms(query_terms, language)
+    )
     if not terms:
         raise ValueError("query_terms are all stopwords under this language")
     toks = _tokens(text_col, language)
@@ -187,6 +202,7 @@ def bm25_score_expr(
     b: float = 0.75,
     stats: tuple[int, float, dict] | None = None,
     language: str = "none",
+    analyzed: bool = False,
 ) -> F.Column:
     """BM25 as a pure Column EXPRESSION over ``df``'s text column — the
     zero-join form: corpus stats (N, avgdl, per-term df) come from the
@@ -209,7 +225,11 @@ def bm25_score_expr(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = analyze_terms(query_terms, language)
+    terms = (
+        [t.lower() for t in query_terms]
+        if analyzed  # caller already ran analyze_terms — never re-stem
+        else analyze_terms(query_terms, language)
+    )
     if not terms:
         return F.lit(0.0)  # all stopwords: nothing to score
     toks = _tokens(text_col, language)
@@ -376,7 +396,8 @@ def text_match(
     if score_terms:
         stats = stats_loader(score_terms) if stats_loader is not None else None
         score = bm25_score_expr(
-            df, score_terms, text_col=text_col, stats=stats, language=language
+            df, score_terms, text_col=text_col, stats=stats,
+            language=language, analyzed=True,
         )
     else:
         score = F.lit(0.0)  # negation/stopword-only query
@@ -407,8 +428,10 @@ def text_match(
     for t in negated:
         neg = ~F.coalesce(has(t), F.lit(False))
         pred = neg if pred is None else (pred & neg)
-    if not terms and (negated or language == "english"):
-        # Mongo: negated-only (or all-stopword) $search matches nothing
+    if not terms and not phrases and (negated or language == "english"):
+        # Mongo: a $search with nothing positive left — only negated
+        # terms, or terms that were all stopwords — matches nothing.
+        # Phrase-only queries keep their raw-substring predicate.
         pred = F.lit(False)
     return F.coalesce(pred, F.lit(False)), score
 

@@ -1025,9 +1025,13 @@ def _compile_search_op(  # noqa: C901
     from anser_spark.operators.ranking import bm25_score_expr
 
     def _bm25(terms: list[str], path: str, language: str = "none") -> Column:
+        # terms are ALREADY analyzed by the calling operator — never
+        # re-analyze (stemming is not idempotent against the stopword
+        # list: 'owns'→'own' would vanish on a second pass)
         stats = stats_loader(terms) if stats_loader is not None else None
         return bm25_score_expr(
-            df, terms, text_col=path, stats=stats, language=language
+            df, terms, text_col=path, stats=stats,
+            language=language, analyzed=True,
         )
 
     def _analyzer(spec: Mapping[str, Any]) -> str:
@@ -2341,6 +2345,35 @@ def _stage_has_var_ref(stage: Any) -> bool:
     return False
 
 
+def _pack_uncorrelated_lookup(
+    df: DataFrame,
+    sub: DataFrame,
+    out_col: str,
+    unwind_preserve: bool | None,
+) -> DataFrame:
+    """Uncorrelated pipeline-form $lookup: the sub-result is the SAME
+    array for every outer row — compute it once, pack it into a 1-row
+    aggregate, broadcast cross join (never a per-row re-run), and apply
+    the fused $unwind when present."""
+    if out_col in df.columns:
+        df = df.drop(out_col)
+    packed = sub.agg(
+        F.collect_list(F.struct(*[F.col(c) for c in sub.columns])).alias(out_col)
+    )
+    joined = df.crossJoin(F.broadcast(packed))
+    if unwind_preserve is not None:
+        exploded = (
+            F.explode_outer(F.col(out_col))
+            if unwind_preserve
+            else F.explode(F.col(out_col))
+        )
+        return joined.select(
+            *[c for c in joined.columns if c != out_col],
+            exploded.alias(out_col),
+        )
+    return joined
+
+
 def _lookup_pipeline(
     df: DataFrame,
     arg: Mapping[str, Any],
@@ -2387,19 +2420,8 @@ def _lookup_pipeline(
             )
         # uncorrelated: same array for every row → compute once, one
         # aggregation, broadcast cross join (never a per-row re-run)
-        if out in df.columns:
-            df = df.drop(out)
         sub = compile_pipeline(foreign, stages, None, None)
-        packed = sub.agg(
-            F.collect_list(F.struct(*[F.col(c) for c in sub.columns])).alias(out)
-        )
-        joined = df.crossJoin(F.broadcast(packed))
-        if unwind_preserve is not None:
-            exploded = (
-                F.explode_outer(F.col(out)) if unwind_preserve else F.explode(F.col(out))
-            )
-            return joined.select(*[c for c in joined.columns if c != out], exploded.alias(out))
-        return joined
+        return _pack_uncorrelated_lookup(df, sub, out, unwind_preserve)
 
     prefix = stages[:key_idx]
     for s in prefix:
@@ -2470,26 +2492,7 @@ def _lookup_pipeline(
         if semi is not None:
             return None  # uncorrelated — decline semi/anti fusion
         sub = compile_pipeline(filtered, stages[1:], None, None)
-        out_col = arg["as"]
-        if out_col in df.columns:
-            df = df.drop(out_col)
-        packed = sub.agg(
-            F.collect_list(
-                F.struct(*[F.col(c) for c in sub.columns])
-            ).alias(out_col)
-        )
-        joined = df.crossJoin(F.broadcast(packed))
-        if unwind_preserve is not None:
-            exploded = (
-                F.explode_outer(F.col(out_col))
-                if unwind_preserve
-                else F.explode(F.col(out_col))
-            )
-            return joined.select(
-                *[c for c in joined.columns if c != out_col],
-                exploded.alias(out_col),
-            )
-        return joined
+        return _pack_uncorrelated_lookup(df, sub, arg["as"], unwind_preserve)
 
     filtered = foreign
     non_expr = {k: v for k, v in match_arg.items() if k != "$expr"}

@@ -273,7 +273,13 @@ class Query:
             if isinstance(key, Mapping):
                 for name, v in key.items():
                     if isinstance(v, Mapping):
-                        continue  # $meta sorts can't carry a seek key
+                        # a $meta (relevance) sort key cannot carry a
+                        # keyset value — silently paging by the other
+                        # keys would skip/repeat rows
+                        raise ValueError(
+                            "seek() cannot page a $meta-sorted query: "
+                            "relevance scores are not stable seek keys"
+                        )
                     pairs.append((str(name), not (isinstance(v, int) and v < 0)))
             else:
                 k = str(key)

@@ -46,7 +46,7 @@ PLAN = {
     ),
     "part": ("p_partkey", ["p_name", "p_size", "p_retailprice", "p_type"]),
     "supplier": ("s_suppkey", ["s_name", "s_acctbal"]),
-    "nation": ("n_nationkey", ["n_comment"] if True else []),
+    "nation": ("n_nationkey", ["n_comment"]),
 }
 
 
@@ -65,7 +65,6 @@ def main() -> None:
         key, cols = PLAN[table]
         desc = con.execute(f"DESCRIBE SELECT * FROM '{src_path}'").fetchall()
         have = {r[0] for r in desc}
-        cols = [c for c in cols]
         reps = ", ".join(
             # per-column offset in the hash → different rows null out
             # different columns (a row rarely goes all-null)

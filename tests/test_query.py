@@ -301,3 +301,13 @@ def test_collation_regional_locales(spark):
         assert sorted(r["_id"] for r in got) == [1, 2], loc
     assert spark_collation_name({"locale": "en_US", "strength": 2}) == "en_USA_CI"
     assert spark_collation_name({"locale": "zh_Hans"}) == "zh"
+
+
+def test_seek_meta_sort_raises(spark):
+    from anser_spark.plans.query import Query
+
+    df = spark.createDataFrame([(1, "a")], "_id long, v string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="meta"):
+        (Query(df, {}).sort([{"score": {"$meta": "textScore"}}, {"_id": 1}])
+         .seek({"_id": 1}).to_df())

@@ -271,3 +271,57 @@ def test_text_english_index_default_language(spark, tmp_path):
     d = c._load_search_index("txt", warn_stale=False)
     terms = {r["term"] for r in spark.read.parquet(d["terms_dir"]).collect()}
     assert "pony" in terms and "ponies" not in terms and "the" not in terms
+
+
+def test_text_english_stem_collides_with_stopword(spark, tmp_path):
+    # 'owns' stems to 'own', which IS a Snowball stopword — the stem
+    # must still score/match (analysis runs exactly once; a second pass
+    # would silently drop it and match nothing)
+    eng = Engine(spark, workdir=str(tmp_path / "texts"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "s1", "text": "She owns three boats."},
+        {"_id": "s2", "text": "Nothing here."},
+    ])
+    rows = c.find({"$text": {"$search": "owns", "$language": "english"}}).all()
+    assert ids(rows) == ["s1"]
+    # and the relevance score is positive, not zeroed
+    scored = c.find(
+        {"$text": {"$search": "owns", "$language": "english"}}
+    ).select({"_id": 1, "sc": {"$meta": "textScore"}}).all()
+    assert scored and scored[0]["sc"] > 0
+    # $search path with the english analyzer, same collision
+    from anser_spark.plans.pipeline import compile_pipeline
+    df = c.df()
+    out = compile_pipeline(df, [
+        {"$search": {"text": {"query": "owns", "path": "text",
+                              "analyzer": "lucene.english"}}},
+    ])
+    assert [r["_id"] for r in out.select("_id").collect()] == ["s1"]
+
+
+def test_text_english_phrase_only_stopwords(spark, tmp_path):
+    # a phrase of pure stopwords still matches by raw substring — the
+    # all-stopword guard must not clobber the phrase predicate
+    eng = Engine(spark, workdir=str(tmp_path / "textp"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "h1", "text": "to be or not to be, that is the question"},
+        {"_id": "h2", "text": "entirely unrelated words"},
+    ])
+    rows = c.find({"$text": {"$search": '"to be or not to be"',
+                             "$language": "english"}}).all()
+    assert ids(rows) == ["h1"]
+
+
+def test_text_english_punctuated_query_terms(spark, tmp_path):
+    # query terms re-tokenize on the document charset: 'big-data'
+    # matches a doc containing 'big data' under the english analyzer
+    eng = Engine(spark, workdir=str(tmp_path / "textq"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "b1", "text": "big data pipelines at scale"},
+        {"_id": "b2", "text": "small things"},
+    ])
+    rows = c.find({"$text": {"$search": "big-data", "$language": "english"}}).all()
+    assert ids(rows) == ["b1"]
