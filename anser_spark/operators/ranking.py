@@ -55,6 +55,22 @@ such no nor not only own same so than too very
 """.split())
 
 
+# Common Latin diacritic foldings (one-to-one only — F.translate is a
+# char map; multi-char foldings like ae/ss stay unfolded, documented).
+_FOLD_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿāăąćĉċčďēĕėęěĝğġģĥĩīĭįĵķĺļľńņňōŏőŕŗřśŝşšţťũūŭůűųŵŷźżž"
+_FOLD_DST = "aaaaaaceeeeiiiinooooouuuuyyaaaccccdeeeeegggghiiiijklllnnnooorrrssssttuuuuuuwyzzz"
+assert len(_FOLD_SRC) == len(_FOLD_DST)
+_FOLD_TABLE = str.maketrans(_FOLD_SRC, _FOLD_DST)
+
+
+def _fold_py(s: str) -> str:
+    return s.translate(_FOLD_TABLE)
+
+
+def _fold_col(col):
+    return F.translate(col, _FOLD_SRC, _FOLD_DST)
+
+
 def _s_stem_py(w: str) -> str:
     """Python twin of the Column s-stemmer below — MUST match exactly
     (query terms are analyzed driver-side, documents executor-side)."""
@@ -97,7 +113,11 @@ def analyze_terms(terms: list[str], language: str = "none") -> list[str]:
     if language == "english":
         split = []
         for t in out:
-            split.extend(w for w in _re.split(r"[^a-z0-9']+", t) if w)
+            # same charset as the doc tokenizer's [^\p{L}\p{N}']+ —
+            # \w is unicode-aware in Python (minus the underscore)
+            split.extend(
+                w for w in _re.split(r"(?:[^\w']|_)+", t) if w
+            )
         out = [_s_stem_py(t) for t in split if t not in ENGLISH_STOPWORDS]
     return out
 
@@ -361,7 +381,10 @@ def text_match(
     Mongo's tf-idf — ordering may differ), the stemmer is Harman's
     s-stemmer (not Snowball — weaker conflation, e.g. 'running' does
     not reduce to 'run'), phrase matching is raw-substring (unstemmed),
-    and ``$diacriticSensitive`` is always effectively True (no folding).
+    and ``$diacriticSensitive`` folds the common one-to-one Latin
+    accents only (no full Unicode normalization; multi-char foldings
+    like ae/ss stay unfolded), with relevance scored on unfolded
+    tokens.
     """
     search = spec.get("$search")
     if not isinstance(search, str) or not search.strip():
@@ -372,6 +395,12 @@ def text_match(
     if unknown:
         raise ValueError(f"unsupported $text options: {sorted(unknown)}")
     case_sensitive = bool(spec.get("$caseSensitive", False))
+    # Mongo (text index v3+) defaults to diacritic-INSENSITIVE; folding
+    # covers the common one-to-one Latin accents (multi-char foldings
+    # like ae/ss are a documented subset gap). Folding applies to the
+    # MATCH predicate and phrases; relevance still scores the unfolded
+    # tokens (a doc matched only through folding scores 0).
+    diacritic_sensitive = bool(spec.get("$diacriticSensitive", False))
     language = spec.get("$language", default_language) or "none"
     if language in ("en", "english"):
         language = "english"
@@ -408,7 +437,7 @@ def text_match(
         )
         has = lambda term: F.exists(toks, lambda w: w == F.lit(term))  # noqa: E731
         contains = lambda p: F.col(text_col).contains(F.lit(p))  # noqa: E731
-    else:
+    elif diacritic_sensitive:
         toks = _tokens(text_col, language)
         has = lambda term: F.exists(  # noqa: E731
             toks, lambda w: w == F.lit(term.lower())
@@ -416,6 +445,14 @@ def text_match(
         contains = lambda p: F.lower(F.col(text_col)).contains(  # noqa: E731
             F.lit(p.lower())
         )
+    else:
+        toks = F.transform(_tokens(text_col, language), _fold_col)
+        has = lambda term: F.exists(  # noqa: E731
+            toks, lambda w: w == F.lit(_fold_py(term.lower()))
+        )
+        contains = lambda p: _fold_col(  # noqa: E731
+            F.lower(F.col(text_col))
+        ).contains(F.lit(_fold_py(p.lower())))
 
     pred = None
     if terms:

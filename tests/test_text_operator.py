@@ -325,3 +325,27 @@ def test_text_english_punctuated_query_terms(spark, tmp_path):
     ])
     rows = c.find({"$text": {"$search": "big-data", "$language": "english"}}).all()
     assert ids(rows) == ["b1"]
+
+
+def test_text_diacritic_insensitive_default(spark, tmp_path):
+    # Mongo text-index v3+ default: diacritic-INSENSITIVE — 'cafe'
+    # matches 'café' (and vice versa); $diacriticSensitive: True
+    # restores exact matching
+    eng = Engine(spark, workdir=str(tmp_path / "textd"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "f1", "text": "un café crème"},
+        {"_id": "f2", "text": "plain cafe here"},
+        {"_id": "f3", "text": "unrelated"},
+    ])
+    assert ids(c.find({"$text": {"$search": "cafe"}}).all()) == ["f1", "f2"]
+    assert ids(c.find({"$text": {"$search": "café"}}).all()) == ["f1", "f2"]
+    strict = c.find(
+        {"$text": {"$search": "cafe", "$diacriticSensitive": True}}
+    ).all()
+    assert ids(strict) == ["f2"]
+    # phrases fold too
+    assert ids(c.find({"$text": {"$search": '"cafe creme"'}}).all()) == ["f1"]
+    # combined with the english analyzer (stem + fold)
+    rows = c.find({"$text": {"$search": "cafés", "$language": "english"}}).all()
+    assert ids(rows) == ["f1", "f2"]
