@@ -986,20 +986,34 @@ def _q_gopher_filter(spark, sf_dir):
 
 
 def _q_text_find(spark, sf_dir):
-    # §2.2 legacy {$text: {$search: ...}} find operator (accepted
-    # verbatim by the reference find surface, db/interface.go:26):
-    # OR'd terms, a quoted phrase, a negated term, and a residual
-    # equality filter, all in one find()
-    return (
-        _db(spark, sf_dir)
-        .collection("documents")
-        .find({
+    # composite (50-gate cap): §2.2 legacy {$text: {$search: ...}} find
+    # operator (accepted verbatim by the reference find surface,
+    # db/interface.go:26) — OR'd terms + negation + residual equality —
+    # plus the round-7 language-analysis legs: 'english' s-stems query
+    # terms ('queries tables' matches docs containing query/table) and
+    # the Mongo-default diacritic folding ('dáta' matches 'data').
+    # Oracle twins state the analyzed form explicitly.
+    from pyspark.sql import functions as F
+
+    coll = _db(spark, sf_dir).collection("documents")
+    base = (
+        coll.find({
             "$text": {"$search": "spark -merge"},
             "lang": "en",
         })
         .select({"_id": 0, "doc_id": 1, "lang": 1})
         .to_df()
     )
+    en = (
+        coll.find({"$text": {"$search": "queries tables",
+                             "$language": "english"}})
+        .to_df().agg(F.count("*").alias("en_n"))
+    )
+    fold = (
+        coll.find({"$text": {"$search": "dáta"}})
+        .to_df().agg(F.count("*").alias("fold_n"))
+    )
+    return base.crossJoin(F.broadcast(en.crossJoin(fold)))
 
 
 def _q_upsert_paths(spark, sf_dir):
@@ -2453,7 +2467,15 @@ def _oracle_sql_bodies() -> dict[str, str]:
                   < e.edge
         """,
         "text_find": """
-            SELECT doc_id, lang FROM documents
+            SELECT doc_id, lang,
+                   (SELECT count(*) FROM documents
+                    WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'query')
+                       OR list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'table')
+                   ) AS en_n,
+                   (SELECT count(*) FROM documents
+                    WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'data')
+                   ) AS fold_n
+            FROM documents
             WHERE lang = 'en'
               AND list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'spark')
               AND NOT list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'merge')
