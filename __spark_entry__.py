@@ -1004,16 +1004,14 @@ def _q_text_find(spark, sf_dir):
         .select({"_id": 0, "doc_id": 1, "lang": 1})
         .to_df()
     )
+    # one combined leg: 'queries' s-stems to 'query', 'dáta' folds to
+    # 'data' (diacritic-insensitive default) — OR'd per $text semantics
     en = (
-        coll.find({"$text": {"$search": "queries tables",
+        coll.find({"$text": {"$search": "queries dáta",
                              "$language": "english"}})
         .to_df().agg(F.count("*").alias("en_n"))
     )
-    fold = (
-        coll.find({"$text": {"$search": "dáta"}})
-        .to_df().agg(F.count("*").alias("fold_n"))
-    )
-    return base.crossJoin(F.broadcast(en.crossJoin(fold)))
+    return base.crossJoin(F.broadcast(en))
 
 
 def _q_upsert_paths(spark, sf_dir):
@@ -2470,11 +2468,8 @@ def _oracle_sql_bodies() -> dict[str, str]:
             SELECT doc_id, lang,
                    (SELECT count(*) FROM documents
                     WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'query')
-                       OR list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'table')
-                   ) AS en_n,
-                   (SELECT count(*) FROM documents
-                    WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'data')
-                   ) AS fold_n
+                       OR list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'data')
+                   ) AS en_n
             FROM documents
             WHERE lang = 'en'
               AND list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'spark')

@@ -30,6 +30,7 @@ __all__ = [
     "rank_fusion",
     "parse_text_search",
     "text_match",
+    "text_match_frame",
     "analyze_terms",
     "ENGLISH_STOPWORDS",
 ]
@@ -223,6 +224,7 @@ def bm25_score_expr(
     stats: tuple[int, float, dict] | None = None,
     language: str = "none",
     analyzed: bool = False,
+    toks_col: str | None = None,
 ) -> F.Column:
     """BM25 as a pure Column EXPRESSION over ``df``'s text column — the
     zero-join form: corpus stats (N, avgdl, per-term df) come from the
@@ -252,7 +254,11 @@ def bm25_score_expr(
     )
     if not terms:
         return F.lit(0.0)  # all stopwords: nothing to score
-    toks = _tokens(text_col, language)
+    # the expression references the token array once per term; under
+    # the 'english' analyzer tokenization is a stopword filter + stem
+    # transform per evaluation, so callers that can materialize the
+    # array ONCE per row pass its column name via ``toks_col``
+    toks = F.col(toks_col) if toks_col else _tokens(text_col, language)
 
     def _tf(term: str):
         # single-arg lambda via closure: a default-arg lambda would have
@@ -361,6 +367,33 @@ def text_match(
     stats_loader: Callable[[list[str]], tuple[int, float, dict]] | None = None,
     default_language: str = "none",
 ) -> tuple[F.Column, F.Column]:
+    pred, score, _df = text_match_frame(
+        df, spec, text_col, stats_loader, default_language,
+        materialize=False,
+    )
+    return pred, score
+
+
+_TOKS_RAW = "__textToksRaw"
+_TOKS_FOLD = "__textToksFold"
+
+
+def text_match_frame(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    text_col: str = "text",
+    stats_loader: Callable[[list[str]], tuple[int, float, dict]] | None = None,
+    default_language: str = "none",
+    materialize: bool = True,
+) -> tuple[F.Column, F.Column, DataFrame]:
+    # Like text_match but, when `materialize` is set, returns a
+    # PREPARED frame carrying the analyzed token stream as hidden
+    # columns (__textToksRaw / __textToksFold) that the predicate and
+    # score reference instead of re-tokenizing per term — under the
+    # 'english' analyzer tokenization is a stopword filter + stem
+    # transform, so evaluating it once per ROW instead of once per
+    # term-reference matters. Callers apply pred/score against the
+    # returned frame and drop the hidden columns when done.
     """Legacy ``{$text: {$search: ...}}`` query operator (the find
     surface the reference accepts verbatim, db/interface.go:26) mapped
     onto the BM25 machinery: returns ``(pred, score)`` where ``pred``
@@ -422,11 +455,36 @@ def text_match(
         negated = analyze_terms(negated, language)
 
     score_terms = sorted({t.lower() for t in terms})
+
+    # prepare the shared token columns (materialized mode): the raw
+    # analyzed stream feeds scoring and the diacritic-sensitive
+    # predicate; the folded stream feeds the default predicate
+    prepared = df
+    need_raw = bool(score_terms) or (
+        not case_sensitive and diacritic_sensitive
+    )
+    need_fold = not case_sensitive and not diacritic_sensitive
+    if materialize and need_raw:
+        prepared = prepared.withColumn(_TOKS_RAW, _tokens(text_col, language))
+    if materialize and need_fold:
+        raw_src = (
+            F.col(_TOKS_RAW)
+            if need_raw and materialize
+            else _tokens(text_col, language)
+        )
+        prepared = prepared.withColumn(
+            _TOKS_FOLD, F.transform(raw_src, _fold_col)
+        )
+    raw_toks = (
+        F.col(_TOKS_RAW) if materialize else _tokens(text_col, language)
+    )
+
     if score_terms:
         stats = stats_loader(score_terms) if stats_loader is not None else None
         score = bm25_score_expr(
-            df, score_terms, text_col=text_col, stats=stats,
+            prepared, score_terms, text_col=text_col, stats=stats,
             language=language, analyzed=True,
+            toks_col=_TOKS_RAW if materialize else None,
         )
     else:
         score = F.lit(0.0)  # negation/stopword-only query
@@ -438,7 +496,7 @@ def text_match(
         has = lambda term: F.exists(toks, lambda w: w == F.lit(term))  # noqa: E731
         contains = lambda p: F.col(text_col).contains(F.lit(p))  # noqa: E731
     elif diacritic_sensitive:
-        toks = _tokens(text_col, language)
+        toks = raw_toks
         has = lambda term: F.exists(  # noqa: E731
             toks, lambda w: w == F.lit(term.lower())
         )
@@ -446,7 +504,11 @@ def text_match(
             F.lit(p.lower())
         )
     else:
-        toks = F.transform(_tokens(text_col, language), _fold_col)
+        toks = (
+            F.col(_TOKS_FOLD)
+            if materialize
+            else F.transform(_tokens(text_col, language), _fold_col)
+        )
         has = lambda term: F.exists(  # noqa: E731
             toks, lambda w: w == F.lit(_fold_py(term.lower()))
         )
@@ -470,7 +532,7 @@ def text_match(
         # terms, or terms that were all stopwords — matches nothing.
         # Phrase-only queries keep their raw-substring predicate.
         pred = F.lit(False)
-    return F.coalesce(pred, F.lit(False)), score
+    return F.coalesce(pred, F.lit(False)), score, prepared
 
 
 def bm25_top_k(

@@ -1512,12 +1512,15 @@ def _text_match_stage(
     else:
         text_col = _default_text_col(df)
         language = "none"
-    pred, score = text_match(
+    from anser_spark.operators.ranking import _TOKS_FOLD, _TOKS_RAW, text_match_frame
+
+    pred, score, df = text_match_frame(
         df, spec, text_col, stats_loader, default_language=language
     )
     out = (
         df.withColumn(_TEXT_SCORE_COL, score.cast("double"))
         .where(F.coalesce(pred, F.lit(False)))
+        .drop(_TOKS_RAW, _TOKS_FOLD)
     )
     if residual:
         out = out.where(compile_filter(residual, out.schema))

@@ -236,12 +236,15 @@ class Query:
                     "'text' on the collection"
                 )
             text_col = "text"
-        pred, score = text_match(
+        from anser_spark.operators.ranking import _TOKS_FOLD, _TOKS_RAW, text_match_frame
+
+        pred, score, df = text_match_frame(
             df, spec, text_col, stats_loader, default_language=language
         )
         df = df.withColumn("__textScore", score.cast("double")).where(
             F.coalesce(pred, F.lit(False))
         )
+        df = df.drop(_TOKS_RAW, _TOKS_FOLD)
         if residual:
             df = df.where(compile_filter(residual, df.schema))
         return df, True
