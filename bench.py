@@ -70,6 +70,12 @@ def main() -> None:
                 timings[name] = elapsed
             else:
                 steady[name] = min(steady.get(name, elapsed), elapsed)
+        # reclaim out-of-scope blocks (localCheckpoints, broadcasts)
+        # OUTSIDE the timed window: a driver-side GC lets Spark's
+        # ContextCleaner release them, so query N+1 isn't charged for
+        # query N's garbage (measured: late-list queries drifted ~1.5x
+        # in long runs without this)
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "anser_spark_headline_queries",
