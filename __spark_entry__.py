@@ -2465,10 +2465,28 @@ def _oracle_sql_bodies() -> dict[str, str]:
                   < e.edge
         """,
         "text_find": """
+            -- en_n's oracle analyzes the DOCUMENT side exactly like the
+            -- engine's english pipeline (split on non-alnum, s-stem,
+            -- strip accents), so a regenerated fixture containing
+            -- 'queries'/'dáta' variants stays hash-equal
             SELECT doc_id, lang,
                    (SELECT count(*) FROM documents
-                    WHERE list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'query')
-                       OR list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'data')
+                    WHERE list_contains(list_transform(
+                            list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9à-ÿ]+'),
+                                        w -> w != ''),
+                            w -> strip_accents(CASE
+                                 WHEN regexp_matches(w, '[^ae]ies$') THEN regexp_replace(w, 'ies$', 'y')
+                                 WHEN regexp_matches(w, '[^aeo]es$') THEN regexp_replace(w, 'es$', 'e')
+                                 WHEN regexp_matches(w, '[^us]s$') THEN regexp_replace(w, 's$', '')
+                                 ELSE w END)), 'query')
+                       OR list_contains(list_transform(
+                            list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9à-ÿ]+'),
+                                        w -> w != ''),
+                            w -> strip_accents(CASE
+                                 WHEN regexp_matches(w, '[^ae]ies$') THEN regexp_replace(w, 'ies$', 'y')
+                                 WHEN regexp_matches(w, '[^aeo]es$') THEN regexp_replace(w, 'es$', 'e')
+                                 WHEN regexp_matches(w, '[^us]s$') THEN regexp_replace(w, 's$', '')
+                                 ELSE w END)), 'data')
                    ) AS en_n
             FROM documents
             WHERE lang = 'en'

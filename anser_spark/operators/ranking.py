@@ -225,6 +225,7 @@ def bm25_score_expr(
     language: str = "none",
     analyzed: bool = False,
     toks_col: str | None = None,
+    fold: bool = False,
 ) -> F.Column:
     """BM25 as a pure Column EXPRESSION over ``df``'s text column — the
     zero-join form: corpus stats (N, avgdl, per-term df) come from the
@@ -259,6 +260,11 @@ def bm25_score_expr(
     # transform per evaluation, so callers that can materialize the
     # array ONCE per row pass its column name via ``toks_col``
     toks = F.col(toks_col) if toks_col else _tokens(text_col, language)
+    if fold and not toks_col:
+        # diacritic-insensitive scoring: fold the inline stream (a
+        # pre-materialized toks_col is already folded; callers fold
+        # the query terms)
+        toks = F.transform(toks, _fold_col)
 
     def _tf(term: str):
         # single-arg lambda via closure: a default-arg lambda would have
@@ -454,37 +460,49 @@ def text_match_frame(
         terms = analyze_terms(terms, language)
         negated = analyze_terms(negated, language)
 
+    # diacritic folding is INDEPENDENT of case sensitivity (as in
+    # Mongo): it applies to the predicate, phrases, AND scoring —
+    # scoring over the folded stream keeps the score>0 ⟺ match
+    # invariant, so a fold-only match ranks by real relevance instead
+    # of zero.  (With a persistent bm25 index, a folded term absent
+    # from the unfolded term table gets df=0 → maximal idf — only
+    # accented corpora notice; documented.)
+    folding = not diacritic_sensitive
     score_terms = sorted({t.lower() for t in terms})
+    if folding:
+        score_terms = sorted({_fold_py(t) for t in score_terms})
 
-    # prepare the shared token columns (materialized mode): the raw
-    # analyzed stream feeds scoring and the diacritic-sensitive
-    # predicate; the folded stream feeds the default predicate
+    # prepare the shared token columns (materialized mode): the
+    # analyzed stream and/or its folded form, each computed once per
+    # row; the case-sensitive predicate's surface split stays inline
     prepared = df
-    need_raw = bool(score_terms) or (
-        not case_sensitive and diacritic_sensitive
+    need_fold = folding and (bool(score_terms) or not case_sensitive)
+    need_raw = need_fold or (
+        (not folding) and (bool(score_terms) or not case_sensitive)
     )
-    need_fold = not case_sensitive and not diacritic_sensitive
     if materialize and need_raw:
         prepared = prepared.withColumn(_TOKS_RAW, _tokens(text_col, language))
     if materialize and need_fold:
-        raw_src = (
-            F.col(_TOKS_RAW)
-            if need_raw and materialize
-            else _tokens(text_col, language)
-        )
         prepared = prepared.withColumn(
-            _TOKS_FOLD, F.transform(raw_src, _fold_col)
+            _TOKS_FOLD, F.transform(F.col(_TOKS_RAW), _fold_col)
         )
-    raw_toks = (
-        F.col(_TOKS_RAW) if materialize else _tokens(text_col, language)
-    )
+
+    def _analyzed_toks():
+        if materialize:
+            return F.col(_TOKS_FOLD if folding else _TOKS_RAW)
+        toks = _tokens(text_col, language)
+        return F.transform(toks, _fold_col) if folding else toks
 
     if score_terms:
         stats = stats_loader(score_terms) if stats_loader is not None else None
         score = bm25_score_expr(
             prepared, score_terms, text_col=text_col, stats=stats,
             language=language, analyzed=True,
-            toks_col=_TOKS_RAW if materialize else None,
+            toks_col=(
+                (_TOKS_FOLD if folding else _TOKS_RAW)
+                if materialize else None
+            ),
+            fold=folding,
         )
     else:
         score = F.lit(0.0)  # negation/stopword-only query
@@ -493,28 +511,28 @@ def text_match_frame(
         toks = F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
         )
-        has = lambda term: F.exists(toks, lambda w: w == F.lit(term))  # noqa: E731
-        contains = lambda p: F.col(text_col).contains(F.lit(p))  # noqa: E731
-    elif diacritic_sensitive:
-        toks = raw_toks
+        if folding:
+            toks = F.transform(toks, _fold_col)
+        qterm = _fold_py if folding else (lambda t: t)
         has = lambda term: F.exists(  # noqa: E731
-            toks, lambda w: w == F.lit(term.lower())
+            toks, lambda w: w == F.lit(qterm(term))
         )
-        contains = lambda p: F.lower(F.col(text_col)).contains(  # noqa: E731
-            F.lit(p.lower())
-        )
+        contains = lambda p: (  # noqa: E731
+            _fold_col(F.col(text_col)) if folding else F.col(text_col)
+        ).contains(F.lit(qterm(p)))
     else:
-        toks = (
-            F.col(_TOKS_FOLD)
-            if materialize
-            else F.transform(_tokens(text_col, language), _fold_col)
+        toks = _analyzed_toks()
+        qterm = (
+            (lambda t: _fold_py(t.lower())) if folding
+            else (lambda t: t.lower())
         )
         has = lambda term: F.exists(  # noqa: E731
-            toks, lambda w: w == F.lit(_fold_py(term.lower()))
+            toks, lambda w: w == F.lit(qterm(term))
         )
-        contains = lambda p: _fold_col(  # noqa: E731
-            F.lower(F.col(text_col))
-        ).contains(F.lit(_fold_py(p.lower())))
+        contains = lambda p: (  # noqa: E731
+            _fold_col(F.lower(F.col(text_col))) if folding
+            else F.lower(F.col(text_col))
+        ).contains(F.lit(qterm(p)))
 
     pred = None
     if terms:

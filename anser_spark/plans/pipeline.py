@@ -1486,8 +1486,6 @@ def _text_match_stage(
     points the active $meta score field at it; the column is dropped
     at the end of the top-level pipeline unless a projection exposed
     it."""
-    from anser_spark.operators.ranking import text_match
-
     spec = dict(spec)
     index = spec.pop("$_index", None)
     stats_loader = None

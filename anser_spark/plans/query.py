@@ -223,8 +223,6 @@ class Query:
         spec, residual = extract_text_spec(self._filter)
         if spec is None:
             return df.where(compile_filter(self._filter, df.schema)), False
-        from anser_spark.operators.ranking import text_match
-
         text_col, stats_loader, language = None, None, "none"
         coll = self._collection
         if not isinstance(coll, DataFrame) and hasattr(coll, "_text_index_info"):

@@ -349,3 +349,31 @@ def test_text_diacritic_insensitive_default(spark, tmp_path):
     # combined with the english analyzer (stem + fold)
     rows = c.find({"$text": {"$search": "cafés", "$language": "english"}}).all()
     assert ids(rows) == ["f1", "f2"]
+
+
+def test_text_folding_independent_of_case_and_scored(spark, tmp_path):
+    # diacritic folding and case sensitivity are independent options
+    # (as in Mongo), and a fold-only match carries a REAL BM25 score —
+    # not 0 — so $meta relevance sorts rank it properly
+    eng = Engine(spark, workdir=str(tmp_path / "textf"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": "f1", "text": "un café crème"},
+        {"_id": "f2", "text": "plain cafe here"},
+        {"_id": "f3", "text": "Cafe Capitalized"},
+    ])
+    # caseSensitive still folds: f3 excluded by CASE only
+    got = c.find({"$text": {"$search": "cafe", "$caseSensitive": True}}).all()
+    assert ids(got) == ["f1", "f2"]
+    # fold-matched docs all score > 0
+    scored = {
+        r["_id"]: r["sc"]
+        for r in c.find({"$text": {"$search": "café"}})
+        .select({"_id": 1, "sc": {"$meta": "textScore"}}).all()
+    }
+    assert set(scored) == {"f1", "f2", "f3"}
+    assert all(v > 0 for v in scored.values()), scored
+    # both sensitivities together = exact match only
+    got = c.find({"$text": {"$search": "cafe", "$caseSensitive": True,
+                            "$diacriticSensitive": True}}).all()
+    assert ids(got) == ["f2"]
