@@ -293,6 +293,14 @@ def extract_image_stats(
     def stats(img) -> dict | None:
         if img is None:
             return None
+        # A plugged-in decoder (PIL 'L' mode, cv2 IMREAD_GRAYSCALE) may
+        # hand back a 2-D grayscale array — normalize to HxWx3 so the
+        # "never task failures" contract holds; reject any other shape.
+        img = np.asarray(img)
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        if img.ndim != 3 or img.shape[2] < 3:
+            return None
         lum = (
             0.2126 * img[:, :, 0] + 0.7152 * img[:, :, 1] + 0.0722 * img[:, :, 2]
         )

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 from anser_spark.functions.expressions import compile_expr
 from anser_spark.functions.filters import compile_filter, extract_text_spec
 from anser_spark.functions.sort import parse_sort_keys
+from anser_spark.plans.query import _DEEP_SKIP_WARN
 
 __all__ = ["Aggregation", "compile_pipeline", "PipelineCompileError"]
 
@@ -346,7 +347,20 @@ def _compile_stage(  # noqa: C901
         return df.limit(int(arg))
 
     if op == "$skip":
-        return df.offset(int(arg))
+        # same deep-paging warning find().skip() got in round 7: every
+        # skipped row is still produced and discarded (true in Mongo
+        # too) — past the threshold point at keyset pagination
+        n_skip = int(arg)
+        if n_skip > _DEEP_SKIP_WARN:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "$skip: %d is deep paging: every skipped row is still "
+                "produced and discarded. Prefer a strictly-after $match "
+                "predicate on the sort keys (keyset pagination) — it "
+                "pushes down to the scan.", n_skip,
+            )
+        return df.offset(n_skip)
 
     if op == "$unwind":
         return _unwind(df, arg)
@@ -535,24 +549,54 @@ def _acc_column(spec: Mapping[str, Any], schema) -> Column:
     raise PipelineCompileError(f"unsupported accumulator: {op}")
 
 
+def _sortby_ascs(sort_by: Mapping[str, Any]) -> list[bool]:
+    return [d in (1, True) for d in sort_by.values()]
+
+
+def _sortby_comparator(ascs: list[bool]):
+    """Two-arg ``array_sort`` comparator over ``__k0..__k{n-1}`` struct
+    fields: mixed-direction lexicographic sortBy with Mongo's null
+    placement (nulls first on ascending keys, last on descending — the
+    same order ``sort_array`` gives uniform-direction specs).  Ties on
+    all keys keep arbitrary order, as in Mongo."""
+
+    def cmp(left, right):
+        expr = F.lit(0)
+        for i in reversed(range(len(ascs))):
+            lk, rk = left[f"__k{i}"], right[f"__k{i}"]
+            lt, gt = (F.lit(-1), F.lit(1)) if ascs[i] else (F.lit(1), F.lit(-1))
+            expr = (
+                F.when(lk.isNull() & rk.isNull(), expr)
+                .when(lk.isNull(), lt)
+                .when(rk.isNull(), gt)
+                .when(lk < rk, lt)
+                .when(lk > rk, gt)
+                .otherwise(expr)
+            )
+        return expr
+
+    return cmp
+
+
 def _sorted_struct_agg(arg: Mapping[str, Any], schema) -> Column:
     """collect_list(struct(sortKeys…, output)) sorted by the sortBy spec
-    — the shared scaffold of $top/$bottom/$topN/$bottomN. Distributed:
-    partial collect per partition, one merge; per-group arrays only
-    (bounded by group size, same contract as Mongo's 100MB group limit)."""
+    — the shared scaffold of the collect-form $top/$bottom/$topN/$bottomN
+    fallback. Distributed: partial collect per partition, one merge;
+    per-group arrays only (bounded by group size, same contract as
+    Mongo's 100MB group limit).  Uniform directions use ``sort_array``
+    (bit-compatible with the historical plans); mixed directions
+    (round 8) an ``array_sort`` comparator with per-key direction."""
     sort_by = arg["sortBy"]
-    dirs = list(sort_by.values())
-    if not all(d == dirs[0] for d in dirs):
-        raise PipelineCompileError(
-            "$top/$bottom sortBy with mixed directions is not supported"
-        )
-    asc = dirs[0] in (1, True)
+    ascs = _sortby_ascs(sort_by)
     keys = [
         compile_expr(f"${f}", schema).alias(f"__k{i}")
         for i, f in enumerate(sort_by)
     ]
     out = compile_expr(arg["output"], schema).alias("__o")
-    return F.sort_array(F.collect_list(F.struct(*keys, out)), asc=asc)
+    coll = F.collect_list(F.struct(*keys, out))
+    if all(a == ascs[0] for a in ascs):
+        return F.sort_array(coll, asc=ascs[0])
+    return F.array_sort(coll, _sortby_comparator(ascs))
 
 
 def _acc_column_extended(op: str, arg: Any, schema) -> Column | None:
@@ -605,16 +649,21 @@ def _acc_column_extended(op: str, arg: Any, schema) -> Column | None:
         # the sorted-array form collecting whole groups — 2M-element
         # agg buffers at 6M rows; an OOM at 100 TB.
         sort_by = arg["sortBy"]
-        dirs = list(sort_by.values())
-        if not all(d == dirs[0] for d in dirs):
-            raise PipelineCompileError(
-                "$top/$bottom sortBy with mixed directions is not supported"
-            )
-        asc = dirs[0] in (1, True)
-        ks = F.struct(*[compile_expr(f"${f}", schema) for f in sort_by])
-        out = compile_expr(arg["output"], schema)
-        want_min = asc if op == "$top" else not asc
-        return F.min_by(out, ks) if want_min else F.max_by(out, ks)
+        ascs = _sortby_ascs(sort_by)
+        if all(a == ascs[0] for a in ascs):
+            asc = ascs[0]
+            ks = F.struct(*[compile_expr(f"${f}", schema) for f in sort_by])
+            out = compile_expr(arg["output"], schema)
+            want_min = asc if op == "$top" else not asc
+            return F.min_by(out, ks) if want_min else F.max_by(out, ks)
+        # mixed directions (round 8): no single struct ordering fits
+        # min_by/max_by — sortBy-ordered collect + head/tail pick.  This
+        # collect-form fallback is only reached OUTSIDE grouped
+        # aggregation (the $group/$bucket/decorrelated-$lookup paths
+        # route mixed $top/$bottom through the bounded salted prefilter)
+        srt = _sorted_struct_agg(arg, schema)
+        picked = F.element_at(srt, 1) if op == "$top" else F.element_at(srt, -1)
+        return picked.getField("__o")
     if op in ("$topN", "$bottomN"):
         srt = _sorted_struct_agg(arg, schema)
         n = int(arg["n"])
@@ -634,53 +683,58 @@ _TOPN_OPS = ("$topN", "$bottomN", "$minN", "$maxN")
 _TOPN_SALT_BUCKETS = 64
 
 
+def _tail_slice(arr: Column, n: int) -> Column:
+    return F.when(F.size(arr) <= n, arr).otherwise(
+        F.slice(arr, F.size(arr) - F.lit(n - 1), F.lit(n))
+    )
+
+
 def _topn_prefilter(
-    df: DataFrame, heavy: Mapping[str, Mapping[str, Any]], id_spec: Any
+    df: DataFrame, heavy: Mapping[str, Mapping[str, Any]], part: list[Column]
 ) -> tuple[DataFrame, dict[str, Column]]:
-    """Bounded-state $topN/$bottomN/$minN/$maxN via a SALTED two-phase
-    window: phase 1 ranks within (group, salt) — salt =
-    pmod(spark_partition_id, 64), so parallelism is 64x the group
+    """Bounded-state N-accumulators ($topN/$bottomN/$minN/$maxN, plus —
+    round 8 — $firstN/$lastN and mixed-direction $top/$bottom) via a
+    SALTED two-phase window: phase 1 ranks within (group, salt) — salt
+    = pmod(spark_partition_id, 64), so parallelism is 64x the group
     cardinality and no task ever sorts a whole group (the round-6 sf3
     rehearsal showed the unsalted per-group window going super-linear
     on 3-value group keys: three single-task sorts of 6M rows each) —
     and the aggregate collects only each bucket's local top-n (≤ 64·n
-    candidates per group, a superset of the global top-n), then
-    sort_array + slice picks the exact answer. State stays O(64·n),
+    candidates per group, a superset of the global top-n), then an
+    in-array sort + slice picks the exact answer. State stays O(64·n),
     never O(group): the same OOM-proofing as the unsalted form, plus
-    scale-out on low-cardinality/skewed group keys."""
+    scale-out on low-cardinality/skewed group keys.  ``part`` is the
+    already-compiled group-key columns ([] for a global ``_id: None``
+    group: rank within salt buckets alone — 64 parallel bounded sorts
+    instead of one whole-dataset collect_list buffer)."""
     from pyspark.sql import Window
 
     schema = df.schema
-    if id_spec is None:
-        # global group (_id: None): rank within salt buckets alone —
-        # 64 parallel bounded sorts instead of one whole-dataset
-        # collect_list buffer (the round-7-found scale-killer)
-        part: list[Column] = []
-    elif isinstance(id_spec, Mapping) and not any(
-        str(k).startswith("$") for k in id_spec
-    ):
-        part = [compile_expr(v, schema) for v in id_spec.values()]
-    else:
-        part = [compile_expr(id_spec, schema)]
     salt = F.pmod(F.spark_partition_id(), F.lit(_TOPN_SALT_BUCKETS))
+    if any(next(iter(s)) in ("$firstN", "$lastN") for s in heavy.values()):
+        # scan-order id, captured BEFORE the window shuffle.  After an
+        # explicit $sort the range partitioning makes it the sorted
+        # order (partition index occupies the high bits), so
+        # $sort + $firstN keeps its documented determinism; without a
+        # $sort the order is engine-arbitrary, exactly as in Mongo.
+        df = df.withColumn("__tn_ord", F.monotonically_increasing_id())
     overrides: dict[str, Column] = {}
     for j, (name, spec) in enumerate(heavy.items()):
         op, arg = next(iter(spec.items()))
-        n = int(arg["n"])
         rn = f"__tnrn_{j}"
-        if op in ("$topN", "$bottomN"):
+        if op in ("$topN", "$bottomN", "$top", "$bottom"):
+            n = 1 if op in ("$top", "$bottom") else int(arg["n"])
+            head = op in ("$topN", "$top")
             sort_by = arg["sortBy"]
-            dirs = list(sort_by.values())
-            if not all(d == dirs[0] for d in dirs):
-                raise PipelineCompileError(
-                    "$top/$bottom sortBy with mixed directions is not supported"
-                )
-            asc = dirs[0] in (1, True)
+            ascs = _sortby_ascs(sort_by)
             keys = [compile_expr(f"${f}", schema) for f in sort_by]
-            head = asc if op == "$topN" else not asc
+            # rank each salt bucket toward the answer end of the sortBy
+            # order: as-given for $top(N), per-key inverted for
+            # $bottom(N) — so rn ≤ n keeps a superset of the answer
+            dirs = ascs if head else [not a for a in ascs]
             order = [
-                k.asc_nulls_first() if head else k.desc_nulls_last()
-                for k in keys
+                k.asc_nulls_first() if a else k.desc_nulls_last()
+                for k, a in zip(keys, dirs)
             ]
             out_expr = compile_expr(arg["output"], schema)
             df = df.withColumn(
@@ -699,17 +753,45 @@ def _topn_prefilter(
                     out_expr.alias("__o"),
                 ),
             )
-            arr = F.sort_array(F.collect_list(kept), asc=asc)
-            # the array is in sortBy order (sort_array(asc=asc)), so
-            # the FIRST n are $topN's answer and the LAST n $bottomN's
-            if op == "$topN":
-                sliced = F.slice(arr, 1, n)
+            coll = F.collect_list(kept)
+            # order the ≤64·n candidates in full sortBy order: the
+            # FIRST n are $top(N)'s answer and the LAST n $bottom(N)'s
+            if all(a == ascs[0] for a in ascs):
+                arr = F.sort_array(coll, asc=ascs[0])
             else:
-                sliced = F.when(F.size(arr) <= n, arr).otherwise(
-                    F.slice(arr, F.size(arr) - F.lit(n - 1), F.lit(n))
-                )
-            overrides[name] = F.transform(sliced, lambda s: s.getField("__o"))
+                arr = F.array_sort(coll, _sortby_comparator(ascs))
+            sliced = F.slice(arr, 1, n) if head else _tail_slice(arr, n)
+            vals = F.transform(sliced, lambda s: s.getField("__o"))
+            if op in ("$top", "$bottom"):
+                # scalar form: the slice holds exactly the one answer
+                overrides[name] = F.element_at(vals, 1)
+            else:
+                overrides[name] = vals
+        elif op in ("$firstN", "$lastN"):
+            # document-order N: each salt bucket contributes its n
+            # smallest (firstN) / largest (lastN) scan-order ids — the
+            # global first/last n by scan id are each their bucket's
+            # first/last n, so the ≤64·n candidates are a superset.
+            # struct-wrap keeps nulls (Mongo keeps them).
+            n = int(arg["n"])
+            expr = compile_expr(arg["input"], schema)
+            ordc = F.col("__tn_ord")
+            order = ordc.asc() if op == "$firstN" else ordc.desc()
+            df = df.withColumn(
+                rn,
+                F.row_number().over(
+                    Window.partitionBy(*part, salt).orderBy(order)
+                ),
+            )
+            kept = F.when(
+                F.col(rn) <= n,
+                F.struct(ordc.alias("__ord"), expr.alias("__v")),
+            )
+            arr = F.sort_array(F.collect_list(kept), asc=True)
+            sliced = F.slice(arr, 1, n) if op == "$firstN" else _tail_slice(arr, n)
+            overrides[name] = F.transform(sliced, lambda s: s.getField("__v"))
         else:  # $minN / $maxN — Mongo ignores nulls
+            n = int(arg["n"])
             inp = compile_expr(arg["input"], schema)
             asc = op == "$minN"
             order = inp.asc_nulls_last() if asc else inp.desc_nulls_last()
@@ -726,25 +808,40 @@ def _topn_prefilter(
     return df, overrides
 
 
-def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
-    if "_id" not in arg:
-        raise PipelineCompileError("$group requires _id")
-    id_spec = arg["_id"]
-    accs = {k: v for k, v in arg.items() if k != "_id"}
-    heavy = {
-        name: spec
-        for name, spec in accs.items()
-        if isinstance(spec, Mapping)
-        and len(spec) == 1
-        and next(iter(spec)) in _TOPN_OPS
-    }
+def _heavy_accs(accs: Mapping[str, Any]) -> dict[str, Mapping[str, Any]]:
+    """Accumulators whose naive compile keeps O(group) state — routed
+    through the salted window prefilter wherever they appear in a
+    grouped aggregate ($group, $bucket, $bucketAuto, decorrelated
+    $lookup $group).  Uniform-direction $top/$bottom stay on
+    min_by/max_by (1-element state, no window needed)."""
+    heavy: dict[str, Mapping[str, Any]] = {}
+    for name, spec in accs.items():
+        if not (isinstance(spec, Mapping) and len(spec) == 1):
+            continue
+        op, arg = next(iter(spec.items()))
+        if op in _TOPN_OPS or op in ("$firstN", "$lastN"):
+            heavy[name] = spec
+        elif op in ("$top", "$bottom") and isinstance(arg, Mapping):
+            ascs = _sortby_ascs(arg.get("sortBy") or {})
+            if ascs and not all(a == ascs[0] for a in ascs):
+                heavy[name] = spec
+    return heavy
+
+
+def _compile_group_aggs(
+    df: DataFrame, accs: Mapping[str, Any], part: list[Column]
+) -> tuple[DataFrame, list[Column]]:
+    """Shared accumulator compiler for every grouped-aggregate call
+    site: splits out the O(group)-state accumulators (see
+    :func:`_heavy_accs`) into the bounded salted prefilter and compiles
+    the rest directly.  $bucket/$bucketAuto groups are few-and-huge by
+    construction, so an unbounded N-accumulator there is the same
+    100 TB OOM class the r6/r7 $group fixes covered — every call site
+    must go through here, not `_acc_column` directly."""
+    heavy = _heavy_accs(accs)
     overrides: dict[str, Column] = {}
     if heavy:
-        # keyed AND global (_id: None) groups take the bounded salted
-        # window-prefilter path; the global form partitions by salt
-        # alone, so no task ever sorts more than one salt bucket and
-        # the final agg buffer holds ≤ 64·n candidates
-        df, overrides = _topn_prefilter(df, heavy, id_spec)
+        df, overrides = _topn_prefilter(df, heavy, part)
     agg_cols = [
         (
             overrides[name]
@@ -753,6 +850,33 @@ def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         ).alias(name)
         for name, spec in accs.items()
     ]
+    return df, agg_cols
+
+
+def _group_part_cols(id_spec: Any, schema) -> list[Column]:
+    """The prefilter's window-partition columns for a $group _id spec —
+    [] for the global (_id: None) form (rank within salt alone)."""
+    if id_spec is None:
+        return []
+    if isinstance(id_spec, Mapping) and not any(
+        str(k).startswith("$") for k in id_spec
+    ):
+        return [compile_expr(v, schema) for v in id_spec.values()]
+    return [compile_expr(id_spec, schema)]
+
+
+def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
+    if "_id" not in arg:
+        raise PipelineCompileError("$group requires _id")
+    id_spec = arg["_id"]
+    accs = {k: v for k, v in arg.items() if k != "_id"}
+    # keyed AND global (_id: None) groups take the bounded salted
+    # window-prefilter path for N-accumulators; the global form
+    # partitions by salt alone, so no task ever sorts more than one
+    # salt bucket and the final agg buffer holds ≤ 64·n candidates
+    df, agg_cols = _compile_group_aggs(
+        df, accs, _group_part_cols(id_spec, df.schema)
+    )
 
     if id_spec is None:
         # Spark's global aggregate emits one row even over empty input;
@@ -2617,7 +2741,12 @@ def _decorrelated_group(
         raise PipelineCompileError("$group requires _id")
     uid = g["_id"]
     accs = {k: v for k, v in g.items() if k != "_id"}
-    agg_cols = [_acc_column(spec, sub.schema).alias(n) for n, spec in accs.items()]
+    # the REAL group key is (join keys + user _id) — an N-accumulator
+    # here gets the same bounded prefilter as a top-level $group, keyed
+    # on the full compound (a hot join key would otherwise collect
+    # whole match-groups into one agg buffer)
+    part = [F.col(n) for n in lk_names] + _group_part_cols(uid, sub.schema)
+    sub, agg_cols = _compile_group_aggs(sub, accs, part)
     if not agg_cols:
         agg_cols = [F.count(F.lit(1)).alias("__n")]
         drop_n = True
@@ -3056,20 +3185,18 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             # own sortBy (independent of the window's sortBy), same
             # sorted-struct scaffold as the $group accumulators
             sort_by = oparg["sortBy"]
-            dirs = list(sort_by.values())
-            if not all(d == dirs[0] for d in dirs):
-                raise PipelineCompileError(
-                    "$top/$bottom sortBy with mixed directions is not supported"
-                )
-            asc = dirs[0] in (1, True)
+            ascs = _sortby_ascs(sort_by)
             keys = [
                 compile_expr(f"${f}", df.schema).alias(f"__k{i}")
                 for i, f in enumerate(sort_by)
             ]
             outv = compile_expr(oparg["output"], df.schema).alias("__o")
-            arr = F.sort_array(
-                F.collect_list(F.struct(*keys, outv)).over(wf), asc=asc
-            )
+            coll = F.collect_list(F.struct(*keys, outv)).over(wf)
+            if all(a == ascs[0] for a in ascs):
+                arr = F.sort_array(coll, asc=ascs[0])
+            else:
+                # mixed directions (round 8): per-key comparator sort
+                arr = F.array_sort(coll, _sortby_comparator(ascs))
             n = 1 if op in ("$top", "$bottom") else int(oparg["n"])
             if op in ("$bottom", "$bottomN"):
                 picked = F.slice(
@@ -3504,8 +3631,11 @@ def _bucket(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             )
         )
     out_spec = arg.get("output", {"count": {"$sum": 1}})
-    aggs = [_acc_column(spec, df.schema).alias(name) for name, spec in out_spec.items()]
     out = df.withColumn("__bucket", bucket)
+    # $bucket groups are few and HUGE by construction — N-accumulators
+    # in `output` must take the bounded prefilter (bucket key = group
+    # key), never the whole-bucket collect form
+    out, aggs = _compile_group_aggs(out, out_spec, [F.col("__bucket")])
     return (
         out.groupBy(F.col("__bucket").alias("_id"))
         .agg(*aggs)
@@ -3598,7 +3728,6 @@ def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     group_by = compile_expr(arg["groupBy"], df.schema)
     n = int(arg["buckets"])
     out_spec = arg.get("output", {"count": {"$sum": 1}})
-    aggs = [_acc_column(spec, df.schema).alias(name) for name, spec in out_spec.items()]
     tagged = df.withColumn("__gb", group_by)
 
     granularity = arg.get("granularity")
@@ -3643,6 +3772,7 @@ def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         )
         lo_arr = F.array(*[F.lit(e) for e in edges[:-1]])
         hi_arr = F.array(*[F.lit(e) for e in edges[1:]])
+        tiled, aggs = _compile_group_aggs(tiled, out_spec, [F.col("__tile")])
         return (
             tiled.groupBy("__tile")
             .agg(*aggs)
@@ -3676,6 +3806,7 @@ def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 lambda acc, b: acc + F.when(F.col("__gb").cast("double") >= b, 1).otherwise(0),
             ),
         )
+    tiled, aggs = _compile_group_aggs(tiled, out_spec, [F.col("__tile")])
     return (
         tiled.groupBy("__tile")
         .agg(F.min("__gb").alias("__min"), F.max("__gb").alias("__max"), *aggs)
@@ -3687,6 +3818,15 @@ def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     )
 
 
+# $facet packs each sub-pipeline's entire output into ONE row — Mongo
+# caps that document at 16 MB and errors past it; we cap by row count
+# (the analogue we can enforce cheaply) and error the same way.  The
+# limit(N+1) below bounds the collect buffer BEFORE it builds, so an
+# unaggregated facet leg at scale raises a clean error instead of
+# OOMing one executor.
+_FACET_MAX_ROWS_PER_LEG = 100_000
+
+
 def _facet(
     df: DataFrame,
     arg: Mapping[str, Any],
@@ -3696,12 +3836,29 @@ def _facet(
     """$facet: run sub-pipelines over the same input; one row whose
     fields are arrays of each sub-pipeline's documents. The input plan
     fans out to N branches — at scale callers should persist upstream if
-    the branches are expensive."""
+    the branches are expensive.  Each leg is capped at
+    ``_FACET_MAX_ROWS_PER_LEG`` rows (Mongo's 16 MB facet-document limit
+    analogue): past it the query errors cleanly, as Mongo does."""
     facets = []
+    cap = _FACET_MAX_ROWS_PER_LEG
     for name, stages in arg.items():
         sub = compile_pipeline(df, stages, resolve, sink)
-        packed = sub.agg(
-            F.collect_list(F.struct(*[F.col(c) for c in sub.columns])).alias(name)
+        capped = sub.limit(cap + 1)
+        packed = capped.agg(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in sub.columns])
+            ).alias(name),
+            F.count(F.lit(1)).alias("__n"),
+        ).select(
+            F.when(
+                F.col("__n") > cap,
+                F.raise_error(F.lit(
+                    f"$facet: sub-pipeline {name!r} produced more than "
+                    f"{cap} documents — the facet output document would "
+                    "exceed the engine limit (Mongo's 16 MB analogue); "
+                    "aggregate or $limit inside the facet"
+                )),
+            ).otherwise(F.col(name)).alias(name)
         )
         facets.append(packed)
     out = facets[0]

@@ -281,7 +281,11 @@ class Query:
                             "seek() cannot page a $meta-sorted query: "
                             "relevance scores are not stable seek keys"
                         )
-                    pairs.append((str(name), not (isinstance(v, int) and v < 0)))
+                    # mirror parse_sort_keys: any numeric < 0 is
+                    # descending (floats arrive from JSON/JS sort docs)
+                    pairs.append(
+                        (str(name), not (isinstance(v, (int, float)) and v < 0))
+                    )
             else:
                 k = str(key)
                 if not k or k.lstrip("-+") == "$natural":

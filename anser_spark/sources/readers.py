@@ -49,9 +49,11 @@ def _ns_timestamp_columns(path: str) -> list[str]:
                 and "nanoseconds" in str(col.logical_type or "")
             ):
                 cols.append(col.name)
-    except (OSError, pa.ArrowInvalid, pa.ArrowIOError) as exc:
-        # unreadable/odd footer → skip the ns-rewrite (the plain scan
-        # will surface any real read error with full context)
+    except (OSError, ValueError, pa.lib.ArrowException) as exc:
+        # ArrowException is the pyarrow base class — the probe is
+        # advisory, so ANY arrow failure (NotImplemented on exotic
+        # footers, encrypted files, …) skips the ns-rewrite; the plain
+        # scan will surface any real read error with full context
         logging.getLogger(__name__).debug(
             "ns-timestamp probe failed for %s: %s", target, exc
         )
