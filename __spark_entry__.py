@@ -1840,8 +1840,11 @@ def _q_corpus_splits(spark, sf_dir):
 
 
 def _q_bucket_stages(spark, sf_dir):
-    # $bucket (explicit boundaries) + $bucketAuto (even-split ntile) in
-    # one gate, aligned on (kind, lo, hi, n, metric)
+    # $bucket (explicit boundaries) + $bucketAuto (even-split ntile) +
+    # (round 8) a $bucket-with-$topN-output leg — the bounded
+    # N-accumulator path through $bucket, where buckets are few and
+    # huge by construction — in one gate, aligned on
+    # (kind, lo, hi, n, metric)
     from pyspark.sql import functions as F
 
     explicit_hi = {0: 100000, 100000: 200000, 200000: 300000,
@@ -1861,7 +1864,38 @@ def _q_bucket_stages(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         F.col("sum_bal").cast("double").alias("metric"),
     )
-    return explicit.unionByName(auto)
+    # metric = sum of the top-2 prices per bucket: deterministic under
+    # ties (the top-2 VALUE multiset is unique even when row choice
+    # isn't), so the hash gate stays stable
+    topn = (
+        _db(spark, sf_dir)
+        .collection("orders")
+        .pipe([
+            {"$bucket": {
+                "groupBy": "$o_totalprice",
+                "boundaries": [0, 100000, 200000, 300000, 400000, 700000],
+                "output": {
+                    "n": {"$sum": 1},
+                    "top2": {"$topN": {
+                        "n": 2,
+                        "sortBy": {"o_totalprice": -1},
+                        "output": "$o_totalprice",
+                    }},
+                },
+            }},
+        ])
+        .to_df()
+        .select(
+            F.lit("topn").alias("kind"),
+            F.col("_id").cast("double").alias("lo"),
+            F.element_at(hi_map, F.col("_id").cast("int")).cast("double").alias("hi"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.aggregate("top2", F.lit(0.0), lambda a, x: a + x), 2
+            ).alias("metric"),
+        )
+    )
+    return explicit.unionByName(auto).unionByName(topn)
 
 
 def _q_hybrid_search(spark, sf_dir):
@@ -2138,6 +2172,51 @@ _NGRAM_JACCARD_ORACLE = r"""
 """
 
 
+def _text_find_oracle() -> str:
+    """en_n's oracle mirrors the engine's english analyzer EXACTLY
+    (round 8, ADVICE): the same charset split (keeps apostrophes and
+    unicode letters/digits), the same stopword list filtered BEFORE
+    stemming, the SAME Snowball stemmer — ``porter2_sql`` is the
+    DuckDB-SQL twin of the engine's ``porter2_stem``, generated from
+    the same suffix tables and differential-tested over random + corpus
+    vocabulary in pytest — and the engine's one-to-one diacritic fold
+    table applied AFTER stemming (translate).  The query-side stems are
+    produced by the engine's own ``analyze_terms``, so a regenerated
+    fixture cannot drift the two sides apart."""
+    from anser_spark.functions.stemmer import porter2_sql
+    from anser_spark.operators.ranking import (
+        _FOLD_DST,
+        _FOLD_SRC,
+        _fold_py,
+        analyze_terms,
+        ENGLISH_STOPWORDS,
+    )
+
+    stop = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOPWORDS)
+    )
+    qterms = sorted(
+        {_fold_py(t.lower()) for t in analyze_terms(["queries", "dáta"], "english")}
+    )
+    qlist = ", ".join("'" + t + "'" for t in qterms)
+    toks = (
+        "list_transform("
+        "list_filter("
+        "regexp_split_to_array(lower(trim(text)), '[^\\p{L}\\p{N}'']+'), "
+        f"tk -> tk <> '' AND tk NOT IN ({stop})), "
+        f"tk -> translate({porter2_sql('tk')}, '{_FOLD_SRC}', '{_FOLD_DST}'))"
+    )
+    return f"""
+        SELECT doc_id, lang,
+               (SELECT count(*) FROM documents
+                WHERE list_has_any({toks}, [{qlist}])) AS en_n
+        FROM documents
+        WHERE lang = 'en'
+          AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'spark')
+          AND NOT list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'merge')
+    """
+
+
 def _oracle_sql_bodies() -> dict[str, str]:
     from anser_spark.operators.text import PII_PATTERNS
 
@@ -2398,6 +2477,28 @@ def _oracle_sql_bodies() -> dict[str, str]:
                 )
                 GROUP BY __tile
             )
+            UNION ALL
+            SELECT 'topn' AS kind, CAST(_id AS DOUBLE) AS lo,
+                   CAST(_id + width AS DOUBLE) AS hi,
+                   count(*) AS n,
+                   round(sum(CASE WHEN rk <= 2 THEN o_totalprice ELSE 0 END), 2)
+                       AS metric
+            FROM (
+                SELECT _id, CASE _id WHEN 400000 THEN 300000 ELSE 100000 END AS width,
+                       o_totalprice,
+                       row_number() OVER (PARTITION BY _id ORDER BY o_totalprice DESC) AS rk
+                FROM (
+                    SELECT CASE
+                        WHEN o_totalprice >= 0      AND o_totalprice < 100000 THEN 0
+                        WHEN o_totalprice >= 100000 AND o_totalprice < 200000 THEN 100000
+                        WHEN o_totalprice >= 200000 AND o_totalprice < 300000 THEN 200000
+                        WHEN o_totalprice >= 300000 AND o_totalprice < 400000 THEN 300000
+                        WHEN o_totalprice >= 400000 AND o_totalprice < 700000 THEN 400000
+                    END AS _id, o_totalprice
+                    FROM orders
+                ) WHERE _id IS NOT NULL
+            )
+            GROUP BY _id, width
         """,
         "tpch_q3_shape": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,
@@ -2464,35 +2565,7 @@ def _oracle_sql_bodies() -> dict[str, str]:
                 + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)
                   < e.edge
         """,
-        "text_find": """
-            -- en_n's oracle analyzes the DOCUMENT side exactly like the
-            -- engine's english pipeline (split on non-alnum, s-stem,
-            -- strip accents), so a regenerated fixture containing
-            -- 'queries'/'dáta' variants stays hash-equal
-            SELECT doc_id, lang,
-                   (SELECT count(*) FROM documents
-                    WHERE list_contains(list_transform(
-                            list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9à-ÿ]+'),
-                                        w -> w != ''),
-                            w -> strip_accents(CASE
-                                 WHEN regexp_matches(w, '[^ae]ies$') THEN regexp_replace(w, 'ies$', 'y')
-                                 WHEN regexp_matches(w, '[^aeo]es$') THEN regexp_replace(w, 'es$', 'e')
-                                 WHEN regexp_matches(w, '[^us]s$') THEN regexp_replace(w, 's$', '')
-                                 ELSE w END)), 'query')
-                       OR list_contains(list_transform(
-                            list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9à-ÿ]+'),
-                                        w -> w != ''),
-                            w -> strip_accents(CASE
-                                 WHEN regexp_matches(w, '[^ae]ies$') THEN regexp_replace(w, 'ies$', 'y')
-                                 WHEN regexp_matches(w, '[^aeo]es$') THEN regexp_replace(w, 'es$', 'e')
-                                 WHEN regexp_matches(w, '[^us]s$') THEN regexp_replace(w, 's$', '')
-                                 ELSE w END)), 'data')
-                   ) AS en_n
-            FROM documents
-            WHERE lang = 'en'
-              AND list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'spark')
-              AND NOT list_contains(regexp_split_to_array(lower(trim(text)), '\s+'), 'merge')
-        """,
+        "text_find": _text_find_oracle(),
         "pipeline_update": """
             SELECT c_custkey,
                    round(CASE WHEN c_mktsegment = 'BUILDING'

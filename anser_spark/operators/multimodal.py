@@ -255,12 +255,119 @@ def decode_ppm(payload: bytes):
     return np.repeat(px, 3, axis=2) if nch == 1 else px.copy()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """REAL decode for 8-bit-depth non-interlaced PNG (color types
+    0/2/3/4/6) — stdlib ``zlib`` inflate + numpy per-row unfiltering of
+    all five PNG filter types (None/Sub/Up/Average/Paeth), no codec
+    library (round 8; PNG is zlib + arithmetic, unlike JPEG/video which
+    stay codec-blocked stubs).  Returns HxWx3 uint8 RGB (palette
+    resolved via PLTE, gray replicated, alpha dropped) or None for
+    bytes outside this parser's coverage (16-bit depth, Adam7
+    interlace, truncated/corrupt streams) — never raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload or len(payload) < 8 or payload[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos:pos + 4])
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc (crc not verified)
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if (
+        channels is None or depth != 8 or comp != 0 or filt != 0
+        or interlace != 0 or w == 0 or h == 0 or w * h > 100_000_000
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    rp = 0
+    for y in range(h):
+        f = raw[rp]
+        rp += 1
+        cur = np.frombuffer(raw, np.uint8, stride, rp).astype(np.int32)
+        rp += stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left-neighbor recurrence
+            for i in range(channels, stride):
+                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif f == 2:  # Up: fully vectorized
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = cur[i - channels] if i >= channels else 0
+                cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - channels]) if i >= channels else 0
+                b = int(prev[i])
+                c = int(prev[i - channels]) if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if ctype == 3:  # palette lookup
+        if plte is None or len(plte) < 3:
+            return None
+        pal = np.frombuffer(plte, np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= len(pal):
+            return None
+        return pal[idx]
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:  # gray + alpha: replicate gray, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if channels == 4:  # RGBA: drop alpha
+        return px[:, :, :3].copy()
+    return px.copy()
+
+
 def decode_image(payload: bytes):
     """Dispatch on magic bytes to the formats decodable WITHOUT a codec
-    library (BMP, PPM/PGM) — the same implement-what-the-sandbox-
-    supports policy as ``decode_wav``.  Returns HxWx3 uint8 RGB or None
-    (PNG/JPEG/GIF etc. need a real codec; plug one in via the
-    ``decode=`` hooks)."""
+    library (BMP, PPM/PGM, and — round 8 — PNG via stdlib zlib) — the
+    same implement-what-the-sandbox-supports policy as ``decode_wav``.
+    Returns HxWx3 uint8 RGB or None (JPEG/GIF/video need a real codec;
+    plug one in via the ``decode=`` hooks)."""
     if not payload:
         return None
     payload = bytes(payload)
@@ -268,6 +375,8 @@ def decode_image(payload: bytes):
         return decode_bmp(payload)
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     return None
 
 

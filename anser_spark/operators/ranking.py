@@ -72,45 +72,65 @@ def _fold_col(col):
     return F.translate(col, _FOLD_SRC, _FOLD_DST)
 
 
-def _s_stem_py(w: str) -> str:
-    """Python twin of the Column s-stemmer below — MUST match exactly
-    (query terms are analyzed driver-side, documents executor-side)."""
-    import re as _re
+def _stem_tokens(col):
+    """Arrow-batched Snowball ('Porter2') stemming of a token-array
+    column — the ONE Python touchpoint in the analyzer (the split and
+    stopword filter stay pure Column).  A per-batch memo turns the
+    per-token cost into a dict hit: natural-language token streams
+    repeat heavily (Zipf), so the stemmer itself runs roughly once per
+    distinct word per batch.  The same :func:`porter2_stem` function
+    analyzes query terms driver-side, so the two sides can never
+    drift."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
 
-    if _re.search(r"(?<![ae])ies$", w):
-        return w[:-3] + "y"
-    if _re.search(r"(?<![aeo])es$", w):
-        return w[:-1]
-    if _re.search(r"(?<![us])s$", w):
-        return w[:-1]
-    return w
+    from anser_spark.functions.stemmer import porter2_stem
+
+    def _stem(batch):
+        memo: dict[str, str] = {}
+
+        def stem_list(toks):
+            if toks is None:
+                return None
+            out = []
+            for t in toks:
+                s = memo.get(t)
+                if s is None:
+                    s = porter2_stem(t)
+                    memo[t] = s
+                out.append(s)
+            return out
+
+        return batch.map(stem_list)
+
+    # real annotation objects (the module's future-annotations mode
+    # would stringify inline hints beyond pyspark's resolver)
+    _stem.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    return pandas_udf(_stem, T.ArrayType(T.StringType()))(col)
 
 
-def _s_stem_col(w):
-    """Harman's S-stemmer (public: 'How effective is suffixing?', JASIS
-    1991) as a pure Column when-chain: IES→Y (not EIES/AIES), ES→E (not
-    AES/EES/OES), trailing S dropped (not US/SS).  Not Snowball — a
-    documented, deterministic subset that conflates English plurals,
-    the dominant morphological variant in retrieval."""
-    return (
-        F.when(w.rlike(r"(?<![ae])ies$"), F.regexp_replace(w, r"ies$", "y"))
-        .when(w.rlike(r"(?<![aeo])es$"), F.regexp_replace(w, r"es$", "e"))
-        .when(w.rlike(r"(?<![us])s$"), F.regexp_replace(w, r"s$", ""))
-        .otherwise(w)
-    )
-
-
-def analyze_terms(terms: list[str], language: str = "none") -> list[str]:
+def analyze_terms(
+    terms: list[str], language: str = "none", preserve_case: bool = False
+) -> list[str]:
     """Driver-side query-term analysis matching :func:`_tokens`:
     'none' lowercases; 'english' also re-tokenizes each term on the
     document charset (so 'big-data' splits like the docs do), drops
-    stopwords, then s-stems.  Idempotence warning: stemming is NOT
+    stopwords, then Snowball-stems (:func:`porter2_stem` — round 8;
+    'running' now conflates with 'run').  ``preserve_case`` is the
+    $caseSensitive analyzer: tokens keep their case (stopwords are
+    still dropped case-insensitively, as Mongo's case-sensitive
+    tokenizer does), and the stemmer sees the case-preserved token —
+    lowercase suffix rules simply don't fire on 'RUNNING', matching
+    libstemmer's behavior.  Idempotence warning: stemming is NOT
     idempotent against the stopword list (e.g. 'owns' stems to 'own',
     which IS a stopword) — analyze exactly once; scoring entry points
     take ``analyzed=True`` to skip re-analysis."""
     import re as _re
 
-    out = [t.lower() for t in terms]
+    from anser_spark.functions.stemmer import porter2_stem
+
+    out = list(terms) if preserve_case else [t.lower() for t in terms]
     if language == "english":
         split = []
         for t in out:
@@ -119,30 +139,44 @@ def analyze_terms(terms: list[str], language: str = "none") -> list[str]:
             split.extend(
                 w for w in _re.split(r"(?:[^\w']|_)+", t) if w
             )
-        out = [_s_stem_py(t) for t in split if t not in ENGLISH_STOPWORDS]
+        out = [
+            porter2_stem(t)
+            for t in split
+            if t.lower() not in ENGLISH_STOPWORDS
+        ]
     return out
 
 
-def _tokens(text_col: str, language: str = "none"):
+def _tokens(text_col: str, language: str = "none", preserve_case: bool = False):
     """Tokenize a text column.  'none' (default): whitespace split +
     lowercase — the engine's historical analyzer, shared by the BM25
     index builder.  'english': split on non-alphanumerics, drop
-    Snowball stopwords, s-stem — Mongo's 'english' analyzer modulo the
-    stemmer (s-stem vs Snowball; documented in COVERAGE.md).  All pure
-    Column expressions — no UDFs, whole-stage codegen intact."""
+    Snowball stopwords, Snowball-stem (Mongo's 'english' analyzer; the
+    stemmer is the round-8 Porter2 implementation in
+    functions/stemmer.py, applied through one Arrow-batched kernel —
+    split + stopword filter stay pure Column).  ``preserve_case`` is
+    the $caseSensitive variant: no lowercasing, stopwords dropped
+    case-insensitively, stemming on the case-preserved token."""
     if language == "english":
+        base = F.trim(F.col(text_col))
+        if not preserve_case:
+            base = F.lower(base)
         raw = F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"[^\p{L}\p{N}']+"),
-            lambda t: t != "",
+            F.split(base, r"[^\p{L}\p{N}']+"), lambda t: t != ""
         )
         kept = F.filter(
-            raw, lambda w: ~w.isin(*sorted(ENGLISH_STOPWORDS))
+            raw, lambda w: ~F.lower(w).isin(*sorted(ENGLISH_STOPWORDS))
         )
-        return F.transform(kept, _s_stem_col)
+        return _stem_tokens(kept)
     if language != "none":
         raise ValueError(
             f"unsupported $text language {language!r}: 'none' (exact "
-            "tokens) and 'english' (stopwords + s-stemming) are implemented"
+            "tokens) and 'english' (stopwords + Snowball stemming) are "
+            "implemented"
+        )
+    if preserve_case:
+        return F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
         )
     return F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
@@ -411,19 +445,20 @@ def text_match_frame(
     {term: df})`` — a persistent bm25 search index resolves it with a
     point lookup so no corpus aggregate runs at query time.
 
-    Language analysis (round 7): ``$language`` (or the index's
-    ``default_language``) selects the analyzer — 'none' = exact
-    lowercased tokens (default), 'english'/'en' = Snowball stopword
-    removal + s-stemming on BOTH documents and query terms, so
-    'pony' matches 'ponies' and stopword-only queries match nothing,
-    as in Mongo.  Documented divergences: relevance is BM25 (not
-    Mongo's tf-idf — ordering may differ), the stemmer is Harman's
-    s-stemmer (not Snowball — weaker conflation, e.g. 'running' does
-    not reduce to 'run'), phrase matching is raw-substring (unstemmed),
-    and ``$diacriticSensitive`` folds the common one-to-one Latin
-    accents only (no full Unicode normalization; multi-char foldings
-    like ae/ss stay unfolded), with relevance scored on unfolded
-    tokens.
+    Language analysis (round 7; stemmer upgraded round 8): ``$language``
+    (or the index's ``default_language``) selects the analyzer —
+    'none' = exact lowercased tokens (default), 'english'/'en' =
+    Snowball stopword removal + Snowball ENGLISH (Porter2) stemming
+    (functions/stemmer.py) on BOTH documents and query terms, so
+    'running' matches 'run' and stopword-only queries match nothing,
+    as in Mongo.  ``$caseSensitive`` still applies the analyzer (the
+    case-preserving variant), as Mongo's case-sensitive tokenizer does.
+    Documented divergences: relevance is BM25 (not Mongo's tf-idf —
+    ordering may differ; for case-sensitive english queries relevance
+    is computed on the case-folded stream), phrase matching is
+    raw-substring (unstemmed), and ``$diacriticSensitive`` folds the
+    common one-to-one Latin accents only (no full Unicode
+    normalization; multi-char foldings like ae/ss stay unfolded).
     """
     search = spec.get("$search")
     if not isinstance(search, str) or not search.strip():
@@ -454,11 +489,17 @@ def text_match_frame(
 
     # analyze query terms with the document analyzer (stopwords drop
     # out; stems align with the stemmed token stream).  The
-    # case-sensitive predicate keeps surface forms: its token stream is
-    # unlowered, so analyzed (lowercased) terms would never match.
+    # case-sensitive path (round 8, ADVICE) still applies the language
+    # analyzer — as Mongo's case-sensitive tokenizer does — via the
+    # case-PRESERVING variant: stopwords drop case-insensitively and
+    # the stemmer sees the original case (lowercase suffix rules just
+    # don't fire on 'RUNNING', matching libstemmer).
     if not case_sensitive:
         terms = analyze_terms(terms, language)
         negated = analyze_terms(negated, language)
+    elif language == "english":
+        terms = analyze_terms(terms, language, preserve_case=True)
+        negated = analyze_terms(negated, language, preserve_case=True)
 
     # diacritic folding is INDEPENDENT of case sensitivity (as in
     # Mongo): it applies to the predicate, phrases, AND scoring —
@@ -508,9 +549,12 @@ def text_match_frame(
         score = F.lit(0.0)  # negation/stopword-only query
 
     if case_sensitive:
-        toks = F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-        )
+        # case-preserving token stream: for 'english' this is the full
+        # analyzer (charset split + stopwords + stemming) on unlowered
+        # text; for 'none' the historical unlowered whitespace split.
+        # Computed inline (not materialized): the case-sensitive path
+        # is rare and its term count small.
+        toks = _tokens(text_col, language, preserve_case=True)
         if folding:
             toks = F.transform(toks, _fold_col)
         qterm = _fold_py if folding else (lambda t: t)

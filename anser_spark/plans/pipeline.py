@@ -877,6 +877,14 @@ def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     df, agg_cols = _compile_group_aggs(
         df, accs, _group_part_cols(id_spec, df.schema)
     )
+    if not agg_cols:
+        # {"$group": {"_id": ...}} with no accumulators — Mongo's
+        # dedupe idiom; Spark's agg() requires >=1 expr, so count and
+        # drop (round-8 collation fuzzer found the bare-_id crash)
+        drop_n = True
+        agg_cols = [F.count(F.lit(1)).alias("__gn")]
+    else:
+        drop_n = False
 
     if id_spec is None:
         # Spark's global aggregate emits one row even over empty input;
@@ -925,7 +933,7 @@ def _group(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     grouped = df.groupBy(key_expr.alias("_id")).agg(*agg_cols)
     if wrapped:
         grouped = grouped.withColumn("_id", decollate(F.col("_id")))
-    return grouped
+    return grouped.drop("__gn") if drop_n else grouped
 
 
 _EARTH_RADIUS_M = 6_371_000.0  # mean Earth radius; shared with filters.$centerSphere

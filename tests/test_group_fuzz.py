@@ -355,3 +355,81 @@ def test_group_compound_and_expr_id_fuzz(spark):
                 if not ok:
                     mism.append((trial, key, name, spec, e, g))
     assert not mism, mism[:5]
+
+
+def test_bucket_output_accumulator_fuzz(spark):
+    # $bucket `output` accumulators route through the SAME compiler as
+    # $group (round 8: including the bounded N-accumulator prefilter —
+    # buckets are few and huge by construction, the exact shape the
+    # whole-bucket collect form OOMs on). Seeded random boundaries over
+    # a nullable field (nulls + out-of-range → numeric default bucket)
+    # x random accumulators, vs the Python reference.
+    seed = int(os.environ.get("SPARK_GRAFT_FUZZ_SEED", "20260813"))
+    rng = random.Random(seed + 13)
+    rows = make_rows(rng, n=100)
+    df = spark.createDataFrame(
+        [(r["_id"], r["g"], r["h"], r["a"], r["b"]) for r in rows],
+        "_id long, g string, h long, a long, b long",
+    )
+    mism = []
+    for trial in range(6):
+        cuts = sorted(rng.sample(range(-50, 51), rng.randint(2, 5)))
+        accs = {f"o{i}": rand_acc(rng) for i in range(3)}
+        # force an N-accumulator into every trial — the path under test
+        accs["oN"] = rng.choice([
+            {"$topN": {"sortBy": {"a": 1, "_id": 1}, "output": "$b", "n": 3}},
+            {"$bottomN": {"sortBy": {"a": 1, "_id": 1}, "output": "$b", "n": 2}},
+            {"$minN": {"input": "$b", "n": 3}},
+            {"$maxN": {"input": "$a", "n": 4}},
+            {"$firstN": {"input": "$b", "n": 3}},
+        ])
+        stage = {"$bucket": {"groupBy": "$a", "boundaries": cuts,
+                             "default": -999, "output": accs}}
+        got = {r["_id"]: r.asDict() for r in
+               compile_pipeline(df, [stage], None, None).collect()}
+
+        def bkt(v):
+            if v is None or v < cuts[0] or v >= cuts[-1]:
+                return -999
+            for lo, hi in zip(cuts, cuts[1:]):
+                if lo <= v < hi:
+                    return lo
+
+        buckets = {}
+        for r in rows:
+            buckets.setdefault(bkt(r.get("a")), []).append(r)
+        assert set(got) == set(buckets), (trial, cuts,
+                                          set(got) ^ set(buckets))
+        for key, members in buckets.items():
+            grow = got[key]
+            for name, spec in accs.items():
+                (op, arg), = spec.items()
+                if op == "$firstN":
+                    # document-order-dependent: only the contract Mongo
+                    # gives without $sort — right length, values drawn
+                    # from the bucket
+                    g = grow[name]
+                    pool = [m.get("b") for m in members]
+                    ok = (g is not None
+                          and len(g) == min(arg["n"], len(members))
+                          and all(v in pool for v in g))
+                    if not ok:
+                        mism.append((trial, key, name, spec, pool, g))
+                    continue
+                e, g = ref_acc(op, arg, members), grow[name]
+                if op in ("$push", "$addToSet", "$minN", "$maxN"):
+                    ok = sorted(map(str, map(_norm, e or []))) == \
+                        sorted(map(str, map(_norm, g or [])))
+                elif isinstance(e, float) and g is not None:
+                    ok = abs(e - g) < 1e-6
+                elif isinstance(e, list):
+                    ok = g is not None and len(e) == len(g) and all(
+                        (x is None and y is None)
+                        or (x is not None and y is not None
+                            and abs(float(x) - float(y)) < 1e-6)
+                        for x, y in zip(e, g))
+                else:
+                    ok = _norm(e) == _norm(g)
+                if not ok:
+                    mism.append((trial, key, name, spec, e, g))
+    assert not mism, mism[:5]

@@ -770,3 +770,123 @@ def test_extract_image_stats_real_decode(spark):
         assert abs(r["mean_lum"] - (0.2126 * 200 + 0.7152 * 100 + 0.0722 * 50)) < 1e-9
         assert r["std_lum"] == 0.0
     assert got["bad1"]["width"] is None and got["null1"]["width"] is None
+
+
+def _make_png(img, filters=None, ctype=2, palette=None):
+    """Minimal PNG encoder for golden tests: 8-bit depth, one IDAT,
+    per-row filter bytes as requested (default all-0).  ``img`` is
+    HxWxC uint8 (C per color type: 1 gray/palette-index, 2 gray+alpha,
+    3 RGB, 4 RGBA)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * c).astype(np.int32)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        cur = flat[y]
+        if f == 0:
+            line = cur
+        elif f == 1:
+            line = cur.copy()
+            line[c:] = (cur[c:] - cur[:-c]) & 0xFF
+        elif f == 2:
+            line = (cur - prev) & 0xFF
+        elif f == 3:
+            line = cur.copy()
+            for i in range(w * c):
+                a = cur[i - c] if i >= c else 0
+                line[i] = (cur[i] - ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:
+            line = cur.copy()
+            for i in range(w * c):
+                a = int(cur[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                line[i] = (cur[i] - pr) & 0xFF
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_png_golden_all_filters():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_image, decode_png
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    # every filter type, mixed per row — decode must invert exactly
+    png = _make_png(img, filters=[0, 1, 2, 3, 4], ctype=2)
+    assert np.array_equal(decode_png(png), img)
+    assert np.array_equal(decode_image(png), img)  # dispatch hits PNG
+    # grayscale (ctype 0) replicates to RGB
+    g = rng.randint(0, 256, size=(4, 3, 1), dtype=np.uint8)
+    got = decode_png(_make_png(g, filters=[4, 3, 2, 1], ctype=0))
+    assert np.array_equal(got, np.repeat(g, 3, axis=2))
+    # RGBA (ctype 6) drops alpha
+    rgba = rng.randint(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    got = decode_png(_make_png(rgba, filters=[1, 2, 4], ctype=6))
+    assert np.array_equal(got, rgba[:, :, :3])
+    # palette (ctype 3) resolves PLTE
+    pal = bytes(range(48))  # 16 RGB entries
+    idx = rng.randint(0, 16, size=(4, 4, 1), dtype=np.uint8)
+    got = decode_png(_make_png(idx, filters=[0, 1, 2, 4], ctype=3, palette=pal))
+    exp = np.frombuffer(pal, np.uint8).reshape(-1, 3)[idx[:, :, 0]]
+    assert np.array_equal(got, exp)
+    # gray+alpha (ctype 4)
+    ga = rng.randint(0, 256, size=(3, 5, 2), dtype=np.uint8)
+    got = decode_png(_make_png(ga, filters=[2, 3, 4], ctype=4))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+
+
+def test_decode_png_rejects_bad_inputs():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_png
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    png = _make_png(img)
+    assert decode_png(png[:20]) is None           # truncated
+    assert decode_png(b"\x89PNG\r\n\x1a\n") is None  # no chunks
+    assert decode_png(b"nope") is None
+    # interlaced flag → out of coverage, clean None
+    import struct
+    bad = bytearray(png)
+    # IHDR data starts at offset 16; interlace byte is its 13th byte
+    bad[16 + 12] = 1
+    assert decode_png(bytes(bad)) is None
+
+
+def test_image_stats_over_png(spark):
+    import numpy as np
+
+    from anser_spark.operators.multimodal import extract_image_stats
+
+    img = np.full((4, 4, 3), 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("p", bytearray(_make_png(img, filters=[4, 3, 2, 1])))],
+        "media_id string, payload binary")
+    got = extract_image_stats(df).collect()[0]
+    assert got["width"] == 4 and got["height"] == 4
+    assert abs(got["mean_lum"] - 200.0) < 1e-6

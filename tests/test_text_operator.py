@@ -266,11 +266,13 @@ def test_text_english_index_default_language(spark, tmp_path):
         {"$project": {"_id": 1}},
     ]).all()
     assert ids(rows) == ["p3"]
-    # index stats really are stemmed: the term table has 'pony' not 'ponies'
+    # index stats really are stemmed: the term table has the Snowball
+    # stem 'poni' (round 8: Porter2, not the old s-stemmer's 'pony')
     import os, json
     d = c._load_search_index("txt", warn_stale=False)
     terms = {r["term"] for r in spark.read.parquet(d["terms_dir"]).collect()}
-    assert "pony" in terms and "ponies" not in terms and "the" not in terms
+    assert "poni" in terms and "ponies" not in terms and "the" not in terms
+    assert "run" in terms  # 'running' conflates — the r7 recall gap
 
 
 def test_text_english_stem_collides_with_stopword(spark, tmp_path):
