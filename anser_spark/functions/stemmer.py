@@ -30,7 +30,7 @@ separately).
 
 from __future__ import annotations
 
-__all__ = ["porter2_stem", "porter2_sql"]
+__all__ = ["porter2_stem", "porter2_stem_cached", "porter2_sql"]
 
 _VOWELS = set("aeiouy")
 _DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
@@ -132,6 +132,25 @@ def _ends_short_syllable(word: str) -> bool:
 
 def _contains_vowel(word: str, start: int, end: int) -> bool:
     return any(_is_vowel(word, i) for i in range(start, end))
+
+
+# cross-batch stem cache for the executor-side Arrow kernel: worker
+# processes are reused across tasks, and natural-language vocabulary is
+# Zipf-distributed, so a module-level memo turns most stems into dict
+# hits after the first few batches.  Bounded: cleared wholesale at the
+# cap (vocabularies that large are adversarial; a reset just re-warms).
+_STEM_CACHE: dict[str, str] = {}
+_STEM_CACHE_CAP = 250_000
+
+
+def porter2_stem_cached(word: str) -> str:
+    s = _STEM_CACHE.get(word)
+    if s is None:
+        if len(_STEM_CACHE) >= _STEM_CACHE_CAP:
+            _STEM_CACHE.clear()
+        s = porter2_stem(word)
+        _STEM_CACHE[word] = s
+    return s
 
 
 def porter2_stem(word: str) -> str:

@@ -6,13 +6,15 @@ The Spark-side machinery (schemas, batch iteration, partition-preserving
 transforms) is real and tested.  Decode coverage follows what the
 environment supports without codec libraries (none are installed):
 AUDIO is REAL for PCM WAV (stdlib ``wave``); IMAGE is REAL for
-uncompressed BMP and binary PPM/PGM (pure struct/netpbm parsing +
-numpy — ``decode_bmp`` / ``decode_ppm`` / ``decode_image`` /
-``extract_image_stats``).  PNG/JPEG/GIF and VIDEO remain stubbed: each
-hook either raises NotImplementedError (strict mode) or produces a
-deterministic fake derived from the bytes, and takes a ``decode=``
-callable so a PIL/cv2-equipped deployment plugs in without touching
-the Spark plumbing.
+uncompressed BMP, binary PPM/PGM, 8-bit non-interlaced PNG (stdlib
+``zlib`` inflate + numpy unfiltering), and GIF87a/89a first frames
+(pure-Python LZW + numpy palette lookup) — ``decode_bmp`` /
+``decode_ppm`` / ``decode_png`` / ``decode_gif`` / ``decode_image`` /
+``extract_image_stats``.  JPEG and VIDEO remain stubbed (they need a
+real codec): each hook either raises NotImplementedError (strict mode)
+or produces a deterministic fake derived from the bytes, and takes a
+``decode=`` callable so a PIL/cv2-equipped deployment plugs in without
+touching the Spark plumbing.
 """
 
 from __future__ import annotations
@@ -33,6 +35,8 @@ __all__ = [
     "decode_image_stub",
     "decode_bmp",
     "decode_ppm",
+    "decode_png",
+    "decode_gif",
     "decode_image",
     "extract_image_features",
     "extract_image_stats",
@@ -362,12 +366,171 @@ def decode_png(payload: bytes):
     return px.copy()
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW (LSB-first variable-width codes, CLEAR/END
+    control codes, 12-bit cap) → list of palette indexes, or None on a
+    corrupt stream.  Pure Python: LZW is inherently sequential, but a
+    GIF frame is one bounded payload inside an Arrow batch — the
+    parallelism lives at the row level, not inside the codec."""
+    if not 2 <= min_code_size <= 8:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+
+    out = bytearray()
+    table = list(base)
+    code_size = min_code_size + 1
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                table += [b"", b""]  # clear/end placeholders
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+            if prev is None:
+                # first code after a clear (or stream start before any
+                # clear — tolerated): table isn't extended yet
+                if code >= clear:
+                    return None
+                if len(table) == clear:
+                    table += [b"", b""]
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out += entry
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+            prev = entry
+    # some encoders omit the END code; accept if the frame is complete
+    return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
+
+
+def decode_gif(payload: bytes):
+    """REAL decode for the FIRST frame of a GIF87a/GIF89a — stdlib-only
+    LZW + numpy palette lookup (round 8; GIF needs no codec library,
+    same policy as the BMP/PPM/PNG/WAV decoders).  The frame is
+    composed onto the logical screen (background-filled) at its
+    (left, top) offset; interlaced frames are de-interlaced; local
+    color tables override the global one.  Returns HxWx3 uint8 RGB or
+    None for bytes outside this parser's coverage — never raises.
+    Animation is out of scope (first frame only, like thumbnailing)."""
+    import struct
+
+    import numpy as np
+
+    if not payload or len(payload) < 13 or payload[:4] != b"GIF8":
+        return None
+    if payload[4:6] not in (b"7a", b"9a"):
+        return None
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if sw == 0 or sh == 0 or sw * sh > 100_000_000:
+        return None
+    pos = 13
+    global_pal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if len(payload) < pos + 3 * n:
+            return None
+        global_pal = np.frombuffer(
+            payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return None  # no image descriptor seen
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            if pos >= len(payload):
+                return None
+            pos += 1
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:  # not an image descriptor
+            return None
+        if len(payload) < pos + 9:
+            return None
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if w == 0 or h == 0:
+            return None
+        pal = global_pal
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if len(payload) < pos + 3 * n:
+                return None
+            pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            return None
+        if pos >= len(payload):
+            return None
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if idx is None:
+            return None
+        rows = np.frombuffer(idx, np.uint8).reshape(h, w)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            ordered = np.empty_like(rows)
+            passes = [slice(0, None, 8), slice(4, None, 8),
+                      slice(2, None, 4), slice(1, None, 2)]
+            src = 0
+            for sl in passes:
+                n_rows = len(range(*sl.indices(h)))
+                ordered[sl] = rows[src:src + n_rows]
+                src += n_rows
+            rows = ordered
+        if int(rows.max()) >= len(pal):
+            return None
+        frame = pal[rows]
+        if left == 0 and top == 0 and w == sw and h == sh:
+            return frame
+        # compose onto the background-filled logical screen
+        bg = pal[bg_idx] if bg_idx < len(pal) else np.zeros(3, np.uint8)
+        canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        y1, x1 = min(top + h, sh), min(left + w, sw)
+        if top >= sh or left >= sw:
+            return canvas
+        canvas[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
+        return canvas
+    return None
+
+
 def decode_image(payload: bytes):
     """Dispatch on magic bytes to the formats decodable WITHOUT a codec
-    library (BMP, PPM/PGM, and — round 8 — PNG via stdlib zlib) — the
-    same implement-what-the-sandbox-supports policy as ``decode_wav``.
-    Returns HxWx3 uint8 RGB or None (JPEG/GIF/video need a real codec;
-    plug one in via the ``decode=`` hooks)."""
+    library (BMP, PPM/PGM, and — round 8 — PNG via stdlib zlib and GIF
+    via pure-Python LZW) — the same implement-what-the-sandbox-supports
+    policy as ``decode_wav``.  Returns HxWx3 uint8 RGB or None
+    (JPEG/video need a real codec; plug one in via the ``decode=``
+    hooks)."""
     if not payload:
         return None
     payload = bytes(payload)
@@ -377,6 +540,8 @@ def decode_image(payload: bytes):
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     return None
 
 

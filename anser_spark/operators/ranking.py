@@ -75,32 +75,23 @@ def _fold_col(col):
 def _stem_tokens(col):
     """Arrow-batched Snowball ('Porter2') stemming of a token-array
     column — the ONE Python touchpoint in the analyzer (the split and
-    stopword filter stay pure Column).  A per-batch memo turns the
-    per-token cost into a dict hit: natural-language token streams
-    repeat heavily (Zipf), so the stemmer itself runs roughly once per
-    distinct word per batch.  The same :func:`porter2_stem` function
-    analyzes query terms driver-side, so the two sides can never
-    drift."""
+    stopword filter stay pure Column).  The module-level memo in
+    stemmer.py persists across batches AND tasks (Python workers are
+    reused), so with Zipf-distributed vocabulary the stemmer runs
+    roughly once per distinct word per worker lifetime.  The same
+    :func:`porter2_stem` function analyzes query terms driver-side, so
+    the two sides can never drift."""
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
-    from anser_spark.functions.stemmer import porter2_stem
+    from anser_spark.functions.stemmer import porter2_stem_cached
 
     def _stem(batch):
-        memo: dict[str, str] = {}
-
         def stem_list(toks):
             if toks is None:
                 return None
-            out = []
-            for t in toks:
-                s = memo.get(t)
-                if s is None:
-                    s = porter2_stem(t)
-                    memo[t] = s
-                out.append(s)
-            return out
+            return [porter2_stem_cached(t) for t in toks]
 
         return batch.map(stem_list)
 

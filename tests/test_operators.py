@@ -890,3 +890,171 @@ def test_image_stats_over_png(spark):
     got = extract_image_stats(df).collect()[0]
     assert got["width"] == 4 and got["height"] == 4
     assert abs(got["mean_lum"] - 200.0) < 1e-6
+
+
+def _gif_pack_uncompressed(indexes, min_code_size):
+    """Minimal valid GIF LZW stream: a CLEAR before every pixel keeps
+    the code table empty so each pixel is a raw code at a fixed width —
+    the classic 'uncompressed GIF' encoder trick."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for px in indexes:
+        emit(px)
+        emit(clear)
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _make_gif(img, palette, interlace=False, left=0, top=0,
+              screen=None, local_palette=False, version=b"9a"):
+    """Hand-built single-frame GIF for golden tests. ``img`` is HxW
+    palette indexes; ``palette`` a list of (r, g, b)."""
+    import struct
+
+    h, w = len(img), len(img[0])
+    sw, sh = screen or (left + w, top + h)
+    pal_bits = max(1, (max(len(palette) - 1, 1)).bit_length())
+    pal_n = 1 << pal_bits
+    pal_bytes = b"".join(bytes(c) for c in palette)
+    pal_bytes += b"\x00" * (3 * pal_n - len(pal_bytes))
+
+    out = bytearray(b"GIF8" + version)
+    gflags = (0x80 | (pal_bits - 1)) if not local_palette else 0
+    out += struct.pack("<HHBBB", sw, sh, gflags, 0, 0)
+    if not local_palette:
+        out += pal_bytes
+    # a graphic-control extension (skipped by the decoder)
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    iflags = (0x40 if interlace else 0) | ((0x80 | (pal_bits - 1)) if local_palette else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, iflags)
+    if local_palette:
+        out += pal_bytes
+    rows = list(img)
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        rows = [img[y] for y in order]
+    flat = [px for row in rows for px in row]
+    min_code = max(2, pal_bits)
+    out += bytes([min_code])
+    stream = _gif_pack_uncompressed(flat, min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_golden():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_gif, decode_image
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    img = [[0, 1, 2], [3, 2, 1], [1, 1, 0], [2, 3, 3]]
+    got = decode_gif(_make_gif(img, pal))
+    assert got is not None and got.shape == (4, 3, 3)
+    exp = np.array([[pal[i] for i in row] for row in img], np.uint8)
+    assert (got == exp).all()
+    # dispatch routes GIF magic
+    assert (decode_image(_make_gif(img, pal)) == exp).all()
+    # GIF87a + local color table
+    got = decode_gif(_make_gif(img, pal, local_palette=True, version=b"7a"))
+    assert (got == exp).all()
+
+
+def test_decode_gif_interlace_and_compose():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_gif
+
+    pal = [(i, 2 * i, 3 * i) for i in range(16)]
+    rng = __import__("random").Random(7)
+    img = [[rng.randrange(16) for _ in range(5)] for _ in range(11)]
+    exp = np.array([[pal[i] for i in row] for row in img], np.uint8)
+    got = decode_gif(_make_gif(img, pal, interlace=True))
+    assert got is not None and (got == exp).all()
+    # frame offset within a larger logical screen: background fill
+    got = decode_gif(_make_gif(img, pal, left=2, top=1, screen=(9, 14)))
+    assert got.shape == (14, 9, 3)
+    assert (got[1:12, 2:7] == exp).all()
+    assert (got[0] == np.array(pal[0], np.uint8)).all()  # bg row
+
+
+def test_decode_gif_real_lzw_and_corrupt():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_gif
+
+    # a REAL compressed stream (repeating pixels exercise table growth
+    # + the code==next_code self-reference case): encode with a genuine
+    # LZW encoder inline
+    pal = [(0, 0, 0), (255, 255, 255)]
+    img = [[0, 0, 0, 0, 1, 1, 1, 1]] * 8
+    flat = [p for row in img for p in row]
+    min_code = 2
+    clear, end = 4, 5
+    table = {(i,): i for i in range(4)}
+    codes, cur, next_code, width = [clear], (), 6, 3
+    widths = []
+    for px in flat:
+        if cur + (px,) in table:
+            cur = cur + (px,)
+            continue
+        codes.append(table[cur])
+        widths.append(width)
+        table[cur + (px,)] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width):
+            width += 1
+        cur = (px,)
+    codes.append(table[cur])
+    widths.append(width)
+    codes.append(end)
+    widths.append(width)
+    widths = [3] + widths  # the leading CLEAR
+    acc = nbits = 0
+    stream = bytearray()
+    for code, wdt in zip(codes, widths):
+        acc |= code << nbits
+        nbits += wdt
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    import struct
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 8, 8, 0x81, 0, 0)  # 4-entry palette
+    gif += bytes((0, 0, 0, 255, 255, 255)) + b"\x00" * 6
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 8, 0)
+    gif += bytes([min_code, len(stream)]) + bytes(stream) + b"\x00\x3b"
+    got = decode_gif(bytes(gif))
+    exp = np.array([[pal[i] for i in row] for row in img], np.uint8)
+    assert got is not None and (got == exp).all()
+
+    # corrupt / out-of-coverage payloads → None, never raise
+    assert decode_gif(b"GIF89a") is None
+    assert decode_gif(bytes(gif)[:40]) is None
+    assert decode_gif(b"NOTGIF" + bytes(20)) is None
+    bad = bytearray(gif)
+    bad[13 + 12 + 10 + 2] ^= 0xFF  # flip a byte inside the LZW stream
+    decode_gif(bytes(bad))  # any result is fine as long as no raise
