@@ -1987,13 +1987,61 @@ def _q_rank_sketch_stats(spark, sf_dir):
     )
 
 
+def _q_image_stats_real(spark, sf_dir):
+    # REAL image decode under the driver hash gate (round 8): build a
+    # solid-color 2x2 24-bit BMP per document JVM-side (fixed header
+    # literal + unhex'd color bytes derived from doc_id), decode it
+    # with the real struct+numpy decoder in extract_image_stats, and
+    # emit stats the oracle reproduces as pure doc_id arithmetic —
+    # mean_lum is bit-identical double math on both sides (same uint8
+    # inputs, same constants, same left-to-right op order)
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.multimodal import extract_image_stats
+
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    )
+
+    def byte(c):
+        return F.unhex(F.lpad(F.hex(c), 2, "0"))
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    r = F.pmod(F.col("doc_id"), F.lit(251))
+    g = F.pmod(F.col("doc_id") * 7, F.lit(251))
+    b = F.pmod(F.col("doc_id") * 13, F.lit(251))
+    color = F.concat(byte(b), byte(g), byte(r))  # BMP stores BGR
+    row = F.concat(color, color, F.lit(b"\x00\x00"))  # 2px + pad to 8
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(hdr), row, row).alias("payload"),
+    )
+    stats = extract_image_stats(media)
+    return stats.select(
+        "media_id",
+        F.col("width").alias("img_w"),
+        F.col("height").alias("img_h"),
+        F.col("channels").alias("img_c"),
+        F.col("mean_r").alias("img_mean_r"),
+        F.col("mean_g").alias("img_mean_g"),
+        F.col("mean_b").alias("img_mean_b"),
+        F.col("mean_lum").alias("img_mean_lum"),
+        F.col("std_lum").alias("img_std_lum"),
+    )
+
+
 def _q_media_text_stats(spark, sf_dir):
     # composite (50-gate cap): multimodal plumbing+features joined with
-    # the text-stats profile on the shared document key — one row per
-    # document carrying BOTH gates' columns
+    # the text-stats profile on the shared document key, plus (round 8)
+    # the REAL-decode image-stats leg — one row per document carrying
+    # all three gates' columns
     media = _q_media_pipeline(spark, sf_dir)
     text = _q_text_stats(spark, sf_dir)
-    return media.join(text, media["media_id"] == text["doc_id"])
+    joined = media.join(text, media["media_id"] == text["doc_id"])
+    return joined.join(_q_image_stats_real(spark, sf_dir), "media_id")
 
 
 def _q_gopher_repetition(spark, sf_dir):
@@ -3121,9 +3169,24 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM ({o.pop('group_rank_stats')}) r "
         f"CROSS JOIN ({o.pop('sketches')}) s"
     )
+    o["image_stats_real"] = """
+        SELECT doc_id AS media_id,
+               CAST(2 AS INT) AS img_w, CAST(2 AS INT) AS img_h,
+               CAST(3 AS INT) AS img_c,
+               CAST(doc_id % 251 AS DOUBLE) AS img_mean_r,
+               CAST((doc_id * 7) % 251 AS DOUBLE) AS img_mean_g,
+               CAST((doc_id * 13) % 251 AS DOUBLE) AS img_mean_b,
+               0.2126 * CAST(doc_id % 251 AS DOUBLE)
+                 + 0.7152 * CAST((doc_id * 7) % 251 AS DOUBLE)
+                 + 0.0722 * CAST((doc_id * 13) % 251 AS DOUBLE)
+                   AS img_mean_lum,
+               CAST(0 AS DOUBLE) AS img_std_lum
+        FROM documents
+    """
     o["media_text_stats"] = (
         f"SELECT * FROM ({o.pop('media_pipeline')}) m "
-        f"JOIN ({o.pop('text_stats')}) t ON m.media_id = t.doc_id"
+        f"JOIN ({o.pop('text_stats')}) t ON m.media_id = t.doc_id "
+        f"JOIN ({o.pop('image_stats_real')}) i USING (media_id)"
     )
     o["gopher_repetition"] = (
         f"SELECT * FROM ({o.pop('gopher_filter')}) g "

@@ -7,14 +7,18 @@ transforms) is real and tested.  Decode coverage follows what the
 environment supports without codec libraries (none are installed):
 AUDIO is REAL for PCM WAV (stdlib ``wave``); IMAGE is REAL for
 uncompressed BMP, binary PPM/PGM, 8-bit non-interlaced PNG (stdlib
-``zlib`` inflate + numpy unfiltering), and GIF87a/89a first frames
-(pure-Python LZW + numpy palette lookup) — ``decode_bmp`` /
-``decode_ppm`` / ``decode_png`` / ``decode_gif`` / ``decode_image`` /
-``extract_image_stats``.  JPEG and VIDEO remain stubbed (they need a
-real codec): each hook either raises NotImplementedError (strict mode)
-or produces a deterministic fake derived from the bytes, and takes a
-``decode=`` callable so a PIL/cv2-equipped deployment plugs in without
-touching the Spark plumbing.
+``zlib`` inflate + numpy unfiltering), GIF87a/89a first frames
+(pure-Python LZW + numpy palette lookup), and baseline sequential JPEG
+(stdlib Huffman parsing + one vectorized numpy IDCT) — ``decode_bmp``
+/ ``decode_ppm`` / ``decode_png`` / ``decode_gif`` / ``decode_jpeg`` /
+``decode_image`` / ``extract_image_stats``.  VIDEO is REAL for
+MJPEG-in-AVI (``decode_video_frame``: stdlib RIFF walk + the JPEG
+decoder per frame).  Progressive JPEG and every other video codec
+genuinely need a codec library: those hooks either raise
+NotImplementedError (strict mode) or produce a deterministic fake
+derived from the bytes, and take a ``decode=`` callable so a
+PIL/cv2-equipped deployment plugs in without touching the Spark
+plumbing.
 """
 
 from __future__ import annotations
@@ -37,6 +41,8 @@ __all__ = [
     "decode_ppm",
     "decode_png",
     "decode_gif",
+    "decode_jpeg",
+    "decode_video_frame",
     "decode_image",
     "extract_image_features",
     "extract_image_stats",
@@ -524,13 +530,350 @@ def decode_gif(payload: bytes):
     return None
 
 
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded JPEG segment (byte
+    stuffing FF00 already stripped by the caller)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical JPEG Huffman table → {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    # JPEG F.2.2.1 EXTEND: n-bit magnitude to signed value
+    return v if n == 0 or v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def decode_jpeg(payload: bytes):
+    """REAL decode for baseline sequential DCT JPEG (SOF0) — stdlib
+    marker/Huffman parsing + one vectorized numpy IDCT over all blocks
+    (round 8; huffman + an 8x8 DCT are arithmetic, no codec library
+    needed — the same policy as the PNG/GIF/BMP/WAV decoders).
+    Supports 1- or 3-component scans, arbitrary sampling factors
+    (4:4:4/4:2:2/4:2:0), restart intervals, and 8-bit quant tables.
+    Returns HxWx3 uint8 RGB or None for bytes outside coverage
+    (progressive SOF2, arithmetic coding, 12-bit, CMYK) — never raises.
+    Entropy decoding is per-symbol Python (test/thumbnail grade; a
+    production deployment plugs PIL/cv2 via the ``decode=`` hooks);
+    everything after the symbol stream is vectorized numpy."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if not payload or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        restart_interval = 0
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            (seg_len,) = struct.unpack_from(">H", payload, pos)
+            seg = payload[pos + 2:pos + seg_len]
+            if len(seg) != seg_len - 2:
+                return None
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                    p += 1
+                    if pq == 0:
+                        tbl = np.frombuffer(seg, np.uint8, 64, p)
+                        p += 64
+                    elif pq == 1:
+                        tbl = np.frombuffer(
+                            seg[p:p + 128], ">u2").astype(np.int64)
+                        p += 128
+                    else:
+                        return None
+                    dq = np.zeros(64, np.int64)
+                    dq[_JPEG_ZIGZAG] = np.asarray(tbl, np.int64)
+                    qt[tq] = dq
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p + 17 <= len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0x0F
+                    counts = seg[p + 1:p + 17]
+                    total = sum(counts)
+                    symbols = seg[p + 17:p + 17 + total]
+                    if len(symbols) < total:
+                        return None
+                    huff[(tc, th)] = _jpeg_huff_table(counts, symbols)
+                    p += 17 + total
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
+                    return None
+                if w * h > 100_000_000:
+                    return None
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                frame = {"w": w, "h": h, "comps": comps}
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / arithmetic / lossless
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan_comps = []
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    comp = next(
+                        (c for c in frame["comps"] if c["id"] == cs), None)
+                    if comp is None:
+                        return None
+                    scan_comps.append(
+                        {**comp, "dc": tt >> 4, "ac": tt & 0x0F})
+                if len(scan_comps) != len(frame["comps"]):
+                    return None  # multi-scan not supported
+                pos += seg_len
+                break
+            pos += seg_len
+        else:
+            return None
+
+        # slice the entropy-coded data (up to EOI), strip stuffing,
+        # split on restart markers
+        end = pos
+        while end + 1 < n:
+            if payload[end] == 0xFF and payload[end + 1] not in (0x00,):
+                if 0xD0 <= payload[end + 1] <= 0xD7:
+                    end += 2
+                    continue
+                break
+            end += 1
+        raw = payload[pos:end]
+        import re as _re
+
+        segments = [
+            s.replace(b"\xff\x00", b"\xff")
+            for s in _re.split(b"\xff[\xd0-\xd7]", raw)
+        ]
+
+        w, h = frame["w"], frame["h"]
+        hmax = max(c["h"] for c in scan_comps)
+        vmax = max(c["v"] for c in scan_comps)
+        if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+            return None
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        n_mcu = mcux * mcuy
+        for c in scan_comps:
+            if (c["dc"], ) and ((0, c["dc"]) not in huff
+                                or (1, c["ac"]) not in huff
+                                or c["tq"] not in qt):
+                return None
+            c["blocks"] = np.zeros(
+                (n_mcu * c["h"] * c["v"], 64), np.int64)
+            c["bw"] = mcux * c["h"]  # blocks per row
+
+        mcu_per_seg = restart_interval or n_mcu
+        mcu = 0
+        for seg_bytes in segments:
+            reader = _JpegBitReader(seg_bytes)
+            pred = {c["id"]: 0 for c in scan_comps}
+            seg_end = min(mcu + mcu_per_seg, n_mcu)
+            try:
+                while mcu < seg_end:
+                    my, mx = divmod(mcu, mcux)
+                    for c in scan_comps:
+                        dc_tab = huff[(0, c["dc"])]
+                        ac_tab = huff[(1, c["ac"])]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = np.zeros(64, np.int64)
+                                t = _jpeg_huff_decode(reader, dc_tab)
+                                diff = _jpeg_extend(reader.bits(t), t)
+                                pred[c["id"]] += diff
+                                blk[0] = pred[c["id"]]
+                                k = 1
+                                while k < 64:
+                                    rs = _jpeg_huff_decode(reader, ac_tab)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC overflow")
+                                    blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                                        reader.bits(s), s)
+                                    k += 1
+                                row = my * c["v"] + by
+                                col = mx * c["h"] + bx
+                                c["blocks"][row * c["bw"] + col] = blk
+                    mcu += 1
+            except (EOFError, ValueError):
+                return None
+        if mcu < n_mcu:
+            return None
+
+        # vectorized dequant + IDCT over every block of each component
+        k8 = np.arange(8)
+        basis = np.cos((2 * k8[:, None] + 1) * k8[None, :] * np.pi / 16)
+        alpha = np.full(8, np.sqrt(0.25))
+        alpha[0] = np.sqrt(0.125)
+        A = basis * alpha[None, :]  # x = A @ coeff @ A.T
+        planes = []
+        for c in scan_comps:
+            coeffs = (c["blocks"] * qt[c["tq"]][None, :]).astype(np.float64)
+            coeffs = coeffs.reshape(-1, 8, 8)
+            px = np.einsum("ik,nkl,jl->nij", A, coeffs, A) + 128.0
+            px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+            bh = n_mcu // mcux * c["v"]
+            plane = (
+                px.reshape(bh, c["bw"], 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, c["bw"] * 8)
+            )
+            # upsample to full resolution, crop to frame dims
+            ry, rx = vmax // c["v"], hmax // c["h"]
+            if ry > 1 or rx > 1:
+                plane = np.repeat(np.repeat(plane, ry, 0), rx, 1)
+            planes.append(plane[:h, :w])
+        if len(planes) == 1:
+            return np.repeat(planes[0][:, :, None], 3, axis=2)
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr,
+             y - 0.344136 * cb - 0.714136 * cr,
+             y + 1.772 * cb], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    except Exception:
+        # coverage contract: undecodable bytes are a None row in the
+        # stats frame, never an executor task failure
+        return None
+
+
+def _avi_mjpeg_frames(payload: bytes):
+    """Iterate the JPEG payloads of an MJPEG-in-AVI container (RIFF
+    'AVI ' → LIST 'movi' → '##dc'/'##db' stream chunks whose bytes are
+    baseline JPEGs).  Lenient: skips headers it doesn't need, yields
+    nothing on anything unparseable."""
+    import struct
+
+    if not payload or len(payload) < 12 or payload[:4] != b"RIFF":
+        return
+    if payload[8:12] != b"AVI ":
+        return
+    n = len(payload)
+
+    def scan(pos, end):
+        while pos + 8 <= end:
+            fourcc = payload[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_end = min(pos + 8 + size, end)
+            if fourcc == b"LIST" and body_end - pos >= 12:
+                ltype = payload[pos + 8:pos + 12]
+                if ltype == b"movi":
+                    yield from scan(pos + 12, body_end)
+                elif ltype in (b"hdrl", b"strl", b"odml"):
+                    pass  # headers: nothing needed
+                else:
+                    yield from scan(pos + 12, body_end)
+            elif fourcc[2:4] in (b"dc", b"db"):
+                data = payload[pos + 8:body_end]
+                if data[:2] == b"\xff\xd8":
+                    yield data
+            pos = pos + 8 + size + (size & 1)  # chunks are word-aligned
+
+    yield from scan(12, n)
+
+
+def decode_video_frame(payload: bytes, frame_index: int = 0):
+    """REAL first/nth-frame decode for MJPEG-in-AVI video (round 8):
+    the container walk is stdlib struct, each frame is a baseline JPEG
+    handled by :func:`decode_jpeg`.  Returns HxWx3 uint8 RGB or None —
+    other codecs (H.264 etc.) genuinely need a codec library; plug one
+    in via the ``decode=`` hooks."""
+    if frame_index < 0:
+        return None
+    for i, jpg in enumerate(_avi_mjpeg_frames(bytes(payload or b""))):
+        if i == frame_index:
+            return decode_jpeg(jpg)
+    return None
+
+
 def decode_image(payload: bytes):
     """Dispatch on magic bytes to the formats decodable WITHOUT a codec
-    library (BMP, PPM/PGM, and — round 8 — PNG via stdlib zlib and GIF
-    via pure-Python LZW) — the same implement-what-the-sandbox-supports
-    policy as ``decode_wav``.  Returns HxWx3 uint8 RGB or None
-    (JPEG/video need a real codec; plug one in via the ``decode=``
-    hooks)."""
+    library (BMP, PPM/PGM, and — round 8 — PNG via stdlib zlib, GIF via
+    pure-Python LZW, and baseline JPEG via numpy Huffman+IDCT) — the
+    same implement-what-the-sandbox-supports policy as ``decode_wav``.
+    Returns HxWx3 uint8 RGB or None (an MJPEG-AVI *video* payload
+    decodes via :func:`decode_video_frame`; other video codecs need a
+    real library — plug one in via the ``decode=`` hooks)."""
     if not payload:
         return None
     payload = bytes(payload)
@@ -542,6 +885,8 @@ def decode_image(payload: bytes):
         return decode_png(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     return None
 
 

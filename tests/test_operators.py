@@ -1058,3 +1058,272 @@ def test_decode_gif_real_lzw_and_corrupt():
     bad = bytearray(gif)
     bad[13 + 12 + 10 + 2] ^= 0xFF  # flip a byte inside the LZW stream
     decode_gif(bytes(bad))  # any result is fine as long as no raise
+
+
+def _make_jpeg(rgb=None, gray=None, subsample=False, restart=0):
+    """Hand-built baseline JPEG for golden tests: identity quant
+    tables and a trivial canonical Huffman table (all 256 symbols at 9
+    bits — legal per the canonical construction, so symbol s encodes as
+    the 9-bit code s).  4:4:4 by default; ``subsample=True`` emits
+    4:2:0 with box-averaged chroma; ``gray`` emits one component."""
+    import struct
+
+    import numpy as np
+
+    def pad8(p):
+        h, w = p.shape
+        return np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge")
+
+    def fdct_blocks(plane):
+        k8 = np.arange(8)
+        basis = np.cos((2 * k8[:, None] + 1) * k8[None, :] * np.pi / 16)
+        alpha = np.full(8, np.sqrt(0.25))
+        alpha[0] = np.sqrt(0.125)
+        A = basis * alpha[None, :]
+        p = pad8(plane.astype(np.float64) - 128.0)
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        return np.round(np.einsum("ki,nkl,lj->nij", A, blocks, A)
+                        ).astype(np.int64), bh, bw
+
+    zz = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    bitbuf = []
+
+    def put(code, nbits):
+        for i in range(nbits - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def put_sym(s):
+        # trivial canonical table (see DHT below): symbols 0..254 are
+        # 9-bit codes equal to their value; symbol 255 is 10-bit 510
+        if s == 255:
+            put(510, 10)
+        else:
+            put(s, 9)
+
+    def mag(v):
+        if v == 0:
+            return 0, 0
+        a = abs(v)
+        n = a.bit_length()
+        return n, (v if v > 0 else v + (1 << n) - 1)
+
+    def encode_block(blk, pred):
+        d = int(blk[0, 0]) - pred
+        n, bits = mag(d)
+        put_sym(n)
+        put(bits, n)
+        flat = blk.reshape(64)[zz]
+        run = 0
+        last = max((i for i in range(1, 64) if flat[i]), default=0)
+        for k in range(1, last + 1):
+            v = int(flat[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put_sym(0xF0)
+                run -= 16
+            n, bits = mag(v)
+            put_sym((run << 4) | n)
+            put(bits, n)
+            run = 0
+        if last < 63:
+            put_sym(0x00)
+        return int(blk[0, 0])
+
+    if gray is not None:
+        planes = [np.asarray(gray)]
+        h, w = planes[0].shape
+        samp = [(1, 1)]
+    else:
+        rgb = np.asarray(rgb, np.float64)
+        h, w = rgb.shape[:2]
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2] + 128
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2] + 128
+        if subsample:
+            def box(p):
+                p = pad8(p)  # even dims
+                return (p[0::2, 0::2] + p[0::2, 1::2]
+                        + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            planes = [y, box(cb), box(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * 3
+
+    coef = []
+    for p in planes:
+        blocks, bh, bw = fdct_blocks(p)
+        coef.append({"blocks": blocks.reshape(-1, 8, 8), "bh": bh, "bw": bw})
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    preds = [0] * len(planes)
+    out_mcus = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            c = coef[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    row = min(my * sv + by, c["bh"] - 1)
+                    col = min(mx * sh + bx, c["bw"] - 1)
+                    blk = c["blocks"][row * c["bw"] + col]
+                    preds[ci] = encode_block(blk, preds[ci])
+        if restart and (m + 1) % restart == 0 and m + 1 < mcux * mcuy:
+            out_mcus.append((list(bitbuf), m))
+            bitbuf.clear()
+            preds = [0] * len(planes)
+    out_mcus.append((list(bitbuf), None))
+
+    def pack(bits):
+        while len(bits) % 8:
+            bits.append(1)  # 1-padding per spec
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            raw.append(int("".join(map(str, bits[i:i + 8])), 2))
+        return bytes(raw).replace(b"\xff", b"\xff\x00")
+
+    jp = bytearray(b"\xff\xd8")
+    jp += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    nc = len(planes)
+    jp += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i, (sh, sv) in enumerate(samp):
+        jp += bytes([i + 1, (sh << 4) | sv, 0])
+    # the trivial table: a count byte caps at 255, so declare 255
+    # symbols at length 9 and 1 at length 10 — canonical assignment
+    # still gives symbol s (0..254) the 9-bit code s, and symbol 255
+    # the 10-bit code 510; put_sym above must match
+    counts = [0] * 16
+    counts[8] = 255
+    counts[9] = 1
+    for tc_th in (0x00, 0x10):
+        jp += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 256, tc_th)
+        jp += bytes(counts) + bytes(range(256))
+    if restart:
+        jp += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    jp += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for i in range(nc):
+        jp += bytes([i + 1, 0x00])
+    jp += bytes([0, 63, 0])
+    for i, (bits, m) in enumerate(out_mcus):
+        jp += pack(bits)
+        if m is not None:
+            jp += bytes([0xFF, 0xD0 + (i % 8)])
+    jp += b"\xff\xd9"
+    return bytes(jp)
+
+
+def test_decode_jpeg_golden_gray_and_rgb():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_image, decode_jpeg
+
+    rng = np.random.default_rng(11)
+    # smooth grayscale (identity quant => error is DCT rounding only)
+    x = np.arange(24)[None, :] + np.arange(16)[:, None] * 3.0
+    gray = np.clip(60 + 4 * np.sin(x / 5.0) * 10 + x, 0, 255).astype(np.uint8)
+    got = decode_jpeg(_make_jpeg(gray=gray))
+    assert got is not None and got.shape == (16, 24, 3)
+    assert (got[:, :, 0] == got[:, :, 1]).all()
+    assert np.abs(got[:, :, 0].astype(int) - gray.astype(int)).max() <= 3
+
+    # RGB 4:4:4, non-multiple-of-8 dims: color transform adds rounding
+    rgb = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    rgb = (rgb // 4 * 4)  # soften extremes
+    got = decode_jpeg(_make_jpeg(rgb=rgb))
+    assert got is not None and got.shape == (13, 21, 3)
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 12
+    # dispatch routes JPEG magic
+    assert (decode_image(_make_jpeg(rgb=rgb)) == got).all()
+
+
+def test_decode_jpeg_subsampled_and_restart():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_jpeg
+
+    # 4:2:0 on a flat color: box-filter subsampling is exact there
+    rgb = np.tile(np.array([200, 64, 120], np.uint8), (20, 18, 1))
+    got = decode_jpeg(_make_jpeg(rgb=rgb, subsample=True))
+    assert got is not None and got.shape == (20, 18, 3)
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 6
+
+    # smooth gradient survives 4:2:0 within chroma-averaging error
+    grad = np.zeros((16, 32, 3), np.uint8)
+    grad[:, :, 0] = np.linspace(40, 200, 32, dtype=np.uint8)[None, :]
+    grad[:, :, 1] = 90
+    grad[:, :, 2] = np.linspace(180, 60, 16, dtype=np.uint8)[:, None]
+    got = decode_jpeg(_make_jpeg(rgb=grad, subsample=True))
+    assert np.abs(got.astype(int) - grad.astype(int)).max() <= 16
+
+    # restart interval: RST markers every 2 MCUs, DC predictors reset
+    rng = np.random.default_rng(5)
+    rgb = (rng.integers(0, 64, (24, 40, 3)) * 4).astype(np.uint8)
+    got = decode_jpeg(_make_jpeg(rgb=rgb, restart=2))
+    assert got is not None
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 12
+
+
+def test_decode_jpeg_out_of_coverage_is_none():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_jpeg
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    good = _make_jpeg(rgb=rgb)
+    assert decode_jpeg(good) is not None
+    # truncation, bad magic, progressive marker → None, never raise
+    assert decode_jpeg(good[:30]) is None
+    assert decode_jpeg(b"\x00" + good) is None
+    prog = bytearray(good)
+    i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # claim progressive
+    assert decode_jpeg(bytes(prog)) is None
+    trunc = bytearray(good)
+    assert decode_jpeg(bytes(trunc[:-20])) is None
+
+
+def _make_avi_mjpeg(jpegs):
+    """Minimal RIFF/AVI wrapping JPEG frames as 00dc chunks."""
+    import struct
+
+    body = bytearray(b"movi")
+    for j in jpegs:
+        body += b"00dc" + struct.pack("<I", len(j)) + j
+        if len(j) & 1:
+            body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(body)) + bytes(body)
+    riff_body = b"AVI " + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def test_decode_video_frame_mjpeg_avi():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_video_frame
+
+    f0 = np.tile(np.array([200, 64, 120], np.uint8), (16, 16, 1))
+    f1 = np.tile(np.array([20, 180, 40], np.uint8), (16, 16, 1))
+    avi = _make_avi_mjpeg([_make_jpeg(rgb=f0), _make_jpeg(rgb=f1)])
+    g0 = decode_video_frame(avi, 0)
+    g1 = decode_video_frame(avi, 1)
+    assert g0 is not None and g1 is not None
+    assert np.abs(g0.astype(int) - f0.astype(int)).max() <= 6
+    assert np.abs(g1.astype(int) - f1.astype(int)).max() <= 6
+    # out-of-range index, corrupt container, wrong magic → None
+    assert decode_video_frame(avi, 2) is None
+    assert decode_video_frame(avi[:20], 0) is None
+    assert decode_video_frame(b"RIFFxxxxWAVE", 0) is None
+    assert decode_video_frame(None, 0) is None
