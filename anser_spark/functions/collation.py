@@ -22,12 +22,14 @@ silently returning differently-ordered results.
 
 Where collation applies (matching Mongo):
     - find/$match string comparisons: implicit equality, ``$eq $ne $gt
-      $gte $lt $lte $in $nin`` against string-typed fields;
+      $gte $lt $lte $in $nin $all`` against string-typed fields;
+    - string ARRAY elements (round 8): the implicit contains-equality,
+      ``$in``/``$all``/range ops over ``array<string>`` fields, and
+      ``$elemMatch`` element comparisons, all collate per element;
     - sort keys over string-typed fields (find ``sort()`` and pipeline
       ``$sort``), via :func:`parse_sort_keys`'s ``schema`` parameter.
 Documented divergences (COVERAGE.md): ``$regex`` stays binary (Mongo
-also ignores collation for regex unless the index provides it), and
-array-element comparisons stay binary.
+also ignores collation for regex unless the index provides it).
 
 Scale note: a collated comparison cannot push down to parquet footers
 (no collated min/max) — identical to Mongo, where a collation-less

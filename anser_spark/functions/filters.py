@@ -286,7 +286,7 @@ def _compile_field(path: str, value: Any, schema: T.StructType | None) -> Column
         return F.lit(False)
     if is_array and not isinstance(value, (list, tuple)):
         # Mongo: scalar equality against an array field means "contains"
-        return F.array_contains(col, _lit(value))
+        return _array_eq_any(col, dt.elementType, value)
     from anser_spark.functions.collation import collate_if_string
 
     return collate_if_string(col, dt) == _lit(value)
@@ -332,30 +332,33 @@ def _compile_op(
     if op == "$ne" and not _type_bracket_compatible(dt, arg):
         return F.lit(True)  # ...so $ne matches every document
     # active collation (find collation()/aggregate option) applies to
-    # scalar string comparisons — array elements stay binary (documented)
+    # string comparisons — scalar fields AND (round 8) string array
+    # elements, as in Mongo
     from anser_spark.functions.collation import collate_if_string
 
     ccol = collate_if_string(col, dt)
+    elem_dt = dt.elementType if is_array else dt
+    cc = lambda c: collate_if_string(c, elem_dt)  # noqa: E731
     if op == "$eq":
         if arg is None:
             return col.isNull()
         if is_array and not isinstance(arg, (list, tuple)):
-            return F.array_contains(col, _lit(arg))
+            return _array_eq_any(col, elem_dt, arg)
         return ccol == _lit(arg)
     if op == "$ne":
         if arg is None:
             return col.isNotNull()
         if is_array and not isinstance(arg, (list, tuple)):
-            return ~F.coalesce(F.array_contains(col, _lit(arg)), F.lit(False))
+            return ~F.coalesce(_array_eq_any(col, elem_dt, arg), F.lit(False))
         return (ccol != _lit(arg)) | col.isNull()
     if op == "$gt":
-        return _cmp(ccol, is_array, lambda c: c > _lit(arg))
+        return _cmp(col, is_array, lambda c: cc(c) > _lit(arg))
     if op == "$gte":
-        return _cmp(ccol, is_array, lambda c: c >= _lit(arg))
+        return _cmp(col, is_array, lambda c: cc(c) >= _lit(arg))
     if op == "$lt":
-        return _cmp(ccol, is_array, lambda c: c < _lit(arg))
+        return _cmp(col, is_array, lambda c: cc(c) < _lit(arg))
     if op == "$lte":
-        return _cmp(ccol, is_array, lambda c: c <= _lit(arg))
+        return _cmp(col, is_array, lambda c: cc(c) <= _lit(arg))
     if op == "$in":
         if not isinstance(arg, (list, tuple)):
             raise FilterCompileError("$in expects a list")
@@ -365,7 +368,8 @@ def _compile_op(
             # matches if any element of the field array is in arg
             return _any_of(
                 [
-                    F.array_contains(col, _lit(v)) if v is not None else F.exists(col, lambda e: e.isNull())
+                    _array_eq_any(col, elem_dt, v) if v is not None
+                    else F.exists(col, lambda e: e.isNull())
                     for v in arg
                 ]
             )
@@ -414,12 +418,12 @@ def _compile_op(
             # Mongo: $all against a scalar field = every value equals it
             return _all_of(
                 [
-                    (col == _lit(v)) if _type_bracket_compatible(dt, v)
+                    (cc(col) == _lit(v)) if _type_bracket_compatible(dt, v)
                     else F.lit(False)
                     for v in arg
                 ]
             )
-        return _all_of([F.array_contains(col, _lit(v)) for v in arg])
+        return _all_of([_array_eq_any(col, elem_dt, v) for v in arg])
     if op == "$elemMatch":
         if not isinstance(arg, Mapping):
             raise FilterCompileError("$elemMatch expects a document")
@@ -661,6 +665,17 @@ def _cmp(col: Column, is_array: bool, pred) -> Column:
     if is_array:
         return F.exists(col, pred)
     return pred(col)
+
+
+def _array_eq_any(col: Column, elem_dt: T.DataType | None, value: Any) -> Column:
+    """Scalar equality against an array field ("contains"), honoring the
+    active collation for string elements (round 8 — Mongo applies
+    collation to string comparisons inside arrays too)."""
+    from anser_spark.functions.collation import active_collation, collate_if_string
+
+    if active_collation() is not None and isinstance(elem_dt, T.StringType):
+        return F.exists(col, lambda e: collate_if_string(e, elem_dt) == _lit(value))
+    return F.array_contains(col, _lit(value))
 
 
 def _element_predicate(elem: Column, doc: Mapping[str, Any], elem_dt: T.DataType | None) -> Column:

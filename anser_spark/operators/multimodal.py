@@ -727,9 +727,8 @@ def decode_jpeg(payload: bytes):
         mcuy = -(-h // (8 * vmax))
         n_mcu = mcux * mcuy
         for c in scan_comps:
-            if (c["dc"], ) and ((0, c["dc"]) not in huff
-                                or (1, c["ac"]) not in huff
-                                or c["tq"] not in qt):
+            if ((0, c["dc"]) not in huff or (1, c["ac"]) not in huff
+                    or c["tq"] not in qt):
                 return None
             c["blocks"] = np.zeros(
                 (n_mcu * c["h"] * c["v"], 64), np.int64)

@@ -136,3 +136,46 @@ def test_collation_group_distinct_fuzz(spark):
                 {"$count": "n"},
             ], None, None)
         assert out.collect()[0]["n"] == len(classes), (trial, strength)
+
+
+def test_collation_array_elements_fuzz(spark):
+    # round 8: collation applies to string comparisons INSIDE arrays
+    # (implicit contains-equality, $in, $all, range ops), as in Mongo
+    rng = random.Random(SEED + 73)
+    for trial in range(6):
+        rows = [
+            (i, [_gen_word(rng) for _ in range(rng.randint(0, 4))])
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "_id long, tags array<string>")
+        strength = rng.choice([1, 2, 3])
+        spec = {"locale": "en", "strength": strength}
+        key = lambda s: _key(s, strength)  # noqa: E731
+        pool = [w for _i, ws in rows for w in ws] or ["a"]
+
+        probe = rng.choice(pool)
+        got = sorted(r["_id"] for r in
+                     Query(df, {"tags": probe}).collation(spec).all())
+        exp = sorted(i for i, ws in rows
+                     if any(key(w) == key(probe) for w in ws))
+        assert got == exp, (trial, "contains", spec, probe, got, exp)
+
+        probes = [rng.choice(pool) for _ in range(2)]
+        got = sorted(r["_id"] for r in
+                     Query(df, {"tags": {"$in": probes}}).collation(spec).all())
+        pk = {key(p) for p in probes}
+        exp = sorted(i for i, ws in rows if any(key(w) in pk for w in ws))
+        assert got == exp, (trial, "in", spec, probes, got, exp)
+
+        got = sorted(r["_id"] for r in
+                     Query(df, {"tags": {"$all": probes}}).collation(spec).all())
+        exp = sorted(i for i, ws in rows
+                     if all(any(key(w) == key(p) for w in ws) for p in probes))
+        assert got == exp, (trial, "all", spec, probes, got, exp)
+
+        probe = rng.choice(pool)
+        got = sorted(r["_id"] for r in
+                     Query(df, {"tags": {"$gt": probe}}).collation(spec).all())
+        exp = sorted(i for i, ws in rows
+                     if any(key(w) > key(probe) for w in ws))
+        assert got == exp, (trial, "gt", spec, probe, got, exp)
