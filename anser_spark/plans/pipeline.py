@@ -2912,9 +2912,29 @@ def _graph_lookup(
     fcols = [F.col(c) for c in foreign.columns]
     acc = None
     seen_key = F.sha2(F.to_json(F.struct(*fcols)), 256)
+    # active collation (round 8): the traversal equality collates both
+    # sides when string-typed, as Mongo's aggregate collation does; the
+    # cycle guard stays binary (document identity, not string equality)
+    from anser_spark.functions.collation import collate_if_string
+
+    to_dt = (
+        foreign.schema[connect_to].dataType
+        if connect_to in foreign.columns else None
+    )
+
+    def _eq(fr):
+        lhs, rhs = fr["__val"], foreign[connect_to]
+        if isinstance(to_dt, T.StringType) and isinstance(
+            fr.schema["__val"].dataType, T.StringType
+        ):
+            return collate_if_string(lhs, to_dt).eqNullSafe(
+                collate_if_string(rhs, to_dt)
+            )
+        return lhs.eqNullSafe(rhs)
+
     for depth in range(max_depth + 1):
         hits = (
-            frontier.join(foreign, frontier["__val"].eqNullSafe(foreign[connect_to]))
+            frontier.join(foreign, _eq(frontier))
             .select("__rid", F.lit(depth).alias("__depth"), *fcols)
             .withColumn("__key", seen_key)
         )
@@ -2988,8 +3008,14 @@ def _set_window_fields(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     partition = arg.get("partitionBy")
     sort_spec = arg.get("sortBy", {})
     part_cols = [compile_expr(partition, df.schema)] if partition is not None else []
+    # active collation (round 8): string partition keys group by ICU
+    # equivalence class and string sortBy keys order collated, as in
+    # Mongo; window outputs never emit the key, so nothing leaks
+    from anser_spark.functions.collation import collate_expr_if_string
+
+    part_cols = [collate_expr_if_string(df, c)[0] for c in part_cols]
     w = Window.partitionBy(*part_cols)
-    order_cols = parse_sort_keys(sort_spec) if sort_spec else []
+    order_cols = parse_sort_keys(sort_spec, df.schema) if sort_spec else []
     if order_cols:
         w = w.orderBy(*order_cols)
 

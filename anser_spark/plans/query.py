@@ -296,10 +296,20 @@ class Query:
                     pairs.append((k.lstrip("+"), True))
         return pairs
 
-    def _seek_predicate(self) -> Column:
+    def _seek_predicate(self, schema) -> Column:
         """Lexicographic strictly-after predicate over the sort keys:
         OR over key positions i of (keys[:i] null-safe-equal last) AND
-        (keys[i] strictly after last[i] in its sort direction)."""
+        (keys[i] strictly after last[i] in its sort direction).
+
+        Under an active collation (round 8) string sort keys compare
+        COLLATED — both the strict-after comparison and the tie-prefix
+        equality — so pages follow the same total order the sort uses.
+        The collated predicate cannot prune parquet footers (binary
+        min/max), the same trade Mongo makes when no collated index
+        exists; the filter still runs JVM-side in codegen."""
+        from anser_spark.functions.collation import collate_if_string
+        from anser_spark.functions.filters import field_type
+
         assert self._seek is not None
         pairs = self._seek_pairs()
         if not pairs:
@@ -312,7 +322,9 @@ class Query:
         pred = F.lit(False)
         eq_prefix = F.lit(True)
         for name, asc in pairs:
-            col = resolve_field(name)
+            col = collate_if_string(
+                resolve_field(name), field_type(schema, name)
+            )
             v = self._seek[name]
             if v is None:
                 # asc: nulls first → everything non-null comes after;
@@ -336,16 +348,9 @@ class Query:
             return self._to_df_collated()
 
     def _to_df_collated(self) -> DataFrame:
-        if self._seek is not None and self._collation is not None:
-            raise ValueError(
-                "seek() keyset pagination under a non-simple collation is "
-                "not supported: the strictly-after predicate compares "
-                "binary, but the sort orders by the collation — pages "
-                "would skip or repeat rows"
-            )
         df, had_text = self._text_filtered(self._base_df())
         if self._seek is not None:
-            df = df.where(self._seek_predicate())
+            df = df.where(self._seek_predicate(df.schema))
         order = self._sort_cols(df.schema)
         if order:
             df = df.orderBy(*order)

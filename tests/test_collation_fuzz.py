@@ -179,3 +179,68 @@ def test_collation_array_elements_fuzz(spark):
         exp = sorted(i for i, ws in rows
                      if any(key(w) > key(probe) for w in ws))
         assert got == exp, (trial, "gt", spec, probe, got, exp)
+
+
+def test_collation_window_partitions(spark):
+    # round 8: $setWindowFields partitionBy/sortBy honor the active
+    # collation — 'ALPHA' and 'alpha' land in one partition at
+    # strength 2, and sortBy orders collated
+    df = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "ALPHA", 20), (3, "beta", 5),
+         (4, "àlpha", 30), (5, "Beta", 7)],
+        "_id long, g string, v long",
+    )
+    name = spark_collation_name({"locale": "en", "strength": 2})
+    with use_collation(name):
+        out = {r["_id"]: r for r in compile_pipeline(df, [
+            {"$setWindowFields": {
+                "partitionBy": "$g",
+                "sortBy": {"v": 1},
+                "output": {"rk": {"$documentNumber": {}},
+                           "tot": {"$sum": "$v"}},
+            }}], None, None).collect()}
+    # strength 2 is accent-SENSITIVE: àlpha is its own partition
+    assert out[1]["tot"] == 30 and out[2]["tot"] == 30  # alpha+ALPHA
+    assert out[4]["tot"] == 30 and out[4]["rk"] == 1    # àlpha alone
+    assert out[3]["tot"] == 12 and out[5]["tot"] == 12  # beta+Beta
+    assert (out[1]["rk"], out[2]["rk"]) == (1, 2)       # v-ordered
+    # strength 1 folds accents too: all three alphas together
+    name1 = spark_collation_name({"locale": "en", "strength": 1})
+    with use_collation(name1):
+        out = {r["_id"]: r for r in compile_pipeline(df, [
+            {"$setWindowFields": {
+                "partitionBy": "$g",
+                "output": {"tot": {"$sum": "$v"}},
+            }}], None, None).collect()}
+    assert out[1]["tot"] == out[2]["tot"] == out[4]["tot"] == 60
+
+
+def test_collation_graph_lookup(spark):
+    # round 8: $graphLookup traversal equality collates — a manager
+    # chain stored with case drift still links up case-insensitively
+    emps = spark.createDataFrame(
+        [("Ann", None), ("bob", "ANN"), ("Cat", "Bob")],
+        "name string, boss string",
+    )
+    name = spark_collation_name({"locale": "en", "strength": 2})
+    with use_collation(name):
+        out = {r["name"]: r for r in compile_pipeline(emps, [
+            {"$graphLookup": {
+                "from": "emps",
+                "startWith": "$boss",
+                "connectFromField": "boss",
+                "connectToField": "name",
+                "as": "chain",
+            }}], lambda _n: emps, None).collect()}
+    assert sorted(d["name"] for d in out["Cat"]["chain"]) == ["Ann", "bob"]
+    assert [d["name"] for d in out["bob"]["chain"]] == ["Ann"]
+    # binary default: the case-drifted links do NOT match
+    out = {r["name"]: r for r in compile_pipeline(emps, [
+        {"$graphLookup": {
+            "from": "emps",
+            "startWith": "$boss",
+            "connectFromField": "boss",
+            "connectToField": "name",
+            "as": "chain",
+        }}], lambda _n: emps, None).collect()}
+    assert out["Cat"]["chain"] == [] and out["bob"]["chain"] == []

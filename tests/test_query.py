@@ -223,17 +223,32 @@ def test_seek_null_keys_and_errors(spark):
         Query(df, {}).sort(["v", "_id"]).seek({"v": 1}).to_df()
 
 
-def test_seek_with_collation_raises(spark):
+def test_seek_with_collation_paginates(spark):
+    # round 8: seek() under a non-simple collation compiles a COLLATED
+    # strictly-after predicate (was correct-by-rejection in r7) — pages
+    # must equal the skip-based pages under the same collated sort,
+    # including collation-equal ties ('Ann'/'ann') split across pages
+    import random as _random
+
     from anser_spark.plans.query import Query
 
-    df = spark.createDataFrame([(1, "a")], "_id long, v string")
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="collation"):
-        (Query(df, {}).sort(["v"]).seek({"v": "a"})
-         .collation({"locale": "en", "strength": 2}).to_df())
-    with _pytest.raises(ValueError, match="collation"):
-        (Query(df, {}).sort(["v"]).seek({"v": "a"})
-         .collation({"locale": "en", "strength": 2}).count())
+    rng = _random.Random(8)
+    words = ["ann", "Ann", "ANN", "bob", "Bob", "cat", "àn", "An"]
+    rows = [(i, rng.choice(words)) for i in range(60)]
+    df = spark.createDataFrame(rows, "_id long, v string")
+    spec = {"locale": "en", "strength": 2}
+    q = lambda: Query(df, {}).sort(["v", "_id"]).collation(spec)  # noqa: E731
+    pages_seek, pages_skip, last = [], [], None
+    for p in range(0, 60, 7):
+        pages_skip.append(q().skip(p).limit(7).all())
+        pages_seek.append(
+            (q().seek(last) if last is not None else q()).limit(7).all()
+        )
+        if pages_seek[-1]:
+            last = pages_seek[-1][-1]
+    key = lambda r: (r["_id"], r["v"])  # noqa: E731
+    for i, (a, b) in enumerate(zip(pages_seek, pages_skip)):
+        assert [key(r) for r in a] == [key(r) for r in b], i
 
 
 def test_seek_fuzz_matches_skip(spark):
