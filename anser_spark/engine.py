@@ -1647,6 +1647,8 @@ class Collection:
                 .write.mode("overwrite")
                 .parquet(terms_dir)
             )
+            from anser_spark.operators.ranking import ANALYZER_VERSION
+
             definition.update(
                 {
                     "kind": "bm25",
@@ -1655,6 +1657,9 @@ class Collection:
                     "n_docs": int(stats["n"]),
                     "avgdl": float(stats["avgdl"] or 0.0),
                     "terms_dir": terms_dir,
+                    # round 8: a stemmer/tokenizer upgrade must surface
+                    # as staleness, not silently-wrong df lookups
+                    "analyzer_version": ANALYZER_VERSION.get(language),
                 }
             )
         elif kind == "minhash":
@@ -1721,8 +1726,24 @@ class Collection:
             "kind": definition.get("kind"),
             "built_at_version": built,
             "current_version": current,
-            "stale": built != current,
+            "stale": built != current or self._analyzer_stale(definition),
         }
+
+    @staticmethod
+    def _analyzer_stale(definition: Mapping[str, Any]) -> bool:
+        """True when a persisted bm25 index's term table was built by an
+        older analyzer pipeline than the one queries run now (round 8:
+        the s-stemmer → Porter2 swap made pre-upgrade english term
+        tables silently miss every stemmed lookup — df=0 → maximal idf
+        — with no signal; now they read as stale)."""
+        if definition.get("kind") != "bm25":
+            return False
+        from anser_spark.operators.ranking import ANALYZER_VERSION
+
+        expected = ANALYZER_VERSION.get(
+            definition.get("default_language", "none")
+        )
+        return definition.get("analyzer_version") != expected
 
     def list_search_indexes(self) -> list[str]:
         d = self._search_index_dir()
@@ -1821,6 +1842,16 @@ class Collection:
                     "older snapshot; rebuild with create_search_index()",
                     stacklevel=3,
                 )
+        if warn_stale and self._analyzer_stale(definition):
+            import warnings
+
+            warnings.warn(
+                f"search index {name!r} on {self.namespace} was built by an "
+                "older text analyzer (its term table's stems no longer match "
+                "query-side analysis — relevance will be silently wrong); "
+                "rebuild with create_search_index()",
+                stacklevel=3,
+            )
         return definition
 
     def near_dups_against_index(

@@ -710,5 +710,10 @@ def _element_predicate(elem: Column, doc: Mapping[str, Any], elem_dt: T.DataType
         elif value is None:
             clauses.append(sub.isNull())
         else:
-            clauses.append(sub == _lit(value))
+            # direct equality collates like every other string compare
+            # (review round 8: the operator-form comparisons above
+            # already did via _compile_op)
+            from anser_spark.functions.collation import collate_if_string
+
+            clauses.append(collate_if_string(sub, sub_dt) == _lit(value))
     return _all_of(clauses)

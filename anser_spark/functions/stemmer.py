@@ -156,7 +156,17 @@ def porter2_stem_cached(word: str) -> str:
 def porter2_stem(word: str) -> str:
     """Snowball English stem of a lowercase word.  Words of ≤ 2 letters
     and non-a-z-only inputs with no applicable suffix come back
-    unchanged; the function never raises on arbitrary strings."""
+    unchanged; the function never raises on arbitrary strings.
+
+    Words containing an UPPERCASE letter return unchanged: the
+    algorithm is defined over lowercase a-z (libstemmer requires the
+    caller to fold case first), and the internal capital-Y
+    consonant-marker would otherwise corrupt genuine capitals
+    ('Yellow' → 'yellow', 'SONY' → 'SONi').  The case-preserving
+    ``$caseSensitive`` analyzer depends on this guard — suffix rules
+    simply don't fire on 'RUNNING'."""
+    if any("A" <= ch <= "Z" for ch in word):
+        return word
     if word.startswith("'"):
         word = word[1:]
     if len(word) <= 2:
@@ -483,7 +493,7 @@ def porter2_sql(expr: str) -> str:
         )
         return let(cur, "s", inner)
 
-    cur = let(expr, "t0", p1)          # {'w','d'}
+    cur = let("tin", "t0", p1)         # {'w','d'}; tin bound at return
     cur = let(cur, "p1", p2)           # + r1/r2
     cur = wpass(cur, p3a)
     cur = wpass(cur, p3b)
@@ -538,4 +548,9 @@ def porter2_sql(expr: str) -> str:
             ),
         ),
     )
-    return cur
+    # uppercase guard — same rule as porter2_stem: the algorithm is
+    # defined over lowercase; a capitalized token passes through
+    return let(
+        expr, "tin",
+        f"CASE WHEN regexp_matches(tin, '[A-Z]') THEN tin ELSE {cur} END",
+    )

@@ -270,13 +270,16 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(payload: bytes):
     """REAL decode for 8-bit-depth non-interlaced PNG (color types
-    0/2/3/4/6) — stdlib ``zlib`` inflate + numpy per-row unfiltering of
-    all five PNG filter types (None/Sub/Up/Average/Paeth), no codec
-    library (round 8; PNG is zlib + arithmetic, unlike JPEG/video which
-    stay codec-blocked stubs).  Returns HxWx3 uint8 RGB (palette
-    resolved via PLTE, gray replicated, alpha dropped) or None for
-    bytes outside this parser's coverage (16-bit depth, Adam7
-    interlace, truncated/corrupt streams) — never raises."""
+    0/2/3/4/6) — stdlib ``zlib`` inflate + per-row unfiltering of all
+    five PNG filter types, no codec library (round 8).  None/Sub/Up
+    rows unfilter fully vectorized (Sub is a per-channel prefix sum
+    mod 256); Average/Paeth are two-neighbor sequential recurrences
+    and run per-byte Python — test/thumbnail grade on Paeth-heavy
+    images, same framing as decode_jpeg's entropy loop.  Returns
+    HxWx3 uint8 RGB (palette resolved via PLTE, gray replicated, alpha
+    dropped) or None for bytes outside this parser's coverage (16-bit
+    depth, Adam7 interlace, truncated/corrupt streams) — never
+    raises."""
     import struct
     import zlib
 
@@ -331,9 +334,12 @@ def decode_png(payload: bytes):
         rp += stride
         if f == 0:
             pass
-        elif f == 1:  # Sub: left-neighbor recurrence
-            for i in range(channels, stride):
-                cur[i] = (cur[i] + cur[i - channels]) & 0xFF
+        elif f == 1:
+            # Sub: left-neighbor recurrence = per-channel prefix sum
+            # mod 256 — fully vectorized
+            cur = (np.cumsum(cur.reshape(-1, channels), axis=0,
+                             dtype=np.int64) & 0xFF).reshape(stride)
+            cur = cur.astype(np.int32)
         elif f == 2:  # Up: fully vectorized
             cur = (cur + prev) & 0xFF
         elif f == 3:  # Average
@@ -519,8 +525,11 @@ def decode_gif(payload: bytes):
         frame = pal[rows]
         if left == 0 and top == 0 and w == sw and h == sh:
             return frame
-        # compose onto the background-filled logical screen
-        bg = pal[bg_idx] if bg_idx < len(pal) else np.zeros(3, np.uint8)
+        # compose onto the background-filled logical screen; the
+        # background color index is defined against the GLOBAL color
+        # table (review round 8), not a frame-local one
+        bg_pal = global_pal if global_pal is not None else pal
+        bg = bg_pal[bg_idx] if bg_idx < len(bg_pal) else np.zeros(3, np.uint8)
         canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
         y1, x1 = min(top + h, sh), min(left + w, sw)
         if top >= sh or left >= sw:
@@ -624,6 +633,10 @@ def decode_jpeg(payload: bytes):
         while pos + 4 <= n:
             if payload[pos] != 0xFF:
                 return None
+            # JPEG allows any number of 0xFF fill bytes before a marker
+            # (B.1.1.2); skip them or a legal file parses as garbage
+            while pos + 4 <= n and payload[pos + 1] == 0xFF:
+                pos += 1
             marker = payload[pos + 1]
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

@@ -38,6 +38,14 @@ __all__ = [
 
 # Snowball English stopword list (public domain, snowballstem.org) —
 # the same list Mongo's 'english' analyzer suppresses.
+# Analyzer pipeline versions, stamped into persisted bm25 indexes at
+# build time (engine.create_search_index) and compared at load/status:
+# bump a language's tag whenever its tokenizer, stopword list, fold
+# table, or stemmer changes incompatibly — the round-7→8 s-stemmer →
+# Porter2 swap silently invalidated every english term table, which is
+# exactly the failure this stamp now surfaces as `stale`.
+ANALYZER_VERSION = {"none": "ws-lower-v1", "english": "snowball-porter2-v1"}
+
 ENGLISH_STOPWORDS = frozenset("""
 i me my myself we our ours ourselves you your yours yourself yourselves
 he him his himself she her hers herself it its itself they them their
@@ -485,6 +493,7 @@ def text_match_frame(
     # case-PRESERVING variant: stopwords drop case-insensitively and
     # the stemmer sees the original case (lowercase suffix rules just
     # don't fire on 'RUNNING', matching libstemmer).
+    raw_terms = list(terms)
     if not case_sensitive:
         terms = analyze_terms(terms, language)
         negated = analyze_terms(negated, language)
@@ -500,7 +509,15 @@ def text_match_frame(
     # from the unfolded term table gets df=0 → maximal idf — only
     # accented corpora notice; documented.)
     folding = not diacritic_sensitive
-    score_terms = sorted({t.lower() for t in terms})
+    # relevance scores the CASE-FOLDED stream (documented), so its
+    # terms must be the case-insensitive analysis of the ORIGINAL
+    # query terms — lowering the case-preserved stems instead would
+    # miss stems that only fire on lowercase ('OWNS' → 'OWNS' → 'owns'
+    # never matches the stream's 'own'; review round 8)
+    if case_sensitive and language == "english":
+        score_terms = sorted({t.lower() for t in analyze_terms(raw_terms, language)})
+    else:
+        score_terms = sorted({t.lower() for t in terms})
     if folding:
         score_terms = sorted({_fold_py(t) for t in score_terms})
 

@@ -244,3 +244,20 @@ def test_collation_graph_lookup(spark):
             "as": "chain",
         }}], lambda _n: emps, None).collect()}
     assert out["Cat"]["chain"] == [] and out["bob"]["chain"] == []
+
+
+def test_collation_elem_match_subdoc_equality(spark):
+    # review round 8: $elemMatch subdocument DIRECT equality collates
+    # like the operator-form comparisons already did
+    df = spark.createDataFrame(
+        [(1, [("José",)]), (2, [("jose",)]), (3, [("other",)])],
+        "_id long, items array<struct<name:string>>",
+    )
+    got = sorted(r["_id"] for r in Query(
+        df, {"items": {"$elemMatch": {"name": "jose"}}}
+    ).collation({"locale": "en", "strength": 1}).all())
+    assert got == [1, 2]
+    # binary default: only the exact form
+    got = sorted(r["_id"] for r in Query(
+        df, {"items": {"$elemMatch": {"name": "jose"}}}).all())
+    assert got == [2]

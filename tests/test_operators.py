@@ -1327,3 +1327,44 @@ def test_decode_video_frame_mjpeg_avi():
     assert decode_video_frame(avi[:20], 0) is None
     assert decode_video_frame(b"RIFFxxxxWAVE", 0) is None
     assert decode_video_frame(None, 0) is None
+
+
+def test_decode_gif_background_uses_global_palette():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_gif
+
+    # global palette has red at bg_idx 0; the frame carries a LOCAL
+    # palette where index 0 is green — uncovered screen must be RED
+    # (review round 8: bg index is defined against the GLOBAL table)
+    import struct
+
+    gpal = [(255, 0, 0), (9, 9, 9)]
+    lpal = [(0, 255, 0), (0, 0, 255)]
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)  # 2-entry global
+    gif += b"".join(bytes(c) for c in gpal)
+    # 2x2 frame at (0,0) with local palette, all pixels index 1 (blue)
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x80)
+    gif += b"".join(bytes(c) for c in lpal)
+    stream = _gif_pack_uncompressed([1, 1, 1, 1], 2)
+    gif += bytes([2, len(stream)]) + stream + b"\x00\x3b"
+    got = decode_gif(bytes(gif))
+    assert got is not None and got.shape == (4, 4, 3)
+    assert (got[0, 0] == np.array([0, 0, 255], np.uint8)).all()  # frame
+    assert (got[3, 3] == np.array([255, 0, 0], np.uint8)).all()  # bg=global red
+
+
+def test_decode_jpeg_tolerates_fill_bytes():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_jpeg
+
+    rgb = np.tile(np.array([100, 150, 200], np.uint8), (8, 8, 1))
+    good = _make_jpeg(rgb=rgb)
+    # inject legal 0xFF fill bytes before the DQT marker (B.1.1.2)
+    i = good.find(b"\xff\xdb")
+    padded = good[:i] + b"\xff\xff\xff" + good[i:]
+    got = decode_jpeg(padded)
+    assert got is not None
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 6

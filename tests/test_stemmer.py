@@ -261,3 +261,30 @@ def test_text_analyzer_fuzz(engine):
                                    case_sensitive,
                                    not diacritic_sensitive))
         assert got == exp, (trial, spec, got[:10], exp[:10])
+
+
+def test_porter2_uppercase_guard():
+    # the algorithm is defined over lowercase; mixed-case tokens pass
+    # through UNCHANGED (review round 8: the capital-Y consonant marker
+    # corrupted genuine capitals: 'Yellow'->'yellow', 'SONY'->'SONi')
+    from anser_spark.functions.stemmer import porter2_stem
+
+    for w in ("Yellow", "SONY", "DAY", "NYC", "RUNNING", "Apple"):
+        assert porter2_stem(w) == w, w
+    assert porter2_stem("yellow") == "yellow"
+    assert porter2_stem("running") == "run"
+
+
+def test_porter2_sql_uppercase_guard_parity():
+    import duckdb
+
+    from anser_spark.functions.stemmer import porter2_sql, porter2_stem
+
+    words = ["Yellow", "SONY", "DAY", "RUNNING", "Apple", "running",
+             "ponies", "McDonald", "iPhone", "'Twas"]
+    sql = porter2_sql("w")
+    got = dict(duckdb.execute(
+        f"SELECT w, {sql} FROM (SELECT unnest(?) AS w)", [words]
+    ).fetchall())
+    for w in words:
+        assert got[w] == porter2_stem(w), (w, got[w], porter2_stem(w))

@@ -379,3 +379,67 @@ def test_text_folding_independent_of_case_and_scored(spark, tmp_path):
     got = c.find({"$text": {"$search": "cafe", "$caseSensitive": True,
                             "$diacriticSensitive": True}}).all()
     assert ids(got) == ["f2"]
+
+
+def test_text_case_sensitive_capitals_not_stem_folded(spark, tmp_path):
+    # review round 8: the case-preserving analyzer must not let the
+    # stemmer's internal lowercase machinery corrupt capitals —
+    # 'Yellow' and 'yellow' are DIFFERENT terms under $caseSensitive
+    eng = Engine(spark, workdir=str(tmp_path / "w"))
+    c = eng.db("t").collection("d")
+    c.insert_many([
+        {"_id": "cap", "text": "Yellow fields"},
+        {"_id": "low", "text": "yellow fields"},
+    ])
+    spec = {"$search": "yellow", "$caseSensitive": True,
+            "$language": "english"}
+    assert ids(c.find({"$text": spec}).all()) == ["low"]
+    spec["$search"] = "Yellow"
+    assert ids(c.find({"$text": spec}).all()) == ["cap"]
+
+
+def test_text_case_sensitive_scores_nonzero(spark, tmp_path):
+    # review round 8: case-sensitive english queries must score the
+    # case-folded stream with case-insensitively analyzed terms —
+    # 'RUNNING' matches docs containing 'RUNNING' and their textScore
+    # is the real BM25 of stem 'run', not 0
+    eng = Engine(spark, workdir=str(tmp_path / "w"))
+    c = eng.db("t").collection("d")
+    c.insert_many([
+        {"_id": "a", "text": "RUNNING fast RUNNING far"},
+        {"_id": "b", "text": "running slow"},
+        {"_id": "c", "text": "walking"},
+    ])
+    rows = c.find(
+        {"$text": {"$search": "RUNNING", "$caseSensitive": True,
+                   "$language": "english"}}
+    ).select({"_id": 1, "s": {"$meta": "textScore"}}).all()
+    assert ids(rows) == ["a"]
+    assert rows[0]["s"] > 0.0
+
+
+def test_bm25_index_analyzer_version_staleness(spark, tmp_path):
+    # review round 8: a stemmer upgrade invalidates persisted english
+    # term tables — the stamp surfaces it as stale + a warning
+    import json
+    import os
+    import warnings
+
+    eng = Engine(spark, workdir=str(tmp_path / "w"))
+    c = eng.db("t").collection("d")
+    c.insert_many([{"_id": "a", "text": "ponies running"}])
+    c.create_search_index("txt", {"kind": "bm25", "path": "text",
+                                  "default_language": "english"})
+    assert c.search_index_status("txt")["stale"] is False
+    # simulate an index built by the previous analyzer generation
+    p = os.path.join(c._search_index_dir(), "txt.json")
+    with open(p) as fh:
+        d = json.load(fh)
+    d["analyzer_version"] = "s-stem-v0"
+    with open(p, "w") as fh:
+        json.dump(d, fh)
+    assert c.search_index_status("txt")["stale"] is True
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        c._load_search_index("txt")
+    assert any("older text analyzer" in str(w.message) for w in caught)
