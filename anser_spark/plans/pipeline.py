@@ -954,6 +954,49 @@ def _haversine_m(loc: Column, lon0: float, lat0: float) -> Column:
     return F.lit(2.0 * _EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
+def _point_in_geojson(field: Column, geometry: Mapping[str, Any]) -> Column:
+    """Even-odd point-in-polygon over a GeoJSON Polygon or MultiPolygon
+    for a [lon, lat] array column — the same driver-side-constant
+    ray-casting XOR fold as the legacy ``$geoWithin: {$polygon: ...}}``
+    (flat geometry), extended to holes and multiple polygons: the
+    even-odd rule is ONE XOR fold over every ring's edges (a point
+    inside a hole crosses the hole ring's edges an odd number of times
+    and flips back out).  Expression size is linear in total vertex
+    count; everything stays in whole-stage codegen."""
+    gtype = geometry.get("type")
+    if gtype == "Polygon":
+        polys = [geometry["coordinates"]]
+    elif gtype == "MultiPolygon":
+        polys = list(geometry["coordinates"])
+    else:
+        raise PipelineCompileError(
+            f"unsupported GeoJSON geometry {gtype!r} for a point field: "
+            "Polygon and MultiPolygon are implemented (a point never "
+            "meaningfully intersects a LineString)"
+        )
+    x = field.getItem(0).cast("double")
+    y = field.getItem(1).cast("double")
+    inside = F.lit(False)
+    for rings in polys:
+        for ring in rings:
+            pts = [(float(a), float(b)) for a, b in ring]
+            if len(pts) < 3:
+                raise PipelineCompileError(
+                    "GeoJSON ring needs at least 3 vertices"
+                )
+            for i in range(len(pts)):
+                xi, yi = pts[i]
+                xj, yj = pts[i - 1]
+                if yj == yi:
+                    continue  # horizontal/zero-length edges never cross
+                crosses = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+                    x < (y - F.lit(yi)) * F.lit((xj - xi) / (yj - yi))
+                    + F.lit(xi)
+                )
+                inside = inside != crosses  # boolean XOR fold
+    return inside
+
+
 def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """``$geoNear``: distance (spherical haversine, meters — mean Earth
     radius 6 371 000 m, documented divergence from Mongo's ellipsoidal
@@ -991,7 +1034,7 @@ def _geo_near(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 _SEARCH_OPERATORS = (
     "text", "phrase", "compound", "equals", "range", "exists", "in",
     "wildcard", "autocomplete", "moreLikeThis", "regex", "near",
-    "embeddedDocument", "queryString", "geoWithin",
+    "embeddedDocument", "queryString", "geoWithin", "geoShape",
 )
 
 
@@ -1278,9 +1321,10 @@ def _compile_search_op(  # noqa: C901
         return pred, _search_score_option(spec, F.lit(1.0))
     if op == "geoWithin":
         # Atlas geoWithin over a [lon, lat] point path: circle
-        # (center + radius meters, haversine) or box (bottomLeft /
-        # topRight rectangle in degrees). Polygon geometry raises —
-        # point-in-polygon needs a real geo kernel.
+        # (center + radius meters, haversine), box (bottomLeft /
+        # topRight rectangle in degrees), or (round 8) GeoJSON
+        # Polygon/MultiPolygon geometry via the even-odd ray-cast fold
+        # (flat geometry, like the legacy $polygon — documented).
         field = resolve_field(str(spec["path"]))
         if "circle" in spec:
             c0 = spec["circle"]["center"]
@@ -1298,10 +1342,31 @@ def _compile_search_op(  # noqa: C901
                 (lon >= F.lit(float(bl[0]))) & (lon <= F.lit(float(tr[0])))
                 & (lat >= F.lit(float(bl[1]))) & (lat <= F.lit(float(tr[1])))
             )
+        elif "geometry" in spec:
+            pred = _point_in_geojson(field, spec["geometry"])
         else:
             raise PipelineCompileError(
-                "$search geoWithin supports circle and box (polygon "
-                "geometry needs a geo kernel this engine lacks)"
+                "$search geoWithin supports circle, box, and GeoJSON "
+                "Polygon/MultiPolygon geometry"
+            )
+        return pred, _search_score_option(spec, F.lit(1.0))
+    if op == "geoShape":
+        # Atlas geoShape over a [lon, lat] POINT path (this engine's
+        # geo data model): 'within' and 'intersects' are both
+        # point-in-shape for points; 'disjoint' is its negation
+        # (null-safe: a null point is neither within nor disjoint —
+        # matching Atlas, which skips documents missing the path).
+        field = resolve_field(str(spec["path"]))
+        relation = spec.get("relation")
+        inside = _point_in_geojson(field, spec["geometry"])
+        if relation in ("within", "intersects"):
+            pred = inside
+        elif relation == "disjoint":
+            pred = field.isNotNull() & ~inside
+        else:
+            raise PipelineCompileError(
+                f"unsupported $search geoShape relation {relation!r}: "
+                "within/intersects/disjoint over point fields"
             )
         return pred, _search_score_option(spec, F.lit(1.0))
     if op == "queryString":

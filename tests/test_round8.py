@@ -368,3 +368,74 @@ def test_pipeline_skip_deep_warning(spark, caplog):
                                     {"$skip": 200_000}], None, None)
     assert any("deep paging" in r.message for r in caplog.records)
     assert out.count() == 0  # still executes correctly
+
+
+def test_search_geo_shape_and_polygon_geometry(spark, tmp_path):
+    # round 8: $search geoShape (within/intersects/disjoint over point
+    # fields) and geoWithin GeoJSON Polygon/MultiPolygon geometry —
+    # even-odd ray casting incl. holes
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "gs"))
+    c = eng.db("t").collection("places")
+    c.insert_many([
+        {"_id": "in", "loc": [2.0, 2.0]},
+        {"_id": "hole", "loc": [5.0, 5.0]},     # inside the hole
+        {"_id": "out", "loc": [20.0, 20.0]},
+        {"_id": "in2", "loc": [8.0, 8.5]},
+        {"_id": "nul", "loc": None},
+    ])
+    # 10x10 square with a 4..6 square hole
+    poly = {
+        "type": "Polygon",
+        "coordinates": [
+            [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+            [[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]],
+        ],
+    }
+    ids = lambda rows: sorted(r["_id"] for r in rows)  # noqa: E731
+    got = c.pipe([
+        {"$search": {"geoShape": {"path": "loc", "relation": "within",
+                                  "geometry": poly}}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert ids(got) == ["in", "in2"]
+    got = c.pipe([
+        {"$search": {"geoShape": {"path": "loc", "relation": "disjoint",
+                                  "geometry": poly}}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert ids(got) == ["hole", "out"]  # null loc is neither
+
+    # geoWithin geometry form + MultiPolygon (two disjoint squares)
+    multi = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[0, 0], [3, 0], [3, 3], [0, 3], [0, 0]]],
+            [[[7, 7], [9, 7], [9, 9], [7, 9], [7, 7]]],
+        ],
+    }
+    got = c.pipe([
+        {"$search": {"geoWithin": {"path": "loc", "geometry": multi}}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert ids(got) == ["in", "in2"]
+
+    # intersects == within for points; unknown relation raises
+    got = c.pipe([
+        {"$search": {"geoShape": {"path": "loc", "relation": "intersects",
+                                  "geometry": poly}}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert ids(got) == ["in", "in2"]
+    import pytest as _pytest
+
+    from anser_spark.plans.pipeline import PipelineCompileError
+    with _pytest.raises(PipelineCompileError, match="relation"):
+        c.pipe([{"$search": {"geoShape": {
+            "path": "loc", "relation": "touches", "geometry": poly}}}]).all()
+    with _pytest.raises(PipelineCompileError, match="LineString|geometry"):
+        c.pipe([{"$search": {"geoShape": {
+            "path": "loc", "relation": "within",
+            "geometry": {"type": "LineString",
+                         "coordinates": [[0, 0], [1, 1]]}}}}]).all()
