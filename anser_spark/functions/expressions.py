@@ -118,6 +118,24 @@ def compile_expr(
                         dt = None  # map/array element: dynamic lookup
                     col = col.getItem(part)
                 return col
+            # The same missing-path constant-fold against the frame's
+            # own schema (round 8; seed-2468 update fuzzer): a stage
+            # that references a field a previous stage $unset must see
+            # Mongo's missing→null, not an UNRESOLVED_COLUMN
+            # AnalysisException. Only statically-impossible struct
+            # lookups fold; map values and array elements stay dynamic.
+            if schema is not None:
+                dt: T.DataType | None = schema
+                for part in expr[1:].split("."):
+                    if isinstance(dt, T.StructType):
+                        if part in dt.fieldNames():
+                            dt = dt[part].dataType
+                        else:
+                            return F.lit(None)
+                    elif isinstance(dt, T.MapType):
+                        dt = dt.valueType
+                    else:
+                        break  # array element / dynamic tail
             return resolve_field(expr[1:])
         return F.lit(expr)
     if isinstance(expr, Mapping):

@@ -439,3 +439,27 @@ def test_search_geo_shape_and_polygon_geometry(spark, tmp_path):
             "path": "loc", "relation": "within",
             "geometry": {"type": "LineString",
                          "coordinates": [[0, 0], [1, 1]]}}}}]).all()
+
+
+def test_expr_reference_to_removed_field_is_null(spark, tmp_path):
+    # round 8 (seed-2468 update fuzzer): a pipeline-update stage that
+    # references a field a PREVIOUS stage $unset must see Mongo's
+    # missing→null, not an UNRESOLVED_COLUMN AnalysisException
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "w"))
+    c = eng.db("t").collection("d")
+    c.insert_many([{"_id": 1, "x": 5.0, "s": "alpha"}])
+    c.update_all({"s": "alpha"}, [
+        {"$unset": "x"},
+        {"$set": {"y": {"$multiply": ["$x", 0.0]}}},
+    ])
+    row = c.find_one({"_id": 1})
+    assert "x" not in row or row["x"] is None
+    assert row["y"] is None  # missing operand → null, as in Mongo
+
+    # same rule in a plain aggregation $project over an unknown field
+    out = c.pipe([
+        {"$project": {"_id": 1, "z": {"$ifNull": ["$nofield", 7]}}},
+    ]).all()
+    assert out[0]["z"] == 7
