@@ -1356,6 +1356,10 @@ def _compile_search_op(  # noqa: C901
         # point-in-shape for points; 'disjoint' is its negation
         # (null-safe: a null point is neither within nor disjoint —
         # matching Atlas, which skips documents missing the path).
+        if "path" not in spec or "geometry" not in spec:
+            raise PipelineCompileError(
+                "$search geoShape requires path, relation, and geometry"
+            )
         field = resolve_field(str(spec["path"]))
         relation = spec.get("relation")
         inside = _point_in_geojson(field, spec["geometry"])

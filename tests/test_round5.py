@@ -415,9 +415,16 @@ def test_search_compound(search_corpus):
             [{"$search": {"text": {"query": "a", "path": "text"},
                           "phrase": {"query": "b", "path": "text"}}}],
         )
-    with pytest.raises(PipelineCompileError, match="unsupported"):
+    # geoShape became a real operator in round 8 — an incomplete spec
+    # raises a clear compile error, and deprecated Atlas ops still
+    # raise "unsupported"
+    with pytest.raises(PipelineCompileError, match="geoShape requires"):
         compile_pipeline(
             search_corpus, [{"$search": {"geoShape": {"relation": "within"}}}]
+        )
+    with pytest.raises(PipelineCompileError, match="unsupported"):
+        compile_pipeline(
+            search_corpus, [{"$search": {"knnBeta": {"path": "v"}}}]
         )
 
 
