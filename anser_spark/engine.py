@@ -1740,10 +1740,15 @@ class Collection:
             return False
         from anser_spark.operators.ranking import ANALYZER_VERSION
 
-        expected = ANALYZER_VERSION.get(
-            definition.get("default_language", "none")
-        )
-        return definition.get("analyzer_version") != expected
+        language = definition.get("default_language", "none")
+        stamped = definition.get("analyzer_version")
+        if stamped is None:
+            # pre-stamp index: only the english analyzer has ever
+            # changed (s-stemmer → Porter2); a 'none' term table
+            # (whitespace + lower, unchanged since inception) is still
+            # exact — don't push users into a needless rebuild
+            return language == "english"
+        return stamped != ANALYZER_VERSION.get(language)
 
     def list_search_indexes(self) -> list[str]:
         d = self._search_index_dir()

@@ -81,6 +81,36 @@ def _literal_col(value: Any) -> Column:
     return F.lit(value)
 
 
+def _walk_static(dt: T.DataType, parts: list[str]) -> str:
+    """Classify a dotted path against a static type: ``"miss"`` when it
+    can NEVER resolve (struct without the field, dotted tail through a
+    scalar or void), ``"dynamic"`` when a map or array level defers
+    resolution to runtime, ``"hit"`` otherwise.  Struct lookup falls
+    back to case-insensitive matching — Spark's default column
+    resolution (spark.sql.caseSensitive=false) resolves ``$name``
+    against a ``Name`` column, so the static walk must agree or a
+    previously-resolving reference silently turns null.  ONE walker for
+    both compile_expr branches (the CURRENT/$redact fold and the
+    frame-schema fold) so their semantics can't drift."""
+    for part in parts:
+        if isinstance(dt, T.StructType):
+            names = dt.fieldNames()
+            if part in names:
+                dt = dt[part].dataType
+                continue
+            ci = [n for n in names if n.lower() == part.lower()]
+            if not ci:
+                return "miss"
+            dt = dt[ci[0]].dataType
+        elif isinstance(dt, T.MapType):
+            dt = dt.valueType
+        elif isinstance(dt, T.ArrayType):
+            return "dynamic"
+        else:
+            return "miss"  # dotted tail through a scalar or void
+    return "hit"
+
+
 def compile_expr(
     expr: Any,
     schema: T.StructType | None = None,
@@ -102,40 +132,25 @@ def compile_expr(
             # shorthand for `$$CURRENT.field` (Mongo's CURRENT rebinds
             # per document level); elsewhere CURRENT is unbound and the
             # path resolves against the DataFrame's own columns. A path
-            # absent from the level's static type constant-folds to null
+            # the static type can NEVER resolve constant-folds to null
             # (Mongo's missing-field semantics; blind getItem would be
             # an AnalysisException on a fixed schema).
+            parts = expr[1:].split(".")
             if env is not None and "CURRENT" in env:
                 col = env["CURRENT"]
                 dt = env.get("CURRENT_TYPE")
-                for part in expr[1:].split("."):
-                    if isinstance(dt, T.StructType):
-                        if part in dt.fieldNames():
-                            dt = dt[part].dataType
-                        else:
-                            return F.lit(None)
-                    else:
-                        dt = None  # map/array element: dynamic lookup
+                if dt is not None and _walk_static(dt, parts) == "miss":
+                    return F.lit(None)
+                for part in parts:
                     col = col.getItem(part)
                 return col
-            # The same missing-path constant-fold against the frame's
-            # own schema (round 8; seed-2468 update fuzzer): a stage
-            # that references a field a previous stage $unset must see
-            # Mongo's missing→null, not an UNRESOLVED_COLUMN
-            # AnalysisException. Only statically-impossible struct
-            # lookups fold; map values and array elements stay dynamic.
-            if schema is not None:
-                dt: T.DataType | None = schema
-                for part in expr[1:].split("."):
-                    if isinstance(dt, T.StructType):
-                        if part in dt.fieldNames():
-                            dt = dt[part].dataType
-                        else:
-                            return F.lit(None)
-                    elif isinstance(dt, T.MapType):
-                        dt = dt.valueType
-                    else:
-                        break  # array element / dynamic tail
+            # The same fold against the frame's own schema (round 8;
+            # seed-2468 update fuzzer): a stage that references a field
+            # a previous stage $unset — or a dotted tail through a
+            # scalar/void — must see missing→null, not an
+            # AnalysisException.
+            if schema is not None and _walk_static(schema, parts) == "miss":
+                return F.lit(None)
             return resolve_field(expr[1:])
         return F.lit(expr)
     if isinstance(expr, Mapping):

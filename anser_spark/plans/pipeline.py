@@ -979,7 +979,13 @@ def _point_in_geojson(field: Column, geometry: Mapping[str, Any]) -> Column:
     inside = F.lit(False)
     for rings in polys:
         for ring in rings:
-            pts = [(float(a), float(b)) for a, b in ring]
+            # RFC 7946 allows a third (altitude) element per position —
+            # take lon/lat and ignore the rest
+            if any(len(pt) < 2 for pt in ring):
+                raise PipelineCompileError(
+                    "GeoJSON position needs [lon, lat]"
+                )
+            pts = [(float(pt[0]), float(pt[1])) for pt in ring]
             if len(pts) < 3:
                 raise PipelineCompileError(
                     "GeoJSON ring needs at least 3 vertices"

@@ -463,3 +463,68 @@ def test_expr_reference_to_removed_field_is_null(spark, tmp_path):
         {"$project": {"_id": 1, "z": {"$ifNull": ["$nofield", 7]}}},
     ]).all()
     assert out[0]["z"] == 7
+
+
+def test_expr_missing_path_tails_and_case(spark, tmp_path):
+    # review round 8b: (a) a dotted tail through a scalar or a
+    # previously-folded void field is ALSO Mongo-missing → null, not an
+    # AnalysisException; (b) the static fold resolves struct fields
+    # case-insensitively like Spark's default column resolution
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "w"))
+    c = eng.db("t").collection("d")
+    c.insert_many([{"_id": 1, "Name": "x", "num": 5.0}])
+    out = c.pipe([
+        {"$set": {"a": "$missing"}},       # a becomes void
+        {"$set": {"b": "$a.c"}},           # dotted tail through void
+        {"$set": {"d": "$num.sub"}},       # dotted tail through scalar
+        {"$set": {"e": "$name"}},          # case-insensitive resolve
+    ]).all()
+    row = out[0]
+    assert row["b"] is None and row["d"] is None
+    assert row["e"] == "x"
+
+
+def test_search_geojson_altitude_positions(spark, tmp_path):
+    # review round 8b: RFC 7946 positions may carry a third (altitude)
+    # element — accepted and ignored
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "w"))
+    c = eng.db("t").collection("pts")
+    c.insert_many([{"_id": "a", "loc": [1.0, 1.0]},
+                   {"_id": "b", "loc": [20.0, 20.0]}])
+    poly = {"type": "Polygon",
+            "coordinates": [[[0, 0, 5], [10, 0, 5], [10, 10, 5],
+                             [0, 10, 5], [0, 0, 5]]]}
+    got = sorted(r["_id"] for r in c.pipe([
+        {"$search": {"geoShape": {"path": "loc", "relation": "within",
+                                  "geometry": poly}}},
+        {"$project": {"_id": 1}}]).all())
+    assert got == ["a"]
+
+
+def test_bm25_prestamp_none_index_not_stale(spark, tmp_path):
+    # review round 8b: a pre-stamp 'none'-language index is still exact
+    # (the ws-lower analyzer never changed) — must NOT read stale;
+    # a pre-stamp 'english' one must
+    import json
+    import os
+
+    from anser_spark.engine import Engine
+
+    eng = Engine(spark, workdir=str(tmp_path / "w"))
+    c = eng.db("t").collection("d")
+    c.insert_many([{"_id": 1, "text": "alpha beta"}])
+    for name, lang, want_stale in (("n0", "none", False),
+                                   ("e0", "english", True)):
+        c.create_search_index(name, {"kind": "bm25", "path": "text",
+                                     "default_language": lang})
+        p = os.path.join(c._search_index_dir(), f"{name}.json")
+        with open(p) as fh:
+            d = json.load(fh)
+        del d["analyzer_version"]  # simulate a pre-round-8 index
+        with open(p, "w") as fh:
+            json.dump(d, fh)
+        assert c.search_index_status(name)["stale"] is want_stale, name
