@@ -2229,23 +2229,27 @@ def _text_find_oracle() -> str:
     the same suffix tables and differential-tested over random + corpus
     vocabulary in pytest — and the engine's one-to-one diacritic fold
     table applied AFTER stemming (translate).  The query-side stems are
-    produced by the engine's own ``analyze_terms``, so a regenerated
-    fixture cannot drift the two sides apart."""
+    HARD-CODED literals (round 9 ADVICE): the engine analyzes
+    ['queries', 'dáta'] → stem → fold → ['data', 'queri'], and baking
+    the expected output in (instead of calling ``analyze_terms`` at
+    oracle-build time) means a bug that hits query-term and document
+    analysis identically can no longer cancel out of this gate; a
+    pytest tripwire asserts the literals still match the engine
+    derivation, so a deliberate analyzer change surfaces as a test
+    failure instead of a silent gate drift."""
     from anser_spark.functions.stemmer import porter2_sql
     from anser_spark.operators.ranking import (
         _FOLD_DST,
         _FOLD_SRC,
-        _fold_py,
-        analyze_terms,
         ENGLISH_STOPWORDS,
     )
 
     stop = ", ".join(
         "'" + w.replace("'", "''") + "'" for w in sorted(ENGLISH_STOPWORDS)
     )
-    qterms = sorted(
-        {_fold_py(t.lower()) for t in analyze_terms(["queries", "dáta"], "english")}
-    )
+    # expected analysis of the gate's query ['queries', 'dáta'] —
+    # NOT derived from the engine at oracle-build time (see docstring)
+    qterms = ["data", "queri"]
     qlist = ", ".join("'" + t + "'" for t in qterms)
     toks = (
         "list_transform("

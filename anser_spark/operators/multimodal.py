@@ -527,9 +527,13 @@ def decode_gif(payload: bytes):
             return frame
         # compose onto the background-filled logical screen; the
         # background color index is defined against the GLOBAL color
-        # table (review round 8), not a frame-local one
-        bg_pal = global_pal if global_pal is not None else pal
-        bg = bg_pal[bg_idx] if bg_idx < len(bg_pal) else np.zeros(3, np.uint8)
+        # table ONLY (review round 8; GIF89a spec §18) — with no global
+        # table the index is meaningless, so fill with black rather
+        # than indexing a frame-local palette with it (round 9 ADVICE)
+        if global_pal is not None and bg_idx < len(global_pal):
+            bg = global_pal[bg_idx]
+        else:
+            bg = np.zeros(3, np.uint8)
         canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
         y1, x1 = min(top + h, sh), min(left + w, sw)
         if top >= sh or left >= sw:
@@ -718,6 +722,12 @@ def decode_jpeg(payload: bytes):
         end = pos
         while end + 1 < n:
             if payload[end] == 0xFF and payload[end + 1] not in (0x00,):
+                if payload[end + 1] == 0xFF:
+                    # 0xFF fill bytes are legal before any marker
+                    # (JPEG B.1.1.2) — skip the run, same as the
+                    # marker-segment loop above (round 9 ADVICE)
+                    end += 1
+                    continue
                 if 0xD0 <= payload[end + 1] <= 0xD7:
                     end += 2
                     continue

@@ -1368,3 +1368,71 @@ def test_decode_jpeg_tolerates_fill_bytes():
     got = decode_jpeg(padded)
     assert got is not None
     assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_decode_jpeg_fill_bytes_in_entropy_tail():
+    # round 9 ADVICE: 0xFF fill bytes are legal before ANY marker
+    # (B.1.1.2), including RST and EOI *after* the entropy-coded data —
+    # the end-of-scan search must skip them, not truncate the slice
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_jpeg
+
+    x = np.arange(24)[None, :] + np.arange(16)[:, None] * 3.0
+    gray = np.clip(60 + x, 0, 255).astype(np.uint8)
+    good = _make_jpeg(gray=gray)
+    base = decode_jpeg(good)
+    assert base is not None
+
+    # fills before EOI
+    assert good.endswith(b"\xff\xd9")
+    padded = good[:-2] + b"\xff\xff" + good[-2:]
+    got = decode_jpeg(padded)
+    assert got is not None and (got == base).all()
+
+    # fills before a restart marker
+    rng = np.random.default_rng(5)
+    rgb = (rng.integers(0, 64, (24, 40, 3)) * 4).astype(np.uint8)
+    good = _make_jpeg(rgb=rgb, restart=2)
+    base = decode_jpeg(good)
+    assert base is not None
+    i = good.find(b"\xff\xd0")
+    assert i > 0
+    padded = good[:i] + b"\xff" + good[i:]
+    got = decode_jpeg(padded)
+    assert got is not None and (got == base).all()
+
+
+def test_decode_gif_no_global_table_background_is_black():
+    # round 9 ADVICE: the background color index is defined ONLY
+    # against the global color table; a GCT-less file must compose on
+    # black, not index the frame-local palette with bg_idx
+    import struct
+
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_gif
+
+    lpal = [(250, 10, 10), (0, 0, 255)]  # local idx 0 is a loud red
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", 4, 4, 0, 0, 0)  # NO global table
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0x80)
+    gif += b"".join(bytes(c) for c in lpal)
+    stream = _gif_pack_uncompressed([1, 1, 1, 1], 2)
+    gif += bytes([2, len(stream)]) + stream + b"\x00\x3b"
+    got = decode_gif(bytes(gif))
+    assert got is not None and got.shape == (4, 4, 3)
+    assert (got[0, 0] == np.array([0, 0, 255], np.uint8)).all()  # frame
+    assert (got[3, 3] == np.array([0, 0, 0], np.uint8)).all()  # bg=black
+
+
+def test_text_find_oracle_literals_match_engine_analysis():
+    # tripwire for the hard-coded text_find oracle stems (round 9
+    # ADVICE): if the engine's analyzer changes, this fails loudly so
+    # the gate literals get reviewed instead of silently drifting
+    from anser_spark.operators.ranking import _fold_py, analyze_terms
+
+    derived = sorted(
+        {_fold_py(t.lower()) for t in analyze_terms(["queries", "dáta"], "english")}
+    )
+    assert derived == ["data", "queri"]
