@@ -3928,12 +3928,22 @@ def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
 
 # $facet packs each sub-pipeline's entire output into ONE row — Mongo
-# caps that document at 16 MB and errors past it; we cap by row count
-# (the analogue we can enforce cheaply) and error the same way.  The
-# limit(N+1) below bounds the collect buffer BEFORE it builds, so an
-# unaggregated facet leg at scale raises a clean error instead of
-# OOMing one executor.
+# caps that document at 16 MB and errors past it.  Two guards (round 9
+# ADVICE refined the round-8 row-only cap):
+#   - a BYTE cap at Mongo's 16 MB, measured as the summed to_json
+#     octet length of the leg's documents (a close, cheap stand-in for
+#     BSON size) — a few large documents now error like Mongo instead
+#     of slipping under the row count;
+#   - a ROW backstop whose limit(N+1) bounds the collect buffer BEFORE
+#     it builds, so a runaway unaggregated leg raises cleanly instead
+#     of OOMing one executor.  Mongo has no row limit, so legs of many
+#     tiny documents that sum under 16 MB were wrongly rejected by the
+#     round-8 cap — the backstop is now session-configurable via
+#     ``spark.anser.facet.maxRowsPerLeg`` for pipelines that legally
+#     carry >100k small facet documents.
 _FACET_MAX_ROWS_PER_LEG = 100_000
+_FACET_MAX_BYTES_PER_LEG = 16 * 1024 * 1024
+_FACET_ROWS_CONF = "spark.anser.facet.maxRowsPerLeg"
 
 
 def _facet(
@@ -3945,27 +3955,43 @@ def _facet(
     """$facet: run sub-pipelines over the same input; one row whose
     fields are arrays of each sub-pipeline's documents. The input plan
     fans out to N branches — at scale callers should persist upstream if
-    the branches are expensive.  Each leg is capped at
-    ``_FACET_MAX_ROWS_PER_LEG`` rows (Mongo's 16 MB facet-document limit
-    analogue): past it the query errors cleanly, as Mongo does."""
+    the branches are expensive.  Each leg is capped at Mongo's 16 MB
+    (summed to_json bytes) with a ``spark.anser.facet.maxRowsPerLeg``
+    row backstop that bounds the collect buffer before it builds: past
+    either, the query errors cleanly, as Mongo does."""
     facets = []
     cap = _FACET_MAX_ROWS_PER_LEG
+    try:
+        cap = int(df.sparkSession.conf.get(_FACET_ROWS_CONF, str(cap)))
+    except (ValueError, TypeError):
+        pass
+    byte_cap = _FACET_MAX_BYTES_PER_LEG
     for name, stages in arg.items():
         sub = compile_pipeline(df, stages, resolve, sink)
+        doc = F.struct(*[F.col(c) for c in sub.columns])
         capped = sub.limit(cap + 1)
         packed = capped.agg(
-            F.collect_list(
-                F.struct(*[F.col(c) for c in sub.columns])
-            ).alias(name),
+            F.collect_list(doc).alias(name),
             F.count(F.lit(1)).alias("__n"),
+            F.coalesce(
+                F.sum(F.octet_length(F.to_json(doc))), F.lit(0)
+            ).alias("__bytes"),
         ).select(
             F.when(
                 F.col("__n") > cap,
                 F.raise_error(F.lit(
                     f"$facet: sub-pipeline {name!r} produced more than "
                     f"{cap} documents — the facet output document would "
-                    "exceed the engine limit (Mongo's 16 MB analogue); "
-                    "aggregate or $limit inside the facet"
+                    "exceed the engine row backstop (raise "
+                    f"{_FACET_ROWS_CONF} if the leg legally sums under "
+                    "16 MB); aggregate or $limit inside the facet"
+                )),
+            ).when(
+                F.col("__bytes") > byte_cap,
+                F.raise_error(F.lit(
+                    f"$facet: sub-pipeline {name!r} output exceeds 16 MB "
+                    "(Mongo's facet document limit, measured as summed "
+                    "JSON bytes); aggregate or $limit inside the facet"
                 )),
             ).otherwise(F.col(name)).alias(name)
         )
