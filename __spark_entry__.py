@@ -1011,7 +1011,25 @@ def _q_text_find(spark, sf_dir):
                              "$language": "english"}})
         .to_df().agg(F.count("*").alias("en_n"))
     )
-    return base.crossJoin(F.broadcast(en))
+    # round 9 leg: the SAME english query answered from the INVERTED
+    # POSTINGS index (pushed-down term point lookup + one bounded join
+    # back — no corpus scan, no Python stemmer kernel at query time;
+    # operators.ranking.text_match_postings).  The oracle computes the
+    # identical count, so a postings/scan divergence hash-mismatches.
+    eng = _mut_db(spark, sf_dir, "tix")
+    c2 = eng.db("mut").collection("documents")
+    c2._rewrite(coll.df())
+    c2.create_search_index("tix", {
+        "kind": "bm25", "path": "text",
+        "default_language": "english", "id_col": "doc_id",
+    })
+    d = c2._fresh_bm25_index(c2.df())
+    assert d is not None and d.get("postings_dir"), "postings must build"
+    en_idx = (
+        c2.find({"$text": {"$search": "queries dáta"}})
+        .to_df().agg(F.count("*").alias("en_idx"))
+    )
+    return base.crossJoin(F.broadcast(en)).crossJoin(F.broadcast(en_idx))
 
 
 def _q_upsert_paths(spark, sf_dir):
@@ -2261,7 +2279,9 @@ def _text_find_oracle() -> str:
     return f"""
         SELECT doc_id, lang,
                (SELECT count(*) FROM documents
-                WHERE list_has_any({toks}, [{qlist}])) AS en_n
+                WHERE list_has_any({toks}, [{qlist}])) AS en_n,
+               (SELECT count(*) FROM documents
+                WHERE list_has_any({toks}, [{qlist}])) AS en_idx
         FROM documents
         WHERE lang = 'en'
           AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'spark')

@@ -1608,10 +1608,23 @@ class Collection:
         (one tokenize+distinct+count job, written as a parquet term
         table) — so ``$search {index: "<name>", text: …}`` resolves a
         query's idf values with a pushed-down point lookup on the term
-        table instead of re-aggregating the corpus per query. At 100 TB
-        that turns every text query's stats pass from a full scan into
-        a metadata read; scoring stays the same single inline-Column
-        scan."""
+        table instead of re-aggregating the corpus per query.
+
+        Round 9: the build also writes an INVERTED POSTINGS table —
+        one row per (document, analyzed term) carrying the term
+        frequency, the diacritic-folded term, and the document's token
+        count, range-partitioned and sorted by folded term so parquet
+        min/max footers prune a term lookup to a handful of files.
+        With a fresh index, ``$text`` queries answer from the postings
+        (``operators.ranking.text_match_postings``): filter postings on
+        the O(query) analyzed terms → pushed-down point lookup, one
+        bounded groupBy over the matching postings, one join back to
+        the collection on ``_id`` — no corpus scan and no Python
+        stemmer kernel at query time.  At 100 TB that turns query cost
+        from O(corpus) into O(df of the query terms).  Postings need a
+        unique ``_id`` to join back on; when the collection lacks one
+        (or ids duplicate) the build skips the postings table and
+        queries keep the single-scan path, stats-only."""
         definition = dict(definition)
         kind = definition.get("kind", "ivf")
         if kind == "ivf":
@@ -1635,10 +1648,16 @@ class Collection:
             # query analysis must agree on the analyzer (round 7:
             # default_language 'english' = stopwords + s-stemming)
             toks = _rank_tokens(path, language)
-            stats = docs.agg(
+            id_col = str(definition.get("id_col", "_id"))
+            stats_aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.size(toks)).alias("avgdl"),
-            ).collect()[0]
+            ]
+            if id_col in docs.columns:
+                stats_aggs.append(
+                    F.count_distinct(F.col(id_col)).alias("n_ids")
+                )
+            stats = docs.agg(*stats_aggs).collect()[0]
             terms_dir = os.path.join(self._search_index_dir(), f"{name}_terms")
             (
                 docs.select(F.explode(F.array_distinct(toks)).alias("term"))
@@ -1647,7 +1666,11 @@ class Collection:
                 .write.mode("overwrite")
                 .parquet(terms_dir)
             )
-            from anser_spark.operators.ranking import ANALYZER_VERSION
+            from anser_spark.operators.ranking import (
+                ANALYZER_VERSION,
+                _FOLD_DST,
+                _FOLD_SRC,
+            )
 
             definition.update(
                 {
@@ -1662,6 +1685,41 @@ class Collection:
                     "analyzer_version": ANALYZER_VERSION.get(language),
                 }
             )
+            # round 9: inverted postings — only when a unique id exists
+            # to join matches back on (docstring above)
+            if id_col in docs.columns and stats["n"] == stats["n_ids"]:
+                postings_dir = os.path.join(
+                    self._search_index_dir(), f"{name}_postings"
+                )
+                postings = (
+                    docs.select(
+                        F.col(id_col).alias("id"),
+                        toks.alias("__toks"),
+                    )
+                    .select(
+                        "id",
+                        F.size("__toks").alias("n_tokens"),
+                        F.explode("__toks").alias("term"),
+                    )
+                    .groupBy("id", "term")
+                    .agg(
+                        F.count(F.lit(1)).alias("tf"),
+                        F.max("n_tokens").alias("n_tokens"),
+                    )
+                    .withColumn(
+                        "term_fold", F.translate("term", _FOLD_SRC, _FOLD_DST)
+                    )
+                )
+                # range-partition + sort by folded term: each parquet
+                # file covers a tight term range, so a query's isin
+                # lookup prunes on footer min/max instead of scanning
+                (
+                    postings.repartitionByRange(F.col("term_fold"))
+                    .sortWithinPartitions("term_fold", "id")
+                    .write.mode("overwrite")
+                    .parquet(postings_dir)
+                )
+                definition.update({"postings_dir": postings_dir, "id_col": id_col})
         elif kind == "minhash":
             # incremental-dedup index: per-document MinHash signatures +
             # hashed shingle sets, plus the banded (id, band, bhash)
@@ -1786,14 +1844,14 @@ class Collection:
             pred = pred & compile_filter(residual, df.schema)
         return pred
 
-    def _text_index_info(self, df: DataFrame):
-        """(text column, stats loader) for the legacy ``$text`` find
-        operator, from the first FRESH bm25 search index on this
-        collection — the loader resolves query-term document
-        frequencies with a pushed-down point lookup on the persisted
-        term table, so no corpus aggregate runs at query time.  A stale
-        or absent index returns (None, None) and $text scores with
-        inline stats instead."""
+    def _fresh_bm25_index(self, df: DataFrame) -> Mapping[str, Any] | None:
+        """The first FRESH bm25 search index usable against ``df``:
+        built at the collection's current version, by the current
+        analyzer pipeline (round 9 — an analyzer-stale index previously
+        slipped through when the collection itself hadn't moved), and
+        naming a column ``df`` actually carries.  Returns the full
+        stored definition, or None (callers fall back to inline
+        stats / the scan path)."""
         for name in self.list_search_indexes():
             try:
                 d = self._load_search_index(name, warn_stale=False)
@@ -1803,24 +1861,67 @@ class Collection:
                 continue
             if d.get("built_at_version") != self._pointer():
                 continue  # stale snapshot — don't score against old idf
-            path = d.get("path", "text")
-            if path not in df.columns:
+            if self._analyzer_stale(d):
+                continue  # term table stems predate the current stemmer
+            if d.get("path", "text") not in df.columns:
                 continue
-            n_docs = int(d["n_docs"])
-            avgdl = float(d["avgdl"])
-            terms_dir = str(d["terms_dir"])
-            spark = self.engine.spark
+            return d
+        return None
 
-            def loader(terms: list[str]):
-                rows = (
-                    spark.read.parquet(terms_dir)
-                    .where(F.col("term").isin([t.lower() for t in terms]))
-                    .collect()
-                )
-                return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
+    def _any_bm25_index(self, df: DataFrame) -> Mapping[str, Any] | None:
+        """The first bm25 index naming a column ``df`` carries,
+        REGARDLESS of freshness.  A stale index's statistics and
+        postings are unusable, but its ``path`` and
+        ``default_language`` are the user's standing intent — Mongo's
+        $text always analyzes with the text index's language, so a
+        mutation must not silently flip an english collection back to
+        exact-token matching (round 9)."""
+        for name in self.list_search_indexes():
+            try:
+                d = self._load_search_index(name, warn_stale=False)
+            except NotFoundError:
+                continue
+            if d.get("kind") != "bm25":
+                continue
+            if d.get("path", "text") not in df.columns:
+                continue
+            return d
+        return None
 
-            return path, loader, d.get("default_language", "none")
-        return None, None, "none"
+    def _text_index_info(self, df: DataFrame):
+        """(text column, stats loader) for the legacy ``$text`` find
+        operator, from the first FRESH bm25 search index on this
+        collection — the loader resolves query-term document
+        frequencies with a pushed-down point lookup on the persisted
+        term table, so no corpus aggregate runs at query time.  A STALE
+        index keeps supplying the text column and analyzer language
+        (the user's intent — round 9) while the loader drops to None so
+        scores come from inline stats over the CURRENT corpus instead
+        of a stale snapshot's idf."""
+        d = self._fresh_bm25_index(df)
+        if d is None:
+            d = self._any_bm25_index(df)
+            if d is None:
+                return None, None, "none"
+            return (
+                d.get("path", "text"),
+                None,
+                d.get("default_language", "none"),
+            )
+        n_docs = int(d["n_docs"])
+        avgdl = float(d["avgdl"])
+        terms_dir = str(d["terms_dir"])
+        spark = self.engine.spark
+
+        def loader(terms: list[str]):
+            rows = (
+                spark.read.parquet(terms_dir)
+                .where(F.col("term").isin([t.lower() for t in terms]))
+                .collect()
+            )
+            return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
+
+        return d.get("path", "text"), loader, d.get("default_language", "none")
 
     def drop_search_index(self, name: str) -> None:
         p = os.path.join(self._search_index_dir(), f"{name}.json")
@@ -1952,15 +2053,8 @@ class Collection:
         spec = match_arg["$text"]
         if not isinstance(spec, Mapping) or "$_index" in spec:
             return stages
-        for name in self.list_search_indexes():
-            try:
-                d = self._load_search_index(name, warn_stale=False)
-            except NotFoundError:
-                continue
-            if d.get("kind") != "bm25":
-                continue
-            if d.get("built_at_version") != self._pointer():
-                continue  # stale snapshot — score with inline stats
+        d = self._fresh_bm25_index(self.df())
+        if d is not None:
             spec = dict(spec)
             spec["$_index"] = {
                 "path": d.get("path", "text"),
@@ -1968,11 +2062,27 @@ class Collection:
                 "avgdl": float(d["avgdl"]),
                 "terms_dir": str(d["terms_dir"]),
                 "default_language": d.get("default_language", "none"),
+                # round 9: inverted-postings query path (when the
+                # build wrote one — see create_search_index)
+                "postings_dir": d.get("postings_dir"),
+                "id_col": d.get("id_col", "_id"),
             }
-            match_arg = dict(match_arg)
-            match_arg["$text"] = spec
-            stages[0] = {**stages[0], "$match": match_arg}
-            break
+        else:
+            # stale index: its stats/postings are unusable, but the
+            # text column + analyzer language remain the user's intent
+            # (round 9) — scores fall back to inline stats
+            d = self._any_bm25_index(self.df())
+            if d is None:
+                return stages
+            spec = dict(spec)
+            spec["$_index"] = {
+                "path": d.get("path", "text"),
+                "default_language": d.get("default_language", "none"),
+                "stale": True,
+            }
+        match_arg = dict(match_arg)
+        match_arg["$text"] = spec
+        stages[0] = {**stages[0], "$match": match_arg}
         return stages
 
     def _resolve_search_indexes(self, stages: Sequence[Mapping[str, Any]]):

@@ -417,6 +417,75 @@ _TOKS_RAW = "__textToksRaw"
 _TOKS_FOLD = "__textToksFold"
 
 
+class _TextQuery:
+    """Analyzed form of a legacy ``$text`` spec — ONE derivation shared
+    by the scan path (:func:`text_match_frame`) and the inverted-
+    postings path (:func:`text_match_postings`), so the two can never
+    drift on analyzer semantics."""
+
+    __slots__ = (
+        "search", "case_sensitive", "folding", "language",
+        "terms", "phrases", "negated", "raw_terms", "score_terms",
+    )
+
+
+def _analyze_text_spec(
+    spec: Mapping[str, Any], default_language: str = "none"
+) -> _TextQuery:
+    search = spec.get("$search")
+    if not isinstance(search, str) or not search.strip():
+        raise ValueError("$text requires a non-empty $search string")
+    unknown = set(spec) - {
+        "$search", "$caseSensitive", "$language", "$diacriticSensitive"
+    }
+    if unknown:
+        raise ValueError(f"unsupported $text options: {sorted(unknown)}")
+    q = _TextQuery()
+    q.search = search
+    q.case_sensitive = bool(spec.get("$caseSensitive", False))
+    # Mongo (text index v3+) defaults to diacritic-INSENSITIVE; folding
+    # covers the common one-to-one Latin accents (multi-char foldings
+    # like ae/ss are a documented subset gap).
+    q.folding = not bool(spec.get("$diacriticSensitive", False))
+    language = spec.get("$language", default_language) or "none"
+    if language in ("en", "english"):
+        language = "english"
+    elif language != "none":
+        raise ValueError(
+            f"unsupported $text $language {language!r}: 'none' and "
+            "'english' are implemented"
+        )
+    q.language = language
+    terms, phrases, negated = parse_text_search(search)
+    if not terms and not negated:
+        raise ValueError(f"$text $search has no searchable terms: {search!r}")
+    # analyze query terms with the document analyzer (stopwords drop
+    # out; stems align with the stemmed token stream).  The
+    # case-sensitive path (round 8, ADVICE) still applies the language
+    # analyzer — as Mongo's case-sensitive tokenizer does — via the
+    # case-PRESERVING variant.
+    q.raw_terms = list(terms)
+    if not q.case_sensitive:
+        terms = analyze_terms(terms, language)
+        negated = analyze_terms(negated, language)
+    elif language == "english":
+        terms = analyze_terms(terms, language, preserve_case=True)
+        negated = analyze_terms(negated, language, preserve_case=True)
+    q.terms, q.phrases, q.negated = terms, phrases, negated
+    # relevance scores the CASE-FOLDED stream (documented), so its
+    # terms must be the case-insensitive analysis of the ORIGINAL
+    # query terms (review round 8)
+    if q.case_sensitive and language == "english":
+        q.score_terms = sorted(
+            {t.lower() for t in analyze_terms(q.raw_terms, language)}
+        )
+    else:
+        q.score_terms = sorted({t.lower() for t in terms})
+    if q.folding:
+        q.score_terms = sorted({_fold_py(t) for t in q.score_terms})
+    return q
+
+
 def text_match_frame(
     df: DataFrame,
     spec: Mapping[str, Any],
@@ -459,67 +528,14 @@ def text_match_frame(
     common one-to-one Latin accents only (no full Unicode
     normalization; multi-char foldings like ae/ss stay unfolded).
     """
-    search = spec.get("$search")
-    if not isinstance(search, str) or not search.strip():
-        raise ValueError("$text requires a non-empty $search string")
-    unknown = set(spec) - {
-        "$search", "$caseSensitive", "$language", "$diacriticSensitive"
-    }
-    if unknown:
-        raise ValueError(f"unsupported $text options: {sorted(unknown)}")
-    case_sensitive = bool(spec.get("$caseSensitive", False))
-    # Mongo (text index v3+) defaults to diacritic-INSENSITIVE; folding
-    # covers the common one-to-one Latin accents (multi-char foldings
-    # like ae/ss are a documented subset gap). Folding applies to the
-    # MATCH predicate and phrases; relevance still scores the unfolded
-    # tokens (a doc matched only through folding scores 0).
-    diacritic_sensitive = bool(spec.get("$diacriticSensitive", False))
-    language = spec.get("$language", default_language) or "none"
-    if language in ("en", "english"):
-        language = "english"
-    elif language != "none":
-        raise ValueError(
-            f"unsupported $text $language {language!r}: 'none' and "
-            "'english' are implemented"
-        )
-    terms, phrases, negated = parse_text_search(search)
-    if not terms and not negated:
-        raise ValueError(f"$text $search has no searchable terms: {search!r}")
-
-    # analyze query terms with the document analyzer (stopwords drop
-    # out; stems align with the stemmed token stream).  The
-    # case-sensitive path (round 8, ADVICE) still applies the language
-    # analyzer — as Mongo's case-sensitive tokenizer does — via the
-    # case-PRESERVING variant: stopwords drop case-insensitively and
-    # the stemmer sees the original case (lowercase suffix rules just
-    # don't fire on 'RUNNING', matching libstemmer).
-    raw_terms = list(terms)
-    if not case_sensitive:
-        terms = analyze_terms(terms, language)
-        negated = analyze_terms(negated, language)
-    elif language == "english":
-        terms = analyze_terms(terms, language, preserve_case=True)
-        negated = analyze_terms(negated, language, preserve_case=True)
-
-    # diacritic folding is INDEPENDENT of case sensitivity (as in
-    # Mongo): it applies to the predicate, phrases, AND scoring —
-    # scoring over the folded stream keeps the score>0 ⟺ match
-    # invariant, so a fold-only match ranks by real relevance instead
-    # of zero.  (With a persistent bm25 index, a folded term absent
-    # from the unfolded term table gets df=0 → maximal idf — only
-    # accented corpora notice; documented.)
-    folding = not diacritic_sensitive
-    # relevance scores the CASE-FOLDED stream (documented), so its
-    # terms must be the case-insensitive analysis of the ORIGINAL
-    # query terms — lowering the case-preserved stems instead would
-    # miss stems that only fire on lowercase ('OWNS' → 'OWNS' → 'owns'
-    # never matches the stream's 'own'; review round 8)
-    if case_sensitive and language == "english":
-        score_terms = sorted({t.lower() for t in analyze_terms(raw_terms, language)})
-    else:
-        score_terms = sorted({t.lower() for t in terms})
-    if folding:
-        score_terms = sorted({_fold_py(t) for t in score_terms})
+    # ONE shared derivation with the postings path (round 9): terms /
+    # negation / phrases analyzed by the document analyzer, score terms
+    # over the case-folded (and, by default, diacritic-folded) stream —
+    # see _analyze_text_spec for the semantics notes.
+    q = _analyze_text_spec(spec, default_language)
+    case_sensitive, folding, language = q.case_sensitive, q.folding, q.language
+    terms, phrases, negated = q.terms, q.phrases, q.negated
+    score_terms = q.score_terms
 
     # prepare the shared token columns (materialized mode): the
     # analyzed stream and/or its folded form, each computed once per
@@ -603,6 +619,151 @@ def text_match_frame(
         # Phrase-only queries keep their raw-substring predicate.
         pred = F.lit(False)
     return F.coalesce(pred, F.lit(False)), score, prepared
+
+
+def text_match_postings(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    index: Mapping[str, Any],
+    score_col: str = "__textScore",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame | None:
+    """Answer a legacy ``$text`` query from a persisted INVERTED
+    POSTINGS table (round 9) instead of scanning the corpus.
+
+    ``index`` is a fresh bm25 search-index definition carrying
+    ``postings_dir`` (parquet of ``(id, term, term_fold, tf,
+    n_tokens)``, range-partitioned and sorted by ``term_fold``),
+    ``terms_dir`` (the ``(term, df)`` stats table), ``n_docs``,
+    ``avgdl``, ``id_col``, and ``default_language``.
+
+    Physical shape — the 100 TB design this exists for:
+
+    1. postings filtered by an ``isin`` over the O(query) analyzed
+       terms — a PUSHED-DOWN point lookup that parquet min/max footers
+       prune to a handful of files (the build sorts by folded term);
+    2. one groupBy over those matching postings (bounded by the query
+       terms' document frequencies, not the corpus) producing per-doc
+       term frequencies + token counts;
+    3. the BM25 expression over that bounded frame — idf literals from
+       the same term-table point lookup the scan path uses;
+    4. one join back to the collection on the unique id (negated terms
+       subtract via a left_anti against their own postings lookup;
+       phrases filter the joined candidates by raw substring, exactly
+       the scan path's predicate).
+
+    No corpus scan, no Python stemmer kernel, no window — query cost is
+    O(Σ df(query term)).  Returns the matched frame (original columns +
+    ``score_col``) or **None when the postings path cannot reproduce
+    the scan path bit-for-bit**, in which case the caller falls back to
+    :func:`text_match_frame`:
+
+    - no ``postings_dir`` in the index (pre-round-9 index, or the
+      collection had no unique id at build time);
+    - ``$caseSensitive`` (postings store the case-folded analysis);
+    - a query ``$language`` that differs from the index's analyzer;
+    - no positive analyzed terms (phrase words that are all stopwords,
+      or negation-only — the scan path's corpus predicates apply).
+
+    Score parity with the scan path is exact: same analyzed terms in
+    the same sorted order, same idf lookups, same float-sum
+    association — differential-tested in tests/test_round9.py.  Row
+    ORDER is not preserved (the join shuffles); Mongo makes no order
+    guarantee for unsorted $text matches either.
+    """
+    postings_dir = index.get("postings_dir")
+    if not postings_dir:
+        return None
+    index_language = index.get("default_language", "none") or "none"
+    if index_language == "en":
+        index_language = "english"
+    q = _analyze_text_spec(spec, index_language)
+    if q.case_sensitive or q.language != index_language:
+        return None
+    if not q.terms:
+        return None  # phrase-only/negation-only: corpus predicate
+    id_col = index.get("id_col", "_id")
+    text_col = index.get("path", "text")
+    if id_col not in df.columns or text_col not in df.columns:
+        return None
+
+    n_docs = int(index["n_docs"])
+    avgdl = float(index["avgdl"])
+    if n_docs == 0 or avgdl == 0.0:
+        return df.where(F.lit(False)).withColumn(score_col, F.lit(0.0))
+
+    spark = df.sparkSession
+    postings = spark.read.parquet(str(postings_dir))
+    tcol = "term_fold" if q.folding else "term"
+    qterm = (
+        (lambda t: _fold_py(t.lower())) if q.folding
+        else (lambda t: t.lower())
+    )
+    # q.score_terms already lowered+folded+deduped+sorted; for the
+    # non-case-sensitive path it equals {qterm(t) for t in q.terms}
+    qterms = q.score_terms
+
+    # idf literals: the SAME term-table point lookup the scan path's
+    # stats_loader performs (folded terms absent from the raw term
+    # table read df=0 → maximal idf, matching the documented
+    # scan-with-index behavior)
+    rows = (
+        spark.read.parquet(str(index["terms_dir"]))
+        .where(F.col("term").isin(list(qterms)))
+        .collect()
+    )
+    df_map = {r["term"]: r["df"] for r in rows}
+
+    tf_aggs = [
+        F.sum(
+            F.when(F.col(tcol) == F.lit(t), F.col("tf")).otherwise(F.lit(0))
+        ).alias(f"__tf{i}")
+        for i, t in enumerate(qterms)
+    ]
+    cand = (
+        postings.where(F.col(tcol).isin(list(qterms)))
+        .groupBy(F.col("id").alias("__postkey"))
+        .agg(F.max("n_tokens").alias("__ntok"), *tf_aggs)
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("__ntok").cast("double") / F.lit(avgdl)
+    )
+    score = None
+    for i, t in enumerate(qterms):
+        dfi = int(df_map.get(t, 0))
+        idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+        tf = F.col(f"__tf{i}").cast("double")
+        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    cand = cand.select("__postkey", score.alias(score_col))
+
+    if q.negated:
+        neg_terms = sorted({qterm(t) for t in q.negated})
+        if neg_terms:
+            neg = (
+                postings.where(F.col(tcol).isin(neg_terms))
+                .select(F.col("id").alias("__negkey"))
+                .distinct()
+            )
+            cand = cand.join(
+                neg, cand["__postkey"] == neg["__negkey"], "left_anti"
+            )
+
+    out = df.join(
+        cand, F.col(id_col) == F.col("__postkey"), "inner"
+    ).drop("__postkey")
+
+    # phrases: the scan path's raw-substring predicate, evaluated only
+    # over the bounded candidate set
+    for p in q.phrases:
+        body = (
+            _fold_col(F.lower(F.col(text_col))) if q.folding
+            else F.lower(F.col(text_col))
+        )
+        out = out.where(body.contains(F.lit(qterm(p))))
+    return out
 
 
 def bm25_top_k(

@@ -1697,23 +1697,37 @@ def _text_match_stage(
     index = spec.pop("$_index", None)
     stats_loader = None
     if isinstance(index, Mapping):
+        # round 9: with a fresh postings-bearing index, answer from the
+        # INVERTED INDEX — a pushed-down point lookup on the postings
+        # table + one bounded join back, no corpus scan and no Python
+        # stemmer kernel (operators.ranking.text_match_postings; falls
+        # through to the scan path when the query shape is ineligible)
+        from anser_spark.operators.ranking import text_match_postings
+
+        out = text_match_postings(df, spec, index, score_col=_TEXT_SCORE_COL)
+        if out is not None:
+            if residual:
+                out = out.where(compile_filter(residual, out.schema))
+            return out
         # fresh bm25 index resolved by Collection.pipe: idf stats come
-        # from a pushed-down point lookup on the persisted term table
+        # from a pushed-down point lookup on the persisted term table.
+        # A STALE index embed (round 9) carries only path + language —
+        # the analyzer intent survives mutations; stats stay inline.
         text_col = str(index["path"])
-        n_docs = int(index["n_docs"])
-        avgdl = float(index["avgdl"])
-        terms_dir = str(index["terms_dir"])
-        spark = df.sparkSession
-
-        def stats_loader(terms):  # noqa: F811
-            rows = (
-                spark.read.parquet(terms_dir)
-                .where(F.col("term").isin([t.lower() for t in terms]))
-                .collect()
-            )
-            return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
-
         language = str(index.get("default_language", "none"))
+        if "n_docs" in index:
+            n_docs = int(index["n_docs"])
+            avgdl = float(index["avgdl"])
+            terms_dir = str(index["terms_dir"])
+            spark = df.sparkSession
+
+            def stats_loader(terms):  # noqa: F811
+                rows = (
+                    spark.read.parquet(terms_dir)
+                    .where(F.col("term").isin([t.lower() for t in terms]))
+                    .collect()
+                )
+                return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
     else:
         text_col = _default_text_col(df)
         language = "none"

@@ -226,6 +226,26 @@ class Query:
         text_col, stats_loader, language = None, None, "none"
         coll = self._collection
         if not isinstance(coll, DataFrame) and hasattr(coll, "_text_index_info"):
+            # round 9: a fresh postings-bearing bm25 index answers the
+            # whole $text clause from the inverted index (point lookup
+            # + bounded join — no corpus scan); ineligible shapes fall
+            # through to the scan path below
+            if hasattr(coll, "_fresh_bm25_index"):
+                d = coll._fresh_bm25_index(df)
+                if d is not None and d.get("postings_dir"):
+                    from anser_spark.operators.ranking import (
+                        text_match_postings,
+                    )
+
+                    out = text_match_postings(
+                        df, spec, d, score_col="__textScore"
+                    )
+                    if out is not None:
+                        if residual:
+                            out = out.where(
+                                compile_filter(residual, out.schema)
+                            )
+                        return out, True
             text_col, stats_loader, language = coll._text_index_info(df)
         if text_col is None:
             if "text" not in df.columns:

@@ -48,3 +48,278 @@ def test_facet_row_cap_is_session_configurable(spark, monkeypatch):
         assert len(out[0]["raw"]) == 50
     finally:
         spark.conf.unset("spark.anser.facet.maxRowsPerLeg")
+
+
+# ---------------------------------------------------------------------------
+# inverted-postings $text index (round 9)
+# ---------------------------------------------------------------------------
+
+from anser_spark.engine import Engine
+
+TEXT_DOCS = [
+    {"_id": "d1", "text": "Spark runs the running clusters quickly", "lang": "en"},
+    {"_id": "d2", "text": "mongo queries many documents", "lang": "en"},
+    {"_id": "d3", "text": "spark and mongo run together", "lang": "en"},
+    {"_id": "d4", "text": "Crème brûlée résumé data", "lang": "fr"},
+    {"_id": "d5", "text": "creme brulee resume data data", "lang": "fr"},
+    {"_id": "d6", "text": None, "lang": "de"},
+    {"_id": "d7", "text": "unrelated content entirely", "lang": "en"},
+]
+
+
+@pytest.fixture()
+def tcoll(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9text"))
+    c = eng.db("t").collection("docs")
+    c.insert_many(TEXT_DOCS)
+    return c
+
+
+def _scores(coll, spec):
+    rows = (
+        coll.find({"$text": spec})
+        .select({"_id": 1, "s": {"$meta": "textScore"}})
+        .all()
+    )
+    return {r["_id"]: r["s"] for r in rows}
+
+
+@pytest.mark.parametrize("language", ["none", "english"])
+@pytest.mark.parametrize("spec", [
+    {"$search": "spark mongo"},
+    {"$search": "running quickly"},            # stemming (english)
+    {"$search": "spark -mongo"},               # negation
+    {"$search": '"and mongo" spark'},          # phrase + term
+    {"$search": "résumé data"},                # diacritic folding both ways
+    {"$search": "resume data", "$diacriticSensitive": True},
+])
+def test_postings_path_matches_scan_path(tcoll, spec, language):
+    # the scan path (no index) and the postings path (fresh index) must
+    # agree on the matched rows, and — whenever every query stem exists
+    # unfolded in the corpus — on scores too.  Accent-bridging queries
+    # hit the DOCUMENTED indexed-stats divergence (a folded term absent
+    # from the raw term table reads df=0), which predates this round
+    # and applies to scan-with-index identically; exact indexed-vs-
+    # postings parity is asserted in the function-level test below.
+    accent_bridging = "résumé" in spec["$search"]
+    base = _scores(tcoll, dict(spec, **{"$language": language}))
+    tcoll.create_search_index(
+        "t9", {"kind": "bm25", "path": "text", "default_language": language}
+    )
+    d = tcoll._fresh_bm25_index(tcoll.df().limit(1))
+    assert d is not None and d.get("postings_dir"), "postings must build"
+    indexed = _scores(tcoll, dict(spec, **{"$language": language}))
+    tcoll.drop_search_index("t9")
+    assert base.keys() == indexed.keys()
+    if not accent_bridging:
+        for k, v in base.items():
+            assert indexed[k] == pytest.approx(v, rel=1e-9), (k, spec)
+
+
+def test_postings_function_is_exact_vs_indexed_scan(tcoll):
+    # bit-exact parity of the two INDEX-BACKED paths, accents included:
+    # same stats source, same term order, same float association
+    from anser_spark.operators.ranking import (
+        text_match_frame,
+        text_match_postings,
+        _TOKS_FOLD,
+        _TOKS_RAW,
+    )
+    from pyspark.sql import functions as FF
+
+    tcoll.create_search_index(
+        "t9x", {"kind": "bm25", "path": "text", "default_language": "english"}
+    )
+    df = tcoll.df()
+    d = tcoll._fresh_bm25_index(df)
+    assert d and d.get("postings_dir")
+    text_col, stats_loader, language = tcoll._text_index_info(df)
+    for search in ["brûlée data", "running -mongo", "data resume",
+                   '"data" creme']:
+        spec = {"$search": search}
+        pred, score, prep = text_match_frame(
+            df, spec, text_col, stats_loader, default_language=language
+        )
+        scan = {
+            r["_id"]: r["s"]
+            for r in prep.withColumn("s", score.cast("double"))
+            .where(FF.coalesce(pred, FF.lit(False)))
+            .drop(_TOKS_RAW, _TOKS_FOLD)
+            .select("_id", "s")
+            .collect()
+        }
+        post_df = text_match_postings(df, spec, d, score_col="s")
+        assert post_df is not None, search
+        post = {r["_id"]: r["s"] for r in post_df.select("_id", "s").collect()}
+        assert scan == post, (search, scan, post)  # EXACT equality
+
+
+def test_postings_ineligible_shapes_fall_back(tcoll):
+    from anser_spark.operators.ranking import text_match_postings
+
+    tcoll.create_search_index(
+        "t9f", {"kind": "bm25", "path": "text", "default_language": "english"}
+    )
+    df = tcoll.df()
+    d = tcoll._fresh_bm25_index(df)
+    assert d and d.get("postings_dir")
+    # case-sensitive: postings store the case-folded analysis
+    assert text_match_postings(
+        df, {"$search": "Spark", "$caseSensitive": True}, d) is None
+    # query language differs from the index analyzer
+    assert text_match_postings(
+        df, {"$search": "spark", "$language": "none"}, d) is None
+    # nothing positive after analysis (stopword-only phrase)
+    assert text_match_postings(df, {"$search": '"the and"'}, d) is None
+    # ...but the e2e path still answers all of these via the scan path
+    rows = tcoll.find(
+        {"$text": {"$search": "Spark", "$caseSensitive": True}}
+    ).all()
+    assert sorted(r["_id"] for r in rows) == ["d1"]
+
+
+def test_postings_skipped_for_duplicate_ids(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9dup"))
+    c = eng.db("t").collection("dups")
+    c.insert_many([
+        {"_id": "same", "text": "spark one"},
+        {"_id": "same", "text": "spark two"},
+        {"_id": "other", "text": "mongo three"},
+    ])
+    c.create_search_index("di", {"kind": "bm25", "path": "text"})
+    d = c._fresh_bm25_index(c.df())
+    assert d is not None and not d.get("postings_dir")
+    # queries still work through the stats-only scan path
+    assert c.find({"$text": {"$search": "spark"}}).count() == 2
+
+
+def test_postings_plan_has_no_python_and_pushes_terms(tcoll):
+    # the 100 TB receipts: term lookup pushed to the postings parquet
+    # scan, and NO Python kernel anywhere in the query plan
+    tcoll.create_search_index(
+        "t9p", {"kind": "bm25", "path": "text", "default_language": "english"}
+    )
+    df = (
+        tcoll.find({"$text": {"$search": "running data"}})
+        .select({"_id": 1, "s": {"$meta": "textScore"}})
+        .to_df()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "PushedFilters" in plan
+    pushed = [seg[:300] for seg in plan.split("PushedFilters")[1:]]
+    assert any("term_fold" in seg for seg in pushed), pushed
+
+
+def test_postings_index_survives_language_none(tcoll):
+    # 'none' analyzer postings: whitespace+lower tokens, same parity
+    base = _scores(tcoll, {"$search": "spark mongo"})
+    tcoll.create_search_index("t9n", {"kind": "bm25", "path": "text"})
+    indexed = _scores(tcoll, {"$search": "spark mongo"})
+    assert base.keys() == indexed.keys()
+    for k, v in base.items():
+        assert indexed[k] == pytest.approx(v, rel=1e-9)
+
+
+@pytest.mark.parametrize("seed", [0, 42, 777])
+def test_postings_differential_fuzz(spark, tmp_path, seed):
+    # randomized corpus (accents, case, morphology) × random query
+    # shapes (phrases, negation, diacritic flag): the postings path
+    # must EXACTLY reproduce the indexed scan path — same matched ids,
+    # same float scores
+    import random
+
+    from pyspark.sql import functions as FF
+
+    from anser_spark.operators.ranking import (
+        text_match_frame,
+        text_match_postings,
+        _TOKS_FOLD,
+        _TOKS_RAW,
+    )
+
+    rng = random.Random(seed)
+    vocab = [
+        "spark", "mongo", "data", "dáta", "query", "queries", "running",
+        "run", "runs", "cluster", "clusters", "résumé", "resume", "brûlée",
+        "the", "and", "of", "quickly", "owns", "documents", "pipeline",
+    ]
+    docs = []
+    for i in range(60):
+        n = rng.randint(0, 12)
+        docs.append({
+            "_id": f"x{i}",
+            "text": " ".join(rng.choice(vocab) for _ in range(n)) if n else None,
+        })
+    eng = Engine(spark, workdir=str(tmp_path / f"fz{seed}"))
+    c = eng.db("t").collection("fuzz")
+    c.insert_many(docs)
+    language = rng.choice(["none", "english"])
+    c.create_search_index(
+        "fzi", {"kind": "bm25", "path": "text", "default_language": language}
+    )
+    df = c.df()
+    d = c._fresh_bm25_index(df)
+    assert d and d.get("postings_dir")
+    text_col, stats_loader, _lang = c._text_index_info(df)
+
+    checked = 0
+    for _trial in range(12):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 4))]
+        parts = list(words)
+        if rng.random() < 0.4:
+            parts.append('"%s"' % " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 2))))
+        if rng.random() < 0.4:
+            parts.append("-" + rng.choice(vocab))
+        spec = {"$search": " ".join(parts)}
+        if rng.random() < 0.3:
+            spec["$diacriticSensitive"] = True
+        post_df = text_match_postings(df, spec, d, score_col="s")
+        if post_df is None:
+            continue  # ineligible shape — scan path covers it
+        pred, score, prep = text_match_frame(
+            df, spec, text_col, stats_loader, default_language=language
+        )
+        scan = {
+            r["_id"]: r["s"]
+            for r in prep.withColumn("s", score.cast("double"))
+            .where(FF.coalesce(pred, FF.lit(False)))
+            .drop(_TOKS_RAW, _TOKS_FOLD)
+            .select("_id", "s")
+            .collect()
+        }
+        post = {r["_id"]: r["s"] for r in post_df.select("_id", "s").collect()}
+        assert scan == post, (spec, language, seed)
+        checked += 1
+    assert checked >= 6  # the fuzz must actually exercise the path
+
+
+def test_stale_index_keeps_analyzer_language(spark, tmp_path):
+    # round 9: a mutation makes the index's STATS stale, but the text
+    # column + analyzer language are standing user intent (Mongo's
+    # $text always analyzes with the text index's language) — english
+    # stemming must not silently revert to exact-token matching
+    eng = Engine(spark, workdir=str(tmp_path / "r9stale"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": 0, "text": "the running cluster"},
+        {"_id": 1, "text": "run it again"},
+        {"_id": 2, "text": "nothing here"},
+    ])
+    c.create_search_index(
+        "ix", {"kind": "bm25", "path": "text", "default_language": "english"}
+    )
+    assert sorted(
+        r["_id"] for r in c.find({"$text": {"$search": "runs"}}).all()
+    ) == [0, 1]
+    # mutate → stale stats; language must survive on BOTH query paths
+    c.insert_many([{"_id": 9, "text": "running shoes"}])
+    assert c.search_index_status("ix")["stale"] is True
+    got = sorted(r["_id"] for r in c.find({"$text": {"$search": "runs"}}).all())
+    assert got == [0, 1, 9], got
+    got = sorted(r["_id"] for r in c.pipe([
+        {"$match": {"$text": {"$search": "runs -shoes"}}},
+        {"$project": {"_id": 1}},
+    ]).all())
+    assert got == [0, 1], got
