@@ -2099,7 +2099,7 @@ class Collection:
                     continue
                 op, arg = next(iter(stage.items()))
                 if (
-                    op in ("$search", "$vectorSearch")
+                    op in ("$search", "$vectorSearch", "$searchMeta")
                     and isinstance(arg, Mapping)
                     and isinstance(arg.get("index"), str)
                 ):

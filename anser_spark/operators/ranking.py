@@ -766,6 +766,102 @@ def text_match_postings(
     return out
 
 
+def search_text_postings(
+    df: DataFrame,
+    terms: list[str],
+    path: str,
+    index: Mapping[str, Any],
+    score_field: str = "score",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame | None:
+    """The ``$search`` ``text`` operator answered from a persisted
+    inverted postings table (round 9) — same physical shape as
+    :func:`text_match_postings` (pushed-down term point lookup, one
+    bounded groupBy, one join back) but with the $search surface's
+    semantics: ``terms`` arrive ALREADY analyzed (duplicates preserved —
+    ``bm25_score_expr`` scores a repeated query term twice, so the sum
+    here iterates the same list in the same order for bit parity), the
+    match predicate is "any analyzed term present" (score > 0), and no
+    diacritic folding applies (parity with the scan path's unfolded
+    token stream).  Returns the matched frame (df columns +
+    ``score_field`` carrying the raw BM25 — callers apply Atlas
+    boost/constant score options on top), or None when the index can't
+    serve this operator (no postings, path mismatch, or the collection
+    frame lacks the id column)."""
+    postings_dir = index.get("postings_dir")
+    if not postings_dir or not terms:
+        return None
+    if str(index.get("path", "text")) != path:
+        return None
+    id_col = index.get("id_col", "_id")
+    if id_col not in df.columns:
+        return None
+    n_docs = int(index["n_docs"])
+    avgdl = float(index["avgdl"])
+    if n_docs == 0 or avgdl == 0.0:
+        return df.where(F.lit(False)).withColumn(score_field, F.lit(0.0))
+
+    spark = df.sparkSession
+    distinct = list(dict.fromkeys(terms))
+    rows = (
+        spark.read.parquet(str(index["terms_dir"]))
+        .where(F.col("term").isin([t.lower() for t in distinct]))
+        .collect()
+    )
+    df_map = {r["term"]: r["df"] for r in rows}
+
+    postings = spark.read.parquet(str(postings_dir))
+    tf_aggs = [
+        F.sum(
+            F.when(F.col("term") == F.lit(t), F.col("tf")).otherwise(F.lit(0))
+        ).alias(f"__tf{i}")
+        for i, t in enumerate(distinct)
+    ]
+    cand = (
+        postings.where(F.col("term").isin(distinct))
+        .groupBy(F.col("id").alias("__postkey"))
+        .agg(F.max("n_tokens").alias("__ntok"), *tf_aggs)
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("__ntok").cast("double") / F.lit(avgdl)
+    )
+    slot = {t: i for i, t in enumerate(distinct)}
+    score = None
+    for t in terms:  # ORIGINAL order incl. duplicates (see docstring)
+        dfi = int(df_map.get(t, 0))
+        idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+        tf = F.col(f"__tf{slot[t]}").cast("double")
+        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    cand = cand.select("__postkey", score.alias(score_field))
+    return df.join(
+        cand, F.col(id_col) == F.col("__postkey"), "inner"
+    ).drop("__postkey")
+
+
+def count_text_postings(
+    spark, terms: list[str], index: Mapping[str, Any]
+) -> int | None:
+    """``$searchMeta``'s count of documents matching a ``text``
+    operator, answered ENTIRELY from the postings table — no corpus
+    access at all (round 9): distinct ids among the postings of the
+    O(query) analyzed terms.  None when the index carries no
+    postings."""
+    postings_dir = index.get("postings_dir")
+    if not postings_dir or not terms:
+        return None
+    distinct = list(dict.fromkeys(terms))
+    return (
+        spark.read.parquet(str(postings_dir))
+        .where(F.col("term").isin(distinct))
+        .select("id")
+        .distinct()
+        .count()
+    )
+
+
 def bm25_top_k(
     df: DataFrame,
     query_terms: list[str],

@@ -1052,6 +1052,39 @@ def _is_number(s: str) -> bool:
         return False
 
 
+def _search_analyzer(spec: Mapping[str, Any]) -> str:
+    # Atlas analyzer names → this engine's analyzers (round 7):
+    # lucene.standard/keyword = exact lowercased tokens,
+    # lucene.english = Snowball stopwords + Porter2 stemming (the same
+    # pipeline the legacy $text 'english' language uses)
+    name = str(spec.get("analyzer", "lucene.standard"))
+    mapping = {
+        "lucene.standard": "none",
+        "lucene.keyword": "none",
+        "lucene.english": "english",
+    }
+    if name not in mapping:
+        raise PipelineCompileError(
+            f"unsupported $search analyzer {name!r}: "
+            f"{sorted(mapping)} are implemented"
+        )
+    return mapping[name]
+
+
+def _search_text_terms(spec: Mapping[str, Any]) -> list[str]:
+    """The ``$search`` ``text`` operator's analyzed query terms
+    (shared by the scan compile, the postings path, and $searchMeta —
+    duplicates preserved, see bm25_score_expr)."""
+    from anser_spark.operators.ranking import analyze_terms
+
+    words = [w for w in str(spec["query"]).lower().split() if w]
+    if not words:
+        raise PipelineCompileError(
+            "$search text.query must contain at least one term"
+        )
+    return analyze_terms(words, _search_analyzer(spec))
+
+
 def _search_score_option(spec: Mapping[str, Any], score: Column) -> Column:
     """Atlas per-operator ``score`` option: ``{"boost": {"value": w}}``
     multiplies, ``{"constant": {"value": c}}`` replaces."""
@@ -1215,23 +1248,7 @@ def _compile_search_op(  # noqa: C901
             language=language, analyzed=True,
         )
 
-    def _analyzer(spec: Mapping[str, Any]) -> str:
-        # Atlas analyzer names → this engine's analyzers (round 7):
-        # lucene.standard/keyword = exact lowercased tokens,
-        # lucene.english = Snowball stopwords + s-stemming (the same
-        # pipeline the legacy $text 'english' language uses)
-        name = str(spec.get("analyzer", "lucene.standard"))
-        mapping = {
-            "lucene.standard": "none",
-            "lucene.keyword": "none",
-            "lucene.english": "english",
-        }
-        if name not in mapping:
-            raise PipelineCompileError(
-                f"unsupported $search analyzer {name!r}: "
-                f"{sorted(mapping)} are implemented"
-            )
-        return mapping[name]
+    _analyzer = _search_analyzer
 
     def _any_term_pred(terms: list[str], path: str, language: str = "none") -> Column:
         from anser_spark.operators.ranking import _tokens
@@ -1253,13 +1270,8 @@ def _compile_search_op(  # noqa: C901
             f"$search {op} requires {{'query': …, 'path': …}}"
         )
     if op == "text":
-        from anser_spark.operators.ranking import analyze_terms
-
         language = _analyzer(spec)
-        terms = [w for w in str(spec["query"]).lower().split() if w]
-        if not terms:
-            raise PipelineCompileError("$search text.query must contain at least one term")
-        terms = analyze_terms(terms, language)
+        terms = _search_text_terms(spec)
         path = str(spec["path"])
         if not terms:
             # every query term was a stopword under this analyzer —
@@ -1797,7 +1809,34 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             "require the pipeline to run through Collection.pipe"
         )
     stats_loader = None
+    out = None
     if isinstance(index, Mapping) and index.get("kind") == "bm25":
+        if op == "text" and index.get("postings_dir") and (
+            "query" in spec and "path" in spec
+        ):
+            # round 9: a postings-bearing index answers the text
+            # operator with a pushed-down term lookup + bounded join —
+            # no corpus scan (operators.ranking.search_text_postings);
+            # analyzer must match the index's, and the Atlas
+            # boost/constant score option applies on top of the raw
+            # BM25 the postings produce
+            from anser_spark.operators.ranking import search_text_postings
+
+            if _search_analyzer(spec) == (
+                index.get("default_language", "none") or "none"
+            ):
+                terms = _search_text_terms(spec)
+                if terms:
+                    out = search_text_postings(
+                        df, terms, str(spec["path"]), index, score_field
+                    )
+                    if out is not None:
+                        out = out.withColumn(
+                            score_field,
+                            _search_score_option(
+                                spec, F.col(score_field)
+                            ).cast("double"),
+                        )
         n_docs = int(index["n_docs"])
         avgdl = float(index["avgdl"])
         terms_dir = str(index["terms_dir"])
@@ -1812,10 +1851,11 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             )
             return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
 
-    pred, score = _compile_search_op(df, op, spec, stats_loader)
-    out = df.where(F.coalesce(pred, F.lit(False))).withColumn(
-        score_field, score.cast("double")
-    )
+    if out is None:
+        pred, score = _compile_search_op(df, op, spec, stats_loader)
+        out = df.where(F.coalesce(pred, F.lit(False))).withColumn(
+            score_field, score.cast("double")
+        )
     sort_opt = arg.get("sort")
     if sort_opt:
         # Atlas stage-level sort: field order replaces relevance order
@@ -1880,6 +1920,36 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         if len(ops) != 1:
             raise PipelineCompileError(
                 "$searchMeta requires exactly one operator (or facet)"
+            )
+        mop, mspec = ops[0]
+        index = arg.get("index")
+        if (
+            mop == "text"
+            and isinstance(mspec, Mapping)
+            and "query" in mspec and "path" in mspec
+            and isinstance(index, Mapping)
+            and index.get("kind") == "bm25"
+            and index.get("postings_dir")
+            and str(index.get("path", "text")) == str(mspec["path"])
+            and _search_analyzer(mspec)
+            == (index.get("default_language", "none") or "none")
+        ):
+            # round 9: a count-only text $searchMeta never touches the
+            # corpus — distinct ids among the query terms' postings
+            from anser_spark.operators.ranking import count_text_postings
+
+            terms = _search_text_terms(mspec)
+            total = count_text_postings(df.sparkSession, terms, index)
+            if total is None:
+                total = 0  # all query words were stopwords: no match
+            return df.sparkSession.createDataFrame(
+                [{"count": {"total": total}}],
+                _T.StructType([
+                    _T.StructField(
+                        "count",
+                        _T.StructType([_T.StructField("total", _T.LongType())]),
+                    )
+                ]),
             )
         pred, _score = _one_search_op(df, dict([ops[0]]), need_score=False)
     matched = df.where(F.coalesce(pred, F.lit(False)))

@@ -323,3 +323,94 @@ def test_stale_index_keeps_analyzer_language(spark, tmp_path):
         {"$project": {"_id": 1}},
     ]).all())
     assert got == [0, 1], got
+
+
+def test_search_text_postings_parity_and_options(spark, tmp_path):
+    # $search text via a named postings index == the same stage with no
+    # index (inline stats over the unchanged corpus are identical), and
+    # boost/constant score options apply on top of the postings BM25
+    eng = Engine(spark, workdir=str(tmp_path / "r9s"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": i, "text": t} for i, t in enumerate([
+            "the running cluster runs", "run it again", "nothing here",
+            "spark running fast", None,
+        ])
+    ])
+    stage = {"text": {"query": "Running runs", "path": "text",
+                      "analyzer": "lucene.english"}}
+    base = {r["_id"]: r["score"] for r in c.pipe([
+        {"$search": dict(stage)},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    assert base and all(v > 0 for v in base.values())
+    c.create_search_index("sx", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+    })
+    indexed = {r["_id"]: r["score"] for r in c.pipe([
+        {"$search": dict(stage, index="sx")},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    assert base == indexed  # EXACT: same stats, same float association
+    # boost multiplies, constant replaces
+    boosted = {r["_id"]: r["score"] for r in c.pipe([
+        {"$search": {"index": "sx", "text": {
+            **stage["text"], "score": {"boost": {"value": 3.0}}}}},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    assert boosted == {k: pytest.approx(3 * v) for k, v in base.items()}
+    const = {r["_id"]: r["score"] for r in c.pipe([
+        {"$search": {"index": "sx", "text": {
+            **stage["text"], "score": {"constant": {"value": 7.0}}}}},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    assert const == {k: 7.0 for k in base}
+    # analyzer mismatch with the index language falls back to the scan
+    # path and still answers (standard analyzer: exact tokens)
+    std = c.pipe([
+        {"$search": {"index": "sx", "text": {"query": "runs",
+                                             "path": "text"}}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert sorted(r["_id"] for r in std) == [0]
+
+
+def test_search_meta_count_from_postings(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9sm"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": i, "text": t} for i, t in enumerate([
+            "the running cluster", "run it again", "nothing here", None,
+        ])
+    ])
+    meta = {"text": {"query": "runs", "path": "text",
+                     "analyzer": "lucene.english"}}
+    base = c.pipe([{"$searchMeta": dict(meta)}]).all()
+    assert base[0]["count"]["total"] == 2
+    c.create_search_index("smx", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+    })
+    via_index = c.pipe([{"$searchMeta": dict(meta, index="smx")}]).all()
+    assert via_index[0]["count"]["total"] == 2
+    # stopword-only query counts zero on both paths
+    stop = {"text": {"query": "the and", "path": "text",
+                     "analyzer": "lucene.english"}}
+    assert c.pipe([{"$searchMeta": dict(stop)}]).all()[0]["count"]["total"] == 0
+    assert c.pipe([
+        {"$searchMeta": dict(stop, index="smx")}
+    ]).all()[0]["count"]["total"] == 0
+
+
+def test_search_text_postings_plan_no_python(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9sp"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([{"_id": i, "text": f"running word{i}"} for i in range(8)])
+    c.create_search_index("px", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+    })
+    df = c.pipe([
+        {"$search": {"index": "px", "text": {
+            "query": "runs", "path": "text", "analyzer": "lucene.english"}}},
+    ]).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
