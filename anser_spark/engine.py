@@ -1712,9 +1712,16 @@ class Collection:
                 )
                 # range-partition + sort by folded term: each parquet
                 # file covers a tight term range, so a query's isin
-                # lookup prunes on footer min/max instead of scanning
+                # lookup prunes on footer min/max instead of scanning.
+                # The id joins the range key so a HOT term (under the
+                # 'none' analyzer stopwords survive — 'the' can be in
+                # every document) splits across partitions instead of
+                # landing on one writer; term_fold leads, so footer
+                # min/max stays tight per file either way.
                 (
-                    postings.repartitionByRange(F.col("term_fold"))
+                    postings.repartitionByRange(
+                        F.col("term_fold"), F.col("id")
+                    )
                     .sortWithinPartitions("term_fold", "id")
                     .write.mode("overwrite")
                     .parquet(postings_dir)
