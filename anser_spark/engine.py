@@ -1626,6 +1626,11 @@ class Collection:
         (or ids duplicate) the build skips the postings table and
         queries keep the single-scan path, stats-only."""
         definition = dict(definition)
+        # a rebuild from a stored definition must not inherit computed
+        # pointers the new build may legitimately NOT produce (e.g. a
+        # postings_dir when ids stopped being unique) — they re-add
+        # below only when earned
+        definition.pop("postings_dir", None)
         kind = definition.get("kind", "ivf")
         if kind == "ivf":
             path = definition.get("path", "embedding")
@@ -1652,6 +1657,11 @@ class Collection:
             stats_aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.size(toks)).alias("avgdl"),
+                # exact token totals so refresh_search_index can roll
+                # avgdl forward incrementally (avg skips null-text
+                # docs, so n alone can't reconstruct the sum)
+                F.coalesce(F.sum(F.size(toks)), F.lit(0)).alias("sum_tokens"),
+                F.count(F.size(toks)).alias("n_text_docs"),
             ]
             if id_col in docs.columns:
                 stats_aggs.append(
@@ -1679,6 +1689,8 @@ class Collection:
                     "default_language": language,
                     "n_docs": int(stats["n"]),
                     "avgdl": float(stats["avgdl"] or 0.0),
+                    "sum_tokens": int(stats["sum_tokens"]),
+                    "n_text_docs": int(stats["n_text_docs"]),
                     "terms_dir": terms_dir,
                     # round 8: a stemmer/tokenizer upgrade must surface
                     # as staleness, not silently-wrong df lookups
@@ -1773,10 +1785,162 @@ class Collection:
         # index snapshot was built against (Atlas indexes track the
         # collection continuously; ours are explicit snapshots)
         definition["built_at_version"] = self._pointer()
+        self._write_search_index(name, definition)
+
+    def refresh_search_index(self, name: str) -> dict[str, Any]:
+        """Bring a snapshot search index up to the collection's current
+        version — INCREMENTALLY when the change is insert-only (round
+        9: the steady-state ingest shape, e.g. a foreachBatch loop
+        appending documents), otherwise by full rebuild.
+
+        The incremental path applies the CDC diff
+        (:meth:`Engine.diff_versions` between the index's
+        ``built_at_version`` and now) to a bm25 postings index:
+
+        - the NEW documents' postings append to the postings table
+          (their own range-sorted files — footer pruning still holds
+          per file);
+        - the term table merges document frequencies (new docs are
+          disjoint from old, so df adds) into a fresh directory;
+        - ``n_docs`` / ``avgdl`` roll forward EXACTLY from the stored
+          token totals — the refreshed index is equal to a full
+          rebuild, not an approximation (tested);
+        - ``built_at_version`` re-stamps, so queries immediately take
+          the postings path again.
+
+        Falls back to a full rebuild (same definition) when the diff
+        contains removes/updates, the index predates postings or the
+        token-total stamps, the analyzer upgraded, the retention window
+        no longer covers ``built_at_version``, or ids stopped being
+        unique.  Cost: the incremental path tokenizes ONLY the new
+        documents — at 100 TB that's the difference between a batch
+        and a rebuild.  Requires ``set_retention`` ≥ 2 so the index's
+        build version is still retained to diff against (the default
+        retention of 1 keeps only the current version → every refresh
+        is a rebuild).  Returns ``{"mode": "noop" | "incremental" |
+        "rebuild", "inserted": k}``."""
+        d = dict(self._load_search_index(name, warn_stale=False))
+        cur = self._pointer()
+        if d.get("built_at_version") == cur and not self._analyzer_stale(d):
+            return {"mode": "noop", "inserted": 0}
+
+        def _rebuild() -> dict[str, Any]:
+            self.create_search_index(name, d)
+            return {"mode": "rebuild", "inserted": 0}
+
+        if (
+            d.get("kind") != "bm25"
+            or not d.get("postings_dir")
+            or "sum_tokens" not in d
+            or self._analyzer_stale(d)
+            or d.get("built_at_version") is None
+        ):
+            return _rebuild()
+        try:
+            diff = self.diff_versions(str(d["built_at_version"]))
+            # one pass over the (small) diff: removals force a rebuild
+            first_removed = (
+                diff.where(F.col("change_type") == "removed").limit(1).count()
+            )
+        except NotFoundError:
+            return _rebuild()  # retention no longer covers built_at
+        if first_removed:
+            return _rebuild()
+        added = diff.where(F.col("change_type") == "added").drop("change_type")
+        path = d.get("path", "text")
+        id_col = d.get("id_col", "_id")
+        if path not in added.columns or id_col not in added.columns:
+            return _rebuild()
+        docs = self.df()
+        uniq = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("n_ids"),
+        ).collect()[0]
+        if uniq["n"] != uniq["n_ids"]:
+            return _rebuild()
+
+        from anser_spark.operators.ranking import (
+            _FOLD_DST,
+            _FOLD_SRC,
+            _tokens as _rank_tokens,
+        )
+
+        language = d.get("default_language", "none")
+        toks = _rank_tokens(path, language)
+        delta = added.select(
+            F.col(id_col).alias("id"), toks.alias("__toks")
+        ).localCheckpoint()  # tokenize the delta ONCE (stats + terms + postings)
+        stats = delta.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("sum_tokens"),
+            F.count(F.size("__toks")).alias("n_text_docs"),
+        ).collect()[0]
+        k = int(stats["k"])
+        if k == 0:
+            # pointer moved but the diff is empty (e.g. a no-op
+            # rewrite): just re-stamp
+            d["built_at_version"] = cur
+            self._write_search_index(name, d)
+            return {"mode": "incremental", "inserted": 0}
+
+        # 1. postings append (new docs only — disjoint ids)
+        (
+            delta.select(
+                "id",
+                F.size("__toks").alias("n_tokens"),
+                F.explode("__toks").alias("term"),
+            )
+            .groupBy("id", "term")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.max("n_tokens").alias("n_tokens"),
+            )
+            .withColumn("term_fold", F.translate("term", _FOLD_SRC, _FOLD_DST))
+            .repartitionByRange(F.col("term_fold"), F.col("id"))
+            .sortWithinPartitions("term_fold", "id")
+            .write.mode("append")
+            .parquet(str(d["postings_dir"]))
+        )
+        # 2. term-table merge into a FRESH dir (can't overwrite a dir
+        # while reading it); the old dir is removed after the swap
+        spark = self.engine.spark
+        old_terms_dir = str(d["terms_dir"])
+        new_terms_dir = os.path.join(
+            self._search_index_dir(), f"{name}_terms_{cur}"
+        )
+        new_terms = (
+            delta.select(F.explode(F.array_distinct("__toks")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        (
+            spark.read.parquet(old_terms_dir)
+            .unionByName(new_terms)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .write.mode("overwrite")
+            .parquet(new_terms_dir)
+        )
+        # 3. exact stats roll-forward + atomic definition swap
+        d["n_docs"] = int(d["n_docs"]) + k
+        d["sum_tokens"] = int(d["sum_tokens"]) + int(stats["sum_tokens"])
+        d["n_text_docs"] = int(d["n_text_docs"]) + int(stats["n_text_docs"])
+        d["avgdl"] = (
+            d["sum_tokens"] / d["n_text_docs"] if d["n_text_docs"] else 0.0
+        )
+        d["terms_dir"] = new_terms_dir
+        d["built_at_version"] = cur
+        self._write_search_index(name, d)
+        import shutil
+
+        shutil.rmtree(old_terms_dir, ignore_errors=True)
+        return {"mode": "incremental", "inserted": k}
+
+    def _write_search_index(self, name: str, definition: Mapping[str, Any]) -> None:
         os.makedirs(self._search_index_dir(), exist_ok=True)
         tmp = os.path.join(self._search_index_dir(), f".{name}.tmp")
         with open(tmp, "w") as fh:
-            json.dump(definition, fh)
+            json.dump(dict(definition), fh)
         os.replace(tmp, os.path.join(self._search_index_dir(), f"{name}.json"))
 
     def search_index_status(self, name: str) -> dict[str, Any]:

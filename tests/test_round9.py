@@ -414,3 +414,93 @@ def test_search_text_postings_plan_no_python(spark, tmp_path):
     ]).to_df()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance (refresh_search_index)
+# ---------------------------------------------------------------------------
+
+
+def _index_state(c, spark, name):
+    d = dict(c._load_search_index(name, warn_stale=False))
+    terms = {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(d["terms_dir"]).collect()
+    }
+    postings = {
+        (r["id"], r["term"], r["tf"], r["n_tokens"])
+        for r in spark.read.parquet(d["postings_dir"]).collect()
+    }
+    stats = {k: d[k] for k in ("n_docs", "avgdl", "sum_tokens", "n_text_docs")}
+    return terms, postings, stats
+
+
+def test_refresh_incremental_equals_rebuild(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9ri"))
+    c = eng.db("t").collection("docs")
+    c.set_retention(4)  # incremental refresh diffs against built_at
+    c.insert_many([
+        {"_id": 0, "text": "the running cluster"},
+        {"_id": 1, "text": "run it again"},
+        {"_id": 2, "text": None},
+    ])
+    spec = {"kind": "bm25", "path": "text", "default_language": "english"}
+    c.create_search_index("rx", dict(spec))
+    assert c.refresh_search_index("rx") == {"mode": "noop", "inserted": 0}
+    # insert-only delta → incremental, and the result is EXACTLY a
+    # fresh build: same term table, same postings, same stats
+    c.insert_many([
+        {"_id": 3, "text": "clusters running éverywhere"},
+        {"_id": 4, "text": None},
+    ])
+    out = c.refresh_search_index("rx")
+    assert out == {"mode": "incremental", "inserted": 2}
+    assert c.search_index_status("rx")["stale"] is False
+    inc = _index_state(c, spark, "rx")
+    c.create_search_index("rx2", dict(spec))
+    full = _index_state(c, spark, "rx2")
+    assert inc[0] == full[0]   # term table
+    assert inc[1] == full[1]   # postings
+    assert inc[2] == full[2]   # n_docs / avgdl / token totals
+    # and queries take the postings path with correct scores
+    got = {
+        r["_id"]: r["s"]
+        for r in c.find({"$text": {"$search": "runs"}})
+        .select({"_id": 1, "s": {"$meta": "textScore"}}).all()
+    }
+    assert sorted(got) == [0, 1, 3]
+
+
+def test_refresh_falls_back_on_update_and_dup_ids(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9rf"))
+    c = eng.db("t").collection("docs")
+    c.set_retention(4)
+    c.insert_many([{"_id": i, "text": f"spark doc {i}"} for i in range(4)])
+    c.create_search_index("fx", {"kind": "bm25", "path": "text"})
+    # an update (remove+add in the diff) → full rebuild
+    c.update_all({"_id": 1}, {"$set": {"text": "mongo doc 1"}})
+    assert c.refresh_search_index("fx")["mode"] == "rebuild"
+    assert c.search_index_status("fx")["stale"] is False
+    assert c.find({"$text": {"$search": "mongo"}}).count() == 1
+    # duplicate ids arriving → rebuild, postings dropped, scan path
+    c.insert_many([{"_id": 1, "text": "spark dup"}])
+    assert c.refresh_search_index("fx")["mode"] == "rebuild"
+    d = c._load_search_index("fx", warn_stale=False)
+    assert not d.get("postings_dir")
+    assert c.find({"$text": {"$search": "dup"}}).count() == 1
+
+
+def test_refresh_ivf_rebuilds(spark, tmp_path):
+    import numpy as np
+
+    eng = Engine(spark, workdir=str(tmp_path / "r9rv"))
+    c = eng.db("t").collection("vecs")
+    rng = np.random.default_rng(3)
+    c.insert_many([
+        {"_id": i, "embedding": [float(x) for x in rng.normal(size=4)]}
+        for i in range(50)
+    ])
+    c.create_search_index("vx", {"kind": "ivf", "path": "embedding", "nlist": 4})
+    c.insert_many([{"_id": 99, "embedding": [0.0, 0.0, 0.0, 1.0]}])
+    assert c.refresh_search_index("vx")["mode"] == "rebuild"
+    assert c.search_index_status("vx")["stale"] is False
