@@ -1654,23 +1654,33 @@ class Collection:
             # default_language 'english' = stopwords + s-stemming)
             toks = _rank_tokens(path, language)
             id_col = str(definition.get("id_col", "_id"))
+            # tokenize the corpus ONCE (the english analyzer's Porter2
+            # kernel is the expensive part of a build) and let the
+            # stats aggregate, the term table, and the postings table
+            # all derive from the checkpointed token frame — round 9:
+            # previously each of the three jobs re-stemmed the corpus
+            has_id = id_col in docs.columns
+            tok_cols = [toks.alias("__toks")]
+            if has_id:
+                tok_cols.insert(0, F.col(id_col).alias("id"))
+            tok_frame = docs.select(*tok_cols).localCheckpoint()
             stats_aggs = [
                 F.count(F.lit(1)).alias("n"),
-                F.avg(F.size(toks)).alias("avgdl"),
+                F.avg(F.size("__toks")).alias("avgdl"),
                 # exact token totals so refresh_search_index can roll
                 # avgdl forward incrementally (avg skips null-text
                 # docs, so n alone can't reconstruct the sum)
-                F.coalesce(F.sum(F.size(toks)), F.lit(0)).alias("sum_tokens"),
-                F.count(F.size(toks)).alias("n_text_docs"),
+                F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("sum_tokens"),
+                F.count(F.size("__toks")).alias("n_text_docs"),
             ]
-            if id_col in docs.columns:
-                stats_aggs.append(
-                    F.count_distinct(F.col(id_col)).alias("n_ids")
-                )
-            stats = docs.agg(*stats_aggs).collect()[0]
+            if has_id:
+                stats_aggs.append(F.count_distinct(F.col("id")).alias("n_ids"))
+            stats = tok_frame.agg(*stats_aggs).collect()[0]
             terms_dir = os.path.join(self._search_index_dir(), f"{name}_terms")
             (
-                docs.select(F.explode(F.array_distinct(toks)).alias("term"))
+                tok_frame.select(
+                    F.explode(F.array_distinct("__toks")).alias("term")
+                )
                 .groupBy("term")
                 .agg(F.count(F.lit(1)).alias("df"))
                 .write.mode("overwrite")
@@ -1699,16 +1709,12 @@ class Collection:
             )
             # round 9: inverted postings — only when a unique id exists
             # to join matches back on (docstring above)
-            if id_col in docs.columns and stats["n"] == stats["n_ids"]:
+            if has_id and stats["n"] == stats["n_ids"]:
                 postings_dir = os.path.join(
                     self._search_index_dir(), f"{name}_postings"
                 )
                 postings = (
-                    docs.select(
-                        F.col(id_col).alias("id"),
-                        toks.alias("__toks"),
-                    )
-                    .select(
+                    tok_frame.select(
                         "id",
                         F.size("__toks").alias("n_tokens"),
                         F.explode("__toks").alias("term"),
