@@ -1017,8 +1017,7 @@ def _q_text_find(spark, sf_dir):
     # operators.ranking.text_match_postings).  The oracle computes the
     # identical count, so a postings/scan divergence hash-mismatches.
     eng = _mut_db(spark, sf_dir, "tix")
-    c2 = eng.db("mut").collection("documents")
-    c2._rewrite(coll.df())
+    c2 = eng.db("tpch").collection("documents")
     c2.create_search_index("tix", {
         "kind": "bm25", "path": "text",
         "default_language": "english", "id_col": "doc_id",

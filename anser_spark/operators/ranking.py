@@ -621,6 +621,19 @@ def text_match_frame(
     return F.coalesce(pred, F.lit(False)), score, prepared
 
 
+def _postings_enabled(spark) -> bool:
+    """Operational escape hatch: ``spark.anser.text.usePostings=false``
+    forces every $text/$search query back to the scan path (e.g. to
+    rule the postings table in or out while debugging relevance, or
+    when an index is suspected corrupt) — no rebuild required."""
+    try:
+        return str(
+            spark.conf.get("spark.anser.text.usePostings", "true")
+        ).lower() != "false"
+    except Exception:  # conf access never blocks a query
+        return True
+
+
 def text_match_postings(
     df: DataFrame,
     spec: Mapping[str, Any],
@@ -673,7 +686,7 @@ def text_match_postings(
     guarantee for unsorted $text matches either.
     """
     postings_dir = index.get("postings_dir")
-    if not postings_dir:
+    if not postings_dir or not _postings_enabled(df.sparkSession):
         return None
     index_language = index.get("default_language", "none") or "none"
     if index_language == "en":
@@ -790,7 +803,7 @@ def search_text_postings(
     serve this operator (no postings, path mismatch, or the collection
     frame lacks the id column)."""
     postings_dir = index.get("postings_dir")
-    if not postings_dir or not terms:
+    if not postings_dir or not terms or not _postings_enabled(df.sparkSession):
         return None
     if str(index.get("path", "text")) != path:
         return None
@@ -850,7 +863,7 @@ def count_text_postings(
     O(query) analyzed terms.  None when the index carries no
     postings."""
     postings_dir = index.get("postings_dir")
-    if not postings_dir or not terms:
+    if not postings_dir or not terms or not _postings_enabled(spark):
         return None
     distinct = list(dict.fromkeys(terms))
     return (

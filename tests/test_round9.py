@@ -504,3 +504,24 @@ def test_refresh_ivf_rebuilds(spark, tmp_path):
     c.insert_many([{"_id": 99, "embedding": [0.0, 0.0, 0.0, 1.0]}])
     assert c.refresh_search_index("vx")["mode"] == "rebuild"
     assert c.search_index_status("vx")["stale"] is False
+
+
+def test_postings_escape_hatch_conf(tcoll, spark):
+    from anser_spark.operators.ranking import text_match_postings
+
+    tcoll.create_search_index(
+        "eh", {"kind": "bm25", "path": "text", "default_language": "english"}
+    )
+    df = tcoll.df()
+    d = tcoll._fresh_bm25_index(df)
+    assert text_match_postings(df, {"$search": "running"}, d) is not None
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        # forced back to the scan path — results still correct
+        assert text_match_postings(df, {"$search": "running"}, d) is None
+        got = sorted(
+            r["_id"] for r in tcoll.find({"$text": {"$search": "running"}}).all()
+        )
+        assert got == ["d1", "d3"]
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
