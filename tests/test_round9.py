@@ -525,3 +525,58 @@ def test_postings_escape_hatch_conf(tcoll, spark):
         assert got == ["d1", "d3"]
     finally:
         spark.conf.unset("spark.anser.text.usePostings")
+
+
+@pytest.mark.parametrize("seed", [7, 1234])
+def test_refresh_metamorphic_fuzz(spark, tmp_path, seed):
+    # interleave random insert batches with refreshes: after every
+    # refresh the index must be indistinguishable from a fresh build
+    # (same stats, same query answers through the postings path)
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["spark", "running", "run", "data", "dáta", "query",
+             "queries", "the", "and", "cluster", "résumé"]
+    eng = Engine(spark, workdir=str(tmp_path / f"rmf{seed}"))
+    c = eng.db("t").collection("docs")
+    c.set_retention(6)
+    next_id = 0
+
+    def batch(k):
+        nonlocal next_id
+        docs = []
+        for _ in range(k):
+            n = rng.randint(0, 8)
+            docs.append({
+                "_id": next_id,
+                "text": " ".join(rng.choice(vocab) for _ in range(n)) if n else None,
+            })
+            next_id += 1
+        c.insert_many(docs)
+
+    batch(10)
+    language = rng.choice(["none", "english"])
+    c.create_search_index("mf", {
+        "kind": "bm25", "path": "text", "default_language": language,
+    })
+    for round_i in range(3):
+        batch(rng.randint(1, 6))
+        out = c.refresh_search_index("mf")
+        assert out["mode"] == "incremental", (round_i, out)
+        d_inc = dict(c._load_search_index("mf", warn_stale=False))
+        c.create_search_index("mf_ref", {
+            "kind": "bm25", "path": "text", "default_language": language,
+        })
+        d_ref = dict(c._load_search_index("mf_ref", warn_stale=False))
+        for key in ("n_docs", "avgdl", "sum_tokens", "n_text_docs"):
+            assert d_inc[key] == d_ref[key], (round_i, key)
+        q = {"$search": " ".join(rng.choice(vocab) for _ in range(2))}
+        from anser_spark.operators.ranking import text_match_postings
+        a = text_match_postings(c.df(), dict(q), d_inc, score_col="s")
+        b = text_match_postings(c.df(), dict(q), d_ref, score_col="s")
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        got_a = {(r["_id"], r["s"]) for r in a.select("_id", "s").collect()}
+        got_b = {(r["_id"], r["s"]) for r in b.select("_id", "s").collect()}
+        assert got_a == got_b, (round_i, q)
