@@ -49,6 +49,9 @@ __all__ = [
     "sample_video_frames",
     "chunk_audio",
     "decode_wav",
+    "decode_aiff",
+    "decode_au",
+    "decode_audio",
     "extract_audio_features",
     "resize_images",
 ]
@@ -1019,11 +1022,182 @@ def decode_wav(payload: bytes) -> dict | None:
     }
 
 
+def _audio_stats(x, sr: int, ch: int, n: int) -> dict:
+    import numpy as np
+
+    return {
+        "sample_rate": sr,
+        "n_channels": ch,
+        "n_frames": n,
+        "duration_ms": int(n * 1000 / sr),
+        "rms": float(np.sqrt(np.mean(x**2))) if x.size else 0.0,
+        "peak": float(np.max(np.abs(x))) if x.size else 0.0,
+    }
+
+
+def decode_aiff(payload: bytes) -> dict | None:
+    """REAL decode for AIFF / AIFC-PCM payloads (round 9) — a stdlib
+    struct walk of the IFF chunks (COMM + SSND), the 80-bit extended
+    sample rate converted by hand (the ``aifc`` module left the stdlib
+    in 3.13).  Big-endian integer PCM at 8/16/24/32 bits, plus the
+    AIFC 'NONE' (be) and 'sowt' (le, classic Mac) byte orders.
+    Returns the same feature dict as :func:`decode_wav`, or None."""
+    import struct
+
+    import numpy as np
+
+    if not payload or len(payload) < 12 or payload[:4] != b"FORM":
+        return None
+    form = payload[8:12]
+    if form not in (b"AIFF", b"AIFC"):
+        return None
+    pos, n = 12, len(payload)
+    comm = ssnd = None
+    try:
+        while pos + 8 <= n:
+            cid = payload[pos:pos + 4]
+            (clen,) = struct.unpack_from(">I", payload, pos + 4)
+            body = payload[pos + 8:pos + 8 + clen]
+            if cid == b"COMM":
+                comm = body
+            elif cid == b"SSND":
+                ssnd = body
+            pos += 8 + clen + (clen & 1)  # chunks pad to even
+        if comm is None or ssnd is None or len(comm) < 18:
+            return None
+        ch, nframes, bits = struct.unpack_from(">HIH", comm, 0)
+        # 80-bit IEEE 754 extended: 1 sign, 15 exponent, 64 mantissa
+        (se,) = struct.unpack_from(">H", comm, 8)
+        (mant,) = struct.unpack_from(">Q", comm, 10)
+        if se & 0x7FFF == 0 and mant == 0:
+            return None
+        sr = mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+        if se & 0x8000:
+            sr = -sr
+        sr = int(round(sr))
+        little = False
+        if form == b"AIFC":
+            if len(comm) < 22:
+                return None
+            ctype = comm[18:22]
+            if ctype in (b"NONE", b"twos"):
+                little = False
+            elif ctype == b"sowt":
+                little = True
+            else:
+                return None  # compressed AIFC needs a codec library
+        (offset, _blk) = struct.unpack_from(">II", ssnd, 0)
+        data = ssnd[8 + offset:]
+    except struct.error:
+        return None
+    if sr <= 0 or ch <= 0 or bits not in (8, 16, 24, 32):
+        return None
+    width = bits // 8
+    usable = (len(data) // (width * ch)) * width * ch
+    nframes = min(nframes, usable // (width * ch))
+    data = data[: nframes * width * ch]
+    if bits == 24:
+        b3 = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        if little:
+            vals = (
+                b3[:, 0].astype(np.int64)
+                | (b3[:, 1].astype(np.int64) << 8)
+                | (b3[:, 2].astype(np.int64) << 16)
+            )
+        else:
+            vals = (
+                (b3[:, 0].astype(np.int64) << 16)
+                | (b3[:, 1].astype(np.int64) << 8)
+                | b3[:, 2].astype(np.int64)
+            )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        x = vals.astype(np.float64) / float(1 << 23)
+    else:
+        dt = {8: "i1", 16: "i2", 32: "i4"}[bits]
+        x = np.frombuffer(data, ("<" if little else ">") + dt).astype(np.float64)
+        x = x / float(2 ** (bits - 1))
+    return _audio_stats(x, sr, ch, nframes)
+
+
+# ITU-T G.711 µ-law expansion (the classic Sun AU encoding): table
+# built once — a 256-entry lookup, vectorized by numpy fancy indexing
+def _mulaw_table():
+    import numpy as np
+
+    u = np.arange(256, dtype=np.uint8) ^ 0xFF  # stored complemented
+    sign = np.where(u & 0x80, -1.0, 1.0)
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = (
+        ((mantissa.astype(np.int64) << 3) + 0x84) << exponent
+    ) - 0x84
+    # max magnitude on this (16-bit) scale: mant=15, exp=7 → 32124
+    return sign * magnitude / 32124.0
+
+
+def decode_au(payload: bytes) -> dict | None:
+    """REAL decode for Sun/NeXT ``.au`` payloads (round 9): stdlib
+    struct header walk; linear PCM 8/16/32, IEEE float 32/64, and
+    G.711 µ-law (vectorized 256-entry table).  Same feature dict as
+    :func:`decode_wav`, or None."""
+    import struct
+
+    import numpy as np
+
+    if not payload or len(payload) < 24 or payload[:4] != b".snd":
+        return None
+    try:
+        offset, size, enc, sr, ch = struct.unpack_from(">IIIII", payload, 4)
+    except struct.error:
+        return None
+    if sr <= 0 or ch <= 0 or offset < 24 or offset > len(payload):
+        return None
+    data = payload[offset:]
+    if size not in (0xFFFFFFFF, 0):
+        data = data[:size]
+    if enc == 1:  # 8-bit µ-law
+        x = _mulaw_table()[np.frombuffer(data, np.uint8)]
+        width = 1
+    elif enc in (2, 3, 5):  # 8/16/32-bit linear PCM (big-endian)
+        dt = {2: ">i1", 3: ">i2", 5: ">i4"}[enc]
+        width = int(dt[-1])
+        data = data[: (len(data) // width) * width]
+        x = np.frombuffer(data, dt).astype(np.float64)
+        x = x / float(2 ** (8 * width - 1))
+    elif enc in (6, 7):  # IEEE float32/float64 (big-endian)
+        dt = ">f4" if enc == 6 else ">f8"
+        width = 4 if enc == 6 else 8
+        data = data[: (len(data) // width) * width]
+        x = np.frombuffer(data, dt).astype(np.float64)
+    else:
+        return None  # 24-bit/ADPCM variants need a codec library
+    frames = x.size // ch
+    x = x[: frames * ch]
+    return _audio_stats(x, sr, ch, frames)
+
+
+def decode_audio(payload: bytes) -> dict | None:
+    """Magic-dispatching audio decode (round 9): RIFF/WAVE → WAV,
+    FORM/AIFF|AIFC → AIFF, .snd → AU.  The full sandbox-expressible
+    audio family; unknown containers return None (callers emit null
+    feature rows, never task failures)."""
+    if not payload or len(payload) < 4:
+        return None
+    head = bytes(payload[:4])
+    if head == b"RIFF":
+        return decode_wav(payload)
+    if head == b"FORM":
+        return decode_aiff(payload)
+    if head == b".snd":
+        return decode_au(payload)
+    return None
+
+
 def extract_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
-    decode: Callable[[bytes], dict | None] = decode_wav,
+    decode: Callable[[bytes], dict | None] = decode_audio,
 ) -> DataFrame:
     """Arrow-batched audio feature extraction over mapInPandas — same
     plumbing shape as :func:`extract_image_features` but with a REAL

@@ -580,3 +580,134 @@ def test_refresh_metamorphic_fuzz(spark, tmp_path, seed):
         got_a = {(r["_id"], r["s"]) for r in a.select("_id", "s").collect()}
         got_b = {(r["_id"], r["s"]) for r in b.select("_id", "s").collect()}
         assert got_a == got_b, (round_i, q)
+
+
+# ---------------------------------------------------------------------------
+# AIFF / AU audio decode (round 9: the remaining stdlib-expressible audio)
+# ---------------------------------------------------------------------------
+
+
+def _f80(x):
+    # encode a positive int as 80-bit IEEE extended (sign/15-exp/64-mant)
+    import struct
+
+    assert x > 0
+    e = x.bit_length() - 1
+    mant = x << (63 - e)
+    return struct.pack(">HQ", e + 16383, mant)
+
+
+def _make_aiff(samples, sr, ch=1, bits=16, form=b"AIFF", ctype=None):
+    import struct
+
+    width = bits // 8
+    if ctype == b"sowt":
+        data = b"".join(int(s).to_bytes(width, "little", signed=True)
+                        for s in samples)
+    else:
+        data = b"".join(int(s).to_bytes(width, "big", signed=True)
+                        for s in samples)
+    nframes = len(samples) // ch
+    comm = struct.pack(">HIH", ch, nframes, bits) + _f80(sr)
+    if form == b"AIFC":
+        comm += (ctype or b"NONE") + b"\x00\x00"
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = form
+    for cid, c in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + struct.pack(">I", len(c)) + c
+        if len(c) & 1:
+            body += b"\x00"
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def _make_au(data, enc, sr, ch=1):
+    import struct
+
+    return (b".snd" + struct.pack(">IIIII", 24, len(data), enc, sr, ch)
+            + data)
+
+
+def test_decode_aiff_golden():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_aiff, decode_audio
+
+    # full-scale square wave: rms == peak == 1.0 exactly
+    samples = [32768 // 2, -32768 // 2] * 50  # half scale
+    got = decode_aiff(_make_aiff(samples, 8000))
+    assert got is not None
+    assert got["sample_rate"] == 8000 and got["n_channels"] == 1
+    assert got["n_frames"] == 100 and got["duration_ms"] == 12
+    assert got["peak"] == pytest.approx(0.5) and got["rms"] == pytest.approx(0.5)
+    # dispatch routes FORM magic
+    assert decode_audio(_make_aiff(samples, 8000)) == got
+    # 8-bit, 24-bit, 32-bit widths
+    for bits, scale in ((8, 1 << 7), (24, 1 << 23), (32, 1 << 31)):
+        s = [scale // 4, -scale // 4] * 8
+        got = decode_aiff(_make_aiff(s, 44100, bits=bits))
+        assert got is not None and got["peak"] == pytest.approx(0.25), bits
+    # AIFC NONE (big-endian) and sowt (little-endian) agree
+    a = decode_aiff(_make_aiff(samples, 8000, form=b"AIFC", ctype=b"NONE"))
+    b = decode_aiff(_make_aiff(samples, 8000, form=b"AIFC", ctype=b"sowt"))
+    assert a == b == decode_aiff(_make_aiff(samples, 8000))
+    # stereo frame accounting
+    got = decode_aiff(_make_aiff(samples, 8000, ch=2))
+    assert got["n_frames"] == 50 and got["n_channels"] == 2
+    # corrupt / unsupported → None, never raise
+    assert decode_aiff(b"FORM\x00\x00\x00\x04AIFF") is None
+    assert decode_aiff(_make_aiff(samples, 8000)[:-30][:40]) is None
+    assert decode_aiff(
+        _make_aiff(samples, 8000, form=b"AIFC", ctype=b"ima4")) is None
+
+
+def test_decode_au_golden():
+    import struct
+
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_au, decode_audio
+
+    # 16-bit linear PCM big-endian
+    pcm = b"".join(struct.pack(">h", v) for v in [16384, -16384] * 20)
+    got = decode_au(_make_au(pcm, 3, 16000))
+    assert got is not None and got["sample_rate"] == 16000
+    assert got["n_frames"] == 40
+    assert got["peak"] == pytest.approx(0.5) and got["rms"] == pytest.approx(0.5)
+    assert decode_audio(_make_au(pcm, 3, 16000)) == got
+    # float32 passthrough
+    f32 = b"".join(struct.pack(">f", v) for v in [0.25, -0.25] * 10)
+    got = decode_au(_make_au(f32, 6, 8000))
+    assert got["peak"] == pytest.approx(0.25)
+    # µ-law: byte 0x80 is +max (u=0x7F → exp 7, mant 15 → 32124),
+    # byte 0xFF is zero
+    got = decode_au(_make_au(b"\x80\xff\xff\xff", 1, 8000))
+    assert got["peak"] == pytest.approx(1.0)
+    assert got["rms"] == pytest.approx(0.5)
+    # 0x00 is -max (sign bit set after complement)
+    got = decode_au(_make_au(b"\x00", 1, 8000))
+    assert got["peak"] == pytest.approx(1.0)
+    # unsupported encoding (ADPCM=23), bad magic, truncated → None
+    assert decode_au(_make_au(pcm, 23, 8000)) is None
+    assert decode_au(b"NOPE" + bytes(30)) is None
+    assert decode_au(b".snd" + bytes(4)) is None
+
+
+def test_extract_audio_features_dispatch(spark):
+    import struct
+
+    from anser_spark.operators.multimodal import extract_audio_features
+
+    pcm = b"".join(struct.pack(">h", v) for v in [8192, -8192] * 10)
+    rows = [
+        ("aiff", bytearray(_make_aiff([8192, -8192] * 10, 22050))),
+        ("au", bytearray(_make_au(pcm, 3, 22050))),
+        ("junk", bytearray(b"not audio at all")),
+        ("none", None),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+    assert got["aiff"]["sample_rate"] == 22050
+    assert got["au"]["sample_rate"] == 22050
+    assert got["aiff"]["rms"] == pytest.approx(got["au"]["rms"])
+    assert got["junk"]["sample_rate"] is None
+    assert got["none"]["sample_rate"] is None
