@@ -612,18 +612,216 @@ _JPEG_ZIGZAG = [
 ]
 
 
+def _jpeg_decode_scan(
+    segments, scan_comps, frame, huff, qt, ss, se, ah, al, restart_interval
+):
+    """Decode ONE scan's entropy-coded segments into the frame's
+    persistent coefficient buffers.  Sequential (SOF0/1) scans take the
+    round-8 interleaved DC+AC path; progressive (SOF2) scans dispatch
+    on (Ss, Ah) per ITU-T T.81 §G: DC first / DC refine (interleaved
+    over MCUs), AC first / AC refine (always single-component,
+    walking the component's own block grid with EOB-run state).  The
+    AC refinement follows the classic libjpeg decode_mcu_AC_refine
+    control flow (correction bits for already-nonzero coefficients
+    interleave with the run/size symbols).  Returns False on any
+    malformed stream (caller maps to a None row)."""
+    import numpy as np
+
+    zz = _JPEG_ZIGZAG
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    n_mcu = mcux * mcuy
+
+    if not frame["progressive"]:
+        for c in scan_comps:
+            if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
+                return False
+        mcu_per_seg = restart_interval or n_mcu
+        mcu = 0
+        for seg_bytes in segments:
+            reader = _JpegBitReader(seg_bytes)
+            pred = {c["id"]: 0 for c in scan_comps}
+            seg_end = min(mcu + mcu_per_seg, n_mcu)
+            try:
+                while mcu < seg_end:
+                    my, mx = divmod(mcu, mcux)
+                    for c in scan_comps:
+                        dc_tab = huff[(0, c["dc"])]
+                        ac_tab = huff[(1, c["ac"])]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = np.zeros(64, np.int64)
+                                t = _jpeg_huff_decode(reader, dc_tab)
+                                diff = _jpeg_extend(reader.bits(t), t)
+                                pred[c["id"]] += diff
+                                blk[0] = pred[c["id"]]
+                                k = 1
+                                while k < 64:
+                                    rs = _jpeg_huff_decode(reader, ac_tab)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    if k > 63:
+                                        raise ValueError("AC overflow")
+                                    blk[zz[k]] = _jpeg_extend(
+                                        reader.bits(s), s)
+                                    k += 1
+                                row = my * c["v"] + by
+                                col = mx * c["h"] + bx
+                                c["blocks"][row * c["bw"] + col] = blk
+                    mcu += 1
+            except (EOFError, ValueError):
+                return False
+        return mcu >= n_mcu
+
+    # ---- progressive scans (T.81 §G.2) ----
+    if ss == 0:
+        # DC scan: interleaved over MCUs (any number of components)
+        if se != 0 or (ah and ah - al != 1):
+            return False
+        if ah == 0:
+            for c in scan_comps:
+                if (0, c["dc"]) not in huff:
+                    return False
+        mcu_per_seg = restart_interval or n_mcu
+        mcu = 0
+        for seg_bytes in segments:
+            reader = _JpegBitReader(seg_bytes)
+            pred = {c["id"]: 0 for c in scan_comps}
+            seg_end = min(mcu + mcu_per_seg, n_mcu)
+            try:
+                while mcu < seg_end:
+                    my, mx = divmod(mcu, mcux)
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                idx = (my * c["v"] + by) * c["bw"] + (
+                                    mx * c["h"] + bx)
+                                if ah == 0:  # G.2: first DC scan
+                                    t = _jpeg_huff_decode(
+                                        reader, huff[(0, c["dc"])])
+                                    pred[c["id"]] += _jpeg_extend(
+                                        reader.bits(t), t)
+                                    c["blocks"][idx, 0] = (
+                                        pred[c["id"]] << al)
+                                else:  # refinement: one raw bit
+                                    if reader.bit():
+                                        c["blocks"][idx, 0] |= 1 << al
+                    mcu += 1
+            except (EOFError, ValueError):
+                return False
+        return mcu >= n_mcu
+
+    # AC scan: exactly one component, its own (unpadded) block grid
+    if len(scan_comps) != 1 or se < ss or se > 63 or (ah and ah - al != 1):
+        return False
+    c = scan_comps[0]
+    if (1, c["ac"]) not in huff:
+        return False
+    ac_tab = huff[(1, c["ac"])]
+    blocks, bw, nbw = c["blocks"], c["bw"], c["nbw"]
+    n_blk = c["nbw"] * c["nbh"]
+    blk_per_seg = restart_interval or n_blk
+    p1, m1 = 1 << al, -1 << al
+    done = 0
+    for seg_bytes in segments:
+        reader = _JpegBitReader(seg_bytes)
+        eobrun = 0
+        seg_end = min(done + blk_per_seg, n_blk)
+        try:
+            while done < seg_end:
+                row, col = divmod(done, nbw)
+                blk = blocks[row * bw + col]
+                if ah == 0:  # G.2.2: first AC scan (with EOB runs)
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs = _jpeg_huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC band overflow")
+                            blk[zz[k]] = _jpeg_extend(
+                                reader.bits(s), s) << al
+                            k += 1
+                else:  # G.2.3: AC refinement (libjpeg control flow)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _jpeg_huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            newval = 0
+                            if s:
+                                if s != 1:
+                                    raise ValueError("bad refine size")
+                                newval = p1 if reader.bit() else m1
+                            else:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    break
+                            # advance past r zero-history positions,
+                            # appending correction bits to any nonzero
+                            # coefficients passed on the way
+                            while k <= se:
+                                coef = int(blk[zz[k]])
+                                if coef != 0:
+                                    if reader.bit() and (coef & p1) == 0:
+                                        blk[zz[k]] = coef + (
+                                            p1 if coef >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[zz[k]] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            coef = int(blk[zz[k]])
+                            if coef != 0:
+                                if reader.bit() and (coef & p1) == 0:
+                                    blk[zz[k]] = coef + (
+                                        p1 if coef >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+                done += 1
+        except (EOFError, ValueError):
+            return False
+    return done >= n_blk
+
+
 def decode_jpeg(payload: bytes):
-    """REAL decode for baseline sequential DCT JPEG (SOF0) — stdlib
-    marker/Huffman parsing + one vectorized numpy IDCT over all blocks
-    (round 8; huffman + an 8x8 DCT are arithmetic, no codec library
-    needed — the same policy as the PNG/GIF/BMP/WAV decoders).
-    Supports 1- or 3-component scans, arbitrary sampling factors
-    (4:4:4/4:2:2/4:2:0), restart intervals, and 8-bit quant tables.
-    Returns HxWx3 uint8 RGB or None for bytes outside coverage
-    (progressive SOF2, arithmetic coding, 12-bit, CMYK) — never raises.
-    Entropy decoding is per-symbol Python (test/thumbnail grade; a
-    production deployment plugs PIL/cv2 via the ``decode=`` hooks);
-    everything after the symbol stream is vectorized numpy."""
+    """REAL decode for baseline sequential (SOF0/1) AND progressive
+    (SOF2, round 9) DCT JPEG — stdlib marker/Huffman parsing + one
+    vectorized numpy IDCT over all blocks (huffman + an 8x8 DCT are
+    arithmetic, no codec library needed — the same policy as the
+    PNG/GIF/BMP/WAV decoders).  Supports 1- or 3-component images,
+    arbitrary sampling factors (4:4:4/4:2:2/4:2:0), restart intervals,
+    8- and 16-bit quant tables, and for progressive files the full
+    §G scan surface: spectral selection, successive approximation
+    (DC first/refine, AC first/refine with EOB runs), interleaved DC
+    scans and per-component AC scans.  Returns HxWx3 uint8 RGB or None
+    for bytes outside coverage (arithmetic coding, 12-bit, CMYK,
+    hierarchical) — never raises.  Entropy decoding is per-symbol
+    Python (test/thumbnail grade; a production deployment plugs
+    PIL/cv2 via the ``decode=`` hooks); everything after the symbol
+    stream is vectorized numpy."""
     import struct
 
     import numpy as np
@@ -648,8 +846,8 @@ def decode_jpeg(payload: bytes):
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
-            if marker == 0xD9:  # EOI before SOS
-                return None
+            if marker == 0xD9:  # EOI — done (error if no scan decoded)
+                break
             (seg_len,) = struct.unpack_from(">H", payload, pos)
             seg = payload[pos + 2:pos + seg_len]
             if len(seg) != seg_len - 2:
@@ -682,7 +880,7 @@ def decode_jpeg(payload: bytes):
                         return None
                     huff[(tc, th)] = _jpeg_huff_table(counts, symbols)
                     p += 17 + total
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8 or nc not in (1, 3) or h == 0 or w == 0:
                     return None
@@ -693,13 +891,14 @@ def decode_jpeg(payload: bytes):
                     cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
                     comps.append(
                         {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-                frame = {"w": w, "h": h, "comps": comps}
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                frame = {"w": w, "h": h, "comps": comps,
+                         "progressive": marker == 0xC2}
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / arithmetic / lossless
+                return None  # arithmetic / lossless / hierarchical
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
-            elif marker == 0xDA:  # SOS — entropy data follows
+            elif marker == 0xDA:  # SOS — one scan's entropy data follows
                 if frame is None:
                     return None
                 ns = seg[0]
@@ -712,96 +911,84 @@ def decode_jpeg(payload: bytes):
                         return None
                     scan_comps.append(
                         {**comp, "dc": tt >> 4, "ac": tt & 0x0F})
-                if len(scan_comps) != len(frame["comps"]):
-                    return None  # multi-scan not supported
+                p = 1 + 2 * ns
+                ss, se, ahal = seg[p], seg[p + 1], seg[p + 2]
+                ah, al = ahal >> 4, ahal & 0x0F
+                progressive = frame["progressive"]
+                if not progressive and len(scan_comps) != len(frame["comps"]):
+                    return None  # sequential = exactly one full scan
+                if "mcux" not in frame:
+                    # geometry + persistent coefficient buffers, sized
+                    # from the FRAME's components (a progressive scan
+                    # may cover a subset); scan_comps dict copies share
+                    # the same ndarray objects, so every scan refines
+                    # the same coefficients
+                    w, h = frame["w"], frame["h"]
+                    hmax = max(c["h"] for c in frame["comps"])
+                    vmax = max(c["v"] for c in frame["comps"])
+                    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+                        return None
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    for c in frame["comps"]:
+                        c["blocks"] = np.zeros(
+                            (mcux * c["h"] * mcuy * c["v"], 64), np.int64)
+                        c["bw"] = mcux * c["h"]  # blocks per padded row
+                        # non-interleaved (single-component) scans walk
+                        # the component's OWN block grid (A.2.2), which
+                        # excludes the MCU padding blocks
+                        comp_w = -(-w * c["h"] // hmax)
+                        comp_h = -(-h * c["v"] // vmax)
+                        c["nbw"] = -(-comp_w // 8)
+                        c["nbh"] = -(-comp_h // 8)
+                    frame["mcux"], frame["mcuy"] = mcux, mcuy
+                # rebuild scan_comps so they alias the shared buffers
+                scan_comps = [
+                    {**next(fc for fc in frame["comps"]
+                            if fc["id"] == c["id"]),
+                     "dc": c["dc"], "ac": c["ac"]}
+                    for c in scan_comps
+                ]
                 pos += seg_len
-                break
-            pos += seg_len
-        else:
-            return None
 
-        # slice the entropy-coded data (up to EOI), strip stuffing,
-        # split on restart markers
-        end = pos
-        while end + 1 < n:
-            if payload[end] == 0xFF and payload[end + 1] not in (0x00,):
-                if payload[end + 1] == 0xFF:
-                    # 0xFF fill bytes are legal before any marker
-                    # (JPEG B.1.1.2) — skip the run, same as the
-                    # marker-segment loop above (round 9 ADVICE)
+                # slice this scan's entropy data (up to the next
+                # non-RST marker), strip stuffing, split on restarts
+                end = pos
+                while end + 1 < n:
+                    if payload[end] == 0xFF and payload[end + 1] not in (0x00,):
+                        if payload[end + 1] == 0xFF:
+                            # 0xFF fill bytes are legal before any
+                            # marker (B.1.1.2) — skip the run, same as
+                            # the marker-segment loop (round 9 ADVICE)
+                            end += 1
+                            continue
+                        if 0xD0 <= payload[end + 1] <= 0xD7:
+                            end += 2
+                            continue
+                        break
                     end += 1
-                    continue
-                if 0xD0 <= payload[end + 1] <= 0xD7:
-                    end += 2
-                    continue
-                break
-            end += 1
-        raw = payload[pos:end]
-        import re as _re
+                raw = payload[pos:end]
+                import re as _re
 
-        segments = [
-            s.replace(b"\xff\x00", b"\xff")
-            for s in _re.split(b"\xff[\xd0-\xd7]", raw)
-        ]
-
+                segments = [
+                    s.replace(b"\xff\x00", b"\xff")
+                    for s in _re.split(b"\xff[\xd0-\xd7]", raw)
+                ]
+                if not _jpeg_decode_scan(
+                    segments, scan_comps, frame, huff, qt,
+                    ss, se, ah, al, restart_interval,
+                ):
+                    return None
+                frame["scanned"] = True
+                pos = end
+                continue
+            pos += seg_len
+        if frame is None or not frame.get("scanned"):
+            return None
         w, h = frame["w"], frame["h"]
-        hmax = max(c["h"] for c in scan_comps)
-        vmax = max(c["v"] for c in scan_comps)
-        if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
-            return None
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
-        n_mcu = mcux * mcuy
-        for c in scan_comps:
-            if ((0, c["dc"]) not in huff or (1, c["ac"]) not in huff
-                    or c["tq"] not in qt):
-                return None
-            c["blocks"] = np.zeros(
-                (n_mcu * c["h"] * c["v"], 64), np.int64)
-            c["bw"] = mcux * c["h"]  # blocks per row
-
-        mcu_per_seg = restart_interval or n_mcu
-        mcu = 0
-        for seg_bytes in segments:
-            reader = _JpegBitReader(seg_bytes)
-            pred = {c["id"]: 0 for c in scan_comps}
-            seg_end = min(mcu + mcu_per_seg, n_mcu)
-            try:
-                while mcu < seg_end:
-                    my, mx = divmod(mcu, mcux)
-                    for c in scan_comps:
-                        dc_tab = huff[(0, c["dc"])]
-                        ac_tab = huff[(1, c["ac"])]
-                        for by in range(c["v"]):
-                            for bx in range(c["h"]):
-                                blk = np.zeros(64, np.int64)
-                                t = _jpeg_huff_decode(reader, dc_tab)
-                                diff = _jpeg_extend(reader.bits(t), t)
-                                pred[c["id"]] += diff
-                                blk[0] = pred[c["id"]]
-                                k = 1
-                                while k < 64:
-                                    rs = _jpeg_huff_decode(reader, ac_tab)
-                                    r, s = rs >> 4, rs & 0x0F
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError("AC overflow")
-                                    blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                                        reader.bits(s), s)
-                                    k += 1
-                                row = my * c["v"] + by
-                                col = mx * c["h"] + bx
-                                c["blocks"][row * c["bw"] + col] = blk
-                    mcu += 1
-            except (EOFError, ValueError):
-                return None
-        if mcu < n_mcu:
-            return None
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        mcux, n_mcu = frame["mcux"], frame["mcux"] * frame["mcuy"]
 
         # vectorized dequant + IDCT over every block of each component
         k8 = np.arange(8)
@@ -810,7 +997,9 @@ def decode_jpeg(payload: bytes):
         alpha[0] = np.sqrt(0.125)
         A = basis * alpha[None, :]  # x = A @ coeff @ A.T
         planes = []
-        for c in scan_comps:
+        for c in frame["comps"]:
+            if c["tq"] not in qt or "blocks" not in c:
+                return None
             coeffs = (c["blocks"] * qt[c["tq"]][None, :]).astype(np.float64)
             coeffs = coeffs.reshape(-1, 8, 8)
             px = np.einsum("ik,nkl,jl->nij", A, coeffs, A) + 128.0

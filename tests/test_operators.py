@@ -1436,3 +1436,341 @@ def test_text_find_oracle_literals_match_engine_analysis():
         {_fold_py(t.lower()) for t in analyze_terms(["queries", "dáta"], "english")}
     )
     assert derived == ["data", "queri"]
+
+
+def _make_progressive_jpeg(rgb=None, gray=None, subsample=False,
+                           restart=0, ac_al=1):
+    """Hand-built PROGRESSIVE (SOF2) JPEG for golden tests (round 9):
+    identity quant, the same trivial 9-bit canonical Huffman table as
+    ``_make_jpeg``, and a typical scan script — interleaved DC first
+    (Al=1) + DC refine, then per-component AC first scans over two
+    spectral bands at ``ac_al`` with successive-approximation refine
+    passes down to Al=0.  The entropy layer is lossless, so the decoded
+    pixels must equal the BASELINE encoding of the same coefficients
+    bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    def pad8(p):
+        h, w = p.shape
+        return np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge")
+
+    def fdct_blocks(plane):
+        k8 = np.arange(8)
+        basis = np.cos((2 * k8[:, None] + 1) * k8[None, :] * np.pi / 16)
+        alpha = np.full(8, np.sqrt(0.25))
+        alpha[0] = np.sqrt(0.125)
+        A = basis * alpha[None, :]
+        p = pad8(plane.astype(np.float64) - 128.0)
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        return np.round(np.einsum("ki,nkl,lj->nij", A, blocks, A)
+                        ).astype(np.int64), bh, bw
+
+    zz = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    if gray is not None:
+        planes = [np.asarray(gray)]
+        h, w = planes[0].shape
+        samp = [(1, 1)]
+    else:
+        rgb = np.asarray(rgb, np.float64)
+        h, w = rgb.shape[:2]
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2] + 128
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2] + 128
+        if subsample:
+            def box(p):
+                p = pad8(p)
+                return (p[0::2, 0::2] + p[0::2, 1::2]
+                        + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            planes = [y, box(cb), box(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1)] * len(planes)
+
+    coef = []
+    for p in planes:
+        blocks, bh, bw = fdct_blocks(p)
+        coef.append({"blocks": blocks.reshape(-1, 64), "bh": bh, "bw": bw})
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # ---- per-scan bit emitter (trivial 9/10-bit canonical table) ----
+    class Emit:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, code, nbits):
+            for i in range(nbits - 1, -1, -1):
+                self.bits.append((code >> i) & 1)
+
+        def sym(self, s):
+            if s == 255:
+                self.put(510, 10)
+            else:
+                self.put(s, 9)
+
+        def pack(self):
+            bits = list(self.bits)
+            while len(bits) % 8:
+                bits.append(1)
+            raw = bytearray()
+            for i in range(0, len(bits), 8):
+                raw.append(int("".join(map(str, bits[i:i + 8])), 2))
+            return bytes(raw).replace(b"\xff", b"\xff\x00")
+
+    def mag(v):
+        if v == 0:
+            return 0, 0
+        a = abs(v)
+        nb = a.bit_length()
+        return nb, (v if v > 0 else v + (1 << nb) - 1)
+
+    jp = bytearray(b"\xff\xd8")
+    jp += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([1] * 64)
+    nc = len(planes)
+    jp += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i, (sh, sv) in enumerate(samp):
+        jp += bytes([i + 1, (sh << 4) | sv, 0])
+    counts = [0] * 16
+    counts[8] = 255
+    counts[9] = 1
+    for tc_th in (0x00, 0x10):
+        jp += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + 256, tc_th)
+        jp += bytes(counts) + bytes(range(256))
+
+    def sos_header(comp_ids, tables, ss, se, ah, al):
+        out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids),
+                                        len(comp_ids))
+        for cid, tt in zip(comp_ids, tables):
+            out += bytes([cid, tt])
+        return out + bytes([ss, se, (ah << 4) | al])
+
+    def clamp_block(ci, row, col):
+        c = coef[ci]
+        return c["blocks"][min(row, c["bh"] - 1) * c["bw"]
+                           + min(col, c["bw"] - 1)]
+
+    # ---- scan 1: DC first, interleaved, Al=1 (optional restarts) ----
+    if restart:
+        jp += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    jp += sos_header([i + 1 for i in range(nc)], [0x00] * nc, 0, 0, 0, 1)
+    em = Emit()
+    preds = [0] * nc
+    rst = 0
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    v = int(clamp_block(ci, my * sv + by, mx * sh + bx)[0]) >> 1
+                    nb, bits = mag(v - preds[ci])
+                    preds[ci] = v
+                    em.sym(nb)
+                    em.put(bits, nb)
+        if restart and (m + 1) % restart == 0 and m + 1 < mcux * mcuy:
+            jp += em.pack() + bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            em = Emit()
+            preds = [0] * nc
+    jp += em.pack()
+    if restart:  # disable restarts for the remaining scans
+        jp += b"\xff\xdd" + struct.pack(">HH", 4, 0)
+
+    # ---- scan 2: DC refine (Ah=1, Al=0), interleaved, raw bits ----
+    jp += sos_header([i + 1 for i in range(nc)], [0x00] * nc, 0, 0, 1, 0)
+    em = Emit()
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            for by in range(sv):
+                for bx in range(sh):
+                    em.put(int(clamp_block(ci, my * sv + by,
+                                           mx * sh + bx)[0]) & 1, 1)
+    jp += em.pack()
+
+    # ---- per-component AC scans over two bands ----
+    bands = [(1, 5), (6, 63)]
+
+    def comp_grid(ci):
+        sh, sv = samp[ci]
+        comp_w = -(-w * sh // hmax)
+        comp_h = -(-h * sv // vmax)
+        return -(-comp_w // 8), -(-comp_h // 8)
+
+    def ac_first(ci, ss, se, al):
+        nonlocal jp
+        jp += sos_header([ci + 1], [0x00], ss, se, 0, al)
+        em = Emit()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                em.sym(nb << 4)
+                em.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        nbw, nbh = comp_grid(ci)
+        for bi in range(nbw * nbh):
+            blk = clamp_block(ci, bi // nbw, bi % nbw)
+            r = 0
+            any_nz = False
+            for k in range(ss, se + 1):
+                cv = int(blk[zz[k]])
+                v = (abs(cv) >> al) * (1 if cv >= 0 else -1)
+                if v == 0:
+                    r += 1
+                    continue
+                any_nz = True
+                flush_eob()
+                while r > 15:
+                    em.sym(0xF0)
+                    r -= 16
+                nb, bits = mag(v)
+                em.sym((r << 4) | nb)
+                em.put(bits, nb)
+                r = 0
+            if r > 0 or not any_nz:
+                eobrun += 1
+        flush_eob()
+        jp += em.pack()
+
+    def ac_refine(ci, ss, se, al):
+        nonlocal jp
+        jp += sos_header([ci + 1], [0x00], ss, se, al + 1, al)
+        em = Emit()
+        eobrun = 0
+        be = []  # correction bits deferred to the next EOB flush
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                em.sym(nb << 4)
+                em.put(eobrun - (1 << nb), nb)
+                eobrun = 0
+            for b in be:
+                em.put(b, 1)
+            be = []
+
+        nbw, nbh = comp_grid(ci)
+        for bi in range(nbw * nbh):
+            blk = clamp_block(ci, bi // nbw, bi % nbw)
+            absv = [abs(int(blk[zz[k]])) >> al for k in range(ss, se + 1)]
+            eobpos = ss - 1
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eobpos = ss + j
+            r = 0
+            br = []
+            for k in range(ss, se + 1):
+                t = absv[k - ss]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eobpos:
+                    flush_eob()
+                    em.sym(0xF0)
+                    r -= 16
+                    for b in br:
+                        em.put(b, 1)
+                    br = []
+                if t > 1:  # already nonzero: one correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                em.sym((r << 4) | 1)
+                em.put(1 if int(blk[zz[k]]) >= 0 else 0, 1)
+                for b in br:
+                    em.put(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+        flush_eob()
+        jp += em.pack()
+
+    for ci in range(nc):
+        for ss, se in bands:
+            ac_first(ci, ss, se, ac_al)
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(nc):
+            for ss, se in bands:
+                ac_refine(ci, ss, se, al)
+
+    jp += b"\xff\xd9"
+    return bytes(jp)
+
+
+def test_decode_jpeg_progressive_equals_baseline():
+    # the entropy layers (sequential vs progressive) are LOSSLESS over
+    # the same quantized coefficients — decoded pixels must be
+    # bit-identical between the two encodings
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_image, decode_jpeg
+
+    x = np.arange(24)[None, :] + np.arange(16)[:, None] * 3.0
+    gray = np.clip(60 + 4 * np.sin(x / 5.0) * 10 + x, 0, 255).astype(np.uint8)
+    base = decode_jpeg(_make_jpeg(gray=gray))
+    prog = decode_jpeg(_make_progressive_jpeg(gray=gray))
+    assert base is not None and prog is not None
+    assert (prog == base).all()
+    # dispatch routes progressive JPEG magic too
+    assert (decode_image(_make_progressive_jpeg(gray=gray)) == base).all()
+
+    # RGB 4:4:4, odd dims, deeper successive approximation (Al=2 → two
+    # refine passes per band)
+    rng = np.random.default_rng(11)
+    rgb = (rng.integers(0, 256, (13, 21, 3)) // 4 * 4).astype(np.uint8)
+    base = decode_jpeg(_make_jpeg(rgb=rgb))
+    prog = decode_jpeg(_make_progressive_jpeg(rgb=rgb, ac_al=2))
+    assert prog is not None and (prog == base).all()
+
+
+def test_decode_jpeg_progressive_subsampled_and_restart():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_jpeg
+
+    # 4:2:0: interleaved DC scans over 2x2 Y MCUs + per-component AC
+    # scans on each component's own block grid
+    rng = np.random.default_rng(5)
+    rgb = (rng.integers(0, 64, (20, 18, 3)) * 4).astype(np.uint8)
+    base = decode_jpeg(_make_jpeg(rgb=rgb, subsample=True))
+    prog = decode_jpeg(_make_progressive_jpeg(rgb=rgb, subsample=True))
+    assert prog is not None and (prog == base).all()
+
+    # restart markers inside the DC scan (DRI then disabled)
+    rgb = (rng.integers(0, 64, (24, 40, 3)) * 4).astype(np.uint8)
+    base = decode_jpeg(_make_jpeg(rgb=rgb))
+    prog = decode_jpeg(_make_progressive_jpeg(rgb=rgb, restart=2))
+    assert prog is not None and (prog == base).all()
+
+
+def test_decode_jpeg_progressive_out_of_coverage():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_jpeg
+
+    gray = np.full((16, 16), 120, np.uint8)
+    good = _make_progressive_jpeg(gray=gray)
+    assert decode_jpeg(good) is not None
+    # truncation mid-scan and no-scan files → None, never raise
+    assert decode_jpeg(good[:80]) is None
+    assert decode_jpeg(good[: good.find(b"\xff\xda")] + b"\xff\xd9") is None
