@@ -272,17 +272,17 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_png(payload: bytes):
-    """REAL decode for 8-bit-depth non-interlaced PNG (color types
-    0/2/3/4/6) — stdlib ``zlib`` inflate + per-row unfiltering of all
-    five PNG filter types, no codec library (round 8).  None/Sub/Up
-    rows unfilter fully vectorized (Sub is a per-channel prefix sum
-    mod 256); Average/Paeth are two-neighbor sequential recurrences
-    and run per-byte Python — test/thumbnail grade on Paeth-heavy
-    images, same framing as decode_jpeg's entropy loop.  Returns
-    HxWx3 uint8 RGB (palette resolved via PLTE, gray replicated, alpha
-    dropped) or None for bytes outside this parser's coverage (16-bit
-    depth, Adam7 interlace, truncated/corrupt streams) — never
-    raises."""
+    """REAL decode for 8-bit-depth PNG (color types 0/2/3/4/6),
+    non-interlaced AND Adam7-interlaced (round 9) — stdlib ``zlib``
+    inflate + per-row unfiltering of all five PNG filter types, no
+    codec library (round 8).  None/Sub/Up rows unfilter fully
+    vectorized (Sub is a per-channel prefix sum mod 256);
+    Average/Paeth are two-neighbor sequential recurrences and run
+    per-byte Python — test/thumbnail grade on Paeth-heavy images, same
+    framing as decode_jpeg's entropy loop.  Returns HxWx3 uint8 RGB
+    (palette resolved via PLTE, gray replicated, alpha dropped) or
+    None for bytes outside this parser's coverage (16-bit depth,
+    truncated/corrupt streams) — never raises."""
     import struct
     import zlib
 
@@ -317,52 +317,80 @@ def decode_png(payload: bytes):
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if (
         channels is None or depth != 8 or comp != 0 or filt != 0
-        or interlace != 0 or w == 0 or h == 0 or w * h > 100_000_000
+        or interlace not in (0, 1) or w == 0 or h == 0
+        or w * h > 100_000_000
     ):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    rp = 0
-    for y in range(h):
-        f = raw[rp]
-        rp += 1
-        cur = np.frombuffer(raw, np.uint8, stride, rp).astype(np.int32)
-        rp += stride
-        if f == 0:
-            pass
-        elif f == 1:
-            # Sub: left-neighbor recurrence = per-channel prefix sum
-            # mod 256 — fully vectorized
-            cur = (np.cumsum(cur.reshape(-1, channels), axis=0,
-                             dtype=np.int64) & 0xFF).reshape(stride)
-            cur = cur.astype(np.int32)
-        elif f == 2:  # Up: fully vectorized
-            cur = (cur + prev) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = cur[i - channels] if i >= channels else 0
-                cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = int(cur[i - channels]) if i >= channels else 0
-                b = int(prev[i])
-                c = int(prev[i - channels]) if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pr) & 0xFF
-        else:
+
+    def unfilter(rp: int, ph: int, pw: int):
+        # one (sub-)image's filtered scanlines → ph×(pw*channels)
+        # unfiltered bytes; returns (pixels, next offset) or None
+        stride = pw * channels
+        if len(raw) < rp + ph * (stride + 1):
             return None
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    px = out.reshape(h, w, channels)
+        out = np.zeros((ph, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(ph):
+            f = raw[rp]
+            rp += 1
+            cur = np.frombuffer(raw, np.uint8, stride, rp).astype(np.int32)
+            rp += stride
+            if f == 0:
+                pass
+            elif f == 1:
+                # Sub: left-neighbor recurrence = per-channel prefix
+                # sum mod 256 — fully vectorized
+                cur = (np.cumsum(cur.reshape(-1, channels), axis=0,
+                                 dtype=np.int64) & 0xFF).reshape(stride)
+                cur = cur.astype(np.int32)
+            elif f == 2:  # Up: fully vectorized
+                cur = (cur + prev) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = cur[i - channels] if i >= channels else 0
+                    cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = int(cur[i - channels]) if i >= channels else 0
+                    b = int(prev[i])
+                    c = int(prev[i - channels]) if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pr) & 0xFF
+            else:
+                return None
+            out[y] = cur.astype(np.uint8)
+            prev = cur
+        return out.reshape(ph, pw, channels), rp
+
+    if interlace == 0:
+        got = unfilter(0, h, w)
+        if got is None:
+            return None
+        px = got[0]
+    else:
+        # Adam7 (round 9): seven filtered sub-images, each with its own
+        # scanline/filter state, scattered onto the full grid by the
+        # standard (x0, y0, xstep, ystep) lattice
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        rp = 0
+        for x0, y0, xs, ys in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                               (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                               (0, 1, 1, 2)):
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw == 0 or ph == 0:
+                continue
+            got = unfilter(rp, ph, pw)
+            if got is None:
+                return None
+            sub, rp = got
+            px[y0::ys, x0::xs] = sub
     if ctype == 3:  # palette lookup
         if plte is None or len(plte) < 3:
             return None

@@ -1774,3 +1774,72 @@ def test_decode_jpeg_progressive_out_of_coverage():
     # truncation mid-scan and no-scan files → None, never raise
     assert decode_jpeg(good[:80]) is None
     assert decode_jpeg(good[: good.find(b"\xff\xda")] + b"\xff\xd9") is None
+
+
+def _make_png_adam7(img, ctype=2, pass_filter=(0, 1, 2, 0, 1, 2, 0)):
+    """Adam7-interlaced PNG encoder for golden tests (round 9): each
+    pass is an independently-filtered sub-image; filter state (prev
+    row) resets per pass."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    full = img.reshape(h, w, c)
+    raw = bytearray()
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    for (x0, y0, xs, ys), f in zip(passes, pass_filter):
+        sub = full[y0::ys, x0::xs]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * c).astype(np.int32)
+        prev = np.zeros(pw * c, dtype=np.int32)
+        for y in range(ph):
+            cur = flat[y]
+            if f == 0:
+                line = cur
+            elif f == 1:
+                line = cur.copy()
+                line[c:] = (cur[c:] - cur[:-c]) & 0xFF
+            else:  # f == 2
+                line = (cur - prev) & 0xFF
+            raw.append(f)
+            raw.extend(line.astype(np.uint8).tobytes())
+            prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_decode_png_adam7_interlaced():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(9)
+    # odd dims exercise empty/partial passes
+    img = rng.integers(0, 256, (13, 11, 3)).astype(np.uint8)
+    got = decode_png(_make_png_adam7(img))
+    assert got is not None and (got == img).all()
+    # tiny images where several passes are empty
+    for dims in ((1, 1, 3), (2, 3, 3), (5, 4, 3), (8, 8, 3)):
+        img = rng.integers(0, 256, dims).astype(np.uint8)
+        got = decode_png(_make_png_adam7(img))
+        assert got is not None and (got == img).all(), dims
+    # grayscale interlaced
+    gray = rng.integers(0, 256, (9, 7)).astype(np.uint8)
+    got = decode_png(_make_png_adam7(gray, ctype=0))
+    assert (got[:, :, 0] == gray).all() and (got[:, :, 1] == gray).all()
+    # truncated interlaced stream → None
+    full = _make_png_adam7(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
+    assert decode_png(full[:60]) is None
