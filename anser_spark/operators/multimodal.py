@@ -279,10 +279,11 @@ def decode_png(payload: bytes):
     vectorized (Sub is a per-channel prefix sum mod 256);
     Average/Paeth are two-neighbor sequential recurrences and run
     per-byte Python — test/thumbnail grade on Paeth-heavy images, same
-    framing as decode_jpeg's entropy loop.  Returns HxWx3 uint8 RGB
+    framing as decode_jpeg's entropy loop.  16-bit depth (round 9)
+    reduces to 8 bits via the high byte.  Returns HxWx3 uint8 RGB
     (palette resolved via PLTE, gray replicated, alpha dropped) or
-    None for bytes outside this parser's coverage (16-bit depth,
-    truncated/corrupt streams) — never raises."""
+    None for bytes outside this parser's coverage (1/2/4-bit packed
+    depths, truncated/corrupt streams) — never raises."""
     import struct
     import zlib
 
@@ -316,20 +317,26 @@ def decode_png(payload: bytes):
     )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if (
-        channels is None or depth != 8 or comp != 0 or filt != 0
+        channels is None or depth not in (8, 16) or comp != 0 or filt != 0
         or interlace not in (0, 1) or w == 0 or h == 0
         or w * h > 100_000_000
+        or (depth == 16 and ctype == 3)  # palette is 8-bit-only by spec
     ):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
+    # PNG filters operate on BYTES with the left neighbor one whole
+    # pixel back — bpp bytes — so 16-bit depth (round 9) reuses the
+    # same unfiltering verbatim; the high byte of each big-endian
+    # sample is the standard 16→8 reduction afterwards
+    bpp = channels * (depth // 8)
 
     def unfilter(rp: int, ph: int, pw: int):
-        # one (sub-)image's filtered scanlines → ph×(pw*channels)
+        # one (sub-)image's filtered scanlines → ph×(pw*bpp)
         # unfiltered bytes; returns (pixels, next offset) or None
-        stride = pw * channels
+        stride = pw * bpp
         if len(raw) < rp + ph * (stride + 1):
             return None
         out = np.zeros((ph, stride), dtype=np.uint8)
@@ -342,22 +349,22 @@ def decode_png(payload: bytes):
             if f == 0:
                 pass
             elif f == 1:
-                # Sub: left-neighbor recurrence = per-channel prefix
+                # Sub: left-neighbor recurrence = per-byte-lane prefix
                 # sum mod 256 — fully vectorized
-                cur = (np.cumsum(cur.reshape(-1, channels), axis=0,
+                cur = (np.cumsum(cur.reshape(-1, bpp), axis=0,
                                  dtype=np.int64) & 0xFF).reshape(stride)
                 cur = cur.astype(np.int32)
             elif f == 2:  # Up: fully vectorized
                 cur = (cur + prev) & 0xFF
             elif f == 3:  # Average
                 for i in range(stride):
-                    a = cur[i - channels] if i >= channels else 0
+                    a = cur[i - bpp] if i >= bpp else 0
                     cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
             elif f == 4:  # Paeth
                 for i in range(stride):
-                    a = int(cur[i - channels]) if i >= channels else 0
+                    a = int(cur[i - bpp]) if i >= bpp else 0
                     b = int(prev[i])
-                    c = int(prev[i - channels]) if i >= channels else 0
+                    c = int(prev[i - bpp]) if i >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -366,7 +373,8 @@ def decode_png(payload: bytes):
                 return None
             out[y] = cur.astype(np.uint8)
             prev = cur
-        return out.reshape(ph, pw, channels), rp
+        px = out.reshape(ph, pw, channels, depth // 8)
+        return px[:, :, :, 0], rp  # high byte == 8-bit value at depth 8
 
     if interlace == 0:
         got = unfilter(0, h, w)

@@ -1843,3 +1843,45 @@ def test_decode_png_adam7_interlaced():
     # truncated interlaced stream → None
     full = _make_png_adam7(rng.integers(0, 256, (16, 16, 3)).astype(np.uint8))
     assert decode_png(full[:60]) is None
+
+
+def test_decode_png_16bit_depth():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(4)
+    img16 = rng.integers(0, 65536, (6, 5, 3)).astype(np.uint16)
+    h, w = img16.shape[:2]
+    flat = img16.reshape(h, -1)
+    raw = bytearray()
+    prev = np.zeros(w * 6, np.int32)
+    for y in range(h):
+        be = flat[y].astype(">u2").tobytes()
+        cur = np.frombuffer(be, np.uint8).astype(np.int32)
+        f = 2 if y % 2 else 0  # mix None and Up filters (byte-wise)
+        line = (cur - prev) & 0xFF if f == 2 else cur
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got is not None
+    assert (got == (img16 >> 8).astype(np.uint8)).all()
+    # 16-bit palette type is illegal per spec → None
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert decode_png(bad) is None
