@@ -476,68 +476,89 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
     return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
 
 
-def decode_gif(payload: bytes):
-    """REAL decode for the FIRST frame of a GIF87a/GIF89a — stdlib-only
-    LZW + numpy palette lookup (round 8; GIF needs no codec library,
-    same policy as the BMP/PPM/PNG/WAV decoders).  The frame is
-    composed onto the logical screen (background-filled) at its
-    (left, top) offset; interlaced frames are de-interlaced; local
-    color tables override the global one.  Returns HxWx3 uint8 RGB or
-    None for bytes outside this parser's coverage — never raises.
-    Animation is out of scope (first frame only, like thumbnailing)."""
+def _gif_frames(payload: bytes):
+    """Yield the COMPOSED frames of a GIF87a/GIF89a in order (round 9:
+    full animation support) — stdlib-only LZW + numpy palette lookup.
+    Each yielded frame is the logical screen after rendering that
+    image block: background-filled canvas, (left, top) placement,
+    de-interlacing, local color tables, and the GIF89a graphic-control
+    semantics — transparent-pixel passthrough and disposal methods
+    none/keep (0/1), restore-to-background (2), restore-to-previous
+    (3).  Stops (yields nothing more) at the first malformed block."""
     import struct
 
     import numpy as np
 
     if not payload or len(payload) < 13 or payload[:4] != b"GIF8":
-        return None
+        return
     if payload[4:6] not in (b"7a", b"9a"):
-        return None
+        return
     sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
     if sw == 0 or sh == 0 or sw * sh > 100_000_000:
-        return None
+        return
     pos = 13
     global_pal = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         if len(payload) < pos + 3 * n:
-            return None
+            return
         global_pal = np.frombuffer(
             payload, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+
+    # the background color index is defined against the GLOBAL color
+    # table ONLY (review round 8; GIF89a spec §18) — with no global
+    # table the index is meaningless, so fill with black rather than
+    # indexing a frame-local palette with it (round 9 ADVICE)
+    if global_pal is not None and bg_idx < len(global_pal):
+        bg = global_pal[bg_idx]
+    else:
+        bg = np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+    transparent = None
+    disposal = 0
 
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            return None  # no image descriptor seen
-        if block == 0x21:  # extension: label + sub-blocks, skip
+            return
+        if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(payload):
-                return None
+                return
+            label = payload[pos]
             pos += 1
+            if (
+                label == 0xF9  # graphic control: applies to next image
+                and pos < len(payload) and payload[pos] >= 4
+                and len(payload) >= pos + 5
+            ):
+                gflags = payload[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                transparent = payload[pos + 4] if gflags & 0x01 else None
             while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if block != 0x2C:  # not an image descriptor
-            return None
+            return
         if len(payload) < pos + 9:
-            return None
+            return
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if w == 0 or h == 0:
-            return None
+            return
         pal = global_pal
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
             if len(payload) < pos + 3 * n:
-                return None
+                return
             pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
             pos += 3 * n
         if pal is None:
-            return None
+            return
         if pos >= len(payload):
-            return None
+            return
         min_code_size = payload[pos]
         pos += 1
         chunks = []
@@ -545,9 +566,10 @@ def decode_gif(payload: bytes):
             ln = payload[pos]
             chunks.append(payload[pos + 1:pos + 1 + ln])
             pos += 1 + ln
+        pos += 1  # sub-block terminator
         idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
         if idx is None:
-            return None
+            return
         rows = np.frombuffer(idx, np.uint8).reshape(h, w)
         if iflags & 0x40:  # interlaced: 4-pass row order
             ordered = np.empty_like(rows)
@@ -560,25 +582,42 @@ def decode_gif(payload: bytes):
                 src += n_rows
             rows = ordered
         if int(rows.max()) >= len(pal):
-            return None
-        frame = pal[rows]
-        if left == 0 and top == 0 and w == sw and h == sh:
-            return frame
-        # compose onto the background-filled logical screen; the
-        # background color index is defined against the GLOBAL color
-        # table ONLY (review round 8; GIF89a spec §18) — with no global
-        # table the index is meaningless, so fill with black rather
-        # than indexing a frame-local palette with it (round 9 ADVICE)
-        if global_pal is not None and bg_idx < len(global_pal):
-            bg = global_pal[bg_idx]
-        else:
-            bg = np.zeros(3, np.uint8)
-        canvas = np.broadcast_to(bg, (sh, sw, 3)).copy()
+            return
         y1, x1 = min(top + h, sh), min(left + w, sw)
-        if top >= sh or left >= sw:
-            return canvas
-        canvas[top:y1, left:x1] = frame[: y1 - top, : x1 - left]
-        return canvas
+        if top < sh and left < sw:
+            prev = canvas.copy() if disposal == 3 else None
+            sub_rows = rows[: y1 - top, : x1 - left]
+            frame = pal[sub_rows]
+            region = canvas[top:y1, left:x1]
+            if transparent is not None:
+                mask = sub_rows != transparent
+                region[mask] = frame[mask]
+            else:
+                region[:] = frame
+            yield canvas.copy()
+            if disposal == 2:  # restore to background
+                canvas[top:y1, left:x1] = bg
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+        else:
+            yield canvas.copy()
+        transparent = None
+        disposal = 0
+
+
+def decode_gif(payload: bytes):
+    """REAL decode for the FIRST frame of a GIF87a/GIF89a — stdlib-only
+    LZW + numpy palette lookup (round 8; GIF needs no codec library,
+    same policy as the BMP/PPM/PNG/WAV decoders).  The frame is
+    composed onto the logical screen (background-filled) at its
+    (left, top) offset; interlaced frames are de-interlaced; local
+    color tables override the global one; GIF89a transparency shows
+    the background through (round 9).  Returns HxWx3 uint8 RGB or None
+    for bytes outside this parser's coverage — never raises.  For
+    animation, :func:`decode_video_frame` returns the nth composed
+    frame."""
+    for frame in _gif_frames(bytes(payload or b"")):
+        return frame
     return None
 
 
@@ -1103,14 +1142,22 @@ def _avi_mjpeg_frames(payload: bytes):
 
 
 def decode_video_frame(payload: bytes, frame_index: int = 0):
-    """REAL first/nth-frame decode for MJPEG-in-AVI video (round 8):
-    the container walk is stdlib struct, each frame is a baseline JPEG
-    handled by :func:`decode_jpeg`.  Returns HxWx3 uint8 RGB or None —
-    other codecs (H.264 etc.) genuinely need a codec library; plug one
-    in via the ``decode=`` hooks."""
+    """REAL first/nth-frame decode for MJPEG-in-AVI video (round 8)
+    and ANIMATED GIF (round 9): the AVI container walk is stdlib
+    struct with each frame a JPEG handled by :func:`decode_jpeg`; GIF
+    frames come fully composed (transparency + disposal) from
+    :func:`_gif_frames`.  Returns HxWx3 uint8 RGB or None — other
+    codecs (H.264 etc.) genuinely need a codec library; plug one in
+    via the ``decode=`` hooks."""
     if frame_index < 0:
         return None
-    for i, jpg in enumerate(_avi_mjpeg_frames(bytes(payload or b""))):
+    payload = bytes(payload or b"")
+    if payload[:4] == b"GIF8":
+        for i, frame in enumerate(_gif_frames(payload)):
+            if i == frame_index:
+                return frame
+        return None
+    for i, jpg in enumerate(_avi_mjpeg_frames(payload)):
         if i == frame_index:
             return decode_jpeg(jpg)
     return None

@@ -1885,3 +1885,103 @@ def test_decode_png_16bit_depth():
            + chunk(b"IDAT", zlib.compress(bytes(raw)))
            + chunk(b"IEND", b""))
     assert decode_png(bad) is None
+
+
+def _make_animated_gif(frames, palette, screen, gces=None):
+    """Multi-frame GIF for golden tests: ``frames`` is a list of
+    (img_rows, left, top); ``gces`` optional per-frame
+    (disposal, transparent_index_or_None)."""
+    import struct
+
+    sw, sh = screen
+    pal_bits = max(1, (max(len(palette) - 1, 1)).bit_length())
+    pal_n = 1 << pal_bits
+    pal_bytes = b"".join(bytes(c) for c in palette)
+    pal_bytes += b"\x00" * (3 * pal_n - len(pal_bytes))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (pal_bits - 1), 0, 0)
+    out += pal_bytes
+    for i, (img, left, top) in enumerate(frames):
+        disposal, tindex = (gces or [(0, None)] * len(frames))[i]
+        gflags = (disposal << 2) | (1 if tindex is not None else 0)
+        out += bytes([0x21, 0xF9, 4, gflags, 0, 0,
+                      tindex if tindex is not None else 0, 0])
+        h, w = len(img), len(img[0])
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        min_code = max(2, pal_bits)
+        out += bytes([min_code])
+        stream = _gif_pack_uncompressed(
+            [px for row in img for px in row], min_code)
+        for j in range(0, len(stream), 255):
+            chunk = stream[j:j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_decode_gif_animation_frames():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import (
+        decode_gif,
+        decode_video_frame,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    # frame 0: full-screen red/green checker; frame 1: 1x1 blue patch
+    # at (1,1) with disposal keep; frame 2: green patch at (0,0) with
+    # transparency showing frame 1's state underneath
+    f0 = [[0, 1], [1, 0]]
+    f1 = [[2]]
+    f2 = [[3, 1]]  # index 3 transparent in this frame
+    gif = _make_animated_gif(
+        [(f0, 0, 0), (f1, 1, 1), (f2, 0, 0)], pal, (2, 2),
+        gces=[(1, None), (1, None), (1, 3)],
+    )
+    g0 = decode_video_frame(gif, 0)
+    g1 = decode_video_frame(gif, 1)
+    g2 = decode_video_frame(gif, 2)
+    assert (g0 == np.array([[pal[0], pal[1]], [pal[1], pal[0]]],
+                           np.uint8)).all()
+    # frame 1 composes onto frame 0 (disposal keep)
+    exp1 = np.array([[pal[0], pal[1]], [pal[1], pal[2]]], np.uint8)
+    assert (g1 == exp1).all()
+    # frame 2: transparent at (0,0) keeps red; (0,1) painted green
+    exp2 = exp1.copy()
+    exp2[0, 1] = pal[1]
+    assert (g2 == exp2).all()
+    # first frame via decode_gif matches frame 0; out-of-range → None
+    assert (decode_gif(gif) == g0).all()
+    assert decode_video_frame(gif, 3) is None
+
+
+def test_decode_gif_disposal_background_and_previous():
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_video_frame
+
+    pal = [(200, 0, 0), (0, 200, 0), (0, 0, 200)]
+    full = [[1, 1], [1, 1]]
+    patch = [[2]]
+    # frame 0 paints green, disposal=2 (restore bg = pal[0] red);
+    # frame 1 then paints a blue 1x1 at (0,0) over a red canvas
+    gif = _make_animated_gif(
+        [(full, 0, 0), (patch, 0, 0)], pal, (2, 2),
+        gces=[(2, None), (0, None)],
+    )
+    g1 = decode_video_frame(gif, 1)
+    exp = np.broadcast_to(np.array(pal[0], np.uint8), (2, 2, 3)).copy()
+    exp[0, 0] = pal[2]
+    assert (g1 == exp).all()
+
+    # disposal=3 (restore previous): frame 1's patch vanishes in
+    # frame 2's base
+    gif = _make_animated_gif(
+        [(full, 0, 0), (patch, 0, 0), ([[0]], 1, 1)], pal, (2, 2),
+        gces=[(1, None), (3, None), (0, None)],
+    )
+    g2 = decode_video_frame(gif, 2)
+    exp = np.broadcast_to(np.array(pal[1], np.uint8), (2, 2, 3)).copy()
+    exp[1, 1] = pal[0]
+    assert (g2 == exp).all()
