@@ -1799,9 +1799,15 @@ class Collection:
         9: the steady-state ingest shape, e.g. a foreachBatch loop
         appending documents), otherwise by full rebuild.
 
-        The incremental path applies the CDC diff
-        (:meth:`Engine.diff_versions` between the index's
-        ``built_at_version`` and now) to a bm25 postings index:
+        Two index kinds refresh incrementally; ``kind="ivf"`` always
+        rebuilds (its centroids are a sample of the whole corpus).
+
+        ``kind="minhash"``: the new documents' signatures and banded
+        rows simply APPEND to the stored tables (per-document MinHash
+        is independent of the rest of the corpus, so the result is
+        exactly a fresh rebuild).
+
+        ``kind="bm25"``: the CDC diff applies to the postings index:
 
         - the NEW documents' postings append to the postings table
           (their own range-sorted files — footer pruning still holds
@@ -1834,6 +1840,53 @@ class Collection:
             self.create_search_index(name, d)
             return {"mode": "rebuild", "inserted": 0}
 
+        def _insert_only_delta():
+            # (added frame, or None → caller rebuilds): retention must
+            # still cover built_at, and the diff must be insert-only
+            try:
+                diff = self.diff_versions(str(d["built_at_version"]))
+                if diff.where(
+                    F.col("change_type") == "removed"
+                ).limit(1).count():
+                    return None
+            except NotFoundError:
+                return None
+            return diff.where(
+                F.col("change_type") == "added"
+            ).drop("change_type")
+
+        if d.get("kind") == "minhash" and d.get("sig_dir") and d.get(
+            "bands_dir"
+        ):
+            added = (
+                _insert_only_delta()
+                if d.get("built_at_version") is not None else None
+            )
+            if added is None:
+                return _rebuild()
+            path = d.get("path", "text")
+            id_col = d.get("id_col", "_id")
+            if path not in added.columns or id_col not in added.columns:
+                return _rebuild()
+            from anser_spark.operators.dedup import (
+                banded_signatures,
+                minhash_signature_arrow,
+            )
+
+            sig = minhash_signature_arrow(
+                added, id_col, path, int(d["k"]), int(d["numHashes"]),
+                int(d["seed"]),
+            ).localCheckpoint()
+            n_new = sig.count()
+            if n_new:
+                sig.write.mode("append").parquet(str(d["sig_dir"]))
+                banded_signatures(
+                    sig, id_col, int(d["numHashes"]), int(d["bands"])
+                ).write.mode("append").parquet(str(d["bands_dir"]))
+            d["built_at_version"] = cur
+            self._write_search_index(name, d)
+            return {"mode": "incremental", "inserted": int(n_new)}
+
         if (
             d.get("kind") != "bm25"
             or not d.get("postings_dir")
@@ -1842,17 +1895,9 @@ class Collection:
             or d.get("built_at_version") is None
         ):
             return _rebuild()
-        try:
-            diff = self.diff_versions(str(d["built_at_version"]))
-            # one pass over the (small) diff: removals force a rebuild
-            first_removed = (
-                diff.where(F.col("change_type") == "removed").limit(1).count()
-            )
-        except NotFoundError:
-            return _rebuild()  # retention no longer covers built_at
-        if first_removed:
+        added = _insert_only_delta()
+        if added is None:
             return _rebuild()
-        added = diff.where(F.col("change_type") == "added").drop("change_type")
         path = d.get("path", "text")
         id_col = d.get("id_col", "_id")
         if path not in added.columns or id_col not in added.columns:

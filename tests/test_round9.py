@@ -711,3 +711,55 @@ def test_extract_audio_features_dispatch(spark):
     assert got["aiff"]["rms"] == pytest.approx(got["au"]["rms"])
     assert got["junk"]["sample_rate"] is None
     assert got["none"]["sample_rate"] is None
+
+
+def test_refresh_minhash_incremental_appends(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9mh"))
+    c = eng.db("t").collection("docs")
+    c.set_retention(4)
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a completely different document about sparks and data",
+        "the quick brown fox jumps over the lazy dog tonight",
+    ]
+    c.insert_many([{"_id": i, "text": t} for i, t in enumerate(texts)])
+    c.create_search_index("mh", {
+        "kind": "minhash", "id_col": "_id", "numHashes": 32,
+        "bands": 16, "k": 3,
+    })
+    assert c.refresh_search_index("mh") == {"mode": "noop", "inserted": 0}
+    # insert a near-duplicate of doc 0 → incremental append
+    c.insert_many([{
+        "_id": 9,
+        "text": "the quick brown fox jumps over the lazy dog today!",
+    }])
+    out = c.refresh_search_index("mh")
+    assert out == {"mode": "incremental", "inserted": 1}
+    assert c.search_index_status("mh")["stale"] is False
+    d = dict(c._load_search_index("mh", warn_stale=False))
+    # the appended tables equal a fresh rebuild (signatures are
+    # per-document deterministic under the same seed)
+    c.create_search_index("mh2", {
+        "kind": "minhash", "id_col": "_id", "numHashes": 32,
+        "bands": 16, "k": 3,
+    })
+    d2 = dict(c._load_search_index("mh2", warn_stale=False))
+    sig_a = {
+        (r["_id"], tuple(r["__minhash"]), tuple(sorted(r["__shash"])))
+        for r in spark.read.parquet(d["sig_dir"]).collect()
+    }
+    sig_b = {
+        (r["_id"], tuple(r["__minhash"]), tuple(sorted(r["__shash"])))
+        for r in spark.read.parquet(d2["sig_dir"]).collect()
+    }
+    assert sig_a == sig_b and len(sig_a) == 4
+    bands_a = {
+        tuple(r) for r in spark.read.parquet(d["bands_dir"]).collect()
+    }
+    bands_b = {
+        tuple(r) for r in spark.read.parquet(d2["bands_dir"]).collect()
+    }
+    assert bands_a == bands_b
+    # an update forces rebuild
+    c.update_all({"_id": 1}, {"$set": {"text": "rewritten entirely"}})
+    assert c.refresh_search_index("mh")["mode"] == "rebuild"
