@@ -1341,9 +1341,10 @@ def decode_aiff(payload: bytes) -> dict | None:
         # 80-bit IEEE 754 extended: 1 sign, 15 exponent, 64 mantissa
         (se,) = struct.unpack_from(">H", comm, 8)
         (mant,) = struct.unpack_from(">Q", comm, 10)
-        if se & 0x7FFF == 0 and mant == 0:
-            return None
-        sr = mant * 2.0 ** ((se & 0x7FFF) - 16383 - 63)
+        exp = se & 0x7FFF
+        if exp == 0x7FFF or (exp == 0 and mant == 0):
+            return None  # inf/NaN sample rate, or zero
+        sr = mant * 2.0 ** (exp - 16383 - 63)
         if se & 0x8000:
             sr = -sr
         sr = int(round(sr))
@@ -1425,7 +1426,7 @@ def decode_au(payload: bytes) -> dict | None:
     if sr <= 0 or ch <= 0 or offset < 24 or offset > len(payload):
         return None
     data = payload[offset:]
-    if size not in (0xFFFFFFFF, 0):
+    if size != 0xFFFFFFFF:  # 0xFFFFFFFF = length unknown, use all bytes
         data = data[:size]
     if enc == 1:  # 8-bit µ-law
         x = _mulaw_table()[np.frombuffer(data, np.uint8)]

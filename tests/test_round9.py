@@ -763,3 +763,26 @@ def test_refresh_minhash_incremental_appends(spark, tmp_path):
     # an update forces rebuild
     c.update_all({"_id": 1}, {"$set": {"text": "rewritten entirely"}})
     assert c.refresh_search_index("mh")["mode"] == "rebuild"
+
+
+def test_audio_decode_header_edge_cases():
+    import struct
+
+    from anser_spark.operators.multimodal import decode_aiff, decode_au
+
+    # AU size field 0 means ZERO data bytes, not "unknown"
+    pcm = b"".join(struct.pack(">h", v) for v in [100, -100] * 4)
+    got = decode_au(b".snd" + struct.pack(">IIIII", 24, 0, 3, 8000, 1) + pcm)
+    assert got is not None and got["n_frames"] == 0 and got["rms"] == 0.0
+    # 0xFFFFFFFF means unknown → use all payload bytes
+    got = decode_au(
+        b".snd" + struct.pack(">IIIII", 24, 0xFFFFFFFF, 3, 8000, 1) + pcm)
+    assert got["n_frames"] == 8
+    # AIFF with an infinity/NaN 80-bit sample rate → None, never raise
+    comm = struct.pack(">HIH", 1, 4, 16) + struct.pack(">HQ", 0x7FFF, 1 << 63)
+    ssnd = struct.pack(">II", 0, 0) + b"\x00" * 8
+    body = b"AIFF"
+    for cid, c in ((b"COMM", comm), (b"SSND", ssnd)):
+        body += cid + struct.pack(">I", len(c)) + c
+    bad = b"FORM" + struct.pack(">I", len(body)) + body
+    assert decode_aiff(bad) is None
