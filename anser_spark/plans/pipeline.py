@@ -1085,6 +1085,100 @@ def _search_text_terms(spec: Mapping[str, Any]) -> list[str]:
     return analyze_terms(words, _search_analyzer(spec))
 
 
+# structured (non-relevance) $search operators: predicate + constant
+# score — safe to evaluate as pure Columns over a postings-joined frame
+_SEARCH_STRUCTURED_OPS = {"equals", "range", "exists", "in", "wildcard"}
+
+
+def _search_compound_postings(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    index: Mapping[str, Any],
+    score_field: str,
+) -> DataFrame | None:
+    """The common Atlas compound shape — ONE ``text`` clause in
+    ``must`` anchoring relevance, everything else structured
+    (equals/range/exists/in/wildcard) — answered from the postings
+    index (round 9): candidates come from the text clause's postings
+    lookup (no corpus scan, no Python), and the structured clauses
+    apply as pure Columns over that bounded frame with exactly the
+    scan path's scoring (must/should constant scores sum onto the
+    BM25; per-clause and compound-level score options respected).
+    Returns None when the shape doesn't fit — the scan compile handles
+    it unchanged."""
+    from anser_spark.operators.ranking import search_text_postings
+
+    must = list(spec.get("must", []))
+    filt = list(spec.get("filter", []))
+    must_not = list(spec.get("mustNot", []))
+    should = list(spec.get("should", []))
+    if not (must or filt or must_not or should):
+        return None  # scan path raises the proper error
+
+    def _op_of(clause):
+        if not isinstance(clause, Mapping) or len(clause) != 1:
+            return None
+        return next(iter(clause))
+
+    text_pos = [i for i, c in enumerate(must) if _op_of(c) == "text"]
+    if len(text_pos) != 1:
+        return None
+    rest_must = [c for i, c in enumerate(must) if i != text_pos[0]]
+    for clause in rest_must + filt + must_not + should:
+        if _op_of(clause) not in _SEARCH_STRUCTURED_OPS:
+            return None
+    tclause = must[text_pos[0]]["text"]
+    if not (isinstance(tclause, Mapping)
+            and "query" in tclause and "path" in tclause):
+        return None
+    if _search_analyzer(tclause) != (
+        index.get("default_language", "none") or "none"
+    ):
+        return None
+    terms = _search_text_terms(tclause)
+    if not terms:
+        return None
+    out = search_text_postings(
+        df, terms, str(tclause["path"]), index, "__compoundText"
+    )
+    if out is None:
+        return None
+    text_score = _search_score_option(tclause, F.col("__compoundText"))
+
+    compiled_must = [_one_search_op(df, c) for c in rest_must]
+    compiled_filt = [_one_search_op(df, c) for c in filt]
+    compiled_not = [_one_search_op(df, c) for c in must_not]
+    compiled_should = [_one_search_op(df, c) for c in should]
+    min_should = int(spec.get("minimumShouldMatch", 0))
+    # the text clause in must anchors the match, so Lucene's
+    # should-is-optional rule applies unless minimumShouldMatch is set
+    pred = None
+    for p, _s in compiled_must + compiled_filt:
+        pred = p if pred is None else pred & p
+    for p, _s in compiled_not:
+        np_ = ~F.coalesce(p, F.lit(False))
+        pred = np_ if pred is None else pred & np_
+    if compiled_should and min_should > 0:
+        n_matched = None
+        for p, _s in compiled_should:
+            one = F.coalesce(p, F.lit(False)).cast("int")
+            n_matched = one if n_matched is None else n_matched + one
+        sp = n_matched >= F.lit(min_should)
+        pred = sp if pred is None else pred & sp
+    score = text_score
+    for p, s in compiled_must:
+        score = score + F.when(p, s).otherwise(F.lit(0.0))
+    for p, s in compiled_should:
+        score = score + F.when(
+            F.coalesce(p, F.lit(False)), s
+        ).otherwise(F.lit(0.0))
+    if pred is not None:
+        out = out.where(F.coalesce(pred, F.lit(False)))
+    return out.withColumn(
+        score_field, _search_score_option(spec, score).cast("double")
+    ).drop("__compoundText")
+
+
 def _search_score_option(spec: Mapping[str, Any], score: Column) -> Column:
     """Atlas per-operator ``score`` option: ``{"boost": {"value": w}}``
     multiplies, ``{"constant": {"value": c}}`` replaces."""
@@ -1837,6 +1931,13 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                                 spec, F.col(score_field)
                             ).cast("double"),
                         )
+        elif op == "compound" and index.get("postings_dir") and isinstance(
+            spec, Mapping
+        ):
+            # round 9: one text clause in must + structured rest —
+            # candidates from postings, rest as Columns on the
+            # bounded frame (see _search_compound_postings)
+            out = _search_compound_postings(df, spec, index, score_field)
         n_docs = int(index["n_docs"])
         avgdl = float(index["avgdl"])
         terms_dir = str(index["terms_dir"])

@@ -786,3 +786,78 @@ def test_audio_decode_header_edge_cases():
         body += cid + struct.pack(">I", len(c)) + c
     bad = b"FORM" + struct.pack(">I", len(body)) + body
     assert decode_aiff(bad) is None
+
+
+def test_search_compound_text_postings_parity(spark, tmp_path):
+    # compound {must: [text, range], filter: [exists], mustNot:
+    # [equals], should: [in]} — the common Atlas shape: with a fresh
+    # index the text leg answers from postings and everything else
+    # applies over the bounded candidates, scoring EXACTLY as the
+    # scan compile
+    eng = Engine(spark, workdir=str(tmp_path / "r9cp"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": i, "text": t, "views": i * 10,
+         "cat": "a" if i % 2 else "b"}
+        for i, t in enumerate([
+            "the running cluster runs fast", "run it again later",
+            "nothing here", "spark running quickly", "running on empty",
+            None,
+        ])
+    ])
+    stage = {"compound": {
+        "must": [
+            {"text": {"query": "running runs", "path": "text",
+                      "analyzer": "lucene.english",
+                      "score": {"boost": {"value": 2.0}}}},
+            {"range": {"path": "views", "gte": 10}},
+        ],
+        "filter": [{"exists": {"path": "cat"}}],
+        "mustNot": [{"equals": {"path": "cat", "value": "b"}}],
+        "should": [{"in": {"path": "views", "value": [30, 40]}}],
+    }}
+    base = {r["_id"]: r["score"] for r in c.pipe([
+        {"$search": dict(stage)},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    assert base  # the shape matches something
+    c.create_search_index("cpx", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+    })
+    indexed = {r["_id"]: r["score"] for r in c.pipe([
+        {"$search": dict(stage, index="cpx")},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    assert base == indexed  # EXACT parity
+    # plan: no Python kernel through the postings compound
+    df = c.pipe([{"$search": dict(stage, index="cpx")}]).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # minimumShouldMatch pins the should clause on both paths
+    stage2 = {"compound": {
+        "must": [{"text": {"query": "running", "path": "text",
+                           "analyzer": "lucene.english"}}],
+        "should": [{"in": {"path": "views", "value": [30, 40]}}],
+        "minimumShouldMatch": 1,
+    }}
+    a = {r["_id"]: r["score"] for r in c.pipe([
+        {"$search": dict(stage2)},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    b = {r["_id"]: r["score"] for r in c.pipe([
+        {"$search": dict(stage2, index="cpx")},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    assert a == b and set(a) == {3, 4}
+    # ineligible shapes (two text clauses / phrase clause) fall back
+    # and still answer
+    tricky = {"compound": {"must": [
+        {"text": {"query": "running", "path": "text",
+                  "analyzer": "lucene.english"}},
+        {"phrase": {"query": "on empty", "path": "text"}},
+    ]}}
+    a = sorted(r["_id"] for r in c.pipe([
+        {"$search": dict(tricky, index="cpx")},
+        {"$project": {"_id": 1}},
+    ]).all())
+    assert a == [4]
