@@ -1985,3 +1985,34 @@ def test_decode_gif_disposal_background_and_previous():
     exp = np.broadcast_to(np.array(pal[1], np.uint8), (2, 2, 3)).copy()
     exp[1, 1] = pal[0]
     assert (g2 == exp).all()
+
+
+def test_decode_jpeg_progressive_fuzz_configs():
+    # randomized sweep over image shapes × scan scripts: progressive
+    # must always decode bit-identical to the baseline encoding of the
+    # same coefficients (the entropy layers are lossless)
+    import numpy as np
+
+    from anser_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(31337)
+    for trial in range(6):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        subsample = bool(rng.integers(0, 2))
+        ac_al = int(rng.integers(1, 4))
+        restart = int(rng.choice([0, 0, 2, 3]))
+        if rng.random() < 0.3:
+            gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            base = decode_jpeg(_make_jpeg(gray=gray))
+            prog = decode_jpeg(_make_progressive_jpeg(
+                gray=gray, ac_al=ac_al, restart=restart))
+        else:
+            rgb = (rng.integers(0, 64, (h, w, 3)) * 4).astype(np.uint8)
+            base = decode_jpeg(_make_jpeg(rgb=rgb, subsample=subsample))
+            prog = decode_jpeg(_make_progressive_jpeg(
+                rgb=rgb, subsample=subsample, ac_al=ac_al,
+                restart=restart))
+        assert base is not None and prog is not None, trial
+        assert (prog == base).all(), (
+            trial, h, w, subsample, ac_al, restart)
