@@ -861,3 +861,65 @@ def test_search_compound_text_postings_parity(spark, tmp_path):
         {"$project": {"_id": 1}},
     ]).all())
     assert a == [4]
+
+
+def test_streaming_ingest_then_incremental_index_refresh(spark, tmp_path):
+    # the steady-state loop end to end: micro-batches stream into a
+    # collection (exactly-once foreachBatch), then ONE
+    # refresh_search_index call brings the postings index up to date
+    # incrementally, and $text immediately answers from postings with
+    # the new documents included
+    import pandas as pd
+
+    from anser_spark.streaming.ingest import stream_into_collection
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    eng = Engine(spark, workdir=str(tmp_path / "r9si"))
+    c = eng.db("t").collection("docs")
+    c.set_retention(6)
+
+    def drop(name, rows):
+        pd.DataFrame(rows).to_parquet(src / name)
+
+    drop("b0.parquet", [
+        {"_id": 0, "text": "the running cluster"},
+        {"_id": 1, "text": "nothing to see"},
+    ])
+    schema = "_id bigint, text string"
+    q = stream_into_collection(
+        spark.readStream.schema(schema).parquet(str(src)),
+        c, ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    c.create_search_index("six", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+    })
+    assert sorted(
+        r["_id"] for r in c.find({"$text": {"$search": "runs"}}).all()
+    ) == [0]
+    # second micro-batch arrives
+    drop("b1.parquet", [
+        {"_id": 2, "text": "it keeps running and running"},
+        {"_id": 3, "text": "unrelated"},
+    ])
+    q = stream_into_collection(
+        spark.readStream.schema(schema).parquet(str(src)),
+        c, ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    out = c.refresh_search_index("six")
+    assert out == {"mode": "incremental", "inserted": 2}
+    assert c.search_index_status("six")["stale"] is False
+    d = c._fresh_bm25_index(c.df())
+    assert d and d.get("postings_dir")
+    got = {
+        r["_id"]: r["s"]
+        for r in c.find({"$text": {"$search": "runs"}})
+        .select({"_id": 1, "s": {"$meta": "textScore"}}).all()
+    }
+    assert sorted(got) == [0, 2]
+    # tf=2 for doc 2 ("running" twice) must outscore doc 0 at equal
+    # idf — the refreshed postings carry real term frequencies
+    assert got[2] > got[0]
