@@ -221,7 +221,11 @@ def test_postings_index_survives_language_none(tcoll):
         assert indexed[k] == pytest.approx(v, rel=1e-9)
 
 
-@pytest.mark.parametrize("seed", [0, 42, 777])
+import os as _os
+
+@pytest.mark.parametrize(
+    "seed", sorted({0, 42, 777, int(_os.environ.get("SPARK_GRAFT_FUZZ_SEED", "0"))})
+)
 def test_postings_differential_fuzz(spark, tmp_path, seed):
     # randomized corpus (accents, case, morphology) × random query
     # shapes (phrases, negation, diacritic flag): the postings path
