@@ -31,6 +31,9 @@ __all__ = [
     "parse_text_search",
     "text_match",
     "text_match_frame",
+    "text_match_postings",
+    "search_text_postings",
+    "count_text_postings",
     "analyze_terms",
     "ENGLISH_STOPWORDS",
 ]
