@@ -1663,7 +1663,14 @@ class Collection:
             tok_cols = [toks.alias("__toks")]
             if has_id:
                 tok_cols.insert(0, F.col(id_col).alias("id"))
-            tok_frame = docs.select(*tok_cols).localCheckpoint()
+            from pyspark.storagelevel import StorageLevel
+
+            # persist (not localCheckpoint): the tokenized corpus is
+            # build-scoped scratch — unpersist below frees the disk
+            # deterministically instead of waiting for driver GC
+            tok_frame = docs.select(*tok_cols).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
             stats_aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.size("__toks")).alias("avgdl"),
@@ -1745,6 +1752,9 @@ class Collection:
                     .parquet(postings_dir)
                 )
                 definition.update({"postings_dir": postings_dir, "id_col": id_col})
+            # free the tokenized-corpus scratch now (a failed build
+            # falls back to GC reclaim, same as any cached frame)
+            tok_frame.unpersist()
         elif kind == "minhash":
             # incremental-dedup index: per-document MinHash signatures +
             # hashed shingle sets, plus the banded (id, band, bhash)
