@@ -1652,6 +1652,18 @@ class Collection:
             # THE tokenizer (operators.ranking._tokens) — index build and
             # query analysis must agree on the analyzer (round 7:
             # default_language 'english' = stopwords + s-stemming)
+            if definition.get("weights"):
+                # Mongo multi-field text indexes ({title: 10, body: 1})
+                # are not implemented — reject loudly rather than
+                # silently indexing only `path` (round 9; the same
+                # correct-by-rejection contract as inexpressible
+                # collation options). One index per field + $rankFusion
+                # composes the common use cases.
+                raise ValueError(
+                    "bm25 search indexes cover ONE text column; "
+                    "multi-field 'weights' are not implemented — create "
+                    "one index per field (documented in COVERAGE.md)"
+                )
             toks = _rank_tokens(path, language)
             id_col = str(definition.get("id_col", "_id"))
             # tokenize the corpus ONCE (the english analyzer's Porter2

@@ -927,3 +927,14 @@ def test_streaming_ingest_then_incremental_index_refresh(spark, tmp_path):
     # tf=2 for doc 2 ("running" twice) must outscore doc 0 at equal
     # idf — the refreshed postings carry real term frequencies
     assert got[2] > got[0]
+
+
+def test_multifield_text_index_weights_rejected(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9wt"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([{"_id": 0, "text": "spark", "title": "intro"}])
+    with pytest.raises(ValueError, match="one index per field"):
+        c.create_search_index("w", {
+            "kind": "bm25", "path": "text",
+            "weights": {"title": 10, "text": 1},
+        })
