@@ -2000,7 +2000,36 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """
     from pyspark.sql import types as _T
 
+    def _text_postings_matched(mop, mspec):
+        # round 9: with a fresh postings index, a text operator's
+        # matched set comes from the bounded postings join — no corpus
+        # scan, no analyzer kernel (facet groupBys then run over the
+        # candidates only); None → caller uses the scan predicate
+        index = arg.get("index")
+        if not (
+            mop == "text"
+            and isinstance(mspec, Mapping)
+            and "query" in mspec and "path" in mspec
+            and isinstance(index, Mapping)
+            and index.get("kind") == "bm25"
+            and index.get("postings_dir")
+            and str(index.get("path", "text")) == str(mspec["path"])
+            and _search_analyzer(mspec)
+            == (index.get("default_language", "none") or "none")
+        ):
+            return None
+        from anser_spark.operators.ranking import search_text_postings
+
+        terms = _search_text_terms(mspec)
+        if not terms:
+            return df.where(F.lit(False))  # all stopwords: no match
+        out = search_text_postings(
+            df, terms, str(mspec["path"]), index, "__smScore"
+        )
+        return out.drop("__smScore") if out is not None else None
+
     facets: Mapping[str, Any] = {}
+    matched = None
     if "facet" in arg:
         fspec = arg["facet"]
         if "operator" not in fspec or "facets" not in fspec:
@@ -2014,7 +2043,9 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             raise PipelineCompileError(
                 "$searchMeta facet.operator must have exactly one operator"
             )
-        pred, _score = _one_search_op(df, {fop: fsp}, need_score=False)
+        matched = _text_postings_matched(fop, fsp)
+        if matched is None:
+            pred, _score = _one_search_op(df, {fop: fsp}, need_score=False)
         facets = fspec["facets"]
     else:
         ops = [(k, v) for k, v in arg.items() if k not in ("count", "scoreField", "index")]
@@ -2053,7 +2084,8 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 ]),
             )
         pred, _score = _one_search_op(df, dict([ops[0]]), need_score=False)
-    matched = df.where(F.coalesce(pred, F.lit(False)))
+    if matched is None:
+        matched = df.where(F.coalesce(pred, F.lit(False)))
 
     from anser_spark.functions.filters import resolve_field
 

@@ -938,3 +938,32 @@ def test_multifield_text_index_weights_rejected(spark, tmp_path):
             "kind": "bm25", "path": "text",
             "weights": {"title": 10, "text": 1},
         })
+
+
+def test_search_meta_facets_via_postings(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "r9smf"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": i, "text": t, "lang": l, "views": i * 10}
+        for i, (t, l) in enumerate([
+            ("the running cluster", "en"), ("run it", "en"),
+            ("nothing", "de"), ("keeps running fast", "fr"), (None, "de"),
+        ])
+    ])
+    meta = {"facet": {
+        "operator": {"text": {"query": "runs", "path": "text",
+                              "analyzer": "lucene.english"}},
+        "facets": {
+            "by_lang": {"type": "string", "path": "lang"},
+            "by_views": {"type": "number", "path": "views",
+                         "boundaries": [0, 15, 100]},
+        },
+    }}
+    base = c.pipe([{"$searchMeta": dict(meta)}]).all()[0]
+    c.create_search_index("smf", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+    })
+    via = c.pipe([{"$searchMeta": dict(meta, index="smf")}]).all()[0]
+    assert base["count"]["total"] == via["count"]["total"] == 3
+    for k in ("facet_by_lang", "facet_by_views"):
+        assert sorted(map(tuple, base[k])) == sorted(map(tuple, via[k])), k
