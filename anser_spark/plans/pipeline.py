@@ -2067,22 +2067,33 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             == (index.get("default_language", "none") or "none")
         ):
             # round 9: a count-only text $searchMeta never touches the
-            # corpus — distinct ids among the query terms' postings
+            # corpus — distinct ids among the query terms' postings.
+            # Round 10: "no analyzed terms" (all stopwords → 0 matches)
+            # and "count_text_postings returned None" are DIFFERENT
+            # facts — the latter also happens when the
+            # spark.anser.text.usePostings escape hatch disables the
+            # postings table, and the hatch exists precisely to rule
+            # the index OUT; trusting it for a 0 here was a confirmed
+            # wrong answer (round-9 VERDICT). Only the stopword case
+            # short-circuits; a None falls through to the scan path.
             from anser_spark.operators.ranking import count_text_postings
 
             terms = _search_text_terms(mspec)
-            total = count_text_postings(df.sparkSession, terms, index)
-            if total is None:
-                total = 0  # all query words were stopwords: no match
-            return df.sparkSession.createDataFrame(
-                [{"count": {"total": total}}],
-                _T.StructType([
-                    _T.StructField(
-                        "count",
-                        _T.StructType([_T.StructField("total", _T.LongType())]),
-                    )
-                ]),
+            total = 0 if not terms else count_text_postings(
+                df.sparkSession, terms, index
             )
+            if total is not None:
+                return df.sparkSession.createDataFrame(
+                    [{"count": {"total": int(total)}}],
+                    _T.StructType([
+                        _T.StructField(
+                            "count",
+                            _T.StructType(
+                                [_T.StructField("total", _T.LongType())]
+                            ),
+                        )
+                    ]),
+                )
         pred, _score = _one_search_op(df, dict([ops[0]]), need_score=False)
     if matched is None:
         matched = df.where(F.coalesce(pred, F.lit(False)))
