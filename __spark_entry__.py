@@ -1021,6 +1021,10 @@ def _q_text_find(spark, sf_dir):
     c2.create_search_index("tix", {
         "kind": "bm25", "path": "text",
         "default_language": "english", "id_col": "doc_id",
+        # this leg verifies the TERM postings path; the phrase legs
+        # below build their own positions-bearing index — skipping
+        # positions here keeps the in-gate english build lean
+        "positions": False,
     })
     d = c2._fresh_bm25_index(c2.df())
     assert d is not None and d.get("postings_dir"), "postings must build"
@@ -1028,7 +1032,40 @@ def _q_text_find(spark, sf_dir):
         c2.find({"$text": {"$search": "queries dáta"}})
         .to_df().agg(F.count("*").alias("en_idx"))
     )
-    return base.crossJoin(F.broadcast(en)).crossJoin(F.broadcast(en_idx))
+    # round 10 legs: $search phrase answered from the postings POSITION
+    # arrays — exact adjacency plus an ordered slop=1 — on a separate
+    # 'none'-language index (phrase terms are raw whitespace tokens;
+    # the english index above can't serve them). The oracle recomputes
+    # both counts with the regex twin of the position predicate, so a
+    # positions/regex divergence hash-mismatches.
+    eng2 = _mut_db(spark, sf_dir, "pix")
+    c3 = eng2.db("tpch").collection("documents")
+    c3.create_search_index("pix", {
+        "kind": "bm25", "path": "text", "id_col": "doc_id",
+    })
+    d3 = c3._load_search_index("pix", warn_stale=False)
+    assert d3.get("postings_positions"), "positions must build"
+    ph = (
+        c3.pipe([
+            {"$search": {"phrase": {"query": "data column", "path": "text"},
+                         "index": "pix"}},
+            {"$project": {"doc_id": 1}},
+        ]).to_df().agg(F.count("*").alias("phrase_n"))
+    )
+    ph_slop = (
+        c3.pipe([
+            {"$search": {"phrase": {"query": "data column", "path": "text",
+                                    "slop": 1},
+                         "index": "pix"}},
+            {"$project": {"doc_id": 1}},
+        ]).to_df().agg(F.count("*").alias("phrase_slop_n"))
+    )
+    return (
+        base.crossJoin(F.broadcast(en))
+        .crossJoin(F.broadcast(en_idx))
+        .crossJoin(F.broadcast(ph))
+        .crossJoin(F.broadcast(ph_slop))
+    )
 
 
 def _q_upsert_paths(spark, sf_dir):
@@ -2275,12 +2312,23 @@ def _text_find_oracle() -> str:
         f"tk -> tk <> '' AND tk NOT IN ({stop})), "
         f"tk -> translate({porter2_sql('tk')}, '{_FOLD_SRC}', '{_FOLD_DST}'))"
     )
+    # round-10 phrase legs: the regex twin of the position predicate —
+    # word-boundary-anchored adjacency on whitespace-normalized text;
+    # the slop=1 twin allows exactly one interleaved token (for a
+    # 2-term phrase, per-gap allowance equals the span budget)
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     return f"""
         SELECT doc_id, lang,
                (SELECT count(*) FROM documents
                 WHERE list_has_any({toks}, [{qlist}])) AS en_n,
                (SELECT count(*) FROM documents
-                WHERE list_has_any({toks}, [{qlist}])) AS en_idx
+                WHERE list_has_any({toks}, [{qlist}])) AS en_idx,
+               (SELECT count(*) FROM documents
+                WHERE regexp_matches({norm},
+                      '(^|\\s)data column(\\s|$)')) AS phrase_n,
+               (SELECT count(*) FROM documents
+                WHERE regexp_matches({norm},
+                      '(^|\\s)data( [^ ]+)? column(\\s|$)')) AS phrase_slop_n
         FROM documents
         WHERE lang = 'en'
           AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'spark')

@@ -81,6 +81,19 @@ def is_not_found(exc: BaseException) -> bool:
     return isinstance(exc, NotFoundError)
 
 
+def _read_index_table(
+    spark, definition: Mapping[str, Any], base_key: str, deltas_key: str
+) -> DataFrame:
+    """A persisted index table as one frame: the base directory plus
+    any staged incremental-delta directories (round 10 — refreshes
+    publish deltas atomically with the definition swap instead of
+    appending into the live table)."""
+    dirs = [str(definition[base_key])] + [
+        str(p) for p in (definition.get(deltas_key) or [])
+    ]
+    return spark.read.parquet(*dirs)
+
+
 @dataclass(frozen=True)
 class Namespace:
     """`{DB, Collection}` pair (reference model/namespace.go:6-33)."""
@@ -1168,6 +1181,80 @@ class Collection:
         version, ptr = self._next_version()
         self._write_version(df, version)
         self._swap_pointer(version, ptr, meta_update)
+        # a full rewrite breaks every insert-manifest chain (file names
+        # change; earlier deltas are no longer addressable in the new
+        # layout) — clear them so a recreated collection can never
+        # chain through a previous incarnation's manifests. Losing a
+        # manifest is always SAFE: consumers fall back to the
+        # diff/rebuild path (round 10).
+        shutil.rmtree(self._deltas_dir(), ignore_errors=True)
+
+    # -- insert manifests (round 10) ------------------------------------
+    # Every insert-only commit records WHICH files it appended, so
+    # incremental consumers (search-index refresh) can read exactly the
+    # appended rows instead of diffing two corpus-wide snapshots — at
+    # 100 TB that is the difference between an O(delta) batch and ~3
+    # full-corpus scans per refresh. Manifests live outside the version
+    # dirs (they must survive retention reaping: appended files keep
+    # their relative paths through later appends via the hard-link COW,
+    # so the CURRENT version dir can serve any chain suffix).
+
+    def _deltas_dir(self) -> str:
+        return os.path.join(self._store_dir, "_deltas")
+
+    def _write_insert_manifest(
+        self, version: str, prev: str | None, rel_files: Sequence[str]
+    ) -> None:
+        os.makedirs(self._deltas_dir(), exist_ok=True)
+        tmp = os.path.join(self._deltas_dir(), f".{version}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"prev": prev, "files": list(rel_files)}, fh)
+        os.replace(tmp, os.path.join(self._deltas_dir(), f"{version}.json"))
+
+    def _insert_manifest(self, version: str) -> dict[str, Any] | None:
+        p = os.path.join(self._deltas_dir(), f"{version}.json")
+        if not os.path.exists(p):
+            return None
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+
+    def _manifest_delta(self, since: str) -> DataFrame | None:
+        """The rows appended between version ``since`` and the current
+        version, read from ONLY the appended files (O(delta), no diff
+        shuffle) — or None when any intervening version was not an
+        insert-only append (update/remove/rewrite breaks the chain) or
+        a manifest is missing. Appended files keep their relative paths
+        through subsequent appends (hard-link COW), so the chain's
+        files are all read out of the CURRENT version directory;
+        ``basePath`` keeps hive-partition columns intact."""
+        cur = self._pointer()
+        if cur is None or since is None or cur == since:
+            return None
+        rels: list[str] = []
+        v: str | None = cur
+        seen: set[str] = set()
+        while v != since:
+            if v is None or v in seen:
+                return None  # fell off the chain start / cycle guard
+            seen.add(v)
+            m = self._insert_manifest(v)
+            if m is None:
+                return None  # not an insert-only commit
+            rels.extend(m.get("files") or [])
+            v = m.get("prev")
+        cur_dir = os.path.join(self._store_dir, cur)
+        paths = [os.path.join(cur_dir, r) for r in rels]
+        if any(not os.path.exists(p) for p in paths):
+            return None  # defensive: a linked file vanished — fall back
+        if not paths:
+            return self.df().limit(0)  # pointer moved, zero new rows
+        return (
+            self.engine.spark.read.option("basePath", cur_dir)
+            .parquet(*paths)
+        )
 
     def _data_files(self, base: str) -> list[str]:
         out = []
@@ -1375,6 +1462,12 @@ class Collection:
             return
         version, ptr = self._next_version()
         vdir = self._write_version(aligned, version, pcols=write_pcols)
+        # the files present BEFORE linking are exactly this commit's
+        # appended rows — recorded as an insert manifest after the swap
+        # (round 10: O(delta) index refresh reads only these)
+        delta_rels = [
+            os.path.relpath(f, vdir) for f in self._data_files(vdir)
+        ]
         for src_file in existing:
             rel = os.path.relpath(src_file, path)
             dst = os.path.join(vdir, rel)
@@ -1384,6 +1477,11 @@ class Collection:
             except OSError:
                 shutil.copy2(src_file, dst)
         self._swap_pointer(version, ptr, meta_update)
+        # after the swap: a CAS loser raised above and never records a
+        # manifest; a transaction-staged swap records under its
+        # uuid-unique version name, which is only ever referenced if
+        # that transaction commits
+        self._write_insert_manifest(version, ptr, delta_rels)
 
     def drop(self) -> None:
         if self.engine._txn is not None:
@@ -1624,13 +1722,23 @@ class Collection:
         from O(corpus) into O(df of the query terms).  Postings need a
         unique ``_id`` to join back on; when the collection lacks one
         (or ids duplicate) the build skips the postings table and
-        queries keep the single-scan path, stats-only."""
+        queries keep the single-scan path, stats-only.
+
+        Round 10: postings rows also carry each term's POSITION array
+        (its indexes in the analyzed token stream), so ``$search
+        phrase`` — adjacency and slop — answers from the index too
+        (``operators.ranking.search_phrase_postings``); pass
+        ``positions: False`` in the definition to skip storing them
+        (phrase queries then keep the scan path)."""
         definition = dict(definition)
         # a rebuild from a stored definition must not inherit computed
         # pointers the new build may legitimately NOT produce (e.g. a
         # postings_dir when ids stopped being unique) — they re-add
-        # below only when earned
+        # below only when earned. Incremental-delta pointers likewise:
+        # a full build subsumes every staged delta (round 10).
         definition.pop("postings_dir", None)
+        for dk in ("postings_deltas", "sig_deltas", "bands_deltas"):
+            definition.pop(dk, None)
         kind = definition.get("kind", "ivf")
         if kind == "ivf":
             path = definition.get("path", "embedding")
@@ -1705,11 +1813,7 @@ class Collection:
                 .write.mode("overwrite")
                 .parquet(terms_dir)
             )
-            from anser_spark.operators.ranking import (
-                ANALYZER_VERSION,
-                _FOLD_DST,
-                _FOLD_SRC,
-            )
+            from anser_spark.operators.ranking import ANALYZER_VERSION
 
             definition.update(
                 {
@@ -1732,21 +1836,8 @@ class Collection:
                 postings_dir = os.path.join(
                     self._search_index_dir(), f"{name}_postings"
                 )
-                postings = (
-                    tok_frame.select(
-                        "id",
-                        F.size("__toks").alias("n_tokens"),
-                        F.explode("__toks").alias("term"),
-                    )
-                    .groupBy("id", "term")
-                    .agg(
-                        F.count(F.lit(1)).alias("tf"),
-                        F.max("n_tokens").alias("n_tokens"),
-                    )
-                    .withColumn(
-                        "term_fold", F.translate("term", _FOLD_SRC, _FOLD_DST)
-                    )
-                )
+                store_pos = bool(definition.get("positions", True))
+                postings = self._postings_rows(tok_frame, store_pos)
                 # range-partition + sort by folded term: each parquet
                 # file covers a tight term range, so a query's isin
                 # lookup prunes on footer min/max instead of scanning.
@@ -1763,7 +1854,14 @@ class Collection:
                     .write.mode("overwrite")
                     .parquet(postings_dir)
                 )
-                definition.update({"postings_dir": postings_dir, "id_col": id_col})
+                definition.update({
+                    "postings_dir": postings_dir,
+                    "id_col": id_col,
+                    # stamped fact (vs the "positions" OPTION): phrase
+                    # queries check this before trusting the layout,
+                    # and refresh rebuilds when option and stamp drift
+                    "postings_positions": store_pos,
+                })
             # free the tokenized-corpus scratch now (a failed build
             # falls back to GC reclaim, same as any cached frame)
             tok_frame.unpersist()
@@ -1814,6 +1912,43 @@ class Collection:
         # collection continuously; ours are explicit snapshots)
         definition["built_at_version"] = self._pointer()
         self._write_search_index(name, definition)
+        # a full build re-points at the base table names — sweep the
+        # versioned dirs earlier refreshes left behind (round 10;
+        # ADVICE r9: each refresh→rebuild cycle leaked one terms dir)
+        self._sweep_index_dirs(name, definition)
+
+    @staticmethod
+    def _postings_rows(tok_frame: DataFrame, store_positions: bool) -> DataFrame:
+        """``(id, term, tf, n_tokens, term_fold[, positions])`` rows
+        from a tokenized ``(id, __toks)`` frame — shared by the full
+        build and the incremental-refresh delta so the two layouts can
+        never drift. ``positions`` (round 10) are the term's 0-based
+        indexes in the analyzed token array, sorted: ``$search phrase``
+        answers adjacency/slop from them over the bounded candidates
+        without touching the corpus. ``tf`` stays an explicit column so
+        term queries never deserialize the array."""
+        from anser_spark.operators.ranking import _FOLD_DST, _FOLD_SRC
+
+        base = tok_frame.select(
+            "id",
+            F.size("__toks").alias("n_tokens"),
+            F.posexplode("__toks").alias("pos", "term"),
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("tf"),
+            F.max("n_tokens").alias("n_tokens"),
+        ]
+        if store_positions:
+            aggs.append(
+                F.sort_array(F.collect_list("pos")).alias("positions")
+            )
+        return (
+            base.groupBy("id", "term")
+            .agg(*aggs)
+            .withColumn(
+                "term_fold", F.translate("term", _FOLD_SRC, _FOLD_DST)
+            )
+        )
 
     def refresh_search_index(self, name: str) -> dict[str, Any]:
         """Bring a snapshot search index up to the collection's current
@@ -1825,15 +1960,19 @@ class Collection:
         rebuilds (its centroids are a sample of the whole corpus).
 
         ``kind="minhash"``: the new documents' signatures and banded
-        rows simply APPEND to the stored tables (per-document MinHash
-        is independent of the rest of the corpus, so the result is
-        exactly a fresh rebuild).
+        rows land in staged delta directories beside the stored tables
+        (per-document MinHash is independent of the rest of the
+        corpus, so the union is exactly a fresh rebuild); readers
+        union base + deltas, and the same compaction threshold folds
+        them back together.
 
-        ``kind="bm25"``: the CDC diff applies to the postings index:
+        ``kind="bm25"``: the insert delta applies to the postings index:
 
-        - the NEW documents' postings append to the postings table
-          (their own range-sorted files — footer pruning still holds
-          per file);
+        - the NEW documents' postings write to a STAGED delta directory
+          (range-sorted — footer pruning holds per directory), published
+          atomically by the definition swap; once the staged deltas
+          pass ``spark.anser.index.compactThreshold`` they fold back
+          into one globally range-partitioned base table;
         - the term table merges document frequencies (new docs are
           disjoint from old, so df adds) into a fresh directory;
         - ``n_docs`` / ``avgdl`` roll forward EXACTLY from the stored
@@ -1842,17 +1981,32 @@ class Collection:
         - ``built_at_version`` re-stamps, so queries immediately take
           the postings path again.
 
-        Falls back to a full rebuild (same definition) when the diff
-        contains removes/updates, the index predates postings or the
-        token-total stamps, the analyzer upgraded, the retention window
-        no longer covers ``built_at_version``, or ids stopped being
-        unique.  Cost: the incremental path tokenizes ONLY the new
-        documents — at 100 TB that's the difference between a batch
-        and a rebuild.  Requires ``set_retention`` ≥ 2 so the index's
-        build version is still retained to diff against (the default
-        retention of 1 keeps only the current version → every refresh
-        is a rebuild).  Returns ``{"mode": "noop" | "incremental" |
-        "rebuild", "inserted": k}``."""
+        Crash safety (round 10): nothing mutates the live tables — a
+        refresh that dies before the swap leaves ``built_at_version``
+        old, and the retry overwrites the same staged paths (named by
+        the target version), so postings can never double-append.
+
+        The delta comes from the INSERT-MANIFEST chain (round 10):
+        every insert-only commit records which files it appended, so
+        the refresh reads exactly the appended rows — O(delta), no
+        diff shuffle, and no retention requirement (the chain spans
+        reaped versions because appended files keep their relative
+        paths in the current version dir). When the chain is broken
+        (an old manifest-less lineage) it falls back to the retained-
+        version diff, which needs ``set_retention`` ≥ 2.
+
+        Falls back to a full rebuild (same definition) when the
+        changes since ``built_at_version`` include removes/updates,
+        the index predates postings / the token-total stamps / the
+        positions layout, the analyzer upgraded, no delta source is
+        available, or ids stopped being unique (checked delta-scoped:
+        duplicate ids inside the delta, plus one column-pruned
+        broadcast semi-join against the corpus id column —
+        ``assume_unique_ids`` engines skip the corpus probe).  Cost:
+        the incremental path tokenizes ONLY the new documents — at
+        100 TB that's the difference between a batch and a rebuild.
+        Returns ``{"mode": "noop" | "incremental" | "rebuild",
+        "inserted": k}``."""
         d = dict(self._load_search_index(name, warn_stale=False))
         cur = self._pointer()
         if d.get("built_at_version") == cur and not self._analyzer_stale(d):
@@ -1863,10 +2017,20 @@ class Collection:
             return {"mode": "rebuild", "inserted": 0}
 
         def _insert_only_delta():
-            # (added frame, or None → caller rebuilds): retention must
-            # still cover built_at, and the diff must be insert-only
+            # (added frame, or None → caller rebuilds). Round 10: the
+            # insert-manifest chain is tried FIRST — when every commit
+            # since built_at was an insert-only append, the delta reads
+            # ONLY the appended files (O(delta), no shuffle, and no
+            # retention requirement: the chain spans reaped versions
+            # because appended files keep their paths in the current
+            # dir). Fallback: the retained-version diff (two corpus
+            # exceptAll shuffles; needs set_retention ≥ 2).
+            built = str(d["built_at_version"])
+            delta = self._manifest_delta(built)
+            if delta is not None:
+                return delta
             try:
-                diff = self.diff_versions(str(d["built_at_version"]))
+                diff = self.diff_versions(built)
                 if diff.where(
                     F.col("change_type") == "removed"
                 ).limit(1).count():
@@ -1901,12 +2065,52 @@ class Collection:
             ).localCheckpoint()
             n_new = sig.count()
             if n_new:
-                sig.write.mode("append").parquet(str(d["sig_dir"]))
+                # round 10 (crash safety): the delta writes to STAGED
+                # directories, published only by the atomic definition
+                # swap below. A refresh that dies mid-write leaves
+                # built_at_version old, and the retry OVERWRITES the
+                # same staged paths (names are keyed by the target
+                # version) instead of double-appending rows into the
+                # live tables — duplicated signatures would re-propose
+                # duplicate candidate pairs.
+                idx_dir = self._search_index_dir()
+                sig_delta = os.path.join(
+                    idx_dir, f"{name}_minhash_delta_{cur}"
+                )
+                bands_delta = os.path.join(
+                    idx_dir, f"{name}_bands_delta_{cur}"
+                )
+                sig.write.mode("overwrite").parquet(sig_delta)
                 banded_signatures(
                     sig, id_col, int(d["numHashes"]), int(d["bands"])
-                ).write.mode("append").parquet(str(d["bands_dir"]))
+                ).write.mode("overwrite").parquet(bands_delta)
+                sig_deltas = list(d.get("sig_deltas") or []) + [sig_delta]
+                bands_deltas = list(d.get("bands_deltas") or []) + [
+                    bands_delta
+                ]
+                if len(sig_deltas) >= self._index_compact_threshold():
+                    # many small refreshes → file-count bloat; fold the
+                    # deltas back into single base tables
+                    spark = self.engine.spark
+                    new_sig = os.path.join(
+                        idx_dir, f"{name}_minhash_compact_{cur}"
+                    )
+                    new_bands = os.path.join(
+                        idx_dir, f"{name}_bands_compact_{cur}"
+                    )
+                    spark.read.parquet(
+                        str(d["sig_dir"]), *map(str, sig_deltas)
+                    ).write.mode("overwrite").parquet(new_sig)
+                    spark.read.parquet(
+                        str(d["bands_dir"]), *map(str, bands_deltas)
+                    ).write.mode("overwrite").parquet(new_bands)
+                    d["sig_dir"], d["bands_dir"] = new_sig, new_bands
+                    sig_deltas, bands_deltas = [], []
+                d["sig_deltas"] = sig_deltas
+                d["bands_deltas"] = bands_deltas
             d["built_at_version"] = cur
             self._write_search_index(name, d)
+            self._sweep_index_dirs(name, d)
             return {"mode": "incremental", "inserted": int(n_new)}
 
         if (
@@ -1915,6 +2119,11 @@ class Collection:
             or "sum_tokens" not in d
             or self._analyzer_stale(d)
             or d.get("built_at_version") is None
+            # positions stamp drifted from the option (e.g. a pre-
+            # positions index under round-10 code): delta files would
+            # not schema-match the base postings — rebuild once
+            or bool(d.get("postings_positions", False))
+            != bool(d.get("positions", True))
         ):
             return _rebuild()
         added = _insert_only_delta()
@@ -1924,19 +2133,8 @@ class Collection:
         id_col = d.get("id_col", "_id")
         if path not in added.columns or id_col not in added.columns:
             return _rebuild()
-        docs = self.df()
-        uniq = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(id_col)).alias("n_ids"),
-        ).collect()[0]
-        if uniq["n"] != uniq["n_ids"]:
-            return _rebuild()
 
-        from anser_spark.operators.ranking import (
-            _FOLD_DST,
-            _FOLD_SRC,
-            _tokens as _rank_tokens,
-        )
+        from anser_spark.operators.ranking import _tokens as _rank_tokens
 
         language = d.get("default_language", "none")
         toks = _rank_tokens(path, language)
@@ -1945,6 +2143,7 @@ class Collection:
         ).localCheckpoint()  # tokenize the delta ONCE (stats + terms + postings)
         stats = delta.agg(
             F.count(F.lit(1)).alias("k"),
+            F.count_distinct(F.col("id")).alias("k_ids"),
             F.coalesce(F.sum(F.size("__toks")), F.lit(0)).alias("sum_tokens"),
             F.count(F.size("__toks")).alias("n_text_docs"),
         ).collect()[0]
@@ -1955,32 +2154,69 @@ class Collection:
             d["built_at_version"] = cur
             self._write_search_index(name, d)
             return {"mode": "incremental", "inserted": 0}
+        # delta-scoped id-uniqueness (round 10): the index was built —
+        # and every prior refresh re-verified — under corpus-wide
+        # uniqueness, and only insert-only appends happened since, so
+        # the only NEW ways to break it are duplicate ids inside the
+        # delta (checked on the delta alone, above) or a delta id
+        # colliding with an existing one: one column-pruned semi-join
+        # of the corpus id column against the delta ids — no
+        # corpus-wide count_distinct shuffle (each delta id must match
+        # exactly its own corpus row). assume_unique_ids engines skip
+        # the corpus probe entirely (the engine-level contract).
+        if int(stats["k_ids"]) != k:
+            return _rebuild()  # duplicate ids inside the delta
+        if not self.engine.assume_unique_ids:
+            ids = delta.select("id")
+            if k <= 2_000_000:
+                ids = F.broadcast(ids)
+            hits = (
+                self.df()
+                .select(F.col(id_col).alias("id"))
+                .join(ids, "id", "inner")
+                .count()
+            )
+            if hits != k:
+                return _rebuild()  # a delta id collides with an old id
 
-        # 1. postings append (new docs only — disjoint ids)
+        # 1. delta postings → a STAGED directory, published only by the
+        # atomic definition swap in step 3 (round 10; a crash between
+        # the old in-place append and the swap made the retry
+        # double-append the same postings, silently doubling tf).
+        # Retries overwrite the same staged path — idempotent.
+        spark = self.engine.spark
+        idx_dir = self._search_index_dir()
+        post_delta = os.path.join(idx_dir, f"{name}_postings_delta_{cur}")
         (
-            delta.select(
-                "id",
-                F.size("__toks").alias("n_tokens"),
-                F.explode("__toks").alias("term"),
-            )
-            .groupBy("id", "term")
-            .agg(
-                F.count(F.lit(1)).alias("tf"),
-                F.max("n_tokens").alias("n_tokens"),
-            )
-            .withColumn("term_fold", F.translate("term", _FOLD_SRC, _FOLD_DST))
+            self._postings_rows(delta, bool(d.get("postings_positions")))
             .repartitionByRange(F.col("term_fold"), F.col("id"))
             .sortWithinPartitions("term_fold", "id")
-            .write.mode("append")
-            .parquet(str(d["postings_dir"]))
+            .write.mode("overwrite")
+            .parquet(post_delta)
         )
+        postings_deltas = list(d.get("postings_deltas") or []) + [post_delta]
+        if len(postings_deltas) >= self._index_compact_threshold():
+            # compaction: many incremental refreshes accumulate small
+            # range-sorted files that erode footer pruning — fold base
+            # + deltas back into ONE globally range-partitioned table
+            new_post = os.path.join(
+                idx_dir, f"{name}_postings_compact_{cur}"
+            )
+            (
+                spark.read.parquet(
+                    str(d["postings_dir"]), *map(str, postings_deltas)
+                )
+                .repartitionByRange(F.col("term_fold"), F.col("id"))
+                .sortWithinPartitions("term_fold", "id")
+                .write.mode("overwrite")
+                .parquet(new_post)
+            )
+            d["postings_dir"] = new_post
+            postings_deltas = []
         # 2. term-table merge into a FRESH dir (can't overwrite a dir
-        # while reading it); the old dir is removed after the swap
-        spark = self.engine.spark
+        # while reading it); the old dir is swept after the swap
         old_terms_dir = str(d["terms_dir"])
-        new_terms_dir = os.path.join(
-            self._search_index_dir(), f"{name}_terms_{cur}"
-        )
+        new_terms_dir = os.path.join(idx_dir, f"{name}_terms_{cur}")
         new_terms = (
             delta.select(F.explode(F.array_distinct("__toks")).alias("term"))
             .groupBy("term")
@@ -1994,7 +2230,8 @@ class Collection:
             .write.mode("overwrite")
             .parquet(new_terms_dir)
         )
-        # 3. exact stats roll-forward + atomic definition swap
+        # 3. exact stats roll-forward + atomic definition swap, then
+        # sweep directories the new definition no longer references
         d["n_docs"] = int(d["n_docs"]) + k
         d["sum_tokens"] = int(d["sum_tokens"]) + int(stats["sum_tokens"])
         d["n_text_docs"] = int(d["n_text_docs"]) + int(stats["n_text_docs"])
@@ -2002,11 +2239,10 @@ class Collection:
             d["sum_tokens"] / d["n_text_docs"] if d["n_text_docs"] else 0.0
         )
         d["terms_dir"] = new_terms_dir
+        d["postings_deltas"] = postings_deltas
         d["built_at_version"] = cur
         self._write_search_index(name, d)
-        import shutil
-
-        shutil.rmtree(old_terms_dir, ignore_errors=True)
+        self._sweep_index_dirs(name, d)
         return {"mode": "incremental", "inserted": k}
 
     def _write_search_index(self, name: str, definition: Mapping[str, Any]) -> None:
@@ -2015,6 +2251,60 @@ class Collection:
         with open(tmp, "w") as fh:
             json.dump(dict(definition), fh)
         os.replace(tmp, os.path.join(self._search_index_dir(), f"{name}.json"))
+
+    def _index_compact_threshold(self) -> int:
+        """Delta-directory count at which an incremental refresh folds
+        its staged deltas back into one base table (round 10): unbounded
+        small appends erode the footer pruning the range layout exists
+        for. Session-tunable for operational control."""
+        try:
+            return max(2, int(
+                self.engine.spark.conf.get(
+                    "spark.anser.index.compactThreshold", "8"
+                )
+            ))
+        except Exception:
+            return 8
+
+    def _sweep_index_dirs(self, name: str, definition: Mapping[str, Any]) -> None:
+        """Remove index ``name``'s table directories that its
+        just-published definition no longer references — old versioned
+        term tables, compacted-away postings/signature deltas, staged
+        dirs from a crashed refresh (round 10; previously each
+        refresh→rebuild cycle leaked the last versioned terms dir).
+        Directories referenced by ANY stored index definition are never
+        touched, so an index whose name happens to prefix another's
+        cannot sweep its neighbor's tables."""
+        base = self._search_index_dir()
+        if not os.path.isdir(base):
+            return
+        referenced: set[str] = set()
+        defs: list[Mapping[str, Any]] = [definition]
+        for other in self.list_search_indexes():
+            if other == name:
+                continue
+            try:
+                defs.append(self._load_search_index(other, warn_stale=False))
+            except NotFoundError:
+                continue
+        for od in defs:
+            for key in ("terms_dir", "postings_dir", "sig_dir", "bands_dir"):
+                v = od.get(key)
+                if v:
+                    referenced.add(os.path.normpath(str(v)))
+            for key in ("postings_deltas", "sig_deltas", "bands_deltas"):
+                for v in od.get(key) or []:
+                    referenced.add(os.path.normpath(str(v)))
+        for entry in os.listdir(base):
+            owned = any(
+                entry == f"{name}_{t}" or entry.startswith(f"{name}_{t}_")
+                for t in ("terms", "postings", "minhash", "bands")
+            )
+            if not owned:
+                continue
+            p = os.path.join(base, entry)
+            if os.path.isdir(p) and os.path.normpath(p) not in referenced:
+                shutil.rmtree(p, ignore_errors=True)
 
     def search_index_status(self, name: str) -> dict[str, Any]:
         """Freshness of a snapshot index vs the collection's current
@@ -2222,8 +2512,8 @@ class Collection:
         spark = self.engine.spark
         return near_dups_against_sigs(
             new_df,
-            spark.read.parquet(d["sig_dir"]),
-            spark.read.parquet(d["bands_dir"]),
+            _read_index_table(spark, d, "sig_dir", "sig_deltas"),
+            _read_index_table(spark, d, "bands_dir", "bands_deltas"),
             id_col=d["id_col"],
             text_col=d["path"],
             k=d["k"],

@@ -33,6 +33,9 @@ __all__ = [
     "text_match_frame",
     "text_match_postings",
     "search_text_postings",
+    "search_phrase_postings",
+    "phrase_positions_pred",
+    "term_positions",
     "count_text_postings",
     "analyze_terms",
     "ENGLISH_STOPWORDS",
@@ -624,6 +627,53 @@ def text_match_frame(
     return F.coalesce(pred, F.lit(False)), score, prepared
 
 
+def _postings_frame(spark, index: Mapping[str, Any]) -> DataFrame:
+    """The index's postings as one frame: the base range-partitioned
+    table plus any staged incremental-refresh delta directories (round
+    10 — a refresh publishes its delta atomically with the definition
+    swap; each delta is itself range-sorted, so footer pruning holds
+    per directory until compaction folds them back together)."""
+    dirs = [str(index["postings_dir"])] + [
+        str(p) for p in (index.get("postings_deltas") or [])
+    ]
+    return spark.read.parquet(*dirs)
+
+
+def _postings_cost_ok(spark, sum_df: int, n_docs: int, language: str) -> bool:
+    """Cost-based postings-vs-scan choice (round 10). The term-table
+    point lookup returns every query term's document frequency BEFORE
+    a plan is chosen, so the choice can be informed: the postings path
+    costs ~Σ df(term) postings rows plus a join back over that many
+    candidates, while the scan path costs one corpus pass — pure
+    Column for the 'none' analyzer, but an Arrow-batched Porter2
+    kernel for 'english' (an order of magnitude heavier per row). When
+    Σ df approaches the corpus size (stopword-like terms under a
+    'none'-language index, where nothing suppresses them), the bounded
+    join-back stops being bounded and the single scan wins. Both paths
+    are differential-tested bit-exact, so the switch is invisible.
+
+    ``spark.anser.text.postingsMaxDfFrac`` overrides the default
+    break-even fraction (0.5 of the corpus for 'none', 4.0 for
+    'english' — the stemmer kernel keeps postings cheaper well past
+    Σ df = corpus). Corpora under 1000 documents always take the
+    postings path (both plans are trivially cheap there, and a stable
+    choice keeps small-fixture plans deterministic); the conf override
+    applies regardless, so the choice stays testable."""
+    try:
+        frac_conf = str(
+            spark.conf.get("spark.anser.text.postingsMaxDfFrac", "")
+        )
+    except Exception:
+        frac_conf = ""
+    if frac_conf:
+        frac = float(frac_conf)
+    elif n_docs < 1000:
+        return True
+    else:
+        frac = 4.0 if language == "english" else 0.5
+    return sum_df <= frac * max(1, n_docs)
+
+
 def _postings_enabled(spark) -> bool:
     """Operational escape hatch: ``spark.anser.text.usePostings=false``
     forces every $text/$search query back to the scan path (e.g. to
@@ -710,7 +760,7 @@ def text_match_postings(
         return df.where(F.lit(False)).withColumn(score_col, F.lit(0.0))
 
     spark = df.sparkSession
-    postings = spark.read.parquet(str(postings_dir))
+    postings = _postings_frame(spark, index)
     tcol = "term_fold" if q.folding else "term"
     qterm = (
         (lambda t: _fold_py(t.lower())) if q.folding
@@ -730,6 +780,10 @@ def text_match_postings(
         .collect()
     )
     df_map = {r["term"]: r["df"] for r in rows}
+    if not _postings_cost_ok(
+        spark, sum(int(v) for v in df_map.values()), n_docs, index_language
+    ):
+        return None  # stopword-hot terms: the single scan is cheaper
 
     tf_aggs = [
         F.sum(
@@ -826,8 +880,15 @@ def search_text_postings(
         .collect()
     )
     df_map = {r["term"]: r["df"] for r in rows}
+    if not _postings_cost_ok(
+        spark,
+        sum(int(v) for v in df_map.values()),
+        n_docs,
+        str(index.get("default_language", "none") or "none"),
+    ):
+        return None  # stopword-hot terms: the single scan is cheaper
 
-    postings = spark.read.parquet(str(postings_dir))
+    postings = _postings_frame(spark, index)
     tf_aggs = [
         F.sum(
             F.when(F.col("term") == F.lit(t), F.col("tf")).otherwise(F.lit(0))
@@ -857,6 +918,147 @@ def search_text_postings(
     ).drop("__postkey")
 
 
+def term_positions(toks, term: str):
+    """0-based positions of ``term`` in a token-array column — the
+    scan-path twin of the postings table's stored ``positions`` (round
+    10): both sides of the phrase differential compute the same
+    predicate over the same numbers."""
+    idx = F.transform(
+        toks, lambda w, i: F.when(w == F.lit(term), i)
+    )
+    return F.filter(idx, lambda x: x.isNotNull())
+
+
+def phrase_positions_pred(pos_cols: list, slop: int):
+    """Ordered sloppy-phrase predicate over per-term position arrays:
+    ∃ p₁<p₂<…<p_k (one from each term's array, in phrase order) with
+    span p_k − p₁ − (k−1) ≤ ``slop``.  ``slop=0`` is exact adjacency —
+    identical to the word-boundary regex the scan path uses (tokens
+    are whitespace-split, so a regex match aligns with a token run).
+    Documented divergence from Atlas for slop>0: Lucene's sloppy
+    matcher is move-distance-based and admits out-of-order terms; this
+    predicate requires phrase order within the span budget.
+
+    Compiles to k nested EXISTS higher-order functions — pure Column,
+    O(Π tf) per row worst case, evaluated only over bounded phrase
+    candidates (docs containing every phrase term)."""
+    k = len(pos_cols)
+    if k == 0:
+        return F.lit(False)
+    if k == 1:
+        return F.size(pos_cols[0]) > 0
+    budget = slop + k - 1
+
+    def rest(i, p_prev, p0):
+        if i == k:
+            return F.lit(True)
+        return F.exists(
+            pos_cols[i],
+            lambda p: (p > p_prev)
+            & ((p - p0) <= F.lit(budget))
+            & rest(i + 1, p, p0),
+        )
+
+    return F.exists(pos_cols[0], lambda p0: rest(1, p0, p0))
+
+
+def search_phrase_postings(
+    df: DataFrame,
+    terms: list[str],
+    slop: int,
+    path: str,
+    index: Mapping[str, Any],
+    score_field: str = "score",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame | None:
+    """The ``$search`` ``phrase`` operator answered from a postings
+    table that stores term POSITIONS (round 10): candidates = docs
+    carrying every phrase term (pushed-down term lookup + one bounded
+    groupBy, the :func:`search_text_postings` shape), adjacency/slop
+    decided by :func:`phrase_positions_pred` over the stored position
+    arrays, scores = BM25 over the phrase's constituent terms — all
+    bit-exact with the scan compile, which previously was the only
+    plan (an O(corpus) pass per phrase query).  None when the index
+    can't serve it: no positions stored, a non-'none' analyzer (phrase
+    terms are raw whitespace-lowered tokens — a stemmed index indexes
+    different strings), path mismatch, postings disabled, or the cost
+    gate prefers the scan."""
+    postings_dir = index.get("postings_dir")
+    if (
+        not postings_dir
+        or not index.get("postings_positions")
+        or not terms
+        or not _postings_enabled(df.sparkSession)
+    ):
+        return None
+    if (index.get("default_language", "none") or "none") != "none":
+        return None
+    if str(index.get("path", "text")) != path:
+        return None
+    id_col = index.get("id_col", "_id")
+    if id_col not in df.columns:
+        return None
+    n_docs = int(index["n_docs"])
+    avgdl = float(index["avgdl"])
+    if n_docs == 0 or avgdl == 0.0:
+        return df.where(F.lit(False)).withColumn(score_field, F.lit(0.0))
+
+    spark = df.sparkSession
+    distinct = list(dict.fromkeys(terms))
+    rows = (
+        spark.read.parquet(str(index["terms_dir"]))
+        .where(F.col("term").isin(list(distinct)))
+        .collect()
+    )
+    df_map = {r["term"]: r["df"] for r in rows}
+    if not _postings_cost_ok(
+        spark, sum(int(v) for v in df_map.values()), n_docs, "none"
+    ):
+        return None
+
+    aggs: list = [F.max("n_tokens").alias("__ntok")]
+    for i, t in enumerate(distinct):
+        aggs.append(
+            F.max(
+                F.when(F.col("term") == F.lit(t), F.col("positions"))
+            ).alias(f"__pos{i}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(F.col("term") == F.lit(t), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"__tf{i}")
+        )
+    cand = (
+        _postings_frame(spark, index)
+        .where(F.col("term").isin(list(distinct)))
+        .groupBy(F.col("id").alias("__postkey"))
+        .agg(*aggs)
+    )
+    slot = {t: i for i, t in enumerate(distinct)}
+    pred = phrase_positions_pred(
+        [F.col(f"__pos{slot[t]}") for t in terms], int(slop)
+    )
+    cand = cand.where(F.coalesce(pred, F.lit(False)))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("__ntok").cast("double") / F.lit(avgdl)
+    )
+    score = None
+    for t in terms:  # ORIGINAL order incl. duplicates (bm25 parity)
+        dfi = int(df_map.get(t, 0))
+        idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+        tf = F.col(f"__tf{slot[t]}").cast("double")
+        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part
+    cand = cand.select("__postkey", score.alias(score_field))
+    return df.join(
+        cand, F.col(id_col) == F.col("__postkey"), "inner"
+    ).drop("__postkey")
+
+
 def count_text_postings(
     spark, terms: list[str], index: Mapping[str, Any]
 ) -> int | None:
@@ -870,7 +1072,7 @@ def count_text_postings(
         return None
     distinct = list(dict.fromkeys(terms))
     return (
-        spark.read.parquet(str(postings_dir))
+        _postings_frame(spark, index)
         .where(F.col("term").isin(distinct))
         .select("id")
         .distinct()

@@ -1382,17 +1382,36 @@ def _compile_search_op(  # noqa: C901
         # exact adjacent-terms match on normalized text (lower,
         # whitespace-collapsed, word-boundary anchored); scored BM25
         # over the phrase's terms (documented divergence: Atlas scores
-        # positionally, this engine scores the constituent terms)
+        # positionally, this engine scores the constituent terms).
+        # slop > 0 (round 10): ordered sloppy match via token-position
+        # arrays — the SAME predicate the postings path evaluates over
+        # its stored positions, so the two plans stay bit-exact.
         import re as _re
 
         path = str(spec["path"])
-        normalized = F.regexp_replace(
-            F.lower(F.trim(resolve_field(path).cast("string"))), r"\s+", " "
-        )
-        phrase = " ".join(terms)
-        pred = normalized.rlike(
-            r"(^|\s)" + _re.escape(phrase) + r"(\s|$)"
-        )
+        slop = int(spec.get("slop", 0) or 0)
+        if slop:
+            from anser_spark.operators.ranking import (
+                _tokens,
+                phrase_positions_pred,
+                term_positions,
+            )
+
+            toks = _tokens(path, "none")
+            pred = F.coalesce(
+                phrase_positions_pred(
+                    [term_positions(toks, t) for t in terms], slop
+                ),
+                F.lit(False),
+            )
+        else:
+            normalized = F.regexp_replace(
+                F.lower(F.trim(resolve_field(path).cast("string"))), r"\s+", " "
+            )
+            phrase = " ".join(terms)
+            pred = normalized.rlike(
+                r"(^|\s)" + _re.escape(phrase) + r"(\s|$)"
+            )
         if not need_score:
             return pred, F.lit(1.0)
         score = _bm25(terms, path)
@@ -1931,6 +1950,27 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                                 spec, F.col(score_field)
                             ).cast("double"),
                         )
+        elif op == "phrase" and index.get("postings_positions") and (
+            isinstance(spec, Mapping) and "query" in spec and "path" in spec
+        ):
+            # round 10: positions-bearing postings answer phrase
+            # (incl. slop) over the bounded candidate set — previously
+            # every phrase query was an O(corpus) scan
+            from anser_spark.operators.ranking import search_phrase_postings
+
+            terms = [w for w in str(spec["query"]).lower().split() if w]
+            if terms:
+                out = search_phrase_postings(
+                    df, terms, int(spec.get("slop", 0) or 0),
+                    str(spec["path"]), index, score_field,
+                )
+                if out is not None:
+                    out = out.withColumn(
+                        score_field,
+                        _search_score_option(
+                            spec, F.col(score_field)
+                        ).cast("double"),
+                    )
         elif op == "compound" and index.get("postings_dir") and isinstance(
             spec, Mapping
         ):
@@ -1976,6 +2016,27 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     return out.orderBy(F.desc(score_field), F.col(key))
 
 
+def _facet_date(b: Any):
+    """A ``$searchMeta`` date-facet boundary as a ``datetime`` —
+    accepts datetime/date objects and ISO-8601 strings (the Atlas JSON
+    form, ``Z`` suffix included)."""
+    import datetime as _dt
+
+    if isinstance(b, _dt.datetime):
+        return b
+    if isinstance(b, _dt.date):
+        return _dt.datetime(b.year, b.month, b.day)
+    s = str(b)
+    if s.endswith("Z"):
+        s = s[:-1] + "+00:00"
+    try:
+        return _dt.datetime.fromisoformat(s)
+    except ValueError as exc:
+        raise PipelineCompileError(
+            f"$searchMeta date facet boundary {b!r} is not ISO-8601"
+        ) from exc
+
+
 def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """``$searchMeta`` (Atlas): metadata about a search — the match
     count, or facet buckets — WITHOUT returning the documents.
@@ -1984,19 +2045,23 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
       - ``{"<operator>": {...}}`` → one row ``{count: {total: n}}``
       - ``{"facet": {"operator": {...}, "facets": {name: spec, ...}}}``
         where spec is ``{"type": "string", "path": p, "numBuckets": k}``
-        (top-k values by frequency) or ``{"type": "number", "path": p,
-        "boundaries": [b0, b1, ...]}`` ($bucket-style half-open ranges)
+        (top-k values by frequency), ``{"type": "number", "path": p,
+        "boundaries": [b0, b1, ...]}`` ($bucket-style half-open ranges),
+        or ``{"type": "date", ...}`` with ISO-8601/datetime boundaries
+        (round 10 — Atlas date facets)
         → one row ``{count: {total}, facet_<name>: [{_id, count}, ...]}``.
 
     Fixed-schema divergences (documented): the exact ``total`` is
     reported (Atlas may return a lowerBound), and facet buckets land in
     ``facet_<name>`` array columns instead of nested metadata.
 
-    Physical shape: the operator predicate is pure Column (one filtered
-    scan); each facet is one small groupBy whose result is BOUNDED
-    (numBuckets / len(boundaries)), collected and emitted as a one-row
-    literal frame — the same constant-size-collect reasoning as the
-    BM25 stats aggregate.
+    Physical shape (round 10): the candidate frame materializes ONCE —
+    persisted for the stage; the count() fills the cache — and all k
+    facets compile into a single melted (facet, bucket-key) union
+    aggregated + windowed-top-k'd in ONE job, so the job count is
+    constant in the facet count. Every collect is BOUNDED (numBuckets /
+    len(boundaries) rows per facet) — the same constant-size-collect
+    reasoning as the BM25 stats aggregate.
     """
     from pyspark.sql import types as _T
 
@@ -2098,73 +2163,136 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     if matched is None:
         matched = df.where(F.coalesce(pred, F.lit(False)))
 
+    from pyspark.storagelevel import StorageLevel
+
     from anser_spark.functions.filters import resolve_field
 
-    total = matched.count()
-    row: dict[str, Any] = {"count": {"total": total}}
-    fields: list[_T.StructField] = [
-        _T.StructField(
-            "count", _T.StructType([_T.StructField("total", _T.LongType())])
-        )
-    ]
-    for name, spec in facets.items():
-        ftype = spec.get("type")
-        path = str(spec["path"])
-        col = resolve_field(path)
-        if ftype == "string":
-            k = int(spec.get("numBuckets", 10))
-            buckets = (
-                matched.groupBy(col.cast("string").alias("_id"))
-                .agg(F.count(F.lit(1)).alias("count"))
-                .orderBy(F.desc("count"), F.asc("_id"))
-                .limit(k)
-                .collect()
-            )
-            row[f"facet_{name}"] = [
-                {"_id": r["_id"], "count": r["count"]} for r in buckets
-            ]
-            idt: _T.DataType = _T.StringType()
-        elif ftype == "number":
-            bounds = [float(b) for b in spec["boundaries"]]
-            if sorted(bounds) != bounds or len(bounds) < 2:
-                raise PipelineCompileError(
-                    "$searchMeta number facet boundaries must be ascending, ≥2"
-                )
-            expr = None
-            v = col.cast("double")
-            for lo, hi in zip(bounds, bounds[1:]):
-                cond = (v >= F.lit(lo)) & (v < F.lit(hi))
-                expr = F.when(cond, F.lit(lo)) if expr is None else expr.when(cond, F.lit(lo))
-            per = (
-                matched.withColumn("__fb", expr)
-                .where(F.col("__fb").isNotNull())
-                .groupBy("__fb")
-                .agg(F.count(F.lit(1)).alias("count"))
-                .collect()
-            )
-            counts = {r["__fb"]: r["count"] for r in per}
-            row[f"facet_{name}"] = [
-                {"_id": lo, "count": counts.get(lo, 0)} for lo in bounds[:-1]
-            ]
-            idt = _T.DoubleType()
-        else:
-            raise PipelineCompileError(
-                f"unsupported $searchMeta facet type: {ftype!r} (string/number)"
-            )
-        fields.append(
+    # Round 10: ONE candidate materialization and ONE facet job,
+    # regardless of facet count. The count() materializes the persisted
+    # candidate frame, then every facet compiles into a single melted
+    # (facet, bucket-key) union aggregated and top-k'd in one job —
+    # previously the count plus EACH facet re-executed the candidate
+    # plan (the postings join, or the corpus scan predicate) from
+    # scratch: k+1 executions for k facets.
+    matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        total = matched.count()
+        row: dict[str, Any] = {"count": {"total": total}}
+        fields: list[_T.StructField] = [
             _T.StructField(
-                f"facet_{name}",
-                _T.ArrayType(
-                    _T.StructType(
-                        [
-                            _T.StructField("_id", idt),
-                            _T.StructField("count", _T.LongType()),
-                        ]
-                    )
-                ),
+                "count",
+                _T.StructType([_T.StructField("total", _T.LongType())]),
             )
-        )
-    return df.sparkSession.createDataFrame([row], _T.StructType(fields))
+        ]
+        pairs: list[Any] = []
+        metas: list[tuple[str, str, int, list | None, _T.DataType]] = []
+        for name, spec in facets.items():
+            ftype = spec.get("type")
+            path = str(spec["path"])
+            col = resolve_field(path)
+            if ftype == "string":
+                k = int(spec.get("numBuckets", 10))
+                pairs.append(F.struct(
+                    F.lit(name).alias("__facet"),
+                    col.cast("string").alias("__key"),
+                    F.lit(False).alias("__drop"),  # null IS a bucket here
+                ))
+                metas.append((name, "string", k, None, _T.StringType()))
+            elif ftype in ("number", "date"):
+                # both bucket by ascending half-open boundaries; the
+                # melted key is the BUCKET INDEX (exact round-trip —
+                # float/timestamp labels re-attach driver-side)
+                if ftype == "number":
+                    bounds: list[Any] = [float(b) for b in spec["boundaries"]]
+                    v = col.cast("double")
+                    idt: _T.DataType = _T.DoubleType()
+                else:
+                    bounds = [_facet_date(b) for b in spec["boundaries"]]
+                    v = col.cast("timestamp")
+                    idt = _T.TimestampType()
+                if sorted(bounds) != bounds or len(bounds) < 2:
+                    raise PipelineCompileError(
+                        f"$searchMeta {ftype} facet boundaries must be "
+                        "ascending, ≥2"
+                    )
+                expr = None
+                for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+                    cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+                    expr = (
+                        F.when(cond, F.lit(i)) if expr is None
+                        else expr.when(cond, F.lit(i))
+                    )
+                key = expr.cast("string")
+                pairs.append(F.struct(
+                    F.lit(name).alias("__facet"),
+                    key.alias("__key"),
+                    key.isNull().alias("__drop"),  # out-of-range: no bucket
+                ))
+                metas.append((name, ftype, len(bounds), bounds, idt))
+            else:
+                raise PipelineCompileError(
+                    f"unsupported $searchMeta facet type: {ftype!r} "
+                    "(string/number/date)"
+                )
+        by_facet: dict[str, list] = {}
+        if pairs:
+            from pyspark.sql.window import Window
+
+            # one pass over the cached candidates: every row emits its
+            # (facet, bucket-key) pairs via a single explode — the plan
+            # (and job count) is independent of the facet count
+            melted = (
+                matched.select(F.explode(F.array(*pairs)).alias("__p"))
+                .where(~F.col("__p.__drop"))
+                .select(F.col("__p.__facet").alias("__facet"),
+                        F.col("__p.__key").alias("__key"))
+            )
+            kmap = None
+            for nm, _ft, k, _b, _t in metas:
+                kmap = (
+                    F.when(F.col("__facet") == nm, F.lit(k)) if kmap is None
+                    else kmap.when(F.col("__facet") == nm, F.lit(k))
+                )
+            w = Window.partitionBy("__facet").orderBy(
+                F.desc("count"), F.asc("__key")
+            )
+            per = (
+                melted.groupBy("__facet", "__key")
+                .agg(F.count(F.lit(1)).alias("count"))
+                .withColumn("__rank", F.row_number().over(w))
+                .where(F.col("__rank") <= kmap)
+                .collect()
+            )
+            for r in per:
+                by_facet.setdefault(r["__facet"], []).append(r)
+        for nm, ft, _k, bounds, idt in metas:
+            got = sorted(by_facet.get(nm, []), key=lambda r: r["__rank"])
+            if ft == "string":
+                row[f"facet_{nm}"] = [
+                    {"_id": r["__key"], "count": r["count"]} for r in got
+                ]
+            else:
+                counts = {int(r["__key"]): r["count"] for r in got}
+                row[f"facet_{nm}"] = [
+                    {"_id": bounds[i], "count": counts.get(i, 0)}
+                    for i in range(len(bounds) - 1)
+                ]
+            fields.append(
+                _T.StructField(
+                    f"facet_{nm}",
+                    _T.ArrayType(
+                        _T.StructType(
+                            [
+                                _T.StructField("_id", idt),
+                                _T.StructField("count", _T.LongType()),
+                            ]
+                        )
+                    ),
+                )
+            )
+        return df.sparkSession.createDataFrame([row], _T.StructType(fields))
+    finally:
+        matched.unpersist()
 
 
 def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:

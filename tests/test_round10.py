@@ -146,3 +146,496 @@ def test_search_meta_count_hatch_regression(icoll, spark):
     assert icoll.pipe(stop).all()[0]["count"]["total"] == 0
     with _hatch_off(spark):
         assert icoll.pipe(stop).all()[0]["count"]["total"] == 0
+
+
+# ---------------------------------------------------------------------------
+# insert manifests → O(delta) refresh (round 10)
+# ---------------------------------------------------------------------------
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark, tmp_path, tag, retention=1):
+    eng = Engine(spark, workdir=str(tmp_path / tag))
+    c = eng.db("t").collection("docs")
+    if retention != 1:
+        c.set_retention(retention)
+    return c
+
+
+def test_insert_manifest_chain(spark, tmp_path):
+    c = _mk(spark, tmp_path, "mf")
+    c.insert_many([{"_id": 1, "text": "a"}, {"_id": 2, "text": "b"}])
+    v1 = c._pointer()
+    c.insert_many([{"_id": 3, "text": "c"}])
+    c.insert_many([{"_id": 4, "text": "d"}, {"_id": 5, "text": "e"}])
+    # the chain reads exactly the appended rows — no diff, no retention
+    delta = c._manifest_delta(v1)
+    assert delta is not None
+    assert sorted(r["_id"] for r in delta.collect()) == [3, 4, 5]
+    # and it reads ONLY the appended files, all inside the CURRENT
+    # version dir (appended files keep their paths through later
+    # appends via the hard-link COW)
+    cur_dir = os.path.join(c._store_dir, str(c._pointer()))
+    dfiles = delta.inputFiles()
+    assert dfiles and all(cur_dir in f for f in dfiles)
+    assert len(dfiles) < len(c.df().inputFiles())
+    # an update breaks the chain (that version has no manifest)
+    c.update_all({"_id": 3}, {"$set": {"text": "C"}})
+    assert c._manifest_delta(v1) is None
+    # a rewrite clears manifests entirely — a later append restarts
+    v_after = c._pointer()
+    c.insert_many([{"_id": 6, "text": "f"}])
+    d2 = c._manifest_delta(v_after)
+    assert d2 is not None
+    assert [r["_id"] for r in d2.collect()] == [6]
+
+
+def test_manifest_delta_hive_partitions(spark, tmp_path):
+    c = _mk(spark, tmp_path, "mfp")
+    c.set_partitioning("lang")
+    c.insert_many([{"_id": 1, "lang": "en", "v": 1},
+                   {"_id": 2, "lang": "de", "v": 2}])
+    v1 = c._pointer()
+    c.insert_many([{"_id": 3, "lang": "en", "v": 3}])
+    delta = c._manifest_delta(v1)
+    assert delta is not None
+    rows = delta.collect()
+    assert len(rows) == 1 and rows[0]["lang"] == "en" and rows[0]["_id"] == 3
+
+
+def test_refresh_is_o_delta_no_diff_no_retention(spark, tmp_path, monkeypatch):
+    # retention stays at the DEFAULT 1: the manifest chain spans reaped
+    # versions (appended files keep their paths in the current dir), so
+    # incremental refresh no longer needs set_retention >= 2 at all —
+    # and diff_versions (two corpus exceptAll shuffles) must not run
+    c = _mk(spark, tmp_path, "od")
+    c.insert_many([{"_id": i, "text": f"spark doc {i}"} for i in range(4)])
+    c.create_search_index("ox", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    c.insert_many([{"_id": 10, "text": "fresh spark running"}])
+    c.insert_many([{"_id": 11, "text": "another running doc"}])
+
+    def _no_diff(*a, **k):
+        raise AssertionError("diff_versions must not run on the manifest path")
+
+    monkeypatch.setattr(type(c), "diff_versions", _no_diff)
+    out = c.refresh_search_index("ox")
+    assert out == {"mode": "incremental", "inserted": 2}
+    got = sorted(r["_id"] for r in c.find({"$text": {"$search": "running"}}).all())
+    assert got == [10, 11]
+    # and the refreshed index equals a fresh rebuild bit-for-bit
+    monkeypatch.undo()
+    from tests.test_round9 import _index_state
+    inc = _index_state(c, spark, "ox")
+    c.create_search_index("ox2", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    full = _index_state(c, spark, "ox2")
+    assert inc == full
+
+
+def test_refresh_crash_retry_is_idempotent(spark, tmp_path, monkeypatch):
+    # die AFTER the staged delta writes but BEFORE the definition swap:
+    # the retry must not double the postings (the round-9 in-place
+    # append doubled tf and silently inflated BM25 scores)
+    from anser_spark.engine import Collection
+
+    c = _mk(spark, tmp_path, "cr")
+    c.insert_many([{"_id": i, "text": f"spark doc {i}"} for i in range(4)])
+    c.create_search_index("cx", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    c.insert_many([{"_id": 9, "text": "spark spark running"}])
+
+    real = Collection._write_search_index
+    calls = {"n": 0}
+
+    def _boom(self, name, definition):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before the definition swap")
+
+    monkeypatch.setattr(Collection, "_write_search_index", _boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        c.refresh_search_index("cx")
+    assert calls["n"] == 1
+    monkeypatch.setattr(Collection, "_write_search_index", real)
+    out = c.refresh_search_index("cx")
+    assert out == {"mode": "incremental", "inserted": 1}
+    from tests.test_round9 import _index_state
+    inc = _index_state(c, spark, "cx")
+    c.create_search_index("cx2", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    full = _index_state(c, spark, "cx2")
+    assert inc == full  # no duplicated (id, term) rows, exact stats
+
+
+def test_postings_compaction_bounds_dirs(spark, tmp_path):
+    c = _mk(spark, tmp_path, "cp")
+    c.insert_many([{"_id": 0, "text": "spark base"}])
+    c.create_search_index("kx", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    spark.conf.set("spark.anser.index.compactThreshold", "3")
+    try:
+        for i in range(1, 8):
+            c.insert_many([{"_id": i, "text": f"spark running doc{i}"}])
+            assert c.refresh_search_index("kx")["mode"] == "incremental"
+        d = c._load_search_index("kx", warn_stale=False)
+        # delta-dir count stays under the threshold
+        assert len(d.get("postings_deltas") or []) < 3
+        # on-disk table dirs for this index stay bounded (no leaks)
+        idx = c._search_index_dir()
+        mine = [e for e in os.listdir(idx) if e.startswith("kx_")]
+        assert len(mine) <= 5, mine
+        # queries still bit-exact vs a fresh rebuild
+        from tests.test_round9 import _index_state
+        inc = _index_state(c, spark, "kx")
+        c.create_search_index("kx2", {
+            "kind": "bm25", "path": "text", "default_language": "english"})
+        assert inc == _index_state(c, spark, "kx2")
+        # footer pruning still holds: the compacted table is range-laid
+        rows = c.find({"$text": {"$search": "doc3"}}).all()
+        assert [r["_id"] for r in rows] == [3]
+    finally:
+        spark.conf.unset("spark.anser.index.compactThreshold")
+
+
+def test_rebuild_sweeps_versioned_dirs(spark, tmp_path):
+    # ADVICE r9: refresh -> rebuild cycles leaked one versioned terms
+    # dir per cycle; the post-publish sweep removes everything the new
+    # definition no longer references
+    c = _mk(spark, tmp_path, "sw")
+    c.insert_many([{"_id": 0, "text": "spark base"}])
+    c.create_search_index("sx", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    for i in range(1, 4):
+        c.insert_many([{"_id": i, "text": f"spark doc{i}"}])
+        assert c.refresh_search_index("sx")["mode"] == "incremental"
+        c.create_search_index("sx", {
+            "kind": "bm25", "path": "text", "default_language": "english"})
+    idx = c._search_index_dir()
+    mine = sorted(e for e in os.listdir(idx) if e.startswith("sx_"))
+    assert mine == ["sx_postings", "sx_terms"], mine
+
+
+def test_minhash_refresh_crash_retry(spark, tmp_path, monkeypatch):
+    from anser_spark.engine import Collection
+
+    c = _mk(spark, tmp_path, "mh")
+    c.insert_many([
+        {"_id": i, "text": f"the quick brown fox jumps over dog {i}"}
+        for i in range(6)
+    ])
+    c.create_search_index("nx", {
+        "kind": "minhash", "path": "text", "numHashes": 16, "bands": 8})
+    c.insert_many([
+        {"_id": 100, "text": "the quick brown fox jumps over dog 0"}])
+    real = Collection._write_search_index
+
+    def _boom(self, name, definition):
+        raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(Collection, "_write_search_index", _boom)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        c.refresh_search_index("nx")
+    monkeypatch.setattr(Collection, "_write_search_index", real)
+    assert c.refresh_search_index("nx")["mode"] == "incremental"
+    d = c._load_search_index("nx", warn_stale=False)
+    from anser_spark.engine import _read_index_table
+    sigs = _read_index_table(spark, d, "sig_dir", "sig_deltas")
+    # one signature row per document, no duplicates from the retry
+    assert sigs.count() == 7
+    assert sigs.select("_id").distinct().count() == 7
+    pairs = c.near_dups_against_index(
+        c.df().where(F.col("_id") == 100), "nx", threshold=0.8)
+    assert {(r["new_id"], r["old_id"]) for r in pairs.collect()} >= {(100, 0)}
+
+
+# ---------------------------------------------------------------------------
+# $searchMeta: date facets + single-job stage (round 10)
+# ---------------------------------------------------------------------------
+
+import datetime as dt
+
+from anser_spark.plans.pipeline import PipelineCompileError, compile_pipeline
+
+
+def test_search_meta_date_facets(spark):
+    rows = [
+        (1, "data platform", dt.datetime(2020, 3, 1)),
+        (2, "data model", dt.datetime(2021, 6, 15)),
+        (3, "data training", dt.datetime(2022, 1, 1)),
+        (4, "data again", dt.datetime(2023, 7, 4)),
+        (5, "unrelated", dt.datetime(2021, 1, 1)),
+        (6, "data nulldate", None),
+    ]
+    df = spark.createDataFrame(rows, ["_id", "text", "created"])
+    out = compile_pipeline(df, [{"$searchMeta": {"facet": {
+        "operator": {"text": {"query": "data", "path": "text"}},
+        "facets": {"by_date": {
+            "type": "date", "path": "created",
+            # Atlas JSON form: ISO strings (Z suffix included)
+            "boundaries": ["2020-01-01", "2022-01-01", "2024-01-01"],
+        }},
+    }}}], None, None).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["count"]["total"] == 5
+    got = [(b["_id"], b["count"]) for b in r["facet_by_date"]]
+    # manual bucketing: docs 1,2 in [2020,2022); docs 3,4 in [2022,2024);
+    # doc 6 has a null date (no bucket); doc 5 matches no term
+    assert got == [
+        (dt.datetime(2020, 1, 1), 2),
+        (dt.datetime(2022, 1, 1), 2),
+    ]
+    # descending boundaries reject loudly
+    with pytest.raises(PipelineCompileError, match="ascending"):
+        compile_pipeline(df, [{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "data", "path": "text"}},
+            "facets": {"bad": {"type": "date", "path": "created",
+                               "boundaries": ["2024-01-01", "2020-01-01"]}},
+        }}}], None, None)
+    # non-ISO boundary rejects loudly
+    with pytest.raises(PipelineCompileError, match="ISO-8601"):
+        compile_pipeline(df, [{"$searchMeta": {"facet": {
+            "operator": {"text": {"query": "data", "path": "text"}},
+            "facets": {"bad": {"type": "date", "path": "created",
+                               "boundaries": ["not-a-date", "2020-01-01"]}},
+        }}}], None, None)
+
+
+def test_search_meta_job_count_constant_in_facets(spark):
+    # the stage materializes the candidate frame ONCE and folds all
+    # facets into one aggregation job — job count must not scale with
+    # the facet count (round-9 VERDICT efficiency finding #2)
+    rows = [(i, f"data doc {i}", f"t{i % 3}", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["_id", "text", "tag", "score"])
+
+    def run(n_facets, group):
+        facets = {}
+        for j in range(n_facets):
+            if j % 2 == 0:
+                facets[f"s{j}"] = {"type": "string", "path": "tag"}
+            else:
+                facets[f"n{j}"] = {"type": "number", "path": "score",
+                                   "boundaries": [0, 10, 100]}
+        sc = spark.sparkContext
+        sc.setJobGroup(group, "searchMeta job-count probe")
+        try:
+            out = compile_pipeline(df, [{"$searchMeta": {"facet": {
+                "operator": {"text": {"query": "data", "path": "text"}},
+                "facets": facets,
+            }}}], None, None).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        assert out[0]["count"]["total"] == 50
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    one = run(1, "sm_jobs_1")
+    four = run(4, "sm_jobs_4")
+    assert four == one, (one, four)
+
+
+# ---------------------------------------------------------------------------
+# cost-based postings-vs-scan choice (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_postings_cost_gate_hot_terms(spark, tmp_path):
+    from anser_spark.operators.ranking import text_match_postings
+
+    c = _mk(spark, tmp_path, "cost")
+    # 'none' analyzer: stopwords survive — "the" lands in EVERY doc, so
+    # its postings are the whole corpus and the join-back stops being
+    # bounded; "needle" is rare
+    c.insert_many([
+        {"_id": i, "text": ("the needle doc" if i == 0 else "the common doc")}
+        for i in range(40)
+    ])
+    c.create_search_index("hx", {"kind": "bm25", "path": "text"})
+    d = c._fresh_bm25_index(c.df())
+    assert d is not None and d.get("postings_dir")
+    # under the small-corpus floor both queries take the postings path
+    assert text_match_postings(c.df(), {"$search": "the"}, d) is not None
+    # force the cost model on via the conf override: the hot term
+    # (df = corpus) drops to the scan, the rare term keeps the postings
+    spark.conf.set("spark.anser.text.postingsMaxDfFrac", "0.5")
+    try:
+        assert text_match_postings(c.df(), {"$search": "the"}, d) is None
+        assert text_match_postings(c.df(), {"$search": "needle"}, d) is not None
+        # and the full query surface still answers correctly either way
+        hot = sorted(
+            r["_id"] for r in c.find({"$text": {"$search": "the"}}).all()
+        )
+        assert hot == list(range(40))
+        rare = [r["_id"] for r in c.find({"$text": {"$search": "needle"}}).all()]
+        assert rare == [0]
+    finally:
+        spark.conf.unset("spark.anser.text.postingsMaxDfFrac")
+
+
+# ---------------------------------------------------------------------------
+# phrase from postings positions (round 10)
+# ---------------------------------------------------------------------------
+
+PHRASE_DOCS = [
+    {"_id": 0, "text": "the quick brown fox jumps"},
+    {"_id": 1, "text": "the quick red brown fox"},       # slop-1 for "quick brown"
+    {"_id": 2, "text": "quick and very brown fox"},      # slop-2
+    {"_id": 3, "text": "brown quick fox"},               # out of order
+    {"_id": 4, "text": "the quick brown, fox"},          # punctuation glues token
+    {"_id": 5, "text": "xquick brown fox"},              # mid-token prefix
+    {"_id": 6, "text": "THE QUICK  BROWN fox"},          # case + double space
+    {"_id": 7, "text": None},
+    {"_id": 8, "text": "quick quick brown"},             # repeated term
+]
+
+
+@pytest.mark.parametrize("slop", [0, 1, 2])
+def test_search_phrase_postings_parity(spark, tmp_path, slop):
+    from anser_spark.operators.ranking import search_phrase_postings
+
+    c = _mk(spark, tmp_path, f"ph{slop}")
+    c.insert_many(PHRASE_DOCS)
+    spec = {"query": "quick brown", "path": "text"}
+    if slop:
+        spec["slop"] = slop
+    stage = [{"$search": {"phrase": dict(spec)}},
+             {"$project": {"_id": 1, "score": 1}}]
+    base = {(r["_id"], round(r["score"], 12)) for r in c.pipe(stage).all()}
+    c.create_search_index("px", {"kind": "bm25", "path": "text"})
+    d = c._fresh_bm25_index(c.df())
+    assert d and d.get("postings_positions") is True
+    # the postings plan IS chosen for a fresh 'none' index
+    assert search_phrase_postings(
+        c.df(), ["quick", "brown"], slop, "text", d) is not None
+    via = {(r["_id"], round(r["score"], 12)) for r in c.pipe(
+        [{"$search": {"phrase": dict(spec), "index": "px"}},
+         {"$project": {"_id": 1, "score": 1}}]).all()}
+    assert base == via
+    ids = {i for i, _s in base}
+    if slop == 0:
+        assert ids == {0, 6, 8}
+    elif slop == 1:
+        assert ids == {0, 1, 6, 8}
+    else:
+        assert ids == {0, 1, 2, 6, 8}
+
+
+def test_search_phrase_postings_ineligible_paths(spark, tmp_path):
+    from anser_spark.operators.ranking import search_phrase_postings
+
+    c = _mk(spark, tmp_path, "phx")
+    c.insert_many(PHRASE_DOCS)
+    # an english index stems/stops — phrase terms are raw tokens, so
+    # the index can't serve them; the scan path still answers
+    c.create_search_index("pe", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    d = c._fresh_bm25_index(c.df())
+    assert search_phrase_postings(
+        c.df(), ["quick", "brown"], 0, "text", d) is None
+    out = c.pipe([
+        {"$search": {"phrase": {"query": "quick brown", "path": "text"},
+                     "index": "pe"}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert sorted(r["_id"] for r in out) == [0, 6, 8]
+    # positions can be declined at build time: the index stays usable
+    # for term queries, phrase falls back to the scan
+    c.create_search_index("pn", {
+        "kind": "bm25", "path": "text", "positions": False})
+    d2 = c._load_search_index("pn", warn_stale=False)
+    assert d2.get("postings_positions") is False
+    assert search_phrase_postings(
+        c.df(), ["quick", "brown"], 0, "text", d2) is None
+
+
+def test_phrase_positions_refresh_roundtrip(spark, tmp_path):
+    # incremental refresh writes positions too — phrase answers from
+    # the union of base + delta postings
+    c = _mk(spark, tmp_path, "phr")
+    c.insert_many(PHRASE_DOCS)
+    c.create_search_index("pr", {"kind": "bm25", "path": "text"})
+    c.insert_many([{"_id": 100, "text": "another quick brown thing"}])
+    assert c.refresh_search_index("pr")["mode"] == "incremental"
+    out = c.pipe([
+        {"$search": {"phrase": {"query": "quick brown", "path": "text"},
+                     "index": "pr"}},
+        {"$project": {"_id": 1}},
+    ]).all()
+    assert sorted(r["_id"] for r in out) == [0, 6, 8, 100]
+
+
+# ---------------------------------------------------------------------------
+# fuzz: hatch toggling × refresh interleaving over the full text surface
+# (round 10 — the round-9 bug class was a CONFIG dimension no fuzzer
+# flipped; this one flips it every round, between incremental refreshes)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [11, 2026, 31337])
+def test_postings_surface_fuzz_hatch_and_refresh(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    vocab = ["spark", "mongo", "data", "dáta", "running", "run", "the",
+             "and", "cluster", "résumé", "quick", "brown", "fox"]
+    eng = Engine(spark, workdir=str(tmp_path / f"sf{seed}"))
+    c = eng.db("t").collection("docs")
+    language = rng.choice(["none", "english"])
+    next_id = 0
+
+    def batch(k):
+        nonlocal next_id
+        docs = []
+        for _ in range(k):
+            n = rng.randint(0, 9)
+            docs.append({
+                "_id": next_id,
+                "text": " ".join(
+                    rng.choice(vocab) for _ in range(n)) if n else None,
+            })
+            next_id += 1
+        c.insert_many(docs)
+
+    batch(15)
+    c.create_search_index("fx", {
+        "kind": "bm25", "path": "text", "default_language": language})
+
+    def surfaces():
+        words = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+        phrase = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 2)))
+        analyzer = (
+            "lucene.english" if language == "english" else "lucene.standard"
+        )
+        find_rows = sorted(
+            (r["_id"], round(r["s"], 12))
+            for r in c.find({"$text": {"$search": words}})
+            .select({"_id": 1, "s": {"$meta": "textScore"}}).all()
+        )
+        meta = c.pipe([{"$searchMeta": {
+            "text": {"query": words, "path": "text", "analyzer": analyzer},
+            "index": "fx"}}]).all()[0]["count"]["total"]
+        ph = sorted(
+            (r["_id"], round(r["score"], 12))
+            for r in c.pipe([
+                {"$search": {"phrase": {"query": phrase, "path": "text",
+                                        "slop": rng.choice([0, 0, 1])},
+                             "index": "fx"}},
+                {"$project": {"_id": 1, "score": 1}},
+            ]).all()
+        )
+        return find_rows, meta, ph
+
+    for round_i in range(4):
+        batch(rng.randint(1, 5))
+        out = c.refresh_search_index("fx")
+        assert out["mode"] == "incremental", (round_i, out)
+        state = rng.getstate()
+        with_postings = surfaces()
+        rng.setstate(state)  # same random queries on both sides
+        with _hatch_off(spark):
+            without = surfaces()
+        assert with_postings == without, (seed, round_i, language)

@@ -494,7 +494,7 @@ def test_search_meta(search_corpus):
             search_corpus,
             [{"$searchMeta": {"facet": {
                 "operator": {"exists": {"path": "tag"}},
-                "facets": {"bad": {"type": "date", "path": "year"}},
+                "facets": {"bad": {"type": "boolean", "path": "year"}},
             }}}],
         )
 

@@ -431,9 +431,10 @@ def _index_state(c, spark, name):
         (r["term"], r["df"])
         for r in spark.read.parquet(d["terms_dir"]).collect()
     }
+    pdirs = [d["postings_dir"], *(d.get("postings_deltas") or [])]
     postings = {
         (r["id"], r["term"], r["tf"], r["n_tokens"])
-        for r in spark.read.parquet(d["postings_dir"]).collect()
+        for r in spark.read.parquet(*pdirs).collect()
     }
     stats = {k: d[k] for k in ("n_docs", "avgdl", "sum_tokens", "n_text_docs")}
     return terms, postings, stats
@@ -750,7 +751,9 @@ def test_refresh_minhash_incremental_appends(spark, tmp_path):
     d2 = dict(c._load_search_index("mh2", warn_stale=False))
     sig_a = {
         (r["_id"], tuple(r["__minhash"]), tuple(sorted(r["__shash"])))
-        for r in spark.read.parquet(d["sig_dir"]).collect()
+        for r in spark.read.parquet(
+            d["sig_dir"], *(d.get("sig_deltas") or [])
+        ).collect()
     }
     sig_b = {
         (r["_id"], tuple(r["__minhash"]), tuple(sorted(r["__shash"])))
@@ -758,7 +761,9 @@ def test_refresh_minhash_incremental_appends(spark, tmp_path):
     }
     assert sig_a == sig_b and len(sig_a) == 4
     bands_a = {
-        tuple(r) for r in spark.read.parquet(d["bands_dir"]).collect()
+        tuple(r) for r in spark.read.parquet(
+            d["bands_dir"], *(d.get("bands_deltas") or [])
+        ).collect()
     }
     bands_b = {
         tuple(r) for r in spark.read.parquet(d2["bands_dir"]).collect()
