@@ -851,8 +851,25 @@ class Collection:
         Physical shape: two scans + one hash-aggregate distinct per
         side; no driver materialization — compose/write the result like
         any frame. The CDC primitive for corpus builds: what changed
-        between yesterday's dataset and today's."""
+        between yesterday's dataset and today's.
+
+        Round 10 fast path: when every commit between ``old`` and the
+        current version was an insert-only append (the steady-state
+        ingest shape), the diff is read STRAIGHT from the insert
+        manifests — only the appended files, no exceptAll shuffle, and
+        no retention requirement. Bit-equal to the exceptAll answer:
+        within an unbroken append chain, added-multiset = exactly the
+        appended rows and removed is empty (new = old ⊎ delta)."""
         cur = self._pointer()
+        if old != cur and (new is None or new == cur):
+            delta = self._manifest_delta(old)
+            if delta is not None:
+                # column order pinned to the collection's (hive reads
+                # surface partition columns last) so downstream JSON
+                # struct layouts match the exceptAll path's
+                return delta.select(*self.df().columns).withColumn(
+                    "change_type", F.lit("added")
+                )
         new_df = self.df() if new is None or new == cur else self.df_at(new)
         old_df = self.df_at(old) if old != cur else self.df()
         # schema evolution between versions (e.g. insert added _id):
