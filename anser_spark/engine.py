@@ -1802,12 +1802,17 @@ class Collection:
                 tok_cols.insert(0, F.col(id_col).alias("id"))
             from pyspark.storagelevel import StorageLevel
 
-            # persist (not localCheckpoint): the tokenized corpus is
-            # build-scoped scratch — unpersist below frees the disk
-            # deterministically instead of waiting for driver GC
-            tok_frame = docs.select(*tok_cols).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            # persist ONLY when the analyzer is expensive (round 10):
+            # english tokenization runs the Porter2 Arrow kernel, so
+            # the three consumers (stats, terms, postings) should pay
+            # it once — persist (not localCheckpoint) so unpersist
+            # below frees the scratch deterministically. The 'none'
+            # analyzer is a codegen'd split: recomputing it per job is
+            # cheaper than materializing corpus-size token arrays to
+            # memory+disk (at 100 TB the persist IS the bottleneck).
+            tok_frame = docs.select(*tok_cols)
+            if language == "english":
+                tok_frame = tok_frame.persist(StorageLevel.MEMORY_AND_DISK)
             stats_aggs = [
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.size("__toks")).alias("avgdl"),
@@ -2478,6 +2483,10 @@ class Collection:
         p = os.path.join(self._search_index_dir(), f"{name}.json")
         if os.path.exists(p):
             os.remove(p)
+            # reclaim the index's table directories (round 10) — the
+            # sweep never touches a dir some OTHER stored definition
+            # still references
+            self._sweep_index_dirs(name, {})
 
     def _load_search_index(
         self, name: str, warn_stale: bool = True

@@ -2210,7 +2210,14 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                     bounds = [_facet_date(b) for b in spec["boundaries"]]
                     v = col.cast("timestamp")
                     idt = _T.TimestampType()
-                if sorted(bounds) != bounds or len(bounds) < 2:
+                try:
+                    ascending = sorted(bounds) == bounds
+                except TypeError as exc:  # naive/aware datetimes mixed
+                    raise PipelineCompileError(
+                        f"$searchMeta {ftype} facet boundaries are not "
+                        "mutually comparable (mixed naive/aware datetimes?)"
+                    ) from exc
+                if not ascending or len(bounds) < 2:
                     raise PipelineCompileError(
                         f"$searchMeta {ftype} facet boundaries must be "
                         "ascending, ≥2"

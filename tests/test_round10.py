@@ -700,3 +700,18 @@ def test_watch_manifest_fast_path_events(spark, tmp_path):
         (r["operationType"], r["documentKey"]) for r in events
     ) == [("insert", 2), ("insert", 3)]
     assert all(r["fullDocumentBeforeChange"] is None for r in events)
+
+
+def test_drop_search_index_reclaims_dirs(spark, tmp_path):
+    c = _mk(spark, tmp_path, "drp")
+    c.insert_many([{"_id": 0, "text": "spark doc"}])
+    c.create_search_index("dx", {"kind": "bm25", "path": "text"})
+    c.create_search_index("dx2", {"kind": "bm25", "path": "text"})
+    idx = c._search_index_dir()
+    assert any(e.startswith("dx_") for e in os.listdir(idx))
+    c.drop_search_index("dx")
+    left = [e for e in os.listdir(idx) if e.startswith("dx_")]
+    assert left == [], left
+    # the sibling index's tables survive and still answer
+    assert [e for e in os.listdir(idx) if e.startswith("dx2_")]
+    assert c.find({"$text": {"$search": "spark"}}).count() == 1
