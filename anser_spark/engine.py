@@ -1832,6 +1832,11 @@ class Collection:
                 )
                 .groupBy("term")
                 .agg(F.count(F.lit(1)).alias("df"))
+                # range+sort by term: the query-side point lookups and
+                # autocomplete PREFIX scans prune on footer min/max
+                # (round 10; previously the table shipped unsorted)
+                .repartitionByRange(F.col("term"))
+                .sortWithinPartitions("term")
                 .write.mode("overwrite")
                 .parquet(terms_dir)
             )
@@ -2249,6 +2254,8 @@ class Collection:
             .unionByName(new_terms)
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
+            .repartitionByRange(F.col("term"))
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(new_terms_dir)
         )

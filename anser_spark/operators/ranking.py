@@ -34,6 +34,7 @@ __all__ = [
     "text_match_postings",
     "search_text_postings",
     "search_phrase_postings",
+    "search_autocomplete_postings",
     "phrase_positions_pred",
     "term_positions",
     "count_text_postings",
@@ -1054,6 +1055,100 @@ def search_phrase_postings(
         part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part
     cand = cand.select("__postkey", score.alias(score_field))
+    return df.join(
+        cand, F.col(id_col) == F.col("__postkey"), "inner"
+    ).drop("__postkey")
+
+
+def search_autocomplete_postings(
+    df: DataFrame,
+    terms: list[str],
+    order: str,
+    path: str,
+    index: Mapping[str, Any],
+    score_field: str = "score",
+) -> DataFrame | None:
+    """The ``$search`` ``autocomplete`` operator answered from the
+    postings table (round 10): every query term must PREFIX some token
+    — a ``StartsWith`` filter pushed to the postings scan (the table is
+    range-sorted by folded term, so prefix ranges footer-prune) — and
+    ``tokenOrder: "sequential"`` additionally requires consecutive hit
+    positions, decided by :func:`phrase_positions_pred` over the UNION
+    of each prefix's matched-token position arrays. Candidates are
+    bounded by Σ df(prefix-matched terms); the same cost gate as the
+    term paths sends stopword-hot prefixes back to the scan (Σ df read
+    from the term table with one small aggregate — no driver term
+    list). Scores are the Atlas constant 1 (edge-gram scores are
+    index-internal; the scan compile does the same). None when the
+    index can't serve it: non-'none' analyzer (query terms are raw
+    lowered tokens), path mismatch, postings disabled, sequential
+    without stored positions, or the cost gate."""
+    postings_dir = index.get("postings_dir")
+    if not postings_dir or not terms or not _postings_enabled(df.sparkSession):
+        return None
+    if (index.get("default_language", "none") or "none") != "none":
+        return None
+    if str(index.get("path", "text")) != path:
+        return None
+    if order == "sequential" and not index.get("postings_positions"):
+        return None
+    id_col = index.get("id_col", "_id")
+    if id_col not in df.columns:
+        return None
+    n_docs = int(index["n_docs"])
+    if n_docs == 0:
+        return df.where(F.lit(False)).withColumn(
+            score_field, F.lit(1.0)
+        )
+
+    spark = df.sparkSession
+    conds = [F.col("term").startswith(F.lit(t)) for t in terms]
+    any_cond = conds[0]
+    for c in conds[1:]:
+        any_cond = any_cond | c
+    sum_df = (
+        spark.read.parquet(str(index["terms_dir"]))
+        .where(any_cond)
+        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
+    )
+    if not _postings_cost_ok(spark, int(sum_df), n_docs, "none"):
+        return None
+
+    aggs: list = []
+    for i, cond in enumerate(conds):
+        if order == "sequential":
+            aggs.append(
+                F.sort_array(
+                    F.flatten(
+                        F.collect_list(F.when(cond, F.col("positions")))
+                    )
+                ).alias(f"__pos{i}")
+            )
+        else:
+            aggs.append(
+                F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(
+                    f"__hit{i}"
+                )
+            )
+    cand = (
+        _postings_frame(spark, index)
+        .where(any_cond)
+        .groupBy(F.col("id").alias("__postkey"))
+        .agg(*aggs)
+    )
+    if order == "sequential":
+        pred = phrase_positions_pred(
+            [F.col(f"__pos{i}") for i in range(len(terms))], 0
+        )
+    else:
+        pred = None
+        for i in range(len(terms)):
+            one = F.col(f"__hit{i}") == F.lit(1)
+            pred = one if pred is None else pred & one
+    cand = cand.where(F.coalesce(pred, F.lit(False))).select(
+        "__postkey", F.lit(1.0).alias(score_field)
+    )
     return df.join(
         cand, F.col(id_col) == F.col("__postkey"), "inner"
     ).drop("__postkey")

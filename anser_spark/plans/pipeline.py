@@ -1715,37 +1715,14 @@ def _compile_search_op(  # noqa: C901
     if op == "moreLikeThis":
         # Atlas moreLikeThis: find documents resembling the given
         # example document(s). Scan-side formulation: extract the
-        # examples' representative terms (top-12 by term frequency,
-        # length ≥ 3, English stopwords dropped — deterministic
-        # tie-break by term) and score them like a text query.
+        # examples' representative terms (_mlt_terms — shared with the
+        # round-10 postings plug so the two paths can't drift) and
+        # score them like a text query.
         # Fixed-schema divergence: Atlas infers fields from the search
         # index; here ``path`` names the text column (default "text"),
         # and the example documents themselves are not excluded from
         # the result (Atlas also returns them when they match).
-        from collections import Counter
-
-        from anser_spark.operators.text import LANG_STOPWORDS
-
-        like = spec.get("like")
-        if like is None:
-            raise PipelineCompileError("$search moreLikeThis requires 'like'")
-        docs = like if isinstance(like, (list, tuple)) else [like]
-        words: list[str] = []
-        for d in docs:
-            if not isinstance(d, Mapping):
-                raise PipelineCompileError(
-                    "moreLikeThis 'like' entries must be documents"
-                )
-            for v in d.values():
-                if isinstance(v, str):
-                    words.extend(v.lower().split())
-        stop = set(LANG_STOPWORDS["en"])
-        counts = Counter(w for w in words if len(w) >= 3 and w not in stop)
-        terms = [t for t, _n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:12]]
-        if not terms:
-            raise PipelineCompileError(
-                "moreLikeThis 'like' documents contain no usable terms"
-            )
+        terms = _mlt_terms(spec)
         path = str(spec.get("path", "text"))
         if not need_score:
             return _any_term_pred(terms, path), F.lit(1.0)
@@ -1971,6 +1948,48 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                             spec, F.col(score_field)
                         ).cast("double"),
                     )
+        elif op == "autocomplete" and index.get("postings_dir") and (
+            isinstance(spec, Mapping) and "query" in spec and "path" in spec
+        ):
+            # round 10: prefix StartsWith filters push to the postings
+            # scan; sequential order = adjacency over the union of each
+            # prefix's matched-token positions
+            from anser_spark.operators.ranking import (
+                search_autocomplete_postings,
+            )
+
+            terms = [w for w in str(spec["query"]).lower().split() if w]
+            order = spec.get("tokenOrder", "any")
+            if terms and order in ("any", "sequential"):
+                out = search_autocomplete_postings(
+                    df, terms, order, str(spec["path"]), index, score_field
+                )
+                if out is not None:
+                    out = out.withColumn(
+                        score_field,
+                        _search_score_option(
+                            spec, F.col(score_field)
+                        ).cast("double"),
+                    )
+        elif op == "moreLikeThis" and index.get("postings_dir") and (
+            (index.get("default_language", "none") or "none") == "none"
+        ):
+            # round 10: the extracted terms are raw lowered tokens —
+            # a 'none' index serves them exactly like a text query
+            # (same idf lookups, same tf source, same score sum)
+            from anser_spark.operators.ranking import search_text_postings
+
+            out = search_text_postings(
+                df, _mlt_terms(spec), str(spec.get("path", "text")),
+                index, score_field,
+            )
+            if out is not None:
+                out = out.withColumn(
+                    score_field,
+                    _search_score_option(
+                        spec, F.col(score_field)
+                    ).cast("double"),
+                )
         elif op == "compound" and index.get("postings_dir") and isinstance(
             spec, Mapping
         ):
@@ -2014,6 +2033,40 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             _exprs.set_active_score_field(prev)
         return out.orderBy(*sort_keys, F.col(key))
     return out.orderBy(F.desc(score_field), F.col(key))
+
+
+def _mlt_terms(spec: Mapping[str, Any]) -> list[str]:
+    """``moreLikeThis`` representative-term extraction: the example
+    documents' top-12 terms by frequency (length ≥ 3, English stopwords
+    dropped, deterministic tie-break by term). Shared by the scan
+    compile and the postings plug — one extraction, two plans."""
+    from collections import Counter
+
+    from anser_spark.operators.text import LANG_STOPWORDS
+
+    like = spec.get("like")
+    if like is None:
+        raise PipelineCompileError("$search moreLikeThis requires 'like'")
+    docs = like if isinstance(like, (list, tuple)) else [like]
+    words: list[str] = []
+    for d in docs:
+        if not isinstance(d, Mapping):
+            raise PipelineCompileError(
+                "moreLikeThis 'like' entries must be documents"
+            )
+        for v in d.values():
+            if isinstance(v, str):
+                words.extend(v.lower().split())
+    stop = set(LANG_STOPWORDS["en"])
+    counts = Counter(w for w in words if len(w) >= 3 and w not in stop)
+    terms = [
+        t for t, _n in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    ]
+    if not terms:
+        raise PipelineCompileError(
+            "moreLikeThis 'like' documents contain no usable terms"
+        )
+    return terms
 
 
 def _facet_date(b: Any):
@@ -2069,18 +2122,45 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         # round 9: with a fresh postings index, a text operator's
         # matched set comes from the bounded postings join — no corpus
         # scan, no analyzer kernel (facet groupBys then run over the
-        # candidates only); None → caller uses the scan predicate
+        # candidates only); round 10 extends the same route to phrase
+        # and autocomplete operators (positions / prefix pushdown).
+        # None → caller uses the scan predicate
         index = arg.get("index")
         if not (
-            mop == "text"
+            mop in ("text", "phrase", "autocomplete")
             and isinstance(mspec, Mapping)
             and "query" in mspec and "path" in mspec
             and isinstance(index, Mapping)
             and index.get("kind") == "bm25"
             and index.get("postings_dir")
             and str(index.get("path", "text")) == str(mspec["path"])
-            and _search_analyzer(mspec)
-            == (index.get("default_language", "none") or "none")
+        ):
+            return None
+        path = str(mspec["path"])
+        if mop == "phrase":
+            from anser_spark.operators.ranking import search_phrase_postings
+
+            terms = [w for w in str(mspec["query"]).lower().split() if w]
+            out = search_phrase_postings(
+                df, terms, int(mspec.get("slop", 0) or 0), path, index,
+                "__smScore",
+            )
+            return out.drop("__smScore") if out is not None else None
+        if mop == "autocomplete":
+            from anser_spark.operators.ranking import (
+                search_autocomplete_postings,
+            )
+
+            terms = [w for w in str(mspec["query"]).lower().split() if w]
+            order = mspec.get("tokenOrder", "any")
+            if not terms or order not in ("any", "sequential"):
+                return None
+            out = search_autocomplete_postings(
+                df, terms, order, path, index, "__smScore"
+            )
+            return out.drop("__smScore") if out is not None else None
+        if _search_analyzer(mspec) != (
+            index.get("default_language", "none") or "none"
         ):
             return None
         from anser_spark.operators.ranking import search_text_postings
@@ -2088,9 +2168,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         terms = _search_text_terms(mspec)
         if not terms:
             return df.where(F.lit(False))  # all stopwords: no match
-        out = search_text_postings(
-            df, terms, str(mspec["path"]), index, "__smScore"
-        )
+        out = search_text_postings(df, terms, path, index, "__smScore")
         return out.drop("__smScore") if out is not None else None
 
     facets: Mapping[str, Any] = {}

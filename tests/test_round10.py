@@ -715,3 +715,139 @@ def test_drop_search_index_reclaims_dirs(spark, tmp_path):
     # the sibling index's tables survive and still answer
     assert [e for e in os.listdir(idx) if e.startswith("dx2_")]
     assert c.find({"$text": {"$search": "spark"}}).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# autocomplete from postings (round 10)
+# ---------------------------------------------------------------------------
+
+AUTO_DOCS = [
+    {"_id": 0, "text": "sparkling sparse data"},
+    {"_id": 1, "text": "spark data pipeline"},
+    {"_id": 2, "text": "spa treatment"},
+    {"_id": 3, "text": "data sparkler"},          # order matters for sequential
+    {"_id": 4, "text": "nothing relevant"},
+    {"_id": 5, "text": None},
+    {"_id": 6, "text": "SPARKY Dataset"},          # case folds
+]
+
+
+@pytest.mark.parametrize("order", ["any", "sequential"])
+def test_search_autocomplete_postings_parity(spark, tmp_path, order):
+    from anser_spark.operators.ranking import search_autocomplete_postings
+
+    c = _mk(spark, tmp_path, f"ac{order}")
+    c.insert_many(AUTO_DOCS)
+    spec = {"query": "spark dat", "path": "text", "tokenOrder": order}
+    stage = [{"$search": {"autocomplete": dict(spec)}},
+             {"$project": {"_id": 1, "score": 1}}]
+    base = sorted((r["_id"], r["score"]) for r in c.pipe(stage).all())
+    c.create_search_index("ax", {"kind": "bm25", "path": "text"})
+    d = c._fresh_bm25_index(c.df())
+    assert search_autocomplete_postings(
+        c.df(), ["spark", "dat"], order, "text", d) is not None
+    via = sorted((r["_id"], r["score"]) for r in c.pipe(
+        [{"$search": {"autocomplete": dict(spec), "index": "ax"}},
+         {"$project": {"_id": 1, "score": 1}}]).all())
+    assert base == via
+    ids = [i for i, _s in base]
+    if order == "any":
+        # every doc containing a 'spark'-prefixed AND a 'dat'-prefixed
+        # token, any order
+        assert ids == [0, 1, 3, 6]
+    else:
+        # 'dat'-prefixed token must immediately follow a
+        # 'spark'-prefixed one ("sparkling sparse data" does NOT
+        # qualify: 'sparse' breaks the adjacency)
+        assert ids == [1, 6]
+    # plan: no Python through the postings autocomplete
+    pdf = c.pipe([
+        {"$search": {"autocomplete": dict(spec), "index": "ax"}}]).to_df()
+    plan = pdf._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_search_autocomplete_postings_ineligible(spark, tmp_path):
+    from anser_spark.operators.ranking import search_autocomplete_postings
+
+    c = _mk(spark, tmp_path, "aci")
+    c.insert_many(AUTO_DOCS)
+    # english analyzer: raw prefixes don't align with stemmed terms
+    c.create_search_index("ae", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    d = c._load_search_index("ae", warn_stale=False)
+    assert search_autocomplete_postings(
+        c.df(), ["spark"], "any", "text", d) is None
+    # sequential needs positions
+    c.create_search_index("an", {
+        "kind": "bm25", "path": "text", "positions": False})
+    d2 = c._load_search_index("an", warn_stale=False)
+    assert search_autocomplete_postings(
+        c.df(), ["spark"], "sequential", "text", d2) is None
+    assert search_autocomplete_postings(
+        c.df(), ["spark"], "any", "text", d2) is not None
+    # and the full surface still answers under the hatch
+    spec = {"query": "spark dat", "path": "text"}
+    with_idx = sorted(r["_id"] for r in c.pipe(
+        [{"$search": {"autocomplete": dict(spec), "index": "an"}},
+         {"$project": {"_id": 1}}]).all())
+    with _hatch_off(spark):
+        without = sorted(r["_id"] for r in c.pipe(
+            [{"$search": {"autocomplete": dict(spec), "index": "an"}},
+             {"$project": {"_id": 1}}]).all())
+    assert with_idx == without == [0, 1, 3, 6]
+
+
+def test_more_like_this_postings_parity(spark, tmp_path):
+    c = _mk(spark, tmp_path, "mlt")
+    c.insert_many([
+        {"_id": 0, "text": "spark cluster tuning guide"},
+        {"_id": 1, "text": "tuning the spark cluster for scale"},
+        {"_id": 2, "text": "gardening tips for spring"},
+        {"_id": 3, "text": "cluster management and tuning"},
+        {"_id": 4, "text": None},
+    ])
+    stage = {"moreLikeThis": {
+        "like": [{"text": "spark cluster tuning"}], "path": "text"}}
+    base = sorted((r["_id"], round(r["score"], 12)) for r in c.pipe(
+        [{"$search": dict(stage)}, {"$project": {"_id": 1, "score": 1}}]
+    ).all())
+    c.create_search_index("mx", {"kind": "bm25", "path": "text"})
+    via = sorted((r["_id"], round(r["score"], 12)) for r in c.pipe(
+        [{"$search": dict(stage, index="mx")},
+         {"$project": {"_id": 1, "score": 1}}]).all())
+    assert base == via and [i for i, _ in base] == [0, 1, 3]
+    # plan: no Python through the postings mlt
+    pdf = c.pipe([{"$search": dict(stage, index="mx")}]).to_df()
+    plan = pdf._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_search_meta_phrase_and_autocomplete_operators(spark, tmp_path):
+    c = _mk(spark, tmp_path, "smp")
+    c.insert_many(PHRASE_DOCS)
+    c.create_search_index("sx", {"kind": "bm25", "path": "text"})
+    for op_spec in (
+        {"phrase": {"query": "quick brown", "path": "text"}},
+        {"autocomplete": {"query": "qui bro", "path": "text",
+                          "tokenOrder": "sequential"}},
+    ):
+        base = c.pipe([{"$searchMeta": dict(op_spec)}]).all()[0]
+        via = c.pipe([
+            {"$searchMeta": dict(op_spec, index="sx")}]).all()[0]
+        assert base["count"]["total"] == via["count"]["total"], op_spec
+        with _hatch_off(spark):
+            off = c.pipe([
+                {"$searchMeta": dict(op_spec, index="sx")}]).all()[0]
+        assert off["count"]["total"] == via["count"]["total"], op_spec
+    # facets over a phrase operator group over the postings candidates
+    meta = {"facet": {
+        "operator": {"phrase": {"query": "quick brown", "path": "text"}},
+        "facets": {"ids": {"type": "number", "path": "_id",
+                           "boundaries": [0, 5, 10]}},
+    }}
+    base = c.pipe([{"$searchMeta": dict(meta)}]).all()[0]
+    via = c.pipe([{"$searchMeta": dict(meta, index="sx")}]).all()[0]
+    assert base["count"]["total"] == via["count"]["total"] == 3
+    assert sorted(map(tuple, base["facet_ids"])) == \
+        sorted(map(tuple, via["facet_ids"]))
