@@ -2237,7 +2237,13 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                         )
                     ]),
                 )
-        pred, _score = _one_search_op(df, dict([ops[0]]), need_score=False)
+        # round 10: phrase/autocomplete count-only forms take the same
+        # bounded postings-candidate route the facet branch uses
+        matched = _text_postings_matched(mop, mspec)
+        if matched is None:
+            pred, _score = _one_search_op(
+                df, dict([ops[0]]), need_score=False
+            )
     if matched is None:
         matched = df.where(F.coalesce(pred, F.lit(False)))
 

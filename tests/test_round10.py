@@ -851,3 +851,29 @@ def test_search_meta_phrase_and_autocomplete_operators(spark, tmp_path):
     assert base["count"]["total"] == via["count"]["total"] == 3
     assert sorted(map(tuple, base["facet_ids"])) == \
         sorted(map(tuple, via["facet_ids"]))
+
+
+def test_search_meta_count_only_phrase_uses_postings(spark, tmp_path, monkeypatch):
+    # the count-only form routes phrase/autocomplete through the
+    # bounded postings candidates — the scan compiler must not run
+    import anser_spark.plans.pipeline as P
+
+    c = _mk(spark, tmp_path, "smc")
+    c.insert_many(PHRASE_DOCS)
+    c.create_search_index("cx", {"kind": "bm25", "path": "text"})
+
+    def _no_scan(*a, **k):
+        raise AssertionError("scan compile must not run on the postings path")
+
+    monkeypatch.setattr(P, "_one_search_op", _no_scan)
+    out = c.pipe([{"$searchMeta": {
+        "phrase": {"query": "quick brown", "path": "text"}, "index": "cx"}}
+    ]).all()
+    assert out[0]["count"]["total"] == 3
+    out = c.pipe([{"$searchMeta": {
+        "autocomplete": {"query": "qui bro", "path": "text",
+                         "tokenOrder": "sequential"}, "index": "cx"}}
+    ]).all()
+    # one more than the exact phrase: the 'bro' PREFIX also matches the
+    # punctuation-glued token "brown," in doc 4
+    assert out[0]["count"]["total"] == 4
