@@ -877,3 +877,30 @@ def test_search_meta_count_only_phrase_uses_postings(spark, tmp_path, monkeypatc
     # one more than the exact phrase: the 'bro' PREFIX also matches the
     # punctuation-glued token "brown," in doc 4
     assert out[0]["count"]["total"] == 4
+
+
+def test_manifest_chain_through_transactions(spark, tmp_path):
+    # txn-staged appends commit under v{n}.txn.{hex} names — the chain
+    # must walk through them; an ABORTED txn's orphan manifest must
+    # never be reachable from a committed pointer
+    c = _mk(spark, tmp_path, "txm")
+    c.insert_many([{"_id": 0, "text": "spark base"}])
+    c.create_search_index("tx", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    with c.engine.transaction():
+        c.insert_many([{"_id": 1, "text": "spark in txn"}])
+        c.insert_many([{"_id": 2, "text": "more spark in txn"}])
+    out = c.refresh_search_index("tx")
+    assert out == {"mode": "incremental", "inserted": 2}
+    # aborted txn: staged version + manifest orphaned, chain unaffected
+    try:
+        with c.engine.transaction():
+            c.insert_many([{"_id": 99, "text": "never lands"}])
+            raise RuntimeError("abort")
+    except RuntimeError:
+        pass
+    c.insert_many([{"_id": 3, "text": "spark after abort"}])
+    out = c.refresh_search_index("tx")
+    assert out == {"mode": "incremental", "inserted": 1}
+    got = sorted(r["_id"] for r in c.find({"$text": {"$search": "spark"}}).all())
+    assert got == [0, 1, 2, 3]
