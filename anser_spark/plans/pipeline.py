@@ -1120,29 +1120,47 @@ def _search_compound_postings(
             return None
         return next(iter(clause))
 
-    text_pos = [i for i, c in enumerate(must) if _op_of(c) == "text"]
-    if len(text_pos) != 1:
+    anchor_pos = [
+        i for i, c in enumerate(must) if _op_of(c) in ("text", "phrase")
+    ]
+    if len(anchor_pos) != 1:
         return None
-    rest_must = [c for i, c in enumerate(must) if i != text_pos[0]]
+    a_op = _op_of(must[anchor_pos[0]])
+    rest_must = [c for i, c in enumerate(must) if i != anchor_pos[0]]
     for clause in rest_must + filt + must_not + should:
         if _op_of(clause) not in _SEARCH_STRUCTURED_OPS:
             return None
-    tclause = must[text_pos[0]]["text"]
+    tclause = must[anchor_pos[0]][a_op]
     if not (isinstance(tclause, Mapping)
             and "query" in tclause and "path" in tclause):
         return None
-    if _search_analyzer(tclause) != (
-        index.get("default_language", "none") or "none"
-    ):
-        return None
-    terms = _search_text_terms(tclause)
-    if not terms:
-        return None
-    out = search_text_postings(
-        df, terms, str(tclause["path"]), index, "__compoundText"
-    )
-    if out is None:
-        return None
+    if a_op == "phrase":
+        # round 10: a PHRASE must-clause anchors the candidates via the
+        # positions predicate — same bounded shape as the text anchor
+        from anser_spark.operators.ranking import search_phrase_postings
+
+        pterms = [w for w in str(tclause["query"]).lower().split() if w]
+        if not pterms:
+            return None
+        out = search_phrase_postings(
+            df, pterms, int(tclause.get("slop", 0) or 0),
+            str(tclause["path"]), index, "__compoundText",
+        )
+        if out is None:
+            return None
+    else:
+        if _search_analyzer(tclause) != (
+            index.get("default_language", "none") or "none"
+        ):
+            return None
+        terms = _search_text_terms(tclause)
+        if not terms:
+            return None
+        out = search_text_postings(
+            df, terms, str(tclause["path"]), index, "__compoundText"
+        )
+        if out is None:
+            return None
     text_score = _search_score_option(tclause, F.col("__compoundText"))
 
     compiled_must = [_one_search_op(df, c) for c in rest_must]

@@ -904,3 +904,32 @@ def test_manifest_chain_through_transactions(spark, tmp_path):
     assert out == {"mode": "incremental", "inserted": 1}
     got = sorted(r["_id"] for r in c.find({"$text": {"$search": "spark"}}).all())
     assert got == [0, 1, 2, 3]
+
+
+def test_search_compound_phrase_anchor_postings_parity(spark, tmp_path):
+    # compound {must: [phrase, range], mustNot: [...]} — the phrase
+    # clause anchors the postings candidates (round 10); exact parity
+    # with the scan compile incl. boost + structured scoring
+    c = _mk(spark, tmp_path, "cpp")
+    c.insert_many([dict(d, views=i * 10) for i, d in enumerate(PHRASE_DOCS)])
+    stage = {"compound": {
+        "must": [
+            {"phrase": {"query": "quick brown", "path": "text",
+                        "score": {"boost": {"value": 3.0}}}},
+            {"range": {"path": "views", "gte": 10}},
+        ],
+        "mustNot": [{"equals": {"path": "_id", "value": 8}}],
+    }}
+    base = {(r["_id"], round(r["score"], 12)) for r in c.pipe([
+        {"$search": dict(stage)}, {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    c.create_search_index("cpx", {"kind": "bm25", "path": "text"})
+    via = {(r["_id"], round(r["score"], 12)) for r in c.pipe([
+        {"$search": dict(stage, index="cpx")},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()}
+    assert base == via and {i for i, _ in base} == {6}
+    # plan: no Python through the phrase-anchored compound
+    pdf = c.pipe([{"$search": dict(stage, index="cpx")}]).to_df()
+    plan = pdf._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
