@@ -2791,7 +2791,39 @@ class Collection:
         docs = [dict(d) for d in docs]
         for d in docs:
             d.setdefault("_id", new_object_id())
-        df = self.engine.spark.createDataFrame(docs)  # type: ignore[arg-type]
+        try:
+            df = self.engine.spark.createDataFrame(docs)  # type: ignore[arg-type]
+        except Exception as exc:
+            # a field that is null in EVERY doc of the batch has no
+            # inferable type (round 10; a perfectly normal Mongo batch
+            # like [{"text": None}, …]). The existing collection schema
+            # types the known fields; an all-null field the collection
+            # has never seen is Mongo "missing" — dropping it stores
+            # the identical document, since the columnar insert
+            # null-fills absent columns (the _upsert_doc contract).
+            if "CANNOT_DETERMINE_TYPE" not in str(exc):
+                raise
+            keys: set[str] = set()
+            for d in docs:
+                keys.update(d)
+            all_null = {
+                k for k in keys if all(d.get(k) is None for d in docs)
+            }
+            if not all_null:
+                raise
+            known: dict[str, Any] = {}
+            if not self.is_view() and self.current_path() is not None:
+                known = {
+                    f.name: f.dataType for f in self.df().schema.fields
+                }
+            pruned = [
+                {k: v for k, v in d.items() if k not in all_null}
+                for d in docs
+            ]
+            df = self.engine.spark.createDataFrame(pruned)  # type: ignore[arg-type]
+            for k in sorted(all_null):
+                if k in known:  # typed null column; unknown → missing
+                    df = df.withColumn(k, F.lit(None).cast(known[k]))
         # createDataFrame slices even a handful of docs across
         # defaultParallelism partitions — a tiny insert would run a
         # 32-task write job and append 32 near-empty files per version.

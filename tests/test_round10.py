@@ -627,7 +627,39 @@ def test_postings_surface_fuzz_hatch_and_refresh(spark, tmp_path, seed):
                 {"$project": {"_id": 1, "score": 1}},
             ]).all()
         )
-        return find_rows, meta, ph
+        # round-10 additions: autocomplete (prefixes of real vocab),
+        # moreLikeThis, and a phrase-anchored compound
+        prefixes = [w[:rng.randint(1, max(1, len(w)))] for w in
+                    (rng.choice(vocab), rng.choice(vocab))]
+        ac = sorted(r["_id"] for r in c.pipe([
+            {"$search": {"autocomplete": {
+                "query": " ".join(prefixes), "path": "text",
+                "tokenOrder": rng.choice(["any", "sequential"])},
+                "index": "fx"}},
+            {"$project": {"_id": 1}},
+        ]).all())
+        mlt = sorted(
+            (r["_id"], round(r["score"], 12))
+            for r in c.pipe([
+                {"$search": {"moreLikeThis": {
+                    "like": [{"text": " ".join(
+                        rng.choice(vocab) for _ in range(6))}],
+                    "path": "text"}, "index": "fx"}},
+                {"$project": {"_id": 1, "score": 1}},
+            ]).all()
+        )
+        comp = sorted(
+            (r["_id"], round(r["score"], 12))
+            for r in c.pipe([
+                {"$search": {"compound": {
+                    "must": [{"phrase": {"query": phrase, "path": "text"}}],
+                    "mustNot": [{"equals": {"path": "_id",
+                                            "value": rng.randint(0, 40)}}],
+                }, "index": "fx"}},
+                {"$project": {"_id": 1, "score": 1}},
+            ]).all()
+        )
+        return find_rows, meta, ph, ac, mlt, comp
 
     for round_i in range(4):
         batch(rng.randint(1, 5))
@@ -933,3 +965,23 @@ def test_search_compound_phrase_anchor_postings_parity(spark, tmp_path):
     pdf = c.pipe([{"$search": dict(stage, index="cpx")}]).to_df()
     plan = pdf._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_insert_batch_with_all_null_field(spark, tmp_path):
+    # a batch whose field is null in EVERY doc is a normal Mongo insert
+    # — the collection schema types the known field; an all-null field
+    # the collection has never seen stores as "missing" (identical
+    # document under the columnar null-fill contract)
+    c = _mk(spark, tmp_path, "nul")
+    c.insert_many([{"_id": 0, "text": "real", "n": 1}])
+    c.insert_many([{"_id": 1, "text": None}, {"_id": 2, "text": None}])
+    rows = {r["_id"]: r["text"] for r in c.find().all()}
+    assert rows == {0: "real", 1: None, 2: None}
+    # unknown all-null field drops to missing — the schema is unchanged
+    c.insert_many([{"_id": 3, "text": "x", "ghost": None}])
+    assert "ghost" not in c.df().columns
+    assert c.find_id(3).one()["text"] == "x"
+    # refresh still works over a null-text delta
+    c.create_search_index("nx", {"kind": "bm25", "path": "text"})
+    c.insert_many([{"_id": 4, "text": None}])
+    assert c.refresh_search_index("nx")["mode"] == "incremental"
