@@ -2632,6 +2632,12 @@ class Collection:
                 # round 9: inverted-postings query path (when the
                 # build wrote one — see create_search_index)
                 "postings_dir": d.get("postings_dir"),
+                # round 11 (ADVICE fix): staged incremental-refresh
+                # deltas are part of the postings table — omitting them
+                # made a pipeline $match:{$text} silently miss every
+                # document inserted since the last full build, while
+                # find() (which passes the whole definition) saw them
+                "postings_deltas": list(d.get("postings_deltas") or []),
                 "id_col": d.get("id_col", "_id"),
             }
         else:

@@ -775,14 +775,28 @@ def text_match_postings(
     # stats_loader performs (folded terms absent from the raw term
     # table read df=0 → maximal idf, matching the documented
     # scan-with-index behavior)
+    # round 11 (ADVICE fix): under diacritic folding the SCORE lookup
+    # keys folded terms against the raw term column (df=0 → maximal
+    # idf, the documented scan-with-index parity), but the COST gate
+    # must not inherit that zero — Σ df would read 0 and the gate would
+    # never decline stopword-hot folded queries. Gate on the unfolded
+    # lowered terms' dfs instead (one combined bounded lookup).
+    cost_terms = list(qterms)
+    lookup_terms = set(qterms)
+    if q.folding:
+        cost_terms = sorted({t.lower() for t in q.terms})
+        lookup_terms |= set(cost_terms)
     rows = (
         spark.read.parquet(str(index["terms_dir"]))
-        .where(F.col("term").isin(list(qterms)))
+        .where(F.col("term").isin(list(lookup_terms)))
         .collect()
     )
     df_map = {r["term"]: r["df"] for r in rows}
     if not _postings_cost_ok(
-        spark, sum(int(v) for v in df_map.values()), n_docs, index_language
+        spark,
+        sum(int(df_map.get(t, 0)) for t in cost_terms),
+        n_docs,
+        index_language,
     ):
         return None  # stopword-hot terms: the single scan is cheaper
 

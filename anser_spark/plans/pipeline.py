@@ -2294,10 +2294,15 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             col = resolve_field(path)
             if ftype == "string":
                 k = int(spec.get("numBuckets", 10))
+                key = col.cast("string")
                 pairs.append(F.struct(
                     F.lit(name).alias("__facet"),
-                    col.cast("string").alias("__key"),
-                    F.lit(False).alias("__drop"),  # null IS a bucket here
+                    key.alias("__key"),
+                    # round 11 (Atlas parity): a document missing the
+                    # facet field is in NO bucket — Atlas string facets
+                    # don't emit a null bucket (matches the number/date
+                    # branches' out-of-range behavior)
+                    key.isNull().alias("__drop"),
                 ))
                 metas.append((name, "string", k, None, _T.StringType()))
             elif ftype in ("number", "date"):
