@@ -82,16 +82,31 @@ def is_not_found(exc: BaseException) -> bool:
 
 
 def _read_index_table(
-    spark, definition: Mapping[str, Any], base_key: str, deltas_key: str
+    spark,
+    definition: Mapping[str, Any],
+    base_key: str,
+    deltas_key: str,
+    id_col: str | None = None,
 ) -> DataFrame:
     """A persisted index table as one frame: the base directory plus
     any staged incremental-delta directories (round 10 — refreshes
     publish deltas atomically with the definition swap instead of
-    appending into the live table)."""
+    appending into the live table), minus tombstoned documents (round
+    11 — an update/remove refresh invalidates mutated ids' rows via
+    generation-stamped tombstones instead of rewriting the table;
+    ``id_col`` names the table's document-id column the tombstones
+    key on)."""
+    from anser_spark.operators.ranking import read_layered_table
+
     dirs = [str(definition[base_key])] + [
         str(p) for p in (definition.get(deltas_key) or [])
     ]
-    return spark.read.parquet(*dirs)
+    return read_layered_table(
+        spark,
+        dirs,
+        list(definition.get("tombs") or []),
+        id_col or str(definition.get("id_col", "_id")),
+    )
 
 
 @dataclass(frozen=True)
@@ -1220,12 +1235,27 @@ class Collection:
         return os.path.join(self._store_dir, "_deltas")
 
     def _write_insert_manifest(
-        self, version: str, prev: str | None, rel_files: Sequence[str]
+        self,
+        version: str,
+        prev: str | None,
+        rel_files: Sequence[str],
+        pre_rel: str | None = None,
     ) -> None:
+        """Record a commit's manifest: ``kind:"insert"`` (this commit
+        only appended the listed files) or — when ``pre_rel`` names a
+        pre-image parquet under ``_deltas/`` — ``kind:"mutation"``
+        (round 11: the listed files are the REWRITTEN files carrying
+        the mutated ids' post-state plus bystander pass-through rows;
+        the pre-image holds exactly the matched rows as they were,
+        so index refresh can tombstone + re-index O(mutated docs))."""
         os.makedirs(self._deltas_dir(), exist_ok=True)
+        m: dict[str, Any] = {"prev": prev, "files": list(rel_files)}
+        if pre_rel is not None:
+            m["kind"] = "mutation"
+            m["pre"] = pre_rel
         tmp = os.path.join(self._deltas_dir(), f".{version}.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"prev": prev, "files": list(rel_files)}, fh)
+            json.dump(m, fh)
         os.replace(tmp, os.path.join(self._deltas_dir(), f"{version}.json"))
 
     def _insert_manifest(self, version: str) -> dict[str, Any] | None:
@@ -1243,14 +1273,43 @@ class Collection:
         version, read from ONLY the appended files (O(delta), no diff
         shuffle) — or None when any intervening version was not an
         insert-only append (update/remove/rewrite breaks the chain) or
-        a manifest is missing. Appended files keep their relative paths
+        a manifest is missing. Round 11: mutation commits now record
+        manifests too (``kind: "mutation"``) — those still return None
+        HERE, because this fast path's contract is insert-only windows
+        (watch()/diff_versions); index refresh consumes mutations via
+        ``_chain_delta``. Appended files keep their relative paths
         through subsequent appends (hard-link COW), so the chain's
         files are all read out of the CURRENT version directory;
         ``basePath`` keeps hive-partition columns intact."""
-        cur = self._pointer()
-        if cur is None or since is None or cur == since:
+        events = self._chain_events(since)
+        if events is None or any(e["kind"] != "insert" for e in events):
             return None
-        rels: list[str] = []
+        cur_dir = os.path.join(self._store_dir, str(self._pointer()))
+        paths = [p for e in events for p in e["paths"]]
+        if not paths:
+            return self.df().limit(0)  # pointer moved, zero new rows
+        return (
+            self.engine.spark.read.option("basePath", cur_dir)
+            .parquet(*paths)
+        )
+
+    def _chain_events(self, since: str) -> list[dict[str, Any]] | None:
+        """The commit chain from ``since`` (exclusive) to the current
+        version as an oldest-first manifest-event list, or None when
+        any commit in the window recorded no manifest (full rewrite,
+        schema change, pre-manifest lineage), a referenced file is no
+        longer addressable in the current version directory, or a
+        mutation pre-image was garbage-collected. Each event carries
+        ``kind`` ("insert" | "mutation"), ``paths`` (this commit's
+        written data files, resolved in the CURRENT dir — appends keep
+        relative paths through later hard-link commits, and a later
+        mutation that rewrites one of them breaks the chain via the
+        existence check, conservatively), and for mutations
+        ``pre_path`` (the matched rows' pre-image parquet)."""
+        cur = self._pointer()
+        if cur is None or since is None:
+            return None
+        events: list[dict[str, Any]] = []
         v: str | None = cur
         seen: set[str] = set()
         while v != since:
@@ -1259,19 +1318,196 @@ class Collection:
             seen.add(v)
             m = self._insert_manifest(v)
             if m is None:
-                return None  # not an insert-only commit
-            rels.extend(m.get("files") or [])
+                return None  # a commit with no manifest breaks the chain
+            kind = str(m.get("kind") or "insert")
+            if kind not in ("insert", "mutation"):
+                return None  # future manifest kind — be conservative
+            events.append({"version": v, "kind": kind, "m": m})
             v = m.get("prev")
+        events.reverse()
         cur_dir = os.path.join(self._store_dir, cur)
-        paths = [os.path.join(cur_dir, r) for r in rels]
-        if any(not os.path.exists(p) for p in paths):
-            return None  # defensive: a linked file vanished — fall back
-        if not paths:
-            return self.df().limit(0)  # pointer moved, zero new rows
-        return (
-            self.engine.spark.read.option("basePath", cur_dir)
-            .parquet(*paths)
+        for e in events:
+            paths = [
+                os.path.join(cur_dir, r) for r in (e["m"].get("files") or [])
+            ]
+            if e["kind"] == "mutation":
+                # a LATER mutation may have rewritten this event's
+                # output files — that's fine: every still-live row of a
+                # rewritten file was carried forward into the later
+                # event's files as a bystander, so the surviving subset
+                # plus later events' files still hold every mutated
+                # id's final state (consumers pick the max-seq copy).
+                # The pre-image, by contrast, is immutable and REQUIRED.
+                e["paths"] = [p for p in paths if os.path.exists(p)]
+                pre = e["m"].get("pre")
+                pre_path = (
+                    os.path.join(self._deltas_dir(), str(pre)) if pre else ""
+                )
+                if not pre or not os.path.isdir(pre_path):
+                    return None  # pre-image reaped — fall back
+                e["pre_path"] = pre_path
+            else:
+                # insert files must ALL survive: they are the only
+                # record of WHICH ids the commit added (a mutation that
+                # rewrote one carried the rows forward, but carried
+                # rows are indistinguishable from bystanders)
+                if any(not os.path.exists(p) for p in paths):
+                    return None  # rewritten/vanished since — fall back
+                e["paths"] = paths
+        return events
+
+    def _chain_delta(
+        self, since: str, id_col: str
+    ) -> dict[str, DataFrame | None] | None:
+        """The NET document-level change between ``since`` and the
+        current version, computed entirely from the manifest chain —
+        O(rows touched in the window), never a corpus read (round 11;
+        this is what lets one ``update()`` or ``remove()`` refresh a
+        search index incrementally instead of forcing a full rebuild).
+
+        Returns None when the chain is broken (caller rebuilds), else
+        ``{"added", "tomb_pre", "remut"}``:
+
+        - ``added`` — current rows of ids whose FIRST event in the
+          window is an insert (genuinely new documents; an id inserted
+          then removed inside the window appears nowhere);
+        - ``tomb_pre`` — the state AT ``since`` of ids whose first
+          event is a mutation (its pre-image: no earlier event touched
+          the id, so the first mutation's pre-image IS the ``since``
+          state). These are the documents whose indexed rows must be
+          tombstoned and whose statistics must roll DOWN;
+        - ``remut`` — the current rows of those same ids when they
+          still exist (update ⇒ tombstone + re-insert); a tomb_pre id
+          absent from remut was removed.
+
+        Multiple events on one id net out (update×3 ⇒ one tombstone +
+        one re-insert; remove+re-insert of the same id classifies as
+        an update — no uniqueness hazard). For an all-insert window
+        the fast path returns the appended files as ``added`` with no
+        shuffle at all, exactly the round-10 behavior."""
+        events = self._chain_events(since)
+        if events is None:
+            return None
+        spark = self.engine.spark
+        cur_dir = os.path.join(self._store_dir, str(self._pointer()))
+
+        def read_paths(paths: list[str]) -> DataFrame:
+            if not paths:
+                return self.df().limit(0)
+            return (
+                spark.read.option("basePath", cur_dir).parquet(*paths)
+            )
+
+        if all(e["kind"] == "insert" for e in events):
+            paths = [p for e in events for p in e["paths"]]
+            return {
+                "added": read_paths(paths), "tomb_pre": None, "remut": None
+            }
+        if id_col not in self.df().columns:
+            return None  # mutation netting needs the document id
+        ic = F.col(id_col)
+        tall = None  # (__cid, __seq, __mut): every touch of every id
+        pres = None  # mutation pre-image rows + __pseq
+        posts = None  # mutation post-state rows + __pseq
+        inss = None  # insert rows + __pseq
+        for seq, e in enumerate(events):
+            if e["kind"] == "insert":
+                rows = read_paths(e["paths"])
+                if id_col not in rows.columns:
+                    return None
+                t = rows.select(
+                    ic.alias("__cid"),
+                    F.lit(seq).alias("__seq"),
+                    F.lit(False).alias("__mut"),
+                )
+                i = rows.withColumn("__pseq", F.lit(seq))
+                inss = i if inss is None else inss.unionByName(i)
+            else:
+                pre = spark.read.parquet(e["pre_path"])
+                if id_col not in pre.columns:
+                    return None
+                t = pre.select(
+                    ic.alias("__cid"),
+                    F.lit(seq).alias("__seq"),
+                    F.lit(True).alias("__mut"),
+                )
+                p = pre.withColumn("__pseq", F.lit(seq))
+                pres = p if pres is None else pres.unionByName(p)
+                q = read_paths(e["paths"]).withColumn("__pseq", F.lit(seq))
+                posts = q if posts is None else posts.unionByName(q)
+            tall = t if tall is None else tall.unionByName(t)
+        bounds = (
+            tall.groupBy("__cid")
+            .agg(
+                F.min("__seq").alias("__first_seq"),
+                F.max("__seq").alias("__last_seq"),
+                F.min_by("__mut", "__seq").alias("__first_mut"),
+            )
+            .localCheckpoint()
         )
+
+        def _at(rows: DataFrame | None, seq_col: str) -> DataFrame | None:
+            # rows of each id at its first/last event — the (id, seq)
+            # semi-join filters an event's bystander rows out (a
+            # mutation's rewritten files carry unmatched pass-through
+            # rows of OTHER ids; those ids are untouched here, or their
+            # own files would have broken the chain's existence check)
+            if rows is None:
+                return None
+            want = bounds.select(
+                F.col("__cid"), F.col(seq_col).alias("__pseq"),
+                F.col("__first_mut"),
+            )
+            return (
+                rows.join(
+                    want,
+                    (rows[id_col] == want["__cid"])
+                    & (rows["__pseq"] == want["__pseq"]),
+                    "inner",
+                )
+                .drop("__cid", "__pseq")
+            )
+
+        tomb_pre = _at(pres, "__first_seq").where(
+            F.col("__first_mut")
+        ).drop("__first_mut")
+        finals = _at(inss, "__last_seq")  # ids whose last event inserted them
+        mut_seqs = [
+            seq for seq, e in enumerate(events) if e["kind"] == "mutation"
+        ]
+        if posts is not None and mut_seqs:
+            # ids last MATCHED by a mutation: their current row is the
+            # HIGHEST-seq surviving copy — the matching event's own
+            # output when it survived, else a bystander carry in a
+            # later event's files (a rewrite copies every still-live
+            # row of its hit files forward). A removed id has no live
+            # copy anywhere, so it simply never joins — that absence IS
+            # the removal signal.
+            from pyspark.sql.window import Window
+
+            want_mut = bounds.where(
+                F.col("__last_seq").isin(mut_seqs)
+            ).select("__cid", "__first_mut")
+            pm = posts.join(
+                want_mut, posts[id_col] == want_mut["__cid"], "inner"
+            ).drop("__cid")
+            w = Window.partitionBy(F.col(id_col)).orderBy(
+                F.col("__pseq").desc()
+            )
+            last_mut = (
+                pm.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn", "__pseq")
+            )
+            finals = (
+                last_mut if finals is None
+                else finals.unionByName(last_mut)
+            )
+        if finals is None:  # a pure-remove window over pre-existing docs
+            finals = self.df().limit(0).withColumn("__first_mut", F.lit(False))
+        added = finals.where(~F.col("__first_mut")).drop("__first_mut")
+        remut = finals.where(F.col("__first_mut")).drop("__first_mut")
+        return {"added": added, "tomb_pre": tomb_pre, "remut": remut}
 
     def _data_files(self, base: str) -> list[str]:
         out = []
@@ -1417,10 +1653,12 @@ class Collection:
             matched = sum(r["count"] for r in per_file) if want_count else None
         if not hit_files:
             return False, 0  # no matching rows anywhere — current version stands
+        # every-file-hit mutations used to short-circuit to _rewrite();
+        # they now flow through the normal path (with an empty link
+        # loop) so the mutation manifest still records — a remove that
+        # happens to touch all files stays incrementally refreshable
+        # (round 11)
         untouched = [p for p in all_files if p not in hit_files]
-        if not untouched:
-            self._rewrite(transform(self.df()))
-            return True, matched
         affected = read_parquet_table(self.engine.spark, path, files=sorted(hit_files))
         replacement = transform(affected)
         shape = lambda s: sorted((f.name, f.dataType.simpleString()) for f in s.fields)  # noqa: E731
@@ -1431,7 +1669,24 @@ class Collection:
             self._rewrite(transform(self.df()))
             return True, matched
         version, ptr = self._next_version()
+        pre_rel: str | None = None
+        if self._should_record_mutation(affected, replacement):
+            # round 11: record the mutation so search-index refresh can
+            # stay incremental (tombstone + re-index O(mutated docs)
+            # instead of a full rebuild). The PRE-IMAGE — the matched
+            # rows exactly as they are now — must be materialized
+            # BEFORE the pointer swap: the swap's retention reap can
+            # delete the old version's rewritten-away files. Gated on
+            # an incrementally-refreshable index existing, so unindexed
+            # collections' mutation path stays zero-overhead.
+            pre_rel = f"{version}_pre"
+            affected.where(pred).write.mode("overwrite").parquet(
+                os.path.join(self._deltas_dir(), pre_rel)
+            )
         vdir = self._write_version(replacement, version, pcols=write_pcols)
+        rewritten_rels = [
+            os.path.relpath(f, vdir) for f in self._data_files(vdir)
+        ]
         for src_file in untouched:
             rel = os.path.relpath(src_file, path)
             dst = os.path.join(vdir, rel)
@@ -1440,8 +1695,69 @@ class Collection:
                 os.link(src_file, dst)
             except OSError:
                 shutil.copy2(src_file, dst)
-        self._swap_pointer(version, ptr)
+        try:
+            self._swap_pointer(version, ptr)
+        except WriteConflictError:
+            if pre_rel is not None:  # orphaned pre-image of a CAS loser
+                shutil.rmtree(
+                    os.path.join(self._deltas_dir(), pre_rel),
+                    ignore_errors=True,
+                )
+            raise
+        if pre_rel is not None:
+            # after the swap, same contract as _cow_append's manifest: a
+            # CAS loser raised above; a transaction-staged swap records
+            # under its txn-unique version name, only ever referenced if
+            # that transaction commits
+            self._write_insert_manifest(
+                version, ptr, rewritten_rels, pre_rel=pre_rel
+            )
         return True, matched
+
+    def _should_record_mutation(
+        self, affected: DataFrame, replacement: DataFrame
+    ) -> bool:
+        """Whether this partial COW rewrite should record a mutation
+        manifest (round 11). Requires an incrementally-refreshable
+        index (bm25/minhash) to exist — otherwise the pre-image write
+        is pure overhead — and that the transform introduced NO id the
+        affected files didn't already carry: a replacement row under a
+        brand-new id is indistinguishable from a bystander at refresh
+        time (the bulk path mixes upsert-inserts into its rewrite, and
+        an update may rewrite a custom id field), so the net-change
+        model would silently skip indexing it. One ``limit(1)``
+        anti-join over the hit files per distinct index id column
+        decides; extras ⇒ no manifest ⇒ the chain breaks and refresh
+        rebuilds — conservative, never wrong. (A swapped id — one doc
+        removed while another is renamed onto its id in the same
+        commit — stays in the id set and nets as an update of that id,
+        which is exactly correct.)"""
+        id_cols: set[str] = set()
+        for nm in self.list_search_indexes():
+            try:
+                dd = self._load_search_index(nm, warn_stale=False)
+            except NotFoundError:
+                continue
+            if dd.get("kind") in ("bm25", "minhash"):
+                id_cols.add(str(dd.get("id_col", "_id")))
+        if not id_cols:
+            return False
+        for ic in id_cols:
+            if ic not in replacement.columns or ic not in affected.columns:
+                continue  # netting skips this index anyway (id missing)
+            extras = (
+                replacement.select(F.col(ic).alias("__rid"))
+                .join(
+                    affected.select(F.col(ic).alias("__rid")),
+                    "__rid",
+                    "left_anti",
+                )
+                .limit(1)
+                .count()
+            )
+            if extras:
+                return False
+        return True
 
     def _cow_append(
         self, new_df: DataFrame, meta_update: Mapping[str, str] | None = None
@@ -1754,7 +2070,11 @@ class Collection:
         # below only when earned. Incremental-delta pointers likewise:
         # a full build subsumes every staged delta (round 10).
         definition.pop("postings_dir", None)
-        for dk in ("postings_deltas", "sig_deltas", "bands_deltas"):
+        definition.pop("ids_dir", None)
+        for dk in (
+            "postings_deltas", "sig_deltas", "bands_deltas",
+            "postings_tombs", "tombs", "ids_deltas",
+        ):
             definition.pop(dk, None)
         kind = definition.get("kind", "ivf")
         if kind == "ivf":
@@ -1778,17 +2098,13 @@ class Collection:
             # query analysis must agree on the analyzer (round 7:
             # default_language 'english' = stopwords + s-stemming)
             if definition.get("weights"):
-                # Mongo multi-field text indexes ({title: 10, body: 1})
-                # are not implemented — reject loudly rather than
-                # silently indexing only `path` (round 9; the same
-                # correct-by-rejection contract as inexpressible
-                # collation options). One index per field + $rankFusion
-                # composes the common use cases.
-                raise ValueError(
-                    "bm25 search indexes cover ONE text column; "
-                    "multi-field 'weights' are not implemented — create "
-                    "one index per field (documented in COVERAGE.md)"
-                )
+                # round 11: Mongo multi-field weighted text indexes
+                # ({title: 10, body: 1}) — field-tagged postings + term
+                # table, per-field avgdl, weighted BM25 sum at query
+                # time (ranking.text_match_weighted_*). Previously
+                # rejected (round 9); the reference's find surface
+                # accepts these queries verbatim (db/interface.go:26).
+                return self._create_weighted_bm25_index(name, definition)
             toks = _rank_tokens(path, language)
             id_col = str(definition.get("id_col", "_id"))
             # tokenize the corpus ONCE (the english analyzer's Porter2
@@ -1889,6 +2205,23 @@ class Collection:
                     # and refresh rebuilds when option and stamp drift
                     "postings_positions": store_pos,
                 })
+                # round 11: ID SIDECAR — a slim range-sorted table of
+                # every indexed id. Refresh-time uniqueness probes read
+                # THIS instead of the corpus id column (point lookups
+                # footer-prune to O(delta) row groups), so a default-
+                # settings incremental refresh touches no corpus data
+                # file at all.
+                ids_dir = os.path.join(
+                    self._search_index_dir(), f"{name}_ids"
+                )
+                (
+                    tok_frame.select(F.col("id"))
+                    .repartitionByRange(F.col("id"))
+                    .sortWithinPartitions("id")
+                    .write.mode("overwrite")
+                    .parquet(ids_dir)
+                )
+                definition["ids_dir"] = ids_dir
             # free the tokenized-corpus scratch now (a failed build
             # falls back to GC reclaim, same as any cached frame)
             tok_frame.unpersist()
@@ -1942,7 +2275,173 @@ class Collection:
         # a full build re-points at the base table names — sweep the
         # versioned dirs earlier refreshes left behind (round 10;
         # ADVICE r9: each refresh→rebuild cycle leaked one terms dir)
+        # and reclaim mutation pre-images the fresher built_at makes
+        # unreachable (round 11)
         self._sweep_index_dirs(name, definition)
+        self._gc_deltas()
+
+    def _create_weighted_bm25_index(
+        self, name: str, definition: dict[str, Any]
+    ) -> None:
+        """Multi-field WEIGHTED text index (round 11) — the Mongo
+        shape ``{weights: {title: 3, body: 1}}`` the find surface
+        accepts verbatim (reference db/interface.go:26). One tokenize
+        pass per field over one corpus scan, then:
+
+        - per-field corpus stats (avgdl / token totals) + the shared
+          ``n_docs`` — queries weight each field's BM25 by its own
+          length normalization, as Mongo weights its per-field scores;
+        - a FIELD-TAGGED term table ``(field, term, df)``, range-sorted
+          by term (leading) so the same point lookups prune;
+        - field-tagged postings ``(id, field, term, term_fold, tf,
+          n_tokens)`` under the single-field layout's range key
+          (``term_fold``, id) — one pushed-down lookup covers all
+          fields (``text_match_weighted_postings``);
+        - the id sidecar, as for single-field indexes.
+
+        Refresh: weighted indexes currently rebuild on any change (the
+        incremental netting machinery is single-column; the guard in
+        refresh_search_index routes them to _rebuild via the missing
+        top-level token stamps). Positions are not stored — weighted
+        ``$text`` phrases are substring predicates over the bounded
+        candidates, and ``$search phrase`` targets a single path."""
+        from pyspark.storagelevel import StorageLevel
+
+        from anser_spark.operators.ranking import (
+            ANALYZER_VERSION,
+            _FOLD_DST,
+            _FOLD_SRC,
+            _tokens as _rank_tokens,
+        )
+
+        language = definition.get("default_language", "none")
+        if language in ("en", "english"):
+            language = "english"
+        weights = {
+            str(f): float(w) for f, w in dict(definition["weights"]).items()
+        }
+        if not weights or any(w <= 0 for w in weights.values()):
+            raise ValueError(
+                "bm25 'weights' must map field names to positive numbers"
+            )
+        docs = self.df()
+        missing = sorted(f for f in weights if f not in docs.columns)
+        if missing:
+            raise ValueError(
+                f"weighted bm25 index fields not on the collection: {missing}"
+            )
+        fields = sorted(weights)
+        id_col = str(definition.get("id_col", "_id"))
+        has_id = id_col in docs.columns
+        tok_cols = [
+            _rank_tokens(f, language).alias(f"__t{i}")
+            for i, f in enumerate(fields)
+        ]
+        if has_id:
+            tok_cols.insert(0, F.col(id_col).alias("id"))
+        tok_frame = docs.select(*tok_cols)
+        if language == "english":
+            tok_frame = tok_frame.persist(StorageLevel.MEMORY_AND_DISK)
+        stats_aggs: list = [F.count(F.lit(1)).alias("n")]
+        if has_id:
+            stats_aggs.append(F.count_distinct(F.col("id")).alias("n_ids"))
+        for i, _f in enumerate(fields):
+            stats_aggs.extend([
+                F.avg(F.size(f"__t{i}")).alias(f"avgdl{i}"),
+                F.coalesce(
+                    F.sum(F.size(f"__t{i}")), F.lit(0)
+                ).alias(f"sum_tokens{i}"),
+                F.count(F.size(f"__t{i}")).alias(f"n_text{i}"),
+            ])
+        stats = tok_frame.agg(*stats_aggs).collect()[0]
+        idx_dir = self._search_index_dir()
+        terms_dir = os.path.join(idx_dir, f"{name}_terms")
+        terms = None
+        for i, f in enumerate(fields):
+            t = tok_frame.select(
+                F.lit(f).alias("field"),
+                F.explode(F.array_distinct(f"__t{i}")).alias("term"),
+            )
+            terms = t if terms is None else terms.unionByName(t)
+        (
+            terms.groupBy("field", "term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .repartitionByRange(F.col("term"), F.col("field"))
+            .sortWithinPartitions("term", "field")
+            .write.mode("overwrite")
+            .parquet(terms_dir)
+        )
+        definition.update({
+            "kind": "bm25",
+            "weights": weights,
+            "default_language": language,
+            "n_docs": int(stats["n"]),
+            "fields": {
+                f: {
+                    "avgdl": float(stats[f"avgdl{i}"] or 0.0),
+                    "sum_tokens": int(stats[f"sum_tokens{i}"]),
+                    "n_text_docs": int(stats[f"n_text{i}"]),
+                }
+                for i, f in enumerate(fields)
+            },
+            "terms_dir": terms_dir,
+            "analyzer_version": ANALYZER_VERSION.get(language),
+        })
+        definition.pop("path", None)  # weighted indexes have no single path
+        if has_id and int(stats["n"]) == int(stats["n_ids"]):
+            postings_dir = os.path.join(idx_dir, f"{name}_postings")
+            post = None
+            for i, f in enumerate(fields):
+                rows = (
+                    tok_frame.select(
+                        "id",
+                        F.size(f"__t{i}").alias("n_tokens"),
+                        F.explode(f"__t{i}").alias("term"),
+                    )
+                    .groupBy("id", "term")
+                    .agg(
+                        F.count(F.lit(1)).alias("tf"),
+                        F.max("n_tokens").alias("n_tokens"),
+                    )
+                    .withColumn("field", F.lit(f))
+                    .withColumn(
+                        "term_fold",
+                        F.translate("term", _FOLD_SRC, _FOLD_DST),
+                    )
+                )
+                post = rows if post is None else post.unionByName(rows)
+            (
+                post.repartitionByRange(F.col("term_fold"), F.col("id"))
+                .sortWithinPartitions("term_fold", "id")
+                .write.mode("overwrite")
+                .parquet(postings_dir)
+            )
+            ids_dir = os.path.join(idx_dir, f"{name}_ids")
+            (
+                tok_frame.select(F.col("id"))
+                .repartitionByRange(F.col("id"))
+                .sortWithinPartitions("id")
+                .write.mode("overwrite")
+                .parquet(ids_dir)
+            )
+            definition.update({
+                "postings_dir": postings_dir,
+                "ids_dir": ids_dir,
+                "id_col": id_col,
+                "postings_positions": False,
+            })
+        tok_frame.unpersist()
+        definition["built_at_version"] = self._pointer()
+        self._write_search_index(name, definition)
+        self._sweep_index_dirs(name, definition)
+        self._gc_deltas()
+
+    def _weighted_stats_loader(self, d: Mapping[str, Any]):
+        """Per-field stats loader for the weighted scan path — see
+        :func:`anser_spark.operators.ranking.weighted_stats_loader`."""
+        from anser_spark.operators.ranking import weighted_stats_loader
+
+        return weighted_stats_loader(self.engine.spark, d)
 
     @staticmethod
     def _postings_rows(tok_frame: DataFrame, store_positions: bool) -> DataFrame:
@@ -2022,18 +2521,35 @@ class Collection:
         (an old manifest-less lineage) it falls back to the retained-
         version diff, which needs ``set_retention`` ≥ 2.
 
-        Falls back to a full rebuild (same definition) when the
-        changes since ``built_at_version`` include removes/updates,
-        the index predates postings / the token-total stamps / the
+        Round 11 — UPDATE/REMOVE-AWARE: mutation commits record their
+        matched rows' pre-image (``_cow_rewrite``), so a window
+        containing updates/removes still refreshes incrementally. The
+        chain nets per-document change (``_chain_delta``); mutated ids'
+        old index rows die via a generation-stamped TOMBSTONE the
+        layered readers anti-join (no table rewrite — compaction folds
+        tombstoned rows away physically), updated docs re-index from
+        their post-state, and ``n_docs`` / ``avgdl`` / per-term df roll
+        BOTH ways exactly by re-tokenizing the O(mutated) pre-images —
+        the refreshed index equals a fresh rebuild, not an
+        approximation (tested). Updates that left the indexed column
+        untouched (the migration-over-other-fields shape) net out to
+        nothing at all.
+
+        Falls back to a full rebuild (same definition) when the chain
+        is broken (a full rewrite, schema change, a transform that
+        introduced new ids mid-rewrite, or a GC'd pre-image), the
+        index predates postings / the token-total stamps / the
         positions layout, the analyzer upgraded, no delta source is
         available, or ids stopped being unique (checked delta-scoped:
-        duplicate ids inside the delta, plus one column-pruned
-        broadcast semi-join against the corpus id column —
-        ``assume_unique_ids`` engines skip the corpus probe).  Cost:
-        the incremental path tokenizes ONLY the new documents — at
+        duplicate ids inside the delta, plus a point-lookup probe of
+        the persisted ID SIDECAR — O(delta) row groups, no corpus data
+        file; corpus-column semi-join for sidecar-less indexes;
+        ``assume_unique_ids`` engines skip the probe).  Cost: the
+        incremental path tokenizes ONLY the touched documents — at
         100 TB that's the difference between a batch and a rebuild.
         Returns ``{"mode": "noop" | "incremental" | "rebuild",
-        "inserted": k}``."""
+        "inserted": k}`` (plus ``"tombstoned"`` when mutations were
+        netted)."""
         d = dict(self._load_search_index(name, warn_stale=False))
         cur = self._pointer()
         if d.get("built_at_version") == cur and not self._analyzer_stale(d):
@@ -2043,54 +2559,116 @@ class Collection:
             self.create_search_index(name, d)
             return {"mode": "rebuild", "inserted": 0}
 
-        def _insert_only_delta():
-            # (added frame, or None → caller rebuilds). Round 10: the
-            # insert-manifest chain is tried FIRST — when every commit
-            # since built_at was an insert-only append, the delta reads
-            # ONLY the appended files (O(delta), no shuffle, and no
-            # retention requirement: the chain spans reaped versions
-            # because appended files keep their paths in the current
-            # dir). Fallback: the retained-version diff (two corpus
-            # exceptAll shuffles; needs set_retention ≥ 2).
+        def _netted(id_col: str, path: str):
+            # (added, tomb_pre, remut) frames, or None → caller
+            # rebuilds. Round 11: the manifest chain now nets
+            # update/remove commits too (_chain_delta) — an all-insert
+            # window still reads only the appended files with no
+            # shuffle, and a mutation window costs O(rows touched).
+            # The unchanged-content skip drops ids whose indexed column
+            # did not actually change (the reference's flagship
+            # workload is per-doc migration updates, which routinely
+            # touch only non-indexed fields — those become free here).
+            # Fallback for manifest-less lineages: the retained-version
+            # diff, insert-only as before (needs set_retention ≥ 2).
             built = str(d["built_at_version"])
-            delta = self._manifest_delta(built)
-            if delta is not None:
-                return delta
-            try:
-                diff = self.diff_versions(built)
-                if diff.where(
-                    F.col("change_type") == "removed"
-                ).limit(1).count():
+            info = self._chain_delta(built, id_col)
+            if info is None:
+                try:
+                    diff = self.diff_versions(built)
+                    if diff.where(
+                        F.col("change_type") == "removed"
+                    ).limit(1).count():
+                        return None
+                except NotFoundError:
                     return None
-            except NotFoundError:
+                info = {
+                    "added": diff.where(
+                        F.col("change_type") == "added"
+                    ).drop("change_type"),
+                    "tomb_pre": None,
+                    "remut": None,
+                }
+            added = info["added"]
+            tomb_pre, remut = info["tomb_pre"], info["remut"]
+            if path not in added.columns or id_col not in added.columns:
                 return None
-            return diff.where(
-                F.col("change_type") == "added"
-            ).drop("change_type")
+            if tomb_pre is not None:
+                pre_t = tomb_pre.select(
+                    F.col(id_col).alias("__uid"), F.col(path).alias("__a")
+                )
+                post_t = remut.select(
+                    F.col(id_col).alias("__uid"), F.col(path).alias("__b")
+                )
+                unchanged = (
+                    pre_t.join(post_t, "__uid")
+                    .where(F.col("__a").eqNullSafe(F.col("__b")))
+                    .select("__uid")
+                    .localCheckpoint()
+                )
+                tomb_pre = tomb_pre.join(
+                    unchanged,
+                    tomb_pre[id_col] == unchanged["__uid"],
+                    "left_anti",
+                )
+                remut = remut.join(
+                    unchanged,
+                    remut[id_col] == unchanged["__uid"],
+                    "left_anti",
+                )
+            return added, tomb_pre, remut
 
         if d.get("kind") == "minhash" and d.get("sig_dir") and d.get(
             "bands_dir"
         ):
-            added = (
-                _insert_only_delta()
-                if d.get("built_at_version") is not None else None
-            )
-            if added is None:
-                return _rebuild()
             path = d.get("path", "text")
             id_col = d.get("id_col", "_id")
-            if path not in added.columns or id_col not in added.columns:
+            net = (
+                _netted(id_col, path)
+                if d.get("built_at_version") is not None else None
+            )
+            if net is None:
                 return _rebuild()
+            added, tomb_pre, remut = net
             from anser_spark.operators.dedup import (
                 banded_signatures,
                 minhash_signature_arrow,
             )
 
+            new_docs = (
+                added if remut is None else added.unionByName(remut)
+            )
             sig = minhash_signature_arrow(
-                added, id_col, path, int(d["k"]), int(d["numHashes"]),
+                new_docs, id_col, path, int(d["k"]), int(d["numHashes"]),
                 int(d["seed"]),
             ).localCheckpoint()
             n_new = sig.count()
+            tomb_ids = (
+                tomb_pre.select(F.col(id_col)).localCheckpoint()
+                if tomb_pre is not None else None
+            )
+            n_tomb = tomb_ids.count() if tomb_ids is not None else 0
+            idx_dir = self._search_index_dir()
+            sig_deltas = list(d.get("sig_deltas") or [])
+            bands_deltas = list(d.get("bands_deltas") or [])
+            tombs = list(d.get("tombs") or [])
+            if n_tomb:
+                # round 11: mutated ids' old signatures/bands are
+                # invalidated by a generation-stamped tombstone the
+                # layered reader anti-joins (read_layered_table) — no
+                # table rewrite. gen = one past the highest existing
+                # layer, so a re-inserted signature published by THIS
+                # refresh (next layer) survives while every older row
+                # of the same id dies.
+                gen = len(sig_deltas) + 1
+                tomb_dir = os.path.join(idx_dir, f"{name}_tomb_{cur}")
+                (
+                    tomb_ids.select(
+                        F.col(id_col).alias("__tomb_id"),
+                        F.lit(gen).alias("__tomb_gen"),
+                    ).write.mode("overwrite").parquet(tomb_dir)
+                )
+                tombs.append(tomb_dir)
             if n_new:
                 # round 10 (crash safety): the delta writes to STAGED
                 # directories, published only by the atomic definition
@@ -2100,7 +2678,6 @@ class Collection:
                 # version) instead of double-appending rows into the
                 # live tables — duplicated signatures would re-propose
                 # duplicate candidate pairs.
-                idx_dir = self._search_index_dir()
                 sig_delta = os.path.join(
                     idx_dir, f"{name}_minhash_delta_{cur}"
                 )
@@ -2111,34 +2688,45 @@ class Collection:
                 banded_signatures(
                     sig, id_col, int(d["numHashes"]), int(d["bands"])
                 ).write.mode("overwrite").parquet(bands_delta)
-                sig_deltas = list(d.get("sig_deltas") or []) + [sig_delta]
-                bands_deltas = list(d.get("bands_deltas") or []) + [
-                    bands_delta
-                ]
-                if len(sig_deltas) >= self._index_compact_threshold():
-                    # many small refreshes → file-count bloat; fold the
-                    # deltas back into single base tables
+                sig_deltas.append(sig_delta)
+                bands_deltas.append(bands_delta)
+            if n_new or n_tomb:
+                thr = self._index_compact_threshold()
+                if len(sig_deltas) >= thr or len(tombs) >= thr:
+                    # many small refreshes → file-count bloat (and a
+                    # growing tombstone broadcast); fold the deltas back
+                    # into single base tables with tombstoned rows
+                    # physically dropped
                     spark = self.engine.spark
+                    probe = {
+                        **d, "sig_deltas": sig_deltas,
+                        "bands_deltas": bands_deltas, "tombs": tombs,
+                    }
                     new_sig = os.path.join(
                         idx_dir, f"{name}_minhash_compact_{cur}"
                     )
                     new_bands = os.path.join(
                         idx_dir, f"{name}_bands_compact_{cur}"
                     )
-                    spark.read.parquet(
-                        str(d["sig_dir"]), *map(str, sig_deltas)
+                    _read_index_table(
+                        spark, probe, "sig_dir", "sig_deltas", id_col
                     ).write.mode("overwrite").parquet(new_sig)
-                    spark.read.parquet(
-                        str(d["bands_dir"]), *map(str, bands_deltas)
+                    _read_index_table(
+                        spark, probe, "bands_dir", "bands_deltas", id_col
                     ).write.mode("overwrite").parquet(new_bands)
                     d["sig_dir"], d["bands_dir"] = new_sig, new_bands
-                    sig_deltas, bands_deltas = [], []
+                    sig_deltas, bands_deltas, tombs = [], [], []
                 d["sig_deltas"] = sig_deltas
                 d["bands_deltas"] = bands_deltas
+                d["tombs"] = tombs
             d["built_at_version"] = cur
             self._write_search_index(name, d)
             self._sweep_index_dirs(name, d)
-            return {"mode": "incremental", "inserted": int(n_new)}
+            self._gc_deltas()
+            out = {"mode": "incremental", "inserted": int(n_new)}
+            if n_tomb:
+                out["tombstoned"] = int(n_tomb)
+            return out
 
         if (
             d.get("kind") != "bm25"
@@ -2153,21 +2741,32 @@ class Collection:
             != bool(d.get("positions", True))
         ):
             return _rebuild()
-        added = _insert_only_delta()
-        if added is None:
-            return _rebuild()
         path = d.get("path", "text")
         id_col = d.get("id_col", "_id")
-        if path not in added.columns or id_col not in added.columns:
+        net = _netted(id_col, path)
+        if net is None:
             return _rebuild()
+        added, tomb_pre, remut = net
 
         from anser_spark.operators.ranking import _tokens as _rank_tokens
 
         language = d.get("default_language", "none")
         toks = _rank_tokens(path, language)
-        delta = added.select(
+        new_docs = added if remut is None else added.unionByName(remut)
+        delta = new_docs.select(
             F.col(id_col).alias("id"), toks.alias("__toks")
         ).localCheckpoint()  # tokenize the delta ONCE (stats + terms + postings)
+        # neg: the mutated docs' PRE-IMAGES, tokenized — this is how
+        # df / sum_tokens / n_docs roll DOWN exactly without ever
+        # reading the postings table by id (round 11: the postings
+        # layout is keyed by term, so an id-keyed lookup would be an
+        # O(index) scan; the pre-image re-tokenize is O(mutated docs))
+        neg = (
+            tomb_pre.select(
+                F.col(id_col).alias("id"), toks.alias("__toks")
+            ).localCheckpoint()
+            if tomb_pre is not None else None
+        )
         stats = delta.agg(
             F.count(F.lit(1)).alias("k"),
             F.count_distinct(F.col("id")).alias("k_ids"),
@@ -2175,73 +2774,134 @@ class Collection:
             F.count(F.size("__toks")).alias("n_text_docs"),
         ).collect()[0]
         k = int(stats["k"])
-        if k == 0:
-            # pointer moved but the diff is empty (e.g. a no-op
-            # rewrite): just re-stamp
+        k_added = added.count() if neg is not None else k
+        if neg is not None:
+            neg_stats = neg.agg(
+                F.count(F.lit(1)).alias("k"),
+                F.coalesce(
+                    F.sum(F.size("__toks")), F.lit(0)
+                ).alias("sum_tokens"),
+                F.count(F.size("__toks")).alias("n_text_docs"),
+            ).collect()[0]
+            k_neg = int(neg_stats["k"])
+        else:
+            k_neg = 0
+        if k == 0 and k_neg == 0:
+            # pointer moved but the net change is empty (a no-op
+            # rewrite, or mutations that left the indexed column
+            # untouched): just re-stamp
             d["built_at_version"] = cur
             self._write_search_index(name, d)
+            self._gc_deltas()
             return {"mode": "incremental", "inserted": 0}
         # delta-scoped id-uniqueness (round 10): the index was built —
         # and every prior refresh re-verified — under corpus-wide
-        # uniqueness, and only insert-only appends happened since, so
+        # uniqueness, and the chain nets to added + re-indexed ids, so
         # the only NEW ways to break it are duplicate ids inside the
-        # delta (checked on the delta alone, above) or a delta id
-        # colliding with an existing one: one column-pruned semi-join
-        # of the corpus id column against the delta ids — no
-        # corpus-wide count_distinct shuffle (each delta id must match
-        # exactly its own corpus row). assume_unique_ids engines skip
-        # the corpus probe entirely (the engine-level contract).
+        # delta (checked on the delta alone, above) or a genuinely-NEW
+        # id colliding with an existing one. Round 11: the collision
+        # probe prefers the persisted ID SIDECAR (a slim sorted id
+        # table maintained beside the postings) — small batches push an
+        # isin literal filter down to its footer-pruned row groups, so
+        # the probe reads O(delta) and NO corpus data file at all;
+        # larger batches pay one semi-join over the sidecar's single
+        # column. Corpus-column semi-join remains the fallback for
+        # sidecar-less (pre-round-11) indexes. assume_unique_ids
+        # engines skip the probe entirely (the engine-level contract).
         if int(stats["k_ids"]) != k:
             return _rebuild()  # duplicate ids inside the delta
-        if not self.engine.assume_unique_ids:
-            ids = delta.select("id")
-            if k <= 2_000_000:
-                ids = F.broadcast(ids)
-            hits = (
-                self.df()
-                .select(F.col(id_col).alias("id"))
-                .join(ids, "id", "inner")
-                .count()
-            )
-            if hits != k:
-                return _rebuild()  # a delta id collides with an old id
+        added_ids = added.select(F.col(id_col).alias("id"))
+        if not self.engine.assume_unique_ids and k_added:
+            if not self._probe_new_ids(d, added_ids, k_added):
+                return _rebuild()  # an added id collides with a known id
 
         # 1. delta postings → a STAGED directory, published only by the
         # atomic definition swap in step 3 (round 10; a crash between
         # the old in-place append and the swap made the retry
         # double-append the same postings, silently doubling tf).
-        # Retries overwrite the same staged path — idempotent.
+        # Retries overwrite the same staged path — idempotent. Round
+        # 11: a mutation window additionally stages a generation-
+        # stamped TOMBSTONE of the mutated ids (their old postings die
+        # in the layered reader's anti-join) and an id-sidecar delta
+        # for genuinely-new ids.
         spark = self.engine.spark
         idx_dir = self._search_index_dir()
-        post_delta = os.path.join(idx_dir, f"{name}_postings_delta_{cur}")
-        (
-            self._postings_rows(delta, bool(d.get("postings_positions")))
-            .repartitionByRange(F.col("term_fold"), F.col("id"))
-            .sortWithinPartitions("term_fold", "id")
-            .write.mode("overwrite")
-            .parquet(post_delta)
-        )
-        postings_deltas = list(d.get("postings_deltas") or []) + [post_delta]
-        if len(postings_deltas) >= self._index_compact_threshold():
+        postings_deltas = list(d.get("postings_deltas") or [])
+        postings_tombs = list(d.get("postings_tombs") or [])
+        ids_deltas = list(d.get("ids_deltas") or [])
+        if k_neg:
+            gen = len(postings_deltas) + 1
+            ptomb = os.path.join(idx_dir, f"{name}_ptomb_{cur}")
+            (
+                neg.select(
+                    F.col("id").alias("__tomb_id"),
+                    F.lit(gen).alias("__tomb_gen"),
+                ).write.mode("overwrite").parquet(ptomb)
+            )
+            postings_tombs.append(ptomb)
+        if k:
+            post_delta = os.path.join(
+                idx_dir, f"{name}_postings_delta_{cur}"
+            )
+            (
+                self._postings_rows(delta, bool(d.get("postings_positions")))
+                .repartitionByRange(F.col("term_fold"), F.col("id"))
+                .sortWithinPartitions("term_fold", "id")
+                .write.mode("overwrite")
+                .parquet(post_delta)
+            )
+            postings_deltas.append(post_delta)
+        if k_added and d.get("ids_dir"):
+            ids_delta = os.path.join(idx_dir, f"{name}_ids_delta_{cur}")
+            (
+                added_ids.repartitionByRange(F.col("id"))
+                .sortWithinPartitions("id")
+                .write.mode("overwrite")
+                .parquet(ids_delta)
+            )
+            ids_deltas.append(ids_delta)
+        thr = self._index_compact_threshold()
+        if len(postings_deltas) >= thr or len(postings_tombs) >= thr:
             # compaction: many incremental refreshes accumulate small
-            # range-sorted files that erode footer pruning — fold base
-            # + deltas back into ONE globally range-partitioned table
+            # range-sorted files that erode footer pruning (and a
+            # growing tombstone broadcast) — fold base + deltas back
+            # into ONE globally range-partitioned table with
+            # tombstoned rows physically dropped
+            from anser_spark.operators.ranking import _postings_frame
+
             new_post = os.path.join(
                 idx_dir, f"{name}_postings_compact_{cur}"
             )
+            probe = {
+                **d,
+                "postings_deltas": postings_deltas,
+                "postings_tombs": postings_tombs,
+            }
             (
-                spark.read.parquet(
-                    str(d["postings_dir"]), *map(str, postings_deltas)
-                )
+                _postings_frame(spark, probe)
                 .repartitionByRange(F.col("term_fold"), F.col("id"))
                 .sortWithinPartitions("term_fold", "id")
                 .write.mode("overwrite")
                 .parquet(new_post)
             )
             d["postings_dir"] = new_post
-            postings_deltas = []
+            postings_deltas, postings_tombs = [], []
+        if d.get("ids_dir") and len(ids_deltas) >= thr:
+            new_ids = os.path.join(idx_dir, f"{name}_ids_compact_{cur}")
+            (
+                spark.read.parquet(str(d["ids_dir"]), *map(str, ids_deltas))
+                .repartitionByRange(F.col("id"))
+                .sortWithinPartitions("id")
+                .write.mode("overwrite")
+                .parquet(new_ids)
+            )
+            d["ids_dir"] = new_ids
+            ids_deltas = []
         # 2. term-table merge into a FRESH dir (can't overwrite a dir
-        # while reading it); the old dir is swept after the swap
+        # while reading it); the old dir is swept after the swap.
+        # Round 11: mutated docs' pre-image terms merge with NEGATIVE
+        # document frequencies — a term whose df reaches 0 leaves the
+        # table, exactly as a fresh rebuild would have it.
         old_terms_dir = str(d["terms_dir"])
         new_terms_dir = os.path.join(idx_dir, f"{name}_terms_{cur}")
         new_terms = (
@@ -2249,30 +2909,55 @@ class Collection:
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )
+        merged = spark.read.parquet(old_terms_dir).unionByName(new_terms)
+        if k_neg:
+            neg_terms = (
+                neg.select(
+                    F.explode(F.array_distinct("__toks")).alias("term")
+                )
+                .groupBy("term")
+                .agg((-F.count(F.lit(1))).alias("df"))
+            )
+            merged = merged.unionByName(neg_terms)
         (
-            spark.read.parquet(old_terms_dir)
-            .unionByName(new_terms)
-            .groupBy("term")
+            merged.groupBy("term")
             .agg(F.sum("df").alias("df"))
+            .where(F.col("df") > 0)
             .repartitionByRange(F.col("term"))
             .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(new_terms_dir)
         )
         # 3. exact stats roll-forward + atomic definition swap, then
-        # sweep directories the new definition no longer references
-        d["n_docs"] = int(d["n_docs"]) + k
-        d["sum_tokens"] = int(d["sum_tokens"]) + int(stats["sum_tokens"])
-        d["n_text_docs"] = int(d["n_text_docs"]) + int(stats["n_text_docs"])
+        # sweep directories the new definition no longer references.
+        # Removed docs leave n_docs; updated docs replace their token
+        # contribution (pre-image out, post-state in) — the refreshed
+        # stats equal a fresh rebuild's, not an approximation (tested).
+        k_removed = k_neg - (k - k_added)
+        d["n_docs"] = int(d["n_docs"]) + k_added - k_removed
+        d["sum_tokens"] = (
+            int(d["sum_tokens"]) + int(stats["sum_tokens"])
+            - (int(neg_stats["sum_tokens"]) if k_neg else 0)
+        )
+        d["n_text_docs"] = (
+            int(d["n_text_docs"]) + int(stats["n_text_docs"])
+            - (int(neg_stats["n_text_docs"]) if k_neg else 0)
+        )
         d["avgdl"] = (
             d["sum_tokens"] / d["n_text_docs"] if d["n_text_docs"] else 0.0
         )
         d["terms_dir"] = new_terms_dir
         d["postings_deltas"] = postings_deltas
+        d["postings_tombs"] = postings_tombs
+        d["ids_deltas"] = ids_deltas
         d["built_at_version"] = cur
         self._write_search_index(name, d)
         self._sweep_index_dirs(name, d)
-        return {"mode": "incremental", "inserted": k}
+        self._gc_deltas()
+        out = {"mode": "incremental", "inserted": k}
+        if k_neg:
+            out["tombstoned"] = k_neg
+        return out
 
     def _write_search_index(self, name: str, definition: Mapping[str, Any]) -> None:
         os.makedirs(self._search_index_dir(), exist_ok=True)
@@ -2280,6 +2965,101 @@ class Collection:
         with open(tmp, "w") as fh:
             json.dump(dict(definition), fh)
         os.replace(tmp, os.path.join(self._search_index_dir(), f"{name}.json"))
+
+    def _probe_new_ids(
+        self, d: Mapping[str, Any], added_ids: DataFrame, k_added: int
+    ) -> bool:
+        """True when none of the delta's genuinely-new ids collides
+        with an id the index has ever seen. Prefers the persisted ID
+        SIDECAR (round 11): a slim ``(id)`` parquet table, range-sorted
+        so a small batch's ``isin`` literal filter footer-prunes to
+        O(delta) row groups — the refresh then reads NO corpus data
+        file at all (plan-asserted in tests). Batches past
+        ``spark.anser.index.idProbeIsinMax`` (default 100k ids) pay one
+        semi-join over the sidecar's single column instead — still far
+        cheaper than the corpus id column it replaces. The sidecar
+        keeps REMOVED ids, so re-using a removed doc's id reads as a
+        collision and triggers a rebuild — conservative, never wrong.
+        Sidecar-less (pre-round-11) indexes fall back to the round-10
+        corpus-column semi-join."""
+        spark = self.engine.spark
+        if d.get("ids_dir"):
+            side = spark.read.parquet(
+                str(d["ids_dir"]),
+                *[str(p) for p in (d.get("ids_deltas") or [])],
+            )
+            try:
+                isin_max = int(
+                    spark.conf.get(
+                        "spark.anser.index.idProbeIsinMax", "100000"
+                    )
+                )
+            except Exception:
+                isin_max = 100_000
+            if k_added <= isin_max:
+                vals = [r["id"] for r in added_ids.collect()]
+                hit = side.where(F.col("id").isin(vals)).limit(1).count()
+            else:
+                hit = side.join(added_ids, "id", "inner").limit(1).count()
+            return hit == 0
+        id_col = str(d.get("id_col", "_id"))
+        ids = added_ids
+        if k_added <= 2_000_000:
+            ids = F.broadcast(ids)
+        hits = (
+            self.df()
+            .select(F.col(id_col).alias("id"))
+            .join(ids, "id", "inner")
+            .count()
+        )
+        # each added id must match exactly its own just-appended corpus
+        # row; any extra match is a collision with an older document
+        return hits == k_added
+
+    def _gc_deltas(self) -> None:
+        """Reclaim mutation pre-images no refresh can still need: a
+        chain walk starts strictly AFTER an index's built_at version,
+        so once every stored index is built at ordinal ≥ N, mutation
+        manifests (and their pre-image parquet) at ordinal ≤ N are
+        unreachable — delete them (round 11; without this, pre-images
+        would accumulate O(total mutated rows) forever). Insert
+        manifests stay: they are a few bytes and still serve the
+        watch()/diff_versions fast path, which rejects mutation
+        manifests anyway."""
+        dd = self._deltas_dir()
+        if not os.path.isdir(dd):
+            return
+        min_built: float = float("inf")  # no index ⇒ all pre-images dead
+        for nm in self.list_search_indexes():
+            try:
+                od = self._load_search_index(nm, warn_stale=False)
+            except NotFoundError:
+                continue
+            o = self._version_ordinal(str(od.get("built_at_version") or ""))
+            if o is None:
+                return  # an index with unknowable lineage — keep all
+            min_built = min(min_built, o)
+        for entry in os.listdir(dd):
+            if not entry.endswith(".json") or entry.startswith("."):
+                continue
+            v = entry[: -len(".json")]
+            o = self._version_ordinal(v)
+            m = self._insert_manifest(v)
+            if (
+                m is None
+                or (m.get("kind") or "insert") != "mutation"
+                or o is None
+                or o > min_built
+            ):
+                continue
+            if m.get("pre"):
+                shutil.rmtree(
+                    os.path.join(dd, str(m["pre"])), ignore_errors=True
+                )
+            try:
+                os.remove(os.path.join(dd, entry))
+            except OSError:
+                pass
 
     def _index_compact_threshold(self) -> int:
         """Delta-directory count at which an incremental refresh folds
@@ -2317,17 +3097,26 @@ class Collection:
             except NotFoundError:
                 continue
         for od in defs:
-            for key in ("terms_dir", "postings_dir", "sig_dir", "bands_dir"):
+            for key in (
+                "terms_dir", "postings_dir", "sig_dir", "bands_dir",
+                "ids_dir",
+            ):
                 v = od.get(key)
                 if v:
                     referenced.add(os.path.normpath(str(v)))
-            for key in ("postings_deltas", "sig_deltas", "bands_deltas"):
+            for key in (
+                "postings_deltas", "sig_deltas", "bands_deltas",
+                "postings_tombs", "tombs", "ids_deltas",
+            ):
                 for v in od.get(key) or []:
                     referenced.add(os.path.normpath(str(v)))
         for entry in os.listdir(base):
             owned = any(
                 entry == f"{name}_{t}" or entry.startswith(f"{name}_{t}_")
-                for t in ("terms", "postings", "minhash", "bands")
+                for t in (
+                    "terms", "postings", "minhash", "bands",
+                    "ids", "tomb", "ptomb",
+                )
             )
             if not owned:
                 continue
@@ -2391,6 +3180,21 @@ class Collection:
         spec, residual = extract_text_spec(query)
         if spec is None:
             return compile_filter(query, df.schema)
+        weighted = self._weighted_bm25_for(df)
+        if weighted is not None:
+            from anser_spark.operators.ranking import (
+                text_match_weighted_frame,
+            )
+
+            d, _fresh = weighted
+            pred, _score = text_match_weighted_frame(
+                df, spec, d["weights"],
+                d.get("default_language", "none"),
+                need_score=False,  # mutations never surface textScore
+            )
+            if residual:
+                pred = pred & compile_filter(residual, df.schema)
+            return pred
         text_col, stats_loader, language = self._text_index_info(df)
         if text_col is None:
             if "text" not in df.columns:
@@ -2426,7 +3230,10 @@ class Collection:
                 continue  # stale snapshot — don't score against old idf
             if self._analyzer_stale(d):
                 continue  # term table stems predate the current stemmer
-            if d.get("path", "text") not in df.columns:
+            if d.get("weights"):
+                if any(f not in df.columns for f in d["weights"]):
+                    continue
+            elif d.get("path", "text") not in df.columns:
                 continue
             return d
         return None
@@ -2446,9 +3253,26 @@ class Collection:
                 continue
             if d.get("kind") != "bm25":
                 continue
-            if d.get("path", "text") not in df.columns:
+            if d.get("weights"):
+                if any(f not in df.columns for f in d["weights"]):
+                    continue
+            elif d.get("path", "text") not in df.columns:
                 continue
             return d
+        return None
+
+    def _weighted_bm25_for(self, df: DataFrame):
+        """The weighted multi-field bm25 index a ``$text`` on this
+        collection should route through, respecting the same fresh-
+        first precedence as the single-field flow: ``(definition,
+        fresh)`` — or None when the governing index is single-field
+        (callers then take the existing paths)."""
+        d = self._fresh_bm25_index(df)
+        if d is not None:
+            return (d, True) if d.get("weights") else None
+        d = self._any_bm25_index(df)
+        if d is not None and d.get("weights"):
+            return (d, False)
         return None
 
     def _text_index_info(self, df: DataFrame):
@@ -2621,6 +3445,25 @@ class Collection:
         if not isinstance(spec, Mapping) or "$_index" in spec:
             return stages
         d = self._fresh_bm25_index(self.df())
+        if d is not None and d.get("weights"):
+            # round 11: weighted multi-field index — the stage routes
+            # through text_match_weighted_* with per-field stats
+            spec = dict(spec)
+            spec["$_index"] = {
+                "weights": dict(d["weights"]),
+                "fields": dict(d.get("fields") or {}),
+                "n_docs": int(d["n_docs"]),
+                "terms_dir": str(d["terms_dir"]),
+                "default_language": d.get("default_language", "none"),
+                "postings_dir": d.get("postings_dir"),
+                "postings_deltas": list(d.get("postings_deltas") or []),
+                "postings_tombs": list(d.get("postings_tombs") or []),
+                "id_col": d.get("id_col", "_id"),
+            }
+            match_arg = dict(match_arg)
+            match_arg["$text"] = spec
+            stages[0] = {**stages[0], "$match": match_arg}
+            return stages
         if d is not None:
             spec = dict(spec)
             spec["$_index"] = {
@@ -2636,8 +3479,12 @@ class Collection:
                 # deltas are part of the postings table — omitting them
                 # made a pipeline $match:{$text} silently miss every
                 # document inserted since the last full build, while
-                # find() (which passes the whole definition) saw them
+                # find() (which passes the whole definition) saw them.
+                # Tombstones ride along for the same reason: without
+                # them the $match path would resurrect updated/removed
+                # docs' old postings.
                 "postings_deltas": list(d.get("postings_deltas") or []),
+                "postings_tombs": list(d.get("postings_tombs") or []),
                 "id_col": d.get("id_col", "_id"),
             }
         else:
@@ -2648,11 +3495,18 @@ class Collection:
             if d is None:
                 return stages
             spec = dict(spec)
-            spec["$_index"] = {
-                "path": d.get("path", "text"),
-                "default_language": d.get("default_language", "none"),
-                "stale": True,
-            }
+            if d.get("weights"):
+                spec["$_index"] = {
+                    "weights": dict(d["weights"]),
+                    "default_language": d.get("default_language", "none"),
+                    "stale": True,
+                }
+            else:
+                spec["$_index"] = {
+                    "path": d.get("path", "text"),
+                    "default_language": d.get("default_language", "none"),
+                    "stale": True,
+                }
         match_arg = dict(match_arg)
         match_arg["$text"] = spec
         stages[0] = {**stages[0], "$match": match_arg}

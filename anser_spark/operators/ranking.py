@@ -628,16 +628,363 @@ def text_match_frame(
     return F.coalesce(pred, F.lit(False)), score, prepared
 
 
+def text_match_weighted_frame(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    weights: Mapping[str, float],
+    default_language: str = "none",
+    stats_loader: Callable[[list[str]], Mapping[str, Any]] | None = None,
+    need_score: bool = True,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> tuple[F.Column, F.Column]:
+    """Multi-field weighted ``$text`` — the Mongo text-index shape
+    ``{weights: {title: 3, body: 1}}`` (reference accepts these
+    queries verbatim, db/interface.go:26; round-9..10 rejected them at
+    index build). Semantics: a document matches when ANY weighted
+    field matches the term/phrase/negation predicate (negated terms
+    exclude on ANY field, phrases must appear in SOME field, Mongo's
+    multi-field contract); relevance = Σ_field weight × BM25_field,
+    where BM25_field uses that field's own avgdl and per-term document
+    frequencies with the shared corpus size. (Mongo weights its tf-idf
+    variant the same way; this engine's relevance metric is BM25
+    throughout — the documented divergence.)
+
+    ``stats_loader(score_terms)`` returns ``{"n_docs": N, "fields":
+    {f: {"avgdl": a, "df": {term: df}}}}`` precomputed by a weighted
+    bm25 index (point lookups on its field-tagged term table). None ⇒
+    one inline constant-width aggregate per field (the index-less/
+    stale path). ``need_score=False`` (mutation-targeting predicates)
+    skips scoring entirely — no stats work at all.
+
+    Pure Column — the stage stays a single scan. Case-sensitive and
+    diacritic options follow the single-field path's analyzer rules.
+    """
+    q = _analyze_text_spec(spec, default_language)
+    fields = sorted(weights)
+
+    def per_field(fname: str):
+        if q.case_sensitive:
+            toks = _tokens(fname, q.language, preserve_case=True)
+        else:
+            toks = _tokens(fname, q.language)
+        if q.folding:
+            toks = F.transform(toks, _fold_col)
+        return toks
+
+    if q.case_sensitive:
+        qterm = _fold_py if q.folding else (lambda t: t)
+    else:
+        qterm = (
+            (lambda t: _fold_py(t.lower())) if q.folding
+            else (lambda t: t.lower())
+        )
+
+    def has(fname: str, term: str) -> F.Column:
+        return F.exists(per_field(fname), lambda w: w == F.lit(qterm(term)))
+
+    def contains(fname: str, p: str) -> F.Column:
+        body = F.col(fname) if q.case_sensitive else F.lower(F.col(fname))
+        if q.folding:
+            body = _fold_col(body)
+        return body.contains(F.lit(qterm(p)))
+
+    pred = None
+    if q.terms:
+        pos = None
+        for t in q.terms:
+            for fname in fields:
+                h = has(fname, t)
+                pos = h if pos is None else (pos | h)
+        pred = pos
+    for p in q.phrases:
+        any_f = None
+        for fname in fields:
+            c = contains(fname, p)
+            any_f = c if any_f is None else (any_f | c)
+        pred = any_f if pred is None else (pred & any_f)
+    for t in q.negated:
+        any_f = None
+        for fname in fields:
+            h = F.coalesce(has(fname, t), F.lit(False))
+            any_f = h if any_f is None else (any_f | h)
+        neg = ~any_f
+        pred = neg if pred is None else (pred & neg)
+    if not q.terms and not q.phrases and (
+        q.negated or q.language == "english"
+    ):
+        pred = F.lit(False)
+
+    score = F.lit(0.0)
+    if q.score_terms and need_score:
+        stats = (
+            stats_loader(q.score_terms) if stats_loader is not None
+            else None
+        )
+        for fname in fields:
+            fstats = None
+            if stats is not None:
+                fs = (stats.get("fields") or {}).get(fname) or {}
+                fstats = (
+                    int(stats["n_docs"]),
+                    float(fs.get("avgdl") or 0.0),
+                    dict(fs.get("df") or {}),
+                )
+            part = bm25_score_expr(
+                df, q.score_terms, text_col=fname, k1=k1, b=b,
+                stats=fstats, language=q.language, analyzed=True,
+                fold=q.folding,
+            )
+            # a NULL field contributes 0, not NULL — a doc matching on
+            # one field must not lose its whole score to another
+            # field's missing value (the postings twin's tf=0
+            # arithmetic lands on exactly 0.0 the same way)
+            score = score + F.lit(float(weights[fname])) * F.coalesce(
+                part, F.lit(0.0)
+            )
+    return F.coalesce(pred, F.lit(False)), score
+
+
+def weighted_stats_loader(spark, index: Mapping[str, Any]):
+    """``stats_loader(score_terms)`` for the weighted scan path: one
+    pushed-down point lookup on the field-tagged term table → per-field
+    df maps + the stored avgdl (no corpus aggregate at query time; the
+    single-field loader's contract, field-tagged)."""
+    n_docs = int(index["n_docs"])
+    terms_dir = str(index["terms_dir"])
+    fmeta = dict(index.get("fields") or {})
+
+    def loader(terms: list[str]) -> dict[str, Any]:
+        rows = (
+            spark.read.parquet(terms_dir)
+            .where(F.col("term").isin([t.lower() for t in terms]))
+            .collect()
+        )
+        per: dict[str, dict] = {
+            f: {
+                "avgdl": float((fmeta.get(f) or {}).get("avgdl") or 0.0),
+                "df": {},
+            }
+            for f in fmeta
+        }
+        for r in rows:
+            per.setdefault(r["field"], {"avgdl": 0.0, "df": {}})["df"][
+                r["term"]
+            ] = r["df"]
+        return {"n_docs": n_docs, "fields": per}
+
+    return loader
+
+
+def text_match_weighted_postings(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    index: Mapping[str, Any],
+    score_col: str = "__textScore",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame | None:
+    """Weighted multi-field ``$text`` answered from a FIELD-TAGGED
+    postings table: rows are ``(id, field, term, term_fold, tf,
+    n_tokens)`` where ``n_tokens`` is the FIELD's token count —
+    one pushed-down term lookup over all fields at once (the layout
+    keeps ``term_fold`` leading, so footer pruning is unchanged), one
+    bounded groupBy pivoting (field × term) tf cells, the weighted
+    BM25 sum as literals-folded arithmetic, one join back on the id.
+    Bit parity with :func:`text_match_weighted_frame` is differential-
+    tested. None when the postings can't serve the shape (same rules
+    as :func:`text_match_postings`), including phrase queries — the
+    multi-field substring predicate needs the original columns, which
+    the join-back provides, so phrases ARE served (applied over the
+    bounded candidates)."""
+    postings_dir = index.get("postings_dir")
+    if not postings_dir or not _postings_enabled(df.sparkSession):
+        return None
+    weights = {
+        str(f): float(w) for f, w in (index.get("weights") or {}).items()
+    }
+    if not weights:
+        return None
+    index_language = index.get("default_language", "none") or "none"
+    if index_language == "en":
+        index_language = "english"
+    q = _analyze_text_spec(spec, index_language)
+    if q.case_sensitive or q.language != index_language:
+        return None
+    if not q.terms:
+        return None
+    id_col = index.get("id_col", "_id")
+    if id_col not in df.columns or any(
+        f not in df.columns for f in weights
+    ):
+        return None
+    n_docs = int(index["n_docs"])
+    if n_docs == 0:
+        return df.where(F.lit(False)).withColumn(score_col, F.lit(0.0))
+    fields = sorted(weights)
+    favg = {
+        f: float(
+            ((index.get("fields") or {}).get(f) or {}).get("avgdl") or 0.0
+        )
+        for f in fields
+    }
+
+    spark = df.sparkSession
+    tcol = "term_fold" if q.folding else "term"
+    qterm = (
+        (lambda t: _fold_py(t.lower())) if q.folding
+        else (lambda t: t.lower())
+    )
+    qterms = q.score_terms
+    cost_terms = list(qterms)
+    lookup_terms = set(qterms)
+    if q.folding:
+        cost_terms = sorted({t.lower() for t in q.terms})
+        lookup_terms |= set(cost_terms)
+    rows = (
+        spark.read.parquet(str(index["terms_dir"]))
+        .where(F.col("term").isin(list(lookup_terms)))
+        .collect()
+    )
+    df_map = {(r["field"], r["term"]): r["df"] for r in rows}
+    if not _postings_cost_ok(
+        spark,
+        sum(
+            int(df_map.get((f, t), 0))
+            for f in fields for t in cost_terms
+        ),
+        n_docs,
+        index_language,
+    ):
+        return None
+
+    postings = read_layered_table(
+        spark,
+        [str(index["postings_dir"])]
+        + [str(p) for p in (index.get("postings_deltas") or [])],
+        list(index.get("postings_tombs") or []),
+        "id",
+    )
+    aggs: list = []
+    for fi, fname in enumerate(fields):
+        aggs.append(
+            F.max(
+                F.when(F.col("field") == F.lit(fname), F.col("n_tokens"))
+            ).alias(f"__ntok{fi}")
+        )
+        for ti, t in enumerate(qterms):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("field") == F.lit(fname))
+                        & (F.col(tcol) == F.lit(t)),
+                        F.col("tf"),
+                    ).otherwise(F.lit(0))
+                ).alias(f"__tf{fi}_{ti}")
+            )
+    cand = (
+        postings.where(F.col(tcol).isin(list(qterms)))
+        .groupBy(F.col("id").alias("__postkey"))
+        .agg(*aggs)
+    )
+    # float-sum association mirrors the scan path EXACTLY (per-field
+    # inner sum over terms, then the weighted outer sum over fields in
+    # the same sorted order) — bit parity is the differential contract
+    score = F.lit(0.0)
+    for fi, fname in enumerate(fields):
+        if favg[fname] == 0.0:
+            continue  # scan's bm25_score_expr contributes 0.0 likewise
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b)
+            + F.lit(b)
+            * F.coalesce(F.col(f"__ntok{fi}"), F.lit(0)).cast("double")
+            / F.lit(favg[fname])
+        )
+        fscore = None
+        for ti, t in enumerate(qterms):
+            dfi = int(df_map.get((fname, t), 0))
+            idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+            tf = F.col(f"__tf{fi}_{ti}").cast("double")
+            part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+            fscore = part if fscore is None else fscore + part
+        score = score + F.lit(float(weights[fname])) * fscore
+    cand = cand.select("__postkey", score.alias(score_col))
+
+    if q.negated:
+        neg_terms = sorted({qterm(t) for t in q.negated})
+        if neg_terms:
+            neg = (
+                postings.where(F.col(tcol).isin(neg_terms))
+                .select(F.col("id").alias("__negkey"))
+                .distinct()
+            )
+            cand = cand.join(
+                neg, cand["__postkey"] == neg["__negkey"], "left_anti"
+            )
+
+    out = df.join(
+        cand, F.col(id_col) == F.col("__postkey"), "inner"
+    ).drop("__postkey")
+    for p in q.phrases:
+        any_f = None
+        for fname in fields:
+            body = (
+                _fold_col(F.lower(F.col(fname))) if q.folding
+                else F.lower(F.col(fname))
+            )
+            c = body.contains(F.lit(qterm(p)))
+            any_f = c if any_f is None else (any_f | c)
+        out = out.where(any_f)
+    return out
+
+
+def read_layered_table(
+    spark, dirs: list[str], tombs: list[str], id_col: str
+) -> DataFrame:
+    """A persisted index table assembled from generation-stamped
+    layers with TOMBSTONES applied (round 11 — update/remove-aware
+    incremental refresh). ``dirs[i]`` is layer generation ``i`` (the
+    base table is generation 0, each staged delta one higher); each
+    tombstone parquet carries ``(__tomb_id, __tomb_gen)`` rows written
+    by the refresh that invalidated those documents, where
+    ``__tomb_gen`` is one past the highest layer that existed at write
+    time. A row survives iff no tombstone names its id with a STRICTLY
+    HIGHER generation — so a document updated at refresh k loses its
+    old rows (layers < k) but keeps the re-inserted rows the same
+    refresh published (layer k), and a later update kills those in
+    turn. The tombstone side is bounded by the documents mutated since
+    the last compaction, so the anti-join broadcasts; compaction folds
+    tombstoned rows away physically and resets the generations."""
+    if not tombs:
+        return spark.read.parquet(*dirs)
+    table = None
+    for i, d in enumerate(dirs):
+        layer = spark.read.parquet(d).withColumn("__layer", F.lit(i))
+        table = layer if table is None else table.unionByName(layer)
+    tomb = spark.read.parquet(*[str(t) for t in tombs])
+    return table.join(
+        F.broadcast(tomb),
+        (table[id_col] == tomb["__tomb_id"])
+        & (tomb["__tomb_gen"] > table["__layer"]),
+        "left_anti",
+    ).drop("__layer")
+
+
 def _postings_frame(spark, index: Mapping[str, Any]) -> DataFrame:
     """The index's postings as one frame: the base range-partitioned
     table plus any staged incremental-refresh delta directories (round
     10 — a refresh publishes its delta atomically with the definition
     swap; each delta is itself range-sorted, so footer pruning holds
-    per directory until compaction folds them back together)."""
+    per directory until compaction folds them back together), minus
+    any tombstoned documents (round 11 — an update/remove refresh
+    invalidates the mutated ids' old rows without rewriting the
+    table; see :func:`read_layered_table`)."""
     dirs = [str(index["postings_dir"])] + [
         str(p) for p in (index.get("postings_deltas") or [])
     ]
-    return spark.read.parquet(*dirs)
+    return read_layered_table(
+        spark, dirs, list(index.get("postings_tombs") or []), "id"
+    )
 
 
 def _postings_cost_ok(spark, sum_df: int, n_docs: int, language: str) -> bool:

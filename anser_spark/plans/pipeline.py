@@ -1384,11 +1384,42 @@ def _compile_search_op(  # noqa: C901
     if op == "text":
         language = _analyzer(spec)
         terms = _search_text_terms(spec)
-        path = str(spec["path"])
+        raw_path = spec["path"]
         if not terms:
             # every query term was a stopword under this analyzer —
             # nothing can match (Lucene drops them the same way)
             return F.lit(False), F.lit(0.0)
+        if isinstance(raw_path, (list, tuple)):
+            # round 11: Atlas multi-path text — match any field, score
+            # = Σ per-field BM25 with each field's own inline stats
+            # (an attached single-field index's term table describes
+            # one field, so multi-path scoring stays index-less; one
+            # constant-width aggregate per field at compile time)
+            fields = [str(p) for p in raw_path]
+            if not fields:
+                raise PipelineCompileError(
+                    "$search text.path list must name at least one field"
+                )
+            pred = None
+            for fname in fields:
+                p2 = _any_term_pred(terms, fname, language)
+                pred = p2 if pred is None else (pred | p2)
+            if not need_score:
+                return pred, F.lit(1.0)
+            score = None
+            for fname in fields:
+                # a NULL field contributes 0, not NULL — one missing
+                # value must not null out the whole multi-path score
+                part = F.coalesce(
+                    bm25_score_expr(
+                        df, terms, text_col=fname,
+                        language=language, analyzed=True,
+                    ),
+                    F.lit(0.0),
+                )
+                score = part if score is None else score + part
+            return score > 0, _search_score_option(spec, score)
+        path = str(raw_path)
         if not need_score:
             return _any_term_pred(terms, path, language), F.lit(1.0)
         score = _bm25(terms, path, language)
@@ -1816,6 +1847,36 @@ def _text_match_stage(
     spec = dict(spec)
     index = spec.pop("$_index", None)
     stats_loader = None
+    if isinstance(index, Mapping) and index.get("weights"):
+        # round 11: weighted multi-field index — field-tagged postings
+        # when fresh, weighted scan otherwise (same plan shapes as the
+        # find() path)
+        from anser_spark.operators.ranking import (
+            text_match_weighted_frame,
+            text_match_weighted_postings,
+            weighted_stats_loader,
+        )
+
+        out = None
+        if "n_docs" in index:
+            out = text_match_weighted_postings(
+                df, spec, index, score_col=_TEXT_SCORE_COL
+            )
+        if out is None:
+            pred, score = text_match_weighted_frame(
+                df, spec, index["weights"],
+                str(index.get("default_language", "none")),
+                stats_loader=(
+                    weighted_stats_loader(df.sparkSession, index)
+                    if "n_docs" in index else None
+                ),
+            )
+            out = df.withColumn(
+                _TEXT_SCORE_COL, score.cast("double")
+            ).where(pred)
+        if residual:
+            out = out.where(compile_filter(residual, out.schema))
+        return out
     if isinstance(index, Mapping):
         # round 9: with a fresh postings-bearing index, answer from the
         # INVERTED INDEX — a pushed-down point lookup on the postings
@@ -1918,7 +1979,15 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         )
     stats_loader = None
     out = None
-    if isinstance(index, Mapping) and index.get("kind") == "bm25":
+    # a WEIGHTED multi-field index can't serve single-path $search
+    # operators: its term table is field-tagged (a term-keyed lookup
+    # would collapse fields) and its postings would sum tf across
+    # fields — compile index-less instead (inline stats, still exact)
+    if (
+        isinstance(index, Mapping)
+        and index.get("kind") == "bm25"
+        and not index.get("weights")
+    ):
         if op == "text" and index.get("postings_dir") and (
             "query" in spec and "path" in spec
         ):
@@ -2150,6 +2219,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             and "query" in mspec and "path" in mspec
             and isinstance(index, Mapping)
             and index.get("kind") == "bm25"
+            and not index.get("weights")  # field-tagged postings differ
             and index.get("postings_dir")
             and str(index.get("path", "text")) == str(mspec["path"])
         ):
@@ -2222,6 +2292,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             and "query" in mspec and "path" in mspec
             and isinstance(index, Mapping)
             and index.get("kind") == "bm25"
+            and not index.get("weights")  # field-tagged postings differ
             and index.get("postings_dir")
             and str(index.get("path", "text")) == str(mspec["path"])
             and _search_analyzer(mspec)

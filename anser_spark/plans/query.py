@@ -226,6 +226,42 @@ class Query:
         text_col, stats_loader, language = None, None, "none"
         coll = self._collection
         if not isinstance(coll, DataFrame) and hasattr(coll, "_text_index_info"):
+            if hasattr(coll, "_weighted_bm25_for"):
+                # round 11: a weighted multi-field index governs this
+                # $text — postings path (field-tagged table, one
+                # pushed-down lookup over all fields) when fresh, scan
+                # path with per-field index stats otherwise; a STALE
+                # weighted index keeps the fields/language intent with
+                # inline per-field stats (the single-field contract)
+                weighted = coll._weighted_bm25_for(df)
+                if weighted is not None:
+                    from anser_spark.operators.ranking import (
+                        text_match_weighted_frame,
+                        text_match_weighted_postings,
+                    )
+
+                    d, fresh = weighted
+                    out = (
+                        text_match_weighted_postings(
+                            df, spec, d, score_col="__textScore"
+                        )
+                        if fresh else None
+                    )
+                    if out is None:
+                        pred, score = text_match_weighted_frame(
+                            df, spec, d["weights"],
+                            d.get("default_language", "none"),
+                            stats_loader=(
+                                coll._weighted_stats_loader(d)
+                                if fresh else None
+                            ),
+                        )
+                        out = df.withColumn(
+                            "__textScore", score.cast("double")
+                        ).where(pred)
+                    if residual:
+                        out = out.where(compile_filter(residual, out.schema))
+                    return out, True
             # round 9: a fresh postings-bearing bm25 index answers the
             # whole $text clause from the inverted index (point lookup
             # + bounded join — no corpus scan); ineligible shapes fall

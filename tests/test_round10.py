@@ -316,7 +316,8 @@ def test_rebuild_sweeps_versioned_dirs(spark, tmp_path):
             "kind": "bm25", "path": "text", "default_language": "english"})
     idx = c._search_index_dir()
     mine = sorted(e for e in os.listdir(idx) if e.startswith("sx_"))
-    assert mine == ["sx_postings", "sx_terms"], mine
+    # round 11 adds the id sidecar to a fresh build's footprint
+    assert mine == ["sx_ids", "sx_postings", "sx_terms"], mine
 
 
 def test_minhash_refresh_crash_retry(spark, tmp_path, monkeypatch):

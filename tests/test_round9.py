@@ -482,11 +482,14 @@ def test_refresh_falls_back_on_update_and_dup_ids(spark, tmp_path):
     c.set_retention(4)
     c.insert_many([{"_id": i, "text": f"spark doc {i}"} for i in range(4)])
     c.create_search_index("fx", {"kind": "bm25", "path": "text"})
-    # an update (remove+add in the diff) → full rebuild
+    # round 11: an update no longer forces a rebuild — the mutation
+    # manifest nets it into one tombstone + one re-insert
     c.update_all({"_id": 1}, {"$set": {"text": "mongo doc 1"}})
-    assert c.refresh_search_index("fx")["mode"] == "rebuild"
+    out = c.refresh_search_index("fx")
+    assert out["mode"] == "incremental" and out.get("tombstoned") == 1
     assert c.search_index_status("fx")["stale"] is False
     assert c.find({"$text": {"$search": "mongo"}}).count() == 1
+    assert c.find({"$text": {"$search": "spark"}}).count() == 3
     # duplicate ids arriving → rebuild, postings dropped, scan path
     c.insert_many([{"_id": 1, "text": "spark dup"}])
     assert c.refresh_search_index("fx")["mode"] == "rebuild"
@@ -769,9 +772,14 @@ def test_refresh_minhash_incremental_appends(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(d2["bands_dir"]).collect()
     }
     assert bands_a == bands_b
-    # an update forces rebuild
+    # round 11: an update refreshes incrementally (tombstone + re-sign)
     c.update_all({"_id": 1}, {"$set": {"text": "rewritten entirely"}})
-    assert c.refresh_search_index("mh")["mode"] == "rebuild"
+    out = c.refresh_search_index("mh")
+    assert out["mode"] == "incremental" and out.get("tombstoned") == 1
+    from anser_spark.engine import _read_index_table
+    d3 = dict(c._load_search_index("mh", warn_stale=False))
+    live = _read_index_table(spark, d3, "sig_dir", "sig_deltas")
+    assert live.count() == 4  # old signature dead, new one live
 
 
 def test_audio_decode_header_edge_cases():
