@@ -1240,6 +1240,7 @@ class Collection:
         prev: str | None,
         rel_files: Sequence[str],
         pre_rel: str | None = None,
+        ins_rel: str | None = None,
     ) -> None:
         """Record a commit's manifest: ``kind:"insert"`` (this commit
         only appended the listed files) or — when ``pre_rel`` names a
@@ -1247,16 +1248,36 @@ class Collection:
         (round 11: the listed files are the REWRITTEN files carrying
         the mutated ids' post-state plus bystander pass-through rows;
         the pre-image holds exactly the matched rows as they were,
-        so index refresh can tombstone + re-index O(mutated docs))."""
+        so index refresh can tombstone + re-index O(mutated docs)).
+        ``ins_rel`` (insert commits, when an index exists) names a
+        small parquet of the appended ids: with it, a LATER mutation
+        may rewrite this commit's files without breaking the refresh
+        chain — the inserted ids stay enumerable and their current
+        rows are recovered from the rewrite's bystander carries."""
         os.makedirs(self._deltas_dir(), exist_ok=True)
         m: dict[str, Any] = {"prev": prev, "files": list(rel_files)}
         if pre_rel is not None:
             m["kind"] = "mutation"
             m["pre"] = pre_rel
+        elif ins_rel is not None:
+            m["ins"] = ins_rel
         tmp = os.path.join(self._deltas_dir(), f".{version}.tmp")
         with open(tmp, "w") as fh:
             json.dump(m, fh)
         os.replace(tmp, os.path.join(self._deltas_dir(), f"{version}.json"))
+
+    def _index_id_cols(self) -> set[str]:
+        """Document-id column names across this collection's
+        incrementally-refreshable (bm25/minhash) index definitions."""
+        out: set[str] = set()
+        for nm in self.list_search_indexes():
+            try:
+                dd = self._load_search_index(nm, warn_stale=False)
+            except NotFoundError:
+                continue
+            if dd.get("kind") in ("bm25", "minhash"):
+                out.add(str(dd.get("id_col", "_id")))
+        return out
 
     def _insert_manifest(self, version: str) -> dict[str, Any] | None:
         p = os.path.join(self._deltas_dir(), f"{version}.json")
@@ -1347,13 +1368,26 @@ class Collection:
                     return None  # pre-image reaped — fall back
                 e["pre_path"] = pre_path
             else:
-                # insert files must ALL survive: they are the only
-                # record of WHICH ids the commit added (a mutation that
-                # rewrote one carried the rows forward, but carried
-                # rows are indistinguishable from bystanders)
-                if any(not os.path.exists(p) for p in paths):
-                    return None  # rewritten/vanished since — fall back
-                e["paths"] = paths
+                # insert files enumerate WHICH ids the commit added.
+                # With the manifest's id sidecar (round 11) they may
+                # vanish — a later mutation that rewrote them carried
+                # every still-live row forward, and the sidecar keeps
+                # the ids enumerable; without a sidecar they must ALL
+                # survive (carried rows alone are indistinguishable
+                # from bystanders).
+                ins = e["m"].get("ins")
+                ins_path = (
+                    os.path.join(self._deltas_dir(), str(ins)) if ins else ""
+                )
+                e["ins_path"] = (
+                    ins_path if ins and os.path.isdir(ins_path) else None
+                )
+                if e["ins_path"] is not None:
+                    e["paths"] = [p for p in paths if os.path.exists(p)]
+                else:
+                    if any(not os.path.exists(p) for p in paths):
+                        return None  # rewritten/vanished — fall back
+                    e["paths"] = paths
         return events
 
     def _chain_delta(
@@ -1408,20 +1442,30 @@ class Collection:
         ic = F.col(id_col)
         tall = None  # (__cid, __seq, __mut): every touch of every id
         pres = None  # mutation pre-image rows + __pseq
-        posts = None  # mutation post-state rows + __pseq
-        inss = None  # insert rows + __pseq
+        copies = None  # surviving row copies (insert files + rewrites) + __pseq
         for seq, e in enumerate(events):
             if e["kind"] == "insert":
                 rows = read_paths(e["paths"])
                 if id_col not in rows.columns:
                     return None
-                t = rows.select(
-                    ic.alias("__cid"),
-                    F.lit(seq).alias("__seq"),
-                    F.lit(False).alias("__mut"),
-                )
-                i = rows.withColumn("__pseq", F.lit(seq))
-                inss = i if inss is None else inss.unionByName(i)
+                if e.get("ins_path"):
+                    # the manifest's id sidecar enumerates the commit's
+                    # ids even when a later rewrite replaced its files
+                    ids_src = spark.read.parquet(e["ins_path"])
+                    if id_col not in ids_src.columns:
+                        return None
+                    t = ids_src.select(
+                        ic.alias("__cid"),
+                        F.lit(seq).alias("__seq"),
+                        F.lit(False).alias("__mut"),
+                    )
+                else:
+                    t = rows.select(
+                        ic.alias("__cid"),
+                        F.lit(seq).alias("__seq"),
+                        F.lit(False).alias("__mut"),
+                    )
+                c = rows.withColumn("__pseq", F.lit(seq))
             else:
                 pre = spark.read.parquet(e["pre_path"])
                 if id_col not in pre.columns:
@@ -1433,8 +1477,8 @@ class Collection:
                 )
                 p = pre.withColumn("__pseq", F.lit(seq))
                 pres = p if pres is None else pres.unionByName(p)
-                q = read_paths(e["paths"]).withColumn("__pseq", F.lit(seq))
-                posts = q if posts is None else posts.unionByName(q)
+                c = read_paths(e["paths"]).withColumn("__pseq", F.lit(seq))
+            copies = c if copies is None else copies.unionByName(c)
             tall = t if tall is None else tall.unionByName(t)
         bounds = (
             tall.groupBy("__cid")
@@ -1471,40 +1515,28 @@ class Collection:
         tomb_pre = _at(pres, "__first_seq").where(
             F.col("__first_mut")
         ).drop("__first_mut")
-        finals = _at(inss, "__last_seq")  # ids whose last event inserted them
-        mut_seqs = [
-            seq for seq, e in enumerate(events) if e["kind"] == "mutation"
-        ]
-        if posts is not None and mut_seqs:
-            # ids last MATCHED by a mutation: their current row is the
-            # HIGHEST-seq surviving copy — the matching event's own
-            # output when it survived, else a bystander carry in a
-            # later event's files (a rewrite copies every still-live
-            # row of its hit files forward). A removed id has no live
-            # copy anywhere, so it simply never joins — that absence IS
-            # the removal signal.
-            from pyspark.sql.window import Window
+        # finals: per touched id, the HIGHEST-seq surviving copy — the
+        # last touching event's own output when its file survived, else
+        # a bystander carry in a later rewrite's files (a rewrite
+        # copies every still-live row of its hit files forward). A
+        # removed id has no surviving copy anywhere — that absence IS
+        # the removal signal; a STALE copy cannot outlive its
+        # supersession, because the event that superseded an id's row
+        # rewrote exactly the file holding it.
+        from pyspark.sql.window import Window
 
-            want_mut = bounds.where(
-                F.col("__last_seq").isin(mut_seqs)
-            ).select("__cid", "__first_mut")
-            pm = posts.join(
-                want_mut, posts[id_col] == want_mut["__cid"], "inner"
-            ).drop("__cid")
-            w = Window.partitionBy(F.col(id_col)).orderBy(
-                F.col("__pseq").desc()
-            )
-            last_mut = (
-                pm.withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .drop("__rn", "__pseq")
-            )
-            finals = (
-                last_mut if finals is None
-                else finals.unionByName(last_mut)
-            )
-        if finals is None:  # a pure-remove window over pre-existing docs
-            finals = self.df().limit(0).withColumn("__first_mut", F.lit(False))
+        want = bounds.select("__cid", "__first_mut")
+        cp = copies.join(
+            want, copies[id_col] == want["__cid"], "inner"
+        ).drop("__cid")
+        w = Window.partitionBy(F.col(id_col)).orderBy(
+            F.col("__pseq").desc()
+        )
+        finals = (
+            cp.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "__pseq")
+        )
         added = finals.where(~F.col("__first_mut")).drop("__first_mut")
         remut = finals.where(F.col("__first_mut")).drop("__first_mut")
         return {"added": added, "tomb_pre": tomb_pre, "remut": remut}
@@ -1814,7 +1846,23 @@ class Collection:
         # manifest; a transaction-staged swap records under its
         # uuid-unique version name, which is only ever referenced if
         # that transaction commits
-        self._write_insert_manifest(version, ptr, delta_rels)
+        ins_rel: str | None = None
+        id_cols = sorted(
+            c for c in self._index_id_cols() if c in aligned.columns
+        )
+        if id_cols and delta_rels:
+            # id sidecar for this insert (round 11): one O(batch)
+            # column read of the just-written files, so a later
+            # mutation rewriting them cannot force an index rebuild
+            ins_rel = f"{version}_ins"
+            (
+                self.engine.spark.read.option("basePath", vdir)
+                .parquet(*[os.path.join(vdir, r) for r in delta_rels])
+                .select(*id_cols)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self._deltas_dir(), ins_rel))
+            )
+        self._write_insert_manifest(version, ptr, delta_rels, ins_rel=ins_rel)
 
     def drop(self) -> None:
         if self.engine._txn is not None:
@@ -2071,9 +2119,12 @@ class Collection:
         # a full build subsumes every staged delta (round 10).
         definition.pop("postings_dir", None)
         definition.pop("ids_dir", None)
+        definition.pop("raw_postings_dir", None)
+        definition.pop("raw_terms_dir", None)
         for dk in (
             "postings_deltas", "sig_deltas", "bands_deltas",
             "postings_tombs", "tombs", "ids_deltas",
+            "raw_postings_deltas",
         ):
             definition.pop(dk, None)
         kind = definition.get("kind", "ivf")
@@ -2222,6 +2273,52 @@ class Collection:
                     .parquet(ids_dir)
                 )
                 definition["ids_dir"] = ids_dir
+                if language == "english" and store_pos and bool(
+                    definition.get("raw_sidecar", True)
+                ):
+                    # round 11: RAW-TOKEN SIDECAR — a second postings
+                    # (+ term) table over the 'none'-analyzer stream,
+                    # so $search phrase / autocomplete / moreLikeThis
+                    # (whose query terms are raw lowered tokens) answer
+                    # from the index under a stemmed analyzer too;
+                    # previously every english-corpus phrase query paid
+                    # an O(corpus) scan. The 'none' tokenize is a
+                    # codegen'd split — no second stemmer pass — and
+                    # the sidecar's delta layers advance in lockstep
+                    # with the main table's, sharing its tombstone
+                    # generations. Opt out with raw_sidecar: False.
+                    raw_frame = docs.select(
+                        F.col(id_col).alias("id"),
+                        _rank_tokens(path, "none").alias("__toks"),
+                    )
+                    raw_post = os.path.join(
+                        self._search_index_dir(), f"{name}_rawpostings"
+                    )
+                    (
+                        self._postings_rows(raw_frame, True)
+                        .repartitionByRange(F.col("term_fold"), F.col("id"))
+                        .sortWithinPartitions("term_fold", "id")
+                        .write.mode("overwrite")
+                        .parquet(raw_post)
+                    )
+                    raw_terms = os.path.join(
+                        self._search_index_dir(), f"{name}_rawterms"
+                    )
+                    (
+                        raw_frame.select(
+                            F.explode(F.array_distinct("__toks")).alias(
+                                "term"
+                            )
+                        )
+                        .groupBy("term")
+                        .agg(F.count(F.lit(1)).alias("df"))
+                        .repartitionByRange(F.col("term"))
+                        .sortWithinPartitions("term")
+                        .write.mode("overwrite")
+                        .parquet(raw_terms)
+                    )
+                    definition["raw_postings_dir"] = raw_post
+                    definition["raw_terms_dir"] = raw_terms
             # free the tokenized-corpus scratch now (a failed build
             # falls back to GC reclaim, same as any cached frame)
             tok_frame.unpersist()
@@ -2851,6 +2948,35 @@ class Collection:
                 .parquet(post_delta)
             )
             postings_deltas.append(post_delta)
+        # raw-token sidecar maintenance (round 11): the sidecar's delta
+        # layers must advance in LOCKSTEP with the main table's (they
+        # share the tombstone generations), so a delta is appended iff
+        # the main path appended one; the 'none' re-tokenize of the
+        # delta is a codegen'd split, no stemmer pass
+        raw_postings_deltas = list(d.get("raw_postings_deltas") or [])
+        raw_delta = None
+        raw_neg = None
+        if d.get("raw_postings_dir"):
+            raw_toks = _rank_tokens(path, "none")
+            if k:
+                raw_delta = new_docs.select(
+                    F.col(id_col).alias("id"), raw_toks.alias("__toks")
+                ).localCheckpoint()
+                raw_post_delta = os.path.join(
+                    idx_dir, f"{name}_rawpostings_delta_{cur}"
+                )
+                (
+                    self._postings_rows(raw_delta, True)
+                    .repartitionByRange(F.col("term_fold"), F.col("id"))
+                    .sortWithinPartitions("term_fold", "id")
+                    .write.mode("overwrite")
+                    .parquet(raw_post_delta)
+                )
+                raw_postings_deltas.append(raw_post_delta)
+            if k_neg:
+                raw_neg = tomb_pre.select(
+                    F.col(id_col).alias("id"), raw_toks.alias("__toks")
+                ).localCheckpoint()
         if k_added and d.get("ids_dir"):
             ids_delta = os.path.join(idx_dir, f"{name}_ids_delta_{cur}")
             (
@@ -2885,6 +3011,27 @@ class Collection:
                 .parquet(new_post)
             )
             d["postings_dir"] = new_post
+            if d.get("raw_postings_dir"):
+                # the sidecar folds together with the main table — the
+                # tombstone list is shared, so clearing it must clear
+                # both tables' dead rows at once
+                new_raw = os.path.join(
+                    idx_dir, f"{name}_rawpostings_compact_{cur}"
+                )
+                probe_raw = {
+                    **d,
+                    "raw_postings_deltas": raw_postings_deltas,
+                    "postings_tombs": postings_tombs,
+                }
+                (
+                    _postings_frame(spark, probe_raw, raw=True)
+                    .repartitionByRange(F.col("term_fold"), F.col("id"))
+                    .sortWithinPartitions("term_fold", "id")
+                    .write.mode("overwrite")
+                    .parquet(new_raw)
+                )
+                d["raw_postings_dir"] = new_raw
+                raw_postings_deltas = []
             postings_deltas, postings_tombs = [], []
         if d.get("ids_dir") and len(ids_deltas) >= thr:
             new_ids = os.path.join(idx_dir, f"{name}_ids_compact_{cur}")
@@ -2928,6 +3075,39 @@ class Collection:
             .write.mode("overwrite")
             .parquet(new_terms_dir)
         )
+        if d.get("raw_postings_dir") and d.get("raw_terms_dir"):
+            # the sidecar's term table (the phrase/autocomplete cost
+            # gate's df source) rolls the same signed merge
+            new_raw_terms_dir = os.path.join(
+                idx_dir, f"{name}_rawterms_{cur}"
+            )
+            merged_raw = spark.read.parquet(str(d["raw_terms_dir"]))
+            if raw_delta is not None:
+                merged_raw = merged_raw.unionByName(
+                    raw_delta.select(
+                        F.explode(F.array_distinct("__toks")).alias("term")
+                    )
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                )
+            if raw_neg is not None:
+                merged_raw = merged_raw.unionByName(
+                    raw_neg.select(
+                        F.explode(F.array_distinct("__toks")).alias("term")
+                    )
+                    .groupBy("term")
+                    .agg((-F.count(F.lit(1))).alias("df"))
+                )
+            (
+                merged_raw.groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .where(F.col("df") > 0)
+                .repartitionByRange(F.col("term"))
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(new_raw_terms_dir)
+            )
+            d["raw_terms_dir"] = new_raw_terms_dir
         # 3. exact stats roll-forward + atomic definition swap, then
         # sweep directories the new definition no longer references.
         # Removed docs leave n_docs; updated docs replace their token
@@ -2950,6 +3130,8 @@ class Collection:
         d["postings_deltas"] = postings_deltas
         d["postings_tombs"] = postings_tombs
         d["ids_deltas"] = ids_deltas
+        if d.get("raw_postings_dir"):
+            d["raw_postings_deltas"] = raw_postings_deltas
         d["built_at_version"] = cur
         self._write_search_index(name, d)
         self._sweep_index_dirs(name, d)
@@ -3045,21 +3227,25 @@ class Collection:
             v = entry[: -len(".json")]
             o = self._version_ordinal(v)
             m = self._insert_manifest(v)
-            if (
-                m is None
-                or (m.get("kind") or "insert") != "mutation"
-                or o is None
-                or o > min_built
-            ):
+            if m is None or o is None or o > min_built:
                 continue
-            if m.get("pre"):
+            if (m.get("kind") or "insert") == "mutation":
+                if m.get("pre"):
+                    shutil.rmtree(
+                        os.path.join(dd, str(m["pre"])), ignore_errors=True
+                    )
+                try:
+                    os.remove(os.path.join(dd, entry))
+                except OSError:
+                    pass
+            elif m.get("ins"):
+                # an unreachable insert commit's id sidecar is dead
+                # weight (O(batch) each); the tiny manifest json stays
+                # for the watch()/diff fast path — the chain walker
+                # tolerates a reclaimed sidecar by requiring the files
                 shutil.rmtree(
-                    os.path.join(dd, str(m["pre"])), ignore_errors=True
+                    os.path.join(dd, str(m["ins"])), ignore_errors=True
                 )
-            try:
-                os.remove(os.path.join(dd, entry))
-            except OSError:
-                pass
 
     def _index_compact_threshold(self) -> int:
         """Delta-directory count at which an incremental refresh folds
@@ -3099,7 +3285,7 @@ class Collection:
         for od in defs:
             for key in (
                 "terms_dir", "postings_dir", "sig_dir", "bands_dir",
-                "ids_dir",
+                "ids_dir", "raw_postings_dir", "raw_terms_dir",
             ):
                 v = od.get(key)
                 if v:
@@ -3107,6 +3293,7 @@ class Collection:
             for key in (
                 "postings_deltas", "sig_deltas", "bands_deltas",
                 "postings_tombs", "tombs", "ids_deltas",
+                "raw_postings_deltas",
             ):
                 for v in od.get(key) or []:
                     referenced.add(os.path.normpath(str(v)))
@@ -3115,7 +3302,7 @@ class Collection:
                 entry == f"{name}_{t}" or entry.startswith(f"{name}_{t}_")
                 for t in (
                     "terms", "postings", "minhash", "bands",
-                    "ids", "tomb", "ptomb",
+                    "ids", "tomb", "ptomb", "rawpostings", "rawterms",
                 )
             )
             if not owned:
@@ -3395,10 +3582,18 @@ class Collection:
     def append_to_minhash_index(self, index: str, new_df: DataFrame) -> None:
         """Extend a ``kind="minhash"`` index with a new batch's
         signatures — incremental maintenance, no corpus re-signaturing.
-        Duplicate signature rows (a batch appended twice) are harmless:
-        they only re-propose the same candidates, and verification is
-        exact."""
-        d = self._load_search_index(index, warn_stale=False)
+
+        Crash safety (round 11, ADVICE): the batch lands in STAGED
+        delta directories published only by the atomic definition swap
+        — never an in-place append into the live tables (a crash
+        mid-append double-appended signatures, the exact failure mode
+        the round-10 refresh machinery eliminated). The staged name is
+        keyed by a deterministic batch fingerprint, so a crashed
+        append's retry OVERWRITES the same staged paths instead of
+        duplicating rows; an orphaned stage from an abandoned batch is
+        reclaimed by the post-publish sweep. The same compaction
+        threshold as refresh folds deltas back into one base table."""
+        d = dict(self._load_search_index(index, warn_stale=False))
         if d.get("kind") != "minhash":
             raise ValueError(
                 f"index {index!r} is kind={d.get('kind')!r}, expected minhash"
@@ -3410,24 +3605,56 @@ class Collection:
             minhash_signature_arrow,
         )
 
+        id_col = d["id_col"]
         sigs = minhash_signature_arrow(
-            new_df, d["id_col"], d["path"], d["k"], d["numHashes"], d["seed"]
+            new_df, id_col, d["path"], d["k"], d["numHashes"], d["seed"]
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            sigs.write.mode("append").parquet(d["sig_dir"])
+            fp = sigs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.xxhash64(F.col(id_col))), F.lit(0)
+                ).alias("h"),
+            ).collect()[0]
+            if not int(fp["n"]):
+                return  # empty batch: nothing to stage
+            key = f"{int(fp['n'])}_{int(fp['h']) & 0xFFFFFFFFFFFF:012x}"
+            idx_dir = self._search_index_dir()
+            sig_delta = os.path.join(idx_dir, f"{index}_minhash_delta_{key}")
+            bands_delta = os.path.join(idx_dir, f"{index}_bands_delta_{key}")
+            sigs.write.mode("overwrite").parquet(sig_delta)
             banded_signatures(
-                sigs, d["id_col"], d["numHashes"], d["bands"]
-            ).write.mode("append").parquet(d["bands_dir"])
+                sigs, id_col, d["numHashes"], d["bands"]
+            ).write.mode("overwrite").parquet(bands_delta)
         finally:
             sigs.unpersist()
+        sig_deltas = list(d.get("sig_deltas") or [])
+        bands_deltas = list(d.get("bands_deltas") or [])
+        if sig_delta not in sig_deltas:
+            sig_deltas.append(sig_delta)
+            bands_deltas.append(bands_delta)
+        if len(sig_deltas) >= self._index_compact_threshold():
+            spark = self.engine.spark
+            probe = {
+                **d, "sig_deltas": sig_deltas, "bands_deltas": bands_deltas,
+            }
+            new_sig = os.path.join(idx_dir, f"{index}_minhash_compact_{key}")
+            new_bands = os.path.join(idx_dir, f"{index}_bands_compact_{key}")
+            _read_index_table(
+                spark, probe, "sig_dir", "sig_deltas", id_col
+            ).write.mode("overwrite").parquet(new_sig)
+            _read_index_table(
+                spark, probe, "bands_dir", "bands_deltas", id_col
+            ).write.mode("overwrite").parquet(new_bands)
+            d["sig_dir"], d["bands_dir"] = new_sig, new_bands
+            sig_deltas, bands_deltas, d["tombs"] = [], [], []
+        d["sig_deltas"] = sig_deltas
+        d["bands_deltas"] = bands_deltas
         # incremental maintenance keeps the snapshot current — advance
         # the freshness marker to the collection's present version
-        d = dict(d)
         d["built_at_version"] = self._pointer()
-        tmp = os.path.join(self._search_index_dir(), f".{index}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(d, fh)
-        os.replace(tmp, os.path.join(self._search_index_dir(), f"{index}.json"))
+        self._write_search_index(index, d)
+        self._sweep_index_dirs(index, d)
 
     def _resolve_text_indexes(self, stages: Sequence[Mapping[str, Any]]):
         """Embed a fresh bm25 index's stats into a leading

@@ -970,7 +970,9 @@ def read_layered_table(
     ).drop("__layer")
 
 
-def _postings_frame(spark, index: Mapping[str, Any]) -> DataFrame:
+def _postings_frame(
+    spark, index: Mapping[str, Any], raw: bool = False
+) -> DataFrame:
     """The index's postings as one frame: the base range-partitioned
     table plus any staged incremental-refresh delta directories (round
     10 — a refresh publishes its delta atomically with the definition
@@ -978,9 +980,21 @@ def _postings_frame(spark, index: Mapping[str, Any]) -> DataFrame:
     per directory until compaction folds them back together), minus
     any tombstoned documents (round 11 — an update/remove refresh
     invalidates the mutated ids' old rows without rewriting the
-    table; see :func:`read_layered_table`)."""
-    dirs = [str(index["postings_dir"])] + [
-        str(p) for p in (index.get("postings_deltas") or [])
+    table; see :func:`read_layered_table`).
+
+    ``raw=True`` reads the RAW-TOKEN SIDECAR a stemmed ('english')
+    index stores beside its analyzed postings (round 11): same row
+    layout over the 'none'-analyzer token stream, so phrase /
+    autocomplete / moreLikeThis — whose query terms are raw lowered
+    tokens — answer from the index under a stemmed analyzer too. The
+    sidecar's delta layers advance in lockstep with the main table's,
+    so the shared tombstone generations apply to both."""
+    base_key, deltas_key = (
+        ("raw_postings_dir", "raw_postings_deltas") if raw
+        else ("postings_dir", "postings_deltas")
+    )
+    dirs = [str(index[base_key])] + [
+        str(p) for p in (index.get(deltas_key) or [])
     ]
     return read_layered_table(
         spark, dirs, list(index.get("postings_tombs") or []), "id"
@@ -1206,6 +1220,7 @@ def search_text_postings(
     score_field: str = "score",
     k1: float = 1.2,
     b: float = 0.75,
+    raw: bool = False,
 ) -> DataFrame | None:
     """The ``$search`` ``text`` operator answered from a persisted
     inverted postings table (round 9) — same physical shape as
@@ -1220,9 +1235,16 @@ def search_text_postings(
     ``score_field`` carrying the raw BM25 — callers apply Atlas
     boost/constant score options on top), or None when the index can't
     serve this operator (no postings, path mismatch, or the collection
-    frame lacks the id column)."""
+    frame lacks the id column). ``raw=True`` (round 11) answers from a
+    stemmed index's RAW-TOKEN SIDECAR — the moreLikeThis route, whose
+    extracted terms are raw lowered tokens; idf still resolves from
+    the analyzed term table, the scan path's stats_loader contract."""
     postings_dir = index.get("postings_dir")
     if not postings_dir or not terms or not _postings_enabled(df.sparkSession):
+        return None
+    if raw and not (
+        index.get("raw_postings_dir") and index.get("raw_terms_dir")
+    ):
         return None
     if str(index.get("path", "text")) != path:
         return None
@@ -1242,15 +1264,21 @@ def search_text_postings(
         .collect()
     )
     df_map = {r["term"]: r["df"] for r in rows}
-    if not _postings_cost_ok(
-        spark,
-        sum(int(v) for v in df_map.values()),
-        n_docs,
-        str(index.get("default_language", "none") or "none"),
-    ):
+    if raw:
+        cost = (
+            spark.read.parquet(str(index["raw_terms_dir"]))
+            .where(F.col("term").isin(list(distinct)))
+            .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        cost_lang = "none"
+    else:
+        cost = sum(int(v) for v in df_map.values())
+        cost_lang = str(index.get("default_language", "none") or "none")
+    if not _postings_cost_ok(spark, int(cost), n_docs, cost_lang):
         return None  # stopword-hot terms: the single scan is cheaper
 
-    postings = _postings_frame(spark, index)
+    postings = _postings_frame(spark, index, raw=raw)
     tf_aggs = [
         F.sum(
             F.when(F.col("term") == F.lit(t), F.col("tf")).otherwise(F.lit(0))
@@ -1297,9 +1325,11 @@ def phrase_positions_pred(pos_cols: list, slop: int):
     span p_k − p₁ − (k−1) ≤ ``slop``.  ``slop=0`` is exact adjacency —
     identical to the word-boundary regex the scan path uses (tokens
     are whitespace-split, so a regex match aligns with a token run).
-    Documented divergence from Atlas for slop>0: Lucene's sloppy
-    matcher is move-distance-based and admits out-of-order terms; this
-    predicate requires phrase order within the span budget.
+    Round 11: slop>0 defaults to the Lucene move-distance semantics
+    (:func:`phrase_positions_pred_unordered`); THIS in-order variant
+    remains behind the ``$search phrase`` ``ordered: true`` option and
+    serves the slop=0 / sequential-autocomplete paths, where the two
+    semantics coincide.
 
     Compiles to k nested EXISTS higher-order functions — pure Column,
     O(Π tf) per row worst case, evaluated only over bounded phrase
@@ -1324,6 +1354,82 @@ def phrase_positions_pred(pos_cols: list, slop: int):
     return F.exists(pos_cols[0], lambda p0: rest(1, p0, p0))
 
 
+def phrase_positions_pred_unordered(
+    terms: list[str], pos_of: Mapping[str, Any], slop: int
+):
+    """Lucene-compatible SLOPPY phrase predicate (round 11; VERDICT
+    r10 Wrong-list #4): a document matches when the query terms can be
+    assigned DISTINCT document positions whose offset-adjusted values
+    fit a window of width ``slop`` — max_i(p_i − i) − min_i(p_i − i) ≤
+    slop, Lucene's move-distance formulation. Out-of-order terms are
+    admitted once the slop covers the transposition cost: query
+    "spark data" matches a document saying "data spark" at slop ≥ 2
+    (adjusted positions differ by 2), which the ordered predicate
+    silently rejected at any slop.
+
+    ``pos_of`` maps each distinct term to its position-array Column.
+    Duplicate query terms are exact, not approximate: occurrences of
+    the same term are assigned strictly increasing positions, each
+    within its own offset-shifted window slice — for interval
+    constraints ordered by offset, an increasing assignment exists iff
+    ANY valid assignment exists (the intervals are sorted translates
+    of one window), so the nested-EXISTS greedy is complete.
+
+    Window starts are enumerated from the union of adjusted position
+    values (a minimal window's left edge always touches one), so the
+    whole predicate stays pure Column — O(Σtf × Πtf) worst case per
+    row, evaluated only over bounded candidates. ``slop=0`` and, for
+    two-term phrases, ``slop=1`` coincide with the ordered predicate
+    (transposition costs 2)."""
+    uniq = list(dict.fromkeys(terms))
+    if not uniq:
+        return F.lit(False)
+    if len(terms) == 1:
+        return F.size(pos_of[terms[0]]) > 0
+    offsets = {
+        t: [i for i, x in enumerate(terms) if x == t] for t in uniq
+    }
+
+    def _shift(o: int):
+        # single-arg lambda via closure — a default-arg lambda has
+        # arity 2 and PySpark would pass the element INDEX as the
+        # second argument (the dispatch trap bm25_score documents)
+        return lambda p: p - F.lit(o)
+
+    adj = [
+        F.transform(pos_of[t], _shift(o))
+        for t in uniq
+        for o in offsets[t]
+    ]
+    cands = F.array_distinct(F.concat(*adj)) if len(adj) > 1 else adj[0]
+
+    def term_pred(w, t):
+        offs = offsets[t]
+
+        def rest(j, prev):
+            if j == len(offs):
+                return F.lit(True)
+            o = offs[j]  # local per recursion level — safe to close over
+            return F.exists(
+                pos_of[t],
+                lambda p: (p > prev)
+                & (p >= w + F.lit(o))
+                & (p <= w + F.lit(o + slop))
+                & rest(j + 1, p),
+            )
+
+        return rest(0, F.lit(-1))
+
+    def window_ok(w):
+        pred = None
+        for t in uniq:
+            tp = term_pred(w, t)
+            pred = tp if pred is None else pred & tp
+        return pred
+
+    return F.exists(cands, window_ok)
+
+
 def search_phrase_postings(
     df: DataFrame,
     terms: list[str],
@@ -1333,6 +1439,7 @@ def search_phrase_postings(
     score_field: str = "score",
     k1: float = 1.2,
     b: float = 0.75,
+    ordered: bool = False,
 ) -> DataFrame | None:
     """The ``$search`` ``phrase`` operator answered from a postings
     table that stores term POSITIONS (round 10): candidates = docs
@@ -1354,8 +1461,11 @@ def search_phrase_postings(
         or not _postings_enabled(df.sparkSession)
     ):
         return None
-    if (index.get("default_language", "none") or "none") != "none":
-        return None
+    raw = (index.get("default_language", "none") or "none") != "none"
+    if raw and not (
+        index.get("raw_postings_dir") and index.get("raw_terms_dir")
+    ):
+        return None  # pre-round-11 stemmed index: scan path serves it
     if str(index.get("path", "text")) != path:
         return None
     id_col = index.get("id_col", "_id")
@@ -1368,15 +1478,28 @@ def search_phrase_postings(
 
     spark = df.sparkSession
     distinct = list(dict.fromkeys(terms))
+    # score idf ALWAYS resolves from the analyzed term table — the scan
+    # path's stats_loader does exactly that, and under a stemmed index
+    # a raw phrase token absent from the stemmed stems reads df=0
+    # (maximal idf), the documented scan-with-index behavior
     rows = (
         spark.read.parquet(str(index["terms_dir"]))
         .where(F.col("term").isin(list(distinct)))
         .collect()
     )
     df_map = {r["term"]: r["df"] for r in rows}
-    if not _postings_cost_ok(
-        spark, sum(int(v) for v in df_map.values()), n_docs, "none"
-    ):
+    if raw:
+        # the COST gate, by contrast, must see the raw-token document
+        # frequencies — the candidates come from the raw sidecar
+        cost = (
+            spark.read.parquet(str(index["raw_terms_dir"]))
+            .where(F.col("term").isin(list(distinct)))
+            .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+    else:
+        cost = sum(int(v) for v in df_map.values())
+    if not _postings_cost_ok(spark, int(cost), n_docs, "none"):
         return None
 
     aggs: list = [F.max("n_tokens").alias("__ntok")]
@@ -1394,15 +1517,26 @@ def search_phrase_postings(
             ).alias(f"__tf{i}")
         )
     cand = (
-        _postings_frame(spark, index)
+        _postings_frame(spark, index, raw=raw)
         .where(F.col("term").isin(list(distinct)))
         .groupBy(F.col("id").alias("__postkey"))
         .agg(*aggs)
     )
     slot = {t: i for i, t in enumerate(distinct)}
-    pred = phrase_positions_pred(
-        [F.col(f"__pos{slot[t]}") for t in terms], int(slop)
-    )
+    if ordered or not slop:
+        # slop=0 is exact adjacency — identical under both semantics,
+        # and the ordered nested-EXISTS is the cheaper compile
+        pred = phrase_positions_pred(
+            [F.col(f"__pos{slot[t]}") for t in terms], int(slop)
+        )
+    else:
+        # round 11 default: Lucene move-distance slop (admits
+        # out-of-order terms once slop covers the transposition cost)
+        pred = phrase_positions_pred_unordered(
+            terms,
+            {t: F.col(f"__pos{slot[t]}") for t in distinct},
+            int(slop),
+        )
     cand = cand.where(F.coalesce(pred, F.lit(False)))
     norm = F.lit(k1) * (
         F.lit(1.0 - b)
@@ -1440,14 +1574,19 @@ def search_autocomplete_postings(
     term paths sends stopword-hot prefixes back to the scan (Σ df read
     from the term table with one small aggregate — no driver term
     list). Scores are the Atlas constant 1 (edge-gram scores are
-    index-internal; the scan compile does the same). None when the
-    index can't serve it: non-'none' analyzer (query terms are raw
-    lowered tokens), path mismatch, postings disabled, sequential
-    without stored positions, or the cost gate."""
+    index-internal; the scan compile does the same). A stemmed
+    ('english') index serves this through its RAW-TOKEN SIDECAR (round
+    11 — query terms are raw lowered tokens, which the sidecar stores
+    verbatim). None when the index can't serve it: stemmed without a
+    sidecar, path mismatch, postings disabled, sequential without
+    stored positions, or the cost gate."""
     postings_dir = index.get("postings_dir")
     if not postings_dir or not terms or not _postings_enabled(df.sparkSession):
         return None
-    if (index.get("default_language", "none") or "none") != "none":
+    raw = (index.get("default_language", "none") or "none") != "none"
+    if raw and not (
+        index.get("raw_postings_dir") and index.get("raw_terms_dir")
+    ):
         return None
     if str(index.get("path", "text")) != path:
         return None
@@ -1468,7 +1607,9 @@ def search_autocomplete_postings(
     for c in conds[1:]:
         any_cond = any_cond | c
     sum_df = (
-        spark.read.parquet(str(index["terms_dir"]))
+        spark.read.parquet(str(
+            index["raw_terms_dir"] if raw else index["terms_dir"]
+        ))
         .where(any_cond)
         .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
         .collect()[0]["s"]
@@ -1493,7 +1634,7 @@ def search_autocomplete_postings(
                 )
             )
     cand = (
-        _postings_frame(spark, index)
+        _postings_frame(spark, index, raw=raw)
         .where(any_cond)
         .groupBy(F.col("id").alias("__postkey"))
         .agg(*aggs)

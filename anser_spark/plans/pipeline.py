@@ -1145,6 +1145,7 @@ def _search_compound_postings(
         out = search_phrase_postings(
             df, pterms, int(tclause.get("slop", 0) or 0),
             str(tclause["path"]), index, "__compoundText",
+            ordered=bool(tclause.get("ordered")),
         )
         if out is None:
             return None
@@ -1443,16 +1444,31 @@ def _compile_search_op(  # noqa: C901
             from anser_spark.operators.ranking import (
                 _tokens,
                 phrase_positions_pred,
+                phrase_positions_pred_unordered,
                 term_positions,
             )
 
             toks = _tokens(path, "none")
-            pred = F.coalesce(
-                phrase_positions_pred(
+            if spec.get("ordered"):
+                # engine extension: the pre-round-11 in-order sloppy
+                # semantics, kept behind an explicit option
+                pred_raw = phrase_positions_pred(
                     [term_positions(toks, t) for t in terms], slop
-                ),
-                F.lit(False),
-            )
+                )
+            else:
+                # round 11 default: Lucene move-distance slop — admits
+                # out-of-order terms once slop covers the transposition
+                # cost ("data spark" matches query "spark data" at
+                # slop 2), matching Atlas
+                pred_raw = phrase_positions_pred_unordered(
+                    terms,
+                    {
+                        t: term_positions(toks, t)
+                        for t in dict.fromkeys(terms)
+                    },
+                    slop,
+                )
+            pred = F.coalesce(pred_raw, F.lit(False))
         else:
             normalized = F.regexp_replace(
                 F.lower(F.trim(resolve_field(path).cast("string"))), r"\s+", " "
@@ -2027,6 +2043,7 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 out = search_phrase_postings(
                     df, terms, int(spec.get("slop", 0) or 0),
                     str(spec["path"]), index, score_field,
+                    ordered=bool(spec.get("ordered")),
                 )
                 if out is not None:
                     out = out.withColumn(
@@ -2058,17 +2075,22 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                             spec, F.col(score_field)
                         ).cast("double"),
                     )
-        elif op == "moreLikeThis" and index.get("postings_dir") and (
-            (index.get("default_language", "none") or "none") == "none"
-        ):
+        elif op == "moreLikeThis" and index.get("postings_dir"):
             # round 10: the extracted terms are raw lowered tokens —
             # a 'none' index serves them exactly like a text query
-            # (same idf lookups, same tf source, same score sum)
+            # (same idf lookups, same tf source, same score sum).
+            # Round 11: a stemmed index serves them through its
+            # raw-token sidecar (tf/candidates from raw postings, idf
+            # from the analyzed term table — the scan path's stats).
             from anser_spark.operators.ranking import search_text_postings
 
             out = search_text_postings(
                 df, _mlt_terms(spec), str(spec.get("path", "text")),
                 index, score_field,
+                raw=(
+                    (index.get("default_language", "none") or "none")
+                    != "none"
+                ),
             )
             if out is not None:
                 out = out.withColumn(
@@ -2231,7 +2253,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             terms = [w for w in str(mspec["query"]).lower().split() if w]
             out = search_phrase_postings(
                 df, terms, int(mspec.get("slop", 0) or 0), path, index,
-                "__smScore",
+                "__smScore", ordered=bool(mspec.get("ordered")),
             )
             return out.drop("__smScore") if out is not None else None
         if mop == "autocomplete":

@@ -284,10 +284,13 @@ def test_postings_compaction_bounds_dirs(spark, tmp_path):
         d = c._load_search_index("kx", warn_stale=False)
         # delta-dir count stays under the threshold
         assert len(d.get("postings_deltas") or []) < 3
-        # on-disk table dirs for this index stay bounded (no leaks)
+        # on-disk table dirs for this index stay bounded (no leaks):
+        # round 11 adds the id sidecar and, for english, the raw-token
+        # postings/terms sidecar — 5 base tables + versioned
+        # terms/rawterms + under-threshold deltas
         idx = c._search_index_dir()
         mine = [e for e in os.listdir(idx) if e.startswith("kx_")]
-        assert len(mine) <= 5, mine
+        assert len(mine) <= 12, mine
         # queries still bit-exact vs a fresh rebuild
         from tests.test_round9 import _index_state
         inc = _index_state(c, spark, "kx")
@@ -316,8 +319,10 @@ def test_rebuild_sweeps_versioned_dirs(spark, tmp_path):
             "kind": "bm25", "path": "text", "default_language": "english"})
     idx = c._search_index_dir()
     mine = sorted(e for e in os.listdir(idx) if e.startswith("sx_"))
-    # round 11 adds the id sidecar to a fresh build's footprint
-    assert mine == ["sx_ids", "sx_postings", "sx_terms"], mine
+    # round 11 adds the id sidecar and (english) raw-token sidecar to
+    # a fresh build's footprint
+    assert mine == ["sx_ids", "sx_postings", "sx_rawpostings",
+                    "sx_rawterms", "sx_terms"], mine
 
 
 def test_minhash_refresh_crash_retry(spark, tmp_path, monkeypatch):
@@ -485,7 +490,7 @@ PHRASE_DOCS = [
     {"_id": 0, "text": "the quick brown fox jumps"},
     {"_id": 1, "text": "the quick red brown fox"},       # slop-1 for "quick brown"
     {"_id": 2, "text": "quick and very brown fox"},      # slop-2
-    {"_id": 3, "text": "brown quick fox"},               # out of order
+    {"_id": 3, "text": "brown quick fox"},               # transposed (slop-2 under Lucene semantics)
     {"_id": 4, "text": "the quick brown, fox"},          # punctuation glues token
     {"_id": 5, "text": "xquick brown fox"},              # mid-token prefix
     {"_id": 6, "text": "THE QUICK  BROWN fox"},          # case + double space
@@ -522,7 +527,9 @@ def test_search_phrase_postings_parity(spark, tmp_path, slop):
     elif slop == 1:
         assert ids == {0, 1, 6, 8}
     else:
-        assert ids == {0, 1, 2, 6, 8}
+        # round 11: Lucene move-distance slop admits the transposed
+        # doc 3 ("brown quick") at slop 2 (transposition cost 2)
+        assert ids == {0, 1, 2, 3, 6, 8}
 
 
 def test_search_phrase_postings_ineligible_paths(spark, tmp_path):
@@ -530,10 +537,13 @@ def test_search_phrase_postings_ineligible_paths(spark, tmp_path):
 
     c = _mk(spark, tmp_path, "phx")
     c.insert_many(PHRASE_DOCS)
-    # an english index stems/stops — phrase terms are raw tokens, so
-    # the index can't serve them; the scan path still answers
+    # an english index stems/stops — phrase terms are raw tokens; a
+    # SIDECAR-LESS build (round-11 opt-out) can't serve them and the
+    # scan path answers; the default build serves them from the
+    # raw-token sidecar
     c.create_search_index("pe", {
-        "kind": "bm25", "path": "text", "default_language": "english"})
+        "kind": "bm25", "path": "text", "default_language": "english",
+        "raw_sidecar": False})
     d = c._fresh_bm25_index(c.df())
     assert search_phrase_postings(
         c.df(), ["quick", "brown"], 0, "text", d) is None
@@ -664,6 +674,17 @@ def test_postings_surface_fuzz_hatch_and_refresh(spark, tmp_path, seed):
 
     for round_i in range(4):
         batch(rng.randint(1, 5))
+        # round 11: interleave UPDATE/REMOVE batches — the tombstone
+        # refresh path's bug class (stale postings resurrection, stat
+        # drift, raw-sidecar desync) is exactly what the hatch
+        # differential below would expose
+        for _ in range(rng.randint(0, 2)):
+            vic = rng.randrange(next_id)
+            c.update_all({"_id": vic}, {"$set": {"text": " ".join(
+                rng.choice(vocab)
+                for _ in range(rng.randint(0, 6))) or None}})
+        if rng.random() < 0.5 and next_id > 2:
+            c.remove_all({"_id": rng.randrange(next_id)})
         out = c.refresh_search_index("fx")
         assert out["mode"] == "incremental", (round_i, out)
         state = rng.getstate()
@@ -805,12 +826,20 @@ def test_search_autocomplete_postings_ineligible(spark, tmp_path):
 
     c = _mk(spark, tmp_path, "aci")
     c.insert_many(AUTO_DOCS)
-    # english analyzer: raw prefixes don't align with stemmed terms
+    # english analyzer WITHOUT the round-11 raw sidecar: raw prefixes
+    # don't align with stemmed terms — the route must decline
     c.create_search_index("ae", {
-        "kind": "bm25", "path": "text", "default_language": "english"})
+        "kind": "bm25", "path": "text", "default_language": "english",
+        "raw_sidecar": False})
     d = c._load_search_index("ae", warn_stale=False)
     assert search_autocomplete_postings(
         c.df(), ["spark"], "any", "text", d) is None
+    # WITH the sidecar (round-11 default) the same query is served
+    c.create_search_index("ae2", {
+        "kind": "bm25", "path": "text", "default_language": "english"})
+    d_raw = c._load_search_index("ae2", warn_stale=False)
+    assert search_autocomplete_postings(
+        c.df(), ["spark"], "any", "text", d_raw) is not None
     # sequential needs positions
     c.create_search_index("an", {
         "kind": "bm25", "path": "text", "positions": False})

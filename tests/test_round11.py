@@ -504,3 +504,436 @@ def test_mutation_refresh_metamorphic_fuzz(spark, tmp_path, seed):
             finally:
                 spark.conf.unset("spark.anser.text.usePostings")
             assert on == off, (seed, step, q)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: multi-field WEIGHTED text indexes (VERDICT r10 Missing #2)
+# ---------------------------------------------------------------------------
+
+WDOCS = [
+    {"_id": 0, "title": "spark cluster guide",
+     "body": "running jobs on the cluster quickly"},
+    {"_id": 1, "title": "mongo migration", "body": "spark is mentioned here once"},
+    {"_id": 2, "title": "cooking pasta", "body": "boil water and add salt"},
+    {"_id": 3, "title": None, "body": "spark spark spark everywhere"},
+    {"_id": 4, "title": "quick spark tips", "body": None},
+]
+
+
+@pytest.fixture()
+def wcoll(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "w11"))
+    c = eng.db("t").collection("docs")
+    c.insert_many(WDOCS)
+    c.create_search_index("wx", {
+        "kind": "bm25", "weights": {"title": 3, "body": 1},
+        "default_language": "english",
+    })
+    return c
+
+
+def _wfind(c):
+    return sorted(
+        (r["_id"], round(r["s"], 10)) for r in
+        c.find({"$text": {"$search": "spark"}})
+        .select({"_id": 1, "s": {"$meta": "textScore"}}).all()
+    )
+
+
+def test_weighted_matches_hand_computed_oracle(wcoll):
+    # weighted BM25, hand-derived: score = 3*BM25_title + 1*BM25_body,
+    # each field with its own avgdl/df, shared n_docs=5
+    import math
+
+    from anser_spark.operators.ranking import analyze_terms
+
+    def toks(s):
+        return analyze_terms((s or "").split(), "english")
+
+    docs = {d["_id"]: (d["title"], d["body"]) for d in WDOCS}
+    N = len(docs)
+
+    def bm25(term, idx, weight):
+        lens = {
+            i: len(toks(d[idx])) for i, d in docs.items()
+            if d[idx] is not None
+        }
+        avgdl = sum(lens.values()) / len(lens)
+        dfv = sum(
+            1 for _i, d in docs.items()
+            if d[idx] is not None and term in toks(d[idx])
+        )
+        idf = math.log(1.0 + (N - dfv + 0.5) / (dfv + 0.5))
+        out = {}
+        for i, d in docs.items():
+            if d[idx] is None:
+                out[i] = 0.0
+                continue
+            tf = toks(d[idx]).count(term)
+            out[i] = (
+                weight * idf * tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * len(toks(d[idx])) / avgdl))
+            )
+        return out
+
+    t = bm25("spark", 0, 3.0)
+    b = bm25("spark", 1, 1.0)
+    expect = sorted(
+        (i, round(0.0 + t[i] + b[i], 10)) for i in docs if t[i] + b[i] > 0
+    )
+    assert _wfind(wcoll) == expect
+
+
+def test_weighted_postings_vs_scan_differential(wcoll, spark):
+    on = _wfind(wcoll)
+    on_match = sorted(r["_id"] for r in wcoll.pipe([
+        {"$match": {"$text": {"$search": "spark cluster"}}},
+        {"$project": {"_id": 1}}]).all())
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        assert _wfind(wcoll) == on
+        off_match = sorted(r["_id"] for r in wcoll.pipe([
+            {"$match": {"$text": {"$search": "spark cluster"}}},
+            {"$project": {"_id": 1}}]).all())
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert on_match == off_match
+
+
+def test_weighted_negation_phrase_and_any_field_match(wcoll):
+    got = sorted(
+        r["_id"] for r in
+        wcoll.find({"$text": {"$search": "spark -mongo"}}).all())
+    assert got == [0, 3, 4]  # doc 1 excluded: 'mongo' in title
+    got = sorted(
+        r["_id"] for r in
+        wcoll.find({"$text": {"$search": '"boil water" salt'}}).all())
+    assert got == [2]
+
+
+def test_weighted_stale_keeps_fields_and_language(wcoll):
+    # mutate without refreshing: the scan path with inline per-field
+    # stats must still answer across BOTH weighted fields
+    wcoll.update_all({"_id": 2}, {"$set": {"body": "spark in the kitchen"}})
+    got = sorted(
+        r["_id"] for r in wcoll.find({"$text": {"$search": "spark"}}).all())
+    assert got == [0, 1, 2, 3, 4]
+    # weighted refresh = rebuild (documented; netting is single-column)
+    assert wcoll.refresh_search_index("wx")["mode"] == "rebuild"
+    got2 = sorted(
+        r["_id"] for r in wcoll.find({"$text": {"$search": "spark"}}).all())
+    assert got2 == got
+
+
+def test_search_text_multi_path(wcoll):
+    rows = wcoll.pipe([
+        {"$search": {"text": {"query": "spark", "path": ["title", "body"]}}},
+        {"$project": {"_id": 1, "score": 1}},
+    ]).all()
+    # docs 3 and 4 match through exactly ONE non-null field — a null
+    # sibling field must not null out the multi-path score
+    assert sorted(r["_id"] for r in rows) == [0, 1, 3, 4]
+    assert all(r["score"] > 0 for r in rows)
+
+
+def test_weighted_mutation_text_predicate(wcoll):
+    # $text in a mutation filter routes through the weighted predicate
+    # (match on any field, no score surface)
+    wcoll.update_all(
+        {"$text": {"$search": "pasta"}}, {"$set": {"title": "done"}})
+    assert wcoll.find_one({"_id": 2})["title"] == "done"
+
+
+def test_weighted_rejects_bad_specs(spark, tmp_path):
+    c = _mk(spark, tmp_path, "wbad")
+    c.insert_many([{"_id": 0, "title": "x", "body": "y"}])
+    with pytest.raises(ValueError, match="positive"):
+        c.create_search_index(
+            "bad", {"kind": "bm25", "weights": {"title": -1}})
+    with pytest.raises(ValueError, match="not on the collection"):
+        c.create_search_index(
+            "bad", {"kind": "bm25", "weights": {"nope": 2}})
+
+
+# ---------------------------------------------------------------------------
+# Round 11: Lucene move-distance slop for $search phrase (VERDICT #6)
+# ---------------------------------------------------------------------------
+
+
+def _brute_sloppy(tokens, terms, slop):
+    """Reference implementation of Lucene's sloppy-phrase match: some
+    assignment of query occurrences to DISTINCT matching positions has
+    max(p_i - i) - min(p_i - i) <= slop."""
+    import itertools
+
+    cand = [
+        [p for p, w in enumerate(tokens) if w == t] for t in terms
+    ]
+    if any(not c for c in cand):
+        return False
+    for combo in itertools.product(*cand):
+        if len(set(combo)) != len(combo):
+            continue
+        adj = [p - i for i, p in enumerate(combo)]
+        if max(adj) - min(adj) <= slop:
+            return True
+    return False
+
+
+@pytest.fixture(scope="module")
+def pcoll(spark, tmp_path_factory):
+    import random
+
+    rng = random.Random(77)
+    words = ["a", "b", "c", "d"]
+    docs = [
+        {"_id": i, "text": " ".join(rng.choices(words, k=rng.randint(2, 9)))}
+        for i in range(120)
+    ]
+    # pin the canonical cases
+    docs += [
+        {"_id": 200, "text": "data spark here"},      # transposed
+        {"_id": 201, "text": "spark data"},            # exact
+        {"_id": 202, "text": "spark x data"},          # gap 1, in order
+        {"_id": 203, "text": "data x spark"},          # gap 1, transposed
+        {"_id": 204, "text": "data data column"},      # duplicated term
+    ]
+    eng = Engine(spark, workdir=str(tmp_path_factory.mktemp("p11")))
+    c = eng.db("t").collection("docs")
+    c.insert_many(docs)
+    c.create_search_index("px", {"kind": "bm25", "path": "text", "id_col": "_id"})
+    return c, docs
+
+
+def _phrase_ids(c, query, slop, ordered=False, hatch=None):
+    spec = {"query": query, "path": "text", "slop": slop}
+    if ordered:
+        spec["ordered"] = True
+    return sorted(r["_id"] for r in c.pipe([
+        {"$search": {"phrase": spec, "index": "px"}},
+        {"$project": {"_id": 1}},
+    ]).all())
+
+
+@pytest.mark.parametrize("query,slop", [
+    ("spark data", 2),   # the canonical transposition case
+    ("data spark", 2),
+    ("spark data", 1),
+    ("a b", 2), ("a b c", 3), ("b a", 1),
+    ("a a", 0), ("a a", 2),          # duplicated query terms
+    ("data data column", 1),
+])
+def test_lucene_slop_matches_brute_force(pcoll, spark, query, slop):
+    c, docs = pcoll
+    terms = query.split()
+    expect = sorted(
+        d["_id"] for d in docs
+        if _brute_sloppy(d["text"].lower().split(), terms, slop)
+    )
+    got = _phrase_ids(c, query, slop)
+    assert got == expect, (query, slop, got, expect)
+    # postings path and scan path agree bit-for-bit
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        scan = _phrase_ids(c, query, slop)
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert scan == got, (query, slop)
+
+
+def test_transposition_now_matches_and_ordered_optout(pcoll):
+    c, _docs = pcoll
+    # Atlas/Lucene: "spark data" with slop 2 admits the transposed doc
+    got = _phrase_ids(c, "spark data", 2)
+    assert 200 in got and 201 in got and 202 in got
+    # ordered: true restores the pre-round-11 in-order semantics
+    got_ordered = _phrase_ids(c, "spark data", 2, ordered=True)
+    assert 200 not in got_ordered and 201 in got_ordered and 202 in got_ordered
+    # slop 0 and two-term slop 1 coincide under both semantics
+    assert _phrase_ids(c, "spark data", 0) == _phrase_ids(
+        c, "spark data", 0, ordered=True)
+    assert _phrase_ids(c, "spark data", 1) == _phrase_ids(
+        c, "spark data", 1, ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (ADVICE low): append_to_minhash_index is crash-safe staged
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_append_staged_and_retry_idempotent(spark, tmp_path, monkeypatch):
+    from anser_spark.engine import Collection, _read_index_table
+
+    c = _mk(spark, tmp_path, "maps")
+    c.insert_many([
+        {"_id": i, "text": f"the quick brown fox jumps over dog {i}"}
+        for i in range(5)
+    ])
+    c.create_search_index("nx", {
+        "kind": "minhash", "path": "text", "numHashes": 16, "bands": 8})
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over dog 0")], "_id long, text string")
+    real = Collection._write_search_index
+
+    def _boom(self, name, definition):
+        raise RuntimeError("simulated crash before the definition swap")
+
+    # crash between the staged writes and the swap: the live base table
+    # and the published definition are untouched
+    monkeypatch.setattr(Collection, "_write_search_index", _boom)
+    with pytest.raises(RuntimeError):
+        c.append_to_minhash_index("nx", batch)
+    monkeypatch.setattr(Collection, "_write_search_index", real)
+    d0 = c._load_search_index("nx", warn_stale=False)
+    assert not d0.get("sig_deltas")
+    assert _read_index_table(spark, d0, "sig_dir", "sig_deltas").count() == 5
+    # retry overwrites the same content-keyed staged dirs — no dupes
+    c.append_to_minhash_index("nx", batch)
+    c.append_to_minhash_index("nx", batch)  # same batch again: same key
+    d = c._load_search_index("nx", warn_stale=False)
+    sigs = _read_index_table(spark, d, "sig_dir", "sig_deltas")
+    assert sigs.count() == 6
+    assert sigs.where(F.col("_id") == 100).count() == 1
+    pairs = c.near_dups_against_index(batch, "nx", threshold=0.8)
+    got = {(r["new_id"], r["old_id"]) for r in pairs.collect()}
+    assert (100, 0) in got
+
+
+# ---------------------------------------------------------------------------
+# Round 11: raw-token sidecar — stemmed indexes serve phrase/
+# autocomplete/moreLikeThis from postings (VERDICT #4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def ecoll(spark, tmp_path):
+    eng = Engine(spark, workdir=str(tmp_path / "raw11"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": i, "text": f"the running cluster item {i}"} for i in range(5)
+    ])
+    c.insert_many([
+        {"_id": 10, "text": "data column store running fast"},
+        {"_id": 11, "text": "column data transposed here"},
+        {"_id": 12, "text": "data and then column far apart running"},
+        {"_id": 13, "text": "datum col prefix test"},
+    ])
+    c.create_search_index(
+        "ex", {"kind": "bm25", "path": "text", "default_language": "english"}
+    )
+    return c
+
+
+def _both(c, spark, pipe):
+    def run():
+        return sorted(
+            (r["_id"], round(r.get("score", 0.0) or 0.0, 10))
+            for r in c.pipe(pipe).all()
+        )
+
+    on = run()
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        off = run()
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert on == off, (pipe, on, off)
+    return sorted(i for i, _s in on)
+
+
+def test_raw_sidecar_builds_and_serves(ecoll, spark):
+    d = ecoll._load_search_index("ex", warn_stale=False)
+    assert d.get("raw_postings_dir") and d.get("raw_terms_dir")
+    # the routes actually take the postings plan (non-None), and every
+    # surface is bit-identical to the scan under the hatch
+    from anser_spark.operators.ranking import (
+        search_autocomplete_postings,
+        search_phrase_postings,
+        search_text_postings,
+    )
+
+    df = ecoll.df()
+    assert search_phrase_postings(df, ["data", "column"], 2, "text", d) is not None
+    assert search_autocomplete_postings(df, ["dat", "col"], "any", "text", d) is not None
+    assert search_text_postings(df, ["data", "column"], "text", d, raw=True) is not None
+    ph = _both(ecoll, spark, [
+        {"$search": {"phrase": {"query": "data column", "path": "text"},
+                     "index": "ex"}},
+        {"$project": {"_id": 1, "score": 1}}])
+    assert ph == [10]
+    ph2 = _both(ecoll, spark, [
+        {"$search": {"phrase": {"query": "data column", "path": "text",
+                                "slop": 2}, "index": "ex"}},
+        {"$project": {"_id": 1, "score": 1}}])
+    assert ph2 == [10, 11, 12]  # slop 2 admits the transposition (11)
+    ac = _both(ecoll, spark, [
+        {"$search": {"autocomplete": {"query": "dat col", "path": "text"},
+                     "index": "ex"}},
+        {"$project": {"_id": 1, "score": 1}}])
+    assert ac == [10, 11, 12, 13]
+    acs = _both(ecoll, spark, [
+        {"$search": {"autocomplete": {"query": "dat col", "path": "text",
+                                      "tokenOrder": "sequential"},
+                     "index": "ex"}},
+        {"$project": {"_id": 1, "score": 1}}])
+    assert acs == [10, 13]  # 13: 'datum col' — consecutive prefix hits
+    _both(ecoll, spark, [
+        {"$search": {"moreLikeThis": {"like": {"text": "data column store"},
+                                      "path": "text"}, "index": "ex"}},
+        {"$project": {"_id": 1, "score": 1}}])
+
+
+def test_raw_sidecar_mutation_refresh_equals_rebuild(ecoll, spark):
+    from anser_spark.operators.ranking import _postings_frame
+
+    ecoll.update_all(
+        {"_id": 10}, {"$set": {"text": "data column rearranged store"}})
+    ecoll.remove_all({"_id": 11})
+    out = ecoll.refresh_search_index("ex")
+    assert out["mode"] == "incremental" and out.get("tombstoned") == 2
+
+    def raw_state(name):
+        dd = dict(ecoll._load_search_index(name, warn_stale=False))
+        post = {
+            (r["id"], r["term"], r["tf"], r["n_tokens"],
+             tuple(r["positions"]))
+            for r in _postings_frame(spark, dd, raw=True).collect()
+        }
+        terms = {
+            (r["term"], r["df"])
+            for r in spark.read.parquet(dd["raw_terms_dir"]).collect()
+        }
+        return post, terms
+
+    inc = raw_state("ex")
+    ecoll.create_search_index(
+        "ex2", {"kind": "bm25", "path": "text", "default_language": "english"})
+    full = raw_state("ex2")
+    assert inc[0] == full[0]
+    assert inc[1] == full[1]
+    ph = _both(ecoll, spark, [
+        {"$search": {"phrase": {"query": "data column", "path": "text"},
+                     "index": "ex"}},
+        {"$project": {"_id": 1, "score": 1}}])
+    assert ph == [10]
+
+
+def test_raw_sidecar_opt_out(spark, tmp_path):
+    c = _mk(spark, tmp_path, "rawoff")
+    c.insert_many([{"_id": 0, "text": "data column here"}])
+    c.create_search_index("nx", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+        "raw_sidecar": False,
+    })
+    d = c._load_search_index("nx", warn_stale=False)
+    assert not d.get("raw_postings_dir")
+    from anser_spark.operators.ranking import search_phrase_postings
+
+    # no sidecar: phrase falls back to the scan path (None), results right
+    assert search_phrase_postings(
+        c.df(), ["data", "column"], 0, "text", d) is None
+    got = sorted(r["_id"] for r in c.pipe([
+        {"$search": {"phrase": {"query": "data column", "path": "text"},
+                     "index": "nx"}},
+        {"$project": {"_id": 1}}]).all())
+    assert got == [0]

@@ -942,14 +942,23 @@ def test_streaming_ingest_then_incremental_index_refresh(spark, tmp_path):
     assert got[2] > got[0]
 
 
-def test_multifield_text_index_weights_rejected(spark, tmp_path):
+def test_multifield_text_index_weights_now_build(spark, tmp_path):
+    # round 11: multi-field weighted text indexes are IMPLEMENTED (the
+    # round-9 correct-by-rejection contract is retired); bad specs
+    # still raise loudly
     eng = Engine(spark, workdir=str(tmp_path / "r9wt"))
     c = eng.db("t").collection("docs")
     c.insert_many([{"_id": 0, "text": "spark", "title": "intro"}])
-    with pytest.raises(ValueError, match="one index per field"):
-        c.create_search_index("w", {
-            "kind": "bm25", "path": "text",
-            "weights": {"title": 10, "text": 1},
+    c.create_search_index("w", {
+        "kind": "bm25", "path": "text",
+        "weights": {"title": 10, "text": 1},
+    })
+    d = c._load_search_index("w", warn_stale=False)
+    assert d.get("weights") == {"title": 10.0, "text": 1.0}
+    assert c.find({"$text": {"$search": "intro"}}).count() == 1
+    with pytest.raises(ValueError, match="not on the collection"):
+        c.create_search_index("w2", {
+            "kind": "bm25", "weights": {"nope": 1},
         })
 
 
