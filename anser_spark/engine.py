@@ -2396,12 +2396,11 @@ class Collection:
           fields (``text_match_weighted_postings``);
         - the id sidecar, as for single-field indexes.
 
-        Refresh: weighted indexes currently rebuild on any change (the
-        incremental netting machinery is single-column; the guard in
-        refresh_search_index routes them to _rebuild via the missing
-        top-level token stamps). Positions are not stored — weighted
-        ``$text`` phrases are substring predicates over the bounded
-        candidates, and ``$search phrase`` targets a single path."""
+        Refresh: incremental via :meth:`_refresh_weighted_bm25` (the
+        same netting/tombstone machinery, per-field). Positions are
+        not stored — weighted ``$text`` phrases are substring
+        predicates over the bounded candidates, and ``$search
+        phrase`` targets a single path."""
         from pyspark.storagelevel import StorageLevel
 
         from anser_spark.operators.ranking import (
@@ -2656,18 +2655,20 @@ class Collection:
             self.create_search_index(name, d)
             return {"mode": "rebuild", "inserted": 0}
 
-        def _netted(id_col: str, path: str):
+        def _netted(id_col: str, paths: str | list[str]):
             # (added, tomb_pre, remut) frames, or None → caller
             # rebuilds. Round 11: the manifest chain now nets
             # update/remove commits too (_chain_delta) — an all-insert
             # window still reads only the appended files with no
             # shuffle, and a mutation window costs O(rows touched).
-            # The unchanged-content skip drops ids whose indexed column
-            # did not actually change (the reference's flagship
-            # workload is per-doc migration updates, which routinely
-            # touch only non-indexed fields — those become free here).
+            # The unchanged-content skip drops ids whose indexed
+            # column(s) did not actually change (the reference's
+            # flagship workload is per-doc migration updates, which
+            # routinely touch only non-indexed fields — those become
+            # free here); weighted indexes pass ALL their fields.
             # Fallback for manifest-less lineages: the retained-version
             # diff, insert-only as before (needs set_retention ≥ 2).
+            cols = [paths] if isinstance(paths, str) else list(paths)
             built = str(d["built_at_version"])
             info = self._chain_delta(built, id_col)
             if info is None:
@@ -2688,14 +2689,17 @@ class Collection:
                 }
             added = info["added"]
             tomb_pre, remut = info["tomb_pre"], info["remut"]
-            if path not in added.columns or id_col not in added.columns:
+            if id_col not in added.columns or any(
+                p not in added.columns for p in cols
+            ):
                 return None
             if tomb_pre is not None:
+                key = F.struct(*[F.col(p) for p in cols])
                 pre_t = tomb_pre.select(
-                    F.col(id_col).alias("__uid"), F.col(path).alias("__a")
+                    F.col(id_col).alias("__uid"), key.alias("__a")
                 )
                 post_t = remut.select(
-                    F.col(id_col).alias("__uid"), F.col(path).alias("__b")
+                    F.col(id_col).alias("__uid"), key.alias("__b")
                 )
                 unchanged = (
                     pre_t.join(post_t, "__uid")
@@ -2824,6 +2828,12 @@ class Collection:
             if n_tomb:
                 out["tombstoned"] = int(n_tomb)
             return out
+
+        if d.get("kind") == "bm25" and d.get("weights"):
+            # round 11: weighted multi-field indexes refresh through
+            # the same netting/tombstone machinery, with per-field
+            # tokenization and stat rolls
+            return self._refresh_weighted_bm25(name, d, cur, _rebuild, _netted)
 
         if (
             d.get("kind") != "bm25"
@@ -3132,6 +3142,248 @@ class Collection:
         d["ids_deltas"] = ids_deltas
         if d.get("raw_postings_dir"):
             d["raw_postings_deltas"] = raw_postings_deltas
+        d["built_at_version"] = cur
+        self._write_search_index(name, d)
+        self._sweep_index_dirs(name, d)
+        self._gc_deltas()
+        out = {"mode": "incremental", "inserted": k}
+        if k_neg:
+            out["tombstoned"] = k_neg
+        return out
+
+    def _refresh_weighted_bm25(
+        self, name: str, d: dict[str, Any], cur: str | None,
+        _rebuild, _netted,
+    ) -> dict[str, Any]:
+        """Incremental refresh for WEIGHTED multi-field bm25 indexes
+        (round 11): the single-field machinery generalized — the
+        unchanged-content skip compares ALL weighted fields (a
+        migration touching none of them nets to nothing), the delta
+        and pre-image tokenize once PER FIELD, the ``(field, term)``
+        term table merges signed dfs, per-field avgdl / token totals
+        roll both ways exactly, and mutated ids die via the same
+        id-keyed generation-stamped tombstones (field-agnostic by
+        construction). Rebuilds when the index predates the per-field
+        stamps, the analyzer upgraded, or the chain broke."""
+        from anser_spark.operators.ranking import (
+            _FOLD_DST,
+            _FOLD_SRC,
+            _postings_frame,
+            _tokens as _rank_tokens,
+        )
+
+        weights = {
+            str(f): float(w) for f, w in dict(d["weights"]).items()
+        }
+        fields = sorted(weights)
+        fmeta = {str(f): dict(v) for f, v in (d.get("fields") or {}).items()}
+        if (
+            not d.get("postings_dir")
+            or d.get("built_at_version") is None
+            or self._analyzer_stale(d)
+            or any(
+                f not in fmeta or "sum_tokens" not in fmeta[f]
+                for f in fields
+            )
+        ):
+            return _rebuild()
+        id_col = str(d.get("id_col", "_id"))
+        language = d.get("default_language", "none")
+        net = _netted(id_col, fields)
+        if net is None:
+            return _rebuild()
+        added, tomb_pre, remut = net
+        new_docs = added if remut is None else added.unionByName(remut)
+
+        def tok_cols():
+            return [
+                _rank_tokens(f, language).alias(f"__t{i}")
+                for i, f in enumerate(fields)
+            ]
+
+        def field_aggs(prefix_k: bool):
+            aggs: list = [F.count(F.lit(1)).alias("k")]
+            if prefix_k:
+                aggs.append(F.count_distinct(F.col("id")).alias("k_ids"))
+            for i, _f in enumerate(fields):
+                aggs.extend([
+                    F.coalesce(
+                        F.sum(F.size(f"__t{i}")), F.lit(0)
+                    ).alias(f"st{i}"),
+                    F.count(F.size(f"__t{i}")).alias(f"nt{i}"),
+                ])
+            return aggs
+
+        delta = new_docs.select(
+            F.col(id_col).alias("id"), *tok_cols()
+        ).localCheckpoint()
+        neg = (
+            tomb_pre.select(
+                F.col(id_col).alias("id"), *tok_cols()
+            ).localCheckpoint()
+            if tomb_pre is not None else None
+        )
+        stats = delta.agg(*field_aggs(True)).collect()[0]
+        k = int(stats["k"])
+        k_added = added.count() if neg is not None else k
+        if neg is not None:
+            neg_stats = neg.agg(*field_aggs(False)).collect()[0]
+            k_neg = int(neg_stats["k"])
+        else:
+            k_neg = 0
+        if k == 0 and k_neg == 0:
+            d["built_at_version"] = cur
+            self._write_search_index(name, d)
+            self._gc_deltas()
+            return {"mode": "incremental", "inserted": 0}
+        if int(stats["k_ids"]) != k:
+            return _rebuild()
+        added_ids = added.select(F.col(id_col).alias("id"))
+        if not self.engine.assume_unique_ids and k_added:
+            if not self._probe_new_ids(d, added_ids, k_added):
+                return _rebuild()
+
+        spark = self.engine.spark
+        idx_dir = self._search_index_dir()
+        postings_deltas = list(d.get("postings_deltas") or [])
+        postings_tombs = list(d.get("postings_tombs") or [])
+        ids_deltas = list(d.get("ids_deltas") or [])
+        if k_neg:
+            gen = len(postings_deltas) + 1
+            ptomb = os.path.join(idx_dir, f"{name}_ptomb_{cur}")
+            (
+                neg.select(
+                    F.col("id").alias("__tomb_id"),
+                    F.lit(gen).alias("__tomb_gen"),
+                ).write.mode("overwrite").parquet(ptomb)
+            )
+            postings_tombs.append(ptomb)
+        if k:
+            post = None
+            for i, f in enumerate(fields):
+                rows = (
+                    delta.select(
+                        "id",
+                        F.size(f"__t{i}").alias("n_tokens"),
+                        F.explode(f"__t{i}").alias("term"),
+                    )
+                    .groupBy("id", "term")
+                    .agg(
+                        F.count(F.lit(1)).alias("tf"),
+                        F.max("n_tokens").alias("n_tokens"),
+                    )
+                    .withColumn("field", F.lit(f))
+                    .withColumn(
+                        "term_fold",
+                        F.translate("term", _FOLD_SRC, _FOLD_DST),
+                    )
+                )
+                post = rows if post is None else post.unionByName(rows)
+            post_delta = os.path.join(
+                idx_dir, f"{name}_postings_delta_{cur}"
+            )
+            (
+                post.repartitionByRange(F.col("term_fold"), F.col("id"))
+                .sortWithinPartitions("term_fold", "id")
+                .write.mode("overwrite")
+                .parquet(post_delta)
+            )
+            postings_deltas.append(post_delta)
+        if k_added and d.get("ids_dir"):
+            ids_delta = os.path.join(idx_dir, f"{name}_ids_delta_{cur}")
+            (
+                added_ids.repartitionByRange(F.col("id"))
+                .sortWithinPartitions("id")
+                .write.mode("overwrite")
+                .parquet(ids_delta)
+            )
+            ids_deltas.append(ids_delta)
+        thr = self._index_compact_threshold()
+        if len(postings_deltas) >= thr or len(postings_tombs) >= thr:
+            new_post = os.path.join(
+                idx_dir, f"{name}_postings_compact_{cur}"
+            )
+            probe = {
+                **d,
+                "postings_deltas": postings_deltas,
+                "postings_tombs": postings_tombs,
+            }
+            (
+                _postings_frame(spark, probe)
+                .repartitionByRange(F.col("term_fold"), F.col("id"))
+                .sortWithinPartitions("term_fold", "id")
+                .write.mode("overwrite")
+                .parquet(new_post)
+            )
+            d["postings_dir"] = new_post
+            postings_deltas, postings_tombs = [], []
+        if d.get("ids_dir") and len(ids_deltas) >= thr:
+            new_ids = os.path.join(idx_dir, f"{name}_ids_compact_{cur}")
+            (
+                spark.read.parquet(str(d["ids_dir"]), *map(str, ids_deltas))
+                .repartitionByRange(F.col("id"))
+                .sortWithinPartitions("id")
+                .write.mode("overwrite")
+                .parquet(new_ids)
+            )
+            d["ids_dir"] = new_ids
+            ids_deltas = []
+        # (field, term) term-table merge with signed dfs
+        new_terms_dir = os.path.join(idx_dir, f"{name}_terms_{cur}")
+        merged = spark.read.parquet(str(d["terms_dir"]))
+        for i, f in enumerate(fields):
+            pos_f = (
+                delta.select(
+                    F.lit(f).alias("field"),
+                    F.explode(F.array_distinct(f"__t{i}")).alias("term"),
+                )
+                .groupBy("field", "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+            merged = merged.unionByName(pos_f)
+            if k_neg:
+                neg_f = (
+                    neg.select(
+                        F.lit(f).alias("field"),
+                        F.explode(
+                            F.array_distinct(f"__t{i}")
+                        ).alias("term"),
+                    )
+                    .groupBy("field", "term")
+                    .agg((-F.count(F.lit(1))).alias("df"))
+                )
+                merged = merged.unionByName(neg_f)
+        (
+            merged.groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .where(F.col("df") > 0)
+            .repartitionByRange(F.col("term"), F.col("field"))
+            .sortWithinPartitions("term", "field")
+            .write.mode("overwrite")
+            .parquet(new_terms_dir)
+        )
+        # exact per-field stat roll-forward + atomic swap
+        k_removed = k_neg - (k - k_added)
+        d["n_docs"] = int(d["n_docs"]) + k_added - k_removed
+        for i, f in enumerate(fields):
+            fm = fmeta[f]
+            fm["sum_tokens"] = (
+                int(fm["sum_tokens"]) + int(stats[f"st{i}"])
+                - (int(neg_stats[f"st{i}"]) if k_neg else 0)
+            )
+            fm["n_text_docs"] = (
+                int(fm["n_text_docs"]) + int(stats[f"nt{i}"])
+                - (int(neg_stats[f"nt{i}"]) if k_neg else 0)
+            )
+            fm["avgdl"] = (
+                fm["sum_tokens"] / fm["n_text_docs"]
+                if fm["n_text_docs"] else 0.0
+            )
+        d["fields"] = fmeta
+        d["terms_dir"] = new_terms_dir
+        d["postings_deltas"] = postings_deltas
+        d["postings_tombs"] = postings_tombs
+        d["ids_deltas"] = ids_deltas
         d["built_at_version"] = cur
         self._write_search_index(name, d)
         self._sweep_index_dirs(name, d)

