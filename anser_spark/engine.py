@@ -1596,6 +1596,7 @@ class Collection:
         transform,
         want_count: bool = False,
         hit_files: set[str] | None = None,
+        ids_preserved: bool | None = None,
     ) -> tuple[bool, int | None]:
         """File-level copy-on-write: rewrite ONLY the parquet files that
         contain rows matching ``pred``; hard-link every untouched file
@@ -1702,7 +1703,7 @@ class Collection:
             return True, matched
         version, ptr = self._next_version()
         pre_rel: str | None = None
-        if self._should_record_mutation(affected, replacement):
+        if self._should_record_mutation(affected, replacement, ids_preserved):
             # round 11: record the mutation so search-index refresh can
             # stay incremental (tombstone + re-index O(mutated docs)
             # instead of a full rebuild). The PRE-IMAGE — the matched
@@ -1746,8 +1747,36 @@ class Collection:
             )
         return True, matched
 
+    def _mutation_preserves_ids(self, update: Any) -> bool | None:
+        """True when an operator-form update document provably cannot
+        modify any search-index id column (its target paths avoid them
+        all — the overwhelmingly common case, since Mongo forbids _id
+        updates outright), letting the COW rewrite skip its new-id
+        detection scan. None = unknown (pipeline-form updates,
+        replacement documents, $rename onto an id) — the scan decides."""
+        id_cols = self._index_id_cols()
+        if not id_cols:
+            return True  # no manifest will be recorded anyway
+        if not isinstance(update, Mapping) or not update:
+            return None
+        if any(not str(k).startswith("$") for k in update):
+            return None  # replacement document: every column rewrites
+        for op, arg in update.items():
+            if not isinstance(arg, Mapping):
+                return None
+            paths = [str(p) for p in arg]
+            if op == "$rename":
+                paths += [str(v) for v in arg.values()]
+            for p in paths:
+                if p.split(".", 1)[0] in id_cols:
+                    return None
+        return True
+
     def _should_record_mutation(
-        self, affected: DataFrame, replacement: DataFrame
+        self,
+        affected: DataFrame,
+        replacement: DataFrame,
+        ids_preserved: bool | None = None,
     ) -> bool:
         """Whether this partial COW rewrite should record a mutation
         manifest (round 11). Requires an incrementally-refreshable
@@ -1763,17 +1792,17 @@ class Collection:
         rebuilds — conservative, never wrong. (A swapped id — one doc
         removed while another is renamed onto its id in the same
         commit — stays in the id set and nets as an update of that id,
-        which is exactly correct.)"""
-        id_cols: set[str] = set()
-        for nm in self.list_search_indexes():
-            try:
-                dd = self._load_search_index(nm, warn_stale=False)
-            except NotFoundError:
-                continue
-            if dd.get("kind") in ("bm25", "minhash"):
-                id_cols.add(str(dd.get("id_col", "_id")))
+        which is exactly correct.)
+
+        ``ids_preserved=True`` — the caller statically proved the
+        transform cannot touch an index id column (removes, and
+        operator-form updates whose paths avoid them;
+        ``_mutation_preserves_ids``) — skips the detection scan."""
+        id_cols = self._index_id_cols()
         if not id_cols:
             return False
+        if ids_preserved:
+            return True
         for ic in id_cols:
             if ic not in replacement.columns or ic not in affected.columns:
                 continue  # netting skips this index anyway (id missing)
@@ -4323,6 +4352,7 @@ class Collection:
             vpred,
             lambda sub: apply_update(sub, vpred, update, sub.schema),
             hit_files=files,
+            ids_preserved=self._mutation_preserves_ids(update),
         )
         return ChangeInfo(updated=1)
 
@@ -4384,6 +4414,7 @@ class Collection:
                 lambda sub: apply_update(
                     sub, pred, update, sub.schema, array_filters=array_filters
                 ).drop(*drops),
+                ids_preserved=self._mutation_preserves_ids(update),
             )
             return ChangeInfo(updated=matched)
         # common path: matched count fused into the COW detection scan —
@@ -4394,6 +4425,7 @@ class Collection:
                 sub, pred, update, sub.schema, array_filters=array_filters
             ),
             want_count=True,
+            ids_preserved=self._mutation_preserves_ids(update),
         )
         return ChangeInfo(updated=matched or 0)
 
@@ -4417,6 +4449,7 @@ class Collection:
                 vpred,
                 lambda sub: apply_update(sub, vpred, update, sub.schema),
                 hit_files=files,
+                ids_preserved=self._mutation_preserves_ids(update),
             )
             return ChangeInfo(updated=1)
         doc = self._upsert_doc(query, update)
@@ -4437,7 +4470,10 @@ class Collection:
             raise NotFoundError(f"no document matches {query!r}")
         key, value, files = hit
         vpred = key.eqNullSafe(F.lit(value))
-        self._cow_rewrite(vpred, lambda sub: sub.where(~vpred), hit_files=files)
+        self._cow_rewrite(
+            vpred, lambda sub: sub.where(~vpred), hit_files=files,
+            ids_preserved=True,  # removes only drop rows
+        )
         return ChangeInfo(removed=1)
 
     def remove_id(self, id_value: Any) -> ChangeInfo:
@@ -4463,6 +4499,7 @@ class Collection:
             pred,
             lambda sub: sub.where(~F.coalesce(pred, F.lit(False))),
             want_count=True,
+            ids_preserved=True,  # removes only drop rows
         )
         return ChangeInfo(removed=removed or 0)
 
@@ -4522,12 +4559,16 @@ class Collection:
         key_value = row["_id"] if "_id" in df.columns else row[df.columns[0]]
         vpred = key.eqNullSafe(F.lit(key_value))
         if remove:
-            self._cow_rewrite(vpred, lambda sub: sub.where(~vpred), hit_files=files)
+            self._cow_rewrite(
+                vpred, lambda sub: sub.where(~vpred), hit_files=files,
+                ids_preserved=True,
+            )
             return row
         self._cow_rewrite(
             vpred,
             lambda sub: apply_update(sub, vpred, update, sub.schema),
             hit_files=files,
+            ids_preserved=self._mutation_preserves_ids(update),
         )
         if return_new:
             return self.find({"_id": key_value} if "_id" in df.columns else None).one()

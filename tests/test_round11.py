@@ -1008,3 +1008,41 @@ def test_raw_sidecar_opt_out(spark, tmp_path):
                      "index": "nx"}},
         {"$project": {"_id": 1}}]).all())
     assert got == [0]
+
+
+# ---------------------------------------------------------------------------
+# Round 11: transactional mutations refresh incrementally too
+# ---------------------------------------------------------------------------
+
+
+def test_txn_mutation_refresh_incremental(spark, tmp_path):
+    # a mutation staged inside a transaction records its manifest under
+    # the txn-unique version name — referenced only if that txn commits
+    # — so the refresh chain walks through committed transactions and
+    # an aborted one leaves no trace
+    eng = Engine(spark, workdir=str(tmp_path / "txm"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([{"_id": i, "text": f"spark doc {i}"} for i in range(4)])
+    c.insert_many([{"_id": i, "text": f"running item {i}"} for i in range(4, 8)])
+    c.create_search_index("ix", {"kind": "bm25", "path": "text"})
+    with eng.transaction():
+        c.update_all({"_id": 1}, {"$set": {"text": "mongo inside change"}})
+        c.insert_many([{"_id": 100, "text": "txn appended doc"}])
+    out = c.refresh_search_index("ix")
+    assert out["mode"] == "incremental" and out.get("tombstoned") == 1, out
+    assert sorted(
+        r["_id"] for r in c.find({"$text": {"$search": "mongo"}}).all()
+    ) == [1]
+    assert sorted(
+        r["_id"] for r in c.find({"$text": {"$search": "txn"}}).all()
+    ) == [100]
+    inc = _bm25_state(c, spark, "ix")
+    c.create_search_index("ix2", {"kind": "bm25", "path": "text"})
+    assert inc == _bm25_state(c, spark, "ix2")
+    # aborted txn: no postings, no manifest reachable, refresh noop
+    with pytest.raises(RuntimeError, match="boom"):
+        with eng.transaction():
+            c.update_all({"_id": 2}, {"$set": {"text": "aborted change"}})
+            raise RuntimeError("boom")
+    assert c.find({"$text": {"$search": "aborted"}}).count() == 0
+    assert c.refresh_search_index("ix")["mode"] == "noop"
