@@ -1004,7 +1004,23 @@ def _cached_index_coll(spark, sf_dir, tag, index_name, definition):
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    fp = f"{st.st_size}_{int(st.st_mtime)}"
+    # fingerprint = dir size + ns-resolution mtime + a hash of the
+    # parquet file listing (names + sizes): second-granularity mtime
+    # alone let a same-second regeneration with an identical directory
+    # size reuse a stale index (round 12, ADVICE)
+    listing = ""
+    if os.path.isdir(src):
+        parts = []
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(root, f)
+                parts.append(f"{os.path.relpath(p, src)}:{os.path.getsize(p)}")
+        import hashlib
+
+        listing = "_" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]
+    fp = f"{st.st_size}_{st.st_mtime_ns}{listing}"
     sf_tag = f"{tag}_{os.path.basename(os.path.normpath(sf_dir))}"
     base = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scratch", "gate_idx"

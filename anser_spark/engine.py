@@ -81,6 +81,14 @@ def is_not_found(exc: BaseException) -> bool:
     return isinstance(exc, NotFoundError)
 
 
+def _ins_col_rel(col: str) -> str:
+    """Filesystem-safe subdirectory name for a per-id-column insert
+    sidecar under a hybrid mutation manifest (round 12)."""
+    from urllib.parse import quote
+
+    return quote(str(col), safe="")
+
+
 def _read_index_table(
     spark,
     definition: Mapping[str, Any],
@@ -412,6 +420,23 @@ class _Transaction:
                 shutil.rmtree(
                     os.path.join(ent["coll"]._store_dir, v), ignore_errors=True
                 )
+                # staged mutation pre-images / insert sidecars and the
+                # staged manifest die with the stage (round 12, ADVICE —
+                # they were orphaned forever; _gc_deltas' orphan sweep
+                # is the backstop for a crash that never reaches here)
+                for suf in ("_pre", "_ins"):
+                    shutil.rmtree(
+                        os.path.join(
+                            ent["coll"]._deltas_dir(), f"{v}{suf}"
+                        ),
+                        ignore_errors=True,
+                    )
+                try:
+                    os.remove(
+                        os.path.join(ent["coll"]._deltas_dir(), f"{v}.json")
+                    )
+                except OSError:
+                    pass
         self.staged.clear()
 
     def commit(self) -> None:
@@ -483,6 +508,21 @@ class _Transaction:
                             os.path.join(ent["coll"]._store_dir, v),
                             ignore_errors=True,
                         )
+                        for suf in ("_pre", "_ins"):
+                            shutil.rmtree(
+                                os.path.join(
+                                    ent["coll"]._deltas_dir(), f"{v}{suf}"
+                                ),
+                                ignore_errors=True,
+                            )
+                        try:
+                            os.remove(
+                                os.path.join(
+                                    ent["coll"]._deltas_dir(), f"{v}.json"
+                                )
+                            )
+                        except OSError:
+                            pass
             # journal_written: the decision is durable — recovery rolls
             # the remaining pointer swaps forward from the journal
             raise
@@ -1241,6 +1281,7 @@ class Collection:
         rel_files: Sequence[str],
         pre_rel: str | None = None,
         ins_rel: str | None = None,
+        ins_cols: Sequence[str] | None = None,
     ) -> None:
         """Record a commit's manifest: ``kind:"insert"`` (this commit
         only appended the listed files) or — when ``pre_rel`` names a
@@ -1253,12 +1294,20 @@ class Collection:
         small parquet of the appended ids: with it, a LATER mutation
         may rewrite this commit's files without breaking the refresh
         chain — the inserted ids stay enumerable and their current
-        rows are recovered from the rewrite's bystander carries."""
+        rows are recovered from the rewrite's bystander carries.
+        A mutation manifest may ALSO carry ``ins_rel`` + ``ins_cols``
+        (round 12, HYBRID): per-id-column sidecars under
+        ``{ins_rel}/{quoted col}`` enumerating ids the rewrite
+        introduced (upsert-synthesized bulk inserts, rewritten custom
+        id fields) — ``_chain_delta`` classifies those as inserts."""
         os.makedirs(self._deltas_dir(), exist_ok=True)
         m: dict[str, Any] = {"prev": prev, "files": list(rel_files)}
         if pre_rel is not None:
             m["kind"] = "mutation"
             m["pre"] = pre_rel
+            if ins_rel is not None and ins_cols:
+                m["ins"] = ins_rel
+                m["ins_cols"] = list(ins_cols)
         elif ins_rel is not None:
             m["ins"] = ins_rel
         tmp = os.path.join(self._deltas_dir(), f".{version}.tmp")
@@ -1275,7 +1324,9 @@ class Collection:
                 dd = self._load_search_index(nm, warn_stale=False)
             except NotFoundError:
                 continue
-            if dd.get("kind") in ("bm25", "minhash"):
+            if dd.get("kind") in ("bm25", "minhash") or (
+                dd.get("kind") == "ivf" and dd.get("cells_dir")
+            ):
                 out.add(str(dd.get("id_col", "_id")))
         return out
 
@@ -1367,6 +1418,21 @@ class Collection:
                 if not pre or not os.path.isdir(pre_path):
                     return None  # pre-image reaped — fall back
                 e["pre_path"] = pre_path
+                # hybrid manifest (round 12): per-id-column sidecars of
+                # ids this rewrite INTRODUCED (upsert-synthesized bulk
+                # inserts). Like the pre-image they are REQUIRED — a
+                # reaped sidecar would make those rows look like
+                # bystanders and silently skip indexing them.
+                subs: dict[str, str] = {}
+                ins = e["m"].get("ins")
+                if ins:
+                    ins_path = os.path.join(self._deltas_dir(), str(ins))
+                    for c in e["m"].get("ins_cols") or []:
+                        sp = os.path.join(ins_path, _ins_col_rel(str(c)))
+                        if not os.path.isdir(sp):
+                            return None  # insert sidecar reaped
+                        subs[str(c)] = sp
+                e["ins_subs"] = subs
             else:
                 # insert files enumerate WHICH ids the commit added.
                 # With the manifest's id sidecar (round 11) they may
@@ -1475,6 +1541,23 @@ class Collection:
                     F.lit(seq).alias("__seq"),
                     F.lit(True).alias("__mut"),
                 )
+                sub = (e.get("ins_subs") or {}).get(id_col)
+                if sub:
+                    # hybrid manifest (round 12): ids this rewrite
+                    # INTRODUCED touch the chain as inserts — disjoint
+                    # from the pre-image ids by construction (extras
+                    # were anti-joined against the affected files), so
+                    # the first-event classification can never tie
+                    ii = spark.read.parquet(sub)
+                    if id_col not in ii.columns:
+                        return None
+                    t = t.unionByName(
+                        ii.select(
+                            ic.alias("__cid"),
+                            F.lit(seq).alias("__seq"),
+                            F.lit(False).alias("__mut"),
+                        )
+                    )
                 p = pre.withColumn("__pseq", F.lit(seq))
                 pres = p if pres is None else pres.unionByName(p)
                 c = read_paths(e["paths"]).withColumn("__pseq", F.lit(seq))
@@ -1686,12 +1769,19 @@ class Collection:
             matched = sum(r["count"] for r in per_file) if want_count else None
         if not hit_files:
             return False, 0  # no matching rows anywhere — current version stands
-        # every-file-hit mutations used to short-circuit to _rewrite();
-        # they now flow through the normal path (with an empty link
-        # loop) so the mutation manifest still records — a remove that
-        # happens to touch all files stays incrementally refreshable
-        # (round 11)
+        # every-file-hit mutations flow through the normal path (with
+        # an empty link loop) so the mutation manifest still records —
+        # a remove that happens to touch all files stays incrementally
+        # refreshable (round 11). When NO incrementally-refreshable
+        # index exists the manifest is the only reason to be here, so
+        # short-circuit to the plain full rewrite (round 12: the r10
+        # fast path restored — the partial-COW detour's explicit-file
+        # read, schema-shape compare, and version bookkeeping are pure
+        # overhead on unindexed collections).
         untouched = [p for p in all_files if p not in hit_files]
+        if not untouched and not self._index_id_cols():
+            self._rewrite(transform(self.df()))
+            return True, matched
         affected = read_parquet_table(self.engine.spark, path, files=sorted(hit_files))
         replacement = transform(affected)
         shape = lambda s: sorted((f.name, f.dataType.simpleString()) for f in s.fields)  # noqa: E731
@@ -1703,7 +1793,10 @@ class Collection:
             return True, matched
         version, ptr = self._next_version()
         pre_rel: str | None = None
-        if self._should_record_mutation(affected, replacement, ids_preserved):
+        ins_rel: str | None = None
+        ins_cols: list[str] = []
+        plan = self._mutation_manifest_plan(affected, replacement, ids_preserved)
+        if plan is not None:
             # round 11: record the mutation so search-index refresh can
             # stay incremental (tombstone + re-index O(mutated docs)
             # instead of a full rebuild). The PRE-IMAGE — the matched
@@ -1716,6 +1809,25 @@ class Collection:
             affected.where(pred).write.mode("overwrite").parquet(
                 os.path.join(self._deltas_dir(), pre_rel)
             )
+            if plan:
+                # HYBRID manifest (round 12): the rewrite introduced
+                # ids the affected files didn't carry — the bulk path
+                # unions its upsert-synthesized docs into the
+                # replacement, and an update may rewrite a custom id
+                # field. Enumerating them per index id column (a slim
+                # O(extras) sidecar) makes them distinguishable from
+                # bystander pass-through rows at refresh time:
+                # _chain_delta classifies them as inserts, so an
+                # upsert-heavy bulk no longer forces a full rebuild of
+                # every index on the collection.
+                ins_rel = f"{version}_ins"
+                for col, extras in plan.items():
+                    extras.write.mode("overwrite").parquet(
+                        os.path.join(
+                            self._deltas_dir(), ins_rel, _ins_col_rel(col)
+                        )
+                    )
+                    ins_cols.append(col)
         vdir = self._write_version(replacement, version, pcols=write_pcols)
         rewritten_rels = [
             os.path.relpath(f, vdir) for f in self._data_files(vdir)
@@ -1731,11 +1843,12 @@ class Collection:
         try:
             self._swap_pointer(version, ptr)
         except WriteConflictError:
-            if pre_rel is not None:  # orphaned pre-image of a CAS loser
-                shutil.rmtree(
-                    os.path.join(self._deltas_dir(), pre_rel),
-                    ignore_errors=True,
-                )
+            for rel in (pre_rel, ins_rel):  # orphaned CAS-loser deltas
+                if rel is not None:
+                    shutil.rmtree(
+                        os.path.join(self._deltas_dir(), rel),
+                        ignore_errors=True,
+                    )
             raise
         if pre_rel is not None:
             # after the swap, same contract as _cow_append's manifest: a
@@ -1743,7 +1856,8 @@ class Collection:
             # under its txn-unique version name, only ever referenced if
             # that transaction commits
             self._write_insert_manifest(
-                version, ptr, rewritten_rels, pre_rel=pre_rel
+                version, ptr, rewritten_rels, pre_rel=pre_rel,
+                ins_rel=ins_rel, ins_cols=ins_cols,
             )
         return True, matched
 
@@ -1772,27 +1886,35 @@ class Collection:
                     return None
         return True
 
-    def _should_record_mutation(
+    def _mutation_manifest_plan(
         self,
         affected: DataFrame,
         replacement: DataFrame,
         ids_preserved: bool | None = None,
-    ) -> bool:
-        """Whether this partial COW rewrite should record a mutation
-        manifest (round 11). Requires an incrementally-refreshable
-        index (bm25/minhash) to exist — otherwise the pre-image write
-        is pure overhead — and that the transform introduced NO id the
-        affected files didn't already carry: a replacement row under a
-        brand-new id is indistinguishable from a bystander at refresh
-        time (the bulk path mixes upsert-inserts into its rewrite, and
-        an update may rewrite a custom id field), so the net-change
-        model would silently skip indexing it. One ``limit(1)``
-        anti-join over the hit files per distinct index id column
-        decides; extras ⇒ no manifest ⇒ the chain breaks and refresh
-        rebuilds — conservative, never wrong. (A swapped id — one doc
-        removed while another is renamed onto its id in the same
-        commit — stays in the id set and nets as an update of that id,
-        which is exactly correct.)
+    ) -> dict[str, DataFrame] | None:
+        """What manifest this partial COW rewrite should record:
+
+        - ``None`` — no manifest: no incrementally-refreshable index
+          (bm25/minhash) exists, so the pre-image write would be pure
+          overhead;
+        - ``{}`` — a plain mutation manifest: the transform introduced
+          NO id the affected files didn't already carry (the
+          overwhelmingly common case);
+        - ``{col: extras}`` — a HYBRID manifest (round 12): the
+          transform introduced new ids under ``col`` (the bulk path
+          unions upsert-synthesized docs into its rewrite; an update
+          may rewrite a custom id field). ``extras`` is the slim
+          distinct frame of those id values, recorded as a per-column
+          insert sidecar so ``_chain_delta`` can classify their rows
+          as inserts instead of silently skipping them as bystanders —
+          round 11 refused the manifest here, which made every
+          upsert-mixing bulk a full index rebuild.
+
+        One anti-join over the hit files per distinct index id column
+        decides (``limit(1)`` probe first, materialized only when
+        extras exist). A swapped id — one doc removed while another is
+        renamed onto its id in the same commit — stays in the id set
+        and nets as an update of that id, which is exactly correct.
 
         ``ids_preserved=True`` — the caller statically proved the
         transform cannot touch an index id column (removes, and
@@ -1800,25 +1922,26 @@ class Collection:
         ``_mutation_preserves_ids``) — skips the detection scan."""
         id_cols = self._index_id_cols()
         if not id_cols:
-            return False
+            return None
         if ids_preserved:
-            return True
-        for ic in id_cols:
+            return {}
+        plan: dict[str, DataFrame] = {}
+        for ic in sorted(id_cols):
             if ic not in replacement.columns or ic not in affected.columns:
                 continue  # netting skips this index anyway (id missing)
             extras = (
-                replacement.select(F.col(ic).alias("__rid"))
-                .join(
-                    affected.select(F.col(ic).alias("__rid")),
-                    "__rid",
-                    "left_anti",
-                )
-                .limit(1)
-                .count()
+                replacement.select(F.col(ic))
+                .distinct()
+                .join(affected.select(F.col(ic)), ic, "left_anti")
             )
-            if extras:
-                return False
-        return True
+            if extras.limit(1).count():
+                if extras.where(F.col(ic).isNull()).limit(1).count():
+                    # a NULL id can't be netted (every join in the
+                    # chain walk is an equi-join) — record no manifest
+                    # so refresh falls back to a rebuild, conservative
+                    return None
+                plan[ic] = extras
+        return plan
 
     def _cow_append(
         self, new_df: DataFrame, meta_update: Mapping[str, str] | None = None
@@ -2150,22 +2273,83 @@ class Collection:
         definition.pop("ids_dir", None)
         definition.pop("raw_postings_dir", None)
         definition.pop("raw_terms_dir", None)
+        definition.pop("cells_dir", None)
+        definition.pop("removed_dir", None)
+        definition.pop("assign_mean_dist", None)
         for dk in (
             "postings_deltas", "sig_deltas", "bands_deltas",
             "postings_tombs", "tombs", "ids_deltas",
-            "raw_postings_deltas",
+            "raw_postings_deltas", "cells_deltas",
         ):
             definition.pop(dk, None)
         kind = definition.get("kind", "ivf")
         if kind == "ivf":
             path = definition.get("path", "embedding")
             nlist = int(definition.get("nlist", 16))
-            from anser_spark.operators.ivf import ivf_train_sample
-
-            ivf = ivf_train_sample(self.df(), k=nlist, vec_col=path)
-            definition.update(
-                {"kind": "ivf", "path": path, "nlist": nlist, "centroids": ivf.centroids}
+            from anser_spark.operators.ivf import (
+                IVFIndex,
+                ivf_assign_dist,
+                ivf_train_sample,
             )
+
+            docs = self.df()
+            ivf = ivf_train_sample(docs, k=nlist, vec_col=path)
+            id_col = str(definition.get("id_col", "_id"))
+            definition.update(
+                {
+                    "kind": "ivf", "path": path, "nlist": nlist,
+                    "centroids": ivf.centroids, "id_col": id_col,
+                }
+            )
+            if "." not in path and id_col in docs.columns:
+                # materialize the CELL-ASSIGNMENT table (round 12):
+                # ``(id, __vec, __cell, __dist)`` range-partitioned and
+                # sorted by cell, so a $vectorSearch probe footer-prunes
+                # to the probed cells — at 100 TB a query reads
+                # O(nprobe/nlist) of the index instead of evaluating the
+                # nearest-centroid expression over the whole corpus.
+                # __dist (assignment distance) feeds the drift statistic
+                # that decides when fixed centroids must retrain. Null
+                # vectors are excluded exactly as the inline path drops
+                # them (a null assignment never matches a probe).
+                # Unique ids required — the candidate join-back keys on
+                # them; a duplicate-id corpus keeps centroids-only.
+                os.makedirs(self._search_index_dir(), exist_ok=True)
+                cur0 = self._pointer()
+                cells_dir = os.path.join(
+                    self._search_index_dir(), f"{name}_cells_{cur0}"
+                )
+                (
+                    ivf_assign_dist(
+                        docs.select(
+                            F.col(id_col).alias("id"),
+                            F.col(path).alias("__vec"),
+                        ).where(F.col("__vec").isNotNull()),
+                        IVFIndex(
+                            centroids=ivf.centroids,
+                            vec_col="__vec",
+                            id_col="id",
+                        ),
+                    )
+                    .repartitionByRange(F.col("__cell"), F.col("id"))
+                    .sortWithinPartitions("__cell", "id")
+                    .write.mode("overwrite")
+                    .parquet(cells_dir)
+                )
+                st = (
+                    self.engine.spark.read.parquet(cells_dir)
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.count_distinct(F.col("id")).alias("nid"),
+                        F.avg(F.sqrt(F.col("__dist"))).alias("md"),
+                    )
+                    .collect()[0]
+                )
+                if int(st["n"]) and int(st["n"]) == int(st["nid"]):
+                    definition["cells_dir"] = cells_dir
+                    definition["assign_mean_dist"] = float(st["md"] or 0.0)
+                # else: duplicate ids — the unreferenced dir is swept
+                # below and queries keep the inline-assignment path
         elif kind == "bm25":
             from anser_spark.operators.ranking import _tokens as _rank_tokens
 
@@ -2607,8 +2791,20 @@ class Collection:
         9: the steady-state ingest shape, e.g. a foreachBatch loop
         appending documents), otherwise by full rebuild.
 
-        Two index kinds refresh incrementally; ``kind="ivf"`` always
-        rebuilds (its centroids are a sample of the whole corpus).
+        All three index kinds refresh incrementally. ``kind="ivf"``
+        (round 12): centroids stay FIXED — the steady-state shape is
+        append, and a trained quantizer remains valid while the data
+        distribution holds — so the delta assigns to cells with the
+        stored centroids (the same bounded expression as the query-time
+        probe), lands as a staged cells delta, and mutated ids die via
+        the shared generation-stamped tombstones. Centroids retrain
+        (full rebuild) only when the delta's mean assignment distance
+        drifts past ``spark.anser.index.ivfDriftRatio`` (default 2.0)
+        times the trained mean, judged once the delta has at least
+        ``spark.anser.index.ivfDriftMinDelta`` (default 4) vectors —
+        a distribution shift is the one thing fixed centroids cannot
+        absorb. Centroids-only ivf indexes (dotted path or duplicate
+        ids — no cells table) still rebuild.
 
         ``kind="minhash"``: the new documents' signatures and banded
         rows land in staged delta directories beside the stored tables
@@ -2747,6 +2943,143 @@ class Collection:
                     "left_anti",
                 )
             return added, tomb_pre, remut
+
+        if d.get("kind") == "ivf":
+            if not d.get("cells_dir") or d.get("built_at_version") is None:
+                return _rebuild()  # centroids-only index — no table
+            path = str(d.get("path", "embedding"))
+            id_col = str(d.get("id_col", "_id"))
+            net = _netted(id_col, path)
+            if net is None:
+                return _rebuild()
+            added, tomb_pre, remut = net
+            from anser_spark.operators.ivf import IVFIndex, ivf_assign_dist
+
+            ivf = IVFIndex(
+                centroids=[list(map(float, c)) for c in d["centroids"]],
+                vec_col="__vec",
+                id_col="id",
+            )
+            new_docs = added if remut is None else added.unionByName(remut)
+            delta = ivf_assign_dist(
+                new_docs.select(
+                    F.col(id_col).alias("id"), F.col(path).alias("__vec")
+                ).where(F.col("__vec").isNotNull()),
+                ivf,
+            ).localCheckpoint()  # assign ONCE (stats + probe + write)
+            stats = delta.agg(
+                F.count(F.lit(1)).alias("k"),
+                F.count_distinct(F.col("id")).alias("kid"),
+                F.avg(F.sqrt(F.col("__dist"))).alias("md"),
+            ).collect()[0]
+            k = int(stats["k"])
+            tomb_ids = (
+                tomb_pre.select(F.col(id_col)).localCheckpoint()
+                if tomb_pre is not None else None
+            )
+            n_tomb = tomb_ids.count() if tomb_ids is not None else 0
+            if k == 0 and n_tomb == 0:
+                d["built_at_version"] = cur
+                self._write_search_index(name, d)
+                self._gc_deltas()
+                return {"mode": "incremental", "inserted": 0}
+            if k and int(stats["kid"]) != k:
+                return _rebuild()  # duplicate ids inside the delta
+            # drift gate: fixed centroids stay valid while the delta
+            # assigns about as tightly as the trained corpus did; a
+            # delta whose mean assignment distance blows past the
+            # trained mean is a distribution shift — retrain (rebuild).
+            # Tiny deltas skip the check: one far vector is noise, and
+            # its recall cost is bounded by its own size.
+            base_md = float(d.get("assign_mean_dist") or 0.0)
+            if k and base_md > 0.0:
+                try:
+                    ratio_max = float(self.engine.spark.conf.get(
+                        "spark.anser.index.ivfDriftRatio", "2.0"))
+                    min_delta = int(self.engine.spark.conf.get(
+                        "spark.anser.index.ivfDriftMinDelta", "4"))
+                except Exception:
+                    ratio_max, min_delta = 2.0, 4
+                md = float(stats["md"] or 0.0)
+                if k >= min_delta and md > ratio_max * base_md:
+                    return _rebuild()  # drifted — centroids retrain
+            spark = self.engine.spark
+            # live-id collision probe against the LAYERED cells table
+            # itself (its tombstone anti-join excludes dead ids, so
+            # reuse of a removed id is automatically a plain insert
+            # here — no separate removed-id set needed)
+            if not self.engine.assume_unique_ids:
+                added_ids = added.select(F.col(id_col).alias("id"))
+                ka = added_ids.count()
+                if ka:
+                    live = _read_index_table(
+                        spark, d, "cells_dir", "cells_deltas", "id"
+                    )
+                    try:
+                        isin_max = int(spark.conf.get(
+                            "spark.anser.index.idProbeIsinMax", "100000"))
+                    except Exception:
+                        isin_max = 100_000
+                    if ka <= isin_max:
+                        vals = [r["id"] for r in added_ids.collect()]
+                        hit = live.where(
+                            F.col("id").isin(vals)).limit(1).count()
+                    else:
+                        hit = live.join(
+                            added_ids, "id", "inner").limit(1).count()
+                    if hit:
+                        return _rebuild()  # collides with a live id
+            idx_dir = self._search_index_dir()
+            cells_deltas = list(d.get("cells_deltas") or [])
+            tombs = list(d.get("tombs") or [])
+            if n_tomb:
+                gen = len(cells_deltas) + 1
+                tomb_dir = os.path.join(idx_dir, f"{name}_tomb_{cur}")
+                (
+                    tomb_ids.select(
+                        F.col(id_col).alias("__tomb_id"),
+                        F.lit(gen).alias("__tomb_gen"),
+                    ).write.mode("overwrite").parquet(tomb_dir)
+                )
+                tombs.append(tomb_dir)
+            if k:
+                cdelta = os.path.join(idx_dir, f"{name}_cells_delta_{cur}")
+                (
+                    delta.repartitionByRange(F.col("__cell"), F.col("id"))
+                    .sortWithinPartitions("__cell", "id")
+                    .write.mode("overwrite")
+                    .parquet(cdelta)
+                )
+                cells_deltas.append(cdelta)
+            thr = self._index_compact_threshold()
+            if len(cells_deltas) >= thr or len(tombs) >= thr:
+                probe_d = {
+                    **d, "cells_deltas": cells_deltas, "tombs": tombs,
+                }
+                new_cells = os.path.join(
+                    idx_dir, f"{name}_cells_compact_{cur}"
+                )
+                (
+                    _read_index_table(
+                        spark, probe_d, "cells_dir", "cells_deltas", "id"
+                    )
+                    .repartitionByRange(F.col("__cell"), F.col("id"))
+                    .sortWithinPartitions("__cell", "id")
+                    .write.mode("overwrite")
+                    .parquet(new_cells)
+                )
+                d["cells_dir"] = new_cells
+                cells_deltas, tombs = [], []
+            d["cells_deltas"] = cells_deltas
+            d["tombs"] = tombs
+            d["built_at_version"] = cur
+            self._write_search_index(name, d)
+            self._sweep_index_dirs(name, d)
+            self._gc_deltas()
+            out = {"mode": "incremental", "inserted": int(k)}
+            if n_tomb:
+                out["tombstoned"] = int(n_tomb)
+            return out
 
         if d.get("kind") == "minhash" and d.get("sig_dir") and d.get(
             "bands_dir"
@@ -2947,9 +3280,26 @@ class Collection:
         if int(stats["k_ids"]) != k:
             return _rebuild()  # duplicate ids inside the delta
         added_ids = added.select(F.col(id_col).alias("id"))
+        revived: DataFrame | None = None
         if not self.engine.assume_unique_ids and k_added:
-            if not self._probe_new_ids(d, added_ids, k_added):
-                return _rebuild()  # an added id collides with a known id
+            ok, revived = self._probe_new_ids(d, added_ids, k_added)
+            if not ok:
+                return _rebuild()  # an added id collides with a LIVE id
+        # removed-id set maintenance (round 12): this window's removals
+        # join the dead set, revived ids leave it — BEFORE the sidecar
+        # compaction below, which anti-joins the up-to-date set
+        k_removed_now = k_neg - (k - k_added)
+        if k_removed_now > 0 or revived is not None:
+            removed_frame = None
+            if k_removed_now > 0:
+                removed_frame = tomb_pre.select(
+                    F.col(id_col).alias("id")
+                ).join(
+                    remut.select(F.col(id_col).alias("id")),
+                    "id",
+                    "left_anti",
+                )
+            self._roll_removed_ids(d, name, cur, removed_frame, revived)
 
         # 1. delta postings → a STAGED directory, published only by the
         # atomic definition swap in step 3 (round 10; a crash between
@@ -3074,8 +3424,22 @@ class Collection:
             postings_deltas, postings_tombs = [], []
         if d.get("ids_dir") and len(ids_deltas) >= thr:
             new_ids = os.path.join(idx_dir, f"{name}_ids_compact_{cur}")
+            merged_ids = spark.read.parquet(
+                str(d["ids_dir"]), *map(str, ids_deltas)
+            )
+            if d.get("removed_dir"):
+                # fold the dead ids out physically (the removed set was
+                # rolled BEFORE this block, so revived ids survive: the
+                # set no longer contains them) and clear the set — the
+                # compacted sidecar is exactly the live ids
+                merged_ids = merged_ids.join(
+                    spark.read.parquet(str(d["removed_dir"])),
+                    "id",
+                    "left_anti",
+                )
+                d.pop("removed_dir", None)
             (
-                spark.read.parquet(str(d["ids_dir"]), *map(str, ids_deltas))
+                merged_ids.distinct()
                 .repartitionByRange(F.col("id"))
                 .sortWithinPartitions("id")
                 .write.mode("overwrite")
@@ -3268,9 +3632,25 @@ class Collection:
         if int(stats["k_ids"]) != k:
             return _rebuild()
         added_ids = added.select(F.col(id_col).alias("id"))
+        revived: DataFrame | None = None
         if not self.engine.assume_unique_ids and k_added:
-            if not self._probe_new_ids(d, added_ids, k_added):
+            ok, revived = self._probe_new_ids(d, added_ids, k_added)
+            if not ok:
                 return _rebuild()
+        # removed-id set maintenance (round 12) — see the single-field
+        # branch; must precede the ids-sidecar compaction below
+        k_removed_now = k_neg - (k - k_added)
+        if k_removed_now > 0 or revived is not None:
+            removed_frame = None
+            if k_removed_now > 0:
+                removed_frame = tomb_pre.select(
+                    F.col(id_col).alias("id")
+                ).join(
+                    remut.select(F.col(id_col).alias("id")),
+                    "id",
+                    "left_anti",
+                )
+            self._roll_removed_ids(d, name, cur, removed_frame, revived)
 
         spark = self.engine.spark
         idx_dir = self._search_index_dir()
@@ -3348,8 +3728,22 @@ class Collection:
             postings_deltas, postings_tombs = [], []
         if d.get("ids_dir") and len(ids_deltas) >= thr:
             new_ids = os.path.join(idx_dir, f"{name}_ids_compact_{cur}")
+            merged_ids = spark.read.parquet(
+                str(d["ids_dir"]), *map(str, ids_deltas)
+            )
+            if d.get("removed_dir"):
+                # fold the dead ids out physically (the removed set was
+                # rolled BEFORE this block, so revived ids survive: the
+                # set no longer contains them) and clear the set — the
+                # compacted sidecar is exactly the live ids
+                merged_ids = merged_ids.join(
+                    spark.read.parquet(str(d["removed_dir"])),
+                    "id",
+                    "left_anti",
+                )
+                d.pop("removed_dir", None)
             (
-                spark.read.parquet(str(d["ids_dir"]), *map(str, ids_deltas))
+                merged_ids.distinct()
                 .repartitionByRange(F.col("id"))
                 .sortWithinPartitions("id")
                 .write.mode("overwrite")
@@ -3431,20 +3825,31 @@ class Collection:
 
     def _probe_new_ids(
         self, d: Mapping[str, Any], added_ids: DataFrame, k_added: int
-    ) -> bool:
-        """True when none of the delta's genuinely-new ids collides
-        with an id the index has ever seen. Prefers the persisted ID
+    ) -> tuple[bool, DataFrame | None]:
+        """``(ok, revived)``: ``ok`` is False when one of the delta's
+        genuinely-new ids collides with a LIVE id the index already
+        carries (the caller rebuilds). Prefers the persisted ID
         SIDECAR (round 11): a slim ``(id)`` parquet table, range-sorted
         so a small batch's ``isin`` literal filter footer-prunes to
         O(delta) row groups — the refresh then reads NO corpus data
         file at all (plan-asserted in tests). Batches past
         ``spark.anser.index.idProbeIsinMax`` (default 100k ids) pay one
         semi-join over the sidecar's single column instead — still far
-        cheaper than the corpus id column it replaces. The sidecar
-        keeps REMOVED ids, so re-using a removed doc's id reads as a
-        collision and triggers a rebuild — conservative, never wrong.
+        cheaper than the corpus id column it replaces.
+
+        The sidecar keeps REMOVED ids too; round 12 pairs it with the
+        REMOVED-ID set (``removed_dir`` — ids whose latest event is a
+        removal), so re-using a removed doc's id no longer forces a
+        rebuild: a collision where EVERY colliding id is marked dead is
+        plain id reuse — the old postings died under an earlier
+        tombstone generation, so the re-added doc indexes as an
+        ordinary insert. Those ids return as ``revived`` and the caller
+        strikes them from the removed set (they are live again).
+
         Sidecar-less (pre-round-11) indexes fall back to the round-10
-        corpus-column semi-join."""
+        corpus-column semi-join, where the corpus itself is ground
+        truth on live-ness (removed ids aren't in it), so id reuse
+        passes there by construction."""
         spark = self.engine.spark
         if d.get("ids_dir"):
             side = spark.read.parquet(
@@ -3461,10 +3866,18 @@ class Collection:
                 isin_max = 100_000
             if k_added <= isin_max:
                 vals = [r["id"] for r in added_ids.collect()]
-                hit = side.where(F.col("id").isin(vals)).limit(1).count()
+                colliding = side.where(F.col("id").isin(vals)).select("id")
             else:
-                hit = side.join(added_ids, "id", "inner").limit(1).count()
-            return hit == 0
+                colliding = side.join(added_ids, "id", "inner").select("id")
+            if not colliding.limit(1).count():
+                return True, None  # the common case: no collision at all
+            if not d.get("removed_dir"):
+                return False, None  # collision, no dead set to excuse it
+            colliding = colliding.distinct().localCheckpoint()
+            dead = spark.read.parquet(str(d["removed_dir"]))
+            if colliding.join(dead, "id", "left_anti").limit(1).count():
+                return False, None  # collides with a LIVE id
+            return True, colliding
         id_col = str(d.get("id_col", "_id"))
         ids = added_ids
         if k_added <= 2_000_000:
@@ -3477,7 +3890,46 @@ class Collection:
         )
         # each added id must match exactly its own just-appended corpus
         # row; any extra match is a collision with an older document
-        return hits == k_added
+        return hits == k_added, None
+
+    def _roll_removed_ids(
+        self,
+        d: dict[str, Any],
+        name: str,
+        cur: str | None,
+        removed_ids: DataFrame | None,
+        revived: DataFrame | None,
+    ) -> None:
+        """Maintain the REMOVED-ID set (round 12): the ids whose latest
+        event is a removal. This window's removals join the set;
+        re-added (revived) ids leave it, so a future reuse of a LIVE id
+        still reads as a collision in ``_probe_new_ids``. Cost: one
+        O(dead set) rewrite, only on windows that actually removed or
+        revived ids — the steady-state insert/update refresh never
+        touches it. Staged under the target version (a crashed
+        refresh's retry overwrites the same path) and published by the
+        atomic definition swap; the ids-sidecar compaction folds dead
+        ids out of the sidecar physically and clears the set."""
+        spark = self.engine.spark
+        new_dead = (
+            spark.read.parquet(str(d["removed_dir"]))
+            if d.get("removed_dir") else None
+        )
+        if revived is not None and new_dead is not None:
+            new_dead = new_dead.join(revived, "id", "left_anti")
+        if removed_ids is not None:
+            add = removed_ids.distinct()
+            new_dead = (
+                add if new_dead is None
+                else new_dead.unionByName(add).distinct()
+            )
+        if new_dead is None:
+            return
+        out = os.path.join(
+            self._search_index_dir(), f"{name}_removed_{cur}"
+        )
+        new_dead.write.mode("overwrite").parquet(out)
+        d["removed_dir"] = out
 
     def _gc_deltas(self) -> None:
         """Reclaim mutation pre-images no refresh can still need: a
@@ -3515,6 +3967,10 @@ class Collection:
                     shutil.rmtree(
                         os.path.join(dd, str(m["pre"])), ignore_errors=True
                     )
+                if m.get("ins"):  # hybrid manifest's insert sidecars
+                    shutil.rmtree(
+                        os.path.join(dd, str(m["ins"])), ignore_errors=True
+                    )
                 try:
                     os.remove(os.path.join(dd, entry))
                 except OSError:
@@ -3527,6 +3983,37 @@ class Collection:
                 shutil.rmtree(
                     os.path.join(dd, str(m["ins"])), ignore_errors=True
                 )
+        # orphan sweep (round 12, ADVICE): {version}_pre / {version}_ins
+        # directories whose version never recorded a manifest — a crash
+        # between the pointer swap and the manifest write, or an aborted
+        # transaction (pre-images materialize before the staged swap) —
+        # previously accumulated forever. A dir is an orphan when no
+        # manifest json exists for its version AND the version cannot
+        # still be in flight: non-txn versions write their pre-image
+        # BEFORE the swap, so anything at ordinal ≥ the current
+        # pointer's may be a commit in progress (this also covers the
+        # swap→manifest window) — reclaim strictly below it; txn-staged
+        # names are skipped entirely while this engine has an open
+        # transaction, and otherwise belong to a committed txn (manifest
+        # exists) or an aborted one (reclaim).
+        ptr_o = self._version_ordinal(self._pointer())
+        if ptr_o is None:
+            return
+        for entry in os.listdir(dd):
+            if not (entry.endswith("_pre") or entry.endswith("_ins")):
+                continue
+            v = entry[:-4]
+            if os.path.exists(os.path.join(dd, f"{v}.json")):
+                continue
+            o = self._version_ordinal(v)
+            if o is None:
+                continue
+            if ".txn." in v:
+                if self.engine._txn is not None:
+                    continue  # possibly staged by the open transaction
+            elif o >= ptr_o:
+                continue  # possibly a commit in flight
+            shutil.rmtree(os.path.join(dd, entry), ignore_errors=True)
 
     def _index_compact_threshold(self) -> int:
         """Delta-directory count at which an incremental refresh folds
@@ -3567,6 +4054,7 @@ class Collection:
             for key in (
                 "terms_dir", "postings_dir", "sig_dir", "bands_dir",
                 "ids_dir", "raw_postings_dir", "raw_terms_dir",
+                "removed_dir", "cells_dir",
             ):
                 v = od.get(key)
                 if v:
@@ -3574,7 +4062,7 @@ class Collection:
             for key in (
                 "postings_deltas", "sig_deltas", "bands_deltas",
                 "postings_tombs", "tombs", "ids_deltas",
-                "raw_postings_deltas",
+                "raw_postings_deltas", "cells_deltas",
             ):
                 for v in od.get(key) or []:
                     referenced.add(os.path.normpath(str(v)))
@@ -3584,6 +4072,7 @@ class Collection:
                 for t in (
                     "terms", "postings", "minhash", "bands",
                     "ids", "tomb", "ptomb", "rawpostings", "rawterms",
+                    "removed", "cells",
                 )
             )
             if not owned:
@@ -3891,15 +4380,30 @@ class Collection:
             new_df, id_col, d["path"], d["k"], d["numHashes"], d["seed"]
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
+            # the stage key folds CONTENT in, not just the id multiset
+            # (round 12, ADVICE): two batches with the same ids but
+            # different text must land in different staged dirs —
+            # keying on ids alone overwrote the first batch's published
+            # delta in place and silently dropped the second from the
+            # delta list. The signature row is a pure function of
+            # (id, text), so hashing the minhash values IS hashing the
+            # content.
             fp = sigs.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(
                     F.sum(F.xxhash64(F.col(id_col))), F.lit(0)
                 ).alias("h"),
+                F.coalesce(
+                    F.sum(F.xxhash64(F.col("__minhash").cast("string"))),
+                    F.lit(0),
+                ).alias("c"),
             ).collect()[0]
             if not int(fp["n"]):
                 return  # empty batch: nothing to stage
-            key = f"{int(fp['n'])}_{int(fp['h']) & 0xFFFFFFFFFFFF:012x}"
+            key = (
+                f"{int(fp['n'])}_{int(fp['h']) & 0xFFFFFFFFFFFF:012x}"
+                f"{int(fp['c']) & 0xFFFFFFFFFFFF:012x}"
+            )
             idx_dir = self._search_index_dir()
             sig_delta = os.path.join(idx_dir, f"{index}_minhash_delta_{key}")
             bands_delta = os.path.join(idx_dir, f"{index}_bands_delta_{key}")

@@ -159,6 +159,33 @@ def ivf_assign(df: DataFrame, index: IVFIndex, out: str = "centroid_id") -> Data
     return df.withColumn(out, _nearest_centroid_col(F.col(index.vec_col), index.centroids))
 
 
+def ivf_assign_dist(
+    df: DataFrame,
+    index: IVFIndex,
+    cell_out: str = "__cell",
+    dist_out: str = "__dist",
+) -> DataFrame:
+    """One scan: nearest-centroid id AND its squared euclidean distance
+    (the assignment-drift statistic's input, round 12). The
+    per-centroid distances array is computed exactly once per row —
+    same expression-growth reasoning as :func:`_nearest_centroid_col`."""
+    dists = F.array(
+        *[_sq_dist(F.col(index.vec_col), c) for c in index.centroids]
+    )
+    return (
+        df.withColumn("__dists", dists)
+        .withColumn(
+            cell_out,
+            (
+                F.array_position(F.col("__dists"), F.array_min("__dists"))
+                - 1
+            ).cast("int"),
+        )
+        .withColumn(dist_out, F.array_min("__dists"))
+        .drop("__dists")
+    )
+
+
 def ivf_top_k(
     assigned: DataFrame,
     index: IVFIndex,

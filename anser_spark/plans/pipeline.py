@@ -2591,7 +2591,6 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         else:
             # inline train (gate-scale form; amortized in a deployment)
             ivf = ivf_train_sample(df, k=nlist, vec_col=path)
-        assigned = ivf_assign(df, ivf, out="__ivf_list")
         import numpy as np
 
         c = np.array(ivf.centroids)
@@ -2603,6 +2602,47 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             sims = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-30)
             order = np.argsort(-sims)
         probe = [int(i) for i in order[:nprobe]]
+        use_cells = (
+            str(
+                df.sparkSession.conf.get("spark.anser.vector.useCells", "true")
+            ).lower() != "false"
+        )
+        if index.get("cells_dir") and use_cells:
+            # prebuilt CELL-ASSIGNMENT table (round 12): candidates come
+            # from the probed cells of the layered index table — a
+            # pushed-down ``__cell IN (...)`` over a cell-range-sorted
+            # parquet layout reads O(nprobe/nlist) of the index, no
+            # corpus-wide nearest-centroid evaluation per query. Scores
+            # compute on the STORED vectors (bit-identical corpus
+            # values), then the bounded candidate set joins back to the
+            # (pre-filtered) frame by id for the full documents — rows
+            # deleted since the snapshot fall out of the inner join, and
+            # the filter applies to final rows exactly as the inline
+            # path's filter-then-assign does.
+            from anser_spark.operators.ranking import read_layered_table
+
+            idc = str(index.get("id_col", "_id"))
+            dirs = [str(index["cells_dir"])] + [
+                str(p) for p in index.get("cells_deltas") or []
+            ]
+            cells = read_layered_table(
+                df.sparkSession, dirs, list(index.get("tombs") or []), "id"
+            )
+            cand = (
+                cells.where(F.col("__cell").isin(probe))
+                .select(
+                    F.col("id").alias("__cand_id"),
+                    _score_col(F.col("__vec")).alias(score_field),
+                )
+            )
+            order_key = df.columns[0]
+            out = df.join(
+                cand, df[idc] == cand["__cand_id"], "inner"
+            ).drop("__cand_id")
+            return out.orderBy(
+                F.desc(score_field), F.col(order_key)
+            ).limit(limit)
+        assigned = ivf_assign(df, ivf, out="__ivf_list")
         df = assigned.where(F.col("__ivf_list").isin(probe)).drop("__ivf_list")
         vec = resolve_field(path)
     out = df.withColumn(score_field, _score_col(vec))

@@ -9,6 +9,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 numbers remain comparable, and "queries_steady"/"value_steady" report
 the best subsequent pass — per-query cost with planning/JIT amortized,
 where a real regression isn't drowned in one-time overhead.
+
+PAIRED CALIBRATION (round 12): after measuring this tree, the previous
+round-close tree replays back-to-back in a git worktree under the same
+load, and the receipt carries ``prev_tree_steady`` /
+``prev_tree_value`` / ``prev_tree_commit``. The box drifts ±20%
+(documented since round 10), so a round-over-round ratio computed from
+two receipts taken hours apart under different load is noise; the
+paired ratio is load-independent. Skip with
+``SPARK_GRAFT_BENCH_NO_CALIB=1``.
 """
 
 from __future__ import annotations
@@ -20,6 +29,74 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _prev_round_calibration(sf_dir: str, repeat: int) -> dict | None:
+    """Replay the previous round-close tree's bench in a detached git
+    worktree (same box, same moment, same load) and return its headline
+    numbers — the receipt's own control. The gate-index fixture cache
+    (.scratch) is shared via symlink so the control pays no cold index
+    builds; any failure degrades to no calibration, never a crash."""
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_CALIB"):
+        return None
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        log = subprocess.run(
+            ["git", "-C", repo, "log", "--format=%H %s"],
+            capture_output=True, text=True, timeout=60,
+        ).stdout
+    except Exception:
+        return None
+    prev = None
+    for line in log.splitlines():
+        h, _, subj = line.partition(" ")
+        if re.match(r"round \d+: verdict/advice/correctness/bench", subj):
+            prev = h
+            break
+    if prev is None:
+        return None
+    wt = tempfile.mkdtemp(prefix="bench_prev_")
+    os.rmdir(wt)  # git worktree add wants to create it
+    try:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt, prev],
+            check=True, capture_output=True, timeout=120,
+        )
+        scratch = os.path.join(repo, ".scratch")
+        if os.path.isdir(scratch):
+            try:
+                os.symlink(scratch, os.path.join(wt, ".scratch"))
+            except OSError:
+                pass
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_NO_CALIB"] = "1"  # no recursion
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        env["SPARK_GRAFT_REPEAT"] = str(repeat)
+        r = subprocess.run(
+            [sys.executable, os.path.join(wt, "bench.py")],
+            capture_output=True, text=True, timeout=1800, env=env, cwd=wt,
+        )
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            return None
+        prev_out = json.loads(lines[-1])
+        return {
+            "prev_tree_commit": prev[:12],
+            "prev_tree_value": prev_out.get("value"),
+            "prev_tree_steady": prev_out.get(
+                "value_steady", prev_out.get("value")
+            ),
+        }
+    except Exception:
+        return None
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True, timeout=120,
+        )
 
 
 def main() -> None:
@@ -88,6 +165,10 @@ def main() -> None:
         out["queries_steady"] = steady
         out["value_steady"] = round(sum(steady.values()), 4)
         out["repeat"] = repeat
+    spark.stop()  # free the executors before the calibration replay
+    calib = _prev_round_calibration(sf_dir, repeat)
+    if calib:
+        out.update(calib)
     print(json.dumps(out))
 
 

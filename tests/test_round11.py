@@ -398,11 +398,11 @@ def test_watch_and_diff_unaffected_by_mutation_manifests(spark, tmp_path):
     assert diff.where(F.col("change_type") == "added").count() >= 1
 
 
-def test_bulk_with_inserts_breaks_chain_conservatively(spark, tmp_path):
-    # the bulk path mixes upsert-inserts into its COW rewrite — a
-    # replacement row under a brand-new id is indistinguishable from a
-    # bystander, so no manifest is recorded and refresh rebuilds;
-    # results must still be exactly right
+def test_bulk_with_inserts_refreshes_incrementally(spark, tmp_path):
+    # the bulk path mixes upsert-inserts into its COW rewrite; round 12
+    # records them in the HYBRID manifest's per-column insert sidecar,
+    # so refresh nets them as inserts instead of rebuilding (round 11
+    # refused the manifest here); results must be exactly right
     c = _mk(spark, tmp_path, "tbulk")
     _seed_multi_file(c)
     c.create_search_index("ix", dict(SPEC))
@@ -413,7 +413,7 @@ def test_bulk_with_inserts_breaks_chain_conservatively(spark, tmp_path):
         .run()
     )
     out = c.refresh_search_index("ix")
-    assert out["mode"] in ("rebuild", "incremental")
+    assert out["mode"] == "incremental"
     got = sorted(
         r["_id"] for r in c.find({"$text": {"$search": "bulk"}}).all())
     assert got == [0, 999], got

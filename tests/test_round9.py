@@ -498,7 +498,9 @@ def test_refresh_falls_back_on_update_and_dup_ids(spark, tmp_path):
     assert c.find({"$text": {"$search": "dup"}}).count() == 1
 
 
-def test_refresh_ivf_rebuilds(spark, tmp_path):
+def test_refresh_ivf(spark, tmp_path):
+    # round 12: an in-distribution append refreshes INCREMENTALLY
+    # (fixed centroids, staged cells delta) instead of retraining
     import numpy as np
 
     eng = Engine(spark, workdir=str(tmp_path / "r9rv"))
@@ -510,7 +512,7 @@ def test_refresh_ivf_rebuilds(spark, tmp_path):
     ])
     c.create_search_index("vx", {"kind": "ivf", "path": "embedding", "nlist": 4})
     c.insert_many([{"_id": 99, "embedding": [0.0, 0.0, 0.0, 1.0]}])
-    assert c.refresh_search_index("vx")["mode"] == "rebuild"
+    assert c.refresh_search_index("vx")["mode"] == "incremental"
     assert c.search_index_status("vx")["stale"] is False
 
 
