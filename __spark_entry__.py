@@ -835,7 +835,37 @@ def _q_ann_top_k(spark, sf_dir):
         "vec_id",
         F.round(dot_col(vec, qcol) / (norm_col(vec) * F.lit(qn)), 4).alias("cosine"),
     )
-    return brute.unionByName(ivf).unionByName(pq)
+    # round 12: the ENGINE's named ivf index with the materialized
+    # CELL-ASSIGNMENT table — $vectorSearch candidates come from the
+    # probed cells of the layered index table (pushed-down `__cell IN`
+    # filter over a cell-range-sorted layout; scores on the STORED
+    # vectors), full probe ⇒ provably identical to brute force. The
+    # over-fetch + rounded reorder matches the oracle's rounded
+    # tie-break exactly (ties at the rank-10 boundary resolve by
+    # vec_id on the ROUNDED cosine, as the exact CTE does).
+    eng = _mut_db(spark, sf_dir, "ivfc")
+    vcoll = eng.db("mut").collection("embeddings")
+    vcoll._rewrite(emb)
+    vcoll.create_search_index("vx", {
+        "kind": "ivf", "path": "embedding", "nlist": 8, "nprobe": 8,
+        "id_col": "vec_id",
+    })
+    cells = (
+        vcoll.pipe([{"$vectorSearch": {
+            "path": "embedding", "queryVector": query,
+            "limit": 60, "index": "vx"}}])
+        .to_df()
+        .select(
+            F.lit("cells").alias("kind"),
+            "vec_id",
+            F.round(
+                dot_col(vec, qcol) / (norm_col(vec) * F.lit(qn)), 4
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+    return brute.unionByName(ivf).unionByName(pq).unionByName(cells)
 
 
 def _mut_db(spark, sf_dir, tag):
@@ -1142,11 +1172,29 @@ def _q_text_find(spark, sf_dir):
     # others). The oracle recomputes the per-field token-match union.
     c4 = _cached_index_coll(spark, sf_dir, "wix", "wix", {
         "kind": "bm25", "weights": {"text": 2, "source": 1},
-        "id_col": "doc_id",
+        "id_col": "doc_id", "positions": True,
     })
     w_n = (
         c4.find({"$text": {"$search": "spark src7"}})
         .to_df().agg(F.count("*").alias("w_n"))
+    )
+    # round 12 legs: the SAME weighted index serves SINGLE-path $search
+    # operators through its field-filtered view (WHERE field = 'text'
+    # over the field-tagged postings/positions) — text count + exact
+    # phrase count; the oracle recomputes both over the one field.
+    w1_n = (
+        c4.pipe([
+            {"$search": {"text": {"query": "spark", "path": "text"},
+                         "index": "wix"}},
+            {"$project": {"doc_id": 1}},
+        ]).to_df().agg(F.count("*").alias("w1_n"))
+    )
+    wp_n = (
+        c4.pipe([
+            {"$search": {"phrase": {"query": "data column", "path": "text"},
+                         "index": "wix"}},
+            {"$project": {"doc_id": 1}},
+        ]).to_df().agg(F.count("*").alias("wp_n"))
     )
     # the gate's one COLD index build (build-path coverage never goes
     # stale while the fixtures above stay cached): a 200-doc build
@@ -1171,6 +1219,8 @@ def _q_text_find(spark, sf_dir):
         .crossJoin(F.broadcast(ph))
         .crossJoin(F.broadcast(ph_slop))
         .crossJoin(F.broadcast(w_n))
+        .crossJoin(F.broadcast(w1_n))
+        .crossJoin(F.broadcast(wp_n))
     )
 
 
@@ -2446,7 +2496,14 @@ def _text_find_oracle() -> str:
                (SELECT count(*) FROM documents
                 WHERE list_has_any({wtoks('text')}, ['spark', 'src7'])
                    OR list_has_any({wtoks('source')}, ['spark', 'src7'])
-               ) AS w_n
+               ) AS w_n,
+               (SELECT count(*) FROM documents
+                WHERE list_contains(
+                    regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    'spark')) AS w1_n,
+               (SELECT count(*) FROM documents
+                WHERE regexp_matches({norm},
+                      '(^|\\s)data column(\\s|$)')) AS wp_n
         FROM documents
         WHERE lang = 'en'
           AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'spark')
@@ -2647,6 +2704,8 @@ def _oracle_sql_bodies() -> dict[str, str]:
             SELECT 'brute' AS kind, vec_id, cosine FROM exact
             UNION ALL
             SELECT 'ivf', vec_id, cosine FROM exact
+            UNION ALL
+            SELECT 'cells', vec_id, cosine FROM exact
             UNION ALL
             SELECT 'pq', e.vec_id,
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -2590,6 +2590,44 @@ class Collection:
         self._sweep_index_dirs(name, definition)
         self._gc_deltas()
 
+    @staticmethod
+    def _weighted_postings_rows(
+        frame: DataFrame, fields: Sequence[str], store_positions: bool
+    ) -> DataFrame:
+        """Field-tagged postings rows ``(id, field, term, term_fold,
+        tf, n_tokens[, positions])`` from a tokenized ``(id, __t0,
+        __t1, …)`` frame — shared by the weighted build and the
+        weighted refresh delta so the layouts can never drift (round
+        12: positions stored, so single-path ``$search phrase`` /
+        sequential autocomplete answer from the weighted index too)."""
+        from anser_spark.operators.ranking import _FOLD_DST, _FOLD_SRC
+
+        post = None
+        for i, f in enumerate(fields):
+            aggs: list = [
+                F.count(F.lit(1)).alias("tf"),
+                F.max("n_tokens").alias("n_tokens"),
+            ]
+            if store_positions:
+                aggs.append(
+                    F.sort_array(F.collect_list("pos")).alias("positions")
+                )
+            rows = (
+                frame.select(
+                    "id",
+                    F.size(f"__t{i}").alias("n_tokens"),
+                    F.posexplode(f"__t{i}").alias("pos", "term"),
+                )
+                .groupBy("id", "term")
+                .agg(*aggs)
+                .withColumn("field", F.lit(f))
+                .withColumn(
+                    "term_fold", F.translate("term", _FOLD_SRC, _FOLD_DST)
+                )
+            )
+            post = rows if post is None else post.unionByName(rows)
+        return post
+
     def _create_weighted_bm25_index(
         self, name: str, definition: dict[str, Any]
     ) -> None:
@@ -2610,10 +2648,13 @@ class Collection:
         - the id sidecar, as for single-field indexes.
 
         Refresh: incremental via :meth:`_refresh_weighted_bm25` (the
-        same netting/tombstone machinery, per-field). Positions are
-        not stored — weighted ``$text`` phrases are substring
-        predicates over the bounded candidates, and ``$search
-        phrase`` targets a single path."""
+        same netting/tombstone machinery, per-field). Round 12: the
+        postings store POSITIONS (skip with ``positions: False``) and
+        stemmed indexes also build a field-tagged RAW-TOKEN SIDECAR,
+        so single-path ``$search`` ``phrase`` / ``autocomplete`` on
+        one weighted field answer from the index through its
+        field-filtered view (``_weighted_field_view``) exactly like a
+        dedicated single-field index."""
         from pyspark.storagelevel import StorageLevel
 
         from anser_spark.operators.ranking import (
@@ -2698,29 +2739,13 @@ class Collection:
         })
         definition.pop("path", None)  # weighted indexes have no single path
         if has_id and int(stats["n"]) == int(stats["n_ids"]):
+            store_positions = bool(definition.get("positions", True))
             postings_dir = os.path.join(idx_dir, f"{name}_postings")
-            post = None
-            for i, f in enumerate(fields):
-                rows = (
-                    tok_frame.select(
-                        "id",
-                        F.size(f"__t{i}").alias("n_tokens"),
-                        F.explode(f"__t{i}").alias("term"),
-                    )
-                    .groupBy("id", "term")
-                    .agg(
-                        F.count(F.lit(1)).alias("tf"),
-                        F.max("n_tokens").alias("n_tokens"),
-                    )
-                    .withColumn("field", F.lit(f))
-                    .withColumn(
-                        "term_fold",
-                        F.translate("term", _FOLD_SRC, _FOLD_DST),
-                    )
-                )
-                post = rows if post is None else post.unionByName(rows)
             (
-                post.repartitionByRange(F.col("term_fold"), F.col("id"))
+                self._weighted_postings_rows(
+                    tok_frame, fields, store_positions
+                )
+                .repartitionByRange(F.col("term_fold"), F.col("id"))
                 .sortWithinPartitions("term_fold", "id")
                 .write.mode("overwrite")
                 .parquet(postings_dir)
@@ -2737,8 +2762,56 @@ class Collection:
                 "postings_dir": postings_dir,
                 "ids_dir": ids_dir,
                 "id_col": id_col,
-                "postings_positions": False,
+                "postings_positions": store_positions,
             })
+            if language != "none":
+                # field-tagged RAW-TOKEN SIDECAR (round 12): phrase /
+                # autocomplete query terms are raw lowered tokens a
+                # stemmed table doesn't store — same layout and
+                # tombstone generations as the main table, exactly the
+                # single-field sidecar generalized per field
+                raw_frame = docs.select(
+                    F.col(id_col).alias("id"),
+                    *[
+                        _rank_tokens(f, "none").alias(f"__t{i}")
+                        for i, f in enumerate(fields)
+                    ],
+                )
+                raw_postings_dir = os.path.join(
+                    idx_dir, f"{name}_rawpostings"
+                )
+                (
+                    self._weighted_postings_rows(raw_frame, fields, True)
+                    .repartitionByRange(F.col("term_fold"), F.col("id"))
+                    .sortWithinPartitions("term_fold", "id")
+                    .write.mode("overwrite")
+                    .parquet(raw_postings_dir)
+                )
+                raw_terms_dir = os.path.join(idx_dir, f"{name}_rawterms")
+                raw_terms = None
+                for i, f in enumerate(fields):
+                    t = raw_frame.select(
+                        F.lit(f).alias("field"),
+                        F.explode(
+                            F.array_distinct(f"__t{i}")
+                        ).alias("term"),
+                    )
+                    raw_terms = (
+                        t if raw_terms is None
+                        else raw_terms.unionByName(t)
+                    )
+                (
+                    raw_terms.groupBy("field", "term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .repartitionByRange(F.col("term"), F.col("field"))
+                    .sortWithinPartitions("term", "field")
+                    .write.mode("overwrite")
+                    .parquet(raw_terms_dir)
+                )
+                definition.update({
+                    "raw_postings_dir": raw_postings_dir,
+                    "raw_terms_dir": raw_terms_dir,
+                })
         tok_frame.unpersist()
         definition["built_at_version"] = self._pointer()
         self._write_search_index(name, definition)
@@ -3578,6 +3651,18 @@ class Collection:
                 f not in fmeta or "sum_tokens" not in fmeta[f]
                 for f in fields
             )
+            # positions stamp drifted from the option (round 12: new
+            # weighted builds store positions; a pre-positions index
+            # under this code would write schema-mismatched delta
+            # files) — rebuild once onto the new layout
+            or bool(d.get("postings_positions", False))
+            != bool(d.get("positions", True))
+            # a stemmed weighted index without the raw sidecar predates
+            # round 12 — rebuild once so phrase/autocomplete serve
+            or (
+                (d.get("default_language", "none") or "none") != "none"
+                and not d.get("raw_postings_dir")
+            )
         ):
             return _rebuild()
         id_col = str(d.get("id_col", "_id"))
@@ -3668,36 +3753,50 @@ class Collection:
             )
             postings_tombs.append(ptomb)
         if k:
-            post = None
-            for i, f in enumerate(fields):
-                rows = (
-                    delta.select(
-                        "id",
-                        F.size(f"__t{i}").alias("n_tokens"),
-                        F.explode(f"__t{i}").alias("term"),
-                    )
-                    .groupBy("id", "term")
-                    .agg(
-                        F.count(F.lit(1)).alias("tf"),
-                        F.max("n_tokens").alias("n_tokens"),
-                    )
-                    .withColumn("field", F.lit(f))
-                    .withColumn(
-                        "term_fold",
-                        F.translate("term", _FOLD_SRC, _FOLD_DST),
-                    )
-                )
-                post = rows if post is None else post.unionByName(rows)
             post_delta = os.path.join(
                 idx_dir, f"{name}_postings_delta_{cur}"
             )
             (
-                post.repartitionByRange(F.col("term_fold"), F.col("id"))
+                self._weighted_postings_rows(
+                    delta, fields, bool(d.get("postings_positions"))
+                )
+                .repartitionByRange(F.col("term_fold"), F.col("id"))
                 .sortWithinPartitions("term_fold", "id")
                 .write.mode("overwrite")
                 .parquet(post_delta)
             )
             postings_deltas.append(post_delta)
+        # raw-token sidecar maintenance (round 12): delta layers advance
+        # in LOCKSTEP with the main table's (shared tombstone
+        # generations) — a delta is appended iff the main path appended
+        # one; same contract as the single-field sidecar
+        raw_postings_deltas = list(d.get("raw_postings_deltas") or [])
+        raw_delta = None
+        raw_neg = None
+        if d.get("raw_postings_dir"):
+            raw_toks = [
+                _rank_tokens(f, "none").alias(f"__t{i}")
+                for i, f in enumerate(fields)
+            ]
+            if k:
+                raw_delta = new_docs.select(
+                    F.col(id_col).alias("id"), *raw_toks
+                ).localCheckpoint()
+                raw_post_delta = os.path.join(
+                    idx_dir, f"{name}_rawpostings_delta_{cur}"
+                )
+                (
+                    self._weighted_postings_rows(raw_delta, fields, True)
+                    .repartitionByRange(F.col("term_fold"), F.col("id"))
+                    .sortWithinPartitions("term_fold", "id")
+                    .write.mode("overwrite")
+                    .parquet(raw_post_delta)
+                )
+                raw_postings_deltas.append(raw_post_delta)
+            if k_neg:
+                raw_neg = tomb_pre.select(
+                    F.col(id_col).alias("id"), *raw_toks
+                ).localCheckpoint()
         if k_added and d.get("ids_dir"):
             ids_delta = os.path.join(idx_dir, f"{name}_ids_delta_{cur}")
             (
@@ -3725,6 +3824,27 @@ class Collection:
                 .parquet(new_post)
             )
             d["postings_dir"] = new_post
+            if d.get("raw_postings_dir"):
+                # the sidecar folds together with the main table — the
+                # tombstone list is shared, so clearing it must clear
+                # both tables' dead rows at once
+                new_raw = os.path.join(
+                    idx_dir, f"{name}_rawpostings_compact_{cur}"
+                )
+                probe_raw = {
+                    **d,
+                    "raw_postings_deltas": raw_postings_deltas,
+                    "postings_tombs": postings_tombs,
+                }
+                (
+                    _postings_frame(spark, probe_raw, raw=True)
+                    .repartitionByRange(F.col("term_fold"), F.col("id"))
+                    .sortWithinPartitions("term_fold", "id")
+                    .write.mode("overwrite")
+                    .parquet(new_raw)
+                )
+                d["raw_postings_dir"] = new_raw
+                raw_postings_deltas = []
             postings_deltas, postings_tombs = [], []
         if d.get("ids_dir") and len(ids_deltas) >= thr:
             new_ids = os.path.join(idx_dir, f"{name}_ids_compact_{cur}")
@@ -3785,6 +3905,46 @@ class Collection:
             .write.mode("overwrite")
             .parquet(new_terms_dir)
         )
+        if d.get("raw_postings_dir") and d.get("raw_terms_dir"):
+            # the sidecar's (field, term) table rolls the same signed
+            # merge — the phrase/autocomplete cost gate's df source
+            new_raw_terms_dir = os.path.join(
+                idx_dir, f"{name}_rawterms_{cur}"
+            )
+            merged_raw = spark.read.parquet(str(d["raw_terms_dir"]))
+            for i, f in enumerate(fields):
+                if raw_delta is not None:
+                    merged_raw = merged_raw.unionByName(
+                        raw_delta.select(
+                            F.lit(f).alias("field"),
+                            F.explode(
+                                F.array_distinct(f"__t{i}")
+                            ).alias("term"),
+                        )
+                        .groupBy("field", "term")
+                        .agg(F.count(F.lit(1)).alias("df"))
+                    )
+                if raw_neg is not None:
+                    merged_raw = merged_raw.unionByName(
+                        raw_neg.select(
+                            F.lit(f).alias("field"),
+                            F.explode(
+                                F.array_distinct(f"__t{i}")
+                            ).alias("term"),
+                        )
+                        .groupBy("field", "term")
+                        .agg((-F.count(F.lit(1))).alias("df"))
+                    )
+            (
+                merged_raw.groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .where(F.col("df") > 0)
+                .repartitionByRange(F.col("term"), F.col("field"))
+                .sortWithinPartitions("term", "field")
+                .write.mode("overwrite")
+                .parquet(new_raw_terms_dir)
+            )
+            d["raw_terms_dir"] = new_raw_terms_dir
         # exact per-field stat roll-forward + atomic swap
         k_removed = k_neg - (k - k_added)
         d["n_docs"] = int(d["n_docs"]) + k_added - k_removed
@@ -3807,6 +3967,8 @@ class Collection:
         d["postings_deltas"] = postings_deltas
         d["postings_tombs"] = postings_tombs
         d["ids_deltas"] = ids_deltas
+        if d.get("raw_postings_dir"):
+            d["raw_postings_deltas"] = raw_postings_deltas
         d["built_at_version"] = cur
         self._write_search_index(name, d)
         self._sweep_index_dirs(name, d)

@@ -1221,6 +1221,7 @@ def search_text_postings(
     k1: float = 1.2,
     b: float = 0.75,
     raw: bool = False,
+    field: str | None = None,
 ) -> DataFrame | None:
     """The ``$search`` ``text`` operator answered from a persisted
     inverted postings table (round 9) — same physical shape as
@@ -1238,7 +1239,13 @@ def search_text_postings(
     frame lacks the id column). ``raw=True`` (round 11) answers from a
     stemmed index's RAW-TOKEN SIDECAR — the moreLikeThis route, whose
     extracted terms are raw lowered tokens; idf still resolves from
-    the analyzed term table, the scan path's stats_loader contract."""
+    the analyzed term table, the scan path's stats_loader contract.
+
+    ``field`` (round 12): serve from a WEIGHTED multi-field index's
+    field-tagged tables by filtering every lookup to ``WHERE field =
+    <field>`` — the postings then behave exactly like a single-field
+    index for that field (the caller supplies the field's own avgdl in
+    the adapted ``index`` mapping)."""
     postings_dir = index.get("postings_dir")
     if not postings_dir or not terms or not _postings_enabled(df.sparkSession):
         return None
@@ -1258,8 +1265,11 @@ def search_text_postings(
 
     spark = df.sparkSession
     distinct = list(dict.fromkeys(terms))
+    term_rows = spark.read.parquet(str(index["terms_dir"]))
+    if field is not None:
+        term_rows = term_rows.where(F.col("field") == F.lit(field))
     rows = (
-        spark.read.parquet(str(index["terms_dir"]))
+        term_rows
         .where(F.col("term").isin([t.lower() for t in distinct]))
         .collect()
     )
@@ -1279,6 +1289,8 @@ def search_text_postings(
         return None  # stopword-hot terms: the single scan is cheaper
 
     postings = _postings_frame(spark, index, raw=raw)
+    if field is not None:
+        postings = postings.where(F.col("field") == F.lit(field))
     tf_aggs = [
         F.sum(
             F.when(F.col("term") == F.lit(t), F.col("tf")).otherwise(F.lit(0))
@@ -1440,6 +1452,7 @@ def search_phrase_postings(
     k1: float = 1.2,
     b: float = 0.75,
     ordered: bool = False,
+    field: str | None = None,
 ) -> DataFrame | None:
     """The ``$search`` ``phrase`` operator answered from a postings
     table that stores term POSITIONS (round 10): candidates = docs
@@ -1452,7 +1465,9 @@ def search_phrase_postings(
     can't serve it: no positions stored, a non-'none' analyzer (phrase
     terms are raw whitespace-lowered tokens — a stemmed index indexes
     different strings), path mismatch, postings disabled, or the cost
-    gate prefers the scan."""
+    gate prefers the scan. ``field`` (round 12) filters a weighted
+    multi-field index's field-tagged tables to one path — the
+    single-field contract over that field."""
     postings_dir = index.get("postings_dir")
     if (
         not postings_dir
@@ -1482,17 +1497,19 @@ def search_phrase_postings(
     # path's stats_loader does exactly that, and under a stemmed index
     # a raw phrase token absent from the stemmed stems reads df=0
     # (maximal idf), the documented scan-with-index behavior
-    rows = (
-        spark.read.parquet(str(index["terms_dir"]))
-        .where(F.col("term").isin(list(distinct)))
-        .collect()
-    )
+    term_tbl = spark.read.parquet(str(index["terms_dir"]))
+    if field is not None:
+        term_tbl = term_tbl.where(F.col("field") == F.lit(field))
+    rows = term_tbl.where(F.col("term").isin(list(distinct))).collect()
     df_map = {r["term"]: r["df"] for r in rows}
     if raw:
         # the COST gate, by contrast, must see the raw-token document
         # frequencies — the candidates come from the raw sidecar
+        raw_tbl = spark.read.parquet(str(index["raw_terms_dir"]))
+        if field is not None:
+            raw_tbl = raw_tbl.where(F.col("field") == F.lit(field))
         cost = (
-            spark.read.parquet(str(index["raw_terms_dir"]))
+            raw_tbl
             .where(F.col("term").isin(list(distinct)))
             .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
             .collect()[0]["s"]
@@ -1516,8 +1533,13 @@ def search_phrase_postings(
                 )
             ).alias(f"__tf{i}")
         )
+    phrase_postings = _postings_frame(spark, index, raw=raw)
+    if field is not None:
+        phrase_postings = phrase_postings.where(
+            F.col("field") == F.lit(field)
+        )
     cand = (
-        _postings_frame(spark, index, raw=raw)
+        phrase_postings
         .where(F.col("term").isin(list(distinct)))
         .groupBy(F.col("id").alias("__postkey"))
         .agg(*aggs)
@@ -1562,6 +1584,7 @@ def search_autocomplete_postings(
     path: str,
     index: Mapping[str, Any],
     score_field: str = "score",
+    field: str | None = None,
 ) -> DataFrame | None:
     """The ``$search`` ``autocomplete`` operator answered from the
     postings table (round 10): every query term must PREFIX some token
@@ -1606,10 +1629,13 @@ def search_autocomplete_postings(
     any_cond = conds[0]
     for c in conds[1:]:
         any_cond = any_cond | c
+    cost_tbl = spark.read.parquet(str(
+        index["raw_terms_dir"] if raw else index["terms_dir"]
+    ))
+    if field is not None:  # round 12: weighted-index field view
+        cost_tbl = cost_tbl.where(F.col("field") == F.lit(field))
     sum_df = (
-        spark.read.parquet(str(
-            index["raw_terms_dir"] if raw else index["terms_dir"]
-        ))
+        cost_tbl
         .where(any_cond)
         .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
         .collect()[0]["s"]
@@ -1633,8 +1659,11 @@ def search_autocomplete_postings(
                     f"__hit{i}"
                 )
             )
+    ac_postings = _postings_frame(spark, index, raw=raw)
+    if field is not None:
+        ac_postings = ac_postings.where(F.col("field") == F.lit(field))
     cand = (
-        _postings_frame(spark, index, raw=raw)
+        ac_postings
         .where(any_cond)
         .groupBy(F.col("id").alias("__postkey"))
         .agg(*aggs)
@@ -1657,19 +1686,24 @@ def search_autocomplete_postings(
 
 
 def count_text_postings(
-    spark, terms: list[str], index: Mapping[str, Any]
+    spark, terms: list[str], index: Mapping[str, Any],
+    field: str | None = None,
 ) -> int | None:
     """``$searchMeta``'s count of documents matching a ``text``
     operator, answered ENTIRELY from the postings table — no corpus
     access at all (round 9): distinct ids among the postings of the
     O(query) analyzed terms.  None when the index carries no
-    postings."""
+    postings. ``field`` (round 12) filters a weighted multi-field
+    index's field-tagged postings to one path."""
     postings_dir = index.get("postings_dir")
     if not postings_dir or not terms or not _postings_enabled(spark):
         return None
     distinct = list(dict.fromkeys(terms))
+    postings = _postings_frame(spark, index)
+    if field is not None:
+        postings = postings.where(F.col("field") == F.lit(field))
     return (
-        _postings_frame(spark, index)
+        postings
         .where(F.col("term").isin(distinct))
         .select("id")
         .distinct()

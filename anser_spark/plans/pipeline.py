@@ -1955,6 +1955,34 @@ def _default_text_col(df: DataFrame) -> str:
     )
 
 
+def _weighted_field_view(index: Any, path: Any) -> Mapping[str, Any] | None:
+    """A WEIGHTED multi-field bm25 index adapted to serve a SINGLE-path
+    ``$search`` operator on ``path`` (round 12): the view carries the
+    field's own avgdl and callers read every field-tagged table through
+    a ``WHERE field = path`` filter (the ``field=`` option of the
+    postings operators), so lookups behave exactly like a single-field
+    index for that field instead of collapsing fields — previously
+    these operators fell back to a full corpus scan. None when the
+    index isn't weighted, lacks stats, or doesn't index ``path``."""
+    if not (
+        isinstance(index, Mapping)
+        and index.get("kind") == "bm25"
+        and index.get("weights")
+        and "n_docs" in index
+        and isinstance(path, str)
+        and path in (index.get("weights") or {})
+    ):
+        return None
+    fstat = (index.get("fields") or {}).get(path) or {}
+    if "avgdl" not in fstat:
+        return None
+    view = dict(index)
+    view.pop("weights", None)
+    view["path"] = path
+    view["avgdl"] = float(fstat["avgdl"])
+    return view
+
+
 def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """``$search`` (Atlas operator subset): text, phrase, compound
     (must/mustNot/should/filter + minimumShouldMatch), equals, range,
@@ -2120,6 +2148,106 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             )
             return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
 
+    elif (
+        isinstance(index, Mapping)
+        and index.get("kind") == "bm25"
+        and index.get("weights")
+    ):
+        # round 12: a WEIGHTED index serves SINGLE-path operators via
+        # field-filtered lookups (WHERE field = path) — the field view
+        # behaves exactly like a single-field index for that field:
+        # text from the field-filtered postings, phrase from the
+        # stored positions (stemmed indexes through the field-tagged
+        # raw-token sidecar), autocomplete from prefix pushdown, and
+        # the scan fallbacks score from the field-filtered stats.
+        spath = spec.get("path") if isinstance(spec, Mapping) else None
+        view = _weighted_field_view(index, spath)
+        if view is not None:
+            if op == "text" and index.get("postings_dir") and (
+                "query" in spec
+            ) and _search_analyzer(spec) == (
+                index.get("default_language", "none") or "none"
+            ):
+                from anser_spark.operators.ranking import (
+                    search_text_postings,
+                )
+
+                terms = _search_text_terms(spec)
+                if terms:
+                    out = search_text_postings(
+                        df, terms, str(spath), view, score_field,
+                        field=str(spath),
+                    )
+                    if out is not None:
+                        out = out.withColumn(
+                            score_field,
+                            _search_score_option(
+                                spec, F.col(score_field)
+                            ).cast("double"),
+                        )
+            elif op == "phrase" and view.get("postings_positions") and (
+                "query" in spec
+            ):
+                from anser_spark.operators.ranking import (
+                    search_phrase_postings,
+                )
+
+                terms = [
+                    w for w in str(spec["query"]).lower().split() if w
+                ]
+                if terms:
+                    out = search_phrase_postings(
+                        df, terms, int(spec.get("slop", 0) or 0),
+                        str(spath), view, score_field,
+                        ordered=bool(spec.get("ordered")),
+                        field=str(spath),
+                    )
+                    if out is not None:
+                        out = out.withColumn(
+                            score_field,
+                            _search_score_option(
+                                spec, F.col(score_field)
+                            ).cast("double"),
+                        )
+            elif op == "autocomplete" and index.get("postings_dir") and (
+                "query" in spec
+            ):
+                from anser_spark.operators.ranking import (
+                    search_autocomplete_postings,
+                )
+
+                terms = [
+                    w for w in str(spec["query"]).lower().split() if w
+                ]
+                order = spec.get("tokenOrder", "any")
+                if terms and order in ("any", "sequential"):
+                    out = search_autocomplete_postings(
+                        df, terms, order, str(spath), view, score_field,
+                        field=str(spath),
+                    )
+                    if out is not None:
+                        out = out.withColumn(
+                            score_field,
+                            _search_score_option(
+                                spec, F.col(score_field)
+                            ).cast("double"),
+                        )
+            w_n_docs = int(view["n_docs"])
+            w_avgdl = float(view["avgdl"])
+            w_terms_dir = str(view["terms_dir"])
+            w_field = str(spath)
+
+            def stats_loader(terms: list[str]):  # noqa: F811
+                rows = (
+                    df.sparkSession.read.parquet(w_terms_dir)
+                    .where(
+                        (F.col("field") == F.lit(w_field))
+                        & F.col("term").isin([t.lower() for t in terms])
+                    )
+                    .collect()
+                )
+                return w_n_docs, w_avgdl, {r["term"]: r["df"] for r in rows}
+
     if out is None:
         pred, score = _compile_search_op(df, op, spec, stats_loader)
         out = df.where(F.coalesce(pred, F.lit(False))).withColumn(
@@ -2235,6 +2363,21 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         # and autocomplete operators (positions / prefix pushdown).
         # None → caller uses the scan predicate
         index = arg.get("index")
+        w_field = None
+        if (
+            mop in ("text", "phrase", "autocomplete")
+            and isinstance(mspec, Mapping)
+            and "query" in mspec and "path" in mspec
+            and isinstance(index, Mapping)
+            and index.get("weights")
+            and index.get("postings_dir")
+        ):
+            # round 12: a weighted index's field view serves single-path
+            # operators (field-filtered postings; _weighted_field_view)
+            view = _weighted_field_view(index, str(mspec["path"]))
+            if view is not None:
+                index = view
+                w_field = str(mspec["path"])
         if not (
             mop in ("text", "phrase", "autocomplete")
             and isinstance(mspec, Mapping)
@@ -2254,6 +2397,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             out = search_phrase_postings(
                 df, terms, int(mspec.get("slop", 0) or 0), path, index,
                 "__smScore", ordered=bool(mspec.get("ordered")),
+                field=w_field,
             )
             return out.drop("__smScore") if out is not None else None
         if mop == "autocomplete":
@@ -2266,7 +2410,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             if not terms or order not in ("any", "sequential"):
                 return None
             out = search_autocomplete_postings(
-                df, terms, order, path, index, "__smScore"
+                df, terms, order, path, index, "__smScore", field=w_field
             )
             return out.drop("__smScore") if out is not None else None
         if _search_analyzer(mspec) != (
@@ -2278,7 +2422,9 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         terms = _search_text_terms(mspec)
         if not terms:
             return df.where(F.lit(False))  # all stopwords: no match
-        out = search_text_postings(df, terms, path, index, "__smScore")
+        out = search_text_postings(
+            df, terms, path, index, "__smScore", field=w_field
+        )
         return out.drop("__smScore") if out is not None else None
 
     facets: Mapping[str, Any] = {}
@@ -2308,6 +2454,21 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             )
         mop, mspec = ops[0]
         index = arg.get("index")
+        w_count_field = None
+        if (
+            mop == "text"
+            and isinstance(mspec, Mapping)
+            and "query" in mspec and "path" in mspec
+            and isinstance(index, Mapping)
+            and index.get("weights")
+            and index.get("postings_dir")
+        ):
+            # round 12: a weighted index's field view counts the text
+            # operator from its field-filtered postings
+            view = _weighted_field_view(index, str(mspec["path"]))
+            if view is not None:
+                index = view
+                w_count_field = str(mspec["path"])
         if (
             mop == "text"
             and isinstance(mspec, Mapping)
@@ -2334,7 +2495,7 @@ def _search_meta_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
 
             terms = _search_text_terms(mspec)
             total = 0 if not terms else count_text_postings(
-                df.sparkSession, terms, index
+                df.sparkSession, terms, index, field=w_count_field
             )
             if total is not None:
                 return df.sparkSession.createDataFrame(

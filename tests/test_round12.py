@@ -425,6 +425,185 @@ def test_removed_id_reuse_weighted_index(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Weighted-index service for SINGLE-path $search operators (round 12):
+# field-filtered postings lookups (WHERE field = path)
+# ---------------------------------------------------------------------------
+
+WDOCS12 = [
+    {"_id": 0, "title": "spark cluster guide",
+     "body": "running jobs on the cluster quickly"},
+    {"_id": 1, "title": "mongo migration",
+     "body": "spark is mentioned here once"},
+    {"_id": 2, "title": "cooking pasta", "body": "boil water and add salt"},
+    {"_id": 3, "title": None, "body": "spark spark spark everywhere"},
+    {"_id": 4, "title": "quick spark tips", "body": None},
+    {"_id": 5, "title": "spark spark again", "body": "cluster notes"},
+]
+
+WSPEC12 = {"kind": "bm25", "weights": {"title": 3, "body": 1},
+           "default_language": "english"}
+
+
+def _wsearch(c, path, query, index="wx"):
+    return {
+        r["_id"]: round(r["score"], 10)
+        for r in c.pipe([
+            {"$search": {"index": index, "text": {
+                "query": query, "path": path,
+                "analyzer": "lucene.english"}}},
+            {"$project": {"_id": 1, "score": 1}},
+        ]).all()
+    }
+
+
+def test_weighted_single_path_text_served_and_exact(spark, tmp_path):
+    c = _mk(spark, tmp_path, "wsp")
+    c.insert_many(WDOCS12)
+    c.create_search_index("wx", dict(WSPEC12))
+    for path in ("title", "body"):
+        served = _wsearch(c, path, "spark cluster")
+        # hatch differential: scan path (same field-filtered stats)
+        spark.conf.set("spark.anser.text.usePostings", "false")
+        try:
+            scan = _wsearch(c, path, "spark cluster")
+        finally:
+            spark.conf.unset("spark.anser.text.usePostings")
+        assert served == scan, (path, served, scan)
+        assert served, path
+    # title hits only docs whose TITLE mentions the terms
+    t = _wsearch(c, "title", "spark")
+    assert sorted(t) == [0, 4, 5]
+    b = _wsearch(c, "body", "spark")
+    assert sorted(b) == [1, 3]
+
+
+def test_weighted_single_path_matches_single_field_index(spark, tmp_path):
+    # the field view must behave EXACTLY like a dedicated single-field
+    # index on that field: same candidates, same BM25 values
+    c = _mk(spark, tmp_path, "wsp2")
+    c.insert_many(WDOCS12)
+    c.create_search_index("wx", dict(WSPEC12))
+    c.create_search_index("tx", {
+        "kind": "bm25", "path": "title", "default_language": "english"})
+    via_weighted = _wsearch(c, "title", "spark quick")
+    via_single = _wsearch(c, "title", "spark quick", index="tx")
+    assert via_weighted == via_single
+
+
+def test_weighted_single_path_plan_no_python(spark, tmp_path):
+    c = _mk(spark, tmp_path, "wsp3")
+    c.insert_many(WDOCS12)
+    c.create_search_index("wx", dict(WSPEC12))
+    df = c.pipe([
+        {"$search": {"index": "wx", "text": {
+            "query": "cluster", "path": "title",
+            "analyzer": "lucene.english"}}},
+    ]).to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_weighted_single_path_search_meta_count_and_facet(spark, tmp_path):
+    c = _mk(spark, tmp_path, "wsp4")
+    c.insert_many([
+        {**d, "lang": ("en" if d["_id"] % 2 == 0 else "de")}
+        for d in WDOCS12
+    ])
+    c.create_search_index("wx", dict(WSPEC12))
+    out = c.pipe([{"$searchMeta": {
+        "text": {"query": "spark", "path": "title",
+                 "analyzer": "lucene.english"},
+        "index": "wx"}}]).all()[0]
+    assert out["count"]["total"] == 3
+    fac = c.pipe([{"$searchMeta": {"facet": {
+        "operator": {"text": {"query": "spark", "path": "title",
+                              "analyzer": "lucene.english"}},
+        "facets": {"by_lang": {"type": "string", "path": "lang"}},
+    }, "index": "wx"}}]).all()[0]
+    assert fac["count"]["total"] == 3
+    buckets = dict((r["_id"], r["count"]) for r in fac["facet_by_lang"])
+    assert buckets == {"en": 2, "de": 1}
+
+
+def _wop(c, op, spec, index="wx"):
+    return {
+        r["_id"]: round(r["score"], 10)
+        for r in c.pipe([
+            {"$search": {"index": index, op: spec}},
+            {"$project": {"_id": 1, "score": 1}},
+        ]).all()
+    }
+
+
+def test_weighted_single_path_phrase_and_autocomplete(spark, tmp_path):
+    # round 12: the weighted build stores positions and a field-tagged
+    # raw-token sidecar, so phrase / autocomplete on ONE weighted field
+    # serve from the index — hatch differential + single-field parity
+    c = _mk(spark, tmp_path, "wpa")
+    c.insert_many(WDOCS12)
+    c.create_search_index("wx", dict(WSPEC12))
+    c.create_search_index("tx", {
+        "kind": "bm25", "path": "title", "default_language": "english"})
+    cases = [
+        ("phrase", {"query": "spark cluster", "path": "title"}),
+        ("phrase", {"query": "spark tips", "path": "title", "slop": 1}),
+        ("autocomplete", {"query": "spar clu", "path": "title"}),
+        ("autocomplete", {"query": "spark", "path": "title",
+                          "tokenOrder": "sequential"}),
+    ]
+    for op, spec in cases:
+        served = _wop(c, op, dict(spec))
+        spark.conf.set("spark.anser.text.usePostings", "false")
+        try:
+            scan = _wop(c, op, dict(spec))
+        finally:
+            spark.conf.unset("spark.anser.text.usePostings")
+        assert served == scan, (op, spec, served, scan)
+        via_single = _wop(c, op, dict(spec), index="tx")
+        assert served == via_single, (op, spec, served, via_single)
+    # sanity: the phrase actually matches something
+    assert _wop(c, "phrase", {"query": "spark cluster", "path": "title"})
+
+
+def test_weighted_phrase_after_mutation_refresh(spark, tmp_path):
+    c = _mk(spark, tmp_path, "wpm")
+    c.insert_many(WDOCS12)
+    c.create_search_index("wx", dict(WSPEC12))
+    c.update_all({"_id": 1}, {"$set": {"title": "spark cluster mongo"}})
+    c.insert_many([
+        {"_id": 10, "title": "fresh spark cluster", "body": "x"}])
+    c.remove_all({"_id": 0})
+    out = c.refresh_search_index("wx")
+    assert out["mode"] == "incremental", out
+    served = _wop(c, "phrase", {"query": "spark cluster", "path": "title"})
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        scan = _wop(c, "phrase", {"query": "spark cluster", "path": "title"})
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert served == scan
+    assert sorted(served) == [1, 10]
+
+
+def test_weighted_single_path_after_mutation_refresh(spark, tmp_path):
+    # the field view reads the layered postings (deltas + tombstones)
+    c = _mk(spark, tmp_path, "wsp5")
+    c.insert_many(WDOCS12)
+    c.create_search_index("wx", dict(WSPEC12))
+    c.update_all({"_id": 2}, {"$set": {"title": "spark cooking"}})
+    c.insert_many([{"_id": 9, "title": "spark nine", "body": "nothing"}])
+    assert c.refresh_search_index("wx")["mode"] == "incremental"
+    served = _wsearch(c, "title", "spark")
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        scan = _wsearch(c, "title", "spark")
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert served == scan
+    assert sorted(served) == [0, 2, 4, 5, 9]
+
+
+# ---------------------------------------------------------------------------
 # Incremental IVF refresh (round 12): fixed centroids + staged cell
 # deltas + shared tombstone generations; drift stat gates the retrain
 # ---------------------------------------------------------------------------
