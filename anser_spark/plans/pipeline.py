@@ -1134,6 +1134,16 @@ def _search_compound_postings(
     if not (isinstance(tclause, Mapping)
             and "query" in tclause and "path" in tclause):
         return None
+    anchor_field = None
+    if index.get("weights"):
+        # round 12: a weighted index anchors the compound through its
+        # single-field view (field-filtered postings) — the structured
+        # rest compiles as Columns on the bounded frame either way
+        view = _weighted_field_view(index, str(tclause["path"]))
+        if view is None:
+            return None
+        index = view
+        anchor_field = str(tclause["path"])
     if a_op == "phrase":
         # round 10: a PHRASE must-clause anchors the candidates via the
         # positions predicate — same bounded shape as the text anchor
@@ -1146,6 +1156,7 @@ def _search_compound_postings(
             df, pterms, int(tclause.get("slop", 0) or 0),
             str(tclause["path"]), index, "__compoundText",
             ordered=bool(tclause.get("ordered")),
+            field=anchor_field,
         )
         if out is None:
             return None
@@ -1158,7 +1169,8 @@ def _search_compound_postings(
         if not terms:
             return None
         out = search_text_postings(
-            df, terms, str(tclause["path"]), index, "__compoundText"
+            df, terms, str(tclause["path"]), index, "__compoundText",
+            field=anchor_field,
         )
         if out is None:
             return None
@@ -2162,7 +2174,13 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         # the scan fallbacks score from the field-filtered stats.
         spath = spec.get("path") if isinstance(spec, Mapping) else None
         view = _weighted_field_view(index, spath)
-        if view is not None:
+        if op == "compound" and index.get("postings_dir") and isinstance(
+            spec, Mapping
+        ):
+            # the anchor clause's own path resolves its field view
+            # inside _search_compound_postings (round 12)
+            out = _search_compound_postings(df, spec, index, score_field)
+        elif view is not None:
             if op == "text" and index.get("postings_dir") and (
                 "query" in spec
             ) and _search_analyzer(spec) == (
@@ -2732,7 +2750,13 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             f"$vectorSearch index {index!r} is unresolved: named indexes "
             "require the pipeline to run through Collection.pipe"
         )
-    if isinstance(index, Mapping) and index.get("kind") == "ivf":
+    # Atlas ENN: ``exact: true`` searches exactly even when an index is
+    # named — the probe pruning below is the ANN path only (round 12)
+    if (
+        isinstance(index, Mapping)
+        and index.get("kind") == "ivf"
+        and not arg.get("exact")
+    ):
         if "." in path:
             raise PipelineCompileError(
                 "$vectorSearch index over a dotted path is not supported"

@@ -565,6 +565,30 @@ def test_weighted_single_path_phrase_and_autocomplete(spark, tmp_path):
     assert _wop(c, "phrase", {"query": "spark cluster", "path": "title"})
 
 
+def test_weighted_compound_anchored_on_field_view(spark, tmp_path):
+    # a compound whose text/phrase must-clause targets ONE weighted
+    # field anchors from the field-filtered postings; structured rest
+    # applies over the bounded candidates — hatch differential green
+    c = _mk(spark, tmp_path, "wcmp")
+    c.insert_many([
+        {**d, "grp": d["_id"] % 2} for d in WDOCS12
+    ])
+    c.create_search_index("wx", dict(WSPEC12))
+    spec = {"compound": {
+        "must": [{"text": {"query": "spark", "path": "title",
+                           "analyzer": "lucene.english"}}],
+        "filter": [{"range": {"path": "grp", "gte": 0, "lte": 0}}],
+    }}
+    served = _wop(c, "compound", dict(spec["compound"]))
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        scan = _wop(c, "compound", dict(spec["compound"]))
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert served == scan and served, (served, scan)
+    assert all(i % 2 == 0 for i in served)
+
+
 def test_weighted_phrase_after_mutation_refresh(spark, tmp_path):
     c = _mk(spark, tmp_path, "wpm")
     c.insert_many(WDOCS12)
@@ -739,6 +763,66 @@ def test_ivf_removed_id_reuse_is_plain_insert(spark, tmp_path):
     # but a LIVE duplicate id still rebuilds
     c.insert_many([{"_id": 4, "embedding": v, "grp": 1}])
     assert c.refresh_search_index("vx")["mode"] == "rebuild"
+
+
+def test_exact_true_overrides_named_index(spark, tmp_path):
+    # Atlas ENN: exact searches exactly even when an index is named —
+    # with a low nprobe the ANN path may miss; exact must not
+    c, rng = _vec_coll(spark, tmp_path, "ivex")
+    c.create_search_index("vx", {"kind": "ivf", "path": "embedding",
+                                 "nlist": 8, "nprobe": 1})
+    qv = [float(x) for x in rng.normal(size=6)]
+    exact_named = [
+        (r["_id"], round(r["score"], 10))
+        for r in c.pipe([{"$vectorSearch": {
+            "path": "embedding", "queryVector": qv, "limit": 10,
+            "index": "vx", "exact": True}}]).all()
+    ]
+    exact_plain = [
+        (r["_id"], round(r["score"], 10))
+        for r in c.pipe([{"$vectorSearch": {
+            "path": "embedding", "queryVector": qv, "limit": 10,
+            "exact": True}}]).all()
+    ]
+    assert exact_named == exact_plain
+
+
+def test_hybrid_manifest_two_id_columns(spark, tmp_path):
+    # two refreshable indexes with DIFFERENT id columns: the hybrid
+    # manifest records per-column extras sidecars and each index nets
+    # its own ids
+    c = _mk(spark, tmp_path, "h2id")
+    c.insert_many([
+        {"_id": i, "alt_id": 100 + i, "text": f"spark doc number {i}",
+         "v": 0}
+        for i in range(6)
+    ])
+    c.insert_many([
+        {"_id": i, "alt_id": 100 + i, "text": f"running cluster item {i}",
+         "v": 0}
+        for i in range(6, 12)
+    ])
+    c.create_search_index("ix", dict(SPEC))
+    c.create_search_index("ax", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+        "id_col": "alt_id"})
+    (
+        c.bulk()
+        .update({"_id": 0}, {"$set": {"text": "bulk changed"}})
+        .upsert(
+            {"_id": 999},
+            {"$set": {"text": "bulk upserted", "alt_id": 1099}},
+        )
+        .run()
+    )
+    assert c.refresh_search_index("ix")["mode"] == "incremental"
+    assert c.refresh_search_index("ax")["mode"] == "incremental"
+    assert sorted(
+        r["_id"] for r in c.find({"$text": {"$search": "bulk"}}).all()
+    ) == [0, 999]
+    inc = _bm25_state(c, spark, "ix")
+    c.create_search_index("ix2", dict(SPEC))
+    assert inc == _bm25_state(c, spark, "ix2")
 
 
 def test_ivf_cells_compaction_bounds_dirs(spark, tmp_path):
