@@ -1320,6 +1320,115 @@ def search_text_postings(
     ).drop("__postkey")
 
 
+def search_text_postings_multi(
+    df: DataFrame,
+    terms: list[str],
+    fields: list[str],
+    index: Mapping[str, Any],
+    score_field: str = "score",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame | None:
+    """Atlas MULTI-path ``text`` (``path: [f1, f2, …]``) answered from
+    a WEIGHTED index's field-tagged postings (round 12): one
+    pushed-down term lookup across the requested fields, one bounded
+    groupBy pivoting (field × term) tf cells, score = Σ per-field BM25
+    in the REQUEST's field order with each field's own stats — the
+    inline multi-path compile's float-sum association exactly
+    ($search text over a path list is an UNWEIGHTED sum; the index's
+    legacy $text weights do not apply here). A candidate with no
+    postings in some field contributes 0 for it, as the scan's
+    ``coalesce(bm25, 0)`` does. None when the postings can't serve
+    the shape (same rules as :func:`search_text_postings`)."""
+    postings_dir = index.get("postings_dir")
+    if not postings_dir or not terms or not fields or not _postings_enabled(
+        df.sparkSession
+    ):
+        return None
+    id_col = index.get("id_col", "_id")
+    if id_col not in df.columns:
+        return None
+    fmeta = index.get("fields") or {}
+    if any(f not in fmeta for f in fields):
+        return None
+    n_docs = int(index["n_docs"])
+    if n_docs == 0:
+        return df.where(F.lit(False)).withColumn(score_field, F.lit(0.0))
+    favg = {
+        f: float((fmeta.get(f) or {}).get("avgdl") or 0.0) for f in fields
+    }
+
+    spark = df.sparkSession
+    distinct = list(dict.fromkeys(terms))
+    rows = (
+        spark.read.parquet(str(index["terms_dir"]))
+        .where(
+            F.col("field").isin([str(f) for f in dict.fromkeys(fields)])
+            & F.col("term").isin([t.lower() for t in distinct])
+        )
+        .collect()
+    )
+    df_map = {(r["field"], r["term"]): r["df"] for r in rows}
+    cost = sum(int(v) for v in df_map.values())
+    cost_lang = str(index.get("default_language", "none") or "none")
+    if not _postings_cost_ok(spark, int(cost), n_docs, cost_lang):
+        return None
+
+    postings = _postings_frame(spark, index).where(
+        F.col("field").isin(list(dict.fromkeys(fields)))
+    )
+    aggs: list = []
+    for fi, fname in enumerate(fields):
+        aggs.append(
+            F.max(
+                F.when(F.col("field") == F.lit(fname), F.col("n_tokens"))
+            ).alias(f"__ntok{fi}")
+        )
+        for ti, t in enumerate(distinct):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("field") == F.lit(fname))
+                        & (F.col("term") == F.lit(t)),
+                        F.col("tf"),
+                    ).otherwise(F.lit(0))
+                ).alias(f"__tf{fi}_{ti}")
+            )
+    cand = (
+        postings.where(F.col("term").isin(distinct))
+        .groupBy(F.col("id").alias("__postkey"))
+        .agg(*aggs)
+    )
+    slot = {t: i for i, t in enumerate(distinct)}
+    score = None
+    for fi, fname in enumerate(fields):  # REQUEST order (float parity)
+        if favg[fname] == 0.0:
+            # the scan's bm25_score_expr contributes 0.0 likewise
+            part_f = F.lit(0.0)
+        else:
+            norm = F.lit(k1) * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * F.coalesce(F.col(f"__ntok{fi}"), F.lit(0)).cast("double")
+                / F.lit(favg[fname])
+            )
+            fscore = None
+            for t in terms:  # ORIGINAL order incl. duplicates
+                dfi = int(df_map.get((fname, t), 0))
+                idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+                tf = F.col(f"__tf{fi}_{slot[t]}").cast("double")
+                p = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+                fscore = p if fscore is None else fscore + p
+            part_f = fscore
+        score = part_f if score is None else score + part_f
+    cand = cand.select("__postkey", score.alias(score_field)).where(
+        F.col(score_field) > 0
+    )
+    return df.join(
+        cand, F.col(id_col) == F.col("__postkey"), "inner"
+    ).drop("__postkey")
+
+
 def term_positions(toks, term: str):
     """0-based positions of ``term`` in a token-array column — the
     scan-path twin of the postings table's stored ``positions`` (round

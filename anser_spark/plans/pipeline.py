@@ -2180,6 +2180,39 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             # the anchor clause's own path resolves its field view
             # inside _search_compound_postings (round 12)
             out = _search_compound_postings(df, spec, index, score_field)
+        elif (
+            op == "text"
+            and isinstance(spec, Mapping)
+            and "query" in spec
+            and isinstance(spec.get("path"), (list, tuple))
+            and index.get("postings_dir")
+            and _search_analyzer(spec) == (
+                index.get("default_language", "none") or "none"
+            )
+        ):
+            # round 12: MULTI-path text over a weighted index — every
+            # requested field must be indexed; score = unweighted Σ of
+            # per-field BM25 from the field-tagged postings
+            fields_req = [str(p) for p in spec["path"]]
+            if fields_req and all(
+                f in (index.get("weights") or {}) for f in fields_req
+            ):
+                from anser_spark.operators.ranking import (
+                    search_text_postings_multi,
+                )
+
+                terms = _search_text_terms(spec)
+                if terms:
+                    out = search_text_postings_multi(
+                        df, terms, fields_req, index, score_field
+                    )
+                    if out is not None:
+                        out = out.withColumn(
+                            score_field,
+                            _search_score_option(
+                                spec, F.col(score_field)
+                            ).cast("double"),
+                        )
         elif view is not None:
             if op == "text" and index.get("postings_dir") and (
                 "query" in spec
