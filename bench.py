@@ -65,12 +65,19 @@ def _prev_round_calibration(sf_dir: str, repeat: int) -> dict | None:
             ["git", "-C", repo, "worktree", "add", "--detach", wt, prev],
             check=True, capture_output=True, timeout=120,
         )
-        scratch = os.path.join(repo, ".scratch")
-        if os.path.isdir(scratch):
-            try:
-                os.symlink(scratch, os.path.join(wt, ".scratch"))
-            except OSError:
-                pass
+        # the control gets its OWN persistent per-commit scratch (not a
+        # symlink to the live .scratch): the prev tree's gate-index
+        # cache keys use ITS fingerprint format and its sweep would
+        # delete the current tree's entries — shared scratch made the
+        # two trees evict each other's fixtures every calibration run,
+        # charging both sides spurious cold index builds. Per-commit
+        # scratch: cold exactly once per corpus roll, warm thereafter.
+        prev_scratch = os.path.join(repo, ".scratch", f"prev_{prev[:12]}")
+        try:
+            os.makedirs(prev_scratch, exist_ok=True)
+            os.symlink(prev_scratch, os.path.join(wt, ".scratch"))
+        except OSError:
+            pass
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_NO_CALIB"] = "1"  # no recursion
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
