@@ -1045,7 +1045,13 @@ def _cached_index_coll(
                 if f.startswith((".", "_")):
                     continue
                 p = os.path.join(root, f)
-                parts.append(f"{os.path.relpath(p, src)}:{os.path.getsize(p)}")
+                fst = os.stat(p)
+                # per-file mtime_ns (round 13, ADVICE): names+sizes
+                # alone let a regenerated corpus with identical file
+                # names and byte sizes reuse a stale cached index
+                parts.append(
+                    f"{os.path.relpath(p, src)}:{fst.st_size}:{fst.st_mtime_ns}"
+                )
         import hashlib
 
         listing = "_" + hashlib.md5("|".join(parts).encode()).hexdigest()[:10]

@@ -25,6 +25,7 @@ import os
 import re
 import shutil
 import tempfile
+import time
 import uuid
 from collections.abc import Mapping, Sequence
 from dataclasses import dataclass, field
@@ -4173,9 +4174,37 @@ class Collection:
             if ".txn." in v:
                 if self.engine._txn is not None:
                     continue  # possibly staged by the open transaction
+                # a txn staged by ANOTHER engine/process on the same
+                # store is invisible to self.engine._txn; only reclaim
+                # txn-named orphans past an age threshold so a sidecar
+                # in the stage→manifest window survives (round-13
+                # ADVICE — previously a cross-process race degraded
+                # the chain to a full rebuild)
+                try:
+                    age = time.time() - os.path.getmtime(
+                        os.path.join(dd, entry)
+                    )
+                except OSError:
+                    continue
+                if age < self._txn_orphan_age_s():
+                    continue
             elif o >= ptr_o:
                 continue  # possibly a commit in flight
             shutil.rmtree(os.path.join(dd, entry), ignore_errors=True)
+
+    def _txn_orphan_age_s(self) -> float:
+        """Minimum age before a txn-staged pre-image/insert sidecar with
+        no manifest is treated as abandoned and reclaimed. Covers the
+        stage→commit window of transactions opened by OTHER processes
+        on the same store (in-process ones are gated on self._txn)."""
+        try:
+            return float(
+                self.engine.spark.conf.get(
+                    "spark.anser.index.txnOrphanAgeSeconds", "3600"
+                )
+            )
+        except Exception:
+            return 3600.0
 
     def _index_compact_threshold(self) -> int:
         """Delta-directory count at which an incremental refresh folds
@@ -4705,7 +4734,18 @@ class Collection:
                     and isinstance(arg.get("index"), str)
                 ):
                     arg = dict(arg)
-                    arg["index"] = dict(self._load_search_index(arg["index"]))
+                    idx = dict(self._load_search_index(arg["index"]))
+                    # freshness stamp (round 13, ADVICE): the compile
+                    # has no pointer access, so record here whether the
+                    # snapshot is behind the live collection — the ivf
+                    # cells path falls back to live inline assignment
+                    # when it is, restoring pre-r12 result freshness
+                    # between refreshes
+                    idx["__stale"] = (
+                        idx.get("built_at_version") is not None
+                        and idx["built_at_version"] != self._pointer()
+                    )
+                    arg["index"] = idx
                     stage = {op: arg}
                 elif op in ("$rankFusion", "$scoreFusion") and isinstance(arg, Mapping):
                     arg = dict(arg)

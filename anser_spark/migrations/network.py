@@ -8,7 +8,7 @@ migration DAGs are tiny; Spark is never involved.
 
 from __future__ import annotations
 
-from graphlib import CycleError, TopologicalSorter
+from graphlib import TopologicalSorter
 
 __all__ = ["DependencyNetwork"]
 
@@ -54,15 +54,61 @@ class DependencyNetwork:
         return problems
 
     def _find_cycles(self) -> list[list[str]]:
-        # Tarjan SCC equivalent: graphlib raises CycleError with one
-        # cycle at a time; report SCCs > 1 via iterative strong-component
-        # search (small graphs — clarity over asymptotics).
-        try:
-            ts = TopologicalSorter({k: v & set(self._edges) for k, v in self._edges.items()})
-            ts.prepare()
-            return []
-        except CycleError as exc:
-            return [list(exc.args[1])]
+        """All strongly connected components with a cycle, in one pass —
+        iterative Tarjan, matching the reference's behavior of reporting
+        EVERY cycle per validate (dependency_network.go:114-119) rather
+        than graphlib's one-CycleError-at-a-time. A node is cyclic when
+        its SCC has >1 member, or it depends on itself. Deterministic
+        order: nodes visited sorted, members reported in discovery order."""
+        graph = {k: sorted(v & set(self._edges)) for k, v in self._edges.items()}
+        index: dict[str, int] = {}
+        lowlink: dict[str, int] = {}
+        on_stack: set[str] = set()
+        stack: list[str] = []
+        counter = [0]
+        sccs: list[list[str]] = []
+
+        for root in sorted(graph):
+            if root in index:
+                continue
+            # iterative DFS: (node, iterator over its successors)
+            work = [(root, iter(graph[root]))]
+            index[root] = lowlink[root] = counter[0]
+            counter[0] += 1
+            stack.append(root)
+            on_stack.add(root)
+            while work:
+                node, it = work[-1]
+                advanced = False
+                for succ in it:
+                    if succ not in index:
+                        index[succ] = lowlink[succ] = counter[0]
+                        counter[0] += 1
+                        stack.append(succ)
+                        on_stack.add(succ)
+                        work.append((succ, iter(graph[succ])))
+                        advanced = True
+                        break
+                    if succ in on_stack:
+                        lowlink[node] = min(lowlink[node], index[succ])
+                if advanced:
+                    continue
+                work.pop()
+                if work:
+                    parent = work[-1][0]
+                    lowlink[parent] = min(lowlink[parent], lowlink[node])
+                if lowlink[node] == index[node]:
+                    comp: list[str] = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == node:
+                            break
+                    comp.reverse()
+                    if len(comp) > 1 or comp[0] in graph.get(comp[0], []):
+                        sccs.append(comp)
+        return sccs
 
     # -- ordering ------------------------------------------------------
     def topological_order(self) -> list[str]:

@@ -1275,8 +1275,15 @@ def search_text_postings(
     )
     df_map = {r["term"]: r["df"] for r in rows}
     if raw:
+        raw_term_rows = spark.read.parquet(str(index["raw_terms_dir"]))
+        if field is not None:
+            # mirror the phrase/autocomplete paths: a weighted index's
+            # raw terms table is field-tagged, and the cost gate must
+            # sum df for the queried field only (round-13 ADVICE —
+            # latent until moreLikeThis routes through the field view)
+            raw_term_rows = raw_term_rows.where(F.col("field") == F.lit(field))
         cost = (
-            spark.read.parquet(str(index["raw_terms_dir"]))
+            raw_term_rows
             .where(F.col("term").isin(list(distinct)))
             .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
             .collect()[0]["s"]

@@ -2825,7 +2825,7 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 df.sparkSession.conf.get("spark.anser.vector.useCells", "true")
             ).lower() != "false"
         )
-        if index.get("cells_dir") and use_cells:
+        if index.get("cells_dir") and use_cells and not index.get("__stale"):
             # prebuilt CELL-ASSIGNMENT table (round 12): candidates come
             # from the probed cells of the layered index table — a
             # pushed-down ``__cell IN (...)`` over a cell-range-sorted
@@ -2836,7 +2836,12 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             # (pre-filtered) frame by id for the full documents — rows
             # deleted since the snapshot fall out of the inner join, and
             # the filter applies to final rows exactly as the inline
-            # path's filter-then-assign does.
+            # path's filter-then-assign does. Freshness contract
+            # (round 13, ADVICE): a snapshot behind the collection
+            # pointer (``__stale`` stamped at resolve time) skips this
+            # path entirely — candidates then assign inline over the
+            # LIVE corpus with the stored centroids, so un-refreshed
+            # mutations stay visible between refreshes at inline cost.
             from anser_spark.operators.ranking import read_layered_table
 
             idc = str(index.get("id_col", "_id"))

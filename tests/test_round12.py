@@ -201,6 +201,12 @@ def test_gc_reclaims_orphan_pre_and_ins_dirs(spark, tmp_path):
     os.makedirs(os.path.join(dd, "v1_pre"), exist_ok=True)
     os.makedirs(os.path.join(dd, "v1_ins"), exist_ok=True)
     os.makedirs(os.path.join(dd, "v1.txn.deadbeef_pre"), exist_ok=True)
+    # a YOUNG txn-staged orphan may belong to another process's open
+    # transaction (round-13 ADVICE) — protected until the age threshold
+    os.makedirs(os.path.join(dd, "v1.txn.cafebabe_pre"), exist_ok=True)
+    old = os.path.join(dd, "v1.txn.deadbeef_pre")
+    past = os.path.getmtime(old) - 7200
+    os.utime(old, (past, past))
     # an in-flight-looking version (ordinal ≥ pointer) must be kept
     cur_o = c._version_ordinal(c._pointer())
     inflight = f"v{cur_o + 1}_pre"
@@ -210,7 +216,8 @@ def test_gc_reclaims_orphan_pre_and_ins_dirs(spark, tmp_path):
         e for e in os.listdir(dd) if e.endswith(("_pre", "_ins")))
     assert inflight in left
     assert "v1_pre" not in left and "v1_ins" not in left
-    assert "v1.txn.deadbeef_pre" not in left
+    assert "v1.txn.deadbeef_pre" not in left  # past the age threshold
+    assert "v1.txn.cafebabe_pre" in left  # young: possibly staged elsewhere
 
 
 def test_aborted_txn_leaves_no_preimage_dirs(spark, tmp_path):
