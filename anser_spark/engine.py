@@ -1361,10 +1361,13 @@ class Collection:
         paths = [p for e in events for p in e["paths"]]
         if not paths:
             return self.df().limit(0)  # pointer moved, zero new rows
-        return (
-            self.engine.spark.read.option("basePath", cur_dir)
-            .parquet(*paths)
-        )
+        reader = self.engine.spark.read
+        union = self._read_version_schema(cur_dir)
+        if union is not None:
+            # mixed-schema dir (round 13): pre-evolution insert files
+            # null-fill the added columns under the recorded union
+            reader = reader.schema(union)
+        return reader.option("basePath", cur_dir).parquet(*paths)
 
     def _chain_events(self, since: str) -> list[dict[str, Any]] | None:
         """The commit chain from ``since`` (exclusive) to the current
@@ -1491,13 +1494,17 @@ class Collection:
             return None
         spark = self.engine.spark
         cur_dir = os.path.join(self._store_dir, str(self._pointer()))
+        cur_union = self._read_version_schema(cur_dir)
 
         def read_paths(paths: list[str]) -> DataFrame:
             if not paths:
                 return self.df().limit(0)
-            return (
-                spark.read.option("basePath", cur_dir).parquet(*paths)
-            )
+            reader = spark.read
+            if cur_union is not None:
+                # mixed-schema dir (round 13): normalize every event's
+                # files to the union so the chain accumulations align
+                reader = reader.schema(cur_union)
+            return reader.option("basePath", cur_dir).parquet(*paths)
 
         if all(e["kind"] == "insert" for e in events):
             paths = [p for e in events for p in e["paths"]]
@@ -1560,7 +1567,13 @@ class Collection:
                         )
                     )
                 p = pre.withColumn("__pseq", F.lit(seq))
-                pres = p if pres is None else pres.unionByName(p)
+                # allowMissingColumns: a pre-image written before a
+                # schema-adding mutation lacks the later columns —
+                # null-filled here, exactly the missing-field semantics
+                pres = (
+                    p if pres is None
+                    else pres.unionByName(p, allowMissingColumns=True)
+                )
                 c = read_paths(e["paths"]).withColumn("__pseq", F.lit(seq))
             copies = c if copies is None else copies.unionByName(c)
             tall = t if tall is None else tall.unionByName(t)
@@ -1632,6 +1645,58 @@ class Collection:
                 if f.endswith(".parquet") and not f.startswith((".", "_")):
                     out.append(os.path.join(root, f))
         return out
+
+    # -- schema-evolving partial COW (round 13) --------------------------
+    # A `$set` introducing a new field, a `$rename`, or an insert batch
+    # carrying a column the collection has never seen — the reference's
+    # flagship migration shapes (example_test.go:50-66, README.rst:34-38)
+    # — used to fall back to a FULL corpus rewrite (and with it, wiping
+    # the manifest chain and forcing a full index rebuild). When the
+    # evolution is purely ADDITIVE (every existing column keeps its name
+    # and exact type; new nullable columns appended), the rewrite now
+    # stays file-level: untouched files hard-link unchanged, and the
+    # version directory records the union schema in a `_SCHEMA.json`
+    # sidecar that `read_parquet_table` applies as an explicit read
+    # schema — Spark null-fills columns a file lacks, which is exactly
+    # Mongo's missing-field semantics. Non-additive changes (dropped
+    # columns, type changes, struct-internal evolution) still full-
+    # rewrite: null-filling cannot reconcile those.
+
+    @staticmethod
+    def _additive_union_schema(
+        old: T.StructType, new: T.StructType
+    ) -> T.StructType | None:
+        """The union schema when ``new`` evolves ``old`` purely
+        additively — every ``old`` column present in ``new`` with the
+        IDENTICAL type — else None. All fields are forced nullable (old
+        files null-fill the added columns; parquet's reader permits the
+        relaxation on existing ones)."""
+        new_by = {f.name: f for f in new.fields}
+        for f in old.fields:
+            g = new_by.get(f.name)
+            if g is None:
+                return None  # dropped column
+            if g.dataType.simpleString() != f.dataType.simpleString():
+                return None  # type change (incl. struct-internal)
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in new.fields]
+        )
+
+    def _read_version_schema(self, vdir: str | None) -> T.StructType | None:
+        from anser_spark.sources.readers import version_schema
+
+        return version_schema(vdir) if vdir else None
+
+    def _write_version_schema(self, vdir: str, schema: T.StructType) -> None:
+        from anser_spark.sources.readers import VERSION_SCHEMA_SIDECAR
+
+        forced = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        )
+        tmp = os.path.join(vdir, f".{VERSION_SCHEMA_SIDECAR}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(forced.jsonValue(), fh)
+        os.replace(tmp, os.path.join(vdir, VERSION_SCHEMA_SIDECAR))
 
     @staticmethod
     def _local_path(uri: str) -> str:
@@ -1786,12 +1851,21 @@ class Collection:
         affected = read_parquet_table(self.engine.spark, path, files=sorted(hit_files))
         replacement = transform(affected)
         shape = lambda s: sorted((f.name, f.dataType.simpleString()) for f in s.fields)  # noqa: E731
+        evolved: T.StructType | None = None
         if shape(replacement.schema) != shape(affected.schema):
-            # schema evolved: a partial rewrite would leave a
-            # mixed-schema dataset — full rewrite keeps every file
-            # carrying the new shape
-            self._rewrite(transform(self.df()))
-            return True, matched
+            # schema evolved. ADDITIVE evolution ($set new field,
+            # $rename's added column — the reference's flagship
+            # migration shapes) keeps the partial rewrite: untouched
+            # files link unchanged and the union-schema sidecar
+            # null-fills their missing columns at read (round 13).
+            # Non-additive (dropped column / type change) still
+            # full-rewrites — a mixed dataset can't reconcile those.
+            evolved = self._additive_union_schema(
+                affected.schema, replacement.schema
+            )
+            if evolved is None:
+                self._rewrite(transform(self.df()))
+                return True, matched
         version, ptr = self._next_version()
         pre_rel: str | None = None
         ins_rel: str | None = None
@@ -1841,6 +1915,16 @@ class Collection:
                 os.link(src_file, dst)
             except OSError:
                 shutil.copy2(src_file, dst)
+        if evolved is not None or self._read_version_schema(path) is not None:
+            # the new version dir mixes schemas (this rewrite evolved
+            # it, or an earlier one did and its files were linked
+            # forward) — record the union before the swap so no reader
+            # ever sees the mixed dir without it. When not evolving,
+            # replacement.schema IS the prior union (affected was read
+            # through the sidecar).
+            self._write_version_schema(
+                vdir, evolved if evolved is not None else replacement.schema
+            )
         try:
             self._swap_pointer(version, ptr)
         except WriteConflictError:
@@ -1966,11 +2050,19 @@ class Collection:
         if not self.partition_columns() and not os.path.isfile(path):
             write_pcols = self._hive_partition_keys(path, existing)
             bad_layout = write_pcols is None
+        evolved: T.StructType | None = None
+        if shape(aligned.schema) != shape(base_schema):
+            # a batch carrying columns the collection has never seen:
+            # additive evolution appends the new files with the wider
+            # schema, links every existing file unchanged, and records
+            # the union sidecar (round 13 — previously ANY new column
+            # in an insert rewrote the whole corpus)
+            evolved = self._additive_union_schema(base_schema, aligned.schema)
         if (
             os.path.isfile(path)
             or not existing  # non-parquet directory source (e.g. ORC)
             or _ns_timestamp_columns(path)
-            or shape(aligned.schema) != shape(base_schema)
+            or (shape(aligned.schema) != shape(base_schema) and evolved is None)
             or bad_layout
         ):
             self._rewrite(
@@ -1994,6 +2086,13 @@ class Collection:
                 os.link(src_file, dst)
             except OSError:
                 shutil.copy2(src_file, dst)
+        if evolved is not None or self._read_version_schema(path) is not None:
+            # mixed-schema dir: this append evolved it, or linked files
+            # from an earlier evolution — carry the union sidecar
+            # forward (aligned.schema == prior union when not evolving)
+            self._write_version_schema(
+                vdir, evolved if evolved is not None else aligned.schema
+            )
         self._swap_pointer(version, ptr, meta_update)
         # after the swap: a CAS loser raised above and never records a
         # manifest; a transaction-staged swap records under its

@@ -16,9 +16,38 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_parquet_table", "read_table"]
+__all__ = ["read_parquet_table", "read_table", "version_schema"]
 
 _NS_CACHE: dict[str, list[str]] = {}
+
+#: Sidecar recording a version directory's authoritative UNION schema.
+#: Written only when a schema-evolving partial rewrite or append leaves
+#: the directory's parquet files carrying MIXED schemas (round 13): an
+#: explicit read schema makes Spark null-fill columns a file lacks, so
+#: an add-a-field mutation can hard-link every untouched file instead
+#: of rewriting the corpus. The leading underscore keeps it invisible
+#: to Spark's file listing and to the engine's _data_files walk.
+VERSION_SCHEMA_SIDECAR = "_SCHEMA.json"
+
+
+def version_schema(path: str):
+    """The union StructType recorded for a mixed-schema version
+    directory, or None for homogeneous datasets (the common case —
+    checked with one stat call, no footer reads)."""
+    if not os.path.isdir(path):
+        return None
+    p = os.path.join(path, VERSION_SCHEMA_SIDECAR)
+    if not os.path.isfile(p):
+        return None
+    import json
+
+    from pyspark.sql import types as T
+
+    try:
+        with open(p) as fh:
+            return T.StructType.fromJson(json.load(fh))
+    except (OSError, ValueError, KeyError):
+        return None
 
 
 def _ns_timestamp_columns(path: str) -> list[str]:
@@ -79,10 +108,17 @@ def read_parquet_table(
     ns_cols = _ns_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.read
+    union = version_schema(path)
+    if union is not None:
+        # mixed-schema version dir (see VERSION_SCHEMA_SIDECAR): the
+        # recorded union schema null-fills per file — no mergeSchema
+        # footer sweep, no silently-dropped columns
+        reader = reader.schema(union)
     if files is not None:
-        df = spark.read.option("basePath", path).parquet(*files)
+        df = reader.option("basePath", path).parquet(*files)
     else:
-        df = spark.read.parquet(path)
+        df = reader.parquet(path)
     if file_col:
         df = df.withColumn(file_col, F.col("_metadata.file_path"))
     for name in ns_cols:
