@@ -1801,6 +1801,275 @@ def search_autocomplete_postings(
     ).drop("__postkey")
 
 
+def search_phrase_postings_multi(
+    df: DataFrame,
+    terms: list[str],
+    slop: int,
+    fields: list[str],
+    index: Mapping[str, Any],
+    score_field: str = "score",
+    k1: float = 1.2,
+    b: float = 0.75,
+    ordered: bool = False,
+) -> DataFrame | None:
+    """Atlas MULTI-path ``phrase`` (``path: [f1, f2, …]``) answered
+    from a WEIGHTED index's field-tagged, positions-bearing postings
+    (round 13): candidates come from one pushed-down term lookup
+    across the requested fields, the sloppy-phrase position predicate
+    runs PER FIELD over each field's own stored position arrays, a
+    document matches when ANY field satisfies the phrase, and the
+    score is the Σ over matched fields of that field's constituent-
+    term BM25 (field avgdl + field-tagged idf) in the REQUEST's field
+    order — the inline multi-path compile's float-sum association
+    exactly. A stemmed ('english') index serves this through its
+    field-tagged raw-token sidecar (phrase terms are raw lowered
+    tokens) with idf resolved from the ANALYZED term table, the same
+    split as :func:`search_phrase_postings`. None when the postings
+    can't serve the shape (no positions, missing sidecar, unindexed
+    field, postings disabled, or the cost gate prefers the scan)."""
+    postings_dir = index.get("postings_dir")
+    if (
+        not postings_dir
+        or not index.get("postings_positions")
+        or not terms
+        or not fields
+        or not _postings_enabled(df.sparkSession)
+    ):
+        return None
+    raw = (index.get("default_language", "none") or "none") != "none"
+    if raw and not (
+        index.get("raw_postings_dir") and index.get("raw_terms_dir")
+    ):
+        return None
+    id_col = index.get("id_col", "_id")
+    if id_col not in df.columns:
+        return None
+    fmeta = index.get("fields") or {}
+    if any(f not in fmeta for f in fields):
+        return None
+    n_docs = int(index["n_docs"])
+    if n_docs == 0:
+        return df.where(F.lit(False)).withColumn(score_field, F.lit(0.0))
+    favg = {
+        f: float((fmeta.get(f) or {}).get("avgdl") or 0.0) for f in fields
+    }
+
+    spark = df.sparkSession
+    distinct = list(dict.fromkeys(terms))
+    uniq_fields = list(dict.fromkeys(fields))
+    # idf ALWAYS resolves from the analyzed term table — the scan
+    # twin's per-field stats lookups do exactly that (under a stemmed
+    # index a raw phrase token absent from the stems reads df=0)
+    rows = (
+        spark.read.parquet(str(index["terms_dir"]))
+        .where(
+            F.col("field").isin([str(f) for f in uniq_fields])
+            & F.col("term").isin(list(distinct))
+        )
+        .collect()
+    )
+    df_map = {(r["field"], r["term"]): r["df"] for r in rows}
+    if raw:
+        # the COST gate must see the raw-token document frequencies —
+        # the candidates come from the raw sidecar
+        cost = (
+            spark.read.parquet(str(index["raw_terms_dir"]))
+            .where(
+                F.col("field").isin([str(f) for f in uniq_fields])
+                & F.col("term").isin(list(distinct))
+            )
+            .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+    else:
+        cost = sum(int(v) for v in df_map.values())
+    if not _postings_cost_ok(spark, int(cost), n_docs, "none"):
+        return None
+
+    postings = _postings_frame(spark, index, raw=raw).where(
+        F.col("field").isin(uniq_fields)
+    )
+    slot = {t: i for i, t in enumerate(distinct)}
+    aggs: list = []
+    for fi, fname in enumerate(fields):
+        aggs.append(
+            F.max(
+                F.when(F.col("field") == F.lit(fname), F.col("n_tokens"))
+            ).alias(f"__ntok{fi}")
+        )
+        for ti, t in enumerate(distinct):
+            here = (F.col("field") == F.lit(fname)) & (
+                F.col("term") == F.lit(t)
+            )
+            aggs.append(
+                F.max(F.when(here, F.col("positions"))).alias(
+                    f"__pos{fi}_{ti}"
+                )
+            )
+            aggs.append(
+                F.sum(
+                    F.when(here, F.col("tf")).otherwise(F.lit(0))
+                ).alias(f"__tf{fi}_{ti}")
+            )
+    cand = (
+        postings.where(F.col("term").isin(distinct))
+        .groupBy(F.col("id").alias("__postkey"))
+        .agg(*aggs)
+    )
+    pred = None
+    score = None
+    for fi, fname in enumerate(fields):  # REQUEST order (float parity)
+        if ordered or not slop:
+            raw_pred = phrase_positions_pred(
+                [F.col(f"__pos{fi}_{slot[t]}") for t in terms], int(slop)
+            )
+        else:
+            raw_pred = phrase_positions_pred_unordered(
+                terms,
+                {t: F.col(f"__pos{fi}_{slot[t]}") for t in distinct},
+                int(slop),
+            )
+        pred_f = F.coalesce(raw_pred, F.lit(False))
+        pred = pred_f if pred is None else (pred | pred_f)
+        if favg[fname] == 0.0:
+            # the scan's bm25_score_expr contributes 0.0 likewise
+            part_f = F.lit(0.0)
+        else:
+            norm = F.lit(k1) * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * F.coalesce(F.col(f"__ntok{fi}"), F.lit(0)).cast("double")
+                / F.lit(favg[fname])
+            )
+            fscore = None
+            for t in terms:  # ORIGINAL order incl. duplicates
+                dfi = int(df_map.get((fname, t), 0))
+                idf = math.log(1.0 + (n_docs - dfi + 0.5) / (dfi + 0.5))
+                tf = F.col(f"__tf{fi}_{slot[t]}").cast("double")
+                p = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
+                fscore = p if fscore is None else fscore + p
+            # an unmatched field contributes 0 — the scan twin's
+            # when(pred_f, bm25).otherwise(0)
+            part_f = F.when(pred_f, fscore).otherwise(F.lit(0.0))
+        score = part_f if score is None else score + part_f
+    cand = cand.where(pred).select(
+        "__postkey", score.alias(score_field)
+    )
+    return df.join(
+        cand, F.col(id_col) == F.col("__postkey"), "inner"
+    ).drop("__postkey")
+
+
+def search_autocomplete_postings_multi(
+    df: DataFrame,
+    terms: list[str],
+    order: str,
+    fields: list[str],
+    index: Mapping[str, Any],
+    score_field: str = "score",
+) -> DataFrame | None:
+    """Atlas MULTI-path ``autocomplete`` (``path: [f1, f2, …]``)
+    answered from a WEIGHTED index's field-tagged postings (round 13):
+    every query term must prefix some token of the SAME field, and a
+    document matches when ANY requested field satisfies that (with
+    ``tokenOrder: "sequential"`` requiring consecutive hit positions
+    within the field) — the per-field AND / cross-field OR the inline
+    multi-path compile evaluates. Scores are the Atlas constant 1.
+    A stemmed index serves this through its field-tagged raw-token
+    sidecar. None when the postings can't serve the shape (same rules
+    as :func:`search_autocomplete_postings`)."""
+    postings_dir = index.get("postings_dir")
+    if (
+        not postings_dir
+        or not terms
+        or not fields
+        or not _postings_enabled(df.sparkSession)
+    ):
+        return None
+    raw = (index.get("default_language", "none") or "none") != "none"
+    if raw and not (
+        index.get("raw_postings_dir") and index.get("raw_terms_dir")
+    ):
+        return None
+    if order == "sequential" and not index.get("postings_positions"):
+        return None
+    id_col = index.get("id_col", "_id")
+    if id_col not in df.columns:
+        return None
+    fmeta = index.get("fields") or {}
+    if any(f not in fmeta for f in fields):
+        return None
+    n_docs = int(index["n_docs"])
+    if n_docs == 0:
+        return df.where(F.lit(False)).withColumn(score_field, F.lit(1.0))
+
+    spark = df.sparkSession
+    uniq_fields = list(dict.fromkeys(fields))
+    conds = [F.col("term").startswith(F.lit(t)) for t in terms]
+    any_cond = conds[0]
+    for c in conds[1:]:
+        any_cond = any_cond | c
+    sum_df = (
+        spark.read.parquet(str(
+            index["raw_terms_dir"] if raw else index["terms_dir"]
+        ))
+        .where(F.col("field").isin([str(f) for f in uniq_fields]))
+        .where(any_cond)
+        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
+        .collect()[0]["s"]
+    )
+    if not _postings_cost_ok(spark, int(sum_df), n_docs, "none"):
+        return None
+
+    aggs: list = []
+    for fi, fname in enumerate(fields):
+        for i, cond in enumerate(conds):
+            here = (F.col("field") == F.lit(fname)) & cond
+            if order == "sequential":
+                aggs.append(
+                    F.sort_array(
+                        F.flatten(
+                            F.collect_list(
+                                F.when(here, F.col("positions"))
+                            )
+                        )
+                    ).alias(f"__pos{fi}_{i}")
+                )
+            else:
+                aggs.append(
+                    F.max(
+                        F.when(here, F.lit(1)).otherwise(F.lit(0))
+                    ).alias(f"__hit{fi}_{i}")
+                )
+    ac_postings = _postings_frame(spark, index, raw=raw).where(
+        F.col("field").isin(uniq_fields)
+    )
+    cand = (
+        ac_postings.where(any_cond)
+        .groupBy(F.col("id").alias("__postkey"))
+        .agg(*aggs)
+    )
+    pred = None
+    for fi in range(len(fields)):
+        if order == "sequential":
+            pred_f = phrase_positions_pred(
+                [F.col(f"__pos{fi}_{i}") for i in range(len(terms))], 0
+            )
+        else:
+            pred_f = None
+            for i in range(len(terms)):
+                one = F.col(f"__hit{fi}_{i}") == F.lit(1)
+                pred_f = one if pred_f is None else pred_f & one
+        pred_f = F.coalesce(pred_f, F.lit(False))
+        pred = pred_f if pred is None else (pred | pred_f)
+    cand = cand.where(pred).select(
+        "__postkey", F.lit(1.0).alias(score_field)
+    )
+    return df.join(
+        cand, F.col(id_col) == F.col("__postkey"), "inner"
+    ).drop("__postkey")
+
+
 def count_text_postings(
     spark, terms: list[str], index: Mapping[str, Any],
     field: str | None = None,

@@ -1340,6 +1340,7 @@ def _compile_search_op(  # noqa: C901
     spec: Mapping[str, Any],
     stats_loader=None,
     need_score: bool = True,
+    field_stats_loader=None,
 ) -> tuple[Column, Column]:
     """One Atlas search operator → (match predicate, score Column).
 
@@ -1359,6 +1360,14 @@ def _compile_search_op(  # noqa: C901
     the match predicate of a relevance clause only needs "contains ≥1
     query term", so a count/facet query never pays the corpus-stats
     aggregate its unused scores would have cost.
+
+    ``field_stats_loader(field, terms) -> (n_docs, avgdl, {term: df})``
+    (round 13) supplies PER-FIELD stats for multi-path relevance
+    scoring when a weighted multi-field index backs the stage — a
+    multi-path ``phrase``'s per-field BM25 then resolves idf from the
+    index's field-tagged term table exactly as the postings plan does
+    (under a stemmed index the raw phrase tokens read df≈0 from the
+    analyzed table on BOTH plans, keeping the differential bit-exact).
     """
     from anser_spark.functions.filters import resolve_field
     from anser_spark.operators.ranking import bm25_score_expr
@@ -1450,45 +1459,91 @@ def _compile_search_op(  # noqa: C901
         # its stored positions, so the two plans stay bit-exact.
         import re as _re
 
-        path = str(spec["path"])
         slop = int(spec.get("slop", 0) or 0)
-        if slop:
-            from anser_spark.operators.ranking import (
-                _tokens,
-                phrase_positions_pred,
-                phrase_positions_pred_unordered,
-                term_positions,
-            )
 
-            toks = _tokens(path, "none")
-            if spec.get("ordered"):
-                # engine extension: the pre-round-11 in-order sloppy
-                # semantics, kept behind an explicit option
-                pred_raw = phrase_positions_pred(
-                    [term_positions(toks, t) for t in terms], slop
+        def _phrase_pred(ppath: str) -> Column:
+            if slop:
+                from anser_spark.operators.ranking import (
+                    _tokens,
+                    phrase_positions_pred,
+                    phrase_positions_pred_unordered,
+                    term_positions,
                 )
-            else:
-                # round 11 default: Lucene move-distance slop — admits
-                # out-of-order terms once slop covers the transposition
-                # cost ("data spark" matches query "spark data" at
-                # slop 2), matching Atlas
-                pred_raw = phrase_positions_pred_unordered(
-                    terms,
-                    {
-                        t: term_positions(toks, t)
-                        for t in dict.fromkeys(terms)
-                    },
-                    slop,
-                )
-            pred = F.coalesce(pred_raw, F.lit(False))
-        else:
+
+                toks = _tokens(ppath, "none")
+                if spec.get("ordered"):
+                    # engine extension: the pre-round-11 in-order sloppy
+                    # semantics, kept behind an explicit option
+                    pred_raw = phrase_positions_pred(
+                        [term_positions(toks, t) for t in terms], slop
+                    )
+                else:
+                    # round 11 default: Lucene move-distance slop —
+                    # admits out-of-order terms once slop covers the
+                    # transposition cost ("data spark" matches query
+                    # "spark data" at slop 2), matching Atlas
+                    pred_raw = phrase_positions_pred_unordered(
+                        terms,
+                        {
+                            t: term_positions(toks, t)
+                            for t in dict.fromkeys(terms)
+                        },
+                        slop,
+                    )
+                return F.coalesce(pred_raw, F.lit(False))
             normalized = F.regexp_replace(
-                F.lower(F.trim(resolve_field(path).cast("string"))), r"\s+", " "
+                F.lower(F.trim(resolve_field(ppath).cast("string"))),
+                r"\s+", " ",
             )
             phrase = " ".join(terms)
-            pred = normalized.rlike(
+            return normalized.rlike(
                 r"(^|\s)" + _re.escape(phrase) + r"(\s|$)"
             )
+
+        raw_path = spec["path"]
+        if isinstance(raw_path, (list, tuple)):
+            # round 13: Atlas multi-path phrase — the phrase must hold
+            # WITHIN one field (per-field predicate, ORed), score =
+            # Σ over matched fields of that field's constituent-term
+            # BM25 in request order (each field's own stats; a weighted
+            # index supplies them field-tagged via field_stats_loader)
+            fields = [str(p) for p in raw_path]
+            if not fields:
+                raise PipelineCompileError(
+                    "$search phrase.path list must name at least one field"
+                )
+            preds = [
+                F.coalesce(_phrase_pred(fname), F.lit(False))
+                for fname in fields
+            ]
+            pred = preds[0]
+            for p in preds[1:]:
+                pred = pred | p
+            if not need_score:
+                return pred, F.lit(1.0)
+            from anser_spark.operators.ranking import bm25_score_expr
+
+            score = None
+            for fname, pred_f in zip(fields, preds):
+                stats = (
+                    field_stats_loader(fname, terms)
+                    if field_stats_loader is not None
+                    else None
+                )
+                part = F.coalesce(
+                    F.when(
+                        pred_f,
+                        bm25_score_expr(
+                            df, terms, text_col=fname, stats=stats,
+                            analyzed=True,
+                        ),
+                    ).otherwise(F.lit(0.0)),
+                    F.lit(0.0),
+                )
+                score = part if score is None else score + part
+            return pred, _search_score_option(spec, score)
+        path = str(raw_path)
+        pred = _phrase_pred(path)
         if not need_score:
             return pred, F.lit(1.0)
         score = _bm25(terms, path)
@@ -1771,23 +1826,45 @@ def _compile_search_op(  # noqa: C901
             raise PipelineCompileError(
                 "$search autocomplete.query must contain at least one term"
             )
-        normalized = F.regexp_replace(
-            F.lower(F.trim(resolve_field(str(spec["path"])).cast("string"))),
-            r"\s+", " ",
-        )
         order = spec.get("tokenOrder", "any")
-        if order == "sequential":
-            pat = r"(^|\s)" + r"\S*\s".join(_re.escape(t) for t in terms)
-            pred = normalized.rlike(pat)
-        elif order == "any":
+        if order not in ("sequential", "any"):
+            raise PipelineCompileError(
+                f"unsupported autocomplete tokenOrder: {order!r}"
+            )
+
+        def _ac_pred(apath: str) -> Column:
+            normalized = F.regexp_replace(
+                F.lower(F.trim(resolve_field(apath).cast("string"))),
+                r"\s+", " ",
+            )
+            if order == "sequential":
+                pat = r"(^|\s)" + r"\S*\s".join(
+                    _re.escape(t) for t in terms
+                )
+                return normalized.rlike(pat)
             pred = None
             for t in terms:
                 one = normalized.rlike(r"(^|\s)" + _re.escape(t))
                 pred = one if pred is None else pred & one
-        else:
-            raise PipelineCompileError(
-                f"unsupported autocomplete tokenOrder: {order!r}"
-            )
+            return pred
+
+        raw_path = spec["path"]
+        if isinstance(raw_path, (list, tuple)):
+            # round 13: multi-path autocomplete — every prefix must hit
+            # within the SAME field (per-field AND), any field may
+            # satisfy it (cross-field OR); constant score 1 as always
+            fields = [str(p) for p in raw_path]
+            if not fields:
+                raise PipelineCompileError(
+                    "$search autocomplete.path list must name at "
+                    "least one field"
+                )
+            pred = None
+            for fname in fields:
+                one = F.coalesce(_ac_pred(fname), F.lit(False))
+                pred = one if pred is None else pred | one
+            return pred, _search_score_option(spec, F.lit(1.0))
+        pred = _ac_pred(str(raw_path))
         return pred, _search_score_option(spec, F.lit(1.0))
     if op == "moreLikeThis":
         # Atlas moreLikeThis: find documents resembling the given
@@ -2034,6 +2111,7 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             "require the pipeline to run through Collection.pipe"
         )
     stats_loader = None
+    field_stats_loader = None
     out = None
     # a WEIGHTED multi-field index can't serve single-path $search
     # operators: its term table is field-tagged (a term-keyed lookup
@@ -2071,7 +2149,8 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                             ).cast("double"),
                         )
         elif op == "phrase" and index.get("postings_positions") and (
-            isinstance(spec, Mapping) and "query" in spec and "path" in spec
+            isinstance(spec, Mapping) and "query" in spec
+            and isinstance(spec.get("path"), str)
         ):
             # round 10: positions-bearing postings answer phrase
             # (incl. slop) over the bounded candidate set — previously
@@ -2093,7 +2172,8 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                         ).cast("double"),
                     )
         elif op == "autocomplete" and index.get("postings_dir") and (
-            isinstance(spec, Mapping) and "query" in spec and "path" in spec
+            isinstance(spec, Mapping) and "query" in spec
+            and isinstance(spec.get("path"), str)
         ):
             # round 10: prefix StartsWith filters push to the postings
             # scan; sequential order = adjacency over the union of each
@@ -2213,6 +2293,73 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                                 spec, F.col(score_field)
                             ).cast("double"),
                         )
+        elif (
+            op == "phrase"
+            and isinstance(spec, Mapping)
+            and "query" in spec
+            and isinstance(spec.get("path"), (list, tuple))
+            and index.get("postings_positions")
+        ):
+            # round 13: MULTI-path phrase over a weighted index — the
+            # per-field position predicate runs over the field-tagged
+            # postings, score = Σ per-field constituent-term BM25 over
+            # matched fields (see search_phrase_postings_multi)
+            fields_req = [str(p) for p in spec["path"]]
+            if fields_req and all(
+                f in (index.get("weights") or {}) for f in fields_req
+            ):
+                from anser_spark.operators.ranking import (
+                    search_phrase_postings_multi,
+                )
+
+                terms = [
+                    w for w in str(spec["query"]).lower().split() if w
+                ]
+                if terms:
+                    out = search_phrase_postings_multi(
+                        df, terms, int(spec.get("slop", 0) or 0),
+                        fields_req, index, score_field,
+                        ordered=bool(spec.get("ordered")),
+                    )
+                    if out is not None:
+                        out = out.withColumn(
+                            score_field,
+                            _search_score_option(
+                                spec, F.col(score_field)
+                            ).cast("double"),
+                        )
+        elif (
+            op == "autocomplete"
+            and isinstance(spec, Mapping)
+            and "query" in spec
+            and isinstance(spec.get("path"), (list, tuple))
+            and index.get("postings_dir")
+        ):
+            # round 13: MULTI-path autocomplete — per-field prefix AND,
+            # cross-field OR, served from the field-tagged postings
+            fields_req = [str(p) for p in spec["path"]]
+            if fields_req and all(
+                f in (index.get("weights") or {}) for f in fields_req
+            ):
+                from anser_spark.operators.ranking import (
+                    search_autocomplete_postings_multi,
+                )
+
+                terms = [
+                    w for w in str(spec["query"]).lower().split() if w
+                ]
+                order = spec.get("tokenOrder", "any")
+                if terms and order in ("any", "sequential"):
+                    out = search_autocomplete_postings_multi(
+                        df, terms, order, fields_req, index, score_field
+                    )
+                    if out is not None:
+                        out = out.withColumn(
+                            score_field,
+                            _search_score_option(
+                                spec, F.col(score_field)
+                            ).cast("double"),
+                        )
         elif view is not None:
             if op == "text" and index.get("postings_dir") and (
                 "query" in spec
@@ -2299,8 +2446,48 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 )
                 return w_n_docs, w_avgdl, {r["term"]: r["df"] for r in rows}
 
+    if (
+        out is None
+        and isinstance(index, Mapping)
+        and index.get("kind") == "bm25"
+        and index.get("weights")
+        and "n_docs" in index
+        and isinstance(spec, Mapping)
+        and isinstance(spec.get("path"), (list, tuple))
+    ):
+        # round 13: the multi-path SCAN fallback under a weighted index
+        # scores each field with the index's field-tagged stats — the
+        # same idf/avgdl numbers the postings plan reads, keeping the
+        # two plans bit-exact (under a stemmed index a raw phrase token
+        # reads its df from the ANALYZED table on both plans)
+        fmeta_all = index.get("fields") or {}
+        flds = [str(p) for p in spec["path"]]
+        if flds and all(
+            "avgdl" in (fmeta_all.get(f) or {}) for f in flds
+        ):
+            fsl_terms_dir = str(index["terms_dir"])
+            fsl_n = int(index["n_docs"])
+            fsl_avg = {f: float(fmeta_all[f]["avgdl"]) for f in flds}
+
+            def field_stats_loader(  # noqa: F811
+                fname: str, terms: list[str],
+                _td=fsl_terms_dir, _n=fsl_n, _avg=fsl_avg,
+            ):
+                rows = (
+                    df.sparkSession.read.parquet(_td)
+                    .where(
+                        (F.col("field") == F.lit(fname))
+                        & F.col("term").isin([t.lower() for t in terms])
+                    )
+                    .collect()
+                )
+                return _n, _avg[fname], {r["term"]: r["df"] for r in rows}
+
     if out is None:
-        pred, score = _compile_search_op(df, op, spec, stats_loader)
+        pred, score = _compile_search_op(
+            df, op, spec, stats_loader,
+            field_stats_loader=field_stats_loader,
+        )
         out = df.where(F.coalesce(pred, F.lit(False))).withColumn(
             score_field, score.cast("double")
         )

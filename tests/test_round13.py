@@ -344,3 +344,178 @@ def test_schema_evolving_mutation_fuzz(spark, tmp_path, seed):
             finally:
                 spark.conf.unset("spark.anser.text.usePostings")
             assert on == off, (seed, step, q)
+
+
+# ---------------------------------------------------------------------
+# VERDICT r12 #3: multi-path phrase / autocomplete — scan semantics +
+# weighted-postings service (round 12 landed multi-path text only)
+# ---------------------------------------------------------------------
+
+MDOCS = [
+    {"_id": 0, "title": "spark cluster guide",
+     "body": "running jobs on the cluster quickly"},
+    {"_id": 1, "title": "mongo migration",
+     "body": "spark cluster is mentioned here once"},
+    {"_id": 2, "title": "cooking pasta", "body": "boil water and add salt"},
+    {"_id": 3, "title": None, "body": "spark cluster spark everywhere"},
+    {"_id": 4, "title": "quick spark tips", "body": None},
+    {"_id": 5, "title": "spark spark again", "body": "cluster notes"},
+    {"_id": 6, "title": "cluster spark reversed",
+     "body": "quick quick tips"},
+]
+
+MWSPEC = {"kind": "bm25", "weights": {"title": 3, "body": 1},
+          "default_language": "english"}
+
+
+def _msearch(c, op, spec, index="wx"):
+    return {
+        r["_id"]: round(r["score"], 9)
+        for r in c.pipe([
+            {"$search": {"index": index, op: spec}},
+            {"$project": {"_id": 1, "score": 1}},
+        ]).all()
+    }
+
+
+def _hatch(c, op, spec, index="wx"):
+    spark = c.engine.spark
+    served = _msearch(c, op, dict(spec), index)
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        scan = _msearch(c, op, dict(spec), index)
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    return served, scan
+
+
+@pytest.fixture()
+def mcoll(spark, tmp_path):
+    c = _mkc(spark, tmp_path, "mp13")
+    c.insert_many([dict(d) for d in MDOCS])
+    c.create_search_index("wx", dict(MWSPEC))
+    return c
+
+
+def test_multi_path_phrase_postings_scan_parity(mcoll):
+    for spec in (
+        {"query": "spark cluster", "path": ["title", "body"]},
+        {"query": "spark cluster", "path": ["body", "title"]},
+        {"query": "spark cluster", "path": ["title", "body"], "slop": 1},
+        {"query": "cluster spark", "path": ["title", "body"], "slop": 2},
+        {"query": "spark tips", "path": ["title", "body"], "slop": 1,
+         "ordered": True},
+        {"query": "spark", "path": ["title", "body"]},
+    ):
+        served, scan = _hatch(mcoll, "phrase", spec)
+        assert served == scan, (spec, served, scan)
+    # semantics: the phrase must hold WITHIN one field
+    hits = _msearch(mcoll, "phrase",
+                    {"query": "spark cluster", "path": ["title", "body"]})
+    assert sorted(hits) == [0, 1, 3]
+    # matching in BOTH fields sums both field scores
+    one_field = _msearch(mcoll, "phrase",
+                         {"query": "spark cluster", "path": ["title"]})
+    assert set(one_field) == {0}
+
+
+def test_multi_path_phrase_equals_per_field_sum(mcoll):
+    """score(path=[f1,f2]) == score(f1) + score(f2) over the union of
+    matches — the dedicated-index equivalence shape from round 12
+    generalized to path lists."""
+    multi = _msearch(mcoll, "phrase",
+                     {"query": "spark cluster", "path": ["title", "body"]})
+    t = _msearch(mcoll, "phrase",
+                 {"query": "spark cluster", "path": "title"})
+    b = _msearch(mcoll, "phrase",
+                 {"query": "spark cluster", "path": "body"})
+    want = {
+        i: round(t.get(i, 0.0) + b.get(i, 0.0), 9)
+        for i in set(t) | set(b)
+    }
+    assert multi == want, (multi, want)
+
+
+def test_multi_path_phrase_single_item_list_matches_scalar(mcoll):
+    lst = _msearch(mcoll, "phrase",
+                   {"query": "spark cluster", "path": ["title"]})
+    scalar = _msearch(mcoll, "phrase",
+                      {"query": "spark cluster", "path": "title"})
+    assert lst == scalar
+
+
+def test_multi_path_autocomplete_postings_scan_parity(mcoll):
+    for spec in (
+        {"query": "spar clu", "path": ["title", "body"]},
+        {"query": "quic", "path": ["title", "body"]},
+        {"query": "spark clu", "path": ["title", "body"],
+         "tokenOrder": "sequential"},
+        {"query": "boil wat", "path": ["title", "body"],
+         "tokenOrder": "sequential"},
+    ):
+        served, scan = _hatch(mcoll, "autocomplete", spec)
+        assert served == scan, (spec, served, scan)
+    # per-field AND, cross-field OR: "spar clu" needs both prefixes in
+    # the SAME field
+    hits = _msearch(mcoll, "autocomplete",
+                    {"query": "spar clu", "path": ["title", "body"]})
+    assert sorted(hits) == [0, 1, 3, 6], hits
+    # doc 4: "quick spark tips" in title only; doc 6 body "quick quick"
+    q = _msearch(mcoll, "autocomplete",
+                 {"query": "quic spar", "path": ["title", "body"]})
+    assert 4 in q and 6 not in q, q
+
+
+def test_multi_path_phrase_none_analyzer_index(spark, tmp_path):
+    # a 'none'-analyzer weighted index serves the same shapes without
+    # the raw sidecar indirection
+    c = _mkc(spark, tmp_path, "mp13n")
+    c.insert_many([dict(d) for d in MDOCS])
+    c.create_search_index("nx", {
+        "kind": "bm25", "weights": {"title": 2, "body": 1},
+        "default_language": "none"})
+    for spec in (
+        {"query": "spark cluster", "path": ["title", "body"]},
+        {"query": "spark cluster", "path": ["body", "title"], "slop": 1},
+    ):
+        served, scan = _hatch(c, "phrase", spec, index="nx")
+        assert served == scan and served, (spec, served, scan)
+    served, scan = _hatch(
+        c, "autocomplete",
+        {"query": "spar clu", "path": ["title", "body"]}, index="nx")
+    assert served == scan and served
+
+
+def test_multi_path_phrase_search_meta_count(mcoll):
+    out = mcoll.pipe([{"$searchMeta": {
+        "phrase": {"query": "spark cluster", "path": ["title", "body"]},
+        "index": "wx"}}]).all()[0]
+    assert out["count"]["total"] == 3
+
+
+def test_multi_path_phrase_unindexed_field_scans_correctly(spark, tmp_path):
+    # a path list naming an unindexed field can't serve from postings —
+    # the scan fallback must still produce the right matches
+    c = _mkc(spark, tmp_path, "mp13u")
+    c.insert_many([{**d, "extra": "spark cluster here"} for d in MDOCS])
+    c.create_search_index("wx", dict(MWSPEC))
+    hits = _msearch(c, "phrase",
+                    {"query": "spark cluster", "path": ["title", "extra"]})
+    assert sorted(hits) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_multi_path_phrase_after_incremental_refresh(mcoll):
+    # mutate + incremental refresh: the new doc serves from the
+    # refreshed field-tagged postings, hatch parity preserved
+    mcoll.insert_many([{"_id": 7, "title": "spark cluster fresh",
+                        "body": "unrelated words"}])
+    out = mcoll.refresh_search_index("wx")
+    assert out["mode"] == "incremental", out
+    served, scan = _hatch(
+        mcoll, "phrase",
+        {"query": "spark cluster", "path": ["title", "body"]})
+    assert served == scan and 7 in served, (served, scan)
+    served, scan = _hatch(
+        mcoll, "autocomplete",
+        {"query": "fres clu", "path": ["title", "body"]})
+    assert served == scan and served == {7: 1.0}, (served, scan)
