@@ -862,7 +862,35 @@ def _q_ann_top_k(spark, sf_dir):
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
-    return brute.unionByName(ivf).unionByName(pq).unionByName(cells)
+    # round 13: the ENGINE's named ivfpq index — PQ codes + stored
+    # norms ride the cells table, so the candidate pass reads codes
+    # only (ADC shortlist) and the exact rerank reads stored vectors
+    # for the bounded shortlist. Full probe + numCandidates ≥ corpus ⇒
+    # the rerank scores every candidate exactly ⇒ provably identical
+    # to brute force, same rounded tie-break as the cells leg.
+    pqcoll = _cached_index_coll(spark, sf_dir, "vpx", "pqx", {
+        "kind": "ivfpq", "path": "embedding", "nlist": 8, "nprobe": 8,
+        "m": 8, "nbits": 6, "id_col": "vec_id",
+    }, table="embeddings")
+    ivfpq = (
+        pqcoll.pipe([{"$vectorSearch": {
+            "path": "embedding", "queryVector": query,
+            "limit": 60, "numCandidates": 1 << 30, "index": "pqx"}}])
+        .to_df()
+        .select(
+            F.lit("ivfpq").alias("kind"),
+            "vec_id",
+            F.round(
+                dot_col(vec, qcol) / (norm_col(vec) * F.lit(qn)), 4
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+    return (
+        brute.unionByName(ivf).unionByName(pq).unionByName(cells)
+        .unionByName(ivfpq)
+    )
 
 
 def _mut_db(spark, sf_dir, tag):
@@ -1087,7 +1115,12 @@ def _cached_index_coll(
     with _build_lock():
         try:
             d = c._load_search_index(index_name, warn_stale=False)
-            fresh = all(d.get(k) == v for k, v in definition.items())
+            # an analyzer upgrade (round 13: porter2 v1→v2) must sweep
+            # cached text fixtures, or the gate silently measures the
+            # scan fallback instead of the postings path
+            fresh = all(
+                d.get(k) == v for k, v in definition.items()
+            ) and not c._analyzer_stale(d)
         except Exception:
             fresh = False
         if not fresh:
@@ -2711,6 +2744,8 @@ def _oracle_sql_bodies() -> dict[str, str]:
             SELECT 'ivf', vec_id, cosine FROM exact
             UNION ALL
             SELECT 'cells', vec_id, cosine FROM exact
+            UNION ALL
+            SELECT 'ivfpq', vec_id, cosine FROM exact
             UNION ALL
             SELECT 'pq', e.vec_id,
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),

@@ -1326,7 +1326,7 @@ class Collection:
             except NotFoundError:
                 continue
             if dd.get("kind") in ("bm25", "minhash") or (
-                dd.get("kind") == "ivf" and dd.get("cells_dir")
+                dd.get("kind") in ("ivf", "ivfpq") and dd.get("cells_dir")
             ):
                 out.add(str(dd.get("id_col", "_id")))
         return out
@@ -2334,6 +2334,15 @@ class Collection:
         them, so ``$vectorSearch {index: "<name>"}`` probes a prebuilt
         index instead of training inline.
 
+        ``kind: "ivfpq"`` (round 13) additionally trains per-subspace
+        product-quantization codebooks (``m`` subvectors × ``2^nbits``
+        codes, FAISS's IVF-PQ layout) and rides the codes plus the
+        vector norm on the cell-assignment table: a ``$vectorSearch``
+        candidate pass then reads only the codes columns (ADC
+        shortlist, ``numCandidates`` beam) and the exact rerank reads
+        stored vectors for the bounded shortlist alone — at 100 TB the
+        candidate IO drops ~10-30× vs scoring full vectors.
+
         ``kind: "bm25"`` precomputes the text-relevance corpus
         statistics — N, avgdl, and the per-term document frequencies
         (one tokenize+distinct+count job, written as a parquet term
@@ -2376,6 +2385,7 @@ class Collection:
         definition.pop("cells_dir", None)
         definition.pop("removed_dir", None)
         definition.pop("assign_mean_dist", None)
+        definition.pop("codebooks", None)
         for dk in (
             "postings_deltas", "sig_deltas", "bands_deltas",
             "postings_tombs", "tombs", "ids_deltas",
@@ -2383,7 +2393,7 @@ class Collection:
         ):
             definition.pop(dk, None)
         kind = definition.get("kind", "ivf")
-        if kind == "ivf":
+        if kind in ("ivf", "ivfpq"):
             path = definition.get("path", "embedding")
             nlist = int(definition.get("nlist", 16))
             from anser_spark.operators.ivf import (
@@ -2397,7 +2407,7 @@ class Collection:
             id_col = str(definition.get("id_col", "_id"))
             definition.update(
                 {
-                    "kind": "ivf", "path": path, "nlist": nlist,
+                    "kind": kind, "path": path, "nlist": nlist,
                     "centroids": ivf.centroids, "id_col": id_col,
                 }
             )
@@ -2419,18 +2429,59 @@ class Collection:
                 cells_dir = os.path.join(
                     self._search_index_dir(), f"{name}_cells_{cur0}"
                 )
-                (
-                    ivf_assign_dist(
-                        docs.select(
-                            F.col(id_col).alias("id"),
-                            F.col(path).alias("__vec"),
-                        ).where(F.col("__vec").isNotNull()),
-                        IVFIndex(
-                            centroids=ivf.centroids,
-                            vec_col="__vec",
-                            id_col="id",
-                        ),
+                vecs = docs.select(
+                    F.col(id_col).alias("id"),
+                    F.col(path).alias("__vec"),
+                ).where(F.col("__vec").isNotNull())
+                cells = ivf_assign_dist(
+                    vecs,
+                    IVFIndex(
+                        centroids=ivf.centroids,
+                        vec_col="__vec",
+                        id_col="id",
+                    ),
+                )
+                if kind == "ivfpq":
+                    # kind="ivfpq" (round 13): PQ codes + the stored
+                    # vector norm RIDE the cells table. A $vectorSearch
+                    # candidate pass then reads only (id, __codes[,
+                    # __norm]) — parquet column pruning never touches
+                    # the float vectors until the bounded exact rerank,
+                    # a 10-30× candidate-IO cut at 768-dim scale.
+                    # Codebooks train on a bounded sample exactly like
+                    # the centroids and persist in the definition;
+                    # training errors (dim % m, sample < 2^nbits)
+                    # surface at build time, not query time.
+                    from anser_spark.operators.pq import (
+                        pq_encode,
+                        pq_train_sample,
                     )
+
+                    pq_m = int(definition.get("m", 8))
+                    pq_nbits = int(definition.get("nbits", 8))
+                    cb = pq_train_sample(
+                        vecs, m=pq_m, nbits=pq_nbits, vec_col="__vec",
+                        id_col="id",
+                        max_sample=int(definition.get(
+                            "train_sample", 100_000)),
+                        seed=int(definition.get("train_seed", 42)),
+                    )
+                    cells = pq_encode(cells, cb, out="__codes").withColumn(
+                        "__norm",
+                        F.sqrt(F.aggregate(
+                            F.transform(
+                                F.col("__vec"), lambda x: x * x
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )),
+                    )
+                    definition.update(
+                        {"m": pq_m, "nbits": pq_nbits,
+                         "codebooks": cb.codebooks}
+                    )
+                (
+                    cells
                     .repartitionByRange(F.col("__cell"), F.col("id"))
                     .sortWithinPartitions("__cell", "id")
                     .write.mode("overwrite")
@@ -2448,8 +2499,12 @@ class Collection:
                 if int(st["n"]) and int(st["n"]) == int(st["nid"]):
                     definition["cells_dir"] = cells_dir
                     definition["assign_mean_dist"] = float(st["md"] or 0.0)
-                # else: duplicate ids — the unreferenced dir is swept
-                # below and queries keep the inline-assignment path
+                else:
+                    # duplicate ids — the unreferenced dir is swept
+                    # below and queries keep the inline-assignment
+                    # path; an ivfpq degrades to centroids-only, so
+                    # its codebooks would never be read — drop them
+                    definition.pop("codebooks", None)
         elif kind == "bm25":
             from anser_spark.operators.ranking import _tokens as _rank_tokens
 
@@ -2977,7 +3032,11 @@ class Collection:
         ``spark.anser.index.ivfDriftMinDelta`` (default 4) vectors —
         a distribution shift is the one thing fixed centroids cannot
         absorb. Centroids-only ivf indexes (dotted path or duplicate
-        ids — no cells table) still rebuild.
+        ids — no cells table) still rebuild. ``kind="ivfpq"`` (round
+        13) refreshes through the same cells machinery with the stored
+        codebooks held fixed alongside the centroids: delta rows carry
+        freshly-encoded PQ codes and norms, and a drift-triggered
+        rebuild retrains centroids and codebooks together.
 
         ``kind="minhash"``: the new documents' signatures and banded
         rows land in staged delta directories beside the stored tables
@@ -3117,9 +3176,11 @@ class Collection:
                 )
             return added, tomb_pre, remut
 
-        if d.get("kind") == "ivf":
+        if d.get("kind") in ("ivf", "ivfpq"):
             if not d.get("cells_dir") or d.get("built_at_version") is None:
                 return _rebuild()  # centroids-only index — no table
+            if d.get("kind") == "ivfpq" and not d.get("codebooks"):
+                return _rebuild()  # codes table without codebooks
             path = str(d.get("path", "embedding"))
             id_col = str(d.get("id_col", "_id"))
             net = _netted(id_col, path)
@@ -3139,7 +3200,30 @@ class Collection:
                     F.col(id_col).alias("id"), F.col(path).alias("__vec")
                 ).where(F.col("__vec").isNotNull()),
                 ivf,
-            ).localCheckpoint()  # assign ONCE (stats + probe + write)
+            )
+            if d.get("kind") == "ivfpq":
+                # codes + norm ride every delta row exactly as the full
+                # build lays them out; the codebooks stay FIXED like the
+                # centroids (a drifted delta rebuilds, retraining both)
+                from anser_spark.operators.pq import PQCodebooks, pq_encode
+
+                cb = PQCodebooks(
+                    codebooks=[
+                        [[float(v) for v in c] for c in book]
+                        for book in d["codebooks"]
+                    ],
+                    vec_col="__vec",
+                    id_col="id",
+                )
+                delta = pq_encode(delta, cb, out="__codes").withColumn(
+                    "__norm",
+                    F.sqrt(F.aggregate(
+                        F.transform(F.col("__vec"), lambda x: x * x),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )),
+                )
+            delta = delta.localCheckpoint()  # assign ONCE (stats+probe+write)
             stats = delta.agg(
                 F.count(F.lit(1)).alias("k"),
                 F.count_distinct(F.col("id")).alias("kid"),

@@ -36,7 +36,14 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["PQCodebooks", "pq_train_sample", "pq_encode", "pq_top_k", "ivfpq_top_k"]
+__all__ = [
+    "PQCodebooks",
+    "pq_train_sample",
+    "pq_encode",
+    "pq_top_k",
+    "ivfpq_top_k",
+    "pq_adc_scores",
+]
 
 
 @dataclass
@@ -168,6 +175,68 @@ def _adc_lut(query, cb: PQCodebooks):
         B = np.asarray(cb.codebooks[j], dtype=np.float64)
         lut[j] = ((B - sub[None, :]) ** 2).sum(axis=1)
     return lut
+
+
+def pq_adc_scores(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    similarity: str = "cosine",
+    id_col: str = "id",
+    codes_col: str = "__codes",
+    norm_col: str = "__norm",
+) -> DataFrame:
+    """ADC over a codes-bearing index table, in the SIMILARITY SPACE of
+    Atlas ``$vectorSearch`` — returns ``(id, __adc)`` where HIGHER is
+    better, so the caller's shortlist is a plain descending top-k for
+    every metric.
+
+    The LUT is metric-appropriate: inner-product sublookups for
+    "cosine"/"dotProduct" (the per-subspace ``q_j · c`` dot products sum
+    to the approximate full dot product; cosine then divides by the
+    STORED vector norm — one double riding next to the codes, so the
+    scoring pass never touches the float vectors), and negated squared
+    L2 for "euclidean". Column pruning is the point at 100 TB: the pass
+    selects only (id, codes[, norm]) — parquet never materializes the
+    vector column for candidates that the rerank won't touch.
+    """
+    import numpy as np
+
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    lut = np.empty((m, len(codebooks[0])), dtype=np.float64)
+    for j in range(m):
+        sub = q[j * dsub : (j + 1) * dsub]
+        B = np.asarray(codebooks[j], dtype=np.float64)
+        if similarity == "euclidean":
+            lut[j] = -((B - sub[None, :]) ** 2).sum(axis=1)
+        else:
+            lut[j] = B @ sub
+    lut_list = lut.tolist()
+    use_norm = similarity == "cosine"
+    cols = [id_col, codes_col] + ([norm_col] if use_norm else [])
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        import numpy as np
+
+        L = np.asarray(lut_list)
+        mi = np.arange(L.shape[0])
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.asarray([np.asarray(c) for c in pdf[codes_col]])
+            s = L[mi[None, :], codes].sum(axis=1)
+            if use_norm:
+                s = s / np.maximum(pdf[norm_col].to_numpy(), 1e-30)
+            out = pdf[[id_col]].copy()
+            out["__adc"] = s
+            yield out
+
+    return df.select(*cols).mapInPandas(
+        score, schema=f"`{id_col}` {id_dt}, __adc double"
+    )
 
 
 def pq_top_k(

@@ -2974,7 +2974,7 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     # named — the probe pruning below is the ANN path only (round 12)
     if (
         isinstance(index, Mapping)
-        and index.get("kind") == "ivf"
+        and index.get("kind") in ("ivf", "ivfpq")
         and not arg.get("exact")
     ):
         if "." in path:
@@ -3038,8 +3038,55 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             cells = read_layered_table(
                 df.sparkSession, dirs, list(index.get("tombs") or []), "id"
             )
+            probed = cells.where(F.col("__cell").isin(probe))
+            use_pq = (
+                str(
+                    df.sparkSession.conf.get(
+                        "spark.anser.vector.usePQ", "true"
+                    )
+                ).lower() != "false"
+            )
+            if (
+                index.get("kind") == "ivfpq"
+                and index.get("codebooks")
+                and use_pq
+            ):
+                # kind="ivfpq" (round 13): the candidate pass reads
+                # ONLY (id, __codes[, __norm]) from the probed cells —
+                # ADC in the query's similarity space shortlists
+                # ``numCandidates`` ids (default 10× limit), then the
+                # exact rerank reads the stored __vec for just that
+                # bounded shortlist (broadcast semi-join back into the
+                # probed cells). At 768-dim the codes pass moves
+                # ~10-30× fewer bytes than scoring vectors directly;
+                # the rerank preserves the exactness contract — with
+                # full probe and numCandidates ≥ candidate count the
+                # result is provably the exact top-k (the rerank scores
+                # every candidate on its true vector). Hatch:
+                # spark.anser.vector.usePQ=false serves the same index
+                # like a plain ivf cells table (differential twin).
+                from anser_spark.operators.pq import pq_adc_scores
+
+                ncand = int(arg.get(
+                    "numCandidates", max(limit * 10, 100)
+                ))
+                shortlist = (
+                    pq_adc_scores(
+                        probed,
+                        index["codebooks"],
+                        qv,
+                        similarity=similarity,
+                        id_col="id",
+                        codes_col="__codes",
+                        norm_col="__norm",
+                    )
+                    .orderBy(F.desc("__adc"), F.col("id"))
+                    .limit(ncand)
+                    .select("id")
+                )
+                probed = probed.join(F.broadcast(shortlist), "id")
             cand = (
-                cells.where(F.col("__cell").isin(probe))
+                probed
                 .select(
                     F.col("id").alias("__cand_id"),
                     _score_col(F.col("__vec")).alias(score_field),

@@ -519,3 +519,203 @@ def test_multi_path_phrase_after_incremental_refresh(mcoll):
         mcoll, "autocomplete",
         {"query": "fres clu", "path": ["title", "body"]})
     assert served == scan and served == {7: 1.0}, (served, scan)
+
+
+# ---------------------------------------------------------------------
+# VERDICT r12 #4: named ivfpq index kind — PQ codes ride the cells
+# table; candidate scoring reads codes (+ stored norm), a bounded exact
+# rerank on the stored vectors preserves the rerank-exact contract
+# ---------------------------------------------------------------------
+
+
+def _pq_vec_coll(spark, tmp_path, tag, n=80, dim=8, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    eng = Engine(spark, workdir=str(tmp_path / tag))
+    c = eng.db("v").collection("vecs")
+    c.insert_many([
+        {"_id": i, "embedding": [float(x) for x in rng.normal(size=dim)],
+         "grp": i % 3}
+        for i in range(n)
+    ])
+    return c, rng
+
+
+PQ_SPEC = {"kind": "ivfpq", "path": "embedding", "nlist": 4, "nprobe": 4,
+           "m": 4, "nbits": 4}
+
+
+def _pqvs(c, qv, limit=8, index="px", similarity="cosine", ncand=None,
+          flt=None, exact=False):
+    arg = {"path": "embedding", "queryVector": [float(x) for x in qv],
+           "limit": limit, "similarity": similarity}
+    if exact:
+        arg["exact"] = True
+    else:
+        arg["index"] = index
+    if ncand is not None:
+        arg["numCandidates"] = int(ncand)
+    if flt:
+        arg["filter"] = flt
+    return [
+        (r["_id"], round(r["score"], 10))
+        for r in c.pipe([{"$vectorSearch": arg}]).all()
+    ]
+
+
+def test_ivfpq_build_materializes_codes(spark, tmp_path):
+    c, _ = _pq_vec_coll(spark, tmp_path, "pqb")
+    c.create_search_index("px", dict(PQ_SPEC))
+    d = c._load_search_index("px", warn_stale=False)
+    assert d["kind"] == "ivfpq" and d.get("cells_dir")
+    assert len(d["codebooks"]) == 4  # m books
+    assert len(d["codebooks"][0]) == 16  # 2^nbits entries
+    cells = spark.read.parquet(d["cells_dir"])
+    assert {"id", "__vec", "__cell", "__codes", "__norm"} <= set(
+        cells.columns
+    )
+    row = cells.first()
+    assert len(row["__codes"]) == 4
+    assert row["__norm"] > 0.0
+
+
+@pytest.mark.parametrize("sim", ["cosine", "euclidean", "dotProduct"])
+def test_ivfpq_full_probe_big_beam_is_exact(spark, tmp_path, sim):
+    # full probe + numCandidates ≥ corpus ⇒ the rerank scores every
+    # candidate on its true vector — provably the exact top-k
+    c, rng = _pq_vec_coll(spark, tmp_path, f"pqe_{sim}")
+    c.create_search_index("px", dict(PQ_SPEC))
+    qv = rng.normal(size=8)
+    got = _pqvs(c, qv, similarity=sim, ncand=1 << 30)
+    exact = _pqvs(c, qv, similarity=sim, exact=True)
+    assert got == exact
+
+
+def test_ivfpq_hatches_match(spark, tmp_path):
+    # usePQ=false serves the same index like a plain ivf cells table;
+    # useCells=false serves inline — all three agree at full probe
+    c, rng = _pq_vec_coll(spark, tmp_path, "pqh")
+    c.create_search_index("px", dict(PQ_SPEC))
+    qv = rng.normal(size=8)
+    on = _pqvs(c, qv, ncand=1 << 30)
+    spark.conf.set("spark.anser.vector.usePQ", "false")
+    try:
+        no_pq = _pqvs(c, qv)
+    finally:
+        spark.conf.unset("spark.anser.vector.usePQ")
+    spark.conf.set("spark.anser.vector.useCells", "false")
+    try:
+        inline = _pqvs(c, qv)
+    finally:
+        spark.conf.unset("spark.anser.vector.useCells")
+    assert on == no_pq == inline
+
+
+def test_ivfpq_prefilter_applies(spark, tmp_path):
+    c, rng = _pq_vec_coll(spark, tmp_path, "pqf")
+    c.create_search_index("px", dict(PQ_SPEC))
+    qv = rng.normal(size=8)
+    got = _pqvs(c, qv, ncand=1 << 30, flt={"grp": 2})
+    assert got and all(i % 3 == 2 for i, _ in got)
+    spark.conf.set("spark.anser.vector.useCells", "false")
+    try:
+        inline = _pqvs(c, qv, flt={"grp": 2})
+    finally:
+        spark.conf.unset("spark.anser.vector.useCells")
+    assert got == inline
+
+
+def test_ivfpq_bounded_beam_recall(spark, tmp_path):
+    # ADC is approximate, but a 4-bit codebook over clustered data must
+    # keep most of the true top-10 in a 30-candidate beam; and a query
+    # AT a stored vector must put that vector first (its ADC estimate
+    # dominates: every subquantizer is near its own code)
+    c, rng = _pq_vec_coll(spark, tmp_path, "pqr", n=120)
+    c.create_search_index("px", dict(PQ_SPEC))
+    target = c.find_one({"_id": 17})["embedding"]
+    got = _pqvs(c, target, limit=10, ncand=30)
+    assert got[0][0] == 17
+    exact = _pqvs(c, target, limit=10, exact=True)
+    overlap = len({i for i, _ in got} & {i for i, _ in exact})
+    assert overlap >= 8, (got, exact)
+
+
+def test_ivfpq_incremental_refresh_mutations(spark, tmp_path):
+    # insert + update + remove in one window: refresh stays
+    # incremental, delta rows carry codes, layered result == exact scan
+    import numpy as np
+
+    c, rng = _pq_vec_coll(spark, tmp_path, "pqm")
+    c.create_search_index("px", dict(PQ_SPEC))
+    new_vecs = {
+        200: [float(x) for x in rng.normal(size=8)],
+        201: [float(x) for x in rng.normal(size=8)],
+    }
+    c.insert_many([
+        {"_id": i, "embedding": v, "grp": i % 3}
+        for i, v in new_vecs.items()
+    ])
+    upd = [float(x) for x in rng.normal(size=8)]
+    c.update_all({"_id": 7}, {"$set": {"embedding": upd}})
+    c.remove_all({"_id": 11})
+    out = c.refresh_search_index("px")
+    assert out["mode"] == "incremental", out
+    d = c._load_search_index("px", warn_stale=False)
+    assert d.get("cells_deltas"), d
+    delta = spark.read.parquet(d["cells_deltas"][-1])
+    assert {"__codes", "__norm"} <= set(delta.columns)
+    assert delta.where(F.col("__codes").isNull()).count() == 0
+    qv = np.array(new_vecs[200])
+    got = _pqvs(c, qv, limit=10, ncand=1 << 30)
+    exact = _pqvs(c, qv, limit=10, exact=True)
+    assert got == exact
+    assert got[0][0] == 200
+    assert all(i != 11 for i, _ in got)
+    got_upd = _pqvs(c, upd, limit=1, ncand=1 << 30)
+    assert got_upd[0][0] == 7
+
+
+def test_ivfpq_stale_snapshot_falls_back_inline(spark, tmp_path):
+    # un-refreshed mutations stay visible: the stale stamp routes the
+    # query through live inline assignment (round-13 freshness contract
+    # shared with ivf)
+    c, rng = _pq_vec_coll(spark, tmp_path, "pqs")
+    c.create_search_index("px", dict(PQ_SPEC))
+    fresh = [float(x) for x in rng.normal(size=8)]
+    c.insert_many([{"_id": 500, "embedding": fresh, "grp": 0}])
+    got = _pqvs(c, fresh, limit=1)  # NO refresh yet
+    assert got[0][0] == 500
+
+
+def test_ivfpq_duplicate_ids_degrade_to_centroids_only(spark, tmp_path):
+    c, rng = _pq_vec_coll(spark, tmp_path, "pqd", n=40)
+    c.insert_many([
+        {"_id": 3, "embedding": [float(x) for x in rng.normal(size=8)],
+         "grp": 0}
+    ])  # duplicate _id
+    c.create_search_index("px", dict(PQ_SPEC))
+    d = c._load_search_index("px", warn_stale=False)
+    assert not d.get("cells_dir") and not d.get("codebooks")
+    qv = rng.normal(size=8)
+    got = _pqvs(c, qv, limit=5)  # inline ivf path still serves
+    assert len(got) == 5
+
+
+def test_ivfpq_dim_not_divisible_raises(spark, tmp_path):
+    c, _ = _vec13_coll6(spark, tmp_path)
+    with pytest.raises(ValueError, match="not divisible"):
+        c.create_search_index("px", dict(PQ_SPEC))
+
+
+def _vec13_coll6(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    eng = Engine(spark, workdir=str(tmp_path / "pq6"))
+    c = eng.db("v").collection("vecs")
+    c.insert_many([
+        {"_id": i, "embedding": [float(x) for x in rng.normal(size=6)]}
+        for i in range(40)
+    ])
+    return c, rng
