@@ -167,13 +167,19 @@ def porter2_stem(word: str) -> str:
     simply don't fire on 'RUNNING'."""
     if any("A" <= ch <= "Z" for ch in word):
         return word
-    if word.startswith("'"):
-        word = word[1:]
-    if len(word) <= 2:
-        return word
+    # Snowball order (english.sbl: ``exception1 or not hop 3 or (do
+    # prelude ...)``, verified round 13 against PostgreSQL's libstemmer
+    # build): exception1 matches the RAW token, the ≤2-char early exit
+    # counts the raw token too (apostrophes included), and the leading
+    # apostrophe strips inside the prelude — so "'a" stays "'a" and
+    # "'g'" stems to "g" ("'g'" hops the length gate at 3 chars).
     exc = _EXCEPTION1.get(word)
     if exc is not None:
         return exc
+    if len(word) <= 2:
+        return word
+    if word.startswith("'"):
+        word = word[1:]
 
     # prelude: mark consonant-y as Y (initial y, or y after a vowel —
     # checked against the REWRITTEN previous char, so 'yy' marks only
@@ -362,7 +368,9 @@ def porter2_sql(expr: str) -> str:
     def let(value: str, var: str, body: str) -> str:
         return f"list_transform([{value}], {var} -> {body})[1]"
 
-    # ---- P1: strip leading ', short-word/exception1 early exit, y-mark
+    # ---- P1: exception1/short-word early exit on the RAW token, then
+    # prelude (strip leading ', y-mark) — the Snowball order (round 13;
+    # see porter2_stem)
     w0 = "CASE WHEN substr(t0, 1, 1) = '''' THEN substr(t0, 2) ELSE t0 END"
     exc1 = " ".join(
         f"WHEN {_sq(k)} THEN {_sq(v)}" for k, v in _EXCEPTION1.items()
@@ -372,8 +380,8 @@ def porter2_sql(expr: str) -> str:
         "{'w': regexp_replace(CASE WHEN substr(w0, 1, 1) = 'y' "
         "THEN 'Y' || substr(w0, 2) ELSE w0 END, "
         rf"'({V})y', '\1Y', 'g'), "
-        f"'d': CASE WHEN length(w0) <= 2 THEN w0 "
-        f"ELSE (CASE w0 {exc1} ELSE NULL END) END}}",
+        f"'d': CASE t0 {exc1} "
+        f"ELSE (CASE WHEN length(t0) <= 2 THEN t0 END) END}}",
     )
 
     # ---- P2: mark R1/R2 (gener/commun/arsen prefix exception)

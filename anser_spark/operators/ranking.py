@@ -51,7 +51,10 @@ __all__ = [
 # table, or stemmer changes incompatibly — the round-7→8 s-stemmer →
 # Porter2 swap silently invalidated every english term table, which is
 # exactly the failure this stamp now surfaces as `stale`.
-ANALYZER_VERSION = {"none": "ws-lower-v1", "english": "snowball-porter2-v1"}
+# english bumped v1→v2 round 13: apostrophe edge-case order fixed to
+# match libstemmer (exception1/hop-3 on the raw token, leading-'
+# strip inside the prelude) — indexes built under v1 read as stale
+ANALYZER_VERSION = {"none": "ws-lower-v1", "english": "snowball-porter2-v2"}
 
 ENGLISH_STOPWORDS = frozenset("""
 i me my myself we our ours ourselves you your yours yourself yourselves

@@ -78,6 +78,13 @@ VECTORS = {
     "argument": "argument", "agreement": "agreement",
     # short words / no-ops
     "a": "a", "be": "be", "ran": "ran", "best": "best", "": "",
+    # apostrophe edges (round 13, verified against libstemmer via
+    # PostgreSQL): exception1 and the ≤2-char exit judge the RAW token;
+    # the leading-' strip happens inside the prelude, after both
+    "'a": "'a",      # 2 chars raw → untouched, apostrophe and all
+    "'g'": "g",      # 3 chars → prelude strips lead ', step 0 the tail
+    "'sky": "ski",   # exception1 does NOT match through an apostrophe
+    "''s": "",       # prelude ' + step-0 's consume everything
 }
 
 
@@ -85,6 +92,31 @@ def test_porter2_vectors():
     bad = [(w, e, porter2_stem(w)) for w, e in VECTORS.items()
            if porter2_stem(w) != e]
     assert not bad, bad
+
+
+def test_porter2_libstemmer_vectors():
+    """5,877 word→stem pairs frozen from an INDEPENDENT Snowball
+    english implementation (PostgreSQL 15's libstemmer build, driven
+    through ``ts_lexize`` over a bare snowball dictionary, round 13) —
+    corpus vocabulary, curated suffix-family words, the english
+    stopword list, and 6k random apostrophe-heavy strings. This breaks
+    the generated-twin shared-bug risk the SQL differential alone
+    carries: the expected stems came from code that shares nothing
+    with ours. (The one excluded shape: words that stem to the empty
+    string, where the PG wrapper returns the input instead.)"""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "snowball_vectors.tsv"
+    )
+    bad = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            w, s = line.rstrip("\n").split("\t")
+            got = porter2_stem(w)
+            if got != s:
+                bad.append((w, s, got))
+    assert not bad, (len(bad), bad[:20])
 
 
 def test_porter2_sql_differential():
