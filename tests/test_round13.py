@@ -719,3 +719,132 @@ def _vec13_coll6(spark, tmp_path):
         for i in range(40)
     ])
     return c, rng
+
+
+def test_ivfpq_adc_pass_prunes_vectors(spark, tmp_path):
+    # 100 TB contract, plan-asserted: the ADC candidate pass pushes the
+    # __cell probe into the parquet scan and NEVER reads the float
+    # vector column — that IO cut is the whole point of riding codes
+    # on the cells table
+    import re
+
+    c, _ = _pq_vec_coll(spark, tmp_path, "pqplan", n=100)
+    c.create_search_index("px", dict(PQ_SPEC))
+    d = c._load_search_index("px", warn_stale=False)
+
+    from anser_spark.operators.pq import pq_adc_scores
+    from anser_spark.operators.ranking import read_layered_table
+
+    cells = read_layered_table(spark, [d["cells_dir"]], [], "id")
+    probed = cells.where(F.col("__cell").isin([0, 1]))
+    sl = pq_adc_scores(probed, d["codebooks"], [0.1] * 8,
+                       similarity="cosine")
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    reads = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    assert reads and all("__vec" not in r for r in reads), plan
+    assert any("In(__cell" in m for m in
+               re.findall(r"PushedFilters: ([^\n]+)", plan)), plan
+
+
+@pytest.mark.parametrize("seed,kind", [(101, "ivfpq"), (202, "ivfpq"),
+                                       (303, "ivf")])
+def test_vector_index_mutation_fuzz(spark, tmp_path, seed, kind):
+    """Seeded mutation fuzzer for the vector index kinds: random
+    insert/update/remove batches against a live collection, refreshes
+    interleaved. Invariants per refresh: mode is incremental (the
+    in-distribution batches never trip drift), full-probe + full-beam
+    index service equals the exact scan bit-for-bit, and the
+    useCells=false inline hatch agrees."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(seed)
+    nrng = np.random.default_rng(seed)
+    eng = Engine(spark, workdir=str(tmp_path / f"vfz{seed}{kind}"))
+    c = eng.db("v").collection("vecs")
+
+    def vec():
+        return [float(x) for x in nrng.normal(size=8)]
+
+    live = {}
+
+    def ins(ids):
+        docs = [{"_id": i, "embedding": vec(), "grp": i % 3} for i in ids]
+        c.insert_many([dict(d) for d in docs])
+        for d in docs:
+            live[d["_id"]] = d["embedding"]
+
+    ins(range(50))
+    spec = {"kind": kind, "path": "embedding", "nlist": 4, "nprobe": 4}
+    if kind == "ivfpq":
+        spec.update({"m": 4, "nbits": 4})
+    c.create_search_index("vx", dict(spec))
+    next_id = 1000
+
+    def q(qv, limit=10, exact=False, inline=False):
+        arg = {"path": "embedding", "queryVector": qv, "limit": limit}
+        if exact:
+            arg["exact"] = True
+        else:
+            arg["index"] = "vx"
+            arg["numCandidates"] = 1 << 30
+        if inline:
+            spark.conf.set("spark.anser.vector.useCells", "false")
+        try:
+            return [
+                (r["_id"], round(r["score"], 10))
+                for r in c.pipe([{"$vectorSearch": arg}]).all()
+            ]
+        finally:
+            if inline:
+                spark.conf.unset("spark.anser.vector.useCells")
+
+    for step in range(8):
+        op = rng.choice(["insert", "insert", "update", "remove", "mixed"])
+        ids = sorted(live)
+        if op == "insert" or len(ids) < 10:
+            new = [next_id + j for j in range(rng.randint(1, 3))]
+            next_id += len(new)
+            ins(new)
+        elif op == "update":
+            victims = rng.sample(ids, k=rng.randint(1, 3))
+            for i in victims:
+                nv = vec()
+                c.update_all({"_id": i}, {"$set": {"embedding": nv}})
+                live[i] = nv
+        elif op == "remove":
+            victims = rng.sample(ids, k=rng.randint(1, 2))
+            c.remove_all({"_id": {"$in": victims}})
+            for i in victims:
+                del live[i]
+        else:  # mixed window: insert + update + remove before refresh
+            new = [next_id]
+            next_id += 1
+            ins(new)
+            v_upd = rng.choice(sorted(live))
+            nv = vec()
+            c.update_all({"_id": v_upd}, {"$set": {"embedding": nv}})
+            live[v_upd] = nv
+            v_rm = rng.choice([i for i in sorted(live) if i != v_upd])
+            c.remove_all({"_id": v_rm})
+            del live[v_rm]
+        out = c.refresh_search_index("vx")
+        assert out["mode"] == "incremental", (seed, kind, step, out)
+        # probe: a fresh random query + a query AT a live vector
+        for qv in (vec(), live[rng.choice(sorted(live))]):
+            served = q(qv)
+            exact = q(qv, exact=True)
+            assert served == exact, (seed, kind, step)
+        if rng.random() < 0.4:
+            qv = vec()
+            assert q(qv) == q(qv, inline=True), (seed, kind, step)
+    # end state: layered index bit-equal to a fresh rebuild's answers
+    qv = vec()
+    before = q(qv, limit=20)
+    c.create_search_index("vx2", {**spec})
+    arg = {"path": "embedding", "queryVector": qv, "limit": 20,
+           "index": "vx2", "numCandidates": 1 << 30}
+    rebuilt = [(r["_id"], round(r["score"], 10))
+               for r in c.pipe([{"$vectorSearch": arg}]).all()]
+    assert before == rebuilt, (seed, kind)
