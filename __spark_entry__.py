@@ -1234,6 +1234,27 @@ def _q_text_find(spark, sf_dir):
             {"$project": {"doc_id": 1}},
         ]).to_df().agg(F.count("*").alias("wp_n"))
     )
+    # round 13 legs: MULTI-path phrase (path: [text, source]) served
+    # from the same weighted index's field-tagged positions — per-field
+    # adjacency predicate, cross-field OR; wms_n's single-term phrase
+    # only the second field can satisfy, so a broken field union
+    # hash-mismatches. Oracle twins recompute the regex OR per field.
+    wmp_n = (
+        c4.pipe([
+            {"$search": {"phrase": {"query": "data column",
+                                    "path": ["text", "source"]},
+                         "index": "wix"}},
+            {"$project": {"doc_id": 1}},
+        ]).to_df().agg(F.count("*").alias("wmp_n"))
+    )
+    wms_n = (
+        c4.pipe([
+            {"$search": {"phrase": {"query": "src7",
+                                    "path": ["text", "source"]},
+                         "index": "wix"}},
+            {"$project": {"doc_id": 1}},
+        ]).to_df().agg(F.count("*").alias("wms_n"))
+    )
     # the gate's one COLD index build (build-path coverage never goes
     # stale while the fixtures above stay cached): a 200-doc build
     # driving create_search_index end-to-end every run — stats, term
@@ -1259,6 +1280,8 @@ def _q_text_find(spark, sf_dir):
         .crossJoin(F.broadcast(w_n))
         .crossJoin(F.broadcast(w1_n))
         .crossJoin(F.broadcast(wp_n))
+        .crossJoin(F.broadcast(wmp_n))
+        .crossJoin(F.broadcast(wms_n))
     )
 
 
@@ -2511,6 +2534,7 @@ def _text_find_oracle() -> str:
     # the slop=1 twin allows exactly one interleaved token (for a
     # 2-term phrase, per-gap allowance equals the span budget)
     norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    normsrc = "regexp_replace(lower(trim(source)), '\\s+', ' ', 'g')"
     # round-11 weighted leg's twin: 'none'-analyzer tokens (whitespace
     # split, lower, diacritic fold) on EACH weighted field; match = any
     # query token in any field (Mongo multi-field $text semantics)
@@ -2541,7 +2565,17 @@ def _text_find_oracle() -> str:
                     'spark')) AS w1_n,
                (SELECT count(*) FROM documents
                 WHERE regexp_matches({norm},
-                      '(^|\\s)data column(\\s|$)')) AS wp_n
+                      '(^|\\s)data column(\\s|$)')) AS wp_n,
+               (SELECT count(*) FROM documents
+                WHERE regexp_matches({norm},
+                      '(^|\\s)data column(\\s|$)')
+                   OR regexp_matches({normsrc},
+                      '(^|\\s)data column(\\s|$)')) AS wmp_n,
+               (SELECT count(*) FROM documents
+                WHERE regexp_matches({norm},
+                      '(^|\\s)src7(\\s|$)')
+                   OR regexp_matches({normsrc},
+                      '(^|\\s)src7(\\s|$)')) AS wms_n
         FROM documents
         WHERE lang = 'en'
           AND list_contains(regexp_split_to_array(lower(trim(text)), '\\s+'), 'spark')
