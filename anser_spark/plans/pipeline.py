@@ -3065,11 +3065,20 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 # every candidate on its true vector). Hatch:
                 # spark.anser.vector.usePQ=false serves the same index
                 # like a plain ivf cells table (differential twin).
+                # Like Atlas, a selective ``filter`` composes with a
+                # BOUNDED beam lossily: the ADC shortlist draws from
+                # the unfiltered candidates, so filtered-out docs can
+                # consume beam slots (Atlas docs give the same advice:
+                # raise numCandidates under selective filters). Full
+                # beam — or usePQ=false — restores filter-exactness.
                 from anser_spark.operators.pq import pq_adc_scores
 
-                ncand = int(arg.get(
-                    "numCandidates", max(limit * 10, 100)
-                ))
+                # Atlas requires limit ≤ numCandidates; clamp rather
+                # than silently returning fewer than limit rows
+                ncand = max(
+                    int(arg.get("numCandidates", max(limit * 10, 100))),
+                    limit,
+                )
                 shortlist = (
                     pq_adc_scores(
                         probed,
