@@ -1120,7 +1120,14 @@ def _cached_index_coll(
             # scan fallback instead of the postings path
             fresh = all(
                 d.get(k) == v for k, v in definition.items()
-            ) and not c._analyzer_stale(d)
+            ) and not c._analyzer_stale(d) and all(
+                # a cached index whose materialized tables vanished
+                # (scratch partially swept, or built under a mount
+                # path that no longer exists) must rebuild, not crash
+                os.path.isdir(v)
+                for k, v in d.items()
+                if k.endswith("_dir") and isinstance(v, str)
+            )
         except Exception:
             fresh = False
         if not fresh:

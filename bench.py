@@ -40,7 +40,6 @@ def _prev_round_calibration(sf_dir: str, repeat: int) -> dict | None:
     if os.environ.get("SPARK_GRAFT_BENCH_NO_CALIB"):
         return None
     import subprocess
-    import tempfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
@@ -58,13 +57,40 @@ def _prev_round_calibration(sf_dir: str, repeat: int) -> dict | None:
             break
     if prev is None:
         return None
-    wt = tempfile.mkdtemp(prefix="bench_prev_")
-    os.rmdir(wt)  # git worktree add wants to create it
+    # STABLE per-commit worktree path (round 13): the control's cached
+    # index definitions record ABSOLUTE paths under the worktree mount;
+    # a tempdir worktree per run left the second run's cache pointing
+    # into the first run's deleted tempdir (PATH_NOT_FOUND → no
+    # calibration). A worktree pinned under .scratch keeps those paths
+    # valid for the life of the per-commit cache.
+    wt = os.path.join(repo, ".scratch", f"prev_wt_{prev[:12]}")
     try:
-        subprocess.run(
-            ["git", "-C", repo, "worktree", "add", "--detach", wt, prev],
-            check=True, capture_output=True, timeout=120,
-        )
+        os.makedirs(os.path.join(repo, ".scratch"), exist_ok=True)
+        for e in os.listdir(os.path.join(repo, ".scratch")):
+            if e.startswith("prev_wt_") and e != f"prev_wt_{prev[:12]}":
+                subprocess.run(
+                    ["git", "-C", repo, "worktree", "remove", "--force",
+                     os.path.join(repo, ".scratch", e)],
+                    capture_output=True, timeout=120,
+                )
+    except Exception:
+        pass
+    try:
+        prev_scratch = os.path.join(repo, ".scratch", f"prev_{prev[:12]}")
+        if not os.path.exists(os.path.join(wt, "bench.py")):
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "remove", "--force", wt],
+                capture_output=True, timeout=120,
+            )  # clear a half-created registration, if any
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "add", "--detach", wt, prev],
+                check=True, capture_output=True, timeout=120,
+            )
+            # a fresh mount invalidates any cache built under an older
+            # mount path (absolute dirs inside index definitions)
+            import shutil
+
+            shutil.rmtree(prev_scratch, ignore_errors=True)
         # the control gets its OWN persistent per-commit scratch (not a
         # symlink to the live .scratch): the prev tree's gate-index
         # cache keys use ITS fingerprint format and its sweep would
@@ -72,10 +98,10 @@ def _prev_round_calibration(sf_dir: str, repeat: int) -> dict | None:
         # two trees evict each other's fixtures every calibration run,
         # charging both sides spurious cold index builds. Per-commit
         # scratch: cold exactly once per corpus roll, warm thereafter.
-        prev_scratch = os.path.join(repo, ".scratch", f"prev_{prev[:12]}")
         try:
             os.makedirs(prev_scratch, exist_ok=True)
-            os.symlink(prev_scratch, os.path.join(wt, ".scratch"))
+            if not os.path.islink(os.path.join(wt, ".scratch")):
+                os.symlink(prev_scratch, os.path.join(wt, ".scratch"))
         except OSError:
             pass
         env = dict(os.environ)
@@ -99,11 +125,8 @@ def _prev_round_calibration(sf_dir: str, repeat: int) -> dict | None:
         }
     except Exception:
         return None
-    finally:
-        subprocess.run(
-            ["git", "-C", repo, "worktree", "remove", "--force", wt],
-            capture_output=True, timeout=120,
-        )
+    # the worktree persists deliberately (see above): removing it here
+    # would dangle the absolute paths its cached index definitions hold
 
 
 def main() -> None:
