@@ -848,3 +848,66 @@ def test_vector_index_mutation_fuzz(spark, tmp_path, seed, kind):
     rebuilt = [(r["_id"], round(r["score"], 10))
                for r in c.pipe([{"$vectorSearch": arg}]).all()]
     assert before == rebuilt, (seed, kind)
+
+
+def test_ivfpq_removed_id_reuse_is_plain_insert(spark, tmp_path):
+    # r12 proved this for ivf; the shared tombstone machinery must give
+    # ivfpq the same guarantee: remove a vector, reuse its _id with a
+    # DIFFERENT vector next window — both refreshes incremental, the
+    # reused id serves under its new vector, full probe+beam == exact
+    c, rng = _pq_vec_coll(spark, tmp_path, "pqreuse")
+    c.create_search_index("px", dict(PQ_SPEC))
+    c.remove_all({"_id": 13})
+    assert c.refresh_search_index("px")["mode"] == "incremental"
+    nv = [float(x) for x in rng.normal(size=8)]
+    c.insert_many([{"_id": 13, "embedding": nv, "grp": 1}])
+    assert c.refresh_search_index("px")["mode"] == "incremental"
+    got = _pqvs(c, nv, limit=1, ncand=1 << 30)
+    assert got[0][0] == 13
+    qv = rng.normal(size=8)
+    assert _pqvs(c, qv, ncand=1 << 30) == _pqvs(c, qv, exact=True)
+
+
+def test_analyzer_upgrade_reads_stale_and_rebuild_recovers(spark, tmp_path):
+    # an english index stamped with an older analyzer version must read
+    # stale (scan fallback, correct results), and a rebuild under the
+    # current analyzer restores postings service with scan parity
+    import json
+    import os as _os
+
+    eng = Engine(spark, workdir=str(tmp_path / "anlz"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([
+        {"_id": 0, "text": "running jobs quickly"},
+        {"_id": 1, "text": "the quick brown fox"},
+        {"_id": 2, "text": "nothing relevant"},
+    ])
+    c.create_search_index("ix", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+    })
+    assert not c.search_index_status("ix")["stale"]
+    # forge an OLD analyzer stamp on disk (what a pre-upgrade build
+    # left behind)
+    p = _os.path.join(c._search_index_dir(), "ix.json")
+    with open(p) as fh:
+        d = json.load(fh)
+    d["analyzer_version"] = "snowball-porter2-v1"
+    with open(p, "w") as fh:
+        json.dump(d, fh)
+    assert c.search_index_status("ix")["stale"]
+    hits = sorted(r["_id"] for r in c.find(
+        {"$text": {"$search": "run"}}).all())
+    assert hits == [0]  # stale index → scan fallback, still correct
+    c.create_search_index("ix", {
+        "kind": "bm25", "path": "text", "default_language": "english",
+    })
+    assert not c.search_index_status("ix")["stale"]
+    on = sorted(r["_id"] for r in c.find(
+        {"$text": {"$search": "run"}}).all())
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        off = sorted(r["_id"] for r in c.find(
+            {"$text": {"$search": "run"}}).all())
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert on == off == [0]
