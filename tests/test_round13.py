@@ -911,3 +911,114 @@ def test_analyzer_upgrade_reads_stale_and_rebuild_recovers(spark, tmp_path):
     finally:
         spark.conf.unset("spark.anser.text.usePostings")
     assert on == off == [0]
+
+
+# ---------------------------------------------------------------------
+# Probe-derived regression tests: round-13 surfaces in combinations the
+# feature tests don't cover (schema evolution × txn/backup/optimize,
+# multi-path phrase × compound/$searchMeta/$rankFusion)
+# ---------------------------------------------------------------------
+
+
+def test_schema_evolution_rename_chain_and_unset(spark, tmp_path):
+    # rename a→b then b→c across windows (index refresh incremental at
+    # each), then $unset the evolved column on one doc
+    c = _mkc(spark, tmp_path, "evochain")
+    _seed_files(c)
+    c.create_search_index("ix", dict(SPEC))
+    c.update_all({"_id": {"$lt": 3}}, {"$rename": {"v": "b"}})
+    assert c.refresh_search_index("ix")["mode"] == "incremental"
+    c.update_all({"_id": {"$lt": 2}}, {"$rename": {"b": "cc"}})
+    assert c.refresh_search_index("ix")["mode"] == "incremental"
+    c.update_all({"_id": 0}, {"$unset": {"cc": ""}})
+    d = {r["_id"]: r for r in c.find({}).all()}
+    assert d[0].get("cc") is None and d[0].get("b") is None
+    assert d[1].get("cc") == 0 and d[2].get("b") == 0
+    assert d[5].get("v") == 0
+
+
+def test_schema_evolution_inside_transaction(spark, tmp_path):
+    # a txn staging a schema-adding update + an insert with another new
+    # column: read-your-writes sees the union schema, commit publishes
+    from anser_spark.engine import Engine as _E
+
+    eng = _E(spark, workdir=str(tmp_path / "evotxn"))
+    c = eng.db("t").collection("docs")
+    _seed_files(c)
+    with eng.transaction():
+        c.update_all({"_id": {"$lt": 2}}, {"$set": {"flag": 1}})
+        c.insert_many([{"_id": 100, "text": "fresh", "v": 0,
+                        "extra": "x"}])
+        assert c.count_documents({"flag": 1}) == 2  # read-your-writes
+    got = {r["_id"]: r for r in c.find({}).all()}
+    assert got[0]["flag"] == 1 and got[100]["extra"] == "x"
+    assert got[5].get("flag") is None
+
+
+def test_schema_evolution_backup_restore_optimize(spark, tmp_path):
+    from anser_spark.sources.backup import (
+        BackupOptions,
+        backup_collection,
+        restore_collection,
+    )
+
+    eng = Engine(spark, workdir=str(tmp_path / "evobk"))
+    c = eng.db("t").collection("docs")
+    _seed_files(c)
+    c.update_all({"_id": {"$lt": 2}}, {"$set": {"flag": 1}})
+    c.insert_many([{"_id": 100, "text": "fresh", "v": 0, "extra": "x"}])
+    bdir = str(tmp_path / "bk")
+    backup_collection(c, BackupOptions(target_dir=bdir))
+    restore_collection(eng, bdir, db="t2", collection="docs2")
+    c2 = eng.db("t2").collection("docs2")
+    assert _rows(c2) == _rows(c)
+    before = _rows(c)
+    c.optimize()
+    assert _rows(c) == before
+    assert c.count_documents({"flag": 1}) == 2
+
+
+def test_multi_path_phrase_in_compound_and_fusion(mcoll):
+    # compound must=multi-path-phrase + equals filter, postings/scan
+    # hatch parity; $searchMeta facet over the multi-path operator;
+    # $rankFusion with a multi-path-phrase-ranked leg
+    def run():
+        return sorted(r["_id"] for r in mcoll.pipe([
+            {"$search": {"compound": {
+                "must": [{"phrase": {"query": "spark cluster",
+                                     "path": ["title", "body"]}}],
+                "filter": [{"range": {"path": "_id", "gte": 1}}],
+            }, "index": "wx"}},
+            {"$project": {"_id": 1}},
+        ]).all())
+
+    served = run()
+    spark = mcoll.engine.spark
+    spark.conf.set("spark.anser.text.usePostings", "false")
+    try:
+        scan = run()
+    finally:
+        spark.conf.unset("spark.anser.text.usePostings")
+    assert served == scan and 1 in served and 0 not in served
+    meta = mcoll.pipe([
+        {"$searchMeta": {
+            "facet": {
+                "operator": {"phrase": {"query": "spark cluster",
+                                        "path": ["title", "body"]}},
+                "facets": {"ids": {"type": "number", "path": "_id",
+                                   "boundaries": [0, 4, 8]}},
+            },
+            "index": "wx"}},
+    ]).all()
+    assert meta[0]["count"]["total"] >= 2
+    rf = mcoll.pipe([
+        {"$rankFusion": {"input": {"pipelines": {
+            "p1": [{"$search": {"phrase": {"query": "spark cluster",
+                                           "path": ["title", "body"]},
+                                "index": "wx"}}, {"$limit": 3}],
+            "p2": [{"$search": {"text": {"query": "cluster",
+                                         "path": "body"},
+                                "index": "wx"}}, {"$limit": 3}],
+        }}}},
+    ]).all()
+    assert rf, "fusion over multi-path phrase returned nothing"
