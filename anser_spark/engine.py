@@ -182,6 +182,14 @@ class Engine:
         self.closers: list[Any] = []
         # multi-collection transaction state (None = autocommit)
         self._txn: "_Transaction | None" = None
+        # parsed search-index definitions keyed by file path, validated
+        # by (mtime_ns, size) per load (round 13): an ivf/ivfpq
+        # definition carries its centroids/codebooks — megabytes of
+        # JSON at production nlist/dim — and every pipe() resolve was
+        # re-parsing it. Entries are treated as IMMUTABLE by contract
+        # (every mutating consumer shallow-copies before assigning and
+        # copies nested lists before appending — audited).
+        self._index_def_cache: dict[str, tuple[tuple[int, int], Any]] = {}
         self._recover_transactions()
 
     # -- registries ----------------------------------------------------
@@ -4654,10 +4662,26 @@ class Collection:
         self, name: str, warn_stale: bool = True
     ) -> Mapping[str, Any]:
         p = os.path.join(self._search_index_dir(), f"{name}.json")
-        if not os.path.exists(p):
-            raise NotFoundError(f"search index does not exist: {name}")
-        with open(p) as fh:
-            definition = json.load(fh)
+        try:
+            st = os.stat(p)
+        except FileNotFoundError:
+            raise NotFoundError(
+                f"search index does not exist: {name}"
+            ) from None
+        # mtime_ns+size-validated parse cache (see Engine.__init__):
+        # _write_search_index goes through os.replace, so any publish
+        # moves mtime_ns and invalidates naturally
+        cache = self.engine._index_def_cache
+        stamp = (st.st_mtime_ns, st.st_size)
+        ent = cache.get(p)
+        if ent is not None and ent[0] == stamp:
+            definition = ent[1]
+        else:
+            with open(p) as fh:
+                definition = json.load(fh)
+            if len(cache) >= 256:
+                cache.pop(next(iter(cache)))
+            cache[p] = (stamp, definition)
         if warn_stale and "built_at_version" in definition:
             current = self._pointer()
             if definition["built_at_version"] != current:

@@ -1022,3 +1022,21 @@ def test_multi_path_phrase_in_compound_and_fusion(mcoll):
         }}}},
     ]).all()
     assert rf, "fusion over multi-path phrase returned nothing"
+
+
+def test_index_definition_cache_invalidates_on_write(spark, tmp_path):
+    # the parse cache must serve the same parsed object while the file
+    # is unchanged and invalidate on every publish (os.replace bumps
+    # mtime_ns); consumers treat it as immutable
+    c, _ = _pq_vec_coll(spark, tmp_path, "defcache", n=40)
+    c.create_search_index("px", dict(PQ_SPEC))
+    d1 = c._load_search_index("px", warn_stale=False)
+    d2 = c._load_search_index("px", warn_stale=False)
+    assert d1 is d2  # cache hit
+    c.insert_many([{"_id": 500, "embedding": [0.5] * 8, "grp": 0}])
+    c.refresh_search_index("px")
+    d3 = c._load_search_index("px", warn_stale=False)
+    assert d3 is not d1 and d3["built_at_version"] != d1["built_at_version"]
+    # the cached pre-refresh object was not poisoned by the refresh
+    assert not d1.get("cells_deltas")
+    assert d3.get("cells_deltas")
