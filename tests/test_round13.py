@@ -1040,3 +1040,128 @@ def test_index_definition_cache_invalidates_on_write(spark, tmp_path):
     # the cached pre-refresh object was not poisoned by the refresh
     assert not d1.get("cells_deltas")
     assert d3.get("cells_deltas")
+
+
+def test_streaming_ingest_then_ivfpq_incremental_refresh(spark, tmp_path):
+    # the round-9 streaming steady-state loop, with the VECTOR index:
+    # micro-batches stream into a collection (exactly-once
+    # foreachBatch), one refresh brings the ivfpq cells table up to
+    # date incrementally, and $vectorSearch serves the new vectors with
+    # exact-scan parity at full probe + full beam
+    import numpy as np
+    import pandas as pd
+
+    from anser_spark.streaming.ingest import stream_into_collection
+
+    rng = np.random.default_rng(21)
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    ckpt = str(tmp_path / "vckpt")
+    eng = Engine(spark, workdir=str(tmp_path / "r13si"))
+    c = eng.db("t").collection("vecs")
+    c.set_retention(6)
+
+    def batch(name, ids):
+        pd.DataFrame([
+            {"_id": i, "embedding": [float(x) for x in rng.normal(size=8)]}
+            for i in ids
+        ]).to_parquet(src / name)
+
+    schema = "_id bigint, embedding array<double>"
+    batch("b0.parquet", range(40))
+    q = stream_into_collection(
+        spark.readStream.schema(schema).parquet(str(src)),
+        c, ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    c.create_search_index("px", dict(PQ_SPEC))
+    batch("b1.parquet", range(100, 110))
+    q = stream_into_collection(
+        spark.readStream.schema(schema).parquet(str(src)),
+        c, ckpt, available_now=True,
+    )
+    q.awaitTermination(120)
+    out = c.refresh_search_index("px")
+    assert out == {"mode": "incremental", "inserted": 10}
+    assert c.search_index_status("px")["stale"] is False
+    target = c.find_id(105).one()["embedding"]
+    got = _pqvs(c, target, limit=5, ncand=1 << 30)
+    exact = _pqvs(c, target, limit=5, exact=True)
+    assert got == exact and got[0][0] == 105
+
+
+@pytest.mark.parametrize("seed,lang", [(31337, "none"), (99401, "none"),
+                                       (60601, "english")])
+def test_multi_path_search_fuzz_postings_scan_parity(
+    spark, tmp_path, seed, lang
+):
+    """Randomized multi-path $search shapes: random 3-field docs,
+    random operator (text/phrase/autocomplete), random path subsets
+    (scalar or list, any order), random slop — weighted-postings
+    service must stay bit-parity with the scan hatch on ids AND
+    scores, including after an incremental refresh mid-stream."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["spark", "cluster", "quick", "data", "column", "merge",
+             "window", "batch"]
+    fields = ["title", "body", "note"]
+
+    def doc(i):
+        d = {"_id": i}
+        for f in fields:
+            d[f] = (" ".join(rng.choices(words, k=rng.randint(2, 6)))
+                    if rng.random() > 0.15 else None)
+        return d
+
+    eng = Engine(spark, workdir=str(tmp_path / f"mpf{seed}{lang}"))
+    c = eng.db("t").collection("docs")
+    c.insert_many([doc(i) for i in range(30)])
+    c.create_search_index("wx", {
+        "kind": "bm25",
+        "weights": {"title": 3, "body": 1, "note": 2},
+        "default_language": lang,
+    })
+
+    def run(op, spec):
+        out = c.pipe([
+            {"$search": {op: spec, "index": "wx"}},
+            {"$project": {"_id": 1, "s": {"$meta": "searchScore"}}},
+        ]).all()
+        return {r["_id"]: round(r["s"], 9) for r in out}
+
+    def one_query(step):
+        op = rng.choice(["text", "phrase", "autocomplete"])
+        paths = rng.sample(fields, k=rng.randint(1, 3))
+        path = paths[0] if (len(paths) == 1 and rng.random() < 0.5) \
+            else paths
+        if op == "phrase":
+            spec = {"query": " ".join(rng.choices(words, k=2)),
+                    "path": path}
+            if rng.random() < 0.4:
+                spec["slop"] = rng.randint(1, 2)
+        elif op == "autocomplete":
+            toks = [w[: rng.randint(2, len(w))]
+                    for w in rng.choices(words, k=rng.randint(1, 2))]
+            spec = {"query": " ".join(toks), "path": path}
+        else:
+            spec = {"query": " ".join(rng.choices(words, k=2)),
+                    "path": path}
+        served = run(op, spec)
+        spark.conf.set("spark.anser.text.usePostings", "false")
+        try:
+            scan = run(op, spec)
+        finally:
+            spark.conf.unset("spark.anser.text.usePostings")
+        assert served == scan, (seed, step, op, spec)
+
+    for step in range(10):
+        one_query(step)
+    # mutate + incremental refresh, then keep fuzzing on the new state
+    c.insert_many([doc(i) for i in range(200, 205)])
+    c.update_all({"_id": 3}, {"$set": {
+        "title": "spark cluster fresh title"}})
+    c.remove_all({"_id": 7})
+    assert c.refresh_search_index("wx")["mode"] == "incremental"
+    for step in range(10, 18):
+        one_query(step)
