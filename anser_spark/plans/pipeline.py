@@ -2984,7 +2984,12 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         from anser_spark.operators.ivf import IVFIndex, ivf_assign, ivf_train_sample
 
         nlist = int(index.get("nlist", 16))
-        nprobe = int(index.get("nprobe", max(1, nlist // 4)))
+        # per-query recall knob (round 13, FAISS-style): a query may
+        # widen/narrow the probe without touching the stored index —
+        # ``{"$vectorSearch": {..., "nprobe": 32}}``
+        nprobe = int(arg.get(
+            "nprobe", index.get("nprobe", max(1, nlist // 4))
+        ))
         if index.get("centroids"):
             # prebuilt index (Collection.create_search_index): no
             # training on the query path — the Atlas model

@@ -1165,3 +1165,47 @@ def test_multi_path_search_fuzz_postings_scan_parity(
     assert c.refresh_search_index("wx")["mode"] == "incremental"
     for step in range(10, 18):
         one_query(step)
+
+
+def test_vector_search_per_query_nprobe_override(spark, tmp_path):
+    # nprobe widens per query without touching the stored index: full
+    # override (= nlist) must equal the exact scan; a narrow probe
+    # returns a subset of the full probe's candidates
+    c, rng = _pq_vec_coll(spark, tmp_path, "npq")
+    c.create_search_index("px", {**PQ_SPEC, "nprobe": 1})
+    qv = [float(x) for x in rng.normal(size=8)]
+    wide = _pqvs(c, qv, ncand=1 << 30)  # helper can't pass nprobe; build args here
+    arg = {"path": "embedding", "queryVector": qv, "limit": 8,
+           "index": "px", "numCandidates": 1 << 30, "nprobe": 4}
+    full = [(r["_id"], round(r["score"], 10))
+            for r in c.pipe([{"$vectorSearch": arg}]).all()]
+    exact = _pqvs(c, qv, exact=True)
+    assert full == exact  # nprobe=nlist override ⇒ exact
+    narrow = [(r["_id"], round(r["score"], 10))
+              for r in c.pipe([{"$vectorSearch": {**arg, "nprobe": 1}}]).all()]
+    # pruning can only lose candidates: the narrow probe's best score
+    # can't beat the full probe's best, and its hits rank within the
+    # exact ordering (they ARE exact scores of a candidate subset)
+    assert narrow and narrow[0][1] <= full[0][1]
+    exact_scores = dict(_pqvs(c, qv, limit=200, exact=True))
+    assert all(exact_scores.get(i) == s for i, s in narrow)
+
+
+def test_ivfpq_drift_trips_rebuild_retrains_codebooks(spark, tmp_path):
+    # a far-out-of-distribution delta must retrain BOTH quantizers:
+    # refresh reports rebuild and the stored codebooks change
+    c, rng = _pq_vec_coll(spark, tmp_path, "pqdrift")
+    c.create_search_index("px", dict(PQ_SPEC))
+    cb_before = c._load_search_index("px", warn_stale=False)["codebooks"]
+    c.insert_many([
+        {"_id": 900 + i, "embedding": [1000.0 + i] * 8, "grp": 0}
+        for i in range(8)
+    ])
+    out = c.refresh_search_index("px")
+    assert out["mode"] == "rebuild", out
+    d = c._load_search_index("px", warn_stale=False)
+    assert d["codebooks"] != cb_before
+    qv = [1000.0] * 8
+    got = _pqvs(c, qv, limit=3, ncand=1 << 30)
+    exact = _pqvs(c, qv, limit=3, exact=True)
+    assert got == exact and got[0][0] in range(900, 908)
