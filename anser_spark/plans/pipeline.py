@@ -2919,7 +2919,8 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     Physical strategy: score is a pure-Column dot/norm over the vector
     column; ``exact`` (or no index option) compiles to
     TakeOrderedAndProject — one scan, no shuffle. ``index: {"kind":
-    "ivf", "nlist": …, "nprobe": …}`` routes through the IVF operators
+    "ivf", "nlist": …, "nprobe": …}`` (a top-level ``nprobe`` in the
+    spec overrides the index default per query) routes through the IVF operators
     (sample-trained centroids, probe-pruned candidate lists) — at
     scale the index is trained once and amortized; here it trains
     inline, documented as the gate-scale form.
