@@ -408,12 +408,18 @@ def _q_exact_dedup(spark, sf_dir):
     return exact_dedup(docs).select("doc_id")
 
 
-def _q_cosine_top_k(spark, sf_dir):
-    # M7 similarity: brute-force cosine top-k (TakeOrdered plan)
+def _q_cosine_top_k(spark, sf_dir, query_vec=None):
+    # M7 similarity: brute-force cosine top-k (TakeOrdered plan).
+    # ``query_vec`` lets the composite ANN gate share ONE point-lookup
+    # job across its legs (round 14: three first() jobs → one).
     from anser_spark.operators.similarity import cosine_top_k
 
     emb = _db(spark, sf_dir).collection("embeddings").df()
-    query_vec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    if query_vec is None:
+        query_vec = [
+            float(x)
+            for x in emb.where("vec_id = 0").select("embedding").first()[0]
+        ]
     return cosine_top_k(emb, query_vec, k=10, round_to=4)
 
 
@@ -779,7 +785,7 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, pairs).select("doc_id", "component")
 
 
-def _q_ivf_top_k(spark, sf_dir):
+def _q_ivf_top_k(spark, sf_dir, query_vec=None):
     # M7 IVF ANN at full probe (nprobe=k) — provably identical to brute
     # force, so it shares the exact cosine_top_k oracle
     from anser_spark.operators.ivf import ivf_assign, ivf_top_k, ivf_train_sample
@@ -790,7 +796,11 @@ def _q_ivf_top_k(spark, sf_dir):
     # placement — see ivf_train_sample docstring for the bake-off)
     index = ivf_train_sample(emb, k=8, max_iter=5, max_sample=20_000)
     assigned = ivf_assign(emb, index)
-    query_vec = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    if query_vec is None:
+        query_vec = [
+            float(x)
+            for x in emb.where("vec_id = 0").select("embedding").first()[0]
+        ]
     return ivf_top_k(assigned, index, query_vec, k=10, nprobe=8)
 
 
@@ -811,14 +821,16 @@ def _q_ann_top_k(spark, sf_dir):
     from anser_spark.operators.pq import pq_encode, pq_top_k, pq_train_sample
     from anser_spark.operators.similarity import dot_col, norm_col
 
-    brute = _q_cosine_top_k(spark, sf_dir).select(
+    emb = _db(spark, sf_dir).collection("embeddings").df()
+    # ONE query-vector point lookup shared by every leg (round 14:
+    # previously brute/ivf/pq each ran their own first() job)
+    query = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
+    brute = _q_cosine_top_k(spark, sf_dir, query_vec=query).select(
         F.lit("brute").alias("kind"), "vec_id", "cosine"
     )
-    ivf = _q_ivf_top_k(spark, sf_dir).select(
+    ivf = _q_ivf_top_k(spark, sf_dir, query_vec=query).select(
         F.lit("ivf").alias("kind"), "vec_id", "cosine"
     )
-    emb = _db(spark, sf_dir).collection("embeddings").df()
-    query = [float(x) for x in emb.where("vec_id = 0").select("embedding").first()[0]]
     # small training sample: codebook quality is irrelevant to the
     # rerank-exact contract, and a 5k sample keeps the driver-side
     # k-means (the leg's dominant cost at sf0.1) in the ~100ms range
@@ -1127,6 +1139,16 @@ def _cached_index_coll(
                 os.path.isdir(v)
                 for k, v in d.items()
                 if k.endswith("_dir") and isinstance(v, str)
+            ) and all(
+                # list-valued layered dirs too (round 14, r13 ADVICE):
+                # a partially swept scratch with a missing delta/tomb
+                # dir must rebuild, not fail at read time
+                os.path.isdir(e)
+                for k, v in d.items()
+                if k.endswith(("_deltas", "_tombs", "tombs"))
+                and isinstance(v, (list, tuple))
+                for e in v
+                if isinstance(e, str)
             )
         except Exception:
             fresh = False

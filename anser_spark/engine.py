@@ -2507,6 +2507,14 @@ class Collection:
                 if int(st["n"]) and int(st["n"]) == int(st["nid"]):
                     definition["cells_dir"] = cells_dir
                     definition["assign_mean_dist"] = float(st["md"] or 0.0)
+                    # UPPER BOUND on live index rows (round 14):
+                    # incremental refresh adds its insert count and
+                    # never subtracts tombstones, so `numCandidates ≥
+                    # n_vectors` proves the ADC shortlist would contain
+                    # every candidate — the query path then skips the
+                    # ADC pass outright (full beam made it pure
+                    # overhead; r13 ADVICE)
+                    definition["n_vectors"] = int(st["n"])
                 else:
                     # duplicate ids — the unreferenced dir is swept
                     # below and queries keep the inline-assignment
@@ -2569,12 +2577,54 @@ class Collection:
                 stats_aggs.append(F.count_distinct(F.col("id")).alias("n_ids"))
             stats = tok_frame.agg(*stats_aggs).collect()[0]
             terms_dir = os.path.join(self._search_index_dir(), f"{name}_terms")
-            (
-                tok_frame.select(
-                    F.explode(F.array_distinct("__toks")).alias("term")
+            build_postings = bool(has_id and stats["n"] == stats["n_ids"])
+            if build_postings:
+                # postings-bearing build (round 14): write the postings
+                # FIRST and derive the term table FROM them — postings
+                # hold exactly one row per (id, term), so
+                # count-per-term over the written table IS df. The
+                # terms job then reads the (already shuffled, much
+                # smaller) postings instead of re-tokenizing and
+                # re-exploding the corpus: one full corpus pass fewer
+                # per build (two with the raw sidecar below), which is
+                # the build's dominant cost at scale under the 'none'
+                # analyzer where the token frame is not persisted.
+                postings_dir = os.path.join(
+                    self._search_index_dir(), f"{name}_postings"
                 )
-                .groupBy("term")
-                .agg(F.count(F.lit(1)).alias("df"))
+                store_pos = bool(definition.get("positions", True))
+                postings = self._postings_rows(tok_frame, store_pos)
+                # range-partition + sort by folded term: each parquet
+                # file covers a tight term range, so a query's isin
+                # lookup prunes on footer min/max instead of scanning.
+                # The id joins the range key so a HOT term (under the
+                # 'none' analyzer stopwords survive — 'the' can be in
+                # every document) splits across partitions instead of
+                # landing on one writer; term_fold leads, so footer
+                # min/max stays tight per file either way.
+                (
+                    postings.repartitionByRange(
+                        F.col("term_fold"), F.col("id")
+                    )
+                    .sortWithinPartitions("term_fold", "id")
+                    .write.mode("overwrite")
+                    .parquet(postings_dir)
+                )
+                terms_src = (
+                    self.engine.spark.read.parquet(postings_dir)
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                )
+            else:
+                terms_src = (
+                    tok_frame.select(
+                        F.explode(F.array_distinct("__toks")).alias("term")
+                    )
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                )
+            (
+                terms_src
                 # range+sort by term: the query-side point lookups and
                 # autocomplete PREFIX scans prune on footer min/max
                 # (round 10; previously the table shipped unsorted)
@@ -2601,29 +2651,10 @@ class Collection:
                 }
             )
             # round 9: inverted postings — only when a unique id exists
-            # to join matches back on (docstring above)
-            if has_id and stats["n"] == stats["n_ids"]:
-                postings_dir = os.path.join(
-                    self._search_index_dir(), f"{name}_postings"
-                )
-                store_pos = bool(definition.get("positions", True))
-                postings = self._postings_rows(tok_frame, store_pos)
-                # range-partition + sort by folded term: each parquet
-                # file covers a tight term range, so a query's isin
-                # lookup prunes on footer min/max instead of scanning.
-                # The id joins the range key so a HOT term (under the
-                # 'none' analyzer stopwords survive — 'the' can be in
-                # every document) splits across partitions instead of
-                # landing on one writer; term_fold leads, so footer
-                # min/max stays tight per file either way.
-                (
-                    postings.repartitionByRange(
-                        F.col("term_fold"), F.col("id")
-                    )
-                    .sortWithinPartitions("term_fold", "id")
-                    .write.mode("overwrite")
-                    .parquet(postings_dir)
-                )
+            # to join matches back on (docstring above; the table
+            # itself was written BEFORE the term table so terms could
+            # derive from it — round 14)
+            if build_postings:
                 definition.update({
                     "postings_dir": postings_dir,
                     "id_col": id_col,
@@ -2681,11 +2712,11 @@ class Collection:
                         self._search_index_dir(), f"{name}_rawterms"
                     )
                     (
-                        raw_frame.select(
-                            F.explode(F.array_distinct("__toks")).alias(
-                                "term"
-                            )
-                        )
+                        # derive from the just-written raw postings
+                        # (one row per (id, term) ⇒ count = df) — the
+                        # second corpus tokenize pass this table used
+                        # to pay is gone (round 14)
+                        self.engine.spark.read.parquet(raw_post)
                         .groupBy("term")
                         .agg(F.count(F.lit(1)).alias("df"))
                         .repartitionByRange(F.col("term"))
@@ -2869,16 +2900,44 @@ class Collection:
         stats = tok_frame.agg(*stats_aggs).collect()[0]
         idx_dir = self._search_index_dir()
         terms_dir = os.path.join(idx_dir, f"{name}_terms")
-        terms = None
-        for i, f in enumerate(fields):
-            t = tok_frame.select(
-                F.lit(f).alias("field"),
-                F.explode(F.array_distinct(f"__t{i}")).alias("term"),
+        build_postings = bool(
+            has_id and int(stats["n"]) == int(stats["n_ids"])
+        )
+        if build_postings:
+            # postings first, field-tagged term table FROM them (round
+            # 14): one row per (id, field, term) ⇒ count = per-field
+            # df; the terms job reads the written postings instead of
+            # re-exploding every field's token stream (one fewer full
+            # pass over the tokenized corpus per build)
+            store_positions = bool(definition.get("positions", True))
+            postings_dir = os.path.join(idx_dir, f"{name}_postings")
+            (
+                self._weighted_postings_rows(
+                    tok_frame, fields, store_positions
+                )
+                .repartitionByRange(F.col("term_fold"), F.col("id"))
+                .sortWithinPartitions("term_fold", "id")
+                .write.mode("overwrite")
+                .parquet(postings_dir)
             )
-            terms = t if terms is None else terms.unionByName(t)
+            terms_src = (
+                self.engine.spark.read.parquet(postings_dir)
+                .groupBy("field", "term")
+                .agg(F.count(F.lit(1)).alias("df"))
+            )
+        else:
+            terms = None
+            for i, f in enumerate(fields):
+                t = tok_frame.select(
+                    F.lit(f).alias("field"),
+                    F.explode(F.array_distinct(f"__t{i}")).alias("term"),
+                )
+                terms = t if terms is None else terms.unionByName(t)
+            terms_src = terms.groupBy("field", "term").agg(
+                F.count(F.lit(1)).alias("df")
+            )
         (
-            terms.groupBy("field", "term")
-            .agg(F.count(F.lit(1)).alias("df"))
+            terms_src
             .repartitionByRange(F.col("term"), F.col("field"))
             .sortWithinPartitions("term", "field")
             .write.mode("overwrite")
@@ -2901,18 +2960,7 @@ class Collection:
             "analyzer_version": ANALYZER_VERSION.get(language),
         })
         definition.pop("path", None)  # weighted indexes have no single path
-        if has_id and int(stats["n"]) == int(stats["n_ids"]):
-            store_positions = bool(definition.get("positions", True))
-            postings_dir = os.path.join(idx_dir, f"{name}_postings")
-            (
-                self._weighted_postings_rows(
-                    tok_frame, fields, store_positions
-                )
-                .repartitionByRange(F.col("term_fold"), F.col("id"))
-                .sortWithinPartitions("term_fold", "id")
-                .write.mode("overwrite")
-                .parquet(postings_dir)
-            )
+        if build_postings:
             ids_dir = os.path.join(idx_dir, f"{name}_ids")
             (
                 tok_frame.select(F.col("id"))
@@ -2951,20 +2999,13 @@ class Collection:
                     .parquet(raw_postings_dir)
                 )
                 raw_terms_dir = os.path.join(idx_dir, f"{name}_rawterms")
-                raw_terms = None
-                for i, f in enumerate(fields):
-                    t = raw_frame.select(
-                        F.lit(f).alias("field"),
-                        F.explode(
-                            F.array_distinct(f"__t{i}")
-                        ).alias("term"),
-                    )
-                    raw_terms = (
-                        t if raw_terms is None
-                        else raw_terms.unionByName(t)
-                    )
                 (
-                    raw_terms.groupBy("field", "term")
+                    # derive from the just-written raw postings (one
+                    # row per (id, field, term) ⇒ count = per-field
+                    # df) — drops the second per-field explode pass
+                    # over the raw token streams (round 14)
+                    self.engine.spark.read.parquet(raw_postings_dir)
+                    .groupBy("field", "term")
                     .agg(F.count(F.lit(1)).alias("df"))
                     .repartitionByRange(F.col("term"), F.col("field"))
                     .sortWithinPartitions("term", "field")
@@ -3337,6 +3378,10 @@ class Collection:
                 cells_deltas, tombs = [], []
             d["cells_deltas"] = cells_deltas
             d["tombs"] = tombs
+            if k and "n_vectors" in d:
+                # keep the full-beam bound an UPPER bound: add inserts,
+                # never subtract tombstones (see build-time stamp)
+                d["n_vectors"] = int(d["n_vectors"]) + int(k)
             d["built_at_version"] = cur
             self._write_search_index(name, d)
             self._sweep_index_dirs(name, d)
@@ -4640,10 +4685,10 @@ class Collection:
         spark = self.engine.spark
 
         def loader(terms: list[str]):
-            rows = (
-                spark.read.parquet(terms_dir)
-                .where(F.col("term").isin([t.lower() for t in terms]))
-                .collect()
+            from anser_spark.operators.ranking import terms_lookup_rows
+
+            rows = terms_lookup_rows(
+                spark, terms_dir, [t.lower() for t in terms]
             )
             return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
 
@@ -4672,7 +4717,11 @@ class Collection:
         # _write_search_index goes through os.replace, so any publish
         # moves mtime_ns and invalidates naturally
         cache = self.engine._index_def_cache
-        stamp = (st.st_mtime_ns, st.st_size)
+        # st_ino rides the stamp (round 14, r13 ADVICE): os.replace
+        # always publishes a new inode, so a same-tick rewrite with an
+        # identical byte size (fixed-length version fingerprints make
+        # that likely) can never serve a stale cached definition
+        stamp = (st.st_mtime_ns, st.st_size, st.st_ino)
         ent = cache.get(p)
         if ent is not None and ent[0] == stamp:
             definition = ent[1]

@@ -738,7 +738,14 @@ def connected_components(
         labels = [(x, find(x)) for x in sorted(nodes)]
         spark = pairs.sparkSession
         out = spark.createDataFrame(labels, schema=e.schema)
-        return out.select(F.col("u").alias(id_out), F.col("v").alias(comp_col))
+        # a driver-built frame has no stats, so a downstream join
+        # (dedup_clusters' corpus attach) planned as SortMergeJoin and
+        # shuffled the CORPUS side; the labels are ≤2·cap rows and
+        # driver-resident already — hint broadcast so the attach is a
+        # BroadcastHashJoin with no corpus exchange (round 14, §3.1)
+        return F.broadcast(
+            out.select(F.col("u").alias(id_out), F.col("v").alias(comp_col))
+        )
     for _ in range(max_iterations):
         # large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -109,10 +109,23 @@ def pq_train_sample(
     seed: int = 42,
 ) -> PQCodebooks:
     """Train m per-subspace codebooks (2^nbits entries each) on a
-    bounded driver sample. Requires dim % m == 0."""
+    bounded driver sample. Requires dim % m == 0.
+
+    The sample is a SEEDED PSEUDO-RANDOM slice (round 14, r13 ADVICE):
+    ordering by ``xxhash64(id, seed)`` before the limit is a
+    deterministic permutation, so the seed actually governs sample
+    selection — a bare ``.limit(n)`` took the first partitions' rows,
+    and on a corpus ordered by ingest time or cluster the codebooks
+    trained on a skewed slice (bounded-beam recall degraded). One
+    TakeOrdered pass, same cost class as the limit."""
     import numpy as np
 
-    rows = df.select(vec_col).limit(int(max_sample)).collect()
+    sample_src = df
+    if id_col in df.columns:
+        sample_src = df.orderBy(
+            F.xxhash64(F.col(id_col), F.lit(int(seed)))
+        )
+    rows = sample_src.select(vec_col).limit(int(max_sample)).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:

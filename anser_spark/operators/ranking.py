@@ -82,6 +82,152 @@ assert len(_FOLD_SRC) == len(_FOLD_DST)
 _FOLD_TABLE = str.maketrans(_FOLD_SRC, _FOLD_DST)
 
 
+def sidecar_rows(
+    spark,
+    dirs,
+    eq: Mapping[str, Any] | None = None,
+    isin: Mapping[str, list] | None = None,
+    prefix_any: tuple[str, list[str]] | None = None,
+    columns: list[str] | None = None,
+) -> list[dict] | None:
+    """Point/prefix lookups on a small parquet SIDECAR (term/stats
+    tables) as a driver-local pyarrow read with predicate pushdown —
+    no Spark job. A query-time stats lookup returns O(query terms)
+    rows and already collects to the driver; launching a distributed
+    job per lookup charged every indexed text query ~0.1-1s of pure
+    job-scheduling overhead (round 14, guide §1.2: fix the per-query
+    work after the algorithm). The term tables are written
+    range-partitioned and sorted by term, so parquet row-group
+    statistics prune the read to the matching groups — the same
+    pushdown the Spark scan relied on.
+
+    Returns a list of dict rows, or None when the local path cannot
+    serve (non-local dir, pyarrow failure, or total size above
+    ``spark.anser.index.sidecarLocalReadMaxBytes``, default 256 MiB —
+    a vocabulary table big enough to want a cluster scan gets one):
+    callers fall back to the Spark read they used before.
+    """
+    import os
+
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    try:
+        max_bytes = int(
+            spark.conf.get(
+                "spark.anser.index.sidecarLocalReadMaxBytes",
+                str(256 * 1024 * 1024),
+            )
+        )
+    except Exception:
+        max_bytes = 256 * 1024 * 1024
+    total = 0
+    paths: list[str] = []
+    try:
+        for d in dirs:
+            d = str(d)
+            if d.startswith("file:"):
+                d = d[len("file:"):]
+            if not os.path.isdir(d):
+                return None
+            for root, _sub, files in os.walk(d):
+                for f in sorted(files):
+                    if f.startswith((".", "_")):
+                        continue
+                    p = os.path.join(root, f)
+                    total += os.path.getsize(p)
+                    if total > max_bytes:
+                        return None
+                    paths.append(p)
+    except OSError:
+        return None
+    if not paths:
+        return []
+    try:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        data = ds.dataset(paths, format="parquet")
+        flt = None
+
+        def _and(a, b):
+            return b if a is None else a & b
+
+        for k, v in (eq or {}).items():
+            flt = _and(flt, ds.field(k) == v)
+        for k, v in (isin or {}).items():
+            flt = _and(flt, ds.field(k).isin(list(v)))
+        if prefix_any is not None:
+            col, prefixes = prefix_any
+            p = None
+            for t in prefixes:
+                e = pc.starts_with(ds.field(col), str(t))
+                p = e if p is None else (p | e)
+            if p is not None:
+                flt = _and(flt, p)
+        tbl = data.to_table(filter=flt, columns=columns)
+        return tbl.to_pylist()
+    except Exception:
+        return None
+
+
+def terms_lookup_rows(
+    spark, terms_dir, terms: list, field: str | None = None
+) -> list:
+    """``(term[, field] → df)`` point lookup on a term-stats sidecar:
+    driver-local pyarrow read when possible, the original pushed-down
+    Spark read otherwise. Row access stays ``r["term"]``-shaped for
+    both paths."""
+    rows = sidecar_rows(
+        spark,
+        str(terms_dir),
+        eq=({"field": field} if field is not None else None),
+        isin={"term": list(terms)},
+    )
+    if rows is not None:
+        return rows
+    tbl = spark.read.parquet(str(terms_dir))
+    if field is not None:
+        tbl = tbl.where(F.col("field") == F.lit(field))
+    return tbl.where(F.col("term").isin(list(terms))).collect()
+
+
+def terms_df_sum(
+    spark,
+    terms_dir,
+    terms: list | None = None,
+    field: str | None = None,
+    prefixes: list | None = None,
+) -> int:
+    """Σ df over a term-table lookup (the postings cost gate's input):
+    same local-read-with-fallback contract as
+    :func:`terms_lookup_rows`; ``prefixes`` switches the match to
+    prefix-OR (the autocomplete cost shape)."""
+    rows = sidecar_rows(
+        spark,
+        str(terms_dir),
+        eq=({"field": field} if field is not None else None),
+        isin=({"term": list(terms)} if terms is not None else None),
+        prefix_any=(("term", list(prefixes)) if prefixes else None),
+        columns=["df"],
+    )
+    if rows is not None:
+        return sum(int(r["df"]) for r in rows)
+    tbl = spark.read.parquet(str(terms_dir))
+    if field is not None:
+        tbl = tbl.where(F.col("field") == F.lit(field))
+    if terms is not None:
+        tbl = tbl.where(F.col("term").isin(list(terms)))
+    if prefixes:
+        cond = None
+        for t in prefixes:
+            c = F.col("term").startswith(F.lit(t))
+            cond = c if cond is None else (cond | c)
+        tbl = tbl.where(cond)
+    return int(
+        tbl.agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s")).collect()[0]["s"]
+    )
+
+
 def _fold_py(s: str) -> str:
     return s.translate(_FOLD_TABLE)
 
@@ -269,6 +415,7 @@ def bm25_score_expr(
     analyzed: bool = False,
     toks_col: str | None = None,
     fold: bool = False,
+    with_pred: bool = False,
 ) -> F.Column:
     """BM25 as a pure Column EXPRESSION over ``df``'s text column — the
     zero-join form: corpus stats (N, avgdl, per-term df) come from the
@@ -287,7 +434,14 @@ def bm25_score_expr(
 
     score > 0 ⟺ the document contains ≥1 query term (idf is strictly
     positive under the +1 smoothing), so the expression doubles as the
-    match predicate.
+    match predicate. ``with_pred=True`` (round 14) returns
+    ``(score, pred)`` where ``pred`` is that same predicate as ONE
+    cheap ``exists(toks, isin)`` — semantically identical to
+    ``score > 0`` incl. the n_docs/avgdl edge cases, but when Catalyst
+    pushes the filter below the score projection (alias substitution
+    re-inlines the token stream per term) the pushed condition then
+    tokenizes once per row instead of ~2·|terms|+1 times — measured
+    13 → 2 tokenizations/row on the 3-term hybrid gate's text leg.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
@@ -297,7 +451,8 @@ def bm25_score_expr(
         else analyze_terms(query_terms, language)
     )
     if not terms:
-        return F.lit(0.0)  # all stopwords: nothing to score
+        # all stopwords: nothing to score, nothing matches
+        return (F.lit(0.0), F.lit(False)) if with_pred else F.lit(0.0)
     # the expression references the token array once per term; under
     # the 'english' analyzer tokenization is a stopword filter + stem
     # transform per evaluation, so callers that can materialize the
@@ -331,7 +486,8 @@ def bm25_score_expr(
         n_docs, avgdl, df_map = stats
         dfs = [int(df_map.get(t, 0)) for t in terms]
     if n_docs == 0 or avgdl == 0.0:
-        return F.lit(0.0)
+        # score>0 can never hold — the paired pred must agree
+        return (F.lit(0.0), F.lit(False)) if with_pred else F.lit(0.0)
     norm = F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.size(toks).cast("double") / F.lit(avgdl)
     )
@@ -341,6 +497,11 @@ def bm25_score_expr(
         tf = tf_exprs[i].cast("double")
         part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
         score = part if score is None else score + part
+    if with_pred:
+        # ∃ term with tf>0 ⟺ Σ idf·tf·…>0 (idf strictly positive under
+        # the +1 smoothing, tf ≥ 0) — one exists over the shared stream
+        pred = F.exists(toks, lambda w: w.isin(list(dict.fromkeys(terms))))
+        return score, pred
     return score
 
 
@@ -592,9 +753,6 @@ def text_match_frame(
         if folding:
             toks = F.transform(toks, _fold_col)
         qterm = _fold_py if folding else (lambda t: t)
-        has = lambda term: F.exists(  # noqa: E731
-            toks, lambda w: w == F.lit(qterm(term))
-        )
         contains = lambda p: (  # noqa: E731
             _fold_col(F.col(text_col)) if folding else F.col(text_col)
         ).contains(F.lit(qterm(p)))
@@ -604,24 +762,28 @@ def text_match_frame(
             (lambda t: _fold_py(t.lower())) if folding
             else (lambda t: t.lower())
         )
-        has = lambda term: F.exists(  # noqa: E731
-            toks, lambda w: w == F.lit(qterm(term))
-        )
         contains = lambda p: (  # noqa: E731
             _fold_col(F.lower(F.col(text_col))) if folding
             else F.lower(F.col(text_col))
         ).contains(F.lit(qterm(p)))
 
+    def has_any(ts: list[str]) -> F.Column:
+        # ONE exists over the shared token stream (≡ OR of has(t)):
+        # when Catalyst pushes the predicate below the score projection
+        # it substitutes the token alias per reference, so the per-term
+        # OR form re-tokenized the row once per term in the pushed
+        # filter (round 14 — the same re-inlining bm25_score_expr's
+        # with_pred documents)
+        vals = [qterm(t) for t in ts]
+        return F.exists(toks, lambda w: w.isin(vals))
+
     pred = None
     if terms:
-        pos = None
-        for t in terms:
-            pos = has(t) if pos is None else (pos | has(t))
-        pred = pos
+        pred = has_any(terms)
     for p in phrases:
         pred = contains(p) if pred is None else (pred & contains(p))
-    for t in negated:
-        neg = ~F.coalesce(has(t), F.lit(False))
+    if negated:
+        neg = ~F.coalesce(has_any(negated), F.lit(False))
         pred = neg if pred is None else (pred & neg)
     if not terms and not phrases and (negated or language == "english"):
         # Mongo: a $search with nothing positive left — only negated
@@ -683,8 +845,12 @@ def text_match_weighted_frame(
             else (lambda t: t.lower())
         )
 
-    def has(fname: str, term: str) -> F.Column:
-        return F.exists(per_field(fname), lambda w: w == F.lit(qterm(term)))
+    def has_any(fname: str, ts: list) -> F.Column:
+        # one exists per FIELD over its shared stream (≡ OR of per-term
+        # equality) — the pushed-down filter then tokenizes each field
+        # once instead of once per (field, term) pair (round 14)
+        vals = [qterm(t) for t in ts]
+        return F.exists(per_field(fname), lambda w: w.isin(vals))
 
     def contains(fname: str, p: str) -> F.Column:
         body = F.col(fname) if q.case_sensitive else F.lower(F.col(fname))
@@ -695,10 +861,9 @@ def text_match_weighted_frame(
     pred = None
     if q.terms:
         pos = None
-        for t in q.terms:
-            for fname in fields:
-                h = has(fname, t)
-                pos = h if pos is None else (pos | h)
+        for fname in fields:
+            h = has_any(fname, q.terms)
+            pos = h if pos is None else (pos | h)
         pred = pos
     for p in q.phrases:
         any_f = None
@@ -706,10 +871,10 @@ def text_match_weighted_frame(
             c = contains(fname, p)
             any_f = c if any_f is None else (any_f | c)
         pred = any_f if pred is None else (pred & any_f)
-    for t in q.negated:
+    if q.negated:
         any_f = None
         for fname in fields:
-            h = F.coalesce(has(fname, t), F.lit(False))
+            h = F.coalesce(has_any(fname, q.negated), F.lit(False))
             any_f = h if any_f is None else (any_f | h)
         neg = ~any_f
         pred = neg if pred is None else (pred & neg)
@@ -758,10 +923,8 @@ def weighted_stats_loader(spark, index: Mapping[str, Any]):
     fmeta = dict(index.get("fields") or {})
 
     def loader(terms: list[str]) -> dict[str, Any]:
-        rows = (
-            spark.read.parquet(terms_dir)
-            .where(F.col("term").isin([t.lower() for t in terms]))
-            .collect()
+        rows = terms_lookup_rows(
+            spark, terms_dir, [t.lower() for t in terms]
         )
         per: dict[str, dict] = {
             f: {
@@ -844,11 +1007,7 @@ def text_match_weighted_postings(
     if q.folding:
         cost_terms = sorted({t.lower() for t in q.terms})
         lookup_terms |= set(cost_terms)
-    rows = (
-        spark.read.parquet(str(index["terms_dir"]))
-        .where(F.col("term").isin(list(lookup_terms)))
-        .collect()
-    )
+    rows = terms_lookup_rows(spark, index["terms_dir"], list(lookup_terms))
     df_map = {(r["field"], r["term"]): r["df"] for r in rows}
     if not _postings_cost_ok(
         spark,
@@ -1150,11 +1309,7 @@ def text_match_postings(
     if q.folding:
         cost_terms = sorted({t.lower() for t in q.terms})
         lookup_terms |= set(cost_terms)
-    rows = (
-        spark.read.parquet(str(index["terms_dir"]))
-        .where(F.col("term").isin(list(lookup_terms)))
-        .collect()
-    )
+    rows = terms_lookup_rows(spark, index["terms_dir"], list(lookup_terms))
     df_map = {r["term"]: r["df"] for r in rows}
     if not _postings_cost_ok(
         spark,
@@ -1268,28 +1423,17 @@ def search_text_postings(
 
     spark = df.sparkSession
     distinct = list(dict.fromkeys(terms))
-    term_rows = spark.read.parquet(str(index["terms_dir"]))
-    if field is not None:
-        term_rows = term_rows.where(F.col("field") == F.lit(field))
-    rows = (
-        term_rows
-        .where(F.col("term").isin([t.lower() for t in distinct]))
-        .collect()
+    rows = terms_lookup_rows(
+        spark, index["terms_dir"], [t.lower() for t in distinct], field=field
     )
     df_map = {r["term"]: r["df"] for r in rows}
     if raw:
-        raw_term_rows = spark.read.parquet(str(index["raw_terms_dir"]))
-        if field is not None:
-            # mirror the phrase/autocomplete paths: a weighted index's
-            # raw terms table is field-tagged, and the cost gate must
-            # sum df for the queried field only (round-13 ADVICE —
-            # latent until moreLikeThis routes through the field view)
-            raw_term_rows = raw_term_rows.where(F.col("field") == F.lit(field))
-        cost = (
-            raw_term_rows
-            .where(F.col("term").isin(list(distinct)))
-            .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        # mirror the phrase/autocomplete paths: a weighted index's
+        # raw terms table is field-tagged, and the cost gate must
+        # sum df for the queried field only (round-13 ADVICE —
+        # latent until moreLikeThis routes through the field view)
+        cost = terms_df_sum(
+            spark, index["raw_terms_dir"], list(distinct), field=field
         )
         cost_lang = "none"
     else:
@@ -1370,14 +1514,23 @@ def search_text_postings_multi(
 
     spark = df.sparkSession
     distinct = list(dict.fromkeys(terms))
-    rows = (
-        spark.read.parquet(str(index["terms_dir"]))
-        .where(
-            F.col("field").isin([str(f) for f in dict.fromkeys(fields)])
-            & F.col("term").isin([t.lower() for t in distinct])
-        )
-        .collect()
+    rows = sidecar_rows(
+        spark,
+        str(index["terms_dir"]),
+        isin={
+            "field": [str(f) for f in dict.fromkeys(fields)],
+            "term": [t.lower() for t in distinct],
+        },
     )
+    if rows is None:
+        rows = (
+            spark.read.parquet(str(index["terms_dir"]))
+            .where(
+                F.col("field").isin([str(f) for f in dict.fromkeys(fields)])
+                & F.col("term").isin([t.lower() for t in distinct])
+            )
+            .collect()
+        )
     df_map = {(r["field"], r["term"]): r["df"] for r in rows}
     cost = sum(int(v) for v in df_map.values())
     cost_lang = str(index.get("default_language", "none") or "none")
@@ -1616,22 +1769,15 @@ def search_phrase_postings(
     # path's stats_loader does exactly that, and under a stemmed index
     # a raw phrase token absent from the stemmed stems reads df=0
     # (maximal idf), the documented scan-with-index behavior
-    term_tbl = spark.read.parquet(str(index["terms_dir"]))
-    if field is not None:
-        term_tbl = term_tbl.where(F.col("field") == F.lit(field))
-    rows = term_tbl.where(F.col("term").isin(list(distinct))).collect()
+    rows = terms_lookup_rows(
+        spark, index["terms_dir"], list(distinct), field=field
+    )
     df_map = {r["term"]: r["df"] for r in rows}
     if raw:
         # the COST gate, by contrast, must see the raw-token document
         # frequencies — the candidates come from the raw sidecar
-        raw_tbl = spark.read.parquet(str(index["raw_terms_dir"]))
-        if field is not None:
-            raw_tbl = raw_tbl.where(F.col("field") == F.lit(field))
-        cost = (
-            raw_tbl
-            .where(F.col("term").isin(list(distinct)))
-            .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        cost = terms_df_sum(
+            spark, index["raw_terms_dir"], list(distinct), field=field
         )
     else:
         cost = sum(int(v) for v in df_map.values())
@@ -1748,16 +1894,12 @@ def search_autocomplete_postings(
     any_cond = conds[0]
     for c in conds[1:]:
         any_cond = any_cond | c
-    cost_tbl = spark.read.parquet(str(
-        index["raw_terms_dir"] if raw else index["terms_dir"]
-    ))
-    if field is not None:  # round 12: weighted-index field view
-        cost_tbl = cost_tbl.where(F.col("field") == F.lit(field))
-    sum_df = (
-        cost_tbl
-        .where(any_cond)
-        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
-        .collect()[0]["s"]
+    # round 12: weighted-index field view filters the cost lookup
+    sum_df = terms_df_sum(
+        spark,
+        index["raw_terms_dir"] if raw else index["terms_dir"],
+        field=field,
+        prefixes=list(terms),
     )
     if not _postings_cost_ok(spark, int(sum_df), n_docs, "none"):
         return None
@@ -1863,27 +2005,48 @@ def search_phrase_postings_multi(
     # idf ALWAYS resolves from the analyzed term table — the scan
     # twin's per-field stats lookups do exactly that (under a stemmed
     # index a raw phrase token absent from the stems reads df=0)
-    rows = (
-        spark.read.parquet(str(index["terms_dir"]))
-        .where(
-            F.col("field").isin([str(f) for f in uniq_fields])
-            & F.col("term").isin(list(distinct))
-        )
-        .collect()
+    rows = sidecar_rows(
+        spark,
+        str(index["terms_dir"]),
+        isin={
+            "field": [str(f) for f in uniq_fields],
+            "term": list(distinct),
+        },
     )
-    df_map = {(r["field"], r["term"]): r["df"] for r in rows}
-    if raw:
-        # the COST gate must see the raw-token document frequencies —
-        # the candidates come from the raw sidecar
-        cost = (
-            spark.read.parquet(str(index["raw_terms_dir"]))
+    if rows is None:
+        rows = (
+            spark.read.parquet(str(index["terms_dir"]))
             .where(
                 F.col("field").isin([str(f) for f in uniq_fields])
                 & F.col("term").isin(list(distinct))
             )
-            .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+            .collect()
         )
+    df_map = {(r["field"], r["term"]): r["df"] for r in rows}
+    if raw:
+        # the COST gate must see the raw-token document frequencies —
+        # the candidates come from the raw sidecar
+        raw_rows = sidecar_rows(
+            spark,
+            str(index["raw_terms_dir"]),
+            isin={
+                "field": [str(f) for f in uniq_fields],
+                "term": list(distinct),
+            },
+            columns=["df"],
+        )
+        if raw_rows is not None:
+            cost = sum(int(r["df"]) for r in raw_rows)
+        else:
+            cost = (
+                spark.read.parquet(str(index["raw_terms_dir"]))
+                .where(
+                    F.col("field").isin([str(f) for f in uniq_fields])
+                    & F.col("term").isin(list(distinct))
+                )
+                .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
+                .collect()[0]["s"]
+            )
     else:
         cost = sum(int(v) for v in df_map.values())
     if not _postings_cost_ok(spark, int(cost), n_docs, "none"):
@@ -2012,15 +2175,24 @@ def search_autocomplete_postings_multi(
     any_cond = conds[0]
     for c in conds[1:]:
         any_cond = any_cond | c
-    sum_df = (
-        spark.read.parquet(str(
-            index["raw_terms_dir"] if raw else index["terms_dir"]
-        ))
-        .where(F.col("field").isin([str(f) for f in uniq_fields]))
-        .where(any_cond)
-        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
-        .collect()[0]["s"]
+    mdir = str(index["raw_terms_dir"] if raw else index["terms_dir"])
+    mrows = sidecar_rows(
+        spark,
+        mdir,
+        isin={"field": [str(f) for f in uniq_fields]},
+        prefix_any=("term", list(terms)),
+        columns=["df"],
     )
+    if mrows is not None:
+        sum_df = sum(int(r["df"]) for r in mrows)
+    else:
+        sum_df = (
+            spark.read.parquet(mdir)
+            .where(F.col("field").isin([str(f) for f in uniq_fields]))
+            .where(any_cond)
+            .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
     if not _postings_cost_ok(spark, int(sum_df), n_docs, "none"):
         return None
 

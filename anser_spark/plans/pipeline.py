@@ -710,7 +710,18 @@ def _topn_prefilter(
     from pyspark.sql import Window
 
     schema = df.schema
-    salt = F.pmod(F.spark_partition_id(), F.lit(_TOPN_SALT_BUCKETS))
+    # materialize the salt ONCE as a column shared by every heavy
+    # accumulator's window (round 14): inlining the expression gave
+    # each window its OWN spark_partition_id() — evaluated after the
+    # previous window's shuffle, hence a DIFFERENT partitioning — so N
+    # accumulators paid N full Exchanges. One shared salt column means
+    # one Exchange feeding N Sorts (plan: 3 Exchange → 1 on the global
+    # $topN/$minN/$maxN group); any salt assignment yields a superset
+    # of the per-bucket top-n, so results are unchanged.
+    df = df.withColumn(
+        "__tn_salt", F.pmod(F.spark_partition_id(), F.lit(_TOPN_SALT_BUCKETS))
+    )
+    salt = F.col("__tn_salt")
     if any(next(iter(s)) in ("$firstN", "$lastN") for s in heavy.values()):
         # scan-order id, captured BEFORE the window shuffle.  After an
         # explicit $sort the range partitioning makes it the sorted
@@ -1372,14 +1383,17 @@ def _compile_search_op(  # noqa: C901
     from anser_spark.functions.filters import resolve_field
     from anser_spark.operators.ranking import bm25_score_expr
 
-    def _bm25(terms: list[str], path: str, language: str = "none") -> Column:
+    def _bm25(
+        terms: list[str], path: str, language: str = "none",
+        with_pred: bool = False,
+    ) -> Column:
         # terms are ALREADY analyzed by the calling operator — never
         # re-analyze (stemming is not idempotent against the stopword
         # list: 'owns'→'own' would vanish on a second pass)
         stats = stats_loader(terms) if stats_loader is not None else None
         return bm25_score_expr(
             df, terms, text_col=path, stats=stats,
-            language=language, analyzed=True,
+            language=language, analyzed=True, with_pred=with_pred,
         )
 
     _analyzer = _search_analyzer
@@ -1387,15 +1401,12 @@ def _compile_search_op(  # noqa: C901
     def _any_term_pred(terms: list[str], path: str, language: str = "none") -> Column:
         from anser_spark.operators.ranking import _tokens
 
+        # ONE exists over the shared stream (≡ OR of per-term equality):
+        # the pushed-down filter then tokenizes once per row instead of
+        # once per term (round 14)
         toks = _tokens(path, language)
-
-        def has(term: str) -> Column:
-            return F.exists(toks, lambda w: w == F.lit(term))
-
-        pred = None
-        for t in terms:
-            pred = has(t) if pred is None else pred | has(t)
-        return pred
+        vals = list(dict.fromkeys(terms))
+        return F.exists(toks, lambda w: w.isin(vals))
 
     if op in ("text", "phrase") and not (
         isinstance(spec, Mapping) and "query" in spec and "path" in spec
@@ -1429,23 +1440,34 @@ def _compile_search_op(  # noqa: C901
             if not need_score:
                 return pred, F.lit(1.0)
             score = None
+            mpred = None
             for fname in fields:
                 # a NULL field contributes 0, not NULL — one missing
                 # value must not null out the whole multi-path score
-                part = F.coalesce(
-                    bm25_score_expr(
-                        df, terms, text_col=fname,
-                        language=language, analyzed=True,
-                    ),
-                    F.lit(0.0),
+                fscore, fpred = bm25_score_expr(
+                    df, terms, text_col=fname,
+                    language=language, analyzed=True, with_pred=True,
                 )
+                part = F.coalesce(fscore, F.lit(0.0))
                 score = part if score is None else score + part
-            return score > 0, _search_score_option(spec, score)
+                # Σ coalesce(score_f, 0) > 0 ⟺ some field's score > 0 ⟺
+                # OR of the per-field cheap predicates (each lit(False)
+                # exactly when its score collapsed to lit(0.0)) — the
+                # pushed filter tokenizes each field once, not per term
+                # and not through the full score arithmetic (round 14)
+                mpred = fpred if mpred is None else (mpred | fpred)
+            # the original `score > 0` was never NULL (per-part
+            # coalesce), so the replacement must not be either —
+            # compound mustNot negates this predicate
+            return (
+                F.coalesce(mpred, F.lit(False)),
+                _search_score_option(spec, score),
+            )
         path = str(raw_path)
         if not need_score:
             return _any_term_pred(terms, path, language), F.lit(1.0)
-        score = _bm25(terms, path, language)
-        return score > 0, _search_score_option(spec, score)
+        score, pred = _bm25(terms, path, language, with_pred=True)
+        return pred, _search_score_option(spec, score)
     if op == "phrase":
         terms = [w for w in str(spec["query"]).lower().split() if w]
         if not terms:
@@ -2008,10 +2030,10 @@ def _text_match_stage(
             spark = df.sparkSession
 
             def stats_loader(terms):  # noqa: F811
-                rows = (
-                    spark.read.parquet(terms_dir)
-                    .where(F.col("term").isin([t.lower() for t in terms]))
-                    .collect()
+                from anser_spark.operators.ranking import terms_lookup_rows
+
+                rows = terms_lookup_rows(
+                    spark, terms_dir, [t.lower() for t in terms]
                 )
                 return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
     else:
@@ -2231,12 +2253,13 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         terms_dir = str(index["terms_dir"])
 
         def stats_loader(terms: list[str]):  # noqa: F811
-            # point lookup on the persisted term table: pushed-down isin
-            # over a parquet keyed by term — O(query terms) rows back
-            rows = (
-                df.sparkSession.read.parquet(terms_dir)
-                .where(F.col("term").isin([t.lower() for t in terms]))
-                .collect()
+            # point lookup on the persisted term table: driver-local
+            # pyarrow read with row-group pruning (Spark-read fallback
+            # inside) — O(query terms) rows back, no per-lookup job
+            from anser_spark.operators.ranking import terms_lookup_rows
+
+            rows = terms_lookup_rows(
+                df.sparkSession, terms_dir, [t.lower() for t in terms]
             )
             return n_docs, avgdl, {r["term"]: r["df"] for r in rows}
 
@@ -2436,13 +2459,11 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             w_field = str(spath)
 
             def stats_loader(terms: list[str]):  # noqa: F811
-                rows = (
-                    df.sparkSession.read.parquet(w_terms_dir)
-                    .where(
-                        (F.col("field") == F.lit(w_field))
-                        & F.col("term").isin([t.lower() for t in terms])
-                    )
-                    .collect()
+                from anser_spark.operators.ranking import terms_lookup_rows
+
+                rows = terms_lookup_rows(
+                    df.sparkSession, w_terms_dir,
+                    [t.lower() for t in terms], field=w_field,
                 )
                 return w_n_docs, w_avgdl, {r["term"]: r["df"] for r in rows}
 
@@ -2473,16 +2494,51 @@ def _search_stage(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 fname: str, terms: list[str],
                 _td=fsl_terms_dir, _n=fsl_n, _avg=fsl_avg,
             ):
-                rows = (
-                    df.sparkSession.read.parquet(_td)
-                    .where(
-                        (F.col("field") == F.lit(fname))
-                        & F.col("term").isin([t.lower() for t in terms])
-                    )
-                    .collect()
+                from anser_spark.operators.ranking import terms_lookup_rows
+
+                rows = terms_lookup_rows(
+                    df.sparkSession, _td,
+                    [t.lower() for t in terms], field=fname,
                 )
                 return _n, _avg[fname], {r["term"]: r["df"] for r in rows}
 
+    if (
+        out is None
+        and op == "text"
+        and isinstance(spec, Mapping)
+        and isinstance(spec.get("path"), str)
+        and "query" in spec
+        and _search_text_terms(spec)
+    ):
+        # round 14: single-path text SCAN fallback materializes the
+        # analyzed token stream ONCE per row — the score projection
+        # references the array column (CollapseProject keeps a
+        # non-cheap multi-referenced alias in its own projection)
+        # instead of re-tokenizing per term, and the pushed-down match
+        # filter is the cheap one-tokenize exists pred. Measured on the
+        # hybrid gate's 3-term leg: 13 → 2 tokenizations per row.
+        from anser_spark.operators.ranking import _tokens, bm25_score_expr
+
+        language = _search_analyzer(spec)
+        terms = _search_text_terms(spec)
+        stats = stats_loader(terms) if stats_loader is not None else None
+        tcol = "__searchToks"
+        prepared = df.withColumn(
+            tcol, _tokens(str(spec["path"]), language)
+        )
+        score, pred = bm25_score_expr(
+            prepared, terms, text_col=str(spec["path"]), stats=stats,
+            language=language, analyzed=True, toks_col=tcol,
+            with_pred=True,
+        )
+        out = (
+            prepared.where(F.coalesce(pred, F.lit(False)))
+            .withColumn(
+                score_field,
+                _search_score_option(spec, score).cast("double"),
+            )
+            .drop(tcol)
+        )
     if out is None:
         pred, score = _compile_search_op(
             df, op, spec, stats_loader,
@@ -3085,21 +3141,44 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                     int(arg.get("numCandidates", max(limit * 10, 100))),
                     limit,
                 )
-                shortlist = (
-                    pq_adc_scores(
-                        probed,
-                        index["codebooks"],
-                        qv,
-                        similarity=similarity,
-                        id_col="id",
-                        codes_col="__codes",
-                        norm_col="__norm",
+                # FULL-BEAM fallthrough (round 14, r13 ADVICE): when
+                # numCandidates covers every row the index can hold
+                # (n_vectors is an upper bound maintained by build and
+                # refresh), the ADC shortlist would be the whole
+                # candidate set — the ADC pass, its top-ncand sort and
+                # the shortlist join are provably identity, so skip
+                # straight to the exact rerank over the probed cells.
+                n_vec_bound = int(index.get("n_vectors") or 0)
+                if not (n_vec_bound and ncand >= n_vec_bound):
+                    shortlist = (
+                        pq_adc_scores(
+                            probed,
+                            index["codebooks"],
+                            qv,
+                            similarity=similarity,
+                            id_col="id",
+                            codes_col="__codes",
+                            norm_col="__norm",
+                        )
+                        .orderBy(F.desc("__adc"), F.col("id"))
+                        .limit(ncand)
+                        .select("id")
                     )
-                    .orderBy(F.desc("__adc"), F.col("id"))
-                    .limit(ncand)
-                    .select("id")
-                )
-                probed = probed.join(F.broadcast(shortlist), "id")
+                    # an explicit broadcast of a user-sized shortlist is
+                    # only safe while it stays driver-friendly; above
+                    # the cap let the planner pick the join (AQE sees
+                    # the real size) instead of forcing an unbounded
+                    # driver build (r13 ADVICE; Atlas caps at 10k)
+                    try:
+                        bcast_max = int(df.sparkSession.conf.get(
+                            "spark.anser.vector.adcBroadcastMax",
+                            "4000000",
+                        ))
+                    except Exception:
+                        bcast_max = 4_000_000
+                    if ncand <= bcast_max:
+                        shortlist = F.broadcast(shortlist)
+                    probed = probed.join(shortlist, "id")
             cand = (
                 probed
                 .select(

@@ -73,6 +73,16 @@ def _prev_round_calibration(sf_dir: str, repeat: int) -> dict | None:
                      os.path.join(repo, ".scratch", e)],
                     capture_output=True, timeout=120,
                 )
+            # the paired per-commit scratch dirs must go with their
+            # worktrees (round 14, r13 ADVICE: .scratch grew without
+            # bound as the calibration baseline advanced)
+            if e.startswith("prev_") and not e.startswith("prev_wt_") \
+                    and e != f"prev_{prev[:12]}":
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(repo, ".scratch", e), ignore_errors=True
+                )
     except Exception:
         pass
     try:
