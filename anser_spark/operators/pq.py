@@ -116,16 +116,43 @@ def pq_train_sample(
     deterministic permutation, so the seed actually governs sample
     selection — a bare ``.limit(n)`` took the first partitions' rows,
     and on a corpus ordered by ingest time or cluster the codebooks
-    trained on a skewed slice (bounded-beam recall degraded). One
-    TakeOrdered pass, same cost class as the limit."""
+    trained on a skewed slice (bounded-beam recall degraded).
+
+    The top-``max_sample`` selection happens on NARROW ``(id, hash)``
+    rows (guide §2.3/§8: decide with lightweight proxies, move payloads
+    once): a TakeOrdered carrying the vector column holds a
+    ``max_sample``-deep heap of ~dim·8-byte payload rows per task and
+    merges partitions·max_sample of them in one task — at 768 dims and
+    the default 100k sample that is ~600 MB per task heap, where the
+    narrow pass is ~1.6 MB. The narrow pass yields the hash CUTOFF of
+    the winning set; the payload pass then re-scans with the scalar
+    ``hash <= cutoff`` filter (≈max_sample survivors, only ties extra)
+    so its TakeOrdered heap sees ~max_sample rows total — no join, no
+    broadcast, one extra column-pruned job."""
     import numpy as np
 
-    sample_src = df
     if id_col in df.columns:
-        sample_src = df.orderBy(
-            F.xxhash64(F.col(id_col), F.lit(int(seed)))
+        h = F.xxhash64(F.col(id_col), F.lit(int(seed)))
+        cut = (
+            df.select(h.alias("__pq_sample_h"))
+            .orderBy("__pq_sample_h")
+            .limit(int(max_sample))
+            .agg(F.max("__pq_sample_h"), F.count("*"))
+            .first()
         )
-    rows = sample_src.select(vec_col).limit(int(max_sample)).collect()
+        src = df
+        if cut[1] and int(cut[1]) >= int(max_sample):
+            # a full top-max_sample exists below the cutoff; ties at
+            # the cutoff are resolved by the (hash, id) sort below
+            src = df.where(h <= F.lit(int(cut[0])))
+        rows = (
+            src.orderBy(h, F.col(id_col))
+            .limit(int(max_sample))
+            .select(vec_col)
+            .collect()
+        )
+    else:
+        rows = df.select(vec_col).limit(int(max_sample)).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:

@@ -170,9 +170,18 @@ def gopher_rules(
     Pure Column arithmetic — ONE scan, zero shuffles, zero Python; at
     100 TB this is a map-only pass the scan fuses with projections.
     (The defaults lower min_words vs the paper's 50 so synthetic short
-    docs exercise both branches; thresholds are parameters.)"""
+    docs exercise both branches; thresholds are parameters.)
+
+    The word/line arrays are materialized ONCE per row as hidden
+    columns and every rule references them (round 14): the inline form
+    re-split the text per rule reference — ~15 tokenizations per row —
+    and the conjunctive ``gopher_keep``, built from the rule
+    EXPRESSIONS, re-inlined all of them a second time (~30 total).
+    Rules now land in one projection and ``gopher_keep`` ANDs the rule
+    COLUMNS; values are bit-identical."""
     text = F.col(text_col)
-    words = _word_array(text)
+    words = F.col("__gopher_words")
+    lines_col = F.col("__gopher_lines")
     n_words = F.size(words)
     mean_wl = F.when(
         n_words > 0,
@@ -186,7 +195,7 @@ def gopher_rules(
         + (F.size(F.split(text, r"\.\.\.")) - F.lit(1))
         + (F.size(F.split(text, "\u2026")) - F.lit(1))
     )
-    lines = F.filter(F.split(text, r"\n"), lambda ln: F.trim(ln) != "")
+    lines = lines_col
     n_lines = F.size(lines)
     bullet_frac = F.when(
         n_lines > 0,
@@ -222,13 +231,21 @@ def gopher_rules(
         "rule_alpha_words": alpha_frac >= min_alpha_frac,
         "rule_stopwords": stop_hits >= min_stop_hits,
     }
-    out = df
+    prepared = df.withColumns({
+        "__gopher_words": _word_array(text),
+        "__gopher_lines": F.filter(
+            F.split(text, r"\n"), lambda ln: F.trim(ln) != ""
+        ),
+    })
+    out = prepared.withColumns(
+        {name: F.coalesce(col, F.lit(False)) for name, col in rules.items()}
+    )
     keep = F.lit(True)
-    for name, col in rules.items():
-        col = F.coalesce(col, F.lit(False))
-        out = out.withColumn(name, col)
-        keep = keep & col
-    return out.withColumn("gopher_keep", keep)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("gopher_keep", keep).drop(
+        "__gopher_words", "__gopher_lines"
+    )
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
