@@ -704,10 +704,15 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    prev = _sig(e)
-    if prev[0] == 0:
+    # Path decision in ONE job (round 14): collect up to cap+1 edges
+    # directly instead of a separate count+hash aggregate job followed
+    # by the collect — the signature aggregate is only needed for the
+    # distributed rounds' convergence check, so compute it there.
+    cap = 2_000_000
+    edge_rows = e.limit(cap + 1).collect()
+    if not edge_rows:
         return e.select(F.col("u").alias(id_out), F.col("v").alias(comp_col))
-    if prev[0] <= 2_000_000:
+    if len(edge_rows) <= cap:
         # The near-dup pair graph after LSH is almost always a sliver of
         # the corpus — when the (deduplicated) edge list fits on the
         # driver, a local union-find finishes in milliseconds instead of
@@ -726,7 +731,7 @@ def connected_components(
             return r
 
         nodes = set()
-        for row in e.collect():
+        for row in edge_rows:
             u, v = row["u"], row["v"]
             nodes.add(u)
             nodes.add(v)
@@ -746,6 +751,7 @@ def connected_components(
         return F.broadcast(
             out.select(F.col("u").alias(id_out), F.col("v").alias(comp_col))
         )
+    prev = _sig(e)
     for _ in range(max_iterations):
         # large-star: every neighbor v > u links to m = min(N(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -210,15 +210,30 @@ def cosine_similarity_join(
 
     O(n²) — the correctness oracle for the LSH path and the right tool
     for bounded subsets (a candidate bucket, one partition key's worth).
-    Callers at scale must pre-filter/bucket the input."""
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    Callers at scale must pre-filter/bucket the input.
+
+    Each row's norm is computed ONCE in the per-row projection (round
+    14, guide §1.2 per-task work): inlining ``norm_col`` in the cosine
+    expression re-ran both norm aggregates per PAIR inside the O(n²)
+    join condition — n² extra array folds for n values. Same
+    expression, same fold order, same multiply/divide sequence, so the
+    cosine doubles are bit-identical."""
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm_col(F.col(vec_col)).alias("__norm_a"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm_col(F.col(vec_col)).alias("__norm_b"),
+    )
     return (
         va.join(vb, va["id_a"] < vb["id_b"])
         .withColumn(
             "cosine",
             dot_col(F.col("__va"), F.col("__vb"))
-            / (norm_col(F.col("__va")) * norm_col(F.col("__vb"))),
+            / (F.col("__norm_a") * F.col("__norm_b")),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", round_to).alias("cosine"))
@@ -236,18 +251,30 @@ def embedding_near_dup_pairs(
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH candidates verified
-    with exact cosine ≥ threshold. Returns (id_a, id_b, cosine)."""
+    with exact cosine ≥ threshold. Returns (id_a, id_b, cosine).
+
+    Norms ride the per-row vector projections (round 14): computed once
+    per document instead of once per candidate pair — bit-identical
+    cosine (same fold, same op order), strictly less work."""
     cand = lsh_bucket_candidates(df, dim, vec_col, id_col, bits, bands, seed)
     vecs = df.select(F.col(id_col), F.col(vec_col))
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    va = vecs.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm_col(F.col(vec_col)).alias("__norm_a"),
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm_col(F.col(vec_col)).alias("__norm_b"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
             dot_col(F.col("__va"), F.col("__vb"))
-            / (norm_col(F.col("__va")) * norm_col(F.col("__vb"))),
+            / (F.col("__norm_a") * F.col("__norm_b")),
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
