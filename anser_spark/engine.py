@@ -118,6 +118,43 @@ def _read_index_table(
     )
 
 
+def _range_sorted(df: DataFrame, cols: Sequence, single: bool) -> DataFrame:
+    """Range-partition + sort an index table so point lookups prune on
+    footer/row-group min-max. ``single=True`` (build volume under
+    ``spark.anser.index.singleFileTokens``) pins ONE explicit
+    partition: RangePartitioner computes no bounds, so the sampling
+    pass a bare ``repartitionByRange`` runs is skipped (one job fewer
+    per table, measured 3 → 2) and the table lands as one sorted file
+    whose row-group stats keep lookups pruned. Large builds keep the
+    sampled range partitioning and its multi-file layout (guide §6:
+    files in sensible size bands, scan parallelism)."""
+    cols = list(cols)
+    if single:
+        return df.repartitionByRange(1, *cols).sortWithinPartitions(*cols)
+    return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
+def _single_file_tokens(spark: SparkSession) -> float:
+    """Token-volume bound under which an index table writes as one
+    sorted file (~tens of MB of postings — well under the guide §6
+    128 MB-1 GB file band, so multi-file layout buys nothing)."""
+    return float(
+        spark.conf.get("spark.anser.index.singleFileTokens", "4000000")
+    )
+
+
+def _single_file_vector_bytes(spark: SparkSession) -> float:
+    """Byte bound for the cells-table analogue of
+    ``_single_file_tokens`` (vector payloads size in bytes, not
+    tokens)."""
+    return float(
+        spark.conf.get(
+            "spark.anser.index.singleFileVectorBytes",
+            str(128 * 1024 * 1024),
+        )
+    )
+
+
 @dataclass(frozen=True)
 class Namespace:
     """`{DB, Collection}` pair (reference model/namespace.go:6-33)."""
@@ -2488,10 +2525,28 @@ class Collection:
                         {"m": pq_m, "nbits": pq_nbits,
                          "codebooks": cb.codebooks}
                     )
+                # small corpus ⇒ one sorted cells file (on-disk source
+                # bytes as the no-job proxy for the table's size; the
+                # cells table carries the same vectors the source does)
+                src_bytes = 0
+                src_path = self.current_path()
+                if src_path and os.path.isfile(src_path):
+                    src_bytes = os.path.getsize(src_path)
+                elif src_path and os.path.isdir(src_path):
+                    for _r, _d2, _fs in os.walk(src_path):
+                        for _f in _fs:
+                            if not _f.startswith((".", "_")):
+                                src_bytes += os.path.getsize(
+                                    os.path.join(_r, _f)
+                                )
+                else:
+                    src_bytes = 1 << 62
                 (
-                    cells
-                    .repartitionByRange(F.col("__cell"), F.col("id"))
-                    .sortWithinPartitions("__cell", "id")
+                    _range_sorted(
+                        cells, [F.col("__cell"), F.col("id")],
+                        src_bytes
+                        <= _single_file_vector_bytes(self.engine.spark),
+                    )
                     .write.mode("overwrite")
                     .parquet(cells_dir)
                 )
@@ -2578,6 +2633,12 @@ class Collection:
             stats = tok_frame.agg(*stats_aggs).collect()[0]
             terms_dir = os.path.join(self._search_index_dir(), f"{name}_terms")
             build_postings = bool(has_id and stats["n"] == stats["n_ids"])
+            # small build ⇒ single-file sorted tables (see _range_sorted)
+            single = int(stats["sum_tokens"]) <= int(
+                self.engine.spark.conf.get(
+                    "spark.anser.index.singleFileTokens", "4000000"
+                )
+            )
             if build_postings:
                 # postings-bearing build (round 14): write the postings
                 # FIRST and derive the term table FROM them — postings
@@ -2603,10 +2664,9 @@ class Collection:
                 # landing on one writer; term_fold leads, so footer
                 # min/max stays tight per file either way.
                 (
-                    postings.repartitionByRange(
-                        F.col("term_fold"), F.col("id")
+                    _range_sorted(
+                        postings, [F.col("term_fold"), F.col("id")], single
                     )
-                    .sortWithinPartitions("term_fold", "id")
                     .write.mode("overwrite")
                     .parquet(postings_dir)
                 )
@@ -2624,12 +2684,10 @@ class Collection:
                     .agg(F.count(F.lit(1)).alias("df"))
                 )
             (
-                terms_src
                 # range+sort by term: the query-side point lookups and
                 # autocomplete PREFIX scans prune on footer min/max
                 # (round 10; previously the table shipped unsorted)
-                .repartitionByRange(F.col("term"))
-                .sortWithinPartitions("term")
+                _range_sorted(terms_src, [F.col("term")], single)
                 .write.mode("overwrite")
                 .parquet(terms_dir)
             )
@@ -2673,9 +2731,9 @@ class Collection:
                     self._search_index_dir(), f"{name}_ids"
                 )
                 (
-                    tok_frame.select(F.col("id"))
-                    .repartitionByRange(F.col("id"))
-                    .sortWithinPartitions("id")
+                    _range_sorted(
+                        tok_frame.select(F.col("id")), [F.col("id")], single
+                    )
                     .write.mode("overwrite")
                     .parquet(ids_dir)
                 )
@@ -2702,9 +2760,10 @@ class Collection:
                         self._search_index_dir(), f"{name}_rawpostings"
                     )
                     (
-                        self._postings_rows(raw_frame, True)
-                        .repartitionByRange(F.col("term_fold"), F.col("id"))
-                        .sortWithinPartitions("term_fold", "id")
+                        _range_sorted(
+                            self._postings_rows(raw_frame, True),
+                            [F.col("term_fold"), F.col("id")], single,
+                        )
                         .write.mode("overwrite")
                         .parquet(raw_post)
                     )
@@ -2716,11 +2775,12 @@ class Collection:
                         # (one row per (id, term) ⇒ count = df) — the
                         # second corpus tokenize pass this table used
                         # to pay is gone (round 14)
-                        self.engine.spark.read.parquet(raw_post)
-                        .groupBy("term")
-                        .agg(F.count(F.lit(1)).alias("df"))
-                        .repartitionByRange(F.col("term"))
-                        .sortWithinPartitions("term")
+                        _range_sorted(
+                            self.engine.spark.read.parquet(raw_post)
+                            .groupBy("term")
+                            .agg(F.count(F.lit(1)).alias("df")),
+                            [F.col("term")], single,
+                        )
                         .write.mode("overwrite")
                         .parquet(raw_terms)
                     )
@@ -2903,6 +2963,14 @@ class Collection:
         build_postings = bool(
             has_id and int(stats["n"]) == int(stats["n_ids"])
         )
+        # small build ⇒ single-file sorted tables (see _range_sorted)
+        single = sum(
+            int(stats[f"sum_tokens{i}"]) for i in range(len(fields))
+        ) <= int(
+            self.engine.spark.conf.get(
+                "spark.anser.index.singleFileTokens", "4000000"
+            )
+        )
         if build_postings:
             # postings first, field-tagged term table FROM them (round
             # 14): one row per (id, field, term) ⇒ count = per-field
@@ -2912,11 +2980,12 @@ class Collection:
             store_positions = bool(definition.get("positions", True))
             postings_dir = os.path.join(idx_dir, f"{name}_postings")
             (
-                self._weighted_postings_rows(
-                    tok_frame, fields, store_positions
+                _range_sorted(
+                    self._weighted_postings_rows(
+                        tok_frame, fields, store_positions
+                    ),
+                    [F.col("term_fold"), F.col("id")], single,
                 )
-                .repartitionByRange(F.col("term_fold"), F.col("id"))
-                .sortWithinPartitions("term_fold", "id")
                 .write.mode("overwrite")
                 .parquet(postings_dir)
             )
@@ -2937,9 +3006,9 @@ class Collection:
                 F.count(F.lit(1)).alias("df")
             )
         (
-            terms_src
-            .repartitionByRange(F.col("term"), F.col("field"))
-            .sortWithinPartitions("term", "field")
+            _range_sorted(
+                terms_src, [F.col("term"), F.col("field")], single
+            )
             .write.mode("overwrite")
             .parquet(terms_dir)
         )
@@ -2963,9 +3032,9 @@ class Collection:
         if build_postings:
             ids_dir = os.path.join(idx_dir, f"{name}_ids")
             (
-                tok_frame.select(F.col("id"))
-                .repartitionByRange(F.col("id"))
-                .sortWithinPartitions("id")
+                _range_sorted(
+                    tok_frame.select(F.col("id")), [F.col("id")], single
+                )
                 .write.mode("overwrite")
                 .parquet(ids_dir)
             )
@@ -2992,9 +3061,10 @@ class Collection:
                     idx_dir, f"{name}_rawpostings"
                 )
                 (
-                    self._weighted_postings_rows(raw_frame, fields, True)
-                    .repartitionByRange(F.col("term_fold"), F.col("id"))
-                    .sortWithinPartitions("term_fold", "id")
+                    _range_sorted(
+                        self._weighted_postings_rows(raw_frame, fields, True),
+                        [F.col("term_fold"), F.col("id")], single,
+                    )
                     .write.mode("overwrite")
                     .parquet(raw_postings_dir)
                 )
@@ -3004,11 +3074,12 @@ class Collection:
                     # row per (id, field, term) ⇒ count = per-field
                     # df) — drops the second per-field explode pass
                     # over the raw token streams (round 14)
-                    self.engine.spark.read.parquet(raw_postings_dir)
-                    .groupBy("field", "term")
-                    .agg(F.count(F.lit(1)).alias("df"))
-                    .repartitionByRange(F.col("term"), F.col("field"))
-                    .sortWithinPartitions("term", "field")
+                    _range_sorted(
+                        self.engine.spark.read.parquet(raw_postings_dir)
+                        .groupBy("field", "term")
+                        .agg(F.count(F.lit(1)).alias("df")),
+                        [F.col("term"), F.col("field")], single,
+                    )
                     .write.mode("overwrite")
                     .parquet(raw_terms_dir)
                 )
@@ -3348,11 +3419,20 @@ class Collection:
                     ).write.mode("overwrite").parquet(tomb_dir)
                 )
                 tombs.append(tomb_dir)
+            # exact delta/total row counts × dim ⇒ single-file choice
+            # (see _range_sorted); dim from the persisted centroids
+            dim = len((d.get("centroids") or [[]])[0]) or 1
+            vb = _single_file_vector_bytes(spark)
+            single = float(k) * dim * 4 <= vb
+            single_full = (
+                float(d.get("n_vectors") or (1 << 40)) * dim * 4 <= vb
+            )
             if k:
                 cdelta = os.path.join(idx_dir, f"{name}_cells_delta_{cur}")
                 (
-                    delta.repartitionByRange(F.col("__cell"), F.col("id"))
-                    .sortWithinPartitions("__cell", "id")
+                    _range_sorted(
+                        delta, [F.col("__cell"), F.col("id")], single
+                    )
                     .write.mode("overwrite")
                     .parquet(cdelta)
                 )
@@ -3366,11 +3446,12 @@ class Collection:
                     idx_dir, f"{name}_cells_compact_{cur}"
                 )
                 (
-                    _read_index_table(
-                        spark, probe_d, "cells_dir", "cells_deltas", "id"
+                    _range_sorted(
+                        _read_index_table(
+                            spark, probe_d, "cells_dir", "cells_deltas", "id"
+                        ),
+                        [F.col("__cell"), F.col("id")], single_full,
                     )
-                    .repartitionByRange(F.col("__cell"), F.col("id"))
-                    .sortWithinPartitions("__cell", "id")
                     .write.mode("overwrite")
                     .parquet(new_cells)
                 )
@@ -3625,6 +3706,13 @@ class Collection:
         postings_deltas = list(d.get("postings_deltas") or [])
         postings_tombs = list(d.get("postings_tombs") or [])
         ids_deltas = list(d.get("ids_deltas") or [])
+        # exact delta token volume ⇒ small deltas land as one sorted
+        # file (no RangePartitioner sampling job); compaction folds the
+        # FULL table, so it sizes off the rolled-forward total
+        single = int(stats["sum_tokens"]) <= _single_file_tokens(spark)
+        single_full = (
+            int(d.get("sum_tokens") or 0) + int(stats["sum_tokens"])
+        ) <= _single_file_tokens(spark)
         if k_neg:
             gen = len(postings_deltas) + 1
             ptomb = os.path.join(idx_dir, f"{name}_ptomb_{cur}")
@@ -3640,9 +3728,12 @@ class Collection:
                 idx_dir, f"{name}_postings_delta_{cur}"
             )
             (
-                self._postings_rows(delta, bool(d.get("postings_positions")))
-                .repartitionByRange(F.col("term_fold"), F.col("id"))
-                .sortWithinPartitions("term_fold", "id")
+                _range_sorted(
+                    self._postings_rows(
+                        delta, bool(d.get("postings_positions"))
+                    ),
+                    [F.col("term_fold"), F.col("id")], single,
+                )
                 .write.mode("overwrite")
                 .parquet(post_delta)
             )
@@ -3665,9 +3756,10 @@ class Collection:
                     idx_dir, f"{name}_rawpostings_delta_{cur}"
                 )
                 (
-                    self._postings_rows(raw_delta, True)
-                    .repartitionByRange(F.col("term_fold"), F.col("id"))
-                    .sortWithinPartitions("term_fold", "id")
+                    _range_sorted(
+                        self._postings_rows(raw_delta, True),
+                        [F.col("term_fold"), F.col("id")], single,
+                    )
                     .write.mode("overwrite")
                     .parquet(raw_post_delta)
                 )
@@ -3679,8 +3771,7 @@ class Collection:
         if k_added and d.get("ids_dir"):
             ids_delta = os.path.join(idx_dir, f"{name}_ids_delta_{cur}")
             (
-                added_ids.repartitionByRange(F.col("id"))
-                .sortWithinPartitions("id")
+                _range_sorted(added_ids, [F.col("id")], single)
                 .write.mode("overwrite")
                 .parquet(ids_delta)
             )
@@ -3703,9 +3794,10 @@ class Collection:
                 "postings_tombs": postings_tombs,
             }
             (
-                _postings_frame(spark, probe)
-                .repartitionByRange(F.col("term_fold"), F.col("id"))
-                .sortWithinPartitions("term_fold", "id")
+                _range_sorted(
+                    _postings_frame(spark, probe),
+                    [F.col("term_fold"), F.col("id")], single_full,
+                )
                 .write.mode("overwrite")
                 .parquet(new_post)
             )
@@ -3723,9 +3815,10 @@ class Collection:
                     "postings_tombs": postings_tombs,
                 }
                 (
-                    _postings_frame(spark, probe_raw, raw=True)
-                    .repartitionByRange(F.col("term_fold"), F.col("id"))
-                    .sortWithinPartitions("term_fold", "id")
+                    _range_sorted(
+                        _postings_frame(spark, probe_raw, raw=True),
+                        [F.col("term_fold"), F.col("id")], single_full,
+                    )
                     .write.mode("overwrite")
                     .parquet(new_raw)
                 )
@@ -3749,9 +3842,9 @@ class Collection:
                 )
                 d.pop("removed_dir", None)
             (
-                merged_ids.distinct()
-                .repartitionByRange(F.col("id"))
-                .sortWithinPartitions("id")
+                _range_sorted(
+                    merged_ids.distinct(), [F.col("id")], single_full
+                )
                 .write.mode("overwrite")
                 .parquet(new_ids)
             )
@@ -3780,11 +3873,12 @@ class Collection:
             )
             merged = merged.unionByName(neg_terms)
         (
-            merged.groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .where(F.col("df") > 0)
-            .repartitionByRange(F.col("term"))
-            .sortWithinPartitions("term")
+            _range_sorted(
+                merged.groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .where(F.col("df") > 0),
+                [F.col("term")], single_full,
+            )
             .write.mode("overwrite")
             .parquet(new_terms_dir)
         )
@@ -3812,11 +3906,12 @@ class Collection:
                     .agg((-F.count(F.lit(1))).alias("df"))
                 )
             (
-                merged_raw.groupBy("term")
-                .agg(F.sum("df").alias("df"))
-                .where(F.col("df") > 0)
-                .repartitionByRange(F.col("term"))
-                .sortWithinPartitions("term")
+                _range_sorted(
+                    merged_raw.groupBy("term")
+                    .agg(F.sum("df").alias("df"))
+                    .where(F.col("df") > 0),
+                    [F.col("term")], single_full,
+                )
                 .write.mode("overwrite")
                 .parquet(new_raw_terms_dir)
             )
@@ -3979,6 +4074,20 @@ class Collection:
         postings_deltas = list(d.get("postings_deltas") or [])
         postings_tombs = list(d.get("postings_tombs") or [])
         ids_deltas = list(d.get("ids_deltas") or [])
+        # exact delta token volume ⇒ small deltas land as one sorted
+        # file (no RangePartitioner sampling job); compaction sizes off
+        # the rolled-forward per-field totals (see _range_sorted)
+        delta_tokens = sum(
+            int(stats[f"st{i}"]) for i in range(len(fields))
+        )
+        single = delta_tokens <= _single_file_tokens(spark)
+        single_full = (
+            sum(
+                int(fd.get("sum_tokens") or 0)
+                for fd in (d.get("fields") or {}).values()
+            )
+            + delta_tokens
+        ) <= _single_file_tokens(spark)
         if k_neg:
             gen = len(postings_deltas) + 1
             ptomb = os.path.join(idx_dir, f"{name}_ptomb_{cur}")
@@ -3994,11 +4103,12 @@ class Collection:
                 idx_dir, f"{name}_postings_delta_{cur}"
             )
             (
-                self._weighted_postings_rows(
-                    delta, fields, bool(d.get("postings_positions"))
+                _range_sorted(
+                    self._weighted_postings_rows(
+                        delta, fields, bool(d.get("postings_positions"))
+                    ),
+                    [F.col("term_fold"), F.col("id")], single,
                 )
-                .repartitionByRange(F.col("term_fold"), F.col("id"))
-                .sortWithinPartitions("term_fold", "id")
                 .write.mode("overwrite")
                 .parquet(post_delta)
             )
@@ -4023,9 +4133,10 @@ class Collection:
                     idx_dir, f"{name}_rawpostings_delta_{cur}"
                 )
                 (
-                    self._weighted_postings_rows(raw_delta, fields, True)
-                    .repartitionByRange(F.col("term_fold"), F.col("id"))
-                    .sortWithinPartitions("term_fold", "id")
+                    _range_sorted(
+                        self._weighted_postings_rows(raw_delta, fields, True),
+                        [F.col("term_fold"), F.col("id")], single,
+                    )
                     .write.mode("overwrite")
                     .parquet(raw_post_delta)
                 )
@@ -4037,8 +4148,7 @@ class Collection:
         if k_added and d.get("ids_dir"):
             ids_delta = os.path.join(idx_dir, f"{name}_ids_delta_{cur}")
             (
-                added_ids.repartitionByRange(F.col("id"))
-                .sortWithinPartitions("id")
+                _range_sorted(added_ids, [F.col("id")], single)
                 .write.mode("overwrite")
                 .parquet(ids_delta)
             )
@@ -4054,9 +4164,10 @@ class Collection:
                 "postings_tombs": postings_tombs,
             }
             (
-                _postings_frame(spark, probe)
-                .repartitionByRange(F.col("term_fold"), F.col("id"))
-                .sortWithinPartitions("term_fold", "id")
+                _range_sorted(
+                    _postings_frame(spark, probe),
+                    [F.col("term_fold"), F.col("id")], single_full,
+                )
                 .write.mode("overwrite")
                 .parquet(new_post)
             )
@@ -4074,9 +4185,10 @@ class Collection:
                     "postings_tombs": postings_tombs,
                 }
                 (
-                    _postings_frame(spark, probe_raw, raw=True)
-                    .repartitionByRange(F.col("term_fold"), F.col("id"))
-                    .sortWithinPartitions("term_fold", "id")
+                    _range_sorted(
+                        _postings_frame(spark, probe_raw, raw=True),
+                        [F.col("term_fold"), F.col("id")], single_full,
+                    )
                     .write.mode("overwrite")
                     .parquet(new_raw)
                 )
@@ -4100,9 +4212,9 @@ class Collection:
                 )
                 d.pop("removed_dir", None)
             (
-                merged_ids.distinct()
-                .repartitionByRange(F.col("id"))
-                .sortWithinPartitions("id")
+                _range_sorted(
+                    merged_ids.distinct(), [F.col("id")], single_full
+                )
                 .write.mode("overwrite")
                 .parquet(new_ids)
             )
@@ -4134,11 +4246,12 @@ class Collection:
                 )
                 merged = merged.unionByName(neg_f)
         (
-            merged.groupBy("field", "term")
-            .agg(F.sum("df").alias("df"))
-            .where(F.col("df") > 0)
-            .repartitionByRange(F.col("term"), F.col("field"))
-            .sortWithinPartitions("term", "field")
+            _range_sorted(
+                merged.groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .where(F.col("df") > 0),
+                [F.col("term"), F.col("field")], single_full,
+            )
             .write.mode("overwrite")
             .parquet(new_terms_dir)
         )
@@ -4173,11 +4286,12 @@ class Collection:
                         .agg((-F.count(F.lit(1))).alias("df"))
                     )
             (
-                merged_raw.groupBy("field", "term")
-                .agg(F.sum("df").alias("df"))
-                .where(F.col("df") > 0)
-                .repartitionByRange(F.col("term"), F.col("field"))
-                .sortWithinPartitions("term", "field")
+                _range_sorted(
+                    merged_raw.groupBy("field", "term")
+                    .agg(F.sum("df").alias("df"))
+                    .where(F.col("df") > 0),
+                    [F.col("term"), F.col("field")], single_full,
+                )
                 .write.mode("overwrite")
                 .parquet(new_raw_terms_dir)
             )
@@ -4588,7 +4702,8 @@ class Collection:
                 )
             text_col = "text"
         pred, _score = text_match(
-            df, spec, text_col, stats_loader, default_language=language
+            df, spec, text_col, stats_loader, default_language=language,
+            need_score=False,  # mutations never surface textScore
         )
         pred = F.coalesce(pred, F.lit(False))
         if residual:

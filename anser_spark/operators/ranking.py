@@ -576,10 +576,11 @@ def text_match(
     text_col: str = "text",
     stats_loader: Callable[[list[str]], tuple[int, float, dict]] | None = None,
     default_language: str = "none",
+    need_score: bool = True,
 ) -> tuple[F.Column, F.Column]:
     pred, score, _df = text_match_frame(
         df, spec, text_col, stats_loader, default_language,
-        materialize=False,
+        materialize=False, need_score=need_score,
     )
     return pred, score
 
@@ -664,6 +665,7 @@ def text_match_frame(
     stats_loader: Callable[[list[str]], tuple[int, float, dict]] | None = None,
     default_language: str = "none",
     materialize: bool = True,
+    need_score: bool = True,
 ) -> tuple[F.Column, F.Column, DataFrame]:
     # Like text_match but, when `materialize` is set, returns a
     # PREPARED frame carrying the analyzed token stream as hidden
@@ -729,7 +731,12 @@ def text_match_frame(
         toks = _tokens(text_col, language)
         return F.transform(toks, _fold_col) if folding else toks
 
-    if score_terms:
+    # need_score=False (round 14): the caller proved the relevance is
+    # never consumed (no $meta textScore projection/sort), so skip the
+    # stats resolution — on the no-index scan path that's a full
+    # corpus tokenize+aggregate job at query-build time for literals
+    # the plan would prune anyway.
+    if score_terms and need_score:
         stats = stats_loader(score_terms) if stats_loader is not None else None
         score = bm25_score_expr(
             prepared, score_terms, text_col=text_col, stats=stats,

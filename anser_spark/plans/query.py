@@ -215,6 +215,23 @@ class Query:
             return self._collection
         return self._collection.df()
 
+    def _wants_text_score(self) -> bool:
+        """True when this query actually CONSUMES the ``$text``
+        relevance — a ``{"$meta": "textScore"}`` projection value or
+        sort key. The scan path's BM25 literals cost a full corpus
+        stats aggregate at build time (round 14, guide §1.2: don't
+        compute things you throw away); when the score is never read,
+        the match predicate alone answers the query."""
+        for key in self._sort or []:
+            if isinstance(key, Mapping):
+                for v in key.values():
+                    if isinstance(v, Mapping) and v.get("$meta") == "textScore":
+                        return True
+        for v in (self._projection or {}).values():
+            if isinstance(v, Mapping) and v.get("$meta") == "textScore":
+                return True
+        return False
+
     def _text_filtered(self, df: DataFrame) -> tuple[DataFrame, bool]:
         """Apply the filter, handling a top-level legacy ``$text``
         clause: matching docs are kept and the BM25 relevance lands in
@@ -255,6 +272,7 @@ class Query:
                                 coll._weighted_stats_loader(d)
                                 if fresh else None
                             ),
+                            need_score=self._wants_text_score(),
                         )
                         out = df.withColumn(
                             "__textScore", score.cast("double")
@@ -293,7 +311,8 @@ class Query:
         from anser_spark.operators.ranking import _TOKS_FOLD, _TOKS_RAW, text_match_frame
 
         pred, score, df = text_match_frame(
-            df, spec, text_col, stats_loader, default_language=language
+            df, spec, text_col, stats_loader, default_language=language,
+            need_score=self._wants_text_score(),
         )
         df = df.withColumn("__textScore", score.cast("double")).where(
             F.coalesce(pred, F.lit(False))
