@@ -819,7 +819,12 @@ def _q_ann_top_k(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from anser_spark.operators.pq import pq_encode, pq_top_k, pq_train_sample
-    from anser_spark.operators.similarity import dot_col, norm_col
+    from anser_spark.operators.similarity import (
+        dot_col,
+        float_array_lit,
+        float_array_sql,
+        norm_col,
+    )
 
     emb = _db(spark, sf_dir).collection("embeddings").df()
     # ONE query-vector point lookup shared by every leg (round 14:
@@ -840,8 +845,8 @@ def _q_ann_top_k(spark, sf_dir):
     import math as _math
 
     qn = _math.sqrt(sum(v * v for v in query)) or 1.0
-    qcol = F.array(*[F.lit(float(v)) for v in query])
-    vec = F.col("embedding")
+    qcol = float_array_sql(query) or float_array_lit(query)
+    vec = "embedding"
     pq = emb.join(F.broadcast(ids), "vec_id").select(
         F.lit("pq").alias("kind"),
         "vec_id",

@@ -1014,11 +1014,17 @@ class Collection:
         update from replace). Requires ``set_retention`` ≥ the window
         you want to watch.
 
-        Physical shape: the diff's two exceptAll aggregates, then one
-        key-partitioned window + full outer join to pair pre/post
-        images per key (multiset-safe: duplicate keys pair by
-        row_number). All columns ride as one JSON string each side, so
-        the join carries (key, rn, json) only.
+        Physical shape (round 14, guide §2.4): pre/post images pair via
+        ONE union + one key-partitioned window + one (key, rn) group —
+        2 exchanges and 1 sort where the previous full-outer
+        SortMergeJoin shape paid 4 exchanges and 4 sorts over the same
+        (key, rn, json) rows. Multiset-safe: duplicate keys pair by
+        per-side row_number, exactly as the join did — the per-side
+        rank comes from one shared sort ordered (side, doc), with the
+        removed side's rank offset by the key's added-count (a count
+        over the same window spec, folded into the same Window exec).
+        All columns ride as one JSON string each side, so the shuffle
+        carries (key, rn, json) only.
         """
         from pyspark.sql.window import Window
 
@@ -1027,30 +1033,34 @@ class Collection:
         if key not in cols:
             raise ValueError(f"watch key column {key!r} not in {cols}")
         doc = F.to_json(F.struct(*[F.col(c) for c in cols]))
-        w = Window.partitionBy("_k").orderBy("_doc")
-        added = (
-            diff.where(F.col("change_type") == "added")
-            .select(F.col(key).alias("_k"), doc.alias("_doc"))
-            .withColumn("_rn", F.row_number().over(w))
+        tagged = diff.where(
+            F.col("change_type").isin("added", "removed")
+        ).select(
+            F.col(key).alias("_k"),
+            F.col("change_type").alias("_side"),
+            doc.alias("_doc"),
         )
-        removed = (
-            diff.where(F.col("change_type") == "removed")
-            .select(F.col(key).alias("_k"), doc.alias("_doc"))
-            .withColumn("_rn", F.row_number().over(w))
+        w = Window.partitionBy("_k").orderBy("_side", "_doc")
+        n_added = F.count(F.when(F.col("_side") == "added", 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         )
-        paired = added.alias("a").join(
-            removed.alias("r"),
-            on=[added["_k"].eqNullSafe(removed["_k"]), added["_rn"] == removed["_rn"]],
-            how="full_outer",
+        ranked = tagged.withColumn(
+            "_rn",
+            F.row_number().over(w)
+            - F.when(F.col("_side") == "removed", n_added).otherwise(F.lit(0)),
+        )
+        paired = ranked.groupBy("_k", "_rn").agg(
+            F.max(F.when(F.col("_side") == "added", F.col("_doc"))).alias("_post"),
+            F.max(F.when(F.col("_side") == "removed", F.col("_doc"))).alias("_pre"),
         )
         return paired.select(
-            F.when(F.col("a._doc").isNull(), F.lit("delete"))
-            .when(F.col("r._doc").isNull(), F.lit("insert"))
+            F.when(F.col("_post").isNull(), F.lit("delete"))
+            .when(F.col("_pre").isNull(), F.lit("insert"))
             .otherwise(F.lit("update"))
             .alias("operationType"),
-            F.coalesce(F.col("a._k"), F.col("r._k")).alias("documentKey"),
-            F.col("a._doc").alias("fullDocument"),
-            F.col("r._doc").alias("fullDocumentBeforeChange"),
+            F.col("_k").alias("documentKey"),
+            F.col("_post").alias("fullDocument"),
+            F.col("_pre").alias("fullDocumentBeforeChange"),
             # resume-token analogue: the diff's endpoint version —
             # watch(resumeAfterVersion) continues exactly where this
             # batch of events left off (Mongo's event _id plays this

@@ -25,7 +25,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from anser_spark.operators.similarity import dot_col, norm_col
+from anser_spark.operators.similarity import (
+    dot_col,
+    float_array_lit,
+    float_array_sql,
+    norm_col,
+    sql_ident,
+)
 
 __all__ = [
     "IVFIndex",
@@ -140,12 +146,38 @@ def _nearest_centroid_col(vec, centroids: list[list[float]]):
     array_position of the min. (A chained when(best_dist < d, ...) fold
     embeds the previous best-distance tree twice per step — exponential
     expression growth that stalls Catalyst beyond k≈10.)"""
-    dists = F.array(*[_sq_dist(vec, c) for c in centroids])
+    dists = _dists_array(vec, centroids)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def _dists_array(vec, centroids: list[list[float]]):
+    """array<double> of per-centroid squared distances — built as ONE
+    F.expr when ``vec`` is a column-path string and every centroid is
+    finite (round 14, guide §1): the per-element/per-lambda py4j form
+    cost ~55ms per centroid to CONSTRUCT at 64 dims; the SQL text form
+    is one round trip for the whole array with an identical expression
+    tree. Falls back to the Column form otherwise."""
+    if isinstance(vec, str):
+        sqls = [_sq_dist_sql(vec, c) for c in centroids]
+        if all(s is not None for s in sqls):
+            return F.expr("array(" + ",".join(sqls) + ")")
+        vec = F.expr(vec)
+    return F.array(*[_sq_dist(vec, c) for c in centroids])
+
+
+def _sq_dist_sql(vec_sql: str, centroid: list[float]) -> str | None:
+    clit = float_array_sql(centroid)
+    if clit is None:
+        return None
+    return (
+        f"aggregate(zip_with({vec_sql}, {clit}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def _sq_dist(vec, centroid: list[float]):
-    clit = F.array(*[F.lit(float(x)) for x in centroid])
+    clit = float_array_lit(centroid)
     return F.aggregate(
         F.zip_with(vec, clit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
         F.lit(0.0),
@@ -156,7 +188,9 @@ def _sq_dist(vec, centroid: list[float]):
 def ivf_assign(df: DataFrame, index: IVFIndex, out: str = "centroid_id") -> DataFrame:
     """One scan: tag every vector with its inverted-list id. Persist or
     write partitioned by ``out`` so probes prune lists at the source."""
-    return df.withColumn(out, _nearest_centroid_col(F.col(index.vec_col), index.centroids))
+    return df.withColumn(
+        out, _nearest_centroid_col(sql_ident(index.vec_col), index.centroids)
+    )
 
 
 def ivf_assign_dist(
@@ -169,9 +203,7 @@ def ivf_assign_dist(
     (the assignment-drift statistic's input, round 12). The
     per-centroid distances array is computed exactly once per row —
     same expression-growth reasoning as :func:`_nearest_centroid_col`."""
-    dists = F.array(
-        *[_sq_dist(F.col(index.vec_col), c) for c in index.centroids]
-    )
+    dists = _dists_array(sql_ident(index.vec_col), index.centroids)
     return (
         df.withColumn("__dists", dists)
         .withColumn(
@@ -203,9 +235,9 @@ def ivf_top_k(
 
     order = sorted(range(len(index.centroids)), key=lambda i: dist(index.centroids[i]))
     probe = order[: max(1, nprobe)]
-    qlit = F.array(*[F.lit(float(x)) for x in query])
-    vec = F.col(index.vec_col)
-    cos = dot_col(vec, qlit) / (norm_col(vec) * F.lit(qnorm))
+    vsql = sql_ident(index.vec_col)
+    qlit = float_array_sql(query) or float_array_lit(query)
+    cos = dot_col(vsql, qlit) / (norm_col(vsql) * F.lit(qnorm))
     return (
         assigned.where(F.col(centroid_col).isin(probe))
         .select(F.col(index.id_col), F.round(cos, round_to).alias("cosine"))
@@ -220,7 +252,7 @@ def _probe_cells_col(vec, centroids: list[list[float]], nprobe: int):
     per-centroid distance is evaluated exactly once per row (same
     expression-growth reasoning as _nearest_centroid_col)."""
     pairs = F.arrays_zip(
-        F.array(*[_sq_dist(vec, c) for c in centroids]),
+        _dists_array(vec, centroids),
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
     )
     ordered = F.array_sort(pairs)  # struct order: by distance, then id
@@ -259,19 +291,16 @@ def ivf_knn_join(
     from pyspark.sql.window import Window
 
     qvec = query_vec_col or index.vec_col
-    cells = _probe_cells_col(F.col(qvec), index.centroids, nprobe)
+    cells = _probe_cells_col(sql_ident(qvec), index.centroids, nprobe)
     probes = queries.select(
         F.col(query_id_col),
         F.col(qvec).alias("__qvec"),
         F.explode(cells).alias(centroid_col),
     )
-    vec = F.col(index.vec_col)
-    qv = F.col("__qvec")
-    qn = F.sqrt(
-        F.aggregate(qv, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
-    )
-    cos = dot_col(qv, vec) / (
-        F.greatest(norm_col(vec), F.lit(1e-30)) * F.greatest(qn, F.lit(1e-30))
+    vsql = sql_ident(index.vec_col)
+    qn = norm_col("__qvec")
+    cos = dot_col("__qvec", vsql) / (
+        F.greatest(norm_col(vsql), F.lit(1e-30)) * F.greatest(qn, F.lit(1e-30))
     )
     scored = probes.join(assigned, centroid_col).select(
         query_id_col,

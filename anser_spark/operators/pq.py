@@ -36,6 +36,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
+from anser_spark.operators.similarity import (
+    float_array_lit,
+    float_array_sql,
+    sql_ident,
+)
+
 __all__ = [
     "PQCodebooks",
     "pq_train_sample",
@@ -314,19 +320,27 @@ def pq_top_k(
     if not rerank:
         return scored.orderBy("adc_dist", id_col).limit(k)
     shortlist = scored.orderBy("adc_dist", id_col).limit(int(rerank))
-    qcol = F.array(*[F.lit(float(v)) for v in query])
+    qsql = float_array_sql(query)
+    if qsql is not None:
+        # one-round-trip construction; same expression tree as the
+        # lambda form below (round 14, guide §1)
+        exact_dist = F.expr(
+            f"aggregate(zip_with({sql_ident(cb.vec_col)}, {qsql}, "
+            f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+        )
+    else:
+        exact_dist = F.aggregate(
+            F.zip_with(
+                F.col(cb.vec_col),
+                float_array_lit(query),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     exact = (
         encoded.join(F.broadcast(shortlist.select(id_col)), id_col)
-        .withColumn(
-            "exact_dist",
-            F.aggregate(
-                F.zip_with(
-                    F.col(cb.vec_col), qcol, lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("exact_dist", exact_dist)
     )
     return exact.select(id_col, "exact_dist").orderBy("exact_dist", id_col).limit(k)
 

@@ -13,6 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from anser_spark.operators.similarity import (
+    float_array_lit,
+    float_array_sql,
+    sql_ident,
+)
+
 __all__ = ["quantize_embeddings", "quantization_report", "quantized_cosine_top_k"]
 
 _EPS = 1e-30  # zero-vector guard: scale 0 would divide by zero
@@ -95,14 +101,27 @@ def quantized_cosine_top_k(
     """
     q = [float(x) for x in query_vec]
     qnorm = float(sum(x * x for x in q) ** 0.5) or 1.0
-    qlit = F.array(*[F.lit(x) for x in q])
-    codes = F.transform(F.col(codes_col), lambda c: c.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(codes, qlit, lambda c, x: c * x), F.lit(0.0), lambda a, v: a + v
-    )
-    norm = F.sqrt(
-        F.aggregate(codes, F.lit(0.0), lambda a, c: a + c * c)
-    )
+    qsql = float_array_sql(q)
+    if qsql is not None:
+        # one-round-trip construction; same expression trees as the
+        # lambda forms below (round 14, guide §1)
+        csql = f"transform({sql_ident(codes_col)}, c -> CAST(c AS DOUBLE))"
+        dot = F.expr(
+            f"aggregate(zip_with({csql}, {qsql}, (c, x) -> c * x), "
+            f"0.0D, (a, v) -> a + v)"
+        )
+        norm = F.expr(
+            f"sqrt(aggregate({csql}, 0.0D, (a, c) -> a + c * c))"
+        )
+    else:
+        qlit = float_array_lit(q)
+        codes = F.transform(F.col(codes_col), lambda c: c.cast("double"))
+        dot = F.aggregate(
+            F.zip_with(codes, qlit, lambda c, x: c * x), F.lit(0.0), lambda a, v: a + v
+        )
+        norm = F.sqrt(
+            F.aggregate(codes, F.lit(0.0), lambda a, c: a + c * c)
+        )
     cos = dot / (F.greatest(norm, F.lit(1e-30)) * F.lit(qnorm))
     return (
         df.withColumn(out, cos)

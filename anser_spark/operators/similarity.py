@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "dot_col",
     "norm_col",
+    "float_array_lit",
+    "float_array_sql",
+    "sql_ident",
     "with_norm",
     "cosine_top_k",
     "random_hyperplanes",
@@ -30,8 +33,54 @@ __all__ = [
 ]
 
 
-def dot_col(a: Column, b: Column) -> Column:
-    # accumulate in double regardless of element type (float32 embeddings)
+def float_array_sql(values) -> str | None:
+    """SQL text of a constant ``array<double>`` literal, or None when it
+    can't be rendered (empty, or non-finite values — SQL has no inf/nan
+    double literals). ``repr()`` of a finite Python float round-trips
+    bit-exactly through the SQL parser's double parsing (shortest-repr
+    IEEE-754 property, verified incl. -0.0/denormals/DBL_MAX)."""
+    vals = [float(v) for v in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        return "array(" + ",".join(repr(v) + "D" for v in vals) + ")"
+    return None
+
+
+def float_array_lit(values) -> Column:
+    """A constant ``array<double>`` literal built in ONE expression-
+    construction call. ``F.array(*[F.lit(x) ...])`` costs a py4j round
+    trip per element — at embedding dimensions (64–768) and per-centroid
+    literals this was the dominant QUERY-CONSTRUCTION cost of the vector
+    paths (guide §1: measured 2.06s → 0.28s for 10×512 elements);
+    non-finite values fall back to the per-element form."""
+    sql = float_array_sql(values)
+    if sql is not None:
+        return F.expr(sql)
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quote a (possibly dotted) column path for SQL snippets."""
+    return ".".join(
+        "`" + seg.replace("`", "``") + "`" for seg in name.split(".")
+    )
+
+
+def dot_col(a: Column | str, b: Column | str) -> Column:
+    # accumulate in double regardless of element type (float32 embeddings).
+    # str operands are SQL snippets: building the lambda form below costs
+    # ~13 py4j round trips (~40ms) per construct; one F.expr is a single
+    # round trip with the SAME expression tree (round 14, guide §1 —
+    # measured 0.44s → 0.005s per 10 constructs), which matters because
+    # the vector paths construct dozens of these per query
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+            f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+        )
+    if isinstance(a, str):
+        a = F.expr(a)
+    if isinstance(b, str):
+        b = F.expr(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -39,7 +88,12 @@ def dot_col(a: Column, b: Column) -> Column:
     )
 
 
-def norm_col(a: Column) -> Column:
+def norm_col(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"sqrt(aggregate({a}, 0.0D, (acc, v) -> acc + "
+            f"CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        )
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
@@ -64,10 +118,10 @@ def cosine_top_k(
     optimal single-pass plan (per-partition top-k, then driver merge of
     k·numPartitions rows — never a global sort).
     """
-    qlit = F.array(*[F.lit(float(x)) for x in query])
+    vsql = sql_ident(vec_col)
+    qlit = float_array_sql(query) or float_array_lit(query)
     qnorm = math.sqrt(sum(x * x for x in query)) or 1.0
-    vec = F.col(vec_col)
-    cos = dot_col(vec, qlit) / (norm_col(vec) * F.lit(qnorm))
+    cos = dot_col(vsql, qlit) / (norm_col(vsql) * F.lit(qnorm))
     return (
         df.select(F.col(id_col), F.round(cos, round_to).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
@@ -86,7 +140,7 @@ def _signature_col(vec: Column, planes: list[list[float]]) -> Column:
     """Pack sign(v·h_i) bits into a long."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+        plane_lit = float_array_lit(plane)
         bit = F.when(dot_col(vec, plane_lit) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
             F.lit(0).cast("long")
         )
@@ -221,18 +275,18 @@ def cosine_similarity_join(
     va = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
-        norm_col(F.col(vec_col)).alias("__norm_a"),
+        norm_col(sql_ident(vec_col)).alias("__norm_a"),
     )
     vb = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
-        norm_col(F.col(vec_col)).alias("__norm_b"),
+        norm_col(sql_ident(vec_col)).alias("__norm_b"),
     )
     return (
         va.join(vb, va["id_a"] < vb["id_b"])
         .withColumn(
             "cosine",
-            dot_col(F.col("__va"), F.col("__vb"))
+            dot_col("__va", "__vb")
             / (F.col("__norm_a") * F.col("__norm_b")),
         )
         .where(F.col("cosine") >= threshold)
@@ -261,19 +315,19 @@ def embedding_near_dup_pairs(
     va = vecs.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
-        norm_col(F.col(vec_col)).alias("__norm_a"),
+        norm_col(sql_ident(vec_col)).alias("__norm_a"),
     )
     vb = vecs.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
-        norm_col(F.col(vec_col)).alias("__norm_b"),
+        norm_col(sql_ident(vec_col)).alias("__norm_b"),
     )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
             "cosine",
-            dot_col(F.col("__va"), F.col("__vb"))
+            dot_col("__va", "__vb")
             / (F.col("__norm_a") * F.col("__norm_b")),
         )
         .where(F.col("cosine") >= threshold)

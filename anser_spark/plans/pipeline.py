@@ -689,6 +689,19 @@ def _tail_slice(arr: Column, n: int) -> Column:
     )
 
 
+def _spec_sig(spec: Any) -> tuple:
+    """Hashable canonical signature of a raw accumulator-arg spec —
+    used to detect provably-identical input expressions so mirrored
+    rank accumulators can share one window sort."""
+    if isinstance(spec, Mapping):
+        return ("m",) + tuple(
+            (str(k), _spec_sig(v)) for k, v in spec.items()
+        )
+    if isinstance(spec, (list, tuple)):
+        return ("l",) + tuple(_spec_sig(v) for v in spec)
+    return (type(spec).__name__, spec)
+
+
 def _topn_prefilter(
     df: DataFrame, heavy: Mapping[str, Mapping[str, Any]], part: list[Column]
 ) -> tuple[DataFrame, dict[str, Column]]:
@@ -706,7 +719,16 @@ def _topn_prefilter(
     scale-out on low-cardinality/skewed group keys.  ``part`` is the
     already-compiled group-key columns ([] for a global ``_id: None``
     group: rank within salt buckets alone — 64 parallel bounded sorts
-    instead of one whole-dataset collect_list buffer)."""
+    instead of one whole-dataset collect_list buffer).
+
+    Round 14 (guide §2.4 — remove passes): two accumulators whose
+    orderings are exact mirrors (a $topN and a $bottomN with the same
+    sortBy, a $minN and a $maxN on the same input, $firstN + $lastN)
+    share ONE window sort — the mirrored accumulator's rank from its
+    end is ``cnt - rn + 1`` via a count over the same (group, salt)
+    bucket (same partition+order spec, unbounded frame, so Spark folds
+    it into the SAME Window exec: no second Sort pass). And $minN/$maxN
+    with n == 1 are plain null-ignoring min/max — no window at all."""
     from pyspark.sql import Window
 
     schema = df.schema
@@ -722,6 +744,52 @@ def _topn_prefilter(
         "__tn_salt", F.pmod(F.spark_partition_id(), F.lit(_TOPN_SALT_BUCKETS))
     )
     salt = F.col("__tn_salt")
+    # order-signature registry for mirror sharing: signature → (rank
+    # column name, primary's "head" direction, bucket-count column name
+    # or None). A later accumulator with the same signature and the
+    # SAME direction reuses the rank column outright; the OPPOSITE
+    # direction derives its rank from the count. _sig_dir_key builds a
+    # canonical signature from the RAW spec so only provably-identical
+    # orderings pair up.
+    shared: dict[tuple, tuple[str, bool, str | None]] = {}
+
+    def _bucket_count(order, count_expr: Column, j: int) -> tuple[str, Column]:
+        cn = f"__tncnt_{j}"
+        w = (
+            Window.partitionBy(*part, salt)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        return cn, F.count(count_expr).over(w)
+
+    def _rank_for(df, sig, j, head, order, count_expr):
+        """Rank column (and its candidate predicate builder) for an
+        accumulator ordered toward ``head``'s end of ``order`` (the
+        signature's canonical primary direction is whichever came
+        first). Returns (df, pred_fn) with pred_fn(n) = 'this row is
+        within the first n from this accumulator's end'. ``count_expr``
+        counts the rows that participate in the ranking (F.lit(1) for
+        all rows; the input column itself for the null-ignoring
+        $minN/$maxN, where F.count skips nulls)."""
+        if sig in shared:
+            rn, p_head, cnt, p_order = shared[sig]
+            if head == p_head:
+                return df, lambda n: F.col(rn) <= n
+            if cnt is None:
+                # count over the PRIMARY's (partition, order) spec with
+                # an unbounded frame: same spec ⇒ same Window exec ⇒ no
+                # second Sort; unbounded frame ⇒ the bucket total
+                cnt, cc = _bucket_count(p_order, count_expr, j)
+                df = df.withColumn(cnt, cc)
+                shared[sig] = (rn, p_head, cnt, p_order)
+            return df, lambda n, c=cnt: F.col(rn) > F.col(c) - n
+        rn = f"__tnrn_{j}"
+        df = df.withColumn(
+            rn,
+            F.row_number().over(Window.partitionBy(*part, salt).orderBy(*order)),
+        )
+        shared[sig] = (rn, head, None, order)
+        return df, lambda n: F.col(rn) <= n
     if any(next(iter(s)) in ("$firstN", "$lastN") for s in heavy.values()):
         # scan-order id, captured BEFORE the window shuffle.  After an
         # explicit $sort the range partitioning makes it the sorted
@@ -732,7 +800,6 @@ def _topn_prefilter(
     overrides: dict[str, Column] = {}
     for j, (name, spec) in enumerate(heavy.items()):
         op, arg = next(iter(spec.items()))
-        rn = f"__tnrn_{j}"
         if op in ("$topN", "$bottomN", "$top", "$bottom"):
             n = 1 if op in ("$top", "$bottom") else int(arg["n"])
             head = op in ("$topN", "$top")
@@ -741,21 +808,21 @@ def _topn_prefilter(
             keys = [compile_expr(f"${f}", schema) for f in sort_by]
             # rank each salt bucket toward the answer end of the sortBy
             # order: as-given for $top(N), per-key inverted for
-            # $bottom(N) — so rn ≤ n keeps a superset of the answer
+            # $bottom(N) — so the rank predicate keeps a superset of
+            # the answer. asc_nulls_first ↔ desc_nulls_last are exact
+            # mirror total orders, so a $topN/$bottomN pair on the same
+            # sortBy shares one sort (see _rank_for).
             dirs = ascs if head else [not a for a in ascs]
             order = [
                 k.asc_nulls_first() if a else k.desc_nulls_last()
                 for k, a in zip(keys, dirs)
             ]
+            sig = ("sortby", tuple((str(f), bool(a)) for f, a in
+                                   zip(sort_by, ascs)))
+            df, pred = _rank_for(df, sig, j, head, order, F.lit(1))
             out_expr = compile_expr(arg["output"], schema)
-            df = df.withColumn(
-                rn,
-                F.row_number().over(
-                    Window.partitionBy(*part, salt).orderBy(*order)
-                ),
-            )
             kept = F.when(
-                F.col(rn) <= n,
+                pred(n),
                 F.struct(
                     *[
                         compile_expr(f"${f}", schema).alias(f"__k{i}")
@@ -787,15 +854,12 @@ def _topn_prefilter(
             n = int(arg["n"])
             expr = compile_expr(arg["input"], schema)
             ordc = F.col("__tn_ord")
-            order = ordc.asc() if op == "$firstN" else ordc.desc()
-            df = df.withColumn(
-                rn,
-                F.row_number().over(
-                    Window.partitionBy(*part, salt).orderBy(order)
-                ),
+            df, pred = _rank_for(
+                df, ("ord",), j, op == "$firstN",
+                [ordc.asc() if op == "$firstN" else ordc.desc()], F.lit(1),
             )
             kept = F.when(
-                F.col(rn) <= n,
+                pred(n),
                 F.struct(ordc.alias("__ord"), expr.alias("__v")),
             )
             arr = F.sort_array(F.collect_list(kept), asc=True)
@@ -805,14 +869,22 @@ def _topn_prefilter(
             n = int(arg["n"])
             inp = compile_expr(arg["input"], schema)
             asc = op == "$minN"
+            if n == 1:
+                # n=1 is a plain null-ignoring extremum: no window, no
+                # sort — an all-null/empty group compacts to [] exactly
+                # as the collect path did (round 14, guide §2.4)
+                ext = F.min(inp) if asc else F.max(inp)
+                overrides[name] = F.array_compact(F.array(ext))
+                continue
             order = inp.asc_nulls_last() if asc else inp.desc_nulls_last()
-            df = df.withColumn(
-                rn,
-                F.row_number().over(
-                    Window.partitionBy(*part, salt).orderBy(order)
-                ),
-            )
-            kept = F.when((F.col(rn) <= n) & inp.isNotNull(), inp)
+            # both directions put nulls LAST, so the non-null rows of a
+            # bucket occupy ranks 1..count(inp) under either order —
+            # counting inp (nulls skipped) makes the mirrored rank
+            # exact, and ties are value-identical so the kept SET is
+            # order-independent
+            sig = ("input", _spec_sig(arg["input"]))
+            df, pred = _rank_for(df, sig, j, asc, [order], inp)
+            kept = F.when(pred(n) & inp.isNotNull(), inp)
             overrides[name] = F.slice(
                 F.sort_array(F.collect_list(kept), asc=asc), 1, n
             )
@@ -2998,24 +3070,38 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     # epsilon clamp: an all-zero queryVector would otherwise divide by 0
     # and score every row NaN (same guard as quantized_cosine_top_k)
     qnorm = max(float(sum(x * x for x in qv) ** 0.5), 1e-30)
-    qcol = F.array(*[F.lit(x) for x in qv])
+    from anser_spark.operators.similarity import (
+        float_array_lit,
+        float_array_sql,
+        sql_ident,
+    )
 
-    def _score_col(vec: Column) -> Column:
-        dot = dot_col(vec, qcol)
+    # one-round-trip literal + SQL-snippet operands: constructing the
+    # lambda-form dot/norm per leg cost ~40ms each in py4j round trips
+    # (round 14, guide §1); a str vec operand keeps the whole score
+    # expression a single F.expr with an identical tree
+    qsql = float_array_sql(qv)
+    qcol = F.expr(qsql) if qsql is not None else float_array_lit(qv)
+
+    def _score_col(vec: Column | str) -> Column:
+        if isinstance(vec, str) and qsql is None:
+            vec = F.expr(vec)
+        dot = dot_col(vec, qsql if isinstance(vec, str) else qcol)
+        nrm = lambda: norm_col(vec)  # noqa: E731
         if similarity == "cosine":
-            cos = dot / (norm_col(vec) * F.lit(qnorm))
+            cos = dot / (nrm() * F.lit(qnorm))
             return (F.lit(1.0) + cos) / F.lit(2.0)
         if similarity == "dotProduct":
             return (F.lit(1.0) + dot) / F.lit(2.0)
         # euclidean: ‖a−q‖² = ‖a‖² − 2a·q + ‖q‖², clamped ≥ 0 against
         # float cancellation before the sqrt
         d2 = F.greatest(
-            norm_col(vec) * norm_col(vec) - F.lit(2.0) * dot + F.lit(qnorm * qnorm),
+            nrm() * nrm() - F.lit(2.0) * dot + F.lit(qnorm * qnorm),
             F.lit(0.0),
         )
         return F.lit(1.0) / (F.lit(1.0) + F.sqrt(d2))
 
-    vec = resolve_field(path)
+    vec = sql_ident(path) if path in df.columns else resolve_field(path)
     index = arg.get("index")
     if isinstance(index, str):
         # named indexes resolve to centroid mappings in Collection.pipe
@@ -3183,7 +3269,7 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
                 probed
                 .select(
                     F.col("id").alias("__cand_id"),
-                    _score_col(F.col("__vec")).alias(score_field),
+                    _score_col("__vec").alias(score_field),
                 )
             )
             order_key = df.columns[0]
@@ -3195,7 +3281,7 @@ def _vector_search(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             ).limit(limit)
         assigned = ivf_assign(df, ivf, out="__ivf_list")
         df = assigned.where(F.col("__ivf_list").isin(probe)).drop("__ivf_list")
-        vec = resolve_field(path)
+        vec = sql_ident(path) if path in df.columns else resolve_field(path)
     out = df.withColumn(score_field, _score_col(vec))
     order_key = df.columns[0]
     return out.orderBy(F.desc(score_field), F.col(order_key)).limit(limit)

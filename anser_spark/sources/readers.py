@@ -91,6 +91,41 @@ def _ns_timestamp_columns(path: str) -> list[str]:
     return cols
 
 
+#: (path → (freshness stamp, inferred StructType)). Parquet schema
+#: inference costs a JVM footer read + py4j round trips (~60ms) on
+#: EVERY ``spark.read.parquet`` — and the engine re-reads the current
+#: version on each ``df()`` call, so a mutation gate paid it 3× per
+#: mutation (round 14, guide §1). The stamp captures the first data
+#: file's identity (mtime_ns, size, inode — os.replace always
+#: publishes a new inode) plus the dataset dir's mtime_ns (a new
+#: version dir is a NEW path; appends/removals touch the dir), so any
+#: layout change re-infers.
+_SCHEMA_CACHE: dict[str, tuple[tuple, object]] = {}
+
+
+def _schema_stamp(path: str) -> tuple | None:
+    try:
+        st_root = os.stat(path)
+        target = path
+        if os.path.isdir(path):
+            target = None
+            for root, _dirs, fs in os.walk(path):
+                hit = next(
+                    (f for f in sorted(fs) if f.endswith(".parquet")), None
+                )
+                if hit:
+                    target = os.path.join(root, hit)
+                    break
+            if target is None:
+                return None
+        st = os.stat(target)
+        return (
+            target, st.st_mtime_ns, st.st_size, st.st_ino, st_root.st_mtime_ns
+        )
+    except OSError:
+        return None
+
+
 def read_parquet_table(
     spark: SparkSession,
     path: str,
@@ -110,15 +145,25 @@ def read_parquet_table(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.read
     union = version_schema(path)
+    stamp = None
     if union is not None:
         # mixed-schema version dir (see VERSION_SCHEMA_SIDECAR): the
         # recorded union schema null-fills per file — no mergeSchema
         # footer sweep, no silently-dropped columns
         reader = reader.schema(union)
+    else:
+        stamp = _schema_stamp(path)
+        cached = _SCHEMA_CACHE.get(path) if stamp is not None else None
+        if cached is not None and cached[0] == stamp:
+            reader = reader.schema(cached[1])
+            stamp = None  # already served from cache — skip re-store
     if files is not None:
         df = reader.option("basePath", path).parquet(*files)
+        stamp = None  # never cache a schema inferred from a file subset
     else:
         df = reader.parquet(path)
+    if stamp is not None:
+        _SCHEMA_CACHE[path] = (stamp, df.schema)
     if file_col:
         df = df.withColumn(file_col, F.col("_metadata.file_path"))
     for name in ns_cols:

@@ -1,0 +1,113 @@
+"""Round-14 optimization invariants: mirrored rank accumulators share
+one window sort, and n=1 $minN/$maxN compile to plain min/max with no
+window at all — with value parity against independently computed
+expectations (the seeded group fuzzer provides the broad differential;
+these tests pin the PLAN shape so the optimization can't silently
+regress)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from anser_spark.plans.pipeline import compile_pipeline
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _rows(rng_vals):
+    return [
+        {"_id": i, "g": ["x", "y"][i % 2], "v": v}
+        for i, v in enumerate(rng_vals)
+    ]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    # v includes nulls and duplicated values; _id is a unique tie-break
+    vals = [5, None, 3, 8, 3, None, 12, 1, 8, 0, 7, None, 2, 9, 4, 6]
+    return spark.createDataFrame(_rows(vals), "`_id` long, g string, v long")
+
+
+def test_minn_maxn_same_input_share_one_sort(df):
+    out = compile_pipeline(df, [{"$group": {
+        "_id": "$g",
+        "lo": {"$minN": {"input": "$v", "n": 2}},
+        "hi": {"$maxN": {"input": "$v", "n": 2}},
+    }}], None, None)
+    plan = _plan(out)
+    assert len(re.findall(r"\+- Sort|^Sort", plan, re.M)) == 1, plan
+    got = {r["_id"]: (r["lo"], r["hi"]) for r in out.collect()}
+    # x rows: v in [5,3,12,8,7,2,4] ; y rows: [None,8,None,1,0,None,9,6]
+    assert got["x"] == ([2, 3], [12, 8])
+    assert got["y"] == ([0, 1], [9, 8])
+
+
+def test_topn_bottomn_same_sortby_share_one_sort(df):
+    out = compile_pipeline(df, [{"$group": {
+        "_id": None,
+        "top": {"$topN": {"sortBy": {"v": 1, "_id": 1},
+                          "output": "$_id", "n": 3}},
+        "bot": {"$bottomN": {"sortBy": {"v": 1, "_id": 1},
+                             "output": "$_id", "n": 2}},
+    }}], None, None)
+    plan = _plan(out)
+    assert len(re.findall(r"\+- Sort|^Sort", plan, re.M)) == 1, plan
+    row = out.collect()[0]
+    # ascending by (v, _id) with nulls first: nulls (_id 1,5,11), then 0,1,2...
+    assert row["top"] == [1, 5, 11]
+    assert row["bot"] == [13, 6]  # last two in sortBy order: v=9, v=12
+
+
+def test_minn_maxn_n1_no_window(df):
+    out = compile_pipeline(df, [{"$group": {
+        "_id": "$g",
+        "lo1": {"$minN": {"input": "$v", "n": 1}},
+        "hi1": {"$maxN": {"input": "$v", "n": 1}},
+    }}], None, None)
+    plan = _plan(out)
+    assert "Window" not in plan, plan
+    got = {r["_id"]: (r["lo1"], r["hi1"]) for r in out.collect()}
+    assert got["x"] == ([2], [12])
+    assert got["y"] == ([0], [9])
+
+
+def test_minn_n1_all_null_group_is_empty_array(spark):
+    d = spark.createDataFrame(
+        [{"_id": 1, "g": "n", "v": None}, {"_id": 2, "g": "n", "v": None},
+         {"_id": 3, "g": "m", "v": 4}],
+        "`_id` long, g string, v long",
+    )
+    out = compile_pipeline(d, [{"$group": {
+        "_id": "$g",
+        "lo1": {"$minN": {"input": "$v", "n": 1}},
+        "hi1": {"$maxN": {"input": "$v", "n": 1}},
+    }}], None, None)
+    got = {r["_id"]: (r["lo1"], r["hi1"]) for r in out.collect()}
+    assert got["n"] == ([], [])
+    assert got["m"] == ([4], [4])
+
+
+def test_firstn_lastn_share_one_sort(spark):
+    d = spark.createDataFrame(
+        [{"_id": i, "v": i * 10} for i in range(8)], "`_id` long, v long"
+    ).coalesce(1)
+    out = compile_pipeline(d, [
+        {"$sort": {"_id": 1}},
+        {"$group": {
+            "_id": None,
+            "head": {"$firstN": {"input": "$v", "n": 2}},
+            "tail": {"$lastN": {"input": "$v", "n": 2}},
+        }},
+    ], None, None)
+    plan = _plan(out)
+    # one sort for the $sort stage itself + one shared rank sort
+    assert len(re.findall(r"\+- Sort|^Sort", plan, re.M)) <= 2, plan
+    row = out.collect()[0]
+    assert row["head"] == [0, 10]
+    assert row["tail"] == [60, 70]
