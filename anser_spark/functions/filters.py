@@ -110,10 +110,25 @@ def resolve_field(path: str) -> Column:
     bsonutil/helpers.go:7-9).
     """
     parts = _split_path(path)
-    col = F.col(parts[0])
-    for p in parts[1:]:
-        col = col.getItem(p)
-    return col
+    if len(parts) == 1:
+        return F.col(parts[0])
+    # one py4j round trip for the whole chain: `a`['b']['c'] parses to
+    # the IDENTICAL UnresolvedExtractValue tree as chained .getItem()
+    # (string subscripts traverse StructType fields and MapType keys
+    # alike), where per-segment getItem paid a round trip each
+    # (guide §1.2 — dotted paths are compiled constantly)
+    return F.expr(field_path_sql(path))
+
+
+def field_path_sql(path: str) -> str:
+    """SQL snippet for a dotted path — ``\\`a\\`['b']['c']`` — with the
+    same struct/map traversal semantics as chained ``.getItem()``."""
+    parts = _split_path(path)
+    root = "`" + parts[0].replace("`", "``") + "`"
+    return root + "".join(
+        "['" + p.replace("\\", "\\\\").replace("'", "\\'") + "']"
+        for p in parts[1:]
+    )
 
 
 def field_type(schema: T.DataType | None, path: str) -> T.DataType | None:

@@ -309,27 +309,23 @@ def banded_signatures(
     candidates; the narrow 3-column shape is what candidate joins (and
     the persisted minhash index) carry."""
     rows = num_hashes // bands
+    # ONE parsed SQL snippet for the whole explode(array(struct...)):
+    # the per-band/per-row Column loop cost ~1,100 py4j round trips per
+    # call (guide §1.2). Same functions, same values — `__minhash`[i]
+    # is the 0-based array access getItem compiled to, so persisted
+    # minhash-index band hashes are bit-identical.
+    bands_sql = ", ".join(
+        "struct({b} AS band, xxhash64(concat_ws(',', {elems})) AS bhash)".format(
+            b=b,
+            elems=", ".join(
+                f"`__minhash`[{b * rows + r}]" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
         id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("__minhash").getItem(b * rows + r)
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({bands_sql}))").alias("bk"),
     ).select(id_col, "bk.band", "bk.bhash")
 
 
@@ -577,12 +573,12 @@ def with_simhash_arrow(
 
 
 def simhash_hamming(a: Column, b: Column) -> Column:
-    """Hamming distance between two simhash longs (popcount of xor)."""
-    x = a.bitwiseXOR(b)
-    out = F.lit(0)
-    for i in range(64):
-        out = out + F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)).cast("int")
-    return out
+    """Hamming distance between two simhash longs (popcount of xor).
+    ``bit_count`` is the same popcount value (int) the 64-step
+    shift/mask loop produced, in ONE codegen'd instruction instead of
+    64 shift+mask+add expressions — and the loop's construction alone
+    cost ~320 py4j round trips per call site (guide §1.2, §4.1)."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
 def ngram_jaccard_pairs(

@@ -236,6 +236,19 @@ def _fold_col(col):
     return F.translate(col, _FOLD_SRC, _FOLD_DST)
 
 
+def _sqlstr(s: str) -> str:
+    """SQL single-quoted string literal (default parser escaping)."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sqlident(name: str) -> str:
+    """Dotted path → backtick-quoted identifier chain — parses to the
+    same UnresolvedAttribute as ``F.col(name)``."""
+    return ".".join(
+        "`" + p.replace("`", "``") + "`" for p in str(name).split(".")
+    )
+
+
 def _stem_tokens(col):
     """Arrow-batched Snowball ('Porter2') stemming of a token-array
     column — the ONE Python touchpoint in the analyzer (the split and
@@ -312,30 +325,38 @@ def _tokens(text_col: str, language: str = "none", preserve_case: bool = False):
     split + stopword filter stay pure Column).  ``preserve_case`` is
     the $caseSensitive variant: no lowercasing, stopwords dropped
     case-insensitively, stemming on the case-preserved token."""
+    # the whole split/filter tree rides as ONE parsed SQL snippet (one
+    # py4j round trip): the Column form cost ~10 round trips per call —
+    # and the english stopword isin alone ~170 literal conversions —
+    # at dozens of constructions per text query (round 14, guide §1.2).
+    # Identical expression trees, bit-identical tokens.
     if language == "english":
-        base = F.trim(F.col(text_col))
+        base = f"trim({_sqlident(text_col)})"
         if not preserve_case:
-            base = F.lower(base)
-        raw = F.filter(
-            F.split(base, r"[^\p{L}\p{N}']+"), lambda t: t != ""
-        )
-        kept = F.filter(
-            raw, lambda w: ~F.lower(w).isin(*sorted(ENGLISH_STOPWORDS))
-        )
-        return _stem_tokens(kept)
+            base = f"lower({base})"
+        pat = _sqlstr(r"[^\p{L}\p{N}']+")
+        raw = f"filter(split({base}, {pat}), t -> t != '')"
+        stops = ", ".join(_sqlstr(w) for w in sorted(ENGLISH_STOPWORDS))
+        kept = f"filter({raw}, w -> NOT (lower(w) IN ({stops})))"
+        return _stem_tokens(F.expr(kept))
     if language != "none":
         raise ValueError(
             f"unsupported $text language {language!r}: 'none' (exact "
             "tokens) and 'english' (stopwords + Snowball stemming) are "
             "implemented"
         )
-    if preserve_case:
-        return F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-        )
-    return F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
+    return F.expr(_tokens_sql(text_col, preserve_case))
+
+
+def _tokens_sql(text_col: str, preserve_case: bool = False) -> str:
+    """SQL snippet of the 'none'-analyzer token stream (whitespace
+    split + lowercase) — the string form lets consumers embed it in a
+    larger single-round-trip expression (e.g. the BM25 score)."""
+    base = f"trim({_sqlident(text_col)})"
+    if not preserve_case:
+        base = f"lower({base})"
+    ws_pat = _sqlstr(r"\s+")
+    return f"filter(split({base}, {ws_pat}), t -> t != '')"
 
 
 def bm25_score(
@@ -456,13 +477,29 @@ def bm25_score_expr(
     # the expression references the token array once per term; under
     # the 'english' analyzer tokenization is a stopword filter + stem
     # transform per evaluation, so callers that can materialize the
-    # array ONCE per row pass its column name via ``toks_col``
+    # array ONCE per row pass its column name via ``toks_col``.
+    # Round 14 (guide §1.2): whenever the token stream is SQL-
+    # representable (a toks_col name, or the 'none' analyzer inline)
+    # the whole score builds as ONE parsed snippet — the per-term
+    # Column loop cost ~10 round trips per term per construction.
+    # Literal doubles render via repr(): bit-exact through the SQL
+    # parser (see similarity.float_array_sql).
+    toks_sql: str | None = None
+    if toks_col:
+        toks_sql = _sqlident(toks_col)
+    elif language == "none":
+        toks_sql = _tokens_sql(text_col)
     toks = F.col(toks_col) if toks_col else _tokens(text_col, language)
     if fold and not toks_col:
         # diacritic-insensitive scoring: fold the inline stream (a
         # pre-materialized toks_col is already folded; callers fold
         # the query terms)
         toks = F.transform(toks, _fold_col)
+        if toks_sql is not None:
+            toks_sql = (
+                f"transform({toks_sql}, t -> translate(t, "
+                f"{_sqlstr(_FOLD_SRC)}, {_sqlstr(_FOLD_DST)}))"
+            )
 
     def _tf(term: str):
         # single-arg lambda via closure: a default-arg lambda would have
@@ -470,16 +507,29 @@ def bm25_score_expr(
         # argument (the same dispatch trap bm25_score documents)
         return F.size(F.filter(toks, lambda w: w == F.lit(term)))
 
-    tf_exprs = [_tf(t) for t in terms]
+    def _tf_sql(term: str) -> str:
+        return f"size(filter({toks_sql}, w -> w = {_sqlstr(term)}))"
+
     if stats is None:
-        agg = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(F.size(toks)).alias("avgdl"),
-            *[
-                F.sum((tf > 0).cast("long")).alias(f"__df{i}")
-                for i, tf in enumerate(tf_exprs)
-            ],
-        ).collect()[0]
+        if toks_sql is not None:
+            agg_cols = [
+                F.expr(f"avg(size({toks_sql}))").alias("avgdl"),
+                *[
+                    F.expr(
+                        f"sum(CAST(({_tf_sql(t)} > 0) AS BIGINT))"
+                    ).alias(f"__df{i}")
+                    for i, t in enumerate(terms)
+                ],
+            ]
+        else:
+            agg_cols = [
+                F.avg(F.size(toks)).alias("avgdl"),
+                *[
+                    F.sum((_tf(t) > 0).cast("long")).alias(f"__df{i}")
+                    for i, t in enumerate(terms)
+                ],
+            ]
+        agg = df.agg(F.count(F.lit(1)).alias("n"), *agg_cols).collect()[0]
         n_docs, avgdl = agg["n"], float(agg["avgdl"] or 0.0)
         dfs = [agg[f"__df{i}"] for i in range(len(terms))]
     else:
@@ -488,19 +538,43 @@ def bm25_score_expr(
     if n_docs == 0 or avgdl == 0.0:
         # score>0 can never hold — the paired pred must agree
         return (F.lit(0.0), F.lit(False)) if with_pred else F.lit(0.0)
-    norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.size(toks).cast("double") / F.lit(avgdl)
-    )
-    score = None
-    for i, _t in enumerate(terms):
-        idf = math.log(1.0 + (n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5))
-        tf = tf_exprs[i].cast("double")
-        part = F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm)
-        score = part if score is None else score + part
+    idfs = [
+        math.log(1.0 + (n_docs - dfs[i] + 0.5) / (dfs[i] + 0.5))
+        for i in range(len(terms))
+    ]
+    if toks_sql is not None:
+        norm_sql = (
+            f"{float(k1)!r}D * ({float(1.0 - b)!r}D + {float(b)!r}D * "
+            f"CAST(size({toks_sql}) AS DOUBLE) / {float(avgdl)!r}D)"
+        )
+        parts = []
+        for i, t in enumerate(terms):
+            tf = f"CAST({_tf_sql(t)} AS DOUBLE)"
+            parts.append(
+                f"{float(idfs[i])!r}D * {tf} * {float(k1 + 1.0)!r}D"
+                f" / ({tf} + {norm_sql})"
+            )
+        score: F.Column = F.expr(" + ".join(parts))
+    else:
+        norm = F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.size(toks).cast("double") / F.lit(avgdl)
+        )
+        score = None
+        for i, t in enumerate(terms):
+            tf = _tf(t).cast("double")
+            part = F.lit(idfs[i]) * tf * F.lit(k1 + 1.0) / (tf + norm)
+            score = part if score is None else score + part
     if with_pred:
         # ∃ term with tf>0 ⟺ Σ idf·tf·…>0 (idf strictly positive under
         # the +1 smoothing, tf ≥ 0) — one exists over the shared stream
-        pred = F.exists(toks, lambda w: w.isin(list(dict.fromkeys(terms))))
+        uniq = list(dict.fromkeys(terms))
+        if toks_sql is not None:
+            pred = F.expr(
+                f"exists({toks_sql}, w -> w IN "
+                f"({', '.join(_sqlstr(t) for t in uniq)}))"
+            )
+        else:
+            pred = F.exists(toks, lambda w: w.isin(uniq))
         return score, pred
     return score
 

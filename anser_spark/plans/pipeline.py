@@ -65,6 +65,27 @@ _ACCUMULATORS = {
 _PIPE_DEPTH = 0  # compile_pipeline nesting depth (driver-side state)
 
 
+def _bq1(name: str) -> str:
+    """Backtick-quote ONE literal column name (no dot-path splitting)
+    for SQL snippets — used to batch per-column projections into a
+    single parsed expression (one py4j round trip) instead of 2+ round
+    trips per column via ``F.col(c).alias(...)`` (guide §1.2: a wide
+    fused $lookup paid ~440 round trips ≈ 0.2s of pure driver time)."""
+    return "`" + str(name).replace("`", "``") + "`"
+
+
+def _sqs(name: str) -> str:
+    """Single-quote a string literal for SQL snippets."""
+    return "'" + str(name).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _named_struct_sql(pairs) -> str:
+    """``named_struct('out1', `src1`, ...)`` SQL for (out_name, src_col)
+    pairs — one round trip for an arbitrarily wide struct."""
+    args = ", ".join(f"{_sqs(o)}, {_bq1(s)}" for o, s in pairs)
+    return f"named_struct({args})"
+
+
 def compile_pipeline(
     df: DataFrame,
     stages: Sequence[Mapping[str, Any]],
@@ -3611,10 +3632,14 @@ def _lookup(
         )
 
     if unwind_preserve is not None:
-        # fused $lookup+$unwind → direct join, struct-typed `as` column
-        fr = foreign.select(
-            F.lit(True).alias("__f_matched"),
-            *[F.col(c).alias(f"__f_{c}") for c in foreign.columns],
+        # fused $lookup+$unwind → direct join, struct-typed `as` column.
+        # Per-column projections ride as ONE parsed SQL snippet each
+        # (selectExpr / named_struct): `F.col(c).alias(...)` costs 2+
+        # py4j round trips per foreign column, ~440 round trips ≈ 0.2s
+        # of driver time per wide fused lookup (guide §1.2).
+        fr = foreign.selectExpr(
+            "true AS `__f_matched`",
+            *[f"{_bq1(c)} AS {_bq1('__f_' + c)}" for c in foreign.columns],
         )
         how = "left" if unwind_preserve else "inner"
         joined = df.join(
@@ -3624,16 +3649,25 @@ def _lookup(
             ),
             how=how,
         )
-        packed = F.struct(*[F.col(f"__f_{c}").alias(c) for c in foreign.columns])
+        packed = F.expr(
+            _named_struct_sql((c, "__f_" + c) for c in foreign.columns)
+        )
         if unwind_preserve:
             # no match ⇒ field absent in Mongo ⇒ null struct, not struct of nulls
             packed = F.when(F.col("__f_matched"), packed)
-        return joined.select(*[df[c] for c in df.columns], packed.alias(out))
+        if any(c == "__f_matched" or c.startswith("__f_") for c in df.columns):
+            # name collision with the prefixed foreign side: fall back
+            # to side-qualified column objects
+            return joined.select(*[df[c] for c in df.columns], packed.alias(out))
+        return joined.select(*df.columns, packed.alias(out))
 
-    fcols = [F.col(c) for c in foreign.columns]
     grouped = foreign.groupBy(
         _ckey(F.col(foreign_f), foreign.schema, foreign_f).alias("__lk")
-    ).agg(F.collect_list(F.struct(*fcols)).alias(out))
+    ).agg(
+        F.collect_list(
+            F.expr(_named_struct_sql((c, c) for c in foreign.columns))
+        ).alias(out)
+    )
     joined = df.join(
         grouped,
         on=_ckey(df[local_f], df.schema, local_f).eqNullSafe(grouped["__lk"]),
@@ -3707,12 +3741,17 @@ def _lookup_array_field(
         lk = df2.select(luid, _elems(F.col(local_f)).alias("__lv"))
     else:
         lk = df2.select(luid, F.col(local_f).alias("__lv"))
-    fcols = [F.col(c).alias(f"__f_{c}") for c in foreign.columns]
+    # per-column rename batched as ONE selectExpr round trip (guide §1.2)
+    frename = [f"{_bq1(c)} AS {_bq1('__f_' + c)}" for c in foreign.columns]
     if foreign_is_arr:
         fr2 = fr2.withColumn("__fv", _elems(F.col(foreign_f)))
-        fk = fr2.select(fuid, "__fv", *fcols)
+        fk = fr2.selectExpr(_bq1(fuid), "`__fv`", *frename)
     else:
-        fk = fr2.select(fuid, F.col(foreign_f).alias("__fv"), *fcols)
+        from anser_spark.functions.filters import field_path_sql
+
+        fk = fr2.selectExpr(
+            _bq1(fuid), f"{field_path_sql(foreign_f)} AS `__fv`", *frename
+        )
     matched = lk.join(fk, on=lk["__lv"].eqNullSafe(fk["__fv"]), how="inner")
     if local_is_arr and foreign_is_arr:
         matched = matched.dropDuplicates([luid, fuid])
@@ -3720,8 +3759,8 @@ def _lookup_array_field(
 
     if unwind_preserve is not None:
         # fused $unwind: one row per (doc, matched foreign doc)
-        packed = F.struct(
-            *[F.col(f"__f_{c}").alias(c) for c in foreign.columns]
+        packed = F.expr(
+            _named_struct_sql((c, "__f_" + c) for c in foreign.columns)
         )
         m = matched.select(luid, packed.alias("__pk"), F.lit(True).alias("__hit"))
         how = "left" if unwind_preserve else "inner"
@@ -3735,7 +3774,9 @@ def _lookup_array_field(
 
     grouped = matched.groupBy(luid).agg(
         F.collect_list(
-            F.struct(*[F.col(c).alias(c[len("__f_"):]) for c in data_cols])
+            F.expr(
+                _named_struct_sql((c[len("__f_"):], c) for c in data_cols)
+            )
         ).alias(out)
     )
     joined = df2.join(grouped, on=luid, how="left").drop(luid)
@@ -3806,7 +3847,9 @@ def _pack_uncorrelated_lookup(
     if out_col in df.columns:
         df = df.drop(out_col)
     packed = sub.agg(
-        F.collect_list(F.struct(*[F.col(c) for c in sub.columns])).alias(out_col)
+        F.collect_list(
+            F.expr(_named_struct_sql((c, c) for c in sub.columns))
+        ).alias(out_col)
     )
     joined = df.crossJoin(F.broadcast(packed))
     if unwind_preserve is not None:
@@ -4017,24 +4060,39 @@ def _lookup_pipeline(
         return df.join(keys, on=functools_reduce_and(on), how=how)
 
     if unwind_preserve is not None:
-        # fused $lookup(pipeline)+$unwind → direct join on the let-keys
-        fr = sub.select(
-            F.lit(True).alias("__f_matched"),
-            *[F.col(f"__lk{i}") for i in range(len(join_pairs))],
-            *[F.col(c).alias(f"__f_{c}") for c in data_cols],
+        # fused $lookup(pipeline)+$unwind → direct join on the let-keys.
+        # Per-column projections batched into single SQL snippets — one
+        # py4j round trip instead of 2+ per column (guide §1.2).
+        fr = sub.selectExpr(
+            "true AS `__f_matched`",
+            *[_bq1(f"__lk{i}") for i in range(len(join_pairs))],
+            *[f"{_bq1(c)} AS {_bq1('__f_' + c)}" for c in data_cols],
         )
         on = [
             local.eqNullSafe(fr[f"__lk{i}"]) for i, (local, _f) in enumerate(join_pairs)
         ]
         how = "left" if unwind_preserve else "inner"
         joined = df.join(fr, on=functools_reduce_and(on), how=how)
-        packed = F.struct(*[F.col(f"__f_{c}").alias(c) for c in data_cols])
+        packed = (
+            F.expr(_named_struct_sql((c, "__f_" + c) for c in data_cols))
+            if data_cols
+            else F.struct(*[F.col(f"__f_{c}").alias(c) for c in data_cols])
+        )
         if unwind_preserve:
             packed = F.when(F.col("__f_matched"), packed)
-        return joined.select(*[df[c] for c in df.columns], packed.alias(out))
+        if any(
+            c == "__f_matched" or c.startswith("__f_") or c.startswith("__lk")
+            for c in df.columns
+        ):
+            return joined.select(*[df[c] for c in df.columns], packed.alias(out))
+        return joined.select(*df.columns, packed.alias(out))
 
     grouped = sub.groupBy(*[F.col(f"__lk{i}") for i in range(len(join_pairs))]).agg(
-        F.collect_list(F.struct(*[F.col(c) for c in data_cols])).alias(out)
+        F.collect_list(
+            F.expr(_named_struct_sql((c, c) for c in data_cols))
+            if data_cols
+            else F.struct(*[F.col(c) for c in data_cols])
+        ).alias(out)
     )
     on = [
         local.eqNullSafe(grouped[f"__lk{i}"]) for i, (local, _f) in enumerate(join_pairs)
