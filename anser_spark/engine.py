@@ -130,8 +130,37 @@ def _range_sorted(df: DataFrame, cols: Sequence, single: bool) -> DataFrame:
     files in sensible size bands, scan parallelism)."""
     cols = list(cols)
     if single:
-        return df.repartitionByRange(1, *cols).sortWithinPartitions(*cols)
+        # narrow coalesce instead of a 1-partition range shuffle: no
+        # Exchange, no AQE stage job — the full sort inside the single
+        # partition yields the same sorted single-file layout (round
+        # 14, guide §2.4: the shuffle bought nothing at 1 partition)
+        return df.coalesce(1).sortWithinPartitions(*cols)
     return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
+def _read_pt(spark: SparkSession, path: str) -> DataFrame:
+    """Engine-internal parquet read through the schema-cached reader:
+    index tables/layers are immutable once written (new layers are new
+    dirs), so the footer-inference cost (~60ms py4j + a driver footer
+    read) is paid once per dir instead of per query (round 14,
+    guide §1.2)."""
+    from anser_spark.sources.readers import read_parquet_table
+
+    return read_parquet_table(spark, path)
+
+
+def _read_pt_star(spark: SparkSession, first: str, *rest: str) -> DataFrame:
+    """Multi-dir read (base + delta layers) using the base dir's cached
+    schema — same default (non-mergeSchema) inference semantics as the
+    bare read, minus the footer sweep. Layers are engine-written with
+    the base's schema by construction (and never carry ns timestamps,
+    so the cached schema is the physical one)."""
+    from anser_spark.sources.readers import read_parquet_table
+
+    if not rest:
+        return read_parquet_table(spark, first)
+    base = read_parquet_table(spark, first)
+    return spark.read.schema(base.schema).parquet(first, *rest)
 
 
 def _single_file_tokens(spark: SparkSession) -> float:
@@ -1300,6 +1329,15 @@ class Collection:
                 "created by another writer; retry against the new current "
                 "version"
             )
+        if not pcols:
+            # known schema ⇒ the first read of this version skips the
+            # footer-inference job (round 14; COW callers that link
+            # more files in afterwards re-prime at their tail — the
+            # mtime-stamped entry self-invalidates in between).
+            # Partitioned layouts skip: inference re-adds pcols.
+            from anser_spark.sources.readers import prime_schema_cache
+
+            prime_schema_cache(vdir, df.schema)
         return vdir
 
     def _rewrite(
@@ -1580,7 +1618,7 @@ class Collection:
                 if e.get("ins_path"):
                     # the manifest's id sidecar enumerates the commit's
                     # ids even when a later rewrite replaced its files
-                    ids_src = spark.read.parquet(e["ins_path"])
+                    ids_src = _read_pt(spark, e["ins_path"])
                     if id_col not in ids_src.columns:
                         return None
                     t = ids_src.select(
@@ -1596,7 +1634,7 @@ class Collection:
                     )
                 c = rows.withColumn("__pseq", F.lit(seq))
             else:
-                pre = spark.read.parquet(e["pre_path"])
+                pre = _read_pt(spark, e["pre_path"])
                 if id_col not in pre.columns:
                     return None
                 t = pre.select(
@@ -1611,7 +1649,7 @@ class Collection:
                     # from the pre-image ids by construction (extras
                     # were anti-joined against the affected files), so
                     # the first-event classification can never tie
-                    ii = spark.read.parquet(sub)
+                    ii = _read_pt(spark, sub)
                     if id_col not in ii.columns:
                         return None
                     t = t.unionByName(
@@ -1999,6 +2037,14 @@ class Collection:
                 version, ptr, rewritten_rels, pre_rel=pre_rel,
                 ins_rel=ins_rel, ins_cols=ins_cols,
             )
+        if evolved is None and not any(os.sep in r for r in rewritten_rels):
+            # re-prime after the hard-links changed the dir stamp (the
+            # _write_version prime self-invalidated): non-evolved COW
+            # keeps the read schema == replacement's, so the follow-up
+            # read skips its footer job. Sidecar dirs skip inside.
+            from anser_spark.sources.readers import prime_schema_cache
+
+            prime_schema_cache(vdir, replacement.schema)
         return True, matched
 
     def _mutation_preserves_ids(self, update: Any) -> bool | None:
@@ -2157,19 +2203,30 @@ class Collection:
         id_cols = sorted(
             c for c in self._index_id_cols() if c in aligned.columns
         )
+        flat_layout = not any(os.sep in r for r in delta_rels)
         if id_cols and delta_rels:
             # id sidecar for this insert (round 11): one O(batch)
             # column read of the just-written files, so a later
             # mutation rewriting them cannot force an index rebuild
             ins_rel = f"{version}_ins"
+            reader = self.engine.spark.read.option("basePath", vdir)
+            if flat_layout:
+                # files we just wrote — skip the footer-inference job
+                reader = reader.schema(aligned.schema)
             (
-                self.engine.spark.read.option("basePath", vdir)
+                reader
                 .parquet(*[os.path.join(vdir, r) for r in delta_rels])
                 .select(*id_cols)
                 .write.mode("overwrite")
                 .parquet(os.path.join(self._deltas_dir(), ins_rel))
             )
         self._write_insert_manifest(version, ptr, delta_rels, ins_rel=ins_rel)
+        if evolved is None and flat_layout:
+            # re-prime after linking (see _cow_rewrite): appends keep
+            # the base schema, so the next read skips its footer job
+            from anser_spark.sources.readers import prime_schema_cache
+
+            prime_schema_cache(vdir, aligned.schema)
 
     def drop(self) -> None:
         if self.engine._txn is not None:
@@ -2561,7 +2618,7 @@ class Collection:
                     .parquet(cells_dir)
                 )
                 st = (
-                    self.engine.spark.read.parquet(cells_dir)
+                    _read_pt(self.engine.spark, cells_dir)
                     .agg(
                         F.count(F.lit(1)).alias("n"),
                         F.count_distinct(F.col("id")).alias("nid"),
@@ -2681,7 +2738,10 @@ class Collection:
                     .parquet(postings_dir)
                 )
                 terms_src = (
-                    self.engine.spark.read.parquet(postings_dir)
+                    # schema supplied from the frame just written: the
+                    # bare read paid a footer-inference job per build
+                    self.engine.spark.read.schema(postings.schema)
+                    .parquet(postings_dir)
                     .groupBy("term")
                     .agg(F.count(F.lit(1)).alias("df"))
                 )
@@ -2769,9 +2829,10 @@ class Collection:
                     raw_post = os.path.join(
                         self._search_index_dir(), f"{name}_rawpostings"
                     )
+                    raw_post_df = self._postings_rows(raw_frame, True)
                     (
                         _range_sorted(
-                            self._postings_rows(raw_frame, True),
+                            raw_post_df,
                             [F.col("term_fold"), F.col("id")], single,
                         )
                         .write.mode("overwrite")
@@ -2784,9 +2845,11 @@ class Collection:
                         # derive from the just-written raw postings
                         # (one row per (id, term) ⇒ count = df) — the
                         # second corpus tokenize pass this table used
-                        # to pay is gone (round 14)
+                        # to pay is gone (round 14); schema supplied so
+                        # the readback skips footer inference
                         _range_sorted(
-                            self.engine.spark.read.parquet(raw_post)
+                            self.engine.spark.read.schema(raw_post_df.schema)
+                            .parquet(raw_post)
                             .groupBy("term")
                             .agg(F.count(F.lit(1)).alias("df")),
                             [F.col("term")], single,
@@ -2821,7 +2884,7 @@ class Collection:
             minhash_signature_arrow(
                 self.df(), id_col, path, k, num_hashes, seed
             ).write.mode("overwrite").parquet(sig_dir)
-            stored = self.engine.spark.read.parquet(sig_dir)
+            stored = _read_pt(self.engine.spark, sig_dir)
             bands_dir = os.path.join(self._search_index_dir(), f"{name}_bands")
             banded_signatures(stored, id_col, num_hashes, bands_n).write.mode(
                 "overwrite"
@@ -3000,7 +3063,7 @@ class Collection:
                 .parquet(postings_dir)
             )
             terms_src = (
-                self.engine.spark.read.parquet(postings_dir)
+                _read_pt(self.engine.spark, postings_dir)
                 .groupBy("field", "term")
                 .agg(F.count(F.lit(1)).alias("df"))
             )
@@ -3085,7 +3148,7 @@ class Collection:
                     # df) — drops the second per-field explode pass
                     # over the raw token streams (round 14)
                     _range_sorted(
-                        self.engine.spark.read.parquet(raw_postings_dir)
+                        _read_pt(self.engine.spark, raw_postings_dir)
                         .groupBy("field", "term")
                         .agg(F.count(F.lit(1)).alias("df")),
                         [F.col("term"), F.col("field")], single,
@@ -3837,7 +3900,7 @@ class Collection:
             postings_deltas, postings_tombs = [], []
         if d.get("ids_dir") and len(ids_deltas) >= thr:
             new_ids = os.path.join(idx_dir, f"{name}_ids_compact_{cur}")
-            merged_ids = spark.read.parquet(
+            merged_ids = _read_pt_star(spark, 
                 str(d["ids_dir"]), *map(str, ids_deltas)
             )
             if d.get("removed_dir"):
@@ -3846,7 +3909,7 @@ class Collection:
                 # set no longer contains them) and clear the set — the
                 # compacted sidecar is exactly the live ids
                 merged_ids = merged_ids.join(
-                    spark.read.parquet(str(d["removed_dir"])),
+                    _read_pt(spark, str(d["removed_dir"])),
                     "id",
                     "left_anti",
                 )
@@ -3872,7 +3935,7 @@ class Collection:
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
         )
-        merged = spark.read.parquet(old_terms_dir).unionByName(new_terms)
+        merged = _read_pt(spark, old_terms_dir).unionByName(new_terms)
         if k_neg:
             neg_terms = (
                 neg.select(
@@ -3898,7 +3961,7 @@ class Collection:
             new_raw_terms_dir = os.path.join(
                 idx_dir, f"{name}_rawterms_{cur}"
             )
-            merged_raw = spark.read.parquet(str(d["raw_terms_dir"]))
+            merged_raw = _read_pt(spark, str(d["raw_terms_dir"]))
             if raw_delta is not None:
                 merged_raw = merged_raw.unionByName(
                     raw_delta.select(
@@ -4207,7 +4270,7 @@ class Collection:
             postings_deltas, postings_tombs = [], []
         if d.get("ids_dir") and len(ids_deltas) >= thr:
             new_ids = os.path.join(idx_dir, f"{name}_ids_compact_{cur}")
-            merged_ids = spark.read.parquet(
+            merged_ids = _read_pt_star(spark, 
                 str(d["ids_dir"]), *map(str, ids_deltas)
             )
             if d.get("removed_dir"):
@@ -4216,7 +4279,7 @@ class Collection:
                 # set no longer contains them) and clear the set — the
                 # compacted sidecar is exactly the live ids
                 merged_ids = merged_ids.join(
-                    spark.read.parquet(str(d["removed_dir"])),
+                    _read_pt(spark, str(d["removed_dir"])),
                     "id",
                     "left_anti",
                 )
@@ -4232,7 +4295,7 @@ class Collection:
             ids_deltas = []
         # (field, term) term-table merge with signed dfs
         new_terms_dir = os.path.join(idx_dir, f"{name}_terms_{cur}")
-        merged = spark.read.parquet(str(d["terms_dir"]))
+        merged = _read_pt(spark, str(d["terms_dir"]))
         for i, f in enumerate(fields):
             pos_f = (
                 delta.select(
@@ -4271,7 +4334,7 @@ class Collection:
             new_raw_terms_dir = os.path.join(
                 idx_dir, f"{name}_rawterms_{cur}"
             )
-            merged_raw = spark.read.parquet(str(d["raw_terms_dir"]))
+            merged_raw = _read_pt(spark, str(d["raw_terms_dir"]))
             for i, f in enumerate(fields):
                 if raw_delta is not None:
                     merged_raw = merged_raw.unionByName(
@@ -4375,7 +4438,7 @@ class Collection:
         passes there by construction."""
         spark = self.engine.spark
         if d.get("ids_dir"):
-            side = spark.read.parquet(
+            side = _read_pt_star(spark, 
                 str(d["ids_dir"]),
                 *[str(p) for p in (d.get("ids_deltas") or [])],
             )
@@ -4397,7 +4460,7 @@ class Collection:
             if not d.get("removed_dir"):
                 return False, None  # collision, no dead set to excuse it
             colliding = colliding.distinct().localCheckpoint()
-            dead = spark.read.parquet(str(d["removed_dir"]))
+            dead = _read_pt(spark, str(d["removed_dir"]))
             if colliding.join(dead, "id", "left_anti").limit(1).count():
                 return False, None  # collides with a LIVE id
             return True, colliding
@@ -4435,7 +4498,7 @@ class Collection:
         ids out of the sidecar physically and clears the set."""
         spark = self.engine.spark
         new_dead = (
-            spark.read.parquet(str(d["removed_dir"]))
+            _read_pt(spark, str(d["removed_dir"]))
             if d.get("removed_dir") else None
         )
         if revived is not None and new_dead is not None:

@@ -102,6 +102,14 @@ def _split_path(path: str) -> list[str]:
     return path.split(".")
 
 
+#: path → unresolved Column. An unresolved attribute/extract-value is a
+#: pure expression object — session-independent, immutable — so the
+#: memo is safe to share across queries and sessions within a process.
+#: Every F.col is a py4j round trip; filter/expression compilers call
+#: resolve_field hundreds of times per query (round 14, guide §1.2).
+_COL_CACHE: dict[str, Column] = {}
+
+
 def resolve_field(path: str) -> Column:
     """Dotted path → Column reference into nested structs/maps.
 
@@ -109,15 +117,23 @@ def resolve_field(path: str) -> Column:
     MapType keys alike (bsonutil GetDottedKeyName analogue, reference
     bsonutil/helpers.go:7-9).
     """
+    col = _COL_CACHE.get(path)
+    if col is not None:
+        return col
     parts = _split_path(path)
     if len(parts) == 1:
-        return F.col(parts[0])
-    # one py4j round trip for the whole chain: `a`['b']['c'] parses to
-    # the IDENTICAL UnresolvedExtractValue tree as chained .getItem()
-    # (string subscripts traverse StructType fields and MapType keys
-    # alike), where per-segment getItem paid a round trip each
-    # (guide §1.2 — dotted paths are compiled constantly)
-    return F.expr(field_path_sql(path))
+        col = F.col(parts[0])
+    else:
+        # one py4j round trip for the whole chain: `a`['b']['c'] parses
+        # to the IDENTICAL UnresolvedExtractValue tree as chained
+        # .getItem() (string subscripts traverse StructType fields and
+        # MapType keys alike), where per-segment getItem paid a round
+        # trip each (guide §1.2 — dotted paths are compiled constantly)
+        col = F.expr(field_path_sql(path))
+    if len(_COL_CACHE) > 8192:
+        _COL_CACHE.clear()
+    _COL_CACHE[path] = col
+    return col
 
 
 def field_path_sql(path: str) -> str:

@@ -33,6 +33,24 @@ __all__ = [
 ]
 
 
+#: (key → built Column / Column bundle). Unresolved Column expressions
+#: are immutable and session-independent, and each composite builder
+#: here costs tens-to-hundreds of py4j round trips (~0.5ms each) per
+#: construction — the profile gates rebuild them on every invocation
+#: (round 14, guide §1.2). Keys carry the FULL parameterization.
+_EXPR_MEMO: dict = {}
+
+
+def _memo(key, build):
+    val = _EXPR_MEMO.get(key)
+    if val is None:
+        val = build()
+        if len(_EXPR_MEMO) > 2048:
+            _EXPR_MEMO.clear()
+        _EXPR_MEMO[key] = val
+    return val
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace tokenization; empty string → 0 tokens."""
     trimmed = F.trim(text)
@@ -54,7 +72,10 @@ def bpe_ish_token_count_col(text: Column) -> Column:
 
 
 def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
-    return df.withColumn(out, token_count_col(F.col(text_col)))
+    return df.withColumn(
+        out,
+        _memo(("tokcount", text_col), lambda: token_count_col(F.col(text_col))),
+    )
 
 
 # ~10 high-frequency stopwords per language; enough signal for a
@@ -77,38 +98,56 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
 def with_language_id(df: DataFrame, text_col: str = "text", out: str = "lang_id") -> DataFrame:
     """Stopword-vote language ID: argmax over per-language whole-word
     stopword hit counts; 'und' (undetermined) when no hits at all."""
-    text = F.col(text_col)
-    hits = {lang: _stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
-    best = F.greatest(*hits.values())
-    expr = F.lit("und")
-    # iterate in fixed order; first language reaching the max wins
-    for lang in reversed(list(LANG_STOPWORDS)):
-        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return df.withColumn(out, expr)
+
+    def build():
+        text = F.col(text_col)
+        hits = {
+            lang: _stopword_hits(text, words)
+            for lang, words in LANG_STOPWORDS.items()
+        }
+        best = F.greatest(*hits.values())
+        expr = F.lit("und")
+        # iterate in fixed order; first language reaching the max wins
+        for lang in reversed(list(LANG_STOPWORDS)):
+            expr = F.when(
+                (hits[lang] == best) & (best > 0), F.lit(lang)
+            ).otherwise(expr)
+        return expr
+
+    return df.withColumn(out, _memo(("langid", text_col), build))
 
 
 def with_quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
     """Composite [0,1] quality heuristic: length band, punctuation ratio,
     stopword ratio, mean word length band — the standard cheap filters a
     pretraining pipeline applies before expensive scoring."""
-    text = F.col(text_col)
-    n_chars = F.length(text)
-    n_tokens = token_count_col(text)
-    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
-    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    all_stop = [w for ws in LANG_STOPWORDS.values() for w in ws]
-    stop_ratio = F.when(
-        n_tokens > 0, _stopword_hits(text, all_stop) / n_tokens
-    ).otherwise(F.lit(0.0))
-    mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
-    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    punct_score = F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))
-    word_len_score = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.3)
-    stop_score = F.least(stop_ratio * 3, F.lit(1.0))
-    score = (
-        length_score * 0.3 + punct_score * 0.2 + word_len_score * 0.3 + stop_score * 0.2
-    )
-    return df.withColumn(out, F.round(score, 6))
+
+    def build():
+        text = F.col(text_col)
+        n_chars = F.length(text)
+        n_tokens = token_count_col(text)
+        n_punct = F.length(text) - F.length(
+            F.regexp_replace(text, r"[\p{Punct}]", "")
+        )
+        punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+        all_stop = [w for ws in LANG_STOPWORDS.values() for w in ws]
+        stop_ratio = F.when(
+            n_tokens > 0, _stopword_hits(text, all_stop) / n_tokens
+        ).otherwise(F.lit(0.0))
+        mean_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+        length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+        punct_score = F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))
+        word_len_score = F.when(
+            (mean_word_len >= 3) & (mean_word_len <= 12), 1.0
+        ).otherwise(0.3)
+        stop_score = F.least(stop_ratio * 3, F.lit(1.0))
+        return F.round(
+            length_score * 0.3 + punct_score * 0.2
+            + word_len_score * 0.3 + stop_score * 0.2,
+            6,
+        )
+
+    return df.withColumn(out, _memo(("quality", text_col), build))
 
 
 def _quality_component_cols(text: Column) -> dict[str, Column]:
@@ -133,13 +172,17 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     individual columns (n_tokens, punct_ratio, mean_word_len,
     length_score, en_stop_hits) — the value-hash-oracle-able subset of
     with_quality_score (whose composite weighting stays heuristic)."""
-    text = F.col(text_col)
-    comps = _quality_component_cols(text)
-    return df.select(
-        *df.columns,
-        token_count_col(text).alias("n_tokens"),
-        *[c.alias(name) for name, c in comps.items()],
+    cols = _memo(
+        ("quality_metrics", text_col),
+        lambda: [
+            token_count_col(F.col(text_col)).alias("n_tokens"),
+            *[
+                c.alias(name)
+                for name, c in _quality_component_cols(F.col(text_col)).items()
+            ],
+        ],
     )
+    return df.select(*df.columns, *cols)
 
 
 def gopher_rules(
@@ -179,6 +222,40 @@ def gopher_rules(
     EXPRESSIONS, re-inlined all of them a second time (~30 total).
     Rules now land in one projection and ``gopher_keep`` ANDs the rule
     COLUMNS; values are bit-identical."""
+    bundle = _memo(
+        (
+            "gopher", text_col, min_words, max_words, min_mean_word_len,
+            max_mean_word_len, max_symbol_ratio, max_bullet_frac,
+            max_ellipsis_frac, min_alpha_frac, min_stop_hits,
+        ),
+        lambda: _gopher_exprs(
+            text_col, min_words, max_words, min_mean_word_len,
+            max_mean_word_len, max_symbol_ratio, max_bullet_frac,
+            max_ellipsis_frac, min_alpha_frac, min_stop_hits,
+        ),
+    )
+    hidden, flag_cols, keep = bundle
+    prepared = df.withColumns(hidden)
+    out = prepared.withColumns(flag_cols)
+    return out.withColumn("gopher_keep", keep).drop(
+        "__gopher_words", "__gopher_lines"
+    )
+
+
+def _gopher_exprs(
+    text_col: str,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_ratio: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_frac: float,
+    min_stop_hits: int,
+):
+    """Build gopher_rules' Column bundle (hidden cols, coalesced rule
+    flags, keep conjunction) — memoized per full parameterization."""
     text = F.col(text_col)
     words = F.col("__gopher_words")
     lines_col = F.col("__gopher_lines")
@@ -231,28 +308,33 @@ def gopher_rules(
         "rule_alpha_words": alpha_frac >= min_alpha_frac,
         "rule_stopwords": stop_hits >= min_stop_hits,
     }
-    prepared = df.withColumns({
+    hidden = {
         "__gopher_words": _word_array(text),
         "__gopher_lines": F.filter(
             F.split(text, r"\n"), lambda ln: F.trim(ln) != ""
         ),
-    })
-    out = prepared.withColumns(
-        {name: F.coalesce(col, F.lit(False)) for name, col in rules.items()}
-    )
+    }
+    flag_cols = {
+        name: F.coalesce(col, F.lit(False)) for name, col in rules.items()
+    }
     keep = F.lit(True)
     for name in rules:
         keep = keep & F.col(name)
-    return out.withColumn("gopher_keep", keep).drop(
-        "__gopher_words", "__gopher_lines"
-    )
+    return hidden, flag_cols, keep
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
     """64-bit content fingerprint over normalized text (case-folded,
     whitespace-collapsed) — the exact-dedup key."""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.withColumn(out, F.xxhash64(normalized))
+    return df.withColumn(
+        out,
+        _memo(
+            ("fingerprint", text_col),
+            lambda: F.xxhash64(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+            ),
+        ),
+    )
 
 
 def winnow_fingerprints_col(
@@ -423,7 +505,10 @@ def repetition_metrics(
     # NULL text degrades to the same all-zeros row as empty text (size()
     # of a NULL array would otherwise leak NULL into n_tokens while the
     # coalesced fractions read 0.0 — mixed NULL/0 output)
-    toks = _word_array(F.coalesce(F.col(text_col), F.lit("")))
+    toks = _memo(
+        ("rep_toks", text_col),
+        lambda: _word_array(F.coalesce(F.col(text_col), F.lit(""))),
+    )
     base = df.select(F.col(id_col), toks.alias("__toks"))
 
     # Integer outputs are emitted as BIGINT everywhere (F.size is int32,
@@ -502,10 +587,13 @@ def scrub_pii(df: DataFrame, text_col: str = "text", out: str | None = None) -> 
     typed placeholders — chained regexp_replace, pure Column, scan
     speed. Email runs first so its digits/dots can't be half-eaten by
     the ipv4/phone passes."""
-    col = F.col(text_col)
-    for _, pattern, repl in PII_PATTERNS:
-        col = F.regexp_replace(col, pattern, repl)
-    return df.withColumn(out or text_col, col)
+    def build():
+        col = F.col(text_col)
+        for _, pattern, repl in PII_PATTERNS:
+            col = F.regexp_replace(col, pattern, repl)
+        return col
+
+    return df.withColumn(out or text_col, _memo(("scrub_pii", text_col), build))
 
 
 def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -516,11 +604,15 @@ def pii_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     the phone pass there) — overlapping matches can therefore
     double-count in the audit; the counts are a per-category signal,
     not a partition of the text."""
-    text = F.col(text_col)
-    counts = [
-        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
-        for name, pattern, _ in PII_PATTERNS
-    ]
+    counts = _memo(
+        ("pii_metrics", text_col),
+        lambda: [
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+            ).alias(f"n_{name}")
+            for name, pattern, _ in PII_PATTERNS
+        ],
+    )
     return df.select(*df.columns, *counts)
 
 

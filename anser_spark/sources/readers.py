@@ -126,6 +126,22 @@ def _schema_stamp(path: str) -> tuple | None:
         return None
 
 
+def prime_schema_cache(path: str, schema) -> None:
+    """Record a just-written dataset's schema so its first read skips
+    the parquet footer-inference job (Spark 4 reads footers via a
+    distributed job on every uncached ``spark.read.parquet``) — one
+    job per mutation across the version-publish paths (round 14,
+    guide §1.2). Callers pass the exact schema of the frame written;
+    parquet round-trips it (nullable ↔ optional), so the entry equals
+    what inference would return. Sidecar-carrying dirs never consult
+    the cache and are skipped."""
+    if version_schema(path) is not None:
+        return
+    stamp = _schema_stamp(path)
+    if stamp is not None:
+        _SCHEMA_CACHE[path] = (stamp, schema)
+
+
 def read_parquet_table(
     spark: SparkSession,
     path: str,
