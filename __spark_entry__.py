@@ -102,17 +102,33 @@ def _q_filter_regex(spark, sf_dir):
     )
     cust = _db(spark, sf_dir).collection("customer")
     ci = {"locale": "en", "strength": 2}
+    # three single-row count legs as ONE union+pivot frame (round 14,
+    # guide §2.6): their stages run inside a single broadcast-build job
+    # where the chained crossJoins paid one per leg — identical
+    # columns, types, and values
+    leg_list = [
+        ("ci_eq", cust.find({"c_mktsegment": "building"}).collation(ci)
+         .to_df().agg(F.count("*").alias("ci_eq"))),
+        ("ci_in", cust.find({"c_mktsegment": {"$in": ["machinery",
+                                                      "Household"]}})
+         .collation(ci).to_df().agg(F.count("*").alias("ci_in"))),
+        ("bin_eq", cust.find({"c_mktsegment": "building"}).to_df()
+         .agg(F.count("*").alias("bin_eq"))),
+    ]
+    from functools import reduce
+
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            leg.select(F.lit(n).alias("__leg"), F.col(n).alias("__v"))
+            for n, leg in leg_list
+        ],
+    )
     legs = (
-        cust.find({"c_mktsegment": "building"}).collation(ci).to_df()
-        .agg(F.count("*").alias("ci_eq"))
-        .crossJoin(
-            cust.find({"c_mktsegment": {"$in": ["machinery", "Household"]}})
-            .collation(ci).to_df().agg(F.count("*").alias("ci_in"))
-        )
-        .crossJoin(
-            cust.find({"c_mktsegment": "building"}).to_df()
-            .agg(F.count("*").alias("bin_eq"))
-        )
+        tagged.groupBy()
+        .pivot("__leg", [n for n, _ in leg_list])
+        .agg(F.first("__v"))
+        .select(*[n for n, _ in leg_list])
     )
     return regex.crossJoin(F.broadcast(legs))
 
@@ -1306,17 +1322,35 @@ def _q_text_find(spark, sf_dir):
     })
     d5 = c5._load_search_index("coldix", warn_stale=False)
     assert d5.get("postings_dir") and d5.get("ids_dir")
-    return (
-        base.crossJoin(F.broadcast(en))
-        .crossJoin(F.broadcast(en_idx))
-        .crossJoin(F.broadcast(ph))
-        .crossJoin(F.broadcast(ph_slop))
-        .crossJoin(F.broadcast(w_n))
-        .crossJoin(F.broadcast(w1_n))
-        .crossJoin(F.broadcast(wp_n))
-        .crossJoin(F.broadcast(wmp_n))
-        .crossJoin(F.broadcast(wms_n))
+    # one broadcast instead of nine (round 14, guide §2.4/§2.6): the
+    # nine single-row count legs union into ONE frame (their stages run
+    # concurrently inside a single broadcast-build job where the chained
+    # crossJoins paid nine sequential broadcast jobs) and pivot back to
+    # the same one-row (en_n..wms_n) schema — identical columns, types,
+    # and values, one Exchange for all legs
+    from functools import reduce
+
+    legs = [
+        ("en_n", en), ("en_idx", en_idx), ("phrase_n", ph),
+        ("phrase_slop_n", ph_slop), ("w_n", w_n), ("w1_n", w1_n),
+        ("wp_n", wp_n), ("wmp_n", wmp_n), ("wms_n", wms_n),
+    ]
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            leg.select(
+                F.lit(name).alias("__leg"), F.col(name).alias("__v")
+            )
+            for name, leg in legs
+        ],
     )
+    wide = (
+        tagged.groupBy()
+        .pivot("__leg", [name for name, _ in legs])
+        .agg(F.first("__v"))
+        .select(*[name for name, _ in legs])
+    )
+    return base.crossJoin(F.broadcast(wide))
 
 
 def _q_upsert_paths(spark, sf_dir):

@@ -163,6 +163,33 @@ def _read_pt_star(spark: SparkSession, first: str, *rest: str) -> DataFrame:
     return spark.read.schema(base.schema).parquet(first, *rest)
 
 
+def _run_build_actions(*tasks) -> None:
+    """Run independent index-build actions (separate Spark actions with
+    no data dependency) from a small thread pool so each action's
+    straggler tail back-fills with the next action's tasks instead of
+    idling the cluster (guide §2.6) — an index build is 3-5 table
+    writes plus a stats pass, and serial actions left the executors
+    idle between them. Callers pass closures whose INTERNAL steps are
+    dependent (e.g. postings write then the term table derived from
+    it); anything across closures must be independent. Outputs are
+    byte-identical to the serial order — only scheduling overlaps.
+    Exceptions re-raise after all actions settle (same partial-dir
+    failure surface as the serial code)."""
+    tasks = [t for t in tasks if t is not None]
+    if len(tasks) <= 1:
+        for t in tasks:
+            t()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(tasks))) as pool:
+        futures = [pool.submit(t) for t in tasks]
+        errs = [f.exception() for f in futures]
+        for e in errs:
+            if e is not None:
+                raise e
+
+
 def _single_file_tokens(spark: SparkSession) -> float:
     """Token-volume bound under which an index table writes as one
     sorted file (~tens of MB of postings — well under the guide §6
@@ -2722,29 +2749,41 @@ class Collection:
                 )
                 store_pos = bool(definition.get("positions", True))
                 postings = self._postings_rows(tok_frame, store_pos)
-                # range-partition + sort by folded term: each parquet
-                # file covers a tight term range, so a query's isin
-                # lookup prunes on footer min/max instead of scanning.
-                # The id joins the range key so a HOT term (under the
-                # 'none' analyzer stopwords survive — 'the' can be in
-                # every document) splits across partitions instead of
-                # landing on one writer; term_fold leads, so footer
-                # min/max stays tight per file either way.
-                (
-                    _range_sorted(
-                        postings, [F.col("term_fold"), F.col("id")], single
+
+                def _main_chain():
+                    # range-partition + sort by folded term: each
+                    # parquet file covers a tight term range, so a
+                    # query's isin lookup prunes on footer min/max
+                    # instead of scanning. The id joins the range key
+                    # so a HOT term (under the 'none' analyzer
+                    # stopwords survive — 'the' can be in every
+                    # document) splits across partitions instead of
+                    # landing on one writer; term_fold leads, so footer
+                    # min/max stays tight per file either way.
+                    (
+                        _range_sorted(
+                            postings, [F.col("term_fold"), F.col("id")],
+                            single,
+                        )
+                        .write.mode("overwrite")
+                        .parquet(postings_dir)
                     )
-                    .write.mode("overwrite")
-                    .parquet(postings_dir)
-                )
-                terms_src = (
-                    # schema supplied from the frame just written: the
-                    # bare read paid a footer-inference job per build
-                    self.engine.spark.read.schema(postings.schema)
-                    .parquet(postings_dir)
-                    .groupBy("term")
-                    .agg(F.count(F.lit(1)).alias("df"))
-                )
+                    terms_src = (
+                        # schema supplied from the frame just written:
+                        # the bare read paid a footer-inference job
+                        self.engine.spark.read.schema(postings.schema)
+                        .parquet(postings_dir)
+                        .groupBy("term")
+                        .agg(F.count(F.lit(1)).alias("df"))
+                    )
+                    (
+                        # range+sort by term: point lookups and
+                        # autocomplete PREFIX scans prune on footer
+                        # min/max (round 10)
+                        _range_sorted(terms_src, [F.col("term")], single)
+                        .write.mode("overwrite")
+                        .parquet(terms_dir)
+                    )
             else:
                 terms_src = (
                     tok_frame.select(
@@ -2753,14 +2792,14 @@ class Collection:
                     .groupBy("term")
                     .agg(F.count(F.lit(1)).alias("df"))
                 )
-            (
-                # range+sort by term: the query-side point lookups and
-                # autocomplete PREFIX scans prune on footer min/max
-                # (round 10; previously the table shipped unsorted)
-                _range_sorted(terms_src, [F.col("term")], single)
-                .write.mode("overwrite")
-                .parquet(terms_dir)
-            )
+                (
+                    # range+sort by term: the query-side point lookups
+                    # and autocomplete PREFIX scans prune on footer
+                    # min/max (round 10; previously unsorted)
+                    _range_sorted(terms_src, [F.col("term")], single)
+                    .write.mode("overwrite")
+                    .parquet(terms_dir)
+                )
             from anser_spark.operators.ranking import ANALYZER_VERSION
 
             definition.update(
@@ -2800,14 +2839,19 @@ class Collection:
                 ids_dir = os.path.join(
                     self._search_index_dir(), f"{name}_ids"
                 )
-                (
-                    _range_sorted(
-                        tok_frame.select(F.col("id")), [F.col("id")], single
+
+                def _ids_task():
+                    (
+                        _range_sorted(
+                            tok_frame.select(F.col("id")), [F.col("id")],
+                            single,
+                        )
+                        .write.mode("overwrite")
+                        .parquet(ids_dir)
                     )
-                    .write.mode("overwrite")
-                    .parquet(ids_dir)
-                )
+
                 definition["ids_dir"] = ids_dir
+                raw_chain = None
                 if language == "english" and store_pos and bool(
                     definition.get("raw_sidecar", True)
                 ):
@@ -2830,35 +2874,45 @@ class Collection:
                         self._search_index_dir(), f"{name}_rawpostings"
                     )
                     raw_post_df = self._postings_rows(raw_frame, True)
-                    (
-                        _range_sorted(
-                            raw_post_df,
-                            [F.col("term_fold"), F.col("id")], single,
-                        )
-                        .write.mode("overwrite")
-                        .parquet(raw_post)
-                    )
                     raw_terms = os.path.join(
                         self._search_index_dir(), f"{name}_rawterms"
                     )
-                    (
-                        # derive from the just-written raw postings
-                        # (one row per (id, term) ⇒ count = df) — the
-                        # second corpus tokenize pass this table used
-                        # to pay is gone (round 14); schema supplied so
-                        # the readback skips footer inference
-                        _range_sorted(
-                            self.engine.spark.read.schema(raw_post_df.schema)
+
+                    def raw_chain():
+                        (
+                            _range_sorted(
+                                raw_post_df,
+                                [F.col("term_fold"), F.col("id")], single,
+                            )
+                            .write.mode("overwrite")
                             .parquet(raw_post)
-                            .groupBy("term")
-                            .agg(F.count(F.lit(1)).alias("df")),
-                            [F.col("term")], single,
                         )
-                        .write.mode("overwrite")
-                        .parquet(raw_terms)
-                    )
+                        (
+                            # derive from the just-written raw postings
+                            # (one row per (id, term) ⇒ count = df) —
+                            # the second corpus tokenize pass this
+                            # table used to pay is gone (round 14);
+                            # schema supplied so the readback skips
+                            # footer inference
+                            _range_sorted(
+                                self.engine.spark.read
+                                .schema(raw_post_df.schema)
+                                .parquet(raw_post)
+                                .groupBy("term")
+                                .agg(F.count(F.lit(1)).alias("df")),
+                                [F.col("term")], single,
+                            )
+                            .write.mode("overwrite")
+                            .parquet(raw_terms)
+                        )
+
                     definition["raw_postings_dir"] = raw_post
                     definition["raw_terms_dir"] = raw_terms
+                # the three chains are independent (ids from the token
+                # frame, postings→terms, raw postings→raw terms) — run
+                # them concurrently so each straggler tail back-fills
+                # (guide §2.6); internal steps stay ordered
+                _run_build_actions(_main_chain, _ids_task, raw_chain)
             # free the tokenized-corpus scratch now (a failed build
             # falls back to GC reclaim, same as any cached frame)
             tok_frame.unpersist()
@@ -3044,6 +3098,7 @@ class Collection:
                 "spark.anser.index.singleFileTokens", "4000000"
             )
         )
+        main_chain = None
         if build_postings:
             # postings first, field-tagged term table FROM them (round
             # 14): one row per (id, field, term) ⇒ count = per-field
@@ -3052,21 +3107,32 @@ class Collection:
             # pass over the tokenized corpus per build)
             store_positions = bool(definition.get("positions", True))
             postings_dir = os.path.join(idx_dir, f"{name}_postings")
-            (
-                _range_sorted(
-                    self._weighted_postings_rows(
-                        tok_frame, fields, store_positions
-                    ),
-                    [F.col("term_fold"), F.col("id")], single,
+            w_postings = self._weighted_postings_rows(
+                tok_frame, fields, store_positions
+            )
+
+            def main_chain():
+                (
+                    _range_sorted(
+                        w_postings,
+                        [F.col("term_fold"), F.col("id")], single,
+                    )
+                    .write.mode("overwrite")
+                    .parquet(postings_dir)
                 )
-                .write.mode("overwrite")
-                .parquet(postings_dir)
-            )
-            terms_src = (
-                _read_pt(self.engine.spark, postings_dir)
-                .groupBy("field", "term")
-                .agg(F.count(F.lit(1)).alias("df"))
-            )
+                terms_src = (
+                    self.engine.spark.read.schema(w_postings.schema)
+                    .parquet(postings_dir)
+                    .groupBy("field", "term")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                )
+                (
+                    _range_sorted(
+                        terms_src, [F.col("term"), F.col("field")], single
+                    )
+                    .write.mode("overwrite")
+                    .parquet(terms_dir)
+                )
         else:
             terms = None
             for i, f in enumerate(fields):
@@ -3078,13 +3144,13 @@ class Collection:
             terms_src = terms.groupBy("field", "term").agg(
                 F.count(F.lit(1)).alias("df")
             )
-        (
-            _range_sorted(
-                terms_src, [F.col("term"), F.col("field")], single
+            (
+                _range_sorted(
+                    terms_src, [F.col("term"), F.col("field")], single
+                )
+                .write.mode("overwrite")
+                .parquet(terms_dir)
             )
-            .write.mode("overwrite")
-            .parquet(terms_dir)
-        )
         definition.update({
             "kind": "bm25",
             "weights": weights,
@@ -3104,19 +3170,23 @@ class Collection:
         definition.pop("path", None)  # weighted indexes have no single path
         if build_postings:
             ids_dir = os.path.join(idx_dir, f"{name}_ids")
-            (
-                _range_sorted(
-                    tok_frame.select(F.col("id")), [F.col("id")], single
+
+            def ids_task():
+                (
+                    _range_sorted(
+                        tok_frame.select(F.col("id")), [F.col("id")], single
+                    )
+                    .write.mode("overwrite")
+                    .parquet(ids_dir)
                 )
-                .write.mode("overwrite")
-                .parquet(ids_dir)
-            )
+
             definition.update({
                 "postings_dir": postings_dir,
                 "ids_dir": ids_dir,
                 "id_col": id_col,
                 "postings_positions": store_positions,
             })
+            raw_chain = None
             if language != "none":
                 # field-tagged RAW-TOKEN SIDECAR (round 12): phrase /
                 # autocomplete query terms are raw lowered tokens a
@@ -3133,33 +3203,45 @@ class Collection:
                 raw_postings_dir = os.path.join(
                     idx_dir, f"{name}_rawpostings"
                 )
-                (
-                    _range_sorted(
-                        self._weighted_postings_rows(raw_frame, fields, True),
-                        [F.col("term_fold"), F.col("id")], single,
-                    )
-                    .write.mode("overwrite")
-                    .parquet(raw_postings_dir)
-                )
                 raw_terms_dir = os.path.join(idx_dir, f"{name}_rawterms")
-                (
-                    # derive from the just-written raw postings (one
-                    # row per (id, field, term) ⇒ count = per-field
-                    # df) — drops the second per-field explode pass
-                    # over the raw token streams (round 14)
-                    _range_sorted(
-                        _read_pt(self.engine.spark, raw_postings_dir)
-                        .groupBy("field", "term")
-                        .agg(F.count(F.lit(1)).alias("df")),
-                        [F.col("term"), F.col("field")], single,
-                    )
-                    .write.mode("overwrite")
-                    .parquet(raw_terms_dir)
+                raw_post_df = self._weighted_postings_rows(
+                    raw_frame, fields, True
                 )
+
+                def raw_chain():
+                    (
+                        _range_sorted(
+                            raw_post_df,
+                            [F.col("term_fold"), F.col("id")], single,
+                        )
+                        .write.mode("overwrite")
+                        .parquet(raw_postings_dir)
+                    )
+                    (
+                        # derive from the just-written raw postings
+                        # (one row per (id, field, term) ⇒ count =
+                        # per-field df) — drops the second per-field
+                        # explode pass over the raw token streams
+                        # (round 14)
+                        _range_sorted(
+                            self.engine.spark.read
+                            .schema(raw_post_df.schema)
+                            .parquet(raw_postings_dir)
+                            .groupBy("field", "term")
+                            .agg(F.count(F.lit(1)).alias("df")),
+                            [F.col("term"), F.col("field")], single,
+                        )
+                        .write.mode("overwrite")
+                        .parquet(raw_terms_dir)
+                    )
+
                 definition.update({
                     "raw_postings_dir": raw_postings_dir,
                     "raw_terms_dir": raw_terms_dir,
                 })
+            # independent chains overlap (guide §2.6): postings→terms,
+            # the id sidecar, and the raw sidecar chain
+            _run_build_actions(main_chain, ids_task, raw_chain)
         tok_frame.unpersist()
         definition["built_at_version"] = self._pointer()
         self._write_search_index(name, definition)

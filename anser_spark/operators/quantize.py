@@ -37,14 +37,22 @@ def quantize_embeddings(
     int codes array and the per-vector scale (dequantize: q_i · scale).
     """
     qmax = float((1 << (bits - 1)) - 1)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, F.abs))
-    scale = F.greatest(maxabs / F.lit(qmax), F.lit(_EPS))
+    # whole expressions as ONE parsed snippet each: the lambda-HOF forms
+    # paid ~13 py4j round trips per lambda at construction; the parsed
+    # trees are identical (round 14, guide §1)
+    vsql = f"transform({sql_ident(vec_col)}, x -> CAST(x AS DOUBLE))"
+    scale = F.expr(
+        f"greatest(array_max(transform({vsql}, x -> abs(x)))"
+        f" / {qmax!r}D, {_EPS!r}D)"
+    )
     df = df.withColumn(scale_out, scale)
     # reference the MATERIALIZED scale column inside the lambda — the
     # raw `scale` expression would re-run the array_max scan per element
     # (interpreted HOF lambdas have no subexpression reuse: O(d²))
-    codes = F.transform(v, lambda x: F.round(x / F.col(scale_out)).cast("int"))
+    codes = F.expr(
+        f"transform({vsql}, x -> CAST(round(x / {sql_ident(scale_out)})"
+        f" AS INT))"
+    )
     return df.withColumn(out, codes)
 
 
@@ -65,22 +73,26 @@ def quantization_report(
     while round-to-integer of the identical double agrees everywhere
     off the measure-zero .5 boundary."""
     q = quantize_embeddings(df, vec_col, id_col, bits=bits)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    recon = F.zip_with(
-        F.col("qvec"), v, lambda c, x: (c.cast("double") * F.col("scale") - x)
+    # one parsed snippet per output column (identical trees to the
+    # lambda-HOF forms they replace — round 14, guide §1)
+    vec = sql_ident(vec_col)
+    vsql = f"transform({vec}, x -> CAST(x AS DOUBLE))"
+    mse = (
+        f"aggregate(zip_with(qvec, {vsql},"
+        f" (c, x) -> CAST(c AS DOUBLE) * scale - x),"
+        f" 0.0D, (acc, e) -> acc + e * e) / size({vec})"
     )
-    mse = F.aggregate(
-        recon, F.lit(0.0), lambda acc, e: acc + e * e
-    ) / F.size(F.col(vec_col))
     return q.select(
         id_col,
-        F.size(F.col(vec_col)).alias("n_dims"),
-        F.round(F.col("scale") * F.lit(1e8)).cast("long").alias("scale_e8"),
-        F.aggregate(F.col("qvec"), F.lit(0).cast("long"), lambda a, c: a + c).alias("q_sum"),
-        F.aggregate(
-            F.col("qvec"), F.lit(0).cast("long"), lambda a, c: a + F.abs(c)
+        F.expr(f"size({vec})").alias("n_dims"),
+        F.expr(f"CAST(round(scale * {1e8!r}D) AS BIGINT)").alias("scale_e8"),
+        F.expr(
+            "aggregate(qvec, CAST(0 AS BIGINT), (a, c) -> a + c)"
+        ).alias("q_sum"),
+        F.expr(
+            "aggregate(qvec, CAST(0 AS BIGINT), (a, c) -> a + abs(c))"
         ).alias("q_l1"),
-        F.round(mse * F.lit(1e9)).cast("long").alias("mse_e9"),
+        F.expr(f"CAST(round(({mse}) * {1e9!r}D) AS BIGINT)").alias("mse_e9"),
     )
 
 

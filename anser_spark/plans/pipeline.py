@@ -5009,6 +5009,25 @@ def _fill(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     return df
 
 
+def _bucket_scalar_sql(v: Any) -> str | None:
+    """SQL literal text for a $bucket boundary/default, or None when the
+    value doesn't render to the same literal the ``F.lit`` form builds
+    (callers then keep the per-boundary Column path). int → INT/BIGINT
+    exactly as py4j widens, finite float → double via shortest-repr,
+    str → escaped single-quoted literal."""
+    import math
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return str(v) if -(2**63) <= v < 2**63 else None
+    if isinstance(v, float):
+        return repr(v) + "D" if math.isfinite(v) else None
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
 def _bucket(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """$bucket: explicit boundaries → CASE-chain bucket key + group.
     Documents outside the boundaries go to `default` (error if absent,
@@ -5018,27 +5037,51 @@ def _bucket(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     if len(bounds) < 2:
         raise PipelineCompileError("$bucket requires at least 2 boundaries")
     default = arg.get("default")
-    bucket = None
-    for lo, hi in zip(bounds, bounds[1:]):
-        cond = (group_by >= F.lit(lo)) & (group_by < F.lit(hi))
-        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
-    if default is not None:
-        bucket = bucket.otherwise(F.lit(default))
+    lits = [_bucket_scalar_sql(b) for b in bounds]
+    d_lit = _bucket_scalar_sql(default) if default is not None else None
+    if all(s is not None for s in lits) and (default is None or d_lit):
+        # whole CASE chain as ONE parsed expression over the
+        # materialized `__bsrc` key (round 14, guide §1: the chained
+        # F.when loop paid several round trips per boundary) — the
+        # parsed tree matches the chained form branch for branch
+        g = "`__bsrc`"
+        whens = " ".join(
+            f"WHEN ({g} >= {lo} AND {g} < {hi}) THEN {lo}"
+            for lo, hi in zip(lits, lits[1:])
+        )
+        els = d_lit if d_lit is not None else (
+            f"raise_error(concat('$bucket: value ',"
+            f" coalesce(CAST({g} AS STRING), 'null'),"
+            f" ' outside boundaries and no default specified'))"
+        )
+        df = df.withColumn("__bsrc", group_by)
+        bucket = F.expr(f"CASE {whens} ELSE {els} END")
     else:
-        # Mongo errors when a document falls outside the boundaries and
-        # no default is given; raise lazily per-row (no extra job, fires
-        # distributed at execution time)
-        bucket = bucket.otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("$bucket: value "),
-                    F.coalesce(group_by.cast("string"), F.lit("null")),
-                    F.lit(" outside boundaries and no default specified"),
+        bucket = None
+        for lo, hi in zip(bounds, bounds[1:]):
+            cond = (group_by >= F.lit(lo)) & (group_by < F.lit(hi))
+            bucket = (
+                F.when(cond, F.lit(lo))
+                if bucket is None
+                else bucket.when(cond, F.lit(lo))
+            )
+        if default is not None:
+            bucket = bucket.otherwise(F.lit(default))
+        else:
+            # Mongo errors when a document falls outside the boundaries
+            # and no default is given; raise lazily per-row (no extra
+            # job, fires distributed at execution time)
+            bucket = bucket.otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("$bucket: value "),
+                        F.coalesce(group_by.cast("string"), F.lit("null")),
+                        F.lit(" outside boundaries and no default specified"),
+                    )
                 )
             )
-        )
     out_spec = arg.get("output", {"count": {"$sum": 1}})
-    out = df.withColumn("__bucket", bucket)
+    out = df.withColumn("__bucket", bucket).drop("__bsrc")
     # $bucket groups are few and HUGE by construction — N-accumulators
     # in `output` must take the bounded prefilter (bucket key = group
     # key), never the whole-bucket collect form
@@ -5120,6 +5163,30 @@ def _snap_series(x: float, granularity: str, up: bool) -> float:
     return max(c for c in candidates if c <= x + eps)
 
 
+def _bucket_index_col(bounds) -> Column:
+    """Bucket index for ``__gb`` against sorted double boundaries —
+    count of boundaries ≤ value — as ONE parsed expression (round 14,
+    guide §1: the per-boundary ``F.lit`` + lambda form paid a py4j
+    round trip per edge; the parsed tree is identical). Non-finite
+    boundaries fall back to the per-element form."""
+    from anser_spark.operators.similarity import float_array_lit, float_array_sql
+
+    bsql = float_array_sql(bounds) if bounds else None
+    if bsql is not None:
+        return F.expr(
+            f"aggregate({bsql}, 0, (acc, b) -> acc +"
+            f" (CASE WHEN CAST(`__gb` AS DOUBLE) >= b THEN 1 ELSE 0 END))"
+        )
+    barr = float_array_lit(bounds) if bounds else F.array()
+    if not bounds:
+        return F.lit(0)
+    return F.aggregate(
+        barr, F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col("__gb").cast("double") >= b, 1).otherwise(0),
+    )
+
+
 def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
     """$bucketAuto: equal-population buckets with min/max per bucket.
 
@@ -5168,17 +5235,11 @@ def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
         if edges[-1] <= float(stats["hi"]):  # max must fall INSIDE
             edges.append(_snap_series(float(stats["hi"]) * (1 + 1e-9),
                                       granularity, up=True))
-        barr = F.array(*[F.lit(e) for e in edges[1:-1]])
-        tiled = tagged.withColumn(
-            "__tile",
-            F.aggregate(
-                barr, F.lit(0),
-                lambda acc, b: acc
-                + F.when(F.col("__gb").cast("double") >= b, 1).otherwise(0),
-            ),
-        )
-        lo_arr = F.array(*[F.lit(e) for e in edges[:-1]])
-        hi_arr = F.array(*[F.lit(e) for e in edges[1:]])
+        tiled = tagged.withColumn("__tile", _bucket_index_col(edges[1:-1]))
+        from anser_spark.operators.similarity import float_array_lit
+
+        lo_arr = float_array_lit(edges[:-1])
+        hi_arr = float_array_lit(edges[1:])
         tiled, aggs = _compile_group_aggs(tiled, out_spec, [F.col("__tile")])
         return (
             tiled.groupBy("__tile")
@@ -5203,15 +5264,9 @@ def _bucket_auto(df: DataFrame, arg: Mapping[str, Any]) -> DataFrame:
             F.percentile_approx(F.col("__gb").cast("double"), qs, 10_000)
         ).first()[0]
         distinct_bounds = sorted(set(b for b in bounds if b is not None))
-        barr = F.array(*[F.lit(b) for b in distinct_bounds])
         # bucket index = number of boundaries ≤ value (0..len(bounds))
         tiled = tagged.withColumn(
-            "__tile",
-            F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, b: acc + F.when(F.col("__gb").cast("double") >= b, 1).otherwise(0),
-            ),
+            "__tile", _bucket_index_col(distinct_bounds)
         )
     tiled, aggs = _compile_group_aggs(tiled, out_spec, [F.col("__tile")])
     return (
