@@ -729,7 +729,7 @@ def _topn_prefilter(
     """Bounded-state N-accumulators ($topN/$bottomN/$minN/$maxN, plus —
     round 8 — $firstN/$lastN and mixed-direction $top/$bottom) via a
     SALTED two-phase window: phase 1 ranks within (group, salt) — salt
-    = pmod(spark_partition_id, 64), so parallelism is 64x the group
+    = per-partition row index mod 64, so parallelism is 64x the group
     cardinality and no task ever sorts a whole group (the round-6 sf3
     rehearsal showed the unsalted per-group window going super-linear
     on 3-value group keys: three single-task sorts of 6M rows each) —
@@ -755,14 +755,29 @@ def _topn_prefilter(
     schema = df.schema
     # materialize the salt ONCE as a column shared by every heavy
     # accumulator's window (round 14): inlining the expression gave
-    # each window its OWN spark_partition_id() — evaluated after the
-    # previous window's shuffle, hence a DIFFERENT partitioning — so N
-    # accumulators paid N full Exchanges. One shared salt column means
-    # one Exchange feeding N Sorts (plan: 3 Exchange → 1 on the global
+    # each window its OWN salt — evaluated after the previous window's
+    # shuffle, hence a DIFFERENT partitioning — so N accumulators paid
+    # N full Exchanges. One shared salt column means one Exchange
+    # feeding N Sorts (plan: 3 Exchange → 1 on the global
     # $topN/$minN/$maxN group); any salt assignment yields a superset
     # of the per-bucket top-n, so results are unchanged.
+    #
+    # The salt is the per-partition ROW INDEX mod B (the partition term
+    # of monotonically_increasing_id is pid·2^33, divisible by B), not
+    # pmod(spark_partition_id, B): partition-id salting caps the number
+    # of distinct salts at the upstream partition COUNT, and a compact
+    # scan (one parquet file ⇒ 1-3 splits) serialized the whole
+    # sort+window+aggregate onto 1-3 tasks while the rest of the
+    # cluster idled (guide §2.5 synthetic-key dispersal; measured: the
+    # global-topN stage ran 1 task / 2.7 s CPU-bound at sf0.1).
+    # Row-index salting round-robins every partition across all B
+    # buckets — even dispersal at ANY upstream partition count, ties
+    # included — and is deterministic under task retry given the same
+    # partition layout and row order, exactly the guarantee
+    # spark_partition_id offered.
     df = df.withColumn(
-        "__tn_salt", F.pmod(F.spark_partition_id(), F.lit(_TOPN_SALT_BUCKETS))
+        "__tn_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(_TOPN_SALT_BUCKETS)),
     )
     salt = F.col("__tn_salt")
     # order-signature registry for mirror sharing: signature → (rank

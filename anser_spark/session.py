@@ -45,7 +45,12 @@ def get_spark(app_name: str = "anser-spark", cpus: str | int | None = None) -> S
             "SimplifyCaseConversionExpressions",
         )
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (driver-side listener/HTTP overhead);
+        # profiling scripts flip it on for the REST job-attribution API
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
         # local mode = one JVM for driver+executors: size the heap for a
         # long session of heavy queries (8g measured sustained GC drag
         # over a ~50-query run on this 128 GiB box; cluster deployments
