@@ -1389,8 +1389,16 @@ def _q_merge_into_summary(spark, sf_dir):
     mut = eng.db("mut")
     orders = mut.collection("orders")
     orders._rewrite(eng.db("tpch").collection("orders").df())
+    import pandas as pd
+
+    # Arrow-local seed: the list form parallelizes one row across
+    # defaultParallelism pickled slices (32 near-empty files per
+    # version; a coalesce over those slices serializes 32 Python-runner
+    # round-trips — measured seconds), while the pandas form ships as
+    # Arrow batches in as many slices as rows
     seed = spark.createDataFrame(
-        [("ZZ", -1, 0.0)], "_id string, n long, total double"
+        pd.DataFrame([{"_id": "ZZ", "n": -1, "total": 0.0}]),
+        "_id string, n long, total double",
     )
     mut.collection("prio_summary")._rewrite(seed)
     orders.pipe(

@@ -111,3 +111,32 @@ def test_firstn_lastn_share_one_sort(spark):
     row = out.collect()[0]
     assert row["head"] == [0, 10]
     assert row["tail"] == [60, 70]
+
+
+def test_scalar_docs_fast_path_matches_slow_inference(engine, spark):
+    # the Arrow fast path in _docs_to_df must reproduce the slow
+    # createDataFrame(list-of-dicts) inference exactly: names, types,
+    # field order, null handling
+    db = engine.database("tpch")
+    coll = db.collection("fastdocs_tmp")
+    docs = [
+        {"_id": 1, "a": None, "b": 2.5, "s": "x", "t": True},
+        {"_id": 2, "a": 7, "b": None, "s": None, "t": None},
+        {"_id": 3, "a": 0, "b": float("inf"), "s": "", "t": False},
+    ]
+    fast = coll._scalar_docs_df([dict(d) for d in docs])
+    assert fast is not None
+    slow = spark.createDataFrame([dict(d) for d in docs])
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+    # non-scalar values must decline (nested docs take the slow path)
+    assert coll._scalar_docs_df([{"_id": 1, "d": {"x": 1}}]) is None
+    assert coll._scalar_docs_df([{"_id": 1, "d": [1, 2]}]) is None
+    # all-null columns decline to the slow path's dedicated handling
+    assert coll._scalar_docs_df([{"_id": 1, "z": None}]) is None
+    # end-to-end: insert through the fast path round-trips
+    coll.insert({"_id": 10, "v": 1}, {"_id": 11, "v": None})
+    got = {r["_id"]: r["v"] for r in coll.find({}).all()}
+    assert got == {10: 1, 11: None}
