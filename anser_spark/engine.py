@@ -182,7 +182,7 @@ def _run_build_actions(*tasks) -> None:
         return
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(3, len(tasks))) as pool:
+    with ThreadPoolExecutor(max_workers=min(4, len(tasks))) as pool:
         futures = [pool.submit(t) for t in tasks]
         errs = [f.exception() for f in futures]
         for e in errs:
@@ -2750,7 +2750,7 @@ class Collection:
                 store_pos = bool(definition.get("positions", True))
                 postings = self._postings_rows(tok_frame, store_pos)
 
-                def _main_chain():
+                def _postings_write():
                     # range-partition + sort by folded term: each
                     # parquet file covers a tight term range, so a
                     # query's isin lookup prunes on footer min/max
@@ -2768,22 +2768,47 @@ class Collection:
                         .write.mode("overwrite")
                         .parquet(postings_dir)
                     )
-                    terms_src = (
-                        # schema supplied from the frame just written:
-                        # the bare read paid a footer-inference job
-                        self.engine.spark.read.schema(postings.schema)
-                        .parquet(postings_dir)
-                        .groupBy("term")
-                        .agg(F.count(F.lit(1)).alias("df"))
-                    )
+
+                def _terms_write(src):
                     (
                         # range+sort by term: point lookups and
                         # autocomplete PREFIX scans prune on footer
                         # min/max (round 10)
-                        _range_sorted(terms_src, [F.col("term")], single)
+                        _range_sorted(
+                            src.groupBy("term")
+                            .agg(F.count(F.lit(1)).alias("df")),
+                            [F.col("term")], single,
+                        )
                         .write.mode("overwrite")
                         .parquet(terms_dir)
                     )
+
+                if single:
+                    # measured-tiny build: terms aggregate straight
+                    # from the postings FRAME (the token-volume guard
+                    # bounds the recompute), so the terms write no
+                    # longer serializes behind the postings write and
+                    # every chain overlaps (guide §2.6) — count per
+                    # (id, term) row is df either way
+                    def _main_chain():
+                        _postings_write()
+
+                    def _terms_chain():
+                        _terms_write(postings)
+                else:
+                    # at scale: derive from the WRITTEN table — a
+                    # column-pruned read of the (already shuffled, much
+                    # smaller) postings beats re-exploding the corpus
+                    # token stream; schema supplied so the readback
+                    # skips footer inference
+                    _terms_chain = None
+
+                    def _main_chain():
+                        _postings_write()
+                        _terms_write(
+                            self.engine.spark.read.schema(postings.schema)
+                            .parquet(postings_dir)
+                        )
             else:
                 terms_src = (
                     tok_frame.select(
@@ -2908,11 +2933,14 @@ class Collection:
 
                     definition["raw_postings_dir"] = raw_post
                     definition["raw_terms_dir"] = raw_terms
-                # the three chains are independent (ids from the token
-                # frame, postings→terms, raw postings→raw terms) — run
-                # them concurrently so each straggler tail back-fills
+                # the chains are independent (ids from the token
+                # frame, postings[→terms], terms-from-frame on tiny
+                # builds, raw postings→raw terms) — run them
+                # concurrently so each straggler tail back-fills
                 # (guide §2.6); internal steps stay ordered
-                _run_build_actions(_main_chain, _ids_task, raw_chain)
+                _run_build_actions(
+                    _main_chain, _terms_chain, _ids_task, raw_chain
+                )
             # free the tokenized-corpus scratch now (a failed build
             # falls back to GC reclaim, same as any cached frame)
             tok_frame.unpersist()
@@ -3099,6 +3127,7 @@ class Collection:
             )
         )
         main_chain = None
+        terms_chain = None
         if build_postings:
             # postings first, field-tagged term table FROM them (round
             # 14): one row per (id, field, term) ⇒ count = per-field
@@ -3111,7 +3140,7 @@ class Collection:
                 tok_frame, fields, store_positions
             )
 
-            def main_chain():
+            def _w_postings_write():
                 (
                     _range_sorted(
                         w_postings,
@@ -3120,19 +3149,37 @@ class Collection:
                     .write.mode("overwrite")
                     .parquet(postings_dir)
                 )
-                terms_src = (
-                    self.engine.spark.read.schema(w_postings.schema)
-                    .parquet(postings_dir)
-                    .groupBy("field", "term")
-                    .agg(F.count(F.lit(1)).alias("df"))
-                )
+
+            def _w_terms_write(src):
                 (
                     _range_sorted(
-                        terms_src, [F.col("term"), F.col("field")], single
+                        src.groupBy("field", "term")
+                        .agg(F.count(F.lit(1)).alias("df")),
+                        [F.col("term"), F.col("field")], single,
                     )
                     .write.mode("overwrite")
                     .parquet(terms_dir)
                 )
+
+            if single:
+                # measured-tiny build: terms aggregate straight from
+                # the postings FRAME (token-volume guard bounds the
+                # recompute; the weighted tok_frame is persisted) so
+                # the terms write overlaps the postings write
+                # (guide §2.6) instead of serializing behind it
+                def main_chain():
+                    _w_postings_write()
+
+                def terms_chain():
+                    _w_terms_write(w_postings)
+            else:
+
+                def main_chain():
+                    _w_postings_write()
+                    _w_terms_write(
+                        self.engine.spark.read.schema(w_postings.schema)
+                        .parquet(postings_dir)
+                    )
         else:
             terms = None
             for i, f in enumerate(fields):
@@ -3241,7 +3288,7 @@ class Collection:
                 })
             # independent chains overlap (guide §2.6): postings→terms,
             # the id sidecar, and the raw sidecar chain
-            _run_build_actions(main_chain, ids_task, raw_chain)
+            _run_build_actions(main_chain, terms_chain, ids_task, raw_chain)
         tok_frame.unpersist()
         definition["built_at_version"] = self._pointer()
         self._write_search_index(name, definition)
