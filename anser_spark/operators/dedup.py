@@ -738,7 +738,21 @@ def connected_components(
                 parent[hi] = lo
         labels = [(x, find(x)) for x in sorted(nodes)]
         spark = pairs.sparkSession
-        out = spark.createDataFrame(labels, schema=e.schema)
+        # Arrow-serialized pandas, not createDataFrame(list): the list
+        # form parallelizes across defaultParallelism pickled slices
+        # (one near-empty Python-runner task each); the pandas form
+        # ships as Arrow with the same explicit schema (round 14,
+        # guide §4)
+        import pandas as pd
+
+        fields = [f.name for f in e.schema.fields]
+        out = spark.createDataFrame(
+            pd.DataFrame({
+                fields[0]: pd.Series([t[0] for t in labels], dtype="object"),
+                fields[1]: pd.Series([t[1] for t in labels], dtype="object"),
+            }),
+            schema=e.schema,
+        )
         # a driver-built frame has no stats, so a downstream join
         # (dedup_clusters' corpus attach) planned as SortMergeJoin and
         # shuffled the CORPUS side; the labels are ≤2·cap rows and
