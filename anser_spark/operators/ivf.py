@@ -124,12 +124,21 @@ def ivf_train_sample(
         d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
         assign = d.argmin(axis=1)
         new_c = c.copy()
+        # one stable argsort replaces k boolean masks; slices of the
+        # gathered array see the same rows in the same order, so the
+        # means (and the trained centroids) are bit-identical
+        order = np.argsort(assign, kind="stable")
+        xs = x[order]
+        bounds = np.searchsorted(assign[order], np.arange(k + 1))
+        worst = None  # farthest point: constant within one iteration
         for j in range(k):
-            members = x[assign == j]
-            if len(members):
-                new_c[j] = members.mean(axis=0)
+            lo, hi = bounds[j], bounds[j + 1]
+            if hi > lo:
+                new_c[j] = xs[lo:hi].mean(axis=0)
             else:  # re-seed an empty cluster from the farthest point
-                new_c[j] = x[(d.min(axis=1) + xn).argmax()]
+                if worst is None:
+                    worst = x[(d.min(axis=1) + xn).argmax()]
+                new_c[j] = worst
         if np.allclose(new_c, c):
             c = new_c
             break
