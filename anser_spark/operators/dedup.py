@@ -364,9 +364,15 @@ def minhash_near_dup_pairs(
     # verification read the signatures — computed once, stored once,
     # and the blocks are reclaimed with the result (a bare persist
     # pinned the cache for the session; r6 advisor-pattern sweep)
-    sigs = sigs.select(
-        F.col(id_col), F.col(sh_col), F.col("__minhash")
-    ).localCheckpoint(eager=True)
+    sigs = sigs.select(F.col(id_col), F.col(sh_col), F.col("__minhash"))
+    # same dispersal guard as ngram_jaccard_pairs: the banding explode,
+    # candidate join and verification joins all inherit the checkpoint
+    # layout, and a byte-small scan pins them to 1-3 tasks. Keyed on the
+    # id (deterministic); no-op once the scan has ≥cores partitions.
+    n_target = df.sparkSession.sparkContext.defaultParallelism
+    if sigs.rdd.getNumPartitions() < n_target:
+        sigs = sigs.repartition(n_target, id_col)
+    sigs = sigs.localCheckpoint(eager=True)
     banded = banded_signatures(sigs, id_col, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -629,7 +635,22 @@ def ngram_jaccard_pairs(
     # cross Arrow, no JVM explode)
     ex = shingle_postings_arrow(
         proj, id_col, text_col, k, carry=["__blk"], n_out="__n"
-    ).localCheckpoint(eager=True)  # dual-read; reclaimed with result
+    )
+    # the self-join and its Σ bucket² aggregation inherit the
+    # checkpoint's layout; a byte-small scan (one file, 1-3 splits)
+    # materializes as that few blocks and serializes the whole join on
+    # as few cores (measured: 1 task / ~1.0s while 31 cores idle).
+    # Spread across the JOIN KEYS before checkpointing when the
+    # upstream layout is narrower than the cluster — keyed hash
+    # partitioning, deterministic under retry (guide §2.5; ~300k
+    # distinct (block, shingle) keys disperse over any core count).
+    # At scale the scan already provides ≥cores partitions and this
+    # branch never fires. The spread only changes WHERE count rows are
+    # aggregated, not their values.
+    n_target = proj.sparkSession.sparkContext.defaultParallelism
+    if ex.rdd.getNumPartitions() < n_target:
+        ex = ex.repartition(n_target, "__blk", "__tok")
+    ex = ex.localCheckpoint(eager=True)  # dual-read; reclaimed with result
     a = ex.alias("a")
     b = ex.alias("b")
     common = (
