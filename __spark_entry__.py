@@ -360,6 +360,15 @@ def _q_sequence_packing(spark, sf_dir):
     from anser_spark.operators.text import chunk_documents, token_count_col
 
     docs = _db(spark, sf_dir).collection("documents").df()
+    # both legs tokenize the corpus (JVM regexp splits) over the
+    # bench's one-file scan = one task each; fan out by cores/4 (A/B
+    # min-of-4: 1-way 1.08s, 8-way 0.68s, 32-way 0.78s — moderate
+    # fan-out amortizes per-task overhead best). Values unchanged: the
+    # window re-partitions by shard and the chunk count re-groups by
+    # doc_id either way. At 100 TB the file count disperses naturally.
+    fan = max(1, spark.sparkContext.defaultParallelism // 4)
+    if fan > 1:
+        docs = docs.repartition(fan, "doc_id")
     toks = docs.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
     nch = (
         chunk_documents(docs.select("doc_id", "text"),
@@ -401,6 +410,15 @@ def _q_decontamination(spark, sf_dir):
     docs = _db(spark, sf_dir).collection("documents").df()
     test = docs.where(F.col("doc_id") % 25 == 0)
     train = docs.where(F.col("doc_id") % 25 != 0)
+    # the train-side shingle pass is CPU-bound Python while Spark sizes
+    # partitions by BYTES — the bench's one-file layout runs it as ONE
+    # task. Fan out by cores/4, not cores: Arrow batches must stay big
+    # enough to amortize per-task Python round-trips (A/B min-of-4:
+    # 1-way 1.11s, 8-way 0.80s, 32-way 1.05s — full-core spread loses).
+    # At 100 TB the file count provides dispersal naturally.
+    fan = max(1, spark.sparkContext.defaultParallelism // 4)
+    if fan > 1:
+        train = train.repartition(fan, "doc_id")
     return contaminated_pairs(train, test, k=3, min_shared=2)
 
 
@@ -1637,6 +1655,13 @@ def _q_media_plumbing(spark, sf_dir):
     from anser_spark.operators.multimodal import attach_media_metadata, sample_video_frames
 
     docs = _db(spark, sf_dir).collection("documents").df()
+    # hashing + frame explode over the bench's one-file scan = 1 task;
+    # moderate fan-out (cores/4 — same A/B rationale as the
+    # decontamination/sequence_packing gates) spreads it without
+    # starving the Arrow batches. No-op on values (re-grouped by id).
+    fan = max(1, spark.sparkContext.defaultParallelism // 4)
+    if fan > 1:
+        docs = docs.repartition(fan, "doc_id")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -1660,6 +1685,11 @@ def _q_media_features(spark, sf_dir):
     from anser_spark.operators.multimodal import extract_image_features
 
     docs = _db(spark, sf_dir).collection("documents").df()
+    # same moderate fan-out as the plumbing leg: the Arrow feature
+    # stage runs one task on the one-file scan otherwise
+    fan = max(1, spark.sparkContext.defaultParallelism // 4)
+    if fan > 1:
+        docs = docs.repartition(fan, "doc_id")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
@@ -2393,10 +2423,24 @@ def _q_media_text_stats(spark, sf_dir):
 
 def _q_gopher_repetition(spark, sf_dir):
     # composite (50-gate cap): Gopher rule flags + repetition metrics,
-    # joined on doc_id (no column collisions between the two)
-    return _q_gopher_filter(spark, sf_dir).join(
-        _q_repetition_metrics(spark, sf_dir), "doc_id"
+    # joined on doc_id (no column collisions between the two).
+    # Both legs are CPU-bound JVM scans (regexp tokenize / HOFs) over
+    # the bench's one-file layout = 1 task each; build them from ONE
+    # cores/4-fanned frame (A/B min-of-5: 1.18s → 0.38s; same moderate
+    # fan-out rationale as the decontamination gate). Values unchanged —
+    # both legs are per-row projections plus keyed re-aggregations.
+    from anser_spark.operators.text import gopher_rules, repetition_metrics
+
+    docs = _db(spark, sf_dir).collection("documents").df()
+    fan = max(1, spark.sparkContext.defaultParallelism // 4)
+    if fan > 1:
+        docs = docs.repartition(fan, "doc_id")
+    flags = gopher_rules(docs).select(
+        "doc_id", "rule_word_count", "rule_mean_word_len",
+        "rule_symbol_ratio", "rule_bullets", "rule_ellipsis",
+        "rule_alpha_words", "rule_stopwords", "gopher_keep",
     )
+    return flags.join(repetition_metrics(docs), "doc_id")
 
 
 def _q_densify_geo(spark, sf_dir):
