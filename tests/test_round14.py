@@ -140,3 +140,85 @@ def test_scalar_docs_fast_path_matches_slow_inference(engine, spark):
     coll.insert({"_id": 10, "v": 1}, {"_id": 11, "v": None})
     got = {r["_id"]: r["v"] for r in coll.find({}).all()}
     assert got == {10: 1, 11: None}
+
+
+def test_kmeans_argsort_grouping_bit_identical():
+    # the argsort-gather Lloyd update (round 14) must reproduce the
+    # per-cluster boolean-mask form EXACTLY: stable sort keeps index
+    # order within each cluster, so every mean reduces the same rows
+    # in the same order — including the empty-cluster farthest-point
+    # re-seed, which is constant within one iteration
+    import numpy as np
+
+    from anser_spark.operators.pq import _kmeans
+
+    def reference(x, k, rng, max_iter=12):
+        centers = [x[rng.randint(len(x))]]
+        d2 = ((x - centers[0]) ** 2).sum(axis=1)
+        for _ in range(k - 1):
+            probs = d2 / d2.sum() if d2.sum() > 0 else None
+            nxt = x[rng.choice(len(x), p=probs)]
+            centers.append(nxt)
+            d2 = np.minimum(d2, ((x - nxt) ** 2).sum(axis=1))
+        c = np.array(centers)
+        xn = (x * x).sum(axis=1)
+        for _ in range(max_iter):
+            d = (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+            assign = d.argmin(axis=1)
+            new_c = c.copy()
+            for j in range(k):
+                members = x[assign == j]
+                if len(members):
+                    new_c[j] = members.mean(axis=0)
+                else:
+                    new_c[j] = x[(d.min(axis=1) + xn).argmax()]
+            if np.allclose(new_c, c):
+                return new_c
+            c = new_c
+        return c
+
+    for shape, k, seed in [
+        ((600, 8), 64, 7),
+        ((600, 1), 64, 1),
+        ((90, 2), 64, 5),  # duplicates force empty clusters
+    ]:
+        x = np.random.RandomState(seed).randn(*shape)
+        x[::3] = x[0]
+        a = reference(x, k, np.random.RandomState(seed))
+        b = _kmeans(x, k, np.random.RandomState(seed))
+        assert np.array_equal(a, b), (shape, k)
+
+
+def test_dedup_dispersal_spreads_narrow_input(spark):
+    # round 14: the checkpointed postings/signature tables repartition
+    # across the join keys when the upstream scan is narrower than the
+    # cluster — the candidate joins must not serialize on 1-3 tasks.
+    # The shuffle happens BEFORE the eager checkpoint, so it is not a
+    # node in the final plan; what this pins is result equality between
+    # a 1-partition input (dispersal fires) and a pre-split input
+    # (dispersal is a no-op) for both operators.
+    from pyspark.sql import functions as F
+
+    from anser_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        {"doc_id": i, "text": f"alpha beta gamma delta {i % 7} {i % 3}",
+         "lang": "en" if i % 2 else "de"}
+        for i in range(60)
+    ] + [{"doc_id": 1000 + i,
+          "text": f"alpha beta gamma delta {i % 7} {i % 3}",
+          "lang": "en" if i % 2 else "de"} for i in range(10)]
+    narrow = spark.createDataFrame(rows).coalesce(1)
+    wide = spark.createDataFrame(rows).repartition(8, "doc_id")
+
+    for fn in (
+        lambda d: ngram_jaccard_pairs(d, k=3, threshold=0.4,
+                                      block_col=F.col("lang")),
+        lambda d: minhash_near_dup_pairs(d, k=3, threshold=1.0),
+    ):
+        a = sorted(map(tuple, fn(narrow).collect()))
+        b = sorted(map(tuple, fn(wide).collect()))
+        assert a == b and a, "dispersal must not change pair values"
