@@ -166,11 +166,15 @@ def pq_train_sample(
             src.orderBy(h, F.col(id_col))
             .limit(int(max_sample))
             .select(vec_col)
-            .collect()
+            .toPandas()  # Arrow transfer: ~2x a pickled-row collect,
+            # same rows in the same order, doubles bit-identical
         )
     else:
-        rows = df.select(vec_col).limit(int(max_sample)).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+        rows = df.select(vec_col).limit(int(max_sample)).toPandas()
+    x = np.array(
+        [np.asarray(v, dtype=np.float64) for v in rows[vec_col]],
+        dtype=np.float64,
+    )
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} is not divisible by m={m}")
