@@ -725,11 +725,14 @@ def connected_components(
     # directly instead of a separate count+hash aggregate job followed
     # by the collect — the signature aggregate is only needed for the
     # distributed rounds' convergence check, so compute it there.
+    # Arrow transfer (toPandas), not pickled rows: neutral on a small
+    # edge list and several times faster near the 2M cap, identical
+    # values either way.
     cap = 2_000_000
-    edge_rows = e.limit(cap + 1).collect()
-    if not edge_rows:
+    edge_pdf = e.limit(cap + 1).toPandas()
+    if not len(edge_pdf):
         return e.select(F.col("u").alias(id_out), F.col("v").alias(comp_col))
-    if len(edge_rows) <= cap:
+    if len(edge_pdf) <= cap:
         # The near-dup pair graph after LSH is almost always a sliver of
         # the corpus — when the (deduplicated) edge list fits on the
         # driver, a local union-find finishes in milliseconds instead of
@@ -748,8 +751,7 @@ def connected_components(
             return r
 
         nodes = set()
-        for row in edge_rows:
-            u, v = row["u"], row["v"]
+        for u, v in zip(edge_pdf["u"].tolist(), edge_pdf["v"].tolist()):
             nodes.add(u)
             nodes.add(v)
             ru, rv = find(u), find(v)
